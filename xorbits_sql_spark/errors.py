@@ -1,0 +1,34 @@
+"""Error types.
+
+Mirrors the reference's error surface (/root/reference/xorbits_sql/errors.py:
+ExecuteError raised per plan step, UnsupportedError for unimplemented
+expressions) while keeping Spark's own AnalysisException visible as the
+``__cause__`` for debuggability.
+"""
+
+
+class XorbitsSQLSparkError(Exception):
+    """Base class for engine errors."""
+
+
+class ExecuteError(XorbitsSQLSparkError):
+    """A query failed during analysis or execution.
+
+    Reference parity: xorbits_sql wraps per-step failures in ExecuteError
+    (reference executor.py:246-247). Here one Spark query == one "step", so
+    the whole spark.sql() call is wrapped instead.
+    """
+
+
+class UnsupportedError(XorbitsSQLSparkError):
+    """A SQL construct or argument the engine does not support.
+
+    The reference raises this from its expression interpreter
+    (reference executor.py:190-195); in this engine it is reserved for the
+    thin shim layer (bad table specs, unsupported dialect options) because
+    Spark SQL natively executes a superset of the reference's surface.
+    """
+
+
+class TableNotFoundError(ExecuteError):
+    """A table referenced in the query was not registered."""

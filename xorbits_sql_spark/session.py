@@ -1,0 +1,63 @@
+"""SparkSession management.
+
+One tuned session per process. The defaults are scale-minded: AQE on
+(runtime re-planning, skew-join splitting, partition coalescing), Arrow
+on (fast pandas interchange for Pandas-UDF operators), UTC session
+timezone (stable cross-engine timestamp semantics vs the DuckDB oracle).
+
+``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+real cluster set it (or rely on AQE coalescing) to ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast anything under 64 MB — on a 1000-executor cluster the
+    # dimension tables (region/nation/supplier/part at TPC-H shapes) must
+    # broadcast, never shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "xorbits_sql_spark", **conf: str) -> SparkSession:
+    """Return (building if needed) the process-wide SparkSession.
+
+    Extra ``conf`` entries override the tuned defaults. If a session
+    already exists it is returned as-is (Spark configs are mostly
+    immutable post-start), matching SparkSession.builder semantics.
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    ).appName(app_name)
+    merged = dict(_DEFAULTS)
+    merged.setdefault("spark.sql.shuffle.partitions", str(cpus))
+    merged["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    merged.update({k: str(v) for k, v in conf.items()})
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Stop the active session (test teardown helper)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

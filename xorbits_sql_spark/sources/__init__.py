@@ -1,0 +1,11 @@
+"""Sources & sinks.
+
+The reference supports only in-memory tables and a ``READ_CSV`` table
+function (reference executor.py:254-308); everything else here is the
+Spark-native superset: parquet/orc/json/csv/jdbc readers with schema and
+pushdown, plus write helpers.
+"""
+
+from .readers import load_tables, read_csv, register_csv_reads
+
+__all__ = ["load_tables", "read_csv", "register_csv_reads"]

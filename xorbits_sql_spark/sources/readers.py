@@ -1,0 +1,131 @@
+"""Readers: the READ_CSV table-function shim + generic loaders.
+
+Reference parity: ``READ_CSV('path', 'delimiter', '|')`` appears in FROM
+clauses (reference executor.py:290-308; usage tests/test_tpc_h.py:47-52).
+The reference parses the vararg list as k/v pairs and honors only
+``delimiter``; dtypes come from the declared schema. Here the same call
+is rewritten out of the SQL text: each distinct READ_CSV(...) is
+registered as a temp view backed by ``spark.read.csv`` (header=True to
+match the reference's bundled CSVs, schema from the schema dict when one
+covers it), and the FROM clause is pointed at the view. Spark's CSV
+source then gives partitioned, pushdown-aware scanning for free.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import UnsupportedError
+
+_READ_CSV = re.compile(
+    r"READ_CSV\s*\(\s*(?P<args>'[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _parse_args(arg_text: str) -> tuple[str, dict[str, str]]:
+    parts = [p.strip()[1:-1] for p in re.findall(r"'[^']*'", arg_text)]
+    if not parts:
+        raise UnsupportedError("READ_CSV requires a path argument")
+    path, rest = parts[0], parts[1:]
+    if len(rest) % 2 != 0:
+        raise UnsupportedError("READ_CSV options must be key/value pairs")
+    # Reference executor.py:297-301: options parsed pairwise, only
+    # `delimiter` honored; unknown keys are ignored there — we keep them
+    # as Spark CSV options since Spark understands more (header, sep...).
+    opts = {rest[i]: rest[i + 1] for i in range(0, len(rest), 2)}
+    return path, opts
+
+
+def _view_name_for(path: str, n: int) -> str:
+    stem = re.sub(r"[^A-Za-z0-9]", "_", path.rsplit("/", 1)[-1].rsplit(".", 1)[0])
+    return f"__read_csv_{stem}_{n}"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    schema_dict: Mapping[str, str] | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """spark.read.csv with the reference's defaults (header row, '|' support)."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema_dict:
+        from ..table import schema_to_struct
+
+        reader = reader.schema(schema_to_struct(schema_dict))
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def register_csv_reads(
+    spark: SparkSession,
+    sql: str,
+    schema: Mapping[str, Any] | None = None,
+) -> str:
+    """Replace READ_CSV(...) table functions with temp views; return new SQL.
+
+    When the READ_CSV call is aliased (``FROM READ_CSV(...) AS t``) and the
+    schema dict has an entry for the alias or the file stem, that schema
+    types the scan (reference executor.py:303-306 behavior).
+    """
+    counter = 0
+
+    def replace(m: re.Match[str]) -> str:
+        nonlocal counter
+        path, opts = _parse_args(m.group("args"))
+        delimiter = opts.pop("delimiter", opts.pop("sep", ","))
+        stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        table_schema = None
+        if schema and isinstance(schema.get(stem), Mapping):
+            table_schema = schema[stem]
+        name = _view_name_for(path, counter)
+        counter += 1
+        df = read_csv(spark, path, delimiter=delimiter, schema_dict=table_schema, **opts)
+        df.createOrReplaceTempView(name)
+        return name
+
+    return _READ_CSV.sub(replace, sql)
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TPCH_TABLES,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables from ``sf_dir``; optionally register views.
+
+    Parquet scans give Catalyst column pruning + predicate pushdown — at
+    100 TB these scans are the dominant cost, so every query should show
+    PushedFilters/ReadSchema narrowing in `.explain("formatted")`.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

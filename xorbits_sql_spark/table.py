@@ -1,0 +1,184 @@
+"""Table registration: the reference's data-model surface, on Spark.
+
+The reference accepts ``tables`` as a flat or nested mapping —
+``{table: df}``, ``{db: {table: df}}``, ``{catalog: {db: {table: df}}}``
+(reference core.py:62-65, table.py:67-105) — where each leaf is a
+DataFrame or a list of row dicts (reference table.py:91-103). This module
+normalizes all of those into Spark temp views.
+
+Schema dicts use SQL type strings per table (reference core.py:60-65,
+e.g. tests/helpers.py:54-132 uses bigint/double/int/string) and convert
+to Spark StructTypes here. Unlike the reference there is no row-0
+schema-inference fetch (reference core.py:84-91) — Spark DataFrames
+always carry a schema, and for row-dict inputs Spark's own sampler
+handles it; at 100 TB a "fetch row 0 of every table" boundary is a
+non-starter, so that behavior is deliberately dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .errors import UnsupportedError
+
+# SQL type-string → Spark type. Covers the reference's CAST surface
+# (reference executor.py:40-47,106-141) plus the types Spark gives for free.
+_TYPE_MAP: dict[str, T.DataType] = {
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "real": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "char": T.StringType(),
+    "boolean": T.BooleanType(),
+    "bool": T.BooleanType(),
+    "date": T.DateType(),
+    "datetime": T.TimestampType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+
+
+def parse_type(type_str: str) -> T.DataType:
+    """Parse a SQL type string (including decimal/array/map/struct) to Spark."""
+    s = type_str.strip().lower()
+    if s in _TYPE_MAP:
+        return _TYPE_MAP[s]
+    try:
+        # Spark's own DDL parser handles decimal(p,s), array<...>, map<...>,
+        # struct<...> — a superset of the reference's type strings.
+        return T._parse_datatype_string(type_str)
+    except Exception as exc:  # pragma: no cover - defensive
+        raise UnsupportedError(f"unsupported type string: {type_str!r}") from exc
+
+
+def schema_to_struct(table_schema: Mapping[str, str]) -> T.StructType:
+    """``{col: "bigint", ...}`` → StructType (reference core.py:60-65 form)."""
+    return T.StructType(
+        [T.StructField(col, parse_type(ts), nullable=True) for col, ts in table_schema.items()]
+    )
+
+
+def _is_leaf(value: Any) -> bool:
+    if isinstance(value, DataFrame):
+        return True
+    if isinstance(value, list):
+        return True
+    try:  # pandas DataFrame without importing pandas eagerly
+        import pandas as pd
+
+        if isinstance(value, pd.DataFrame):
+            return True
+    except ImportError:  # pragma: no cover
+        pass
+    return False
+
+
+def flatten_tables(tables: Mapping[str, Any]) -> dict[tuple[str, ...], Any]:
+    """Flatten up-to-3-level nested table mappings to {(catalog?, db?, name): leaf}.
+
+    Mirrors the reference's nested-depth handling (reference table.py:67-90).
+    """
+    out: dict[tuple[str, ...], Any] = {}
+
+    def walk(prefix: tuple[str, ...], node: Any) -> None:
+        if _is_leaf(node):
+            out[prefix] = node
+            return
+        if isinstance(node, Mapping):
+            if len(prefix) >= 3:
+                raise UnsupportedError(
+                    f"table mapping nested deeper than catalog.db.table at {'.'.join(prefix)}"
+                )
+            for name, child in node.items():
+                walk(prefix + (str(name),), child)
+            return
+        raise UnsupportedError(
+            f"unsupported table value for {'.'.join(prefix) or '<root>'}: {type(node).__name__}"
+        )
+
+    walk((), tables)
+    return out
+
+
+def view_name(qualified: tuple[str, ...]) -> str:
+    """Flatten a qualified name to a legal temp-view identifier.
+
+    Spark temp views live in a single namespace, so ``catalog.db.table``
+    becomes ``catalog__db__table``; :func:`qualified_replacements` rewrites
+    the dotted references in the SQL text to match.
+    """
+    return "__".join(qualified)
+
+
+def to_spark_df(spark: SparkSession, value: Any, schema: T.StructType | None) -> DataFrame:
+    """Convert a registered leaf (Spark DF / pandas DF / list of dicts)."""
+    if isinstance(value, DataFrame):
+        return value
+    if isinstance(value, list):
+        # Reference table.py:91-103: list-of-row-dicts tables.
+        if schema is not None:
+            return spark.createDataFrame(value, schema=schema)
+        return spark.createDataFrame(value)
+    import pandas as pd
+
+    if isinstance(value, pd.DataFrame):
+        if schema is not None:
+            return spark.createDataFrame(value, schema=schema)
+        return spark.createDataFrame(value)
+    raise UnsupportedError(f"cannot register table of type {type(value).__name__}")
+
+
+def register_tables(
+    spark: SparkSession,
+    tables: Mapping[str, Any],
+    schema: Mapping[str, Any] | None = None,
+) -> dict[tuple[str, ...], str]:
+    """Register all tables as temp views; returns {qualified: view_name}.
+
+    ``schema`` follows the reference's nested dict form and, when given for
+    a table, types list/pandas inputs explicitly instead of sampling.
+    """
+    flat = flatten_tables(tables)
+    flat_schema: dict[tuple[str, ...], T.StructType] = {}
+    if schema:
+        for qualified, tbl_schema in flatten_schema(schema).items():
+            flat_schema[qualified] = schema_to_struct(tbl_schema)
+
+    registered: dict[tuple[str, ...], str] = {}
+    for qualified, leaf in flat.items():
+        name = view_name(qualified)
+        df = to_spark_df(spark, leaf, flat_schema.get(qualified))
+        df.createOrReplaceTempView(name)
+        registered[qualified] = name
+    return registered
+
+
+def flatten_schema(schema: Mapping[str, Any]) -> dict[tuple[str, ...], Mapping[str, str]]:
+    """Flatten nested schema dicts to {(catalog?, db?, table): {col: type}}."""
+    out: dict[tuple[str, ...], Mapping[str, str]] = {}
+
+    def is_table_schema(node: Any) -> bool:
+        return isinstance(node, Mapping) and all(isinstance(v, str) for v in node.values())
+
+    def walk(prefix: tuple[str, ...], node: Any) -> None:
+        if is_table_schema(node) and prefix:
+            out[prefix] = node
+            return
+        if isinstance(node, Mapping):
+            for name, child in node.items():
+                walk(prefix + (str(name),), child)
+            return
+        raise UnsupportedError(f"bad schema node at {'.'.join(prefix)}")
+
+    walk((), schema)
+    return out
