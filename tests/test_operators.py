@@ -1,0 +1,114 @@
+"""Operator-level unit tests: as-of join, range join, dedup families,
+similarity — small synthetic frames with hand-computed expectations."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from xorbits_sql_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from xorbits_sql_spark.operators.joins import asof_join, range_join
+from xorbits_sql_spark.operators.similarity import brute_topk
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", t=10, trade_id=1),
+            Row(sym="A", t=20, trade_id=2),
+            Row(sym="B", t=15, trade_id=3),
+            Row(sym="C", t=5, trade_id=4),  # no quote before it
+        ]
+    )
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", qt=5, px=100.0),
+            Row(sym="A", qt=10, px=101.0),  # ties with trade t=10 → eligible
+            Row(sym="A", qt=18, px=102.0),
+            Row(sym="B", qt=1, px=50.0),
+            Row(sym="C", qt=99, px=1.0),  # after the trade
+        ]
+    )
+    out = asof_join(
+        trades,
+        quotes,
+        on="sym",
+        left_time="t",
+        right_time="qt",
+        right_values=["px"],
+        tie_breakers=["qt"],
+    )
+    got = {(r["sym"], r["trade_id"]): r["px"] for r in out.collect()}
+    assert got == {("A", 1): 101.0, ("A", 2): 102.0, ("B", 3): 50.0, ("C", 4): None}
+
+
+def test_range_join(spark):
+    facts = spark.createDataFrame([Row(v=5.0), Row(v=55.0), Row(v=500.0)])
+    bands = spark.createDataFrame(
+        [Row(band="lo", lo=0.0, hi=50.0), Row(band="hi", lo=50.0, hi=100.0)]
+    )
+    out = range_join(facts, bands, value="v").select("v", "band").collect()
+    assert {(r["v"], r["band"]) for r in out} == {(5.0, "lo"), (55.0, "hi")}
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=3, text="the quick brown fox jumps over a lazy dog"),  # near dup
+        Row(doc_id=4, text="completely different words entirely here now"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(_docs(spark), "text", "doc_id", seeds=8, band_size=1).collect()
+    }
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares most shingles
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), "text", "doc_id", threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.3 < out[(1, 3)] < 1.0
+    assert not any(4 in p for p in out)
+
+
+def test_simhash_pairs(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark), "text", "doc_id", max_hamming=64, prefix_bits=0).collect()
+    }
+    assert out[(1, 2)] == 0  # identical text → identical simhash
+    assert out[(1, 3)] <= 12  # near dup → small hamming distance
+
+
+def test_brute_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+        ]
+    )
+    out = brute_topk(vecs.filter(F.col("vec_id") == 1), vecs, k=2)
+    ranked = [(r["cid"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert ranked == [(1, 1), (2, 2)]

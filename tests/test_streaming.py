@@ -1,0 +1,27 @@
+"""Streaming correctness: the streaming tumbling aggregation must equal
+the batch q50_events_hourly result on the same bounded data (the
+strongest check available for a non-SQL-expressible op)."""
+
+from __future__ import annotations
+
+from .conftest import SF_ORACLE
+from .oracle import canonical_rows
+
+
+def test_stream_hourly_matches_batch(spark):
+    from xorbits_sql_spark.queries import load_all
+
+    specs = load_all()
+    stream = specs["q80_stream_hourly"].fn(spark, SF_ORACLE).toPandas()
+    batch = specs["q50_events_hourly"].fn(spark, SF_ORACLE).toPandas()
+    assert canonical_rows(stream) == canonical_rows(batch)
+
+
+def test_stream_sessions_rows(spark):
+    from xorbits_sql_spark.queries import load_all
+
+    specs = load_all()
+    sessions = specs["q81_stream_sessions"].fn(spark, SF_ORACLE).toPandas()
+    # one row per (user, session); bounded by event count, at least one per user
+    assert 150 <= len(sessions) <= 10_000
+    assert (sessions["n_events"] >= 1).all()

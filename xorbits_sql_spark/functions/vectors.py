@@ -1,0 +1,59 @@
+"""Vector math over embedding columns (``array<float>``).
+
+Everything is expressed with Spark's higher-order array functions
+(``zip_with``/``aggregate`` — JVM-side, codegen'd), not Python UDFs:
+dot products over a 100 TB embedding table must not cross the Python
+boundary per row. Elements are cast to DOUBLE before arithmetic and
+accumulated sequentially, which matches DuckDB's ``list_dot_product``
+over ``DOUBLE[]`` bit-for-bit (validated in tests/test_oracle_parity).
+
+The reference has no vector/array runtime at all (SURVEY.md §1.2: no
+array values at runtime); this module is part of the pipeline-operator
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _d(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-accumulation double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL-safe only as far as the inputs are."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(a: Column, bits: int = 8) -> Column:
+    """Axis-aligned random-hyperplane LSH bucket: sign bits of the first
+    ``bits`` dimensions, as a string key like ``'10110010'``.
+
+    This is the cheapest useful LSH family for normalized embeddings:
+    bucketing on it turns an O(n^2) all-pairs cosine search into a
+    per-bucket search, and the bucket key is a plain string column so a
+    100 TB table can be hash-partitioned on it (no shuffle for repeated
+    probes). Recall is tunable via ``bits`` and multi-probe unions.
+    """
+    return F.concat(
+        *[
+            F.when(F.element_at(a, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )

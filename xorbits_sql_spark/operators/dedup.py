@@ -1,0 +1,229 @@
+"""Deduplication operators for document-scale pipelines.
+
+Five families, all shuffle-conscious:
+
+* exact       — md5-fingerprint groupBy (one shuffle on a short key).
+* minhash-LSH — word-shingle MinHash signatures + banded bucket join;
+                candidate generation never compares all pairs.
+* simhash     — 64-bit near-dup hash from token hashes (Hamming buckets).
+* n-gram Jaccard — inverted-index join on shingles for exact Jaccard on
+                candidate pairs (bounded by shared-shingle candidates).
+* embedding   — cosine near-dup via operators.similarity buckets.
+
+MinHash trick worth noting: each hash function is
+``min(md5(shingle || '#' || seed))`` — the *string* minimum of salted
+md5 hexes. md5 is identical in every engine, string min is total-order
+deterministic, so signatures (and therefore candidate sets) are
+reproducible across Spark, DuckDB, or anything else — no
+engine-specific ``hash()`` in the pipeline contract. At 100 TB that
+also means signatures computed incrementally by different systems
+still agree.
+
+The reference engine has no dedup surface at all (its DISTINCT is a
+drop_duplicates — reference executor.py:360-362); these operators are
+the pipeline-extension surface from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by canonical text fingerprint.
+
+    Returns (fingerprint, keeper=min id, n_copies). One hash-shuffle on
+    the 32-char fingerprint — the canonical 100 TB exact-dedup plan
+    (map-side partial aggregation keeps the shuffle tiny when dup rate
+    is low).
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per canonical text; preserves all columns."""
+    keepers = exact_dedup_groups(df, text_col, id_col).select(F.col("keeper").alias(id_col))
+    return df.join(keepers, id_col, "left_semi")
+
+
+def minhash_signature(text: Column, seeds: int = 8, shingle_k: int = 3) -> Column:
+    """Array of ``seeds`` MinHash values (hex strings) for the text.
+
+    Hash_i(doc) = min over shingles of md5(shingle || '#i'). Empty
+    shingle sets produce NULL entries.
+    """
+    shingles = word_shingles(text, k=shingle_k)
+
+    def salted_min(seed: int):
+        # NB: the lambda must be unary — pyspark passes the array index to
+        # binary transform lambdas, which would clobber a default-arg seed.
+        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}")))))
+
+    return F.array(*[salted_min(i) for i in range(seeds)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seeds: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature of ``seeds`` hashes is cut into bands of ``band_size``;
+    documents sharing any full band collide. The plan is
+    explode(bands) → shuffle on band key → per-bucket self-join —
+    candidate generation cost is driven by bucket sizes, never |docs|^2.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    sig = minhash_signature(F.col(text_col), seeds=seeds, shingle_k=shingle_k)
+    n_bands = seeds // band_size
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.element_at(sig, b * band_size + j + 1) for j in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    ).filter(~F.col("band_key").rlike(r"^\d+\|?$"))  # drop bands from empty signatures
+    other = banded.select(F.col("doc").alias("doc_b"), F.col("band_key"))
+    return (
+        banded.join(other, "band_key")
+        .filter(F.col("doc") < F.col("doc_b"))
+        .select(F.col("doc").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.1,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity on word-shingle sets for candidate pairs.
+
+    Inverted-index plan: explode distinct shingles → join on shingle
+    (within ``partition_col`` groups when given, which bounds bucket
+    sizes at scale) → count shared shingles → Jaccard from per-doc set
+    sizes. Only pairs sharing >= 1 shingle are ever materialized.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard > threshold.
+    """
+    parts = [partition_col] if partition_col else []
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        *parts,
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k=shingle_k))).alias("shingle"),
+    )
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+    right = shingled.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(p).alias(f"{p}_b") for p in parts],
+        F.col("shingle"),
+    )
+    join_cond = [F.col("shingle") == right["shingle"]]
+    # build join on shingle (+ partition equality) via column renames
+    on = ["shingle"] + [p for p in parts]
+    right = shingled.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(p) for p in parts],
+        F.col("shingle"),
+    )
+    shared = (
+        shingled.join(right, on)
+        .filter(F.col("doc") < F.col("doc_b"))
+        .groupBy("doc", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("doc"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        shared.join(sz_a, "doc")
+        .join(sz_b, "doc_b")
+        .select(
+            F.col("doc").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the whitespace tokens, as BIGINT.
+
+    Per token: take the first 16 hex chars of md5 as a 64-bit integer;
+    each bit votes +1/-1; the sign vector of the summed votes is the
+    SimHash. Near-duplicates differ in few bits (compare via
+    ``bit_count(a ^ b)``). Pure built-ins: split/explode-free — uses
+    aggregate over the token array so it stays one projection.
+    """
+    from ..functions.text import norm_ws
+
+    words = F.split(norm_ws(text), " ")
+    hashes = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"))
+    # votes[i] = sum over tokens of (bit_i ? 1 : -1)
+    # = 2 * ones_i - n_tokens; simhash bit_i = votes[i] >= 0
+    def ones_at(bit: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)),
+        )
+
+    bit_sums = [ones_at(i) for i in range(60)]
+    n = F.size(words).cast("bigint")
+    bits = [(2 * s >= n).cast("bigint") for s in bit_sums]
+    out = F.lit(0).cast("bigint")
+    for i, b in enumerate(bits):
+        out = out + F.shiftleft(b, i)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
+    (near-dups almost always share the prefix), then exact Hamming
+    distance within buckets. Returns (id_a, id_b, hamming).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sh")
+    ).withColumn("bucket", F.shiftright(F.col("sh"), 60 - prefix_bits))
+    right = hashed.select(
+        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("bucket")
+    )
+    return (
+        hashed.join(right, "bucket")
+        .filter(F.col("doc") < F.col("doc_b"))
+        .select(
+            F.col("doc").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.bit_count(F.col("sh").bitwiseXOR(F.col("sh_b"))).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,96 @@
+"""Join operators Spark lacks natively: as-of joins and range/band joins.
+
+The reference supports only inner/left/right equi joins plus cross
+joins (reference executor.py:414-471); these are extensions for
+time-series and banding workloads, built as compositions of built-in
+DataFrame ops so Catalyst keeps optimizing around them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    tolerance: None = None,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_time <= left_time`` within the same key group.
+
+    Implementation is the *union trick*, not a join: tag both inputs,
+    union them, and run a single ``last_value(..., ignorenulls)`` window
+    partitioned by key and ordered by (time, side, tie_breakers). Cost is
+    one shuffle + sort per key partition — O((|L|+|R|) log) — versus the
+    naive inequality-join-then-window which materializes every
+    (left, right-earlier) pair and explodes quadratically on hot keys.
+    That difference is what makes this usable at 100 TB.
+
+    Tie semantics: right rows at exactly ``left_time`` are eligible
+    (sorted before left rows); among right rows with equal time the one
+    with the greatest ``tie_breakers`` value wins (default: last of
+    ``right_values`` order — pass explicit tie_breakers for determinism).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    tie_breakers = tie_breakers or []
+
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_values],
+        *[F.lit(None).cast(right.schema[b].dataType).alias(f"__tb_{b}") for b in tie_breakers],
+    )
+    tagged_right = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+        *[F.col(b).alias(f"__tb_{b}") for b in tie_breakers],
+    ).select(*[f"{c}" for c in tagged_left.columns])  # align column order
+
+    unioned = tagged_left.unionByName(tagged_right)
+    order = [F.col("__t").asc(), F.col("__side").asc()] + [
+        F.col(f"__tb_{b}").asc_nulls_first() for b in tie_breakers
+    ]
+    w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    filled = unioned.select(
+        *lcols,
+        F.col("__side"),
+        *[
+            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(v)
+            for v in right_values
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: str | Column,
+    lo: str = "lo",
+    hi: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Band/interval join: attach the band row where ``lo <= value < hi``.
+
+    ``bands`` is expected to be small (a dimension of intervals) and is
+    broadcast, so the plan is a BroadcastNestedLoopJoin with a range
+    predicate — no shuffle of the fact side at any scale. For large
+    interval tables, pre-bucketize both sides instead (see docs in
+    SURVEY.md §2.4: the reference has no range join at all).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    cond = (v >= bands[lo]) & (v < bands[hi])
+    return fact.join(F.broadcast(bands), cond, how)

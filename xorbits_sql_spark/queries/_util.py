@@ -1,0 +1,55 @@
+"""Shared helpers for the query inventory."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DEC = "decimal(18,6)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver parquet table (columnar scan; Catalyst prunes/pushes).
+
+    events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+    session defaults) it reads as BIGINT nanos, converted here to a
+    microsecond timestamp by floor division — matching DuckDB's
+    nanos→micros truncation exactly.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def dsum(expr: Column | str, alias: str) -> Column:
+    """Order-independent exact sum of a double expression, as DOUBLE.
+
+    Accumulating in DECIMAL(18,6) makes the aggregate independent of
+    partition/merge order — identical on local[32] and a 1000-executor
+    cluster, and bit-equal to DuckDB's same-shaped sum.
+    """
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def davg(expr: Column | str, alias: str) -> Column:
+    """Exact-sum-based average as DOUBLE (see dsum)."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return (F.sum(c.cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS {alias}"
+
+
+def disc_price() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"

@@ -1,0 +1,204 @@
+"""Event-stream analytics (batch form) over the ``events`` table.
+
+Time-windowed aggregation, sessionization, JSON extraction, band/range
+joins and as-of joins — none of which exist in the reference (SURVEY.md
+§2.9: no streaming, no time-series ops). The streaming variants of the
+windowed aggregates live in queries/streaming.py; these batch forms are
+the hash-checked oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import register
+from ._util import dsum, sql_dsum, t
+from ..operators.joins import asof_join, range_join
+
+
+@register(
+    "q50_events_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY hour, event_type
+    ORDER BY hour, event_type
+    """,
+    tags=("events", "time-window"),
+)
+def q50_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "q51_events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "sessionize", "window"),
+    doc="Sessionization via lag-gap > 30min; microsecond-exact integer math both engines.",
+)
+def q51_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q52_events_json",
+    """
+    SELECT json_extract_string(props, '$.k') AS k_value, COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY k_value
+    ORDER BY n DESC, k_value
+    LIMIT 25
+    """,
+    tags=("events", "json"),
+)
+def q52_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.get_json_object("props", "$.k").alias("k_value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "k_value")
+        .limit(25)
+    )
+
+
+@register(
+    "q53_events_value_bands",
+    f"""
+    SELECT band, COUNT(*) AS n, {sql_dsum('value', 'band_value')}
+    FROM events
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+                 ('high', 150.0, 300.0), ('extreme', 300.0, 1e9)) AS bands(band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("events", "range-join"),
+)
+def q53_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        [
+            Row(band="low", lo=0.0, hi=50.0),
+            Row(band="mid", lo=50.0, hi=150.0),
+            Row(band="high", lo=150.0, hi=300.0),
+            Row(band="extreme", lo=300.0, hi=1e9),
+        ]
+    )
+    joined = range_join(t(spark, sf_dir, "events"), bands, value="value")
+    return (
+        joined.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "band_value"))
+        .orderBy("band")
+    )
+
+
+@register(
+    "q54_events_asof_order",
+    """
+    SELECT event_id, user_id, o_orderkey
+    FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) latest
+    WHERE rn = 1
+    ORDER BY event_id
+    """,
+    tags=("events", "asof-join"),
+    doc=(
+        "As-of join: each event picks the user's most recent order at or "
+        "before the event time. Spark side uses the union-trick asof "
+        "operator (operators/joins.py) — no pair explosion; the oracle "
+        "states the same semantics as a window query."
+    ),
+)
+def q54_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey"],
+        tie_breakers=["o_orderdate", "o_orderkey"],
+    )
+    return (
+        joined.filter(F.col("o_orderkey").isNotNull())
+        .select("event_id", "user_id", "o_orderkey")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q55_events_pivot_daily",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type IN ('signup', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS other
+    FROM events
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("events", "pivot"),
+)
+def q55_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            flag(F.col("event_type") == "click").alias("clicks"),
+            flag(F.col("event_type") == "view").alias("views"),
+            flag(F.col("event_type") == "purchase").alias("purchases"),
+            flag(F.col("event_type").isin("signup", "error")).alias("other"),
+        )
+        .orderBy("day")
+    )

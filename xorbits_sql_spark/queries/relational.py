@@ -1,0 +1,388 @@
+"""Relational operator coverage beyond the TPC-H shapes.
+
+Covers every remaining SURVEY.md §2 inventory row the reference parses
+but cannot execute (set ops §2.8, window functions §2.6, grouping
+sets/cube/rollup §2.5, IN/CASE/EXTRACT/SUBSTRING §2.3, mixed NULLS
+FIRST/LAST sort §2.7) — all native Spark, each hash-checked against
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import register
+from ._util import dsum, sql_dsum, t
+from ..core import execute
+
+
+@register(
+    "q30_distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
+    tags=("distinct",),
+)
+def q30_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+@register(
+    "q31_count_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "count-distinct"),
+)
+def q31_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q32_in_subquery",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("semi-join", "in-subquery"),
+)
+def q32_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(rich), orders.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q33_window_topk_per_group",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+    FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    ) ranked
+    WHERE rn <= 3
+    ORDER BY l_suppkey, rn
+    """,
+    tags=("window", "topk"),
+)
+def q33_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+@register(
+    "q34_window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    tags=("window",),
+)
+def q34_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "q35_window_lag_gap",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+    tags=("window", "lag"),
+)
+def q35_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@register(
+    "q36_union_all",
+    """
+    SELECT o_custkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_custkey, 'high' AS src FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    tags=("set-op",),
+)
+def q36_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey", F.lit("urgent").alias("src")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_custkey", F.lit("high").alias("src")
+    )
+    return a.unionAll(b)
+
+
+@register(
+    "q37_union_distinct",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    tags=("set-op",),
+)
+def q37_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "q38_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    tags=("set-op",),
+)
+def q38_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "q39_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    tags=("set-op", "anti-join"),
+)
+def q39_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .subtract(t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@register(
+    "q40_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {dsum}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """.format(dsum=sql_dsum("l_quantity", "sum_qty")),
+    tags=("rollup",),
+)
+def q40_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "q41_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("cube",),
+)
+def q41_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "q42_cross_join",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    """,
+    tags=("cross-join",),
+)
+def q42_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "region")
+        .select("r_name")
+        .crossJoin(t(spark, sf_dir, "nation").select("n_name"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "q43_substring_extract",
+    """
+    SELECT substring(c_name, 1, 9) AS name_prefix,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           COUNT(*) AS n
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE c_custkey < 100
+    GROUP BY name_prefix, o_year, o_month
+    ORDER BY o_year, o_month, name_prefix
+    """,
+    tags=("string", "extract"),
+)
+def q43_substring_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return (
+        cust.join(t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.substring("c_name", 1, 9).alias("name_prefix"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_year", "o_month", "name_prefix")
+    )
+
+
+@register(
+    "q44_sort_mixed_nulls",
+    """
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_np, o_totalprice
+    FROM orders
+    ORDER BY status_np NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey
+    LIMIT 50
+    """,
+    tags=("sort", "nulls"),
+    doc="Mixed per-key NULLS FIRST/LAST — reference raises on this (executor.py:499-502).",
+)
+def q44_sort_mixed_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_np").asc_nulls_first(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "q45_execute_api_sql",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("execute-api",),
+    doc=(
+        "Runs through the engine's execute() entry point (reference "
+        "core.py:50 parity path): same SQL text as the oracle, duckdb "
+        "dialect, tables registered from parquet."
+    ),
+)
+def q45_execute_api_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """
+    return execute(
+        sql,
+        dialect="duckdb",
+        tables={
+            "orders": t(spark, sf_dir, "orders"),
+            "customer": t(spark, sf_dir, "customer"),
+        },
+        spark=spark,
+    )
+
+
+@register(
+    "q46_grouping_sets",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+    tags=("grouping-sets",),
+)
+def q46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+        """
+    )

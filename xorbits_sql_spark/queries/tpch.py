@@ -1,0 +1,773 @@
+"""TPC-H-shaped analytical queries, adapted to the driver's star schema.
+
+The reference executes only Q1-Q6 of TPC-H (reference
+tests/test_tpc_h.py:57 runs ``sqls[:6]``) though it ships all 22 raw
+queries; this module re-expresses the full spectrum of TPC-H operator
+shapes — scan/filter/project, chained equi-joins, semi/anti joins,
+correlated and scalar subqueries, group-agg with HAVING, top-k sort —
+against the columns actually present in the driver testdata (no
+partsupp, no comment/address/phone columns; see TESTDATA.md).
+
+Scale notes baked into every query: dimension tables (region, nation,
+supplier, part, customer at these shapes) are broadcast explicitly so
+the fact-side lineitem/orders scans never shuffle for them; all
+double aggregates use order-independent decimal accumulation (_util.dsum)
+so results are stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import register
+from ._util import SQL_DISC_PRICE, davg, disc_price, dsum, sql_davg, sql_dsum, t
+
+
+def ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+# --------------------------------------------------------------------------
+# Q1: full-scan group-agg (reference executes this shape: executor.py:325-372)
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum(SQL_DISC_PRICE, 'sum_disc_price')},
+           {sql_dsum(SQL_DISC_PRICE + ' * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "aggregate"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= ts("2000-12-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price(), "sum_disc_price"),
+            dsum(disc_price() * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3: 3-way join + group + top-k (reference trace C shape, SURVEY §3)
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    f"""
+    SELECT l_orderkey, {sql_dsum(SQL_DISC_PRICE, 'revenue')}, o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < ts("1998-06-15 00:00:00"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts("1998-06-15 00:00:00"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(disc_price(), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4: EXISTS → left-semi join with residual condition
+# (reference lacks a physical semi join; SQLGlot rewrote EXISTS to
+#  LEFT JOIN + IS NOT NULL — SURVEY §2.4. Spark plans a true LeftSemi.)
+# --------------------------------------------------------------------------
+@register(
+    "q04_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join"),
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1997-07-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-10-01 00:00:00"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5: 6-way star join with broadcast dimensions
+# --------------------------------------------------------------------------
+@register(
+    "q05_local_supplier",
+    f"""
+    SELECT n_name, {sql_dsum(SQL_DISC_PRICE, 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("tpch", "join", "broadcast"),
+)
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    supplier = t(spark, sf_dir, "supplier")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(disc_price(), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6: pushdown-friendly filter + single aggregate
+# --------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 25
+    """,
+    tags=("tpch", "filter", "pushdown"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7: nation-pair volume shipping (two aliased joins of the same dim)
+# --------------------------------------------------------------------------
+@register(
+    "q07_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume', 'revenue')}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             {SQL_DISC_PRICE} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join"),
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(ts("1996-01-01 00:00:00"), ts("1998-12-31 00:00:00"))
+    )
+    res = (
+        li.join(F.broadcast(t(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t(spark, sf_dir, "customer")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            disc_price().alias("volume"),
+        )
+    )
+    return (
+        res.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8: market share — conditional aggregation ratio per year
+# --------------------------------------------------------------------------
+@register(
+    "q08_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {SQL_DISC_PRICE} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("tpch", "join", "case-when"),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(ts("1996-01-01 00:00:00"), ts("1998-12-31 00:00:00"))
+    )
+    rows = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t(spark, sf_dir, "customer")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            disc_price().alias("volume"),
+            "nation",
+        )
+    )
+    dec = "decimal(18,6)"
+    return (
+        rows.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0).cast(dec)).cast("double")
+                / F.sum(F.col("volume").cast(dec)).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9: product profit by nation/year (LIKE filter + 5-way join)
+# (partsupp is absent from testdata; supply cost proxied from p_retailprice)
+# --------------------------------------------------------------------------
+@register(
+    "q09_product_profit",
+    f"""
+    SELECT n_name, o_year, {sql_dsum('amount', 'sum_profit')}
+    FROM (
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {SQL_DISC_PRICE} - p_retailprice * 0.1 * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+    tags=("tpch", "join", "like"),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    rows = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (disc_price() - F.col("p_retailprice") * 0.1 * F.col("l_quantity")).alias("amount"),
+        )
+    )
+    return (
+        rows.groupBy("n_name", "o_year")
+        .agg(dsum("amount", "sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10: returned-items top customers (join + group + top-k)
+# --------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, {sql_dsum(SQL_DISC_PRICE, 'revenue')}, c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1998-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1998-04-01 00:00:00"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(disc_price(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12: CASE-WHEN conditional counts (reference cannot execute CASE at all —
+# SURVEY §2.3 lists it as UnsupportedError; one-liner in Spark)
+# --------------------------------------------------------------------------
+@register(
+    "q12_priority_class",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("tpch", "case-when", "in-list"),
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1998-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1999-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13: customer order distribution (LEFT OUTER join + double aggregation)
+# --------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "outer-join", "aggregate"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14: promo revenue ratio
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE} ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(SUM(CAST({SQL_DISC_PRICE} AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("tpch", "case-when"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(18,6)"
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-10-01 00:00:00"))
+    )
+    return (
+        li.join(F.broadcast(t(spark, sf_dir, "part")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(0.0).cast(dec)).cast("double")
+                / F.sum(disc_price().cast(dec)).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier by revenue — window rank over an aggregate
+# --------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    f"""
+    SELECT s_suppkey, s_name, total_revenue
+    FROM (
+      SELECT s_suppkey, s_name, total_revenue,
+             RANK() OVER (ORDER BY total_revenue DESC) AS rnk
+      FROM supplier
+      JOIN (
+        SELECT l_suppkey, {sql_dsum(SQL_DISC_PRICE, 'total_revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+      ) rev ON s_suppkey = l_suppkey
+    ) ranked
+    WHERE rnk = 1
+    ORDER BY s_suppkey
+    """,
+    tags=("tpch", "window", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(disc_price(), "total_revenue"))
+    )
+    joined = t(spark, sf_dir, "supplier").join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+    ranked = joined.withColumn("rnk", F.rank().over(W.orderBy(F.desc("total_revenue"))))
+    return (
+        ranked.filter(F.col("rnk") == 1)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17: small-quantity revenue — scalar aggregate threshold per part
+# (reference cannot decorrelate+execute this; Catalyst can — SURVEY §4.1)
+# --------------------------------------------------------------------------
+@register(
+    "q17_small_quantity",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS t_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    ) thresholds ON p_partkey = t_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < qty_threshold
+    """,
+    tags=("tpch", "subquery", "aggregate"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((0.5 * davg("l_quantity", "a")).alias("qty_threshold"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("p_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18: large orders — HAVING on a join-back aggregate
+# --------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "having", "in-subquery", "topk"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(big, li.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19: disjunctive multi-attribute predicate (OR-of-ANDs, CNF — SURVEY §4.1)
+# --------------------------------------------------------------------------
+@register(
+    "q19_disjunctive",
+    f"""
+    SELECT {sql_dsum(SQL_DISC_PRICE, 'revenue')}
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("tpch", "filter"),
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    c1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11)
+    c2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20)
+    c3 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30)
+    return joined.filter(c1 | c2 | c3).agg(dsum(disc_price(), "revenue"))
+
+
+# --------------------------------------------------------------------------
+# Q21: suppliers who were sole late shippers on multi-supplier orders
+# (correlated EXISTS + NOT EXISTS — semi and anti joins with conditions)
+# --------------------------------------------------------------------------
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("tpch", "semi-join", "anti-join"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    base = l1.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("l2_orderkey")) & (F.col("l_suppkey") != F.col("l2_suppkey")),
+        "left_semi",
+    )
+    not_latest = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("l3_orderkey"))
+        & (F.col("l_suppkey") != F.col("l3_suppkey"))
+        & (F.col("l3_shipdate") > F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        not_latest.join(
+            F.broadcast(t(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22: rich customers with no orders (scalar subquery + anti join)
+# --------------------------------------------------------------------------
+@register(
+    "q22_idle_balances",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS numcust, {sql_dsum('c_acctbal', 'totacctbal')}
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("tpch", "anti-join", "scalar-subquery"),
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    # Scalar threshold via a 1-row broadcast cross join: no collect() on the
+    # driver, stays fully distributed and plan-visible (SURVEY §7 M4).
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
+        .orderBy("c_mktsegment")
+    )

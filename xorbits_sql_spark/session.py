@@ -27,6 +27,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # Read parquet TIMESTAMP(NANOS) columns (events.ts in the testdata)
+    # as BIGINT nanos instead of erroring; loaders convert to micros.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

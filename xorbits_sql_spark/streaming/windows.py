@@ -1,0 +1,115 @@
+"""Streaming windowed aggregation + sessionization.
+
+Patterns follow the public Structured Streaming programming guide:
+event-time tumbling windows with watermarks for late data, and
+``session_window`` for gap-based sessions. ``run_to_memory`` drives a
+bounded source (e.g. the testdata parquet) through the streaming
+engine synchronously so batch oracles can check the results.
+
+At production scale these run identically against kafka/file streams —
+the transformations are source-agnostic DataFrame functions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, schema=None, time_col: str = "ts"
+) -> DataFrame:
+    """Open a parquet path as a bounded file stream (for tests/backfill).
+
+    Converts a nanos-as-long time column (see session.py legacy flag) to
+    a microsecond timestamp so event-time operators work unchanged.
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # FileStreamSource only accepts directories; stage a symlink dir.
+        stage = os.path.join(
+            tempfile.gettempdir(),
+            "xss_stream_" + hashlib.md5(path.encode()).hexdigest()[:12],
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = stage
+    df = spark.readStream.schema(schema).parquet(path)
+    if time_col in df.columns and dict(df.dtypes).get(time_col) == "bigint":
+        df = df.withColumn(time_col, F.timestamp_micros(F.expr(f"{time_col} div 1000")))
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "1 day",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window: counts + exact value sums per key.
+
+    Watermark bounds state: rows later than ``watermark`` behind the max
+    event time are dropped and their windows finalized — the knob that
+    keeps state size constant on an unbounded 100 TB/day stream.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), key_col, "n", "total_value")
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Gap-based session windows per key (native session_window state)."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Run a (bounded) streaming DataFrame to completion into a memory
+    sink; returns a batch DataFrame of the final results.
+
+    Test/backfill helper only — memory sinks collect to the driver.
+    """
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
