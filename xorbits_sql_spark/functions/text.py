@@ -126,12 +126,7 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     """
     words = F.split(norm_ws(col), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        )
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
     )

@@ -29,7 +29,47 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, word_shingles
+from pyspark.sql.window import Window as W
+
+from ..functions.text import fingerprint, norm_ws, word_shingles
+
+
+def shingles_relational(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    distinct: bool = False,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """(doc, shingle) rows of k-word shingles, built relationally.
+
+    posexplode the words (narrow), then assemble shingles with
+    ``lead()`` windows per document. Unlike the array-expression form
+    (functions.text.word_shingles), every operator here participates in
+    whole-stage codegen — Spark evaluates higher-order array lambdas
+    interpretively, which measured ~5x slower per row. The window
+    shuffle partitions by document id, and the downstream per-doc
+    aggregations reuse that partitioning (no second shuffle).
+    """
+    carry = carry_cols or []
+    words = F.split(norm_ws(F.col(text_col)), " ")
+    ex = df.select(
+        F.col(id_col).alias("doc"), *carry, F.posexplode(words).alias("pos", "w")
+    )
+    w = W.partitionBy("doc").orderBy("pos")
+    leads = [F.lead("w", j).over(w) for j in range(1, k)]
+    out = (
+        ex.select(
+            "doc",
+            *carry,
+            F.concat_ws(" ", F.col("w"), *leads).alias("shingle"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    return out.dropDuplicates(["doc", "shingle"]) if distinct else out
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -88,23 +128,34 @@ def minhash_lsh_pairs(
     candidate generation cost is driven by bucket sizes, never |docs|^2.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    sig = minhash_signature(F.col(text_col), seeds=seeds, shingle_k=shingle_k)
+    # Relational plan: shingle rows once (codegen'd — see
+    # shingles_relational), then the per-seed minima are ordinary
+    # aggregates reusing the same doc partitioning. A single giant nested
+    # array expression here fell back to interpreted evaluation and was
+    # ~25x slower at sf0.1.
+    shingled = shingles_relational(df, text_col, id_col, k=shingle_k)
+    sigs = shingled.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(seeds)
+        ]
+    )
     n_bands = seeds // band_size
-    banded = df.select(
-        F.col(id_col).alias("doc"),
+    banded = sigs.select(
+        "doc",
         F.explode(
             F.array(
                 *[
                     F.concat_ws(
                         "|",
                         F.lit(str(b)),
-                        *[F.element_at(sig, b * band_size + j + 1) for j in range(band_size)],
+                        *[F.col(f"h{b * band_size + j}") for j in range(band_size)],
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("band_key"),
-    ).filter(~F.col("band_key").rlike(r"^\d+\|?$"))  # drop bands from empty signatures
+    )
     other = banded.select(F.col("doc").alias("doc_b"), F.col("band_key"))
     return (
         banded.join(other, "band_key")
@@ -131,19 +182,10 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard > threshold.
     """
     parts = [partition_col] if partition_col else []
-    shingled = df.select(
-        F.col(id_col).alias("doc"),
-        *parts,
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k=shingle_k))).alias("shingle"),
+    shingled = shingles_relational(
+        df, text_col, id_col, k=shingle_k, distinct=True, carry_cols=parts
     )
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
-    right = shingled.select(
-        F.col("doc").alias("doc_b"),
-        *[F.col(p).alias(f"{p}_b") for p in parts],
-        F.col("shingle"),
-    )
-    join_cond = [F.col("shingle") == right["shingle"]]
-    # build join on shingle (+ partition equality) via column renames
     on = ["shingle"] + [p for p in parts]
     right = shingled.select(
         F.col("doc").alias("doc_b"),
