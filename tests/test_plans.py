@@ -1,0 +1,50 @@
+"""Plan-quality regression gates: these assert the *shape* of the
+physical plan, not results — filters reach the parquet scans, scans are
+column-pruned, dimension joins broadcast. A correct-but-full-scan plan
+fails here even though the values would match: at 100 TB the plan IS
+the product."""
+
+from __future__ import annotations
+
+from xorbits_sql_spark.plans import pushed_filters, read_schemas, uses_broadcast_join
+from xorbits_sql_spark.queries import load_all
+
+from .conftest import SF_ORACLE
+
+SPECS = load_all()
+
+
+def test_q06_filter_pushed_to_scan(spark):
+    df = SPECS["q06_forecast_revenue"].fn(spark, SF_ORACLE)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_q06_column_pruning(spark):
+    df = SPECS["q06_forecast_revenue"].fn(spark, SF_ORACLE)
+    schemas = read_schemas(df)
+    # only the 4 referenced columns are read, not all 11 lineitem columns
+    assert schemas and all(s.count(":") <= 4 for s in schemas), schemas
+
+
+def test_q03_predicate_pushdown(spark):
+    df = SPECS["q03_shipping_priority"].fn(spark, SF_ORACLE)
+    pushed = pushed_filters(df)
+    assert any("c_mktsegment" in p for p in pushed), pushed
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_q05_broadcasts_dimensions(spark):
+    df = SPECS["q05_local_supplier"].fn(spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+
+
+def test_q10_broadcasts_dimensions(spark):
+    df = SPECS["q10_returned_items"].fn(spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+
+
+def test_q53_range_join_is_broadcast(spark):
+    df = SPECS["q53_events_value_bands"].fn(spark, SF_ORACLE)
+    assert uses_broadcast_join(df)

@@ -1,0 +1,12 @@
+"""Plan inspection utilities.
+
+The engine has no custom planner (Catalyst owns planning — SURVEY.md
+§4.2 conclusion); this package exists to *check* plans: that filters
+reach the parquet scan, small dimensions broadcast, and hot paths stay
+in whole-stage codegen. Used by tests/test_plans.py as scale
+regression gates.
+"""
+
+from .explain import formatted_plan, pushed_filters, read_schemas, uses_broadcast_join
+
+__all__ = ["formatted_plan", "pushed_filters", "read_schemas", "uses_broadcast_join"]

@@ -1,0 +1,146 @@
+"""Additional pipeline-operator queries: quality scoring, simhash,
+embedding dedup, multimodal features, ntile distribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import register
+from ._util import t
+from .text import _NORM, _NTOK
+from ..functions.text import quality_score
+from ..multimodal import attach_fake_media, extract_media_features
+from ..operators.dedup import simhash_pairs
+from ..operators.similarity import embedding_dup_pairs
+
+_PAD = f"concat(' ', {_NORM}, ' ')"
+_STOP_HITS = " + ".join(
+    f"CAST((length({_PAD}) - length(replace({_PAD}, '{m}', ''))) / {len(m)} AS BIGINT)"
+    for m in (" the ", " and ", " of ")
+)
+_MEAN_WORD = (
+    f"CASE WHEN {_NTOK} = 0 THEN 0.0 "
+    f"ELSE CAST(length(replace({_NORM}, ' ', '')) AS DOUBLE) / CAST({_NTOK} AS DOUBLE) END"
+)
+_SQL_QUALITY = f"""(
+  0.4 * least(CAST({_NTOK} AS DOUBLE) / 50.0, 1.0)
++ 0.3 * (CASE WHEN {_MEAN_WORD} >= 3.0 AND {_MEAN_WORD} <= 10.0 THEN 1.0 ELSE 0.5 END)
++ 0.3 * least(CAST({_STOP_HITS} AS DOUBLE) / 3.0, 1.0)
+)"""
+
+
+@register(
+    "q66_doc_quality",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST({_SQL_QUALITY} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_quality
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality"),
+)
+def q66_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", quality_score(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "mean_quality"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q67_doc_simhash",
+    None,  # 64-bit hex->int + bit ops are not portable DuckDB SQL; unit-tested instead
+    tags=("text", "dedup-simhash"),
+    doc="SimHash near-dup pairs (Hamming <= 14) across all documents.",
+)
+def q67_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=14, prefix_bits=4
+    ).orderBy("id_a", "id_b")
+
+
+_COS_AB = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+def _duck_bucket(alias: str) -> str:
+    return (
+        "concat("
+        + ", ".join(
+            f"CASE WHEN {alias}.embedding[{i}] >= 0 THEN '1' ELSE '0' END"
+            for i in range(1, 5)
+        )
+        + ")"
+    )
+
+
+@register(
+    "q73_embedding_dedup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON {_duck_bucket('a')} = {_duck_bucket('b')} AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} > 0.8
+    ORDER BY id_a, id_b
+    """,
+    tags=("vectors", "dedup-embedding"),
+)
+def q73_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.8, bits=4
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q47_ntile_spend",
+    """
+    SELECT tile, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tile_total
+    FROM (
+      SELECT o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+      FROM orders
+    ) tiled
+    GROUP BY tile
+    ORDER BY tile
+    """,
+    tags=("window", "ntile"),
+)
+def q47_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_totalprice", F.ntile(4).over(w).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("tile_total"),
+        )
+        .orderBy("tile")
+    )
+
+
+@register(
+    "q90_multimodal_features",
+    None,  # mapInPandas feature extraction; checked by tests/test_multimodal.py
+    tags=("multimodal", "pandas-udf"),
+    doc=(
+        "Binary media plumbing: deterministic fake payloads from the "
+        "documents table pushed through Arrow-batched mapInPandas decode."
+    ),
+)
+def q90_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_fake_media(t(spark, sf_dir, "documents"))
+    return extract_media_features(docs, fake=True).orderBy("id")
