@@ -771,3 +771,217 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2: min-cost supplier per part (correlated scalar MIN subquery).
+# The driver testdata has no partsupp table, so the supply relation is
+# derived from lineitem: per (l_partkey, l_suppkey), unit supply cost =
+# exact-decimal sum(extendedprice) / sum(quantity) — the same correlated
+# "cost = MIN(cost) over this part" shape as TPC-H Q2 (reference ships it
+# at tests/tpc-h/tpc-h.sql Q2 but never executes it; SURVEY §2.3).
+# Scale: supply agg is ONE shuffle on (partkey, suppkey); supplier/nation/
+# region/part and the per-part min (≤ |part| rows) are all broadcast.
+# --------------------------------------------------------------------------
+_SQL_SUPPLY = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS ps_supplycost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+"""
+
+
+@register(
+    "q02_min_cost_supplier",
+    f"""
+    WITH supply AS ({_SQL_SUPPLY}),
+    eligible AS (
+      SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM supply
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    min_cost AS (
+      SELECT ps_partkey AS mc_partkey, MIN(ps_supplycost) AS mc_cost
+      FROM eligible GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM eligible
+    JOIN min_cost ON ps_partkey = mc_partkey AND ps_supplycost = mc_cost
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 15 AND p_type = 'PROMO'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "scalar-subquery", "join"),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+        ).alias("ps_supplycost")
+    )
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        supply.join(F.broadcast(supplier), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("mc_cost")
+    )
+    part = t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+    return (
+        eligible.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("mc_cost")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11: important stock — group value vs a global-fraction scalar subquery.
+# Threshold is computed from the base rows with exact decimal accumulation
+# (NOT by re-summing per-group doubles), so it is order-independent and
+# bit-equal across engines and cluster sizes.
+# --------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    """
+    WITH scoped AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    )
+    SELECT l_partkey AS ps_partkey,
+           CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) >
+      (SELECT CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) * 0.001 FROM scoped)
+    ORDER BY value DESC, ps_partkey
+    """,
+    tags=("tpch", "scalar-subquery", "having"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    scoped = (
+        li.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("l_partkey", disc_price().alias("val"))
+    )
+    per_part = scoped.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(dsum("val", "value"))
+    total = scoped.agg((F.sum(F.col("val").cast("decimal(18,6)")).cast("double") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16: supplier count by part attributes — COUNT(DISTINCT) + NOT IN.
+# COUNT(DISTINCT) raises UnsupportedError in the reference
+# (executor.py:342-347, tpc-h.sql:948); Spark plans a two-phase distinct
+# aggregate. NOT IN on a non-nullable key → left_anti join.
+# --------------------------------------------------------------------------
+@register(
+    "q16_part_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 100
+    """,
+    tags=("tpch", "count-distinct", "anti-join"),
+)
+def q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20: suppliers with excess shipped quantity of selected parts —
+# IN-subquery over a grouped HAVING (nested semi-join chain).
+# --------------------------------------------------------------------------
+@register(
+    "q20_excess_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 50
+      )
+    ORDER BY s_name
+    """,
+    tags=("tpch", "semi-join", "having"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_5", "NATION_9")
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
