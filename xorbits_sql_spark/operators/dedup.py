@@ -246,6 +246,34 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def simhash_relational(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, sh) SimHash signatures via an explode → groupBy plan.
+
+    Same bit semantics as :func:`simhash64`, but instead of 60
+    interpreted ``F.aggregate`` passes over the token array per row
+    (measured ~50x slower at sf0.1), tokens become rows once and the 60
+    per-bit vote totals are ordinary codegen'd ``sum`` aggregates in a
+    single hash aggregation — one shuffle on doc id, map-side partial
+    aggregation, scales linearly in total token count.
+    """
+    words = F.split(norm_ws(F.col(text_col)), " ")
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
+    hashed = toks.select("doc", h.alias("h"))
+    sums = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+            for i in range(60)
+        ],
+    )
+    out = F.lit(0).cast("bigint")
+    for i in range(60):
+        bit = (2 * F.col(f"__b{i}") >= F.col("__n")).cast("bigint")
+        out = out + F.shiftleft(bit, i)
+    return sums.select("doc", out.alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8, prefix_bits: int = 16
 ) -> DataFrame:
@@ -253,9 +281,9 @@ def simhash_pairs(
     (near-dups almost always share the prefix), then exact Hamming
     distance within buckets. Returns (id_a, id_b, hamming).
     """
-    hashed = df.select(
-        F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("sh")
-    ).withColumn("bucket", F.shiftright(F.col("sh"), 60 - prefix_bits))
+    hashed = simhash_relational(df, text_col, id_col).withColumn(
+        "bucket", F.shiftright(F.col("sh"), 60 - prefix_bits)
+    )
     right = hashed.select(
         F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("bucket")
     )
