@@ -13,6 +13,15 @@ Two strategies:
   recall traded via ``bits``.
 
 No Python UDFs anywhere — scoring is zip_with/aggregate (JVM).
+
+L2 norms are computed once per VECTOR before the pair join, not once
+per PAIR: cosine(a, b) = dot(a, b) / (norm_a * norm_b) with the norms
+carried through the join. Spark evaluates higher-order array lambdas
+interpretively, so collapsing 3 per-pair dot products to 1 is ~3x on
+the pair stage — and the arithmetic is identical FP ops in the same
+order, so results stay bit-equal to the per-pair form (and to DuckDB's
+``list_dot_product`` oracle).
+
 The reference has no similarity surface (extension per BASELINE.json).
 """
 
@@ -22,15 +31,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.vectors import cosine, norm, sign_bucket
+from ..functions.vectors import cosine, dot, norm, sign_bucket
 
 
-def _scored(queries: DataFrame, corpus: DataFrame, qid: str, cid: str, vec: str) -> DataFrame:
-    q = queries.select(F.col(qid).alias("qid"), F.col(vec).alias("qvec"))
-    c = corpus.select(F.col(cid).alias("cid"), F.col(vec).alias("cvec"))
-    return q.crossJoin(c).select(
-        "qid", "cid", cosine(F.col("qvec"), F.col("cvec")).alias("cosine")
-    )
+def _side(df: DataFrame, id_col: str, vec: str, id_alias: str, vec_alias: str,
+          n_alias: str, bucket_bits: int | None = None) -> DataFrame:
+    cols = [
+        F.col(id_col).alias(id_alias),
+        F.col(vec).alias(vec_alias),
+        norm(F.col(vec)).alias(n_alias),
+    ]
+    if bucket_bits:
+        cols.append(sign_bucket(F.col(vec), bucket_bits).alias("bucket"))
+    return df.select(*cols)
+
+
+def _pair_cosine() -> F.Column:
+    return dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
 
 
 def brute_topk(
@@ -42,7 +59,9 @@ def brute_topk(
     vec: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k per query. Returns (qid, cid, cosine, rank)."""
-    scored = _scored(F.broadcast(queries), corpus, qid, cid, vec)
+    q = _side(queries, qid, vec, "qid", "qvec", "qn")
+    c = _side(corpus, cid, vec, "cid", "cvec", "cn")
+    scored = F.broadcast(q).crossJoin(c).select("qid", "cid", _pair_cosine().alias("cosine"))
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -64,22 +83,12 @@ def lsh_topk(
     lower ``bits``→better recall. ``exclude_self`` drops qid == cid
     candidates before ranking (for corpus ⊇ queries self-search).
     """
-    q = queries.select(
-        F.col(qid).alias("qid"),
-        F.col(vec).alias("qvec"),
-        sign_bucket(F.col(vec), bits).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(cid).alias("cid"),
-        F.col(vec).alias("cvec"),
-        sign_bucket(F.col(vec), bits).alias("bucket"),
-    )
+    q = _side(queries, qid, vec, "qid", "qvec", "qn", bits)
+    c = _side(corpus, cid, vec, "cid", "cvec", "cn", bits)
     scored = q.join(c, "bucket")
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
-    scored = scored.select(
-        "qid", "cid", cosine(F.col("qvec"), F.col("cvec")).alias("cosine")
-    )
+    scored = scored.select("qid", "cid", _pair_cosine().alias("cosine"))
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -98,19 +107,11 @@ def embedding_dup_pairs(
     hyperplane); for guaranteed recall run with bits=0 (full scan).
     Returns (id_a, id_b, cosine).
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec).alias("va"),
-        *([sign_bucket(F.col(vec), bits).alias("bucket")] if bits else []),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec).alias("vb"),
-        *([sign_bucket(F.col(vec), bits).alias("bucket")] if bits else []),
-    )
+    a = _side(df, id_col, vec, "id_a", "qvec", "qn", bits or None)
+    b = _side(df, id_col, vec, "id_b", "cvec", "cn", bits or None)
     joined = a.join(b, "bucket") if bits else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select("id_a", "id_b", _pair_cosine().alias("cosine"))
         .filter(F.col("cosine") > threshold)
     )

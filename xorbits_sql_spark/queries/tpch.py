@@ -819,14 +819,29 @@ _SQL_SUPPLY = """
     tags=("tpch", "scalar-subquery", "join"),
 )
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The per-part MIN only matters for parts surviving the part filter, so
+    # the broadcast part join is pushed BELOW the supply aggregation — the
+    # (partkey, suppkey) shuffle then carries ~1/|p_type domain| of lineitem
+    # instead of all of it. The "cost == MIN(cost) per part" correlation is a
+    # window min over the already-shuffled partkey (zero extra shuffle, and
+    # no second scan of lineitem — the naive min-subquery self-join computes
+    # the supply aggregation twice).
     li = t(spark, sf_dir, "lineitem")
-    supply = li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
-    ).agg(
-        (
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
-            / F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
-        ).alias("ps_supplycost")
+    part = t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+    supply = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            F.col("p_partkey"),
+            F.col("p_type"),
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            ).alias("ps_supplycost")
+        )
     )
     supplier = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
@@ -835,19 +850,14 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         supply.join(F.broadcast(supplier), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
-        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
-    )
-    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("mc_cost")
-    )
-    part = t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
-    return (
-        eligible.join(
-            F.broadcast(min_cost),
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("mc_cost")),
+        .select(
+            "ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name", "p_partkey", "p_type"
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+    )
+    w = W.partitionBy("ps_partkey")
+    return (
+        eligible.withColumn("mc_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("mc_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
