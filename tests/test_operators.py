@@ -12,9 +12,10 @@ from xorbits_sql_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    winnow_fingerprints,
 )
 from xorbits_sql_spark.operators.joins import asof_join, range_join
-from xorbits_sql_spark.operators.similarity import brute_topk
+from xorbits_sql_spark.operators.similarity import brute_topk, ivf_topk
 
 
 def test_asof_join_basic(spark):
@@ -99,6 +100,35 @@ def test_simhash_pairs(spark):
     }
     assert out[(1, 2)] == 0  # identical text → identical simhash
     assert out[(1, 3)] <= 12  # near dup → small hamming distance
+
+
+def test_winnow_fingerprints(spark):
+    out = winnow_fingerprints(_docs(spark), "text", "doc_id", k=8, w=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc"], set()).add(r["fp"])
+    assert fps[1] == fps[2]  # identical text → identical fingerprint set
+    assert fps[1] & fps[3]  # near dup shares fingerprints (overlap >= k+w-1)
+    assert not (fps[1] & fps[4])  # unrelated text shares none
+
+
+def test_ivf_topk(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.95, 0.05]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+            Row(vec_id=4, embedding=[0.05, 0.95]),
+        ]
+    )
+    cents = spark.createDataFrame(
+        [Row(cell=0, cvec=[1.0, 0.0]), Row(cell=1, cvec=[0.0, 1.0])]
+    )
+    out = ivf_topk(
+        vecs.filter(F.col("vec_id") == 1), vecs, cents, k=2, nprobe=1, exclude_self=True
+    )
+    # nprobe=1 → only the x-axis cell is searched: 2 is found, 3/4 are not.
+    assert [(r["cid"], r["rank"]) for r in out.orderBy("rank").collect()] == [(2, 1)]
 
 
 def test_brute_topk_exact(spark):

@@ -246,6 +246,38 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et al.).
+
+    Classic MOSS scheme: hash every ``k``-char gram of the normalized
+    text, slide a window of ``w`` consecutive gram hashes, keep each
+    window's minimum; the distinct minima are the document's
+    fingerprint set (guaranteed to share a fingerprint with any copy
+    that overlaps by k+w-1 chars). Relational plan: explode gram
+    positions (codegen'd substring+md5 per row), one shuffle on doc id
+    for the sliding-window min, distinct reuses that partitioning.
+    Hashes are md5-prefix strings, so fingerprints are engine-portable
+    like the MinHash signatures above. Documents shorter than k+w-1
+    chars produce no fingerprints. Returns distinct (doc, fp) rows.
+    """
+    base = df.select(F.col(id_col).alias("doc"), norm_ws(F.col(text_col)).alias("__txt"))
+    base = base.withColumn("__g", F.length("__txt") - k + 1).filter(F.col("__g") >= w)
+    grams = base.select(
+        "doc", "__g", "__txt", F.explode(F.sequence(F.lit(1), F.col("__g"))).alias("i")
+    )
+    h = F.substring(F.md5(F.col("__txt").substr(F.col("i"), F.lit(k))), 1, 16)
+    hashed = grams.select("doc", "__g", "i", h.alias("h"))
+    win = W.partitionBy("doc").orderBy("i").rowsBetween(W.currentRow, w - 1)
+    return (
+        hashed.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("i") <= F.col("__g") - w + 1)
+        .select("doc", "fp")
+        .distinct()
+    )
+
+
 def simhash_relational(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, sh) SimHash signatures via an explode → groupBy plan.
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions.vectors import cosine, dot, norm, sign_bucket
+from ..functions.vectors import dot, norm, sign_bucket
 
 
 def _side(df: DataFrame, id_col: str, vec: str, id_alias: str, vec_alias: str,
@@ -86,6 +86,87 @@ def lsh_topk(
     q = _side(queries, qid, vec, "qid", "qvec", "qn", bits)
     c = _side(corpus, cid, vec, "cid", "cvec", "cn", bits)
     scored = q.join(c, "bucket")
+    if exclude_self:
+        scored = scored.filter(F.col("qid") != F.col("cid"))
+    scored = scored.select("qid", "cid", _pair_cosine().alias("cosine"))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    cid: str = "vec_id",
+    vec: str = "embedding",
+    cell_id: str = "cell",
+    cell_vec: str = "cvec",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (max cosine).
+
+    ``centroids`` is a small (cell_id, vector) table, broadcast; scoring
+    every vector against every centroid is a map-side nested-loop with
+    no corpus shuffle, and the argmax is a groupBy on the corpus id —
+    partial aggregation collapses the |centroids| candidate rows per
+    vector before the exchange, so the shuffle carries one row per
+    vector. Ties break toward the smallest cell id.
+    Returns (cid, cvec, cn, cell).
+    """
+    c = _side(corpus, cid, vec, "cid", "cvec", "cn")
+    cents = centroids.select(
+        F.col(cell_id).alias("cell"),
+        F.col(cell_vec).alias("kvec"),
+        norm(F.col(cell_vec)).alias("kn"),
+    )
+    score = dot(F.col("cvec"), F.col("kvec")) / (F.col("cn") * F.col("kn"))
+    scored = c.crossJoin(F.broadcast(cents)).select(
+        "cid", "cvec", "cn", "cell", score.alias("score")
+    )
+    return scored.groupBy("cid").agg(
+        F.max_by("cell", F.struct(F.col("score"), -F.col("cell"))).alias("cell"),
+        F.first("cvec").alias("cvec"),
+        F.first("cn").alias("cn"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    qid: str = "vec_id",
+    cid: str = "vec_id",
+    vec: str = "embedding",
+    cell_id: str = "cell",
+    cell_vec: str = "cvec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Index: :func:`ivf_assign` buckets the corpus by nearest centroid —
+    at scale this is the table you'd persist partitioned by ``cell`` so
+    probes touch only matching partitions. Probe: each query scores the
+    broadcast centroid table, takes its ``nprobe`` closest cells, and
+    only candidates in those cells are scored exactly. Recall/cost is
+    tuned by (|centroids|, nprobe). Returns (qid, cid, cosine, rank).
+    """
+    cells = ivf_assign(corpus, centroids, cid=cid, vec=vec, cell_id=cell_id, cell_vec=cell_vec)
+    q = _side(queries, qid, vec, "qid", "qvec", "qn")
+    cents = centroids.select(
+        F.col(cell_id).alias("cell"),
+        F.col(cell_vec).alias("kvec"),
+        norm(F.col(cell_vec)).alias("kn"),
+    )
+    qscore = dot(F.col("qvec"), F.col("kvec")) / (F.col("qn") * F.col("kn"))
+    wprobe = W.partitionBy("qid").orderBy(F.desc("probe_score"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qvec", "qn", "cell", qscore.alias("probe_score"))
+        .withColumn("probe_rank", F.row_number().over(wprobe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("qid", "qvec", "qn", "cell")
+    )
+    scored = probes.join(cells, "cell")
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
     scored = scored.select("qid", "cid", _pair_cosine().alias("cosine"))

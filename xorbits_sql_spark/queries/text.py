@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 from . import register
 from ._util import t
 from ..functions.text import fingerprint, lang_guess, norm_ws, token_count
-from ..operators.dedup import exact_dedup_groups, minhash_lsh_pairs, ngram_jaccard_pairs
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    winnow_fingerprints,
+)
 
 # DuckDB-side expression fragments mirroring functions/text.py
 _NORM = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
@@ -181,6 +186,90 @@ def q64_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.05,
         partition_col="source",
     ).orderBy("id_a", "id_b")
+
+
+# BPE-ish tokenizer classes: letter runs, digit runs, single
+# non-alnum marks — the pre-merge word split a byte-pair tokenizer
+# starts from. Same RE2/Java-compatible patterns on both engines
+# (no lookarounds; RE2 has none).
+_BPE_ALPHA, _BPE_NUM, _BPE_PUNCT = "[A-Za-z]+", "[0-9]+", r"[^A-Za-z0-9\s]"
+
+
+@register(
+    "q68_doc_bpe_tokens",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_ALPHA}'))) AS BIGINT) AS alpha_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_NUM}'))) AS BIGINT) AS num_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_PUNCT}'))) AS BIGINT) AS punct_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "tokens", "bpe"),
+    doc="BPE-style pre-tokenization counts (letter/digit/punct token classes) per source.",
+)
+def q68_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tok = lambda pat: F.sum(  # noqa: E731
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+    ).cast("bigint")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_tok(_BPE_ALPHA).alias("alpha_tokens"),
+            n_tok(_BPE_NUM).alias("num_tokens"),
+            n_tok(_BPE_PUNCT).alias("punct_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q69_doc_winnow_fingerprint",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_NORM} AS txt FROM documents WHERE length({_NORM}) >= 11
+    ),
+    grams AS (
+      SELECT doc_id, length(txt) - 7 AS g, txt,
+             unnest(generate_series(1, length(txt) - 7)) AS i
+      FROM g
+    ),
+    hashed AS (
+      SELECT doc_id, g, i,
+             substring(md5(substring(txt, CAST(i AS INT), 8)), 1, 16) AS h
+      FROM grams
+    ),
+    winnowed AS (
+      SELECT doc_id, i, g,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM hashed
+    )
+    SELECT doc_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps, MIN(fp) AS min_fp
+    FROM winnowed WHERE i <= g - 3
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint", "rolling-hash"),
+    doc=(
+        "Winnowing rolling-hash fingerprints (k=8 char grams, window "
+        "w=4) summarized per document; operators/dedup.py "
+        "winnow_fingerprints is the fingerprint-set operator."
+    ),
+)
+def q69_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = winnow_fingerprints(t(spark, sf_dir, "documents"), "text", "doc_id", k=8, w=4)
+    return (
+        fps.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.countDistinct("fp").cast("bigint").alias("n_fps"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # DuckDB MinHash mirror: min(md5(shingle || '#seed')) per seed; docs

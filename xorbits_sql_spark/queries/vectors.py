@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from . import register
 from ._util import t
 from ..functions.vectors import norm
-from ..operators.similarity import brute_topk, embedding_dup_pairs, lsh_topk
+from ..operators.similarity import brute_topk, embedding_dup_pairs, ivf_topk, lsh_topk
 
 _COS = (
     "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
@@ -79,6 +79,71 @@ def q71_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return (
         lsh_topk(queries, emb, k=3, bits=4, exclude_self=True)
+        .select("qid", "cid", "cosine", F.col("rank").cast("int").alias("rank"))
+        .orderBy("qid", "rank")
+    )
+
+
+def _cos(a: str, b: str, av: str = "embedding", bv: str = "embedding") -> str:
+    """DuckDB cosine between ``a.av`` and ``b.bv`` (sequential double dots)."""
+    da, db = f"CAST({a}.{av} AS DOUBLE[])", f"CAST({b}.{bv} AS DOUBLE[])"
+    return (
+        f"list_dot_product({da}, {db})"
+        f" / (sqrt(list_dot_product({da}, {da})) * sqrt(list_dot_product({db}, {db})))"
+    )
+
+
+@register(
+    "q74_ann_ivf",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT c.vec_id, c.embedding, k.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id ORDER BY {_cos('c', 'k')} DESC, k.cell
+               ) AS rn
+        FROM embeddings c CROSS JOIN cents k
+      ) a WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT q.vec_id, q.embedding, k.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_cos('q', 'k')} DESC, k.cell
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents k
+        WHERE q.vec_id < 10
+      ) b WHERE rn <= 2
+    )
+    SELECT qid, cid, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {_cos('q', 'c')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id ORDER BY {_cos('q', 'c')} DESC, c.vec_id
+             ) AS rank
+      FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    ) ranked
+    WHERE rank <= 3
+    ORDER BY qid, rank
+    """,
+    tags=("vectors", "ann", "ivf"),
+    doc=(
+        "IVF approximate nearest neighbors: 8 deterministic centroids "
+        "(vec_id < 8), corpus bucketed by nearest centroid, queries probe "
+        "their 2 closest cells. Scale path per operators/similarity.py."
+    ),
+)
+def q74_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return (
+        ivf_topk(queries, emb, centroids, k=3, nprobe=2, exclude_self=True)
         .select("qid", "cid", "cosine", F.col("rank").cast("int").alias("rank"))
         .orderBy("qid", "rank")
     )
