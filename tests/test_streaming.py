@@ -17,6 +17,32 @@ def test_stream_hourly_matches_batch(spark):
     assert canonical_rows(stream) == canonical_rows(batch)
 
 
+def test_stream_running_totals_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.queries import load_all
+    from xorbits_sql_spark.queries._util import t
+
+    specs = load_all()
+    got = (
+        specs["q82_stream_running_totals"].fn(spark, SF_ORACLE)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        t(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"] == want["n_events"]).all()
+    # state accumulates in float64 inside pandas; allow rounding slack
+    assert (got["total_value"] - want["total_value"]).abs().max() < 1e-6
+
+
 def test_stream_sessions_rows(spark):
     from xorbits_sql_spark.queries import load_all
 

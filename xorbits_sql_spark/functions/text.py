@@ -108,6 +108,42 @@ def lang_guess(col: Column) -> Column:
     )
 
 
+def add_lang_guess(df, text_col: str, out: str = "lang_guess"):
+    """Attach a ``lang_guess`` column via staged projections.
+
+    Same semantics as :func:`lang_guess`, but the padded text and the
+    four per-language scores are materialized as named columns in
+    intermediate selects. Catalyst's CollapseProject keeps a projection
+    boundary when a non-trivial expression is referenced more than once
+    downstream, so the normalize/lower/pad work is planned once instead
+    of being re-expanded ~70x inside one giant CASE tree — an order of
+    magnitude less analysis/codegen work for identical results.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    keep = [c for c in df.columns]
+    padded = F.concat(F.lit(" "), F.lower(norm_ws(F.col(text_col))), F.lit(" "))
+    staged = df.select(*keep, padded.alias("__pad"))
+    scored = staged.select(
+        *keep,
+        *[
+            sum((occurrences(F.col("__pad"), m) for m in markers), F.lit(0))
+            .cast("bigint")
+            .alias(f"__s_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    s = {lang: F.col(f"__s_{lang}") for lang in LANG_MARKERS}
+    guess = (
+        F.when((s["en"] + s["de"] + s["es"] + s["fr"]) == 0, "und")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.select(*keep, guess.alias(out))
+
+
 def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: md5 of lowercased normalized text.
 

@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 _DEC = "decimal(18,6)"
 
 
+_TABLES: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table (columnar scan; Catalyst prunes/pushes).
 
@@ -16,10 +19,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session defaults) it reads as BIGINT nanos, converted here to a
     microsecond timestamp by floor division — matching DuckDB's
     nanos→micros truncation exactly.
+
+    The unresolved DataFrame (an immutable logical plan) is memoized per
+    (session, dir, table): repeated queries against the same table skip
+    the driver-side file listing + parquet footer schema read, which
+    otherwise costs tens of ms per call across a many-query suite.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    key = (id(spark), sf_dir, name)
+    df = _TABLES.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _TABLES[key] = df
     return df
 
 

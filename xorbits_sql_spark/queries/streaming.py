@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from . import register
 from ..streaming.windows import read_parquet_stream, run_to_memory, tumbling_counts
@@ -26,6 +27,28 @@ def q80_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     agg = tumbling_counts(stream, window="1 hour")
     return run_to_memory(agg, mode="complete").orderBy("hour", "event_type")
+
+
+@register(
+    "q82_stream_running_totals",
+    None,  # non-SQL-expressible: applyInPandasWithState custom state
+    tags=("streaming", "stateful", "pandas-udf"),
+    doc=(
+        "Custom stateful operator (applyInPandasWithState): per-user "
+        "running (count, value-sum) state across micro-batches; final "
+        "state checked against the batch aggregate in tests."
+    ),
+)
+def q82_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_totals
+
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    totals = running_totals(stream, key_col="user_id", value_col="value")
+    out = run_to_memory(totals, mode="update")
+    # update mode re-emits a key each batch it changes; the final state
+    # per user is the row with the greatest n_events.
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("n_events")))
+    return out.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn").orderBy("user_id")
 
 
 @register(

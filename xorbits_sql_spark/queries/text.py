@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ._util import t
-from ..functions.text import fingerprint, lang_guess, norm_ws, token_count
+from ..functions.text import add_lang_guess, fingerprint, norm_ws, token_count
 from ..operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -94,9 +94,11 @@ _SQL_LANG_GUESS = f"""
     tags=("text", "langid"),
 )
 def q61_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    guessed = add_lang_guess(
+        t(spark, sf_dir, "documents").select("text"), "text"
+    )
     return (
-        t(spark, sf_dir, "documents")
-        .groupBy(lang_guess(F.col("text")).alias("lang_guess"))
+        guessed.groupBy("lang_guess")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "lang_guess")
     )

@@ -6,6 +6,14 @@ Spark-native superset: parquet/orc/json/csv/jdbc readers with schema and
 pushdown, plus write helpers.
 """
 
-from .readers import load_tables, read_csv, register_csv_reads
+from .readers import load_tables, read_csv, read_jsonl, register_csv_reads
+from .writers import write_bucketed_table, write_table
 
-__all__ = ["load_tables", "read_csv", "register_csv_reads"]
+__all__ = [
+    "load_tables",
+    "read_csv",
+    "read_jsonl",
+    "register_csv_reads",
+    "write_table",
+    "write_bucketed_table",
+]

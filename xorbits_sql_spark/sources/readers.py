@@ -96,6 +96,28 @@ def register_csv_reads(
     return _READ_CSV.sub(replace, sql)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema_dict: Mapping[str, str] | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read newline-delimited JSON (the interchange format of most
+    web-scale document pipelines).
+
+    Pass ``schema_dict`` in production: without it Spark runs an extra
+    inference scan over the input — fine for tests, wasteful at 100 TB.
+    """
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema_dict:
+        from ..table import schema_to_struct
+
+        reader = reader.schema(schema_to_struct(schema_dict))
+    return reader.json(path)
+
+
 TPCH_TABLES = (
     "region",
     "nation",

@@ -1,0 +1,69 @@
+"""Sinks: partitioned table writers.
+
+The reference has NO sinks — its only output is the returned DataFrame
+(reference core.py:112-116; SURVEY.md §2.1). These helpers are the
+Spark-native write surface, with the layout controls that matter at
+100 TB:
+
+* ``partition_by`` — hive-style directory partitioning; downstream
+  readers get partition pruning on those columns for free.
+* ``max_records_per_file`` — bounds file sizes so a skewed partition
+  doesn't produce one multi-GB file (readers parallelize per file).
+* ``buckets`` — persistent hash bucketing on join/group keys: two
+  tables bucketed the same way join with ZERO shuffle (requires
+  ``saveAsTable``; bucket metadata lives in the catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+    **options: str,
+) -> None:
+    """Write a DataFrame to ``path`` as parquet/csv/json/orc.
+
+    CSV writes include a header to round-trip with
+    ``sources.readers.read_csv``'s header default.
+    """
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if compression:
+        writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a catalog table hash-bucketed on ``bucket_cols``.
+
+    Equal bucketing on both sides of a join lets Catalyst plan a
+    SortMergeJoin with no Exchange — the co-located-join strategy for
+    repeatedly-joined 100 TB fact tables.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

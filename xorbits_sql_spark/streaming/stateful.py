@@ -1,0 +1,94 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+For semantics the built-in windowed aggregates can't express (running
+totals that must be re-emitted every micro-batch, custom eviction
+logic, per-key accumulators with arbitrary Python state), Structured
+Streaming exposes Arrow-batched grouped-map state
+(``applyInPandasWithState``). State lives in the streaming state store
+(RocksDB/HDFS-backed on a cluster), partitioned by the grouping key —
+per-key state is the unit of scale, so a 100 TB/day stream shards
+across executors by key hash exactly like a shuffle.
+
+The reference engine has no streaming at all (SURVEY.md §2.9); this is
+part of the Structured Streaming extension surface. The batch
+equivalence check lives in tests/test_streaming.py: final per-user
+state must equal the batch groupBy aggregate over the same bounded
+input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _totals_schema(key_field: StructField) -> StructType:
+    return StructType(
+        [
+            key_field,
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+
+def running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    time_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Per-key running (count, sum) maintained across micro-batches.
+
+    Each micro-batch updates the key's accumulator in the state store
+    and emits the new running totals — the streaming analogue of a
+    continuously-refreshed ``GROUP BY key`` dashboard. Output mode is
+    ``update``: downstream sinks see one refreshed row per key per
+    batch in which the key appeared.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    out_schema = _totals_schema(events.schema[key_col])
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
