@@ -48,3 +48,18 @@ def test_q10_broadcasts_dimensions(spark):
 def test_q53_range_join_is_broadcast(spark):
     df = SPECS["q53_events_value_bands"].fn(spark, SF_ORACLE)
     assert uses_broadcast_join(df)
+
+
+def test_q02_part_filter_reaches_scan(spark):
+    # the part filter must prune the supply aggregation's input, not
+    # run after it — at 100 TB that is the difference between shuffling
+    # all of lineitem and ~1/1000th of it
+    df = SPECS["q02_min_cost_supplier"].fn(spark, SF_ORACLE)
+    pushed = pushed_filters(df)
+    assert any("p_size" in p for p in pushed), pushed
+    assert uses_broadcast_join(df)
+
+
+def test_q74_ivf_broadcasts_centroids(spark):
+    df = SPECS["q74_ann_ivf"].fn(spark, SF_ORACLE)
+    assert uses_broadcast_join(df)

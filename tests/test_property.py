@@ -1,0 +1,104 @@
+"""Property-based correctness: execute() vs DuckDB on random frames.
+
+The reference has no randomized testing at all (SURVEY.md §5); this
+layer generates small typed frames with NULLs and drives a set of SQL
+shapes (projection/filter/aggregate/join/sort/distinct/window) through
+both engines, comparing canonical rows. Shapes stick to
+integer-exact or decimal-exact arithmetic so equality is exact, not
+approximate — the same determinism contract as the query inventory.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from xorbits_sql_spark import execute
+
+from .oracle import compare
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_keys = st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=24)
+_ints = st.lists(st.one_of(st.integers(-1000, 1000), st.none()), min_size=1, max_size=24)
+
+
+@st.composite
+def frames(draw):
+    k = draw(_keys)
+    n = len(k)
+    v = draw(st.lists(st.integers(-10_000, 10_000), min_size=n, max_size=n))
+    w = draw(st.lists(st.one_of(st.integers(0, 100), st.none()), min_size=n, max_size=n))
+    return pd.DataFrame({"k": k, "v": v, "w": pd.array(w, dtype="Int64")})
+
+
+def _both(sql: str, tables: dict[str, pd.DataFrame]) -> list[str]:
+    got = execute(sql, tables=tables).toPandas()
+    con = duckdb.connect()
+    for name, pdf in tables.items():
+        con.register(name, pdf)
+    want = con.execute(sql).fetchdf()
+    return compare(got, want)
+
+
+@given(frames())
+@settings(**_SETTINGS)
+def test_filter_project(spark, pdf):
+    assert not _both(
+        "SELECT k, v + 1 AS v1 FROM t WHERE v % 2 = 0 AND k <> 'd'", {"t": pdf}
+    )
+
+
+@given(frames())
+@settings(**_SETTINGS)
+def test_groupby_agg(spark, pdf):
+    assert not _both(
+        "SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv, "
+        "CAST(COUNT(w) AS BIGINT) AS nw, CAST(MIN(w) AS BIGINT) AS mw "
+        "FROM t GROUP BY k",
+        {"t": pdf},
+    )
+
+
+@given(frames(), frames())
+@settings(**_SETTINGS)
+def test_join(spark, left, right):
+    assert not _both(
+        "SELECT l.k AS k, CAST(SUM(l.v) AS BIGINT) AS lv, CAST(SUM(r.v) AS BIGINT) AS rv "
+        "FROM l JOIN r ON l.k = r.k GROUP BY l.k",
+        {"l": left, "r": right},
+    )
+
+
+@given(frames())
+@settings(**_SETTINGS)
+def test_sort_limit(spark, pdf):
+    assert not _both(
+        "SELECT k, v FROM t ORDER BY v DESC, k ASC LIMIT 5", {"t": pdf}
+    )
+
+
+@given(frames())
+@settings(**_SETTINGS)
+def test_distinct_setop(spark, pdf):
+    assert not _both(
+        "SELECT DISTINCT k FROM t WHERE v > 0 "
+        "UNION SELECT DISTINCT k FROM t WHERE v <= 0",
+        {"t": pdf},
+    )
+
+
+@given(frames())
+@settings(**_SETTINGS)
+def test_window(spark, pdf):
+    assert not _both(
+        "SELECT k, v, CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, w NULLS FIRST) AS BIGINT) AS rn "
+        "FROM t",
+        {"t": pdf},
+    )
