@@ -8,8 +8,12 @@ from .media import (
     MEDIA_SCHEMA,
     attach_fake_media,
     decode_image,
+    explode_frames,
     extract_media_features,
     media_struct,
+    resize_image,
+    sample_frames,
+    transform_media,
 )
 
 __all__ = [
@@ -17,5 +21,9 @@ __all__ = [
     "media_struct",
     "attach_fake_media",
     "decode_image",
+    "resize_image",
+    "sample_frames",
+    "transform_media",
+    "explode_frames",
     "extract_media_features",
 ]

@@ -97,6 +97,124 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
     }
 
 
+def resize_image(data: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Resize an image payload to ``width``x``height``.
+
+    STUB like :func:`decode_image`: with ``fake=True`` produces a
+    deterministic payload of exactly ``width*height`` bytes (md5-keyed
+    byte stretch) so downstream size/metadata contracts are exercised;
+    swap in PIL's ``Image.resize`` for real deployments.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "swap in PIL/cv2 here (resize_image) for real deployments"
+        )
+    seed = hashlib.md5(data).digest()
+    n = width * height
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def sample_frames(data: bytes, n_frames: int, fake: bool = False) -> list[bytes]:
+    """Sample ``n_frames`` evenly-spaced frames from a video payload.
+
+    STUB: with ``fake=True`` each frame is a deterministic md5-derived
+    slice keyed by (payload, frame index); swap in pyav/ffmpeg frame
+    extraction for real deployments.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video codec not available in this environment; "
+            "swap in pyav/ffmpeg here (sample_frames) for real deployments"
+        )
+    return [
+        hashlib.md5(data + i.to_bytes(4, "big")).digest() for i in range(n_frames)
+    ]
+
+
+def transform_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Batch media resize via mapInPandas: (id, media, media_meta).
+
+    The output metadata struct reflects the new dimensions — the
+    contract a downstream training-data loader reads instead of
+    re-decoding the payload.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_SCHEMA),
+        ]
+    )
+    mime = "application/x-fake" if fake else "image/unknown"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [resize_image(b, width, height, fake=fake) for b in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "media": resized,
+                    "media_meta": [
+                        {
+                            "mime": mime,
+                            "width": width,
+                            "height": height,
+                            "duration_ms": None,
+                            "sample_rate": None,
+                        }
+                        for _ in resized
+                    ],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(batches, out_schema)
+
+
+def explode_frames(
+    df: DataFrame,
+    n_frames: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling as a one-to-many mapInPandas: (id, frame_idx, frame).
+
+    Each input payload yields ``n_frames`` rows — the fan-out shape of
+    a video-to-training-frames pipeline. Row multiplication happens
+    inside the Arrow batch (no join, no explode shuffle); downstream
+    repartitioning is the caller's choice.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for rid, data in zip(pdf[id_col].astype("int64"), pdf[media_col]):
+                for i, frame in enumerate(sample_frames(data, n_frames, fake=fake)):
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(frame)
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, media_col).mapInPandas(batches, out_schema)
+
+
 def extract_media_features(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id", fake: bool = True
 ) -> DataFrame:

@@ -144,3 +144,29 @@ def q47_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q90_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = attach_fake_media(t(spark, sf_dir, "documents"))
     return extract_media_features(docs, fake=True).orderBy("id")
+
+
+@register(
+    "q91_multimodal_frames",
+    None,  # mapInPandas one-to-many frame fan-out; checked by tests/test_multimodal.py
+    tags=("multimodal", "pandas-udf", "fanout"),
+    doc=(
+        "Video-style frame sampling fan-out: every payload yields 4 "
+        "frame rows inside the Arrow batch, then per-document frame "
+        "stats. The shape of a video->training-frames pipeline."
+    ),
+)
+def q91_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import attach_fake_media as attach
+    from ..multimodal import explode_frames
+
+    docs = attach(t(spark, sf_dir, "documents"))
+    frames = explode_frames(docs, n_frames=4, fake=True)
+    return (
+        frames.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).cast("bigint").alias("frame_bytes"),
+        )
+        .orderBy("id")
+    )
