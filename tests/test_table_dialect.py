@@ -1,0 +1,111 @@
+"""Registration-surface parity (nested names, row-dict tables, schema
+typing — reference core.py:62-65, table.py:91-103) and the dialect
+fallback normalizer (active in environments without sqlglot)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from xorbits_sql_spark import execute
+from xorbits_sql_spark.dialect import has_sqlglot, transpile
+from xorbits_sql_spark.errors import UnsupportedError
+from xorbits_sql_spark.table import flatten_tables, parse_type
+
+
+def test_row_dict_table(spark):
+    rows = [{"a": "x", "b": 1}, {"a": "y", "b": 2}, {"a": "x", "b": 3}]
+    got = execute(
+        "SELECT a, SUM(b) AS s FROM t GROUP BY a ORDER BY a",
+        tables={"t": rows},
+        spark=spark,
+    ).collect()
+    assert [(r["a"], r["s"]) for r in got] == [("x", 4), ("y", 2)]
+
+
+def test_row_dict_table_with_schema(spark):
+    rows = [{"a": "x", "b": 1}]
+    got = execute(
+        "SELECT b FROM t",
+        tables={"t": rows},
+        schema={"t": {"a": "string", "b": "double"}},
+        spark=spark,
+    )
+    assert dict(got.dtypes)["b"] == "double"
+
+
+def test_nested_db_table(spark):
+    pdf = pd.DataFrame({"v": [1, 2, 3]})
+    got = execute(
+        "SELECT SUM(v) AS s FROM mydb.tbl",
+        tables={"mydb": {"tbl": pdf}},
+        spark=spark,
+    ).collect()
+    assert got[0]["s"] == 6
+
+
+def test_nested_catalog_db_table(spark):
+    pdf = pd.DataFrame({"v": [10, 20]})
+    got = execute(
+        "SELECT COUNT(*) AS n, SUM(v) AS s FROM cat.db.t2",
+        tables={"cat": {"db": {"t2": pdf}}},
+        spark=spark,
+    ).collect()
+    assert (got[0]["n"], got[0]["s"]) == (2, 30)
+
+
+def test_too_deep_nesting_rejected():
+    with pytest.raises(UnsupportedError):
+        flatten_tables({"a": {"b": {"c": {"d": []}}}})
+
+
+def test_parse_type_decimal_and_array():
+    assert parse_type("decimal(18,6)").simpleString() == "decimal(18,6)"
+    assert parse_type("array<float>").simpleString() == "array<float>"
+
+
+# ---- dialect fallback (regex normalizer; full path uses sqlglot) ----
+
+pytestmark_fallback = pytest.mark.skipif(
+    has_sqlglot(), reason="sqlglot present: fallback normalizer not in play"
+)
+
+
+def test_pg_cast_passthrough(spark):
+    # Spark 4 parses `::` casts natively; the normalizer must NOT touch
+    # them (a regex cannot re-parenthesize `(a+b)::int` correctly)
+    q = "SELECT (1+2)::bigint AS s"
+    assert "::" in transpile(q, "postgres")
+    assert spark.sql(transpile(q, "duckdb")).collect()[0]["s"] == 3
+
+
+@pytestmark_fallback
+def test_double_quoted_identifiers():
+    assert transpile('SELECT "my col" FROM "t"', "postgres") == (
+        "SELECT `my col` FROM `t`"
+    )
+    # mysql double quotes are strings by default → untouched
+    assert transpile('SELECT "x" FROM t', "mysql") == 'SELECT "x" FROM t'
+
+
+@pytestmark_fallback
+def test_tsql_rewrites():
+    out = transpile("SELECT ISNULL(a, 0), GETDATE() FROM t", "tsql")
+    assert "COALESCE(a, 0)" in out and "CURRENT_TIMESTAMP()" in out
+
+
+def test_spark_dialect_passthrough():
+    q = "SELECT a FROM t WHERE b > 1"
+    for d in (None, "spark", "hive", "databricks"):
+        assert transpile(q, d) == q
+
+
+def test_execute_with_duckdb_dialect(spark):
+    pdf = pd.DataFrame({"x": [1, 2, 3]})
+    got = execute(
+        "SELECT SUM(x::bigint) AS s FROM t",
+        tables={"t": pdf},
+        dialect="duckdb",
+        spark=spark,
+    ).collect()
+    assert got[0]["s"] == 6

@@ -51,14 +51,9 @@ KNOWN_DIALECTS = {
     "tsql",
 }
 
-# `expr::type` postgres/duckdb cast shorthand → CAST(expr AS type).
-# Handles a simple identifier/qualified-column/literal/closing-paren on the
-# left; anything fancier is left alone (and would need sqlglot).
-_PG_CAST = re.compile(
-    r"""(?P<expr>\(?[A-Za-z_][\w.]*\)?|'[^']*'|\d+(?:\.\d+)?|\))\s*::\s*
-        (?P<type>[A-Za-z_]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)""",
-    re.VERBOSE,
-)
+# `expr::type` postgres/duckdb cast shorthand needs NO rewrite — Spark 4
+# parses `::` casts natively (and a regex can't re-parenthesize
+# `(a+b)::int` correctly anyway).
 
 # NOW() and CURRENT_TIMESTAMP() are fine in Spark; GETDATE() (tsql) is not.
 _GETDATE = re.compile(r"\bGETDATE\s*\(\s*\)", re.IGNORECASE)
@@ -101,7 +96,6 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
     out = sql
     if dialect in _DQUOTE_IDENT_DIALECTS:
         out = _DQUOTED_IDENT.sub(r"`\1`", out)
-    out = _PG_CAST.sub(lambda m: f"CAST({m.group('expr')} AS {m.group('type')})", out)
     if dialect == "tsql":
         out = _GETDATE.sub("CURRENT_TIMESTAMP()", out)
         out = re.sub(r"\bISNULL\s*\(", "COALESCE(", out, flags=re.IGNORECASE)

@@ -120,22 +120,35 @@ def view_name(qualified: tuple[str, ...]) -> str:
     return "__".join(qualified)
 
 
+def _apply_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast columns to the declared schema (reference semantics: the
+    schema dict *types* the table; values are coerced, not validated —
+    Spark's strict createDataFrame(schema=...) would reject e.g. int
+    literals declared as double)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def to_spark_df(spark: SparkSession, value: Any, schema: T.StructType | None) -> DataFrame:
     """Convert a registered leaf (Spark DF / pandas DF / list of dicts)."""
     if isinstance(value, DataFrame):
-        return value
-    if isinstance(value, list):
-        # Reference table.py:91-103: list-of-row-dicts tables.
-        if schema is not None:
-            return spark.createDataFrame(value, schema=schema)
-        return spark.createDataFrame(value)
-    import pandas as pd
+        return value if schema is None else _apply_schema(value, schema)
+    is_pandas = False
+    if not isinstance(value, list):
+        import pandas as pd
 
-    if isinstance(value, pd.DataFrame):
-        if schema is not None:
-            return spark.createDataFrame(value, schema=schema)
-        return spark.createDataFrame(value)
-    raise UnsupportedError(f"cannot register table of type {type(value).__name__}")
+        is_pandas = isinstance(value, pd.DataFrame)
+        if not is_pandas:
+            raise UnsupportedError(
+                f"cannot register table of type {type(value).__name__}"
+            )
+    # Reference table.py:91-103: list-of-row-dicts tables; pandas frames
+    # go through Arrow. Infer first, then coerce to any declared schema.
+    df = spark.createDataFrame(value)
+    return df if schema is None else _apply_schema(df, schema)
 
 
 def register_tables(
