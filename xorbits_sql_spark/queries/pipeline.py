@@ -58,9 +58,42 @@ def q66_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of operators/dedup.simhash_relational: same 60-bit token
+# hash ('0x'||md5-prefix cast vs Spark's conv(..,16,10) — verified equal),
+# same per-bit vote sums, same (2*ones >= n) sign rule, same prefix
+# bucketing. Generated programmatically: 60 sum + 60 reassembly terms.
+_SH_SUMS = ",\n             ".join(f"SUM((h >> {i}) & 1) AS b{i}" for i in range(60))
+_SH_SIG = "\n           + ".join(
+    f"(CASE WHEN 2 * b{i} >= n THEN 1::BIGINT << {i} ELSE 0::BIGINT END)" for i in range(60)
+)
+
+
 @register(
     "q67_doc_simhash",
-    None,  # 64-bit hex->int + bit ops are not portable DuckDB SQL; unit-tested instead
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM toks
+    ),
+    sums AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_SH_SUMS}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_SH_SIG} AS sh
+      FROM sums
+    ),
+    bucketed AS (SELECT doc_id, sh, sh >> 56 AS bucket FROM sigs)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 14
+    ORDER BY id_a, id_b
+    """,
     tags=("text", "dedup-simhash"),
     doc="SimHash near-dup pairs (Hamming <= 14) across all documents.",
 )
