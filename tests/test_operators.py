@@ -16,6 +16,7 @@ from xorbits_sql_spark.operators.dedup import (
 )
 from xorbits_sql_spark.operators.joins import asof_join, range_join
 from xorbits_sql_spark.operators.similarity import brute_topk, ivf_topk
+from xorbits_sql_spark.operators.skew import salted_join
 
 
 def test_asof_join_basic(spark):
@@ -100,6 +101,21 @@ def test_simhash_pairs(spark):
     }
     assert out[(1, 2)] == 0  # identical text → identical simhash
     assert out[(1, 3)] <= 12  # near dup → small hamming distance
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed left: 900 of 1000 rows share key 'hot'
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, "hot").otherwise(F.concat(F.lit("k"), "id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame(
+        [Row(k="hot", rv=1), Row(k="k950", rv=2), Row(k="missing", rv=3)]
+    )
+    for how in ("inner", "left"):
+        got = salted_join(left, right, on="k", how=how, salt=4)
+        want = left.join(right, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_winnow_fingerprints(spark):

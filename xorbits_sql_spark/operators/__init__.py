@@ -9,10 +9,11 @@ operators Spark itself lacks:
   built-ins: union-trick windows, broadcast range tables).
 * ``dedup`` — exact, MinHash-LSH, SimHash, n-gram-Jaccard and
   embedding-cosine near-duplicate detection.
-* ``similarity`` — brute-force and LSH-bucketed approximate
+* ``similarity`` — brute-force, LSH-bucketed, and IVF approximate
   nearest-neighbor search over embedding columns.
+* ``skew`` — salted joins for hot keys AQE can't split.
 """
 
-from . import dedup, joins, similarity
+from . import dedup, joins, similarity, skew
 
-__all__ = ["dedup", "joins", "similarity"]
+__all__ = ["dedup", "joins", "similarity", "skew"]

@@ -1,0 +1,51 @@
+"""Skew mitigation: salted joins for hot keys.
+
+AQE's skew-join splitting (enabled in session defaults) handles most
+skew at runtime by splitting oversized shuffle partitions — prefer it.
+Explicit salting remains the tool when AQE can't apply: streaming
+joins, skewed keys *inside* one partition after a non-shuffle stage, or
+engines/strategies AQE won't re-plan (broadcast-ineligible hot keys in
+a shuffled hash join).
+
+Mechanics: the probe side gets a uniform salt in [0, salt); the build
+side is replicated once per salt value; the join key becomes
+(key, salt). A key carrying 1B rows then spreads over ``salt`` tasks
+instead of one. Cost: build side is materialized ``salt`` times — pick
+the smallest salt that flattens the skew.
+
+The reference always does a plain pandas merge (reference
+executor.py:431-471) with no skew strategy at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with the left (large/skewed) side salted.
+
+    Semantically identical to ``left.join(right, on, how)`` for
+    ``inner``/``left`` joins — every left row keeps exactly its
+    original matches; the salt only spreads identical keys across
+    ``salt`` shuffle partitions. The salt is independent of the key
+    (uniform per row), which is the point: key-derived "salts" would
+    send the hot key to one partition again.
+    """
+    if how not in {"inner", "left", "left_outer"}:
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_left = left.withColumn(_SALT, (F.rand(42) * salt).cast("int"))
+    salted_right = right.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted_left.join(salted_right, keys + [_SALT], how).drop(_SALT)
