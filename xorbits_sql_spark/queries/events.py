@@ -131,6 +131,47 @@ def q53_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q56_events_rollup_daily",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+      FROM events
+      GROUP BY hour, event_type
+    )
+    SELECT date_trunc('day', hour) AS day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           {sql_dsum('total_value', 'total_value')}
+    FROM hourly
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+    tags=("events", "time-window", "rollup"),
+    doc=(
+        "Hypertable-style rollup: the daily continuous aggregate is "
+        "computed FROM the hourly one (aggregate-of-aggregate), the "
+        "incremental-maintenance shape — at 100 TB the daily tier reads "
+        "|hourly| rows, never re-scans raw events. Exact decimal "
+        "re-accumulation keeps it bit-equal to a direct daily aggregate."
+    ),
+)
+def q56_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            dsum("total_value", "total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
     "q54_events_asof_order",
     """
     SELECT event_id, user_id, o_orderkey
