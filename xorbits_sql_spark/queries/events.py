@@ -172,6 +172,38 @@ def q56_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q57_event_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "percentile", "aggregate"),
+    doc=(
+        "Exact linear-interpolated percentiles per event type (Spark "
+        "percentile == DuckDB quantile_cont). Spark's exact percentile "
+        "sorts within groups; at 100 TB swap to approx_percentile for a "
+        "sketch-based single-pass answer."
+    ),
+)
+def q57_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q54_events_asof_order",
     """
     SELECT event_id, user_id, o_orderkey

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from . import register
 from ._util import t
 from ..functions.vectors import norm
-from ..operators.similarity import brute_topk, embedding_dup_pairs, ivf_topk, lsh_topk
+from ..operators.similarity import brute_topk, ivf_topk, lsh_topk
 
 _COS = (
     "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"

@@ -18,6 +18,11 @@ from pyspark.sql import SparkSession
 _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # NB: coalescePartitions.parallelismFirst stays at its default
+    # (true). Spark's tuning guide suggests false for large clusters,
+    # but measured here size-targeted coalescing collapses small-SF
+    # shuffle stages to one partition and serializes them (~30% slower
+    # suite); on a real cluster revisit per workload.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
