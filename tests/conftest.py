@@ -5,8 +5,13 @@ import pytest
 
 from xorbits_sql_spark.session import get_spark
 
+import os
+
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# Oracle-parity scale factor; override to run the whole parity suite at
+# another SF (verified bit-exact at sf0.001, sf0.01, and sf0.1):
+#   XSS_SF_DIR=/root/testdata/sf0.1 pytest tests/test_oracle_parity.py
+SF_ORACLE = os.environ.get("XSS_SF_DIR", "/root/testdata/sf0.01")
 
 TABLES = (
     "region",

@@ -94,6 +94,35 @@ def test_distinct_setop(spark, pdf):
     )
 
 
+@given(frames(), frames())
+@settings(**_SETTINGS)
+def test_left_join_null_semantics(spark, left, right):
+    assert not _both(
+        "SELECT l.k AS k, l.v AS lv, CAST(r.w AS BIGINT) AS rw "
+        "FROM l LEFT JOIN r ON l.v = r.v",
+        {"l": left, "r": right},
+    )
+
+
+@given(frames())
+@settings(**_SETTINGS)
+def test_having_case(spark, pdf):
+    assert not _both(
+        "SELECT k, CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos "
+        "FROM t GROUP BY k HAVING COUNT(*) > 2",
+        {"t": pdf},
+    )
+
+
+@given(frames())
+@settings(**_SETTINGS)
+def test_in_subquery(spark, pdf):
+    assert not _both(
+        "SELECT k, v FROM t WHERE k IN (SELECT k FROM t WHERE w IS NULL)",
+        {"t": pdf},
+    )
+
+
 @given(frames())
 @settings(**_SETTINGS)
 def test_window(spark, pdf):

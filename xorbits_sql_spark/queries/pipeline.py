@@ -150,6 +150,13 @@ def q73_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY tile
     """,
     tags=("window", "ntile"),
+    doc=(
+        "Quartile spend distribution. NOTE the unpartitioned NTILE "
+        "window funnels all rows through one task by definition — exact "
+        "global ranking doesn't distribute. At 100 TB replace with "
+        "approx_percentile cutoffs + a range join (sketch-based, fully "
+        "parallel); kept exact here because the oracle demands it."
+    ),
 )
 def q47_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("o_totalprice", "o_orderkey")
