@@ -185,25 +185,31 @@ def ngram_jaccard_pairs(
     shingled = shingles_relational(
         df, text_col, id_col, k=shingle_k, distinct=True, carry_cols=parts
     )
-    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+    # Per-doc set size rides along as a window count over the shingle
+    # rows instead of a separate groupBy branch — the inverted-index
+    # join then carries both sizes, so the shingle pipeline is planned
+    # twice (the two join sides) rather than three times, and the two
+    # post-aggregation size joins disappear entirely.
+    sized = shingled.withColumn("set_size", F.count(F.lit(1)).over(W.partitionBy("doc")))
     on = ["shingle"] + [p for p in parts]
-    right = shingled.select(
+    right = sized.select(
         F.col("doc").alias("doc_b"),
         *[F.col(p) for p in parts],
         F.col("shingle"),
+        F.col("set_size").alias("size_b"),
     )
     shared = (
-        shingled.join(right, on)
+        sized.join(right, on)
         .filter(F.col("doc") < F.col("doc_b"))
         .groupBy("doc", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min("set_size").alias("size_a"),
+            F.min("size_b").alias("size_b"),
+        )
     )
-    sz_a = sizes.select(F.col("doc").alias("doc"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"))
     return (
-        shared.join(sz_a, "doc")
-        .join(sz_b, "doc_b")
-        .select(
+        shared.select(
             F.col("doc").alias("id_a"),
             F.col("doc_b").alias("id_b"),
             (
