@@ -94,22 +94,36 @@ def sessionized_counts(
     )
 
 
-def run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, mode: str = "complete", state_partitions: int = 8
+) -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion into a memory
     sink; returns a batch DataFrame of the final results.
 
     Test/backfill helper only — memory sinks collect to the driver.
+
+    Stateful operators create one state store per shuffle partition, so
+    the session's shuffle-partition count is dropped to
+    ``state_partitions`` for the bounded run (a long-lived production
+    stream sizes this to its key cardinality instead — the setting is
+    fixed per checkpoint) and restored afterwards.
     """
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    try:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
