@@ -50,6 +50,23 @@ def test_asof_join_basic(spark):
     assert got == {("A", 1): 101.0, ("A", 2): 102.0, ("B", 3): 50.0, ("C", 4): None}
 
 
+def test_asof_join_tolerance(spark):
+    trades = spark.createDataFrame(
+        [Row(sym="A", t=10, trade_id=1), Row(sym="A", t=100, trade_id=2)]
+    )
+    quotes = spark.createDataFrame(
+        [Row(sym="A", qt=8, px=1.0), Row(sym="A", qt=50, px=2.0)]
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        right_values=["px"], tolerance=10, tie_breakers=["qt"],
+    )
+    got = {r["trade_id"]: r["px"] for r in out.collect()}
+    # trade 1: quote at 8 is 2 ticks old -> kept; trade 2: quote at 50 is
+    # 50 ticks old -> outside tolerance, nulled (pandas merge_asof semantics)
+    assert got == {1: 1.0, 2: None}
+
+
 def test_range_join(spark):
     facts = spark.createDataFrame([Row(v=5.0), Row(v=55.0), Row(v=500.0)])
     bands = spark.createDataFrame(

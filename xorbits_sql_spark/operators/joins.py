@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 
@@ -20,7 +21,7 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_values: list[str],
-    tolerance: None = None,
+    tolerance: float | int | None = None,
     tie_breakers: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
@@ -38,6 +39,10 @@ def asof_join(
     (sorted before left rows); among right rows with equal time the one
     with the greatest ``tie_breakers`` value wins (default: last of
     ``right_values`` order — pass explicit tie_breakers for determinism).
+
+    ``tolerance`` bounds the lookback like pandas ``merge_asof``:
+    matches older than it are nulled out. Units: same as the time
+    columns for numeric times; SECONDS when they are timestamps.
     """
     keys = [on] if isinstance(on, str) else list(on)
     tie_breakers = tie_breakers or []
@@ -64,15 +69,39 @@ def asof_join(
         F.col(f"__tb_{b}").asc_nulls_first() for b in tie_breakers
     ]
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    matched_t = F.last(
+        F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+    ).over(w)
     filled = unioned.select(
         *lcols,
         F.col("__side"),
+        F.col("__t"),
+        matched_t.alias("__mt"),
         *[
             F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(v)
             for v in right_values
         ],
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        is_ts = isinstance(left.schema[left_time].dataType, T.TimestampType)
+        age = (
+            (F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__mt"))) / 1_000_000.0
+            if is_ts
+            else F.col("__t") - F.col("__mt")
+        )
+        stale = F.col("__mt").isNull() | (age > tolerance)
+        out = out.select(
+            *lcols,
+            F.col("__side"),
+            F.col("__t"),
+            F.col("__mt"),
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(v)).alias(v)
+                for v in right_values
+            ],
+        )
+    return out.drop("__side", "__t", "__mt")
 
 
 def range_join(
