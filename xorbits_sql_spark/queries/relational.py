@@ -303,6 +303,32 @@ def q43_substring_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_pagination_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("sort", "limit", "offset"),
+    doc=(
+        "Keyset-free pagination: ORDER BY + LIMIT/OFFSET (no OFFSET "
+        "exists anywhere in the reference, SURVEY §2.2). Note OFFSET "
+        "still sorts the full prefix — deep pagination at 100 TB should "
+        "use keyset predicates (WHERE sortkey < last_seen) instead."
+    ),
+)
+def q48_pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
+@register(
     "q44_sort_mixed_nulls",
     """
     SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_np, o_totalprice
@@ -360,6 +386,42 @@ def q45_execute_api_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={
             "orders": t(spark, sf_dir, "orders"),
             "customer": t(spark, sf_dir, "customer"),
+        },
+        spark=spark,
+    )
+
+
+_Q49_SQL = """
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    ORDER BY c_custkey
+    LIMIT 100
+"""
+
+
+@register(
+    "q49_correlated_subquery",
+    _Q49_SQL,
+    tags=("execute-api", "scalar-subquery", "correlated"),
+    doc=(
+        "Correlated scalar subquery through the engine's execute() SQL "
+        "path — Catalyst decorrelates it into an aggregate + join (the "
+        "rewrite the reference delegates to SQLGlot, SURVEY §4.1). "
+        "Identical SQL text runs on both engines; exact decimal "
+        "arithmetic keeps the > comparison boundary bit-stable."
+    ),
+)
+def q49_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return execute(
+        _Q49_SQL,
+        dialect="duckdb",
+        tables={
+            "customer": t(spark, sf_dir, "customer"),
+            "orders": t(spark, sf_dir, "orders"),
         },
         spark=spark,
     )
