@@ -17,6 +17,19 @@ def test_stream_hourly_matches_batch(spark):
     assert canonical_rows(stream) == canonical_rows(batch)
 
 
+def test_stream_sliding_matches_batch(spark):
+    from xorbits_sql_spark.queries import load_all
+
+    specs = load_all()
+    stream = specs["q83_stream_sliding"].fn(spark, SF_ORACLE).toPandas()
+    batch = (
+        specs["q58_events_sliding"].fn(spark, SF_ORACLE)
+        .withColumnRenamed("win_start", "hour")
+        .toPandas()
+    )
+    assert canonical_rows(stream) == canonical_rows(batch)
+
+
 def test_stream_running_totals_matches_batch(spark):
     from pyspark.sql import functions as F
 

@@ -172,6 +172,38 @@ def q56_events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q58_events_sliding",
+    f"""
+    SELECT win_start, event_type, COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+                    ]) AS win_start,
+             event_type, value
+      FROM events
+    ) expanded
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+    tags=("events", "time-window", "sliding"),
+    doc=(
+        "Sliding (hopping) 1h windows every 30 min — each event counts "
+        "in 2 windows. Spark's window(ts, '1 hour', '30 minutes') "
+        "expands rows natively; the oracle unnests the two bucket "
+        "starts explicitly. Streaming variant: q83."
+    ),
+)
+def q58_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
     "q57_event_percentiles",
     """
     SELECT event_type,

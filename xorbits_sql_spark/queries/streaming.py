@@ -52,6 +52,22 @@ def q82_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q83_stream_sliding",
+    None,  # non-SQL-expressible: Structured Streaming execution
+    tags=("streaming", "time-window", "sliding"),
+    doc=(
+        "Streaming sliding windows (1h every 30min) with watermark; "
+        "equals the batch q58 result on the bounded source "
+        "(tests/test_streaming.py)."
+    ),
+)
+def q83_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    agg = tumbling_counts(stream, window="1 hour", slide="30 minutes")
+    return run_to_memory(agg, mode="complete").orderBy("hour", "event_type")
+
+
+@register(
     "q81_stream_sessions",
     None,  # non-SQL-expressible: session_window streaming state
     tags=("streaming", "sessionize"),

@@ -55,16 +55,23 @@ def tumbling_counts(
     key_col: str = "event_type",
     watermark: str = "1 day",
     value_col: str = "value",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window: counts + exact value sums per key.
+    """Tumbling (or, with ``slide``, sliding/hopping) event-time window:
+    counts + exact value sums per key.
 
     Watermark bounds state: rows later than ``watermark`` behind the max
     event time are dropped and their windows finalized — the knob that
-    keeps state size constant on an unbounded 100 TB/day stream.
+    keeps state size constant on an unbounded 100 TB/day stream. With
+    ``slide`` each row lands in window/slide overlapping windows (state
+    grows by the same factor).
     """
+    win = (
+        F.window(time_col, window, slide) if slide else F.window(time_col, window)
+    )
     return (
         events.withWatermark(time_col, watermark)
-        .groupBy(F.window(time_col, window).alias("win"), F.col(key_col))
+        .groupBy(win.alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("total_value"),
