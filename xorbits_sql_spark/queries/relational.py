@@ -329,6 +329,43 @@ def q48_pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q59_date_arithmetic",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)) AS BIGINT)
+             AS total_wait_days,
+           CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS shipped_fast
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("date-arithmetic", "aggregate"),
+    doc="datediff/date_add coverage: order-to-ship wait days and a fast-ship flag.",
+)
+def q59_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.datediff("l_shipdate", "o_orderdate").cast("bigint"))
+            .cast("bigint")
+            .alias("total_wait_days"),
+            F.sum(
+                F.when(F.col("l_shipdate") <= F.date_add("o_orderdate", 60), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("shipped_fast"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "q44_sort_mixed_nulls",
     """
     SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_np, o_totalprice
