@@ -109,3 +109,16 @@ def test_execute_with_duckdb_dialect(spark):
         spark=spark,
     ).collect()
     assert got[0]["s"] == 6
+
+
+def test_pandas_udf_in_execute_sql(spark):
+    import pandas as pd_mod
+
+    from xorbits_sql_spark.functions import register_pandas_udf
+
+    register_pandas_udf(spark, "double_it", lambda s: s * 2.0, "double")
+    pdf = pd_mod.DataFrame({"x": [1.0, 2.0, 3.0]})
+    got = execute(
+        "SELECT SUM(double_it(x)) AS s FROM t", tables={"t": pdf}, spark=spark
+    ).collect()
+    assert got[0]["s"] == 12.0

@@ -9,6 +9,7 @@ pipelines (``text``) and vector math over embedding columns
 the hot path).
 """
 
-from . import text, vectors
+from . import text, udf, vectors
+from .udf import register_pandas_udf, register_udf
 
-__all__ = ["text", "vectors"]
+__all__ = ["text", "vectors", "udf", "register_pandas_udf", "register_udf"]
