@@ -175,3 +175,14 @@ def test_brute_topk_exact(spark):
     out = brute_topk(vecs.filter(F.col("vec_id") == 1), vecs, k=2)
     ranked = [(r["cid"], r["rank"]) for r in out.orderBy("rank").collect()]
     assert ranked == [(1, 1), (2, 2)]
+
+
+def test_distinct_sketch_accuracy(spark):
+    """HLL sketches (q89) stay within 5% of the exact distinct count."""
+    from xorbits_sql_spark.queries import load_all
+
+    out = load_all()["q89_distinct_sketch"].fn(spark, "/root/testdata/sf0.001")
+    for r in out.collect():
+        for approx_col in ("approx_users", "hll_users"):
+            err = abs(r[approx_col] - r["exact_users"]) / max(r["exact_users"], 1)
+            assert err < 0.05, (r["event_type"], approx_col, err)

@@ -307,3 +307,169 @@ def q55_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q75_latest_by_key",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type,
+           event_id AS latest_event_id, value AS latest_value
+    FROM ranked
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    tags=("events", "window", "dedup"),
+    doc=(
+        "Latest-record dedup (SCD-style upsert compaction): keep the newest "
+        "row per (user_id, event_type). One shuffle on the partition key; "
+        "ties broken by the unique event_id so the winner is deterministic "
+        "at any parallelism. At 100 TB this is the standard "
+        "keep-latest-version compaction — no collect, no skew beyond the "
+        "hottest single key."
+    ),
+)
+def q75_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("value").alias("latest_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "q84_full_outer_hours",
+    f"""
+    WITH buys AS (
+      SELECT date_trunc('hour', ts) AS hour, {sql_dsum('value', 'revenue')}
+      FROM events WHERE event_type = 'purchase' GROUP BY hour
+    ),
+    errs AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY hour
+    )
+    SELECT COALESCE(b.hour, e.hour) AS hour,
+           COALESCE(b.revenue, 0.0) AS revenue,
+           COALESCE(e.n_errors, 0) AS n_errors
+    FROM buys b FULL OUTER JOIN errs e ON b.hour = e.hour
+    ORDER BY hour
+    """,
+    tags=("events", "join", "full-outer"),
+    doc=(
+        "FULL OUTER join of two hourly aggregates (purchase revenue vs "
+        "error counts); hours present on only one side surface with the "
+        "other side defaulted. The reference's join map has no full-outer "
+        "(SURVEY §2.4, executor.py:457-461). Both inputs are already "
+        "aggregated, so the outer join runs on tiny relations."
+    ),
+)
+def q84_full_outer_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts").alias("hour")
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(hour)
+        .agg(dsum("value", "revenue"))
+    )
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(hour)
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    b, e = buys.alias("b"), errs.alias("e")
+    return (
+        b.join(e, F.col("b.hour") == F.col("e.hour"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.hour"), F.col("e.hour")).alias("hour"),
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+            F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+        )
+        .orderBy("hour")
+    )
+
+
+@register(
+    "q85_unpivot_daily",
+    """
+    WITH p AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      FROM events GROUP BY day
+    )
+    SELECT day, 'click' AS event_type, n_click AS n FROM p
+    UNION ALL
+    SELECT day, 'purchase' AS event_type, n_purchase AS n FROM p
+    UNION ALL
+    SELECT day, 'view' AS event_type, n_view AS n FROM p
+    ORDER BY day, event_type
+    """,
+    tags=("events", "unpivot"),
+    doc=(
+        "Unpivot (wide->long): per-day conditional-aggregate columns turned "
+        "back into (day, event_type, n) rows via stack(). The inverse of "
+        "q55's pivot; stack() is a generator expression evaluated inside "
+        "whole-stage codegen — no shuffle beyond the input aggregation."
+    ),
+)
+def q85_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    flag = lambda v: F.sum(F.when(F.col("event_type") == v, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    wide = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        flag("click").alias("n_click"),
+        flag("purchase").alias("n_purchase"),
+        flag("view").alias("n_view"),
+    )
+    return wide.selectExpr(
+        "day",
+        "stack(3, 'click', n_click, 'purchase', n_purchase, 'view', n_view) AS (event_type, n)",
+    ).orderBy("day", "event_type")
+
+
+@register(
+    "q89_distinct_sketch",
+    None,  # approx sketches are engine-specific; accuracy is test-asserted
+    tags=("events", "sketch", "approx"),
+    doc=(
+        "Cardinality sketches: per-event-type approximate distinct users via "
+        "HyperLogLog++ (approx_count_distinct) and a DataSketches HLL "
+        "(hll_sketch_agg -> hll_sketch_estimate), alongside the exact "
+        "count. Sketches are mergeable pre-aggregates: at 100 TB the "
+        "per-partition sketch is O(kB) and the merge is associative, vs an "
+        "exact distinct whose shuffle carries every key. "
+        "tests/test_operators.py asserts <5% relative error."
+    ),
+)
+def q89_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -210,3 +210,130 @@ def q91_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@register(
+    "q76_decontaminate",
+    """
+    WITH bench AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 17 = 0
+    ),
+    corpus AS (
+      SELECT lang, md5(text) AS fp, n_chars FROM documents WHERE doc_id % 17 <> 0
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM corpus
+    WHERE NOT EXISTS (SELECT 1 FROM bench WHERE bench.fp = corpus.fp)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "dedup", "anti-join"),
+    doc=(
+        "Benchmark decontamination: drop from the training corpus any "
+        "document whose exact md5 fingerprint appears in a held-out "
+        "benchmark set (here simulated as doc_id % 17 == 0). The benchmark "
+        "side is tiny relative to the corpus, so it is broadcast and the "
+        "anti join is shuffle-free on the 100 TB side — the standard "
+        "pre-training decontamination shape."
+    ),
+)
+def q76_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text")).alias("fp")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(fp).distinct()
+    corpus = docs.filter(F.col("doc_id") % 17 != 0).select("lang", fp, "n_chars")
+    return (
+        corpus.join(F.broadcast(bench), "fp", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q77_train_test_split",
+    """
+    WITH bucketed AS (
+      SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+             n_chars
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM bucketed
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("pipeline", "sampling"),
+    doc=(
+        "Deterministic train/valid/test split by hashing the stable key "
+        "(md5 prefix of doc_id -> bucket 0..99 -> 80/10/10). Hash-mod "
+        "splitting is reproducible across runs, engines, and cluster "
+        "sizes — unlike TABLESAMPLE/rand() — and is a pure map-side "
+        "operation: no shuffle until the final tiny aggregate."
+    ),
+)
+def q77_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "q78_quality_quantile_filter",
+    """
+    WITH scored AS (
+      SELECT lang, n_chars,
+             cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, MIN(n_chars) AS min_chars
+    FROM scored
+    WHERE cd >= 0.9
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "quality", "window"),
+    doc=(
+        "Per-language quantile filtering: keep the top decile of documents "
+        "by length using cume_dist() (rows <= current / partition rows — "
+        "identical tie semantics in every ANSI engine). One shuffle on "
+        "lang; at scale, skewed language partitions are split by AQE, or "
+        "the filter can run on a per-lang approx-quantile threshold "
+        "computed map-side instead of a full sort."
+    ),
+)
+def q78_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("lang").orderBy("n_chars")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", "n_chars", F.cume_dist().over(w).alias("cd"))
+        .filter(F.col("cd") >= 0.9)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -485,3 +485,79 @@ def q46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
         """
     )
+
+
+@register(
+    "q86_window_frames",
+    """
+    SELECT c_custkey, c_mktsegment,
+           first_value(c_acctbal) OVER w AS seg_lo_bal,
+           last_value(c_acctbal) OVER w AS seg_hi_bal,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY c_mktsegment, c_acctbal, c_custkey
+    """,
+    tags=("window", "frames"),
+    doc=(
+        "Explicit window frames: first_value/last_value over an unbounded "
+        "ROWS frame plus percent_rank/cume_dist, totally ordered inside "
+        "each segment by (acctbal, custkey) so every output is "
+        "deterministic. The reference has no window support at all "
+        "(SURVEY §2.6). Single shuffle on the partition key."
+    ),
+)
+def q86_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.first("c_acctbal").over(w).alias("seg_lo_bal"),
+            F.last("c_acctbal").over(w).alias("seg_hi_bal"),
+            F.percent_rank().over(
+                W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+            ).alias("pr"),
+            F.cume_dist().over(
+                W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+            ).alias("cd"),
+        )
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    )
+
+
+@register(
+    "q87_conditional_funcs",
+    f"""
+    SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_class,
+           COUNT(*) AS n,
+           {sql_dsum("LEAST(GREATEST(o_totalprice, 1000.0), 200000.0)", "capped_total")}
+    FROM orders
+    GROUP BY status_class
+    ORDER BY status_class
+    """,
+    tags=("scalar", "conditional"),
+    doc=(
+        "Conditional scalar functions — COALESCE / NULLIF / GREATEST / "
+        "LEAST — all of which raise UnsupportedError in the reference's "
+        "16-operator expression runtime (SURVEY §2.3). Pure map-side "
+        "expressions inside whole-stage codegen."
+    ),
+)
+def q87_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = F.least(F.greatest(F.col("o_totalprice"), F.lit(1000.0)), F.lit(200000.0))
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select(status.alias("status_class"), capped.alias("capped"))
+        .groupBy("status_class")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("capped", "capped_total"))
+        .orderBy("status_class")
+    )

@@ -318,3 +318,48 @@ def q65_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=1,
         shingle_k=3,
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "q79_token_type_ratio",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower({_NORM}), ' ')) AS tok
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_types,
+           CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS ttr
+    FROM toks
+    WHERE tok <> ''
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "explode", "vocabulary"),
+    doc=(
+        "Vocabulary statistics per language: token count, distinct types, "
+        "type-token ratio. Explode -> groupBy stays fully relational "
+        "(codegen'd split + generator, partial counts map-side); the "
+        "distinct-count shuffle is keyed on (lang, tok) so it spreads "
+        "over the cluster instead of hot-spotting per language."
+    ),
+)
+def q79_token_type_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_types"),
+            (F.countDistinct("tok").cast("double") / F.count(F.lit(1))).alias("ttr"),
+        )
+        .orderBy("lang")
+    )
