@@ -563,10 +563,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(dsum(disc_price(), "total_revenue"))
     )
+    # RANK()=1 over a global ORDER BY funnels every supplier through one
+    # window task; the equivalent max-equality join keeps the plan fully
+    # parallel (1-row aggregate broadcast against the revenue relation)
+    # and has identical tie semantics. dsum makes total_revenue bit-stable
+    # so the double equality is exact.
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
     joined = t(spark, sf_dir, "supplier").join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
-    ranked = joined.withColumn("rnk", F.rank().over(W.orderBy(F.desc("total_revenue"))))
     return (
-        ranked.filter(F.col("rnk") == 1)
+        joined.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
