@@ -44,3 +44,45 @@ def test_jsonl_roundtrip(spark, tmp_path):
     back = read_jsonl(spark, path, schema_dict={"k": "string", "d": "string", "v": "double"})
     assert back.count() == 3
     assert dict(back.dtypes)["v"] == "double"
+
+
+def test_write_orc_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out_orc")
+    write_table(_df(spark), path, fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == 3 and set(back.columns) == {"k", "d", "v"}
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter —
+    at 100 TB this is the difference between listing one directory and
+    scanning the lake."""
+    from xorbits_sql_spark.plans import partition_filters
+
+    path = str(tmp_path / "out_pruned")
+    write_table(_df(spark), path, partition_by=["d"])
+    pruned = spark.read.parquet(path).filter(F.col("d") == "2024-01-01")
+    parts = partition_filters(pruned)
+    assert any("2024-01-01" in p for p in parts), parts
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must SortMergeJoin with zero
+    Exchange nodes — the co-located-join contract of bucketing."""
+    from xorbits_sql_spark.plans import exchange_count
+    from xorbits_sql_spark.sources import write_bucketed_table
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("a", F.col("k") * 2)
+    right = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("b", F.col("k") + 1)
+    write_bucketed_table(left, "bt_left", buckets=4, bucket_cols=["k"], sort_cols=["k"])
+    write_bucketed_table(right, "bt_right", buckets=4, bucket_cols=["k"], sort_cols=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bt_left").join(spark.table("bt_right"), "k")
+        assert exchange_count(joined) == 0
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")

@@ -7,6 +7,20 @@ in whole-stage codegen. Used by tests/test_plans.py as scale
 regression gates.
 """
 
-from .explain import formatted_plan, pushed_filters, read_schemas, uses_broadcast_join
+from .explain import (
+    exchange_count,
+    formatted_plan,
+    partition_filters,
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+)
 
-__all__ = ["formatted_plan", "pushed_filters", "read_schemas", "uses_broadcast_join"]
+__all__ = [
+    "exchange_count",
+    "formatted_plan",
+    "partition_filters",
+    "pushed_filters",
+    "read_schemas",
+    "uses_broadcast_join",
+]

@@ -29,3 +29,14 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries of each scan (partition-pruning visibility)."""
+    plan = formatted_plan(df)
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes in the physical plan."""
+    return len(re.findall(r"\bExchange hashpartitioning", formatted_plan(df)))
