@@ -1,9 +1,13 @@
 """Vector math over embedding columns (``array<float>``).
 
 Everything is expressed with Spark's higher-order array functions
-(``zip_with``/``aggregate`` — JVM-side, codegen'd), not Python UDFs:
-dot products over a 100 TB embedding table must not cross the Python
-boundary per row. Elements are cast to DOUBLE before arithmetic and
+(``zip_with``/``aggregate``), not Python UDFs: dot products over a
+100 TB embedding table must not cross the Python boundary per row.
+HOF lambdas are JVM-side but *interpreted* (outside whole-stage
+codegen), so the pair-heavy operators precompute per-vector norms once
+and token/shingle pipelines use explode→groupBy relational plans
+instead of per-row array passes (see operators/dedup.py). Elements
+are cast to DOUBLE before arithmetic and
 accumulated sequentially, which matches DuckDB's ``list_dot_product``
 over ``DOUBLE[]`` bit-for-bit (validated in tests/test_oracle_parity).
 

@@ -79,3 +79,49 @@ def q81_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     agg = sessionized_counts(stream, gap="30 minutes")
     return run_to_memory(agg, mode="complete").orderBy("user_id", "session_start")
+
+
+@register(
+    "q88_stream_static_join",
+    """
+    SELECT n_name, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE event_type = 'purchase'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("streaming", "join", "stream-static"),
+    doc=(
+        "Stream-static join: the event stream enriched against a static "
+        "customer->nation dimension (broadcast — re-resolved per "
+        "micro-batch, never shuffled) and aggregated per nation. Unlike "
+        "the windowed streams, the complete-mode result is deterministic "
+        "and SQL-expressible, so this one carries a full DuckDB value "
+        "oracle; exact decimal sums make it micro-batch-order-proof."
+    ),
+)
+def q88_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import t
+
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    dim = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    agg = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    return run_to_memory(agg, mode="complete").orderBy("n_name")
