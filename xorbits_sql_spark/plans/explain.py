@@ -28,7 +28,8 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def partition_filters(df: DataFrame) -> list[str]:
