@@ -473,3 +473,36 @@ def q89_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q92_skew_salted_join",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("events", "join", "skew"),
+    doc=(
+        "Hot-key mitigation: the fact side is salted (uniform salt in "
+        "[0,8), independent of the key) and the dimension replicated "
+        "once per salt, so a key carrying a billion rows spreads over 8 "
+        "tasks instead of one. Salting only redistributes rows — the "
+        "join result is value-identical to the plain join, which is "
+        "exactly what the oracle asserts."
+    ),
+)
+def q92_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, dim, on="user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+        .orderBy("c_mktsegment")
+    )
