@@ -186,3 +186,18 @@ def test_distinct_sketch_accuracy(spark):
         for approx_col in ("approx_users", "hll_users"):
             err = abs(r[approx_col] - r["exact_users"]) / max(r["exact_users"], 1)
             assert err < 0.05, (r["event_type"], approx_col, err)
+
+
+def test_approx_tiles_matches_exact_ntile(spark):
+    """approx_tiles tile populations stay within 2% of exact NTILE."""
+    from pyspark.sql.window import Window as W
+    from xorbits_sql_spark.operators.skew import approx_tiles
+
+    df = spark.range(0, 20000).select((F.col("id") % 9973).cast("double").alias("v"))
+    exact = df.select(F.ntile(4).over(W.orderBy("v")).alias("tile")).groupBy("tile").count()
+    approx = approx_tiles(df, "v", n=4).groupBy("tile").count()
+    e = {r["tile"]: r["count"] for r in exact.collect()}
+    a = {r["tile"]: r["count"] for r in approx.collect()}
+    assert set(a) == {1, 2, 3, 4}
+    for tile in e:
+        assert abs(a[tile] - e[tile]) / e[tile] < 0.02, (tile, a[tile], e[tile])

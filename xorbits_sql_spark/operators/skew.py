@@ -49,3 +49,37 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return salted_left.join(salted_right, keys + [_SALT], how).drop(_SALT)
+
+
+def approx_tiles(
+    df: DataFrame,
+    col: str,
+    n: int = 4,
+    accuracy: int = 10000,
+    out: str = "tile",
+) -> DataFrame:
+    """Scalable NTILE: assign quantile tiles via approx-percentile cutoffs.
+
+    Exact ``NTILE(n) OVER (ORDER BY col)`` funnels every row through a
+    single window task (global total order). This replaces it with the
+    two-step sketch plan that distributes: (1) one pass computing n-1
+    approximate percentile cutoffs (t-digest style partial aggregation;
+    the only driver-side data is the n-1 cutoff scalars — the same
+    footprint as a broadcast threshold), then (2) a map-side WHEN chain
+    assigning each row its tile. No shuffle, no global sort; tile
+    populations deviate from exact NTILE only within the sketch's rank
+    error (1/accuracy).
+
+    Ties land in one tile (exact NTILE splits equal values across tile
+    boundaries by row position), which is usually the *preferred*
+    semantics for cohorting.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    cuts = df.select(
+        F.percentile_approx(col, [i / n for i in range(1, n)], accuracy).alias("c")
+    ).first()["c"]
+    tile = F.when(F.col(col) <= cuts[0], 1)
+    for i in range(1, n - 1):
+        tile = tile.when(F.col(col) <= cuts[i], i + 1)
+    return df.withColumn(out, tile.otherwise(n))

@@ -153,9 +153,9 @@ def q73_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Quartile spend distribution. NOTE the unpartitioned NTILE "
         "window funnels all rows through one task by definition — exact "
-        "global ranking doesn't distribute. At 100 TB replace with "
-        "approx_percentile cutoffs + a range join (sketch-based, fully "
-        "parallel); kept exact here because the oracle demands it."
+        "global ranking doesn't distribute. Kept exact here because the "
+        "oracle demands it; q93_approx_ntile is the sketch-based, fully "
+        "parallel 100 TB twin (operators/skew.approx_tiles)."
     ),
 )
 def q47_ntile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,4 +336,32 @@ def q78_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("min_chars"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "q93_approx_ntile",
+    None,  # sketch-based tiles: populations differ from exact NTILE within rank error
+    tags=("window", "ntile", "approx", "sketch"),
+    doc=(
+        "The 100 TB twin of q47: quartile spend distribution via "
+        "approx-percentile cutoffs + a map-side WHEN chain instead of the "
+        "single-task global NTILE window. Fully parallel — no global "
+        "sort, the only driver-side data is 3 cutoff scalars. "
+        "tests/test_operators.py bounds the deviation from exact NTILE "
+        "at <2% per tile."
+    ),
+)
+def q93_approx_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import approx_tiles
+
+    orders = t(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        approx_tiles(orders, "o_totalprice", n=4)
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("tile_total"),
+        )
+        .orderBy("tile")
     )
