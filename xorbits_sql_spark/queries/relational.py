@@ -561,3 +561,86 @@ def q87_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("capped", "capped_total"))
         .orderBy("status_class")
     )
+
+
+@register(
+    "q94_not_in_null_semantics",
+    """
+    SELECT 'has_null_probe' AS label, COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+      FROM customer
+    )
+    UNION ALL
+    SELECT 'null_free_probe' AS label, COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal >= 0
+    )
+    ORDER BY label
+    """,
+    tags=("anti-join", "null-semantics"),
+    doc=(
+        "ANSI NOT IN three-valued logic, both branches oracle-checked: a "
+        "NULL anywhere in the subquery makes NOT IN never-true (0 rows); "
+        "the null-free probe behaves as an anti join. The reference's "
+        "LEFT JOIN + IS NULL rewrite (SURVEY §8, tpc-h.sql:935-958) gets "
+        "the first branch wrong — this engine deliberately follows "
+        "ANSI/Catalyst (NullAwareAntiJoin)."
+    ),
+)
+def q94_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT 'has_null_probe' AS label, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey NOT IN (
+          SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+          FROM customer
+        )
+        UNION ALL
+        SELECT 'null_free_probe' AS label, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey NOT IN (
+          SELECT c_custkey FROM customer WHERE c_acctbal >= 0
+        )
+        ORDER BY label
+        """
+    )
+
+
+@register(
+    "q95_like_anchored",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS pfx,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '%URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS sfx,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE 'URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS exact_only,
+      CAST(SUM(CASE WHEN o_orderpriority LIKE '_-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS underscore,
+      CAST(SUM(CASE WHEN NULLIF(o_orderstatus, o_orderstatus) LIKE '%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS null_in
+    FROM orders
+    """,
+    tags=("scalar", "like", "null-semantics"),
+    doc=(
+        "ANSI LIKE semantics, oracle-checked: patterns are anchored "
+        "('URGENT' matches only the exact string, not substrings), '_' "
+        "is single-char, and a NULL input propagates NULL (counted as 0) "
+        "— each the opposite of the reference's unanchored "
+        "str.contains(na=True) implementation (SURVEY §8, reference "
+        "executor.py:198-201)."
+    ),
+)
+def q95_like_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = F.col("o_orderpriority")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return t(spark, sf_dir, "orders").agg(
+        flag(pr.like("1%")).alias("pfx"),
+        flag(pr.like("%URGENT")).alias("sfx"),
+        flag(pr.like("URGENT")).alias("exact_only"),
+        flag(pr.like("_-URGENT")).alias("underscore"),
+        flag(F.nullif(F.col("o_orderstatus"), F.col("o_orderstatus")).like("%")).alias("null_in"),
+    )
