@@ -506,3 +506,60 @@ def q92_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q96_session_window_batch",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id,
+             event_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "session-window", "time-window"),
+    doc=(
+        "Native session_window in BATCH: per-user gap-merged sessions "
+        "(30 min) aggregated to session counts — the same operator the "
+        "streaming q81 uses, here with a full DuckDB value oracle (the "
+        "oracle rebuilds sessions via the lag-gap + running-sum "
+        "construction; Spark merges windows when the next event starts "
+        "before the previous window ends, i.e. splits at gap >= 30 min, "
+        "matching the oracle's >= exactly). One shuffle on user_id."
+    ),
+)
+def q96_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
