@@ -131,3 +131,43 @@ def test_window(spark, pdf):
         "FROM t",
         {"t": pdf},
     )
+
+
+@given(frames(), frames())
+@settings(**_SETTINGS)
+def test_asof_join_vs_duckdb(spark, left, right):
+    """Union-trick as-of join equals DuckDB's native ASOF LEFT JOIN.
+
+    The right side is deduped to one row per (k, t) first — both engines
+    then have a unique best match (greatest t <= left time) per left
+    row, so equality is exact including unmatched-left NULLs.
+    """
+    from xorbits_sql_spark.operators.joins import asof_join
+
+    left = left[["k", "v"]]
+    rightd = (
+        right.assign(w=right["w"].fillna(0).astype("int64"))
+        .rename(columns={"v": "t", "w": "rv"})
+        .groupby(["k", "t"], as_index=False)
+        .agg(rv=("rv", "max"))
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(rightd),
+            on="k",
+            left_time="v",
+            right_time="t",
+            right_values=["rv"],
+            tie_breakers=["rv"],
+        )
+        .select("k", "v", "rv")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", rightd)
+    want = con.execute(
+        "SELECT l.k AS k, l.v AS v, r.rv AS rv FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.v >= r.t"
+    ).fetchdf()
+    assert not compare(got, want)
