@@ -365,3 +365,86 @@ def q93_approx_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+# Chunking parameters: 64-token windows, stride 48 (16-token overlap).
+_CHUNK, _STRIDE = 64, 48
+
+
+@register(
+    "q97_doc_chunking",
+    f"""
+    WITH docs AS (
+      SELECT source, string_split({_NORM}, ' ') AS words
+      FROM documents
+    ),
+    sized AS (
+      SELECT source, words, len(words) AS n,
+             1 + (GREATEST(len(words) - {_CHUNK}, 0) + {_STRIDE} - 1) // {_STRIDE} AS n_chunks
+      FROM docs
+    ),
+    chunks AS (
+      SELECT source, n,
+             unnest(generate_series(1, 1 + (n_chunks - 1) * {_STRIDE}, {_STRIDE})) AS start,
+             words
+      FROM sized
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(LEAST({_CHUNK}, n - start + 1)) AS BIGINT) AS total_chunk_tokens,
+           COUNT(DISTINCT md5(array_to_string(words[start:start+{_CHUNK}-1], ' ')))
+             AS distinct_chunks
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "chunking", "explode"),
+    doc=(
+        "Training-sample prep: split every document into 64-token chunks "
+        "with stride 48 (16-token overlap) and report per-source chunk "
+        "counts, token volume, and distinct-chunk cardinality (md5 of "
+        "the chunk text — overlap dedup). Fully relational: "
+        "sequence()+explode generates chunk starts, slice() cuts the "
+        "token window — codegen'd, no Python, one shuffle for the "
+        "aggregate; the per-row fan-out is bounded by doc length / "
+        "stride so partitions stay balanced at 100 TB."
+    ),
+)
+def q97_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import norm_ws
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", F.split(norm_ws(F.col("text")), " ").alias("words")
+    )
+    # integer ceil-div, same arithmetic as the oracle's `//`:
+    # n_chunks = 1 + (max(n - CHUNK, 0) + STRIDE - 1) div STRIDE
+    sized = docs.select(
+        "source",
+        "words",
+        F.size("words").alias("n"),
+        F.expr(
+            f"CAST(1 + (greatest(size(words) - {_CHUNK}, 0) + {_STRIDE - 1}) div {_STRIDE} AS BIGINT)"
+        ).alias("n_chunks"),
+    )
+    chunks = sized.select(
+        "source",
+        "n",
+        "words",
+        F.explode(
+            F.sequence(
+                F.lit(1), 1 + (F.col("n_chunks") - 1) * _STRIDE, F.lit(_STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk_text = F.array_join(F.slice(F.col("words"), F.col("start"), F.lit(_CHUNK)), " ")
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.least(F.lit(_CHUNK), F.col("n") - F.col("start") + 1))
+            .cast("bigint")
+            .alias("total_chunk_tokens"),
+            F.countDistinct(F.md5(chunk_text)).alias("distinct_chunks"),
+        )
+        .orderBy("source")
+    )
