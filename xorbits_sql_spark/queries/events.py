@@ -563,3 +563,44 @@ def q96_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q99_funnel_view_purchase",
+    """
+    SELECT COUNT(DISTINCT v.user_id) AS converted_users
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = v.user_id
+          AND p.event_type = 'purchase'
+          AND p.ts >= v.ts
+          AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+      )
+    """,
+    tags=("events", "funnel", "semi-join"),
+    doc=(
+        "Funnel conversion: users with a purchase within 1 hour of a "
+        "view. Planned as a left-semi join on user_id with the time "
+        "window as a residual predicate — the pair space is bounded by "
+        "per-user event counts, not |events|^2, and the semi join "
+        "short-circuits on first match. Microsecond-exact integer window "
+        "arithmetic on both engines."
+    ),
+)
+def q99_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("vts"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("vts")) <= 3_600_000_000)
+    )
+    return (
+        views.join(buys, cond, "left_semi")
+        .agg(F.countDistinct("user_id").alias("converted_users"))
+    )

@@ -448,3 +448,43 @@ def q97_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q98_per_group_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM ranked
+    WHERE rn <= 25
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "window"),
+    doc=(
+        "Deterministic per-group sampling: exactly 25 docs per language, "
+        "chosen by md5-hash order — random-looking but identical across "
+        "runs, engines, and cluster sizes (rand()/TABLESAMPLE are "
+        "neither). One shuffle on lang; row_number short-circuits per "
+        "partition so only the top-k survive the window."
+    ),
+)
+def q98_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 25)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
