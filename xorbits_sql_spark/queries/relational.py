@@ -644,3 +644,43 @@ def q95_like_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(pr.like("_-URGENT")).alias("underscore"),
         flag(F.nullif(F.col("o_orderstatus"), F.col("o_orderstatus")).like("%")).alias("null_in"),
     )
+
+
+@register(
+    "q100_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 500000.0 THEN 11
+                ELSE CAST(FLOOR((o_totalprice - 0.0) / ((500000.0 - 0.0) / 10)) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("aggregate", "histogram", "profiling"),
+    doc=(
+        "Equal-width histogram via width_bucket — the single-pass "
+        "data-profiling aggregate. DuckDB has no width_bucket, so the "
+        "oracle spells out Spark's exact formula "
+        "(floor((x-lo)/((hi-lo)/n))+1, clamped to 0 / n+1 outside the "
+        "range) — same IEEE ops, so counts and per-bucket min/max are "
+        "exact. Map-side partial counts; one tiny shuffle of <= "
+        "n_buckets rows per partition regardless of table size."
+    ),
+)
+def q100_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(10)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
