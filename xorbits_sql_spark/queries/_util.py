@@ -28,6 +28,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     df = _TABLES.get(key)
     if df is None:
+        # The caller may hand us a vanilla SparkSession (the driver
+        # harness does) that lacks the tuned defaults in session.py.
+        # Both confs below are runtime-settable and required for
+        # cross-engine-correct reads of the driver parquet:
+        #  - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which
+        #    Spark's reader otherwise rejects outright.
+        #  - UTC session timezone: collected TIMESTAMP values render in
+        #    the session zone; the DuckDB oracle reads the same naive
+        #    epoch values, so any other zone shifts every timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

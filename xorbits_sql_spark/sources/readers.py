@@ -144,9 +144,18 @@ def load_tables(
     100 TB these scans are the dominant cost, so every query should show
     PushedFilters/ReadSchema narrowing in `.explain("formatted")`.
     """
+    # Works on a vanilla session: events.parquet is TIMESTAMP(NANOS),
+    # unreadable without this runtime-settable flag (read as BIGINT
+    # nanos and converted to a microsecond timestamp below, matching
+    # DuckDB's nanos->micros truncation).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df
