@@ -67,6 +67,32 @@ def test_asof_join_tolerance(spark):
     assert got == {1: 1.0, 2: None}
 
 
+def test_asof_join_null_right_value(spark):
+    """A genuine NULL in the matched right row must survive — not be
+    backfilled from an older right row (pandas merge_asof / DuckDB ASOF
+    semantics). Pins the per-column-last bug fixed by the struct carry."""
+    left = spark.createDataFrame([(1, i) for i in (1, 2, 3, 4, 5)], "k int, v int")
+    right = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, None), (1, 4, 40)], "k int, t int, rv int"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="v", right_time="t", right_values=["rv"]
+    )
+    got = {r["v"]: r["rv"] for r in out.collect()}
+    # v=2 and v=3 match the t=2 right row whose rv IS NULL.
+    assert got == {1: 10, 2: None, 3: None, 4: 40, 5: 40}
+
+    # Tolerance is judged against the time of the row that supplied the
+    # values (t=4 for v=5: age 1, fresh; t=2 for v=3: age 1, fresh but
+    # value still NULL; nothing within 1 tick of v=1 besides t=1).
+    tol = asof_join(
+        left, right, on="k", left_time="v", right_time="t",
+        right_values=["rv"], tolerance=1,
+    )
+    got_tol = {r["v"]: r["rv"] for r in tol.collect()}
+    assert got_tol == {1: 10, 2: None, 3: None, 4: 40, 5: 40}
+
+
 def test_range_join(spark):
     facts = spark.createDataFrame([Row(v=5.0), Row(v=55.0), Row(v=500.0)])
     bands = spark.createDataFrame(

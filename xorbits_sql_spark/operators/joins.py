@@ -69,39 +69,40 @@ def asof_join(
         F.col(f"__tb_{b}").asc_nulls_first() for b in tie_breakers
     ]
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
-    matched_t = F.last(
-        F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True
+    # Carry the entire matched right row as ONE struct. A per-column
+    # last(value, ignorenulls) would backfill a genuine NULL in the
+    # matched right row from an older right row — diverging from pandas
+    # merge_asof / DuckDB ASOF. The struct is non-null exactly for
+    # right-side rows, so last(..., ignorenulls) selects the latest
+    # right ROW wholesale; values (and the match time used for the
+    # tolerance check) all project out of that single row.
+    matched = F.last(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(
+                F.col("__t").alias("__rt"),
+                *[F.col(f"__r_{v}").alias(v) for v in right_values],
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
-    filled = unioned.select(
-        *lcols,
-        F.col("__side"),
-        F.col("__t"),
-        matched_t.alias("__mt"),
-        *[
-            F.last(F.col(f"__r_{v}"), ignorenulls=True).over(w).alias(v)
-            for v in right_values
-        ],
-    )
+    filled = unioned.select(*lcols, F.col("__side"), F.col("__t"), matched.alias("__m"))
     out = filled.filter(F.col("__side") == 1)
+    values = [F.col("__m").getField(v).alias(v) for v in right_values]
     if tolerance is not None:
         is_ts = isinstance(left.schema[left_time].dataType, T.TimestampType)
+        mt = F.col("__m").getField("__rt")
         age = (
-            (F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__mt"))) / 1_000_000.0
+            (F.unix_micros(F.col("__t")) - F.unix_micros(mt)) / 1_000_000.0
             if is_ts
-            else F.col("__t") - F.col("__mt")
+            else F.col("__t") - mt
         )
-        stale = F.col("__mt").isNull() | (age > tolerance)
-        out = out.select(
-            *lcols,
-            F.col("__side"),
-            F.col("__t"),
-            F.col("__mt"),
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(v)).alias(v)
-                for v in right_values
-            ],
-        )
-    return out.drop("__side", "__t", "__mt")
+        stale = mt.isNull() | (age > tolerance)
+        values = [
+            F.when(stale, F.lit(None)).otherwise(F.col("__m").getField(v)).alias(v)
+            for v in right_values
+        ]
+    return out.select(*lcols, *values)
 
 
 def range_join(
