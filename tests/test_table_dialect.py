@@ -122,3 +122,102 @@ def test_pandas_udf_in_execute_sql(spark):
         "SELECT SUM(double_it(x)) AS s FROM t", tables={"t": pdf}, spark=spark
     ).collect()
     assert got[0]["s"] == 12.0
+
+
+# ---- golden dialect pairs: input-dialect SQL -> executed Spark result ----
+# (VERDICT r1 item 3: the fallback transpiler must handle the constructs
+# real duckdb/postgres/mysql/tsql queries hit, or raise — never silently
+# change semantics.)
+
+
+@pytestmark_fallback
+def test_tsql_top_becomes_limit(spark):
+    pdf = pd.DataFrame({"x": list(range(10))})
+    got = execute(
+        "SELECT TOP 5 x FROM t ORDER BY x DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert [r["x"] for r in got] == [9, 8, 7, 6, 5]
+    # parenthesized form and trailing semicolon
+    got2 = execute(
+        "SELECT TOP (3) x FROM t ORDER BY x;",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert [r["x"] for r in got2] == [0, 1, 2]
+
+
+@pytestmark_fallback
+def test_tsql_top_unsupported_forms_raise():
+    from xorbits_sql_spark.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT TOP 10 PERCENT x FROM t", "tsql")
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT * FROM (SELECT TOP 5 x FROM t) s", "tsql")
+
+
+@pytestmark_fallback
+def test_mysql_limit_offset(spark):
+    pdf = pd.DataFrame({"x": list(range(10))})
+    got = execute(
+        "SELECT x FROM t ORDER BY x LIMIT 2, 3",
+        tables={"t": pdf},
+        dialect="mysql",
+        spark=spark,
+    ).collect()
+    assert [r["x"] for r in got] == [2, 3, 4]
+
+
+@pytestmark_fallback
+def test_pg_extract_epoch(spark):
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["1970-01-01 00:01:00"])})
+    got = execute(
+        "SELECT EXTRACT(EPOCH FROM ts) AS e FROM t",
+        tables={"t": pdf},
+        dialect="postgres",
+        spark=spark,
+    ).collect()
+    assert got[0]["e"] == 60.0
+    # nested parens in the expression survive
+    out = transpile(
+        "SELECT EXTRACT(EPOCH FROM COALESCE(a, b)) FROM t", "duckdb"
+    )
+    assert "UNIX_MICROS" in out and "COALESCE(a, b)" in out
+
+
+@pytestmark_fallback
+def test_literals_and_comments_never_rewritten():
+    # A string literal that LOOKS like rewritable constructs must survive.
+    q = "SELECT 'TOP 5 \"quoted\" GETDATE()' AS s FROM t -- \"also quoted\""
+    out = transpile(q, "tsql")
+    assert "'TOP 5 \"quoted\" GETDATE()'" in out
+    out_pg = transpile("SELECT \"c\" FROM t WHERE s = 'keep \"this\"'", "postgres")
+    assert "`c`" in out_pg and "'keep \"this\"'" in out_pg
+
+
+@pytestmark_fallback
+def test_qualified_name_in_literal_untouched(spark):
+    # core._rewrite_qualified_names must skip string literals (ADVICE r1).
+    pdf = pd.DataFrame({"note": ["see db.tbl", "other"]})
+    got = execute(
+        "SELECT note FROM db.tbl WHERE note = 'see db.tbl' ",
+        tables={"db": {"tbl": pdf}},
+        spark=spark,
+    ).collect()
+    assert [r["note"] for r in got] == ["see db.tbl"]
+
+
+@pytestmark_fallback
+def test_tsql_brackets_and_len(spark):
+    pdf = pd.DataFrame({"my col": ["abc", "de"]})
+    got = execute(
+        "SELECT LEN([my col]) AS n FROM t ORDER BY n",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert [r["n"] for r in got] == [2, 3]

@@ -39,6 +39,10 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
     Spark temp views are un-namespaced, so nested registrations
     (reference core.py:62-65) are flattened by table.view_name and the SQL
     text updated to match. Plain single-part names need no rewrite.
+
+    Substitution is literal-safe: a ``db.table`` spelling inside a string
+    literal, quoted identifier, or comment is left untouched
+    (dialect.sub_outside_literals lexes the SQL first).
     """
     multi = {q: v for q, v in registered.items() if len(q) > 1}
     if not multi:
@@ -46,7 +50,7 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
     # Longest-first so catalog.db.table wins over db.table prefixes.
     for qualified in sorted(multi, key=len, reverse=True):
         pattern = r"\b" + r"\s*\.\s*".join(re.escape(p) for p in qualified) + r"\b"
-        sql = re.sub(pattern, multi[qualified], sql)
+        sql = _dialect.sub_outside_literals(pattern, multi[qualified], sql)
     return sql
 
 

@@ -7,18 +7,25 @@ dialect, so this engine transpiles first:
 
 * If ``sqlglot`` is importable, use ``sqlglot.transpile(sql, read=dialect,
   write="spark")`` — full-fidelity path.
-* Otherwise fall back to a conservative regex normalizer for the most
-  common cross-dialect constructs. Spark SQL is close to ANSI, so for the
-  reference's own test corpus (TPC-H) pass-through is already correct.
+* Otherwise fall back to a built-in token-stream transpiler that covers
+  the cross-dialect constructs real queries actually hit (quoting styles,
+  TOP n, LIMIT offsets, EPOCH extraction, tsql/mysql function spellings).
 
-The fallback intentionally does NOT try to be a parser: every rewrite is
-either a token-level normalization that cannot change semantics of
-standard SQL, or is skipped.
+The fallback is deliberately NOT a full parser, but it is also not blind
+regex: the SQL is lexed into tokens (string literals, quoted identifiers,
+comments, numbers, words, operators) and every rewrite runs over the
+token stream, so string literals and comments can never be corrupted,
+and structural rewrites (``TOP n`` → trailing ``LIMIT n``) track paren
+depth. Constructs the fallback cannot translate faithfully raise
+``UnsupportedError`` instead of silently changing semantics.
 """
 
 from __future__ import annotations
 
 import re
+from typing import Callable, Iterable
+
+from .errors import UnsupportedError
 
 try:  # pragma: no cover - exercised only when sqlglot is installed
     import sqlglot
@@ -51,19 +58,8 @@ KNOWN_DIALECTS = {
     "tsql",
 }
 
-# `expr::type` postgres/duckdb cast shorthand needs NO rewrite — Spark 4
-# parses `::` casts natively (and a regex can't re-parenthesize
-# `(a+b)::int` correctly anyway).
-
-# NOW() and CURRENT_TIMESTAMP() are fine in Spark; GETDATE() (tsql) is not.
-_GETDATE = re.compile(r"\bGETDATE\s*\(\s*\)", re.IGNORECASE)
-
-# mysql/bigquery backtick quoting already matches Spark; postgres/duckdb
-# double-quoted identifiers must become backticks. Only rewrite when the
-# dialect says identifiers are double-quoted — double quotes are strings in
-# Spark's default parser.
-_DQUOTED_IDENT = re.compile(r'"([A-Za-z_][\w ]*)"')
-
+# Dialects where "double quoted" means identifier (Spark's default parser
+# reads double quotes as strings, so these must become backticks).
 _DQUOTE_IDENT_DIALECTS = {
     "duckdb",
     "postgres",
@@ -76,6 +72,246 @@ _DQUOTE_IDENT_DIALECTS = {
     "sqlite",
     "ansi",
 }
+
+# ---------------------------------------------------------------------------
+# Lexer
+
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>--[^\n]*|/\*.*?\*/)
+    | (?P<string>[xX]?'(?:[^']|'')*')
+    | (?P<dquoted>"(?:[^"]|"")*")
+    | (?P<backtick>`(?:[^`]|``)*`)
+    | (?P<bracket>\[[^\]\[]*\])
+    | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<word>[A-Za-z_][\w$]*)
+    | (?P<op>::|<=>|<=|>=|<>|!=|\|\||->>|->|.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_LITERAL_KINDS = frozenset({"string", "dquoted", "backtick", "bracket", "comment"})
+
+
+def tokenize(sql: str) -> list[tuple[str, str]]:
+    """Lex ``sql`` into (kind, text) tokens. Lossless: ``''.join(texts)``
+    reproduces the input exactly (unterminated quotes degrade to ``op``
+    single chars, never an exception — Spark's parser reports those)."""
+    out: list[tuple[str, str]] = []
+    for m in _TOKEN.finditer(sql):
+        out.append((m.lastgroup or "op", m.group()))
+    return out
+
+
+def sub_outside_literals(
+    pattern: str | re.Pattern[str], repl: str | Callable, sql: str, flags: int = 0
+) -> str:
+    """re.sub that never touches string literals, quoted identifiers, or
+    comments. Contiguous non-literal tokens are joined into one segment
+    first, so multi-token patterns (``db . table``) still match."""
+    rx = re.compile(pattern, flags) if isinstance(pattern, str) else pattern
+    pieces: list[str] = []
+    buf: list[str] = []
+    for kind, text in tokenize(sql):
+        if kind in _LITERAL_KINDS:
+            if buf:
+                pieces.append(rx.sub(repl, "".join(buf)))
+                buf = []
+            pieces.append(text)
+        else:
+            buf.append(text)
+    if buf:
+        pieces.append(rx.sub(repl, "".join(buf)))
+    return "".join(pieces)
+
+
+def _unquote(text: str, q: str) -> str:
+    return text[1:-1].replace(q + q, q)
+
+
+def _to_backtick(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+# ---------------------------------------------------------------------------
+# Token-stream rewrites
+
+
+def _iter_code(tokens: list[tuple[str, str]]) -> Iterable[int]:
+    """Indices of semantically meaningful tokens (skip ws/comments)."""
+    for i, (kind, _) in enumerate(tokens):
+        if kind not in ("ws", "comment"):
+            yield i
+
+
+def _next_code(tokens: list[tuple[str, str]], i: int) -> int | None:
+    for j in range(i + 1, len(tokens)):
+        if tokens[j][0] not in ("ws", "comment"):
+            return j
+    return None
+
+
+def _rewrite_words(
+    tokens: list[tuple[str, str]], mapping: dict[str, str]
+) -> list[tuple[str, str]]:
+    return [
+        ("word", mapping[t.upper()]) if k == "word" and t.upper() in mapping else (k, t)
+        for k, t in tokens
+    ]
+
+
+def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """tsql ``SELECT TOP n ...`` → ``SELECT ... LIMIT n`` (outermost query
+    only). Anything the rewrite can't carry faithfully — TOP in a
+    subquery, TOP PERCENT, WITH TIES, an existing LIMIT — raises rather
+    than silently changing the row set."""
+    depth = 0
+    top_at: int | None = None
+    n_tokens: list[tuple[str, str]] = []
+    end: int | None = None
+    for i, (kind, text) in enumerate(tokens):
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        elif kind == "word" and text.upper() == "TOP":
+            j = _next_code(tokens, i)
+            if j is None or tokens[j][0] not in ("number", "op"):
+                continue  # TOP used as an identifier with no count
+            if depth > 0:
+                raise UnsupportedError(
+                    "TOP inside a subquery is not supported without sqlglot"
+                )
+            if top_at is not None:
+                raise UnsupportedError("multiple TOP clauses without sqlglot")
+            if tokens[j][1] == "(":  # TOP (n)
+                k = _next_code(tokens, j)
+                close = _next_code(tokens, k) if k is not None else None
+                if (
+                    k is None
+                    or close is None
+                    or tokens[k][0] != "number"
+                    or tokens[close][1] != ")"
+                ):
+                    raise UnsupportedError("unsupported TOP expression without sqlglot")
+                n_tokens = [tokens[k]]
+                end = close
+            elif tokens[j][0] == "number":
+                n_tokens = [tokens[j]]
+                end = j
+            else:
+                continue
+            after = _next_code(tokens, end)
+            if after is not None and tokens[after][0] == "word" and tokens[
+                after
+            ][1].upper() in ("PERCENT", "WITH"):
+                raise UnsupportedError(
+                    "TOP PERCENT / WITH TIES is not supported without sqlglot"
+                )
+            top_at = i
+        elif kind == "word" and text.upper() == "LIMIT" and depth == 0:
+            if top_at is not None:
+                raise UnsupportedError("both TOP and LIMIT present")
+    if top_at is None:
+        return tokens
+    assert end is not None
+    out = tokens[:top_at] + tokens[end + 1 :]
+    # strip one trailing semicolon (re-appended after LIMIT)
+    tail = ""
+    while out and out[-1][0] == "ws":
+        out.pop()
+    if out and out[-1] == ("op", ";"):
+        out.pop()
+        tail = ";"
+    out += [("ws", " "), ("word", "LIMIT"), ("ws", " ")] + n_tokens
+    if tail:
+        out.append(("op", tail))
+    return out
+
+
+def _rewrite_mysql_limit(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """mysql ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``."""
+    out = list(tokens)
+    for i in _iter_code(out):
+        if out[i][0] == "word" and out[i][1].upper() == "LIMIT":
+            j = _next_code(out, i)
+            if j is None or out[j][0] != "number":
+                continue
+            k = _next_code(out, j)
+            if k is None or out[k] != ("op", ","):
+                continue
+            m = _next_code(out, k)
+            if m is None or out[m][0] != "number":
+                continue
+            offset, count = out[j][1], out[m][1]
+            return (
+                out[:i]
+                + [
+                    ("word", "LIMIT"),
+                    ("ws", " "),
+                    ("number", count),
+                    ("ws", " "),
+                    ("word", "OFFSET"),
+                    ("ws", " "),
+                    ("number", offset),
+                ]
+                + out[m + 1 :]
+            )
+    return out
+
+
+def _rewrite_extract_epoch(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """``EXTRACT(EPOCH FROM expr)`` → fractional seconds since epoch.
+
+    Spark's EXTRACT has no EPOCH field; postgres returns numeric seconds
+    with fraction, duckdb seconds. Emitted form casts through TIMESTAMP
+    so DATE inputs work too:
+    ``(CAST(UNIX_MICROS(CAST(expr AS TIMESTAMP)) AS DOUBLE) / 1000000.0)``
+    """
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "EXTRACT":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        k = _next_code(out, j)
+        if k is None or out[k][0] != "word" or out[k][1].upper() != "EPOCH":
+            i += 1
+            continue
+        m = _next_code(out, k)
+        if m is None or out[m][0] != "word" or out[m][1].upper() != "FROM":
+            i += 1
+            continue
+        # capture expr tokens up to the ')' matching the EXTRACT '('
+        depth = 1
+        expr: list[tuple[str, str]] = []
+        p = m + 1
+        while p < len(out):
+            if out[p] == ("op", "("):
+                depth += 1
+            elif out[p] == ("op", ")"):
+                depth -= 1
+                if depth == 0:
+                    break
+            expr.append(out[p])
+            p += 1
+        if depth != 0:
+            i += 1
+            continue
+        repl = (
+            tokenize("(CAST(UNIX_MICROS(CAST(")
+            + expr
+            + tokenize(" AS TIMESTAMP)) AS DOUBLE) / 1000000.0)")
+        )
+        out = out[:i] + repl + out[p + 1 :]
+        i += len(repl)
+    return out
 
 
 def has_sqlglot() -> bool:
@@ -93,16 +329,28 @@ def transpile(sql: str, dialect: str | None = None) -> str:
 
 
 def _fallback_normalize(sql: str, dialect: str | None) -> str:
-    out = sql
+    tokens = tokenize(sql)
     if dialect in _DQUOTE_IDENT_DIALECTS:
-        out = _DQUOTED_IDENT.sub(r"`\1`", out)
+        tokens = [
+            ("backtick", _to_backtick(_unquote(t, '"'))) if k == "dquoted" else (k, t)
+            for k, t in tokens
+        ]
+    if dialect in ("postgres", "postgresql", "duckdb", "redshift"):
+        tokens = _rewrite_extract_epoch(tokens)
     if dialect == "tsql":
-        out = _GETDATE.sub("CURRENT_TIMESTAMP()", out)
-        out = re.sub(r"\bISNULL\s*\(", "COALESCE(", out, flags=re.IGNORECASE)
-        out = re.sub(
-            r"\bTOP\s+(\d+)\b", "", out, count=1, flags=re.IGNORECASE
-        )  # note: TOP n dropped; LIMIT unsupported in fallback
-    if dialect in {"mysql", "sqlite"}:
-        # IFNULL exists in Spark; || is CONCAT in mysql only with PIPES_AS_CONCAT
-        pass
-    return out
+        tokens = [
+            ("backtick", _to_backtick(_unquote(t, "]"))) if k == "bracket" else (k, t)
+            for k, t in tokens
+        ]
+        tokens = _rewrite_words(
+            tokens,
+            {"GETDATE": "CURRENT_TIMESTAMP", "ISNULL": "COALESCE", "LEN": "LENGTH"},
+        )
+        tokens = _rewrite_top(tokens)
+    if dialect == "mysql":
+        tokens = _rewrite_mysql_limit(tokens)
+    if dialect in ("oracle", "snowflake"):
+        tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
+    # `expr::type` cast shorthand (postgres/duckdb) parses natively in
+    # Spark 4 — no rewrite needed.
+    return "".join(t for _, t in tokens)
