@@ -227,3 +227,65 @@ def test_approx_tiles_matches_exact_ntile(spark):
     assert set(a) == {1, 2, 3, 4}
     for tile in e:
         assert abs(a[tile] - e[tile]) / e[tile] < 0.02, (tile, a[tile], e[tile])
+
+
+def test_shingles_k1_returns_words(spark):
+    from xorbits_sql_spark.operators.dedup import shingles_relational
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "")], "doc_id int, text string")
+    got = shingles_relational(df, "text", "doc_id", k=1, distinct=True).collect()
+    assert {(r["doc"], r["shingle"]) for r in got} == {(1, "a"), (1, "b")}
+
+
+def test_lsh_bucket_cap_star_pairs(spark):
+    """A pathological duplicate-heavy corpus (every doc identical, one
+    giant LSH bucket) must produce a BOUNDED pair count: n-1 star pairs
+    to the bucket representative, not n*(n-1)/2."""
+    from xorbits_sql_spark.operators.dedup import minhash_lsh_pairs
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate text everywhere") for i in range(n)],
+        "doc_id int, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", seeds=4, band_size=2, max_bucket=10
+    ).collect()
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 for r in pairs)
+    # uncapped: the full clique
+    full = minhash_lsh_pairs(
+        docs, "text", "doc_id", seeds=4, band_size=2, max_bucket=None
+    ).count()
+    assert full == n * (n - 1) // 2
+
+
+def test_simhash_bucket_cap_star_pairs(spark):
+    from xorbits_sql_spark.operators.dedup import simhash_pairs
+
+    n = 30
+    docs = spark.createDataFrame(
+        [(i, "identical words for every single document") for i in range(n)],
+        "doc_id int, text string",
+    )
+    pairs = simhash_pairs(docs, "text", "doc_id", max_bucket=5).collect()
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in pairs)
+    # small buckets are unaffected by the cap
+    varied = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz yy xx qq")],
+        "doc_id int, text string",
+    )
+    got = simhash_pairs(varied, "text", "doc_id", max_bucket=100).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+def test_release_dedup_caches(spark):
+    from xorbits_sql_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id int, text string"
+    )
+    dedup.minhash_lsh_pairs(docs, "text", "doc_id").count()
+    assert dedup.release_caches() >= 1
+    assert dedup.release_caches() == 0

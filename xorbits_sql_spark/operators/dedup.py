@@ -33,6 +33,31 @@ from pyspark.sql.window import Window as W
 
 from ..functions.text import fingerprint, norm_ws, word_shingles
 
+# Intermediate signature/index tables persisted by the pair generators.
+# They must stay cached while the (lazy) result DataFrames are being
+# materialized; callers that run many dedup passes in one long-lived
+# session should call release_caches() between passes.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist all intermediate tables cached by the pair generators.
+
+    Returns the number of tables released. Safe to call at any time;
+    results computed *after* this call simply recompute their inputs.
+    """
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def shingles_relational(
     df: DataFrame,
@@ -57,6 +82,12 @@ def shingles_relational(
     ex = df.select(
         F.col(id_col).alias("doc"), *carry, F.posexplode(words).alias("pos", "w")
     )
+    if k <= 1:
+        # 1-shingles are just the words — no lead() window needed.
+        out = ex.filter(F.length("w") > 0).select(
+            "doc", *carry, F.col("w").alias("shingle")
+        )
+        return out.dropDuplicates(["doc", "shingle"]) if distinct else out
     w = W.partitionBy("doc").orderBy("pos")
     leads = [F.lead("w", j).over(w) for j in range(1, k)]
     out = (
@@ -119,6 +150,7 @@ def minhash_lsh_pairs(
     seeds: int = 8,
     band_size: int = 2,
     shingle_k: int = 3,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -127,6 +159,14 @@ def minhash_lsh_pairs(
     explode(bands) → shuffle on band key → per-bucket self-join —
     candidate generation cost is driven by bucket sizes, never |docs|^2.
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket`` guards against degenerate buckets (e.g. millions of
+    empty/boilerplate docs sharing one band signature would otherwise go
+    quadratic): buckets larger than the cap emit *star* pairs — every
+    member paired with the bucket's min doc id — which is O(n) per
+    bucket and, for downstream connected-components clustering, links
+    the same duplicate cluster a full clique would. The default never
+    triggers at test scale; at 100 TB it bounds worst-case pair counts.
     """
     # Relational plan: shingle rows once (codegen'd — see
     # shingles_relational), then the per-seed minima are ordinary
@@ -139,12 +179,14 @@ def minhash_lsh_pairs(
     # short row per doc (the table you'd persist as the dedup index at
     # 100 TB), so cache it and compute the signatures exactly once.
     # Measured at sf0.1: 1.8s -> 0.5s.
-    sigs = shingled.groupBy("doc").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
-            for i in range(seeds)
-        ]
-    ).persist()
+    sigs = _persist(
+        shingled.groupBy("doc").agg(
+            *[
+                F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+                for i in range(seeds)
+            ]
+        )
+    )
     n_bands = seeds // band_size
     banded = sigs.select(
         "doc",
@@ -161,13 +203,43 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
-    other = banded.select(F.col("doc").alias("doc_b"), F.col("band_key"))
-    return (
-        banded.join(other, "band_key")
+    return _capped_pair_join(banded, "band_key", max_bucket)
+
+
+def _capped_pair_join(
+    bucketed: DataFrame, bucket_col: str, max_bucket: int | None
+) -> DataFrame:
+    """All-pairs within small buckets, star pairs within oversized ones.
+
+    ``bucketed`` has one (doc, bucket) row per membership. The bucket
+    size/representative aggregation shuffles on the same key as the
+    self-join, so the extra guard costs one co-partitioned aggregation,
+    no additional exchange of the membership table.
+    """
+    if max_bucket is None:
+        other = bucketed.select(F.col("doc").alias("doc_b"), F.col(bucket_col))
+        return (
+            bucketed.join(other, bucket_col)
+            .filter(F.col("doc") < F.col("doc_b"))
+            .select(F.col("doc").alias("id_a"), F.col("doc_b").alias("id_b"))
+            .distinct()
+        )
+    sizes = bucketed.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("__bn"), F.min("doc").alias("__rep")
+    )
+    sized = bucketed.join(sizes, bucket_col)
+    small = sized.filter(F.col("__bn") <= max_bucket).select("doc", bucket_col)
+    other = small.select(F.col("doc").alias("doc_b"), F.col(bucket_col))
+    small_pairs = (
+        small.join(other, bucket_col)
         .filter(F.col("doc") < F.col("doc_b"))
         .select(F.col("doc").alias("id_a"), F.col("doc_b").alias("id_b"))
-        .distinct()
     )
+    star_pairs = (
+        sized.filter((F.col("__bn") > max_bucket) & (F.col("doc") != F.col("__rep")))
+        .select(F.col("__rep").alias("id_a"), F.col("doc").alias("id_b"))
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -198,9 +270,9 @@ def ngram_jaccard_pairs(
     # Persist the sized shingle rows: the inverted-index self-join plans
     # this pipeline once per side otherwise (sf0.1: 1.6s -> 0.6s). At
     # scale this is the inverted index you'd materialize anyway.
-    sized = shingled.withColumn(
-        "set_size", F.count(F.lit(1)).over(W.partitionBy("doc"))
-    ).persist()
+    sized = _persist(
+        shingled.withColumn("set_size", F.count(F.lit(1)).over(W.partitionBy("doc")))
+    )
     on = ["shingle"] + [p for p in parts]
     right = sized.select(
         F.col("doc").alias("doc_b"),
@@ -323,23 +395,45 @@ def simhash_relational(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8, prefix_bits: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
     (near-dups almost always share the prefix), then exact Hamming
     distance within buckets. Returns (id_a, id_b, hamming).
+
+    ``max_bucket`` bounds degenerate buckets the same way as
+    :func:`minhash_lsh_pairs`: oversized buckets emit star pairs against
+    the bucket's min doc (Hamming still computed exactly against that
+    representative), so worst-case work is linear per bucket.
     """
     # One 16-byte row per doc; persisting makes the bucket self-join read
     # the signatures instead of recomputing the 60-vote aggregate for
     # each side (sf0.1: 3.6s -> 1.3s).
-    hashed = simhash_relational(df, text_col, id_col).withColumn(
-        "bucket", F.shiftright(F.col("sh"), 60 - prefix_bits)
-    ).persist()
+    hashed = _persist(
+        simhash_relational(df, text_col, id_col).withColumn(
+            "bucket", F.shiftright(F.col("sh"), 60 - prefix_bits)
+        )
+    )
+    if max_bucket is not None:
+        sizes = hashed.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("__bn"), F.min("doc").alias("__rep")
+        )
+        sized = hashed.join(sizes, "bucket")
+        left = sized.filter(
+            (F.col("__bn") <= max_bucket) | (F.col("doc") == F.col("__rep"))
+        ).select("doc", "sh", "bucket")
+    else:
+        left = hashed
     right = hashed.select(
         F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("bucket")
     )
     return (
-        hashed.join(right, "bucket")
+        left.join(right, "bucket")
         .filter(F.col("doc") < F.col("doc_b"))
         .select(
             F.col("doc").alias("id_a"),
