@@ -78,16 +78,32 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image(data: bytes, fake: bool = False) -> dict:
     """Decode an image payload to pixel statistics.
 
-    STUB: real decoding needs an image library (PIL/cv2) that is not in
-    this environment. With ``fake=True`` returns deterministic byte
+    PNG payloads decode for REAL via the built-in pure-stdlib codec
+    (multimodal/png.py): actual de-filtered pixels out of actual zlib
+    bytes, no image library needed. Other formats (JPEG etc.) raise
+    ``NotImplementedError`` — swap PIL/cv2 into this function for real
+    deployments. With ``fake=True`` returns deterministic byte
     statistics with the same output contract, so the surrounding Spark
-    plumbing (batching, schema, partitioning) is fully exercised.
+    plumbing stays testable for non-PNG media.
     """
     if not fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "swap in PIL/cv2 here (decode_image) for real deployments"
-        )
+        from .png import _SIGNATURE, decode_png
+
+        if not data.startswith(_SIGNATURE):
+            raise NotImplementedError(
+                "only PNG decodes without an image library; "
+                "swap in PIL/cv2 here (decode_image) for real deployments"
+            )
+        width, height, channels, pixels = decode_png(data)
+        n = max(len(pixels), 1)
+        return {
+            "n_bytes": len(pixels),
+            "mean_byte": float(sum(pixels) / n),
+            "hash_hi": int.from_bytes(hashlib.md5(pixels).digest()[:4], "big"),
+            "width": width,
+            "height": height,
+            "channels": channels,
+        }
     digest = hashlib.md5(data).digest()
     n = max(len(data), 1)
     return {
@@ -100,16 +116,23 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
 def resize_image(data: bytes, width: int, height: int, fake: bool = False) -> bytes:
     """Resize an image payload to ``width``x``height``.
 
-    STUB like :func:`decode_image`: with ``fake=True`` produces a
-    deterministic payload of exactly ``width*height`` bytes (md5-keyed
-    byte stretch) so downstream size/metadata contracts are exercised;
-    swap in PIL's ``Image.resize`` for real deployments.
+    PNG payloads resize for REAL: decode → nearest-neighbor resample →
+    re-encode, all via the stdlib codec in multimodal/png.py. Other
+    formats raise; with ``fake=True`` produces a deterministic payload
+    of exactly ``width*height`` bytes (md5-keyed byte stretch) so
+    downstream size/metadata contracts are exercised for non-PNG media.
+    Swap PIL's ``Image.resize`` in here for real deployments.
     """
     if not fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "swap in PIL/cv2 here (resize_image) for real deployments"
-        )
+        from .png import _SIGNATURE, decode_png, encode_png, resize_nearest
+
+        if not data.startswith(_SIGNATURE):
+            raise NotImplementedError(
+                "only PNG resizes without an image library; "
+                "swap in PIL/cv2 here (resize_image) for real deployments"
+            )
+        w, h, ch, pixels = decode_png(data)
+        return encode_png(width, height, ch, resize_nearest(pixels, w, h, ch, width, height))
     seed = hashlib.md5(data).digest()
     n = width * height
     return (seed * (n // len(seed) + 1))[:n]

@@ -213,6 +213,66 @@ def q91_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r90_png_decode_roundtrip",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(1 + doc_id % 7 AS BIGINT) AS width,
+           CAST(1 + doc_id % 5 AS BIGINT) AS height,
+           CAST((1 + doc_id % 7) * (1 + doc_id % 5) * 3 AS BIGINT) AS n_pixel_bytes,
+           CAST(((doc_id * 37) % 256) + ((doc_id * 59) % 256) + ((doc_id * 83) % 256) AS BIGINT)
+             * CAST((1 + doc_id % 7) * (1 + doc_id % 5) AS BIGINT) AS pixel_sum
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "png"),
+    doc=(
+        "REAL image codec, oracle-checked: per document, build a solid-"
+        "color PNG (dims and RGB derived from doc_id), run it through "
+        "the pure-stdlib PNG encoder AND decoder (multimodal/png.py — "
+        "zlib inflate + scanline de-filtering, CRC-checked), and report "
+        "decoded dimensions and the decoded pixel-byte sum. The DuckDB "
+        "oracle predicts every column arithmetically, so any codec "
+        "defect (wrong filter math, stride, channel order) hash-fails. "
+        "Arrow-batched mapInPandas; per-payload work, no shuffle."
+    ),
+)
+def r90_png_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_pixel_bytes", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        from ..multimodal.png import decode_png, encode_png
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_pixel_bytes", "pixel_sum")}
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w, h = 1 + did % 7, 1 + did % 5
+                color = bytes([(did * 37) % 256, (did * 59) % 256, (did * 83) % 256])
+                dw, dh, ch, px = decode_png(encode_png(w, h, 3, color * (w * h)))
+                out["doc_id"].append(did)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["n_pixel_bytes"].append(len(px))
+                out["pixel_sum"].append(sum(px))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+@register(
     "q76_decontaminate",
     """
     WITH bench AS (
