@@ -289,3 +289,23 @@ def test_release_dedup_caches(spark):
     dedup.minhash_lsh_pairs(docs, "text", "doc_id").count()
     assert dedup.release_caches() >= 1
     assert dedup.release_caches() == 0
+
+
+def test_connected_components_chain_star_singleton(spark):
+    from xorbits_sql_spark.operators.dedup import connected_components, dedup_keepers
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round),
+    # star 10-{11,12,13}, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (21, 20)],
+        "id_a bigint, id_b bigint",
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id bigint, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_keepers(docs, pairs, "doc_id").collect())
+    # one representative per cluster (min id) + untouched singleton 99
+    assert kept == [1, 10, 20, 99]

@@ -303,6 +303,84 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (id, component).
+
+    ``component`` is the minimum node id reachable from ``id`` — the
+    canonical cluster representative, so "keep one doc per cluster"
+    is ``filter(id == component)``. This is the step that turns any
+    pair generator above (LSH / Jaccard / SimHash) into an actual
+    dedup decision; the reference engine has no counterpart.
+
+    Plan: min-label propagation. Labels start as each node's own id;
+    each round every node takes the min of its own label and its
+    neighbors' labels (one join edges⋈labels + one min-aggregate, both
+    hash-shuffled on node id so AQE can coalesce/split them). Converges
+    in O(graph diameter) rounds with a driver-side scalar count as the
+    stop check (no data is collected). Duplicate clusters are
+    near-cliques in practice — the capped-bucket *star* pairs from
+    ``_capped_pair_join`` explicitly bound each oversized bucket's
+    diameter at 2 — so the loop typically stops after 2-4 rounds even
+    at corpus scale; ``max_iter`` is a pathological-chain backstop.
+    Each round's labels are persisted and the previous round released,
+    so lineage stays one round deep and re-reads hit memory.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("bigint").alias("src"), F.col(id_b).cast("bigint").alias("dst")
+    )
+    # Undirected: store both directions once, persisted — every round
+    # re-reads this table, never the upstream pair pipeline.
+    bidir = _persist(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    labels = _persist(
+        bidir.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        msgs = (
+            bidir.join(labels, bidir["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = _persist(
+            labels.unionByName(msgs).groupBy("id").agg(F.min("component").alias("component"))
+        )
+        # Labels only ever decrease, so "no row changed" == converged.
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        _LIVE_CACHES.remove(labels)
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keepers(
+    df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Drop every row that is a non-representative member of a
+    near-duplicate cluster (keeps the min-id doc per component plus
+    all unpaired docs). One left join against the component table."""
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash of the whitespace tokens, as BIGINT.
 

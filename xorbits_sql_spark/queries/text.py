@@ -190,6 +190,89 @@ def q64_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Recursive min-label propagation over the q64 pair graph. The edge CTEs
+# are the q64 oracle verbatim; `reach` then propagates every label along
+# edges until fixpoint (UNION-distinct terminates it), so MIN(lbl) per
+# node is the least node id in its connected component — exactly what
+# operators/dedup.connected_components computes iteratively on Spark.
+_DUCK_CLUSTERS = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, source, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) > 0.05
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+"""
+
+
+@register(
+    "r63_dedup_clusters",
+    f"""
+    {_DUCK_CLUSTERS}
+    SELECT component, COUNT(*) AS cluster_size, CAST(SUM(id) AS BIGINT) AS id_sum
+    FROM comp
+    GROUP BY component
+    ORDER BY component
+    """,
+    tags=("text", "dedup-clusters", "iterative"),
+    doc=(
+        "Near-duplicate clustering: the q64 Jaccard pair graph collapsed "
+        "into connected components by iterative min-label propagation "
+        "(operators/dedup.connected_components), reported as one row per "
+        "cluster. The DuckDB oracle re-derives the same components with a "
+        "recursive CTE, so the whole iterate-until-fixpoint loop is "
+        "value-checked — the step that turns pair generators into actual "
+        "keep/drop dedup decisions."
+    ),
+)
+def r63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.05,
+        partition_col="source",
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("component")
+    )
+
+
 # BPE-ish tokenizer classes: letter runs, digit runs, single
 # non-alnum marks — the pre-merge word split a byte-pair tokenizer
 # starts from. Same RE2/Java-compatible patterns on both engines
