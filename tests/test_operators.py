@@ -309,3 +309,26 @@ def test_connected_components_chain_star_singleton(spark):
     kept = sorted(r.doc_id for r in dedup_keepers(docs, pairs, "doc_id").collect())
     # one representative per cluster (min id) + untouched singleton 99
     assert kept == [1, 10, 20, 99]
+
+
+def test_pack_sequences_assignment(spark):
+    from xorbits_sql_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "s", 30), (2, "s", 80), (3, "s", 10), (4, "s", 0), (5, "t", 250)],
+        "id bigint, shard string, n_tok bigint",
+    )
+    rows = {r.id: r for r in pack_sequences(docs, "n_tok", "id", "shard", seq_len=100).collect()}
+    assert 4 not in rows  # zero-token doc occupies no positions
+    # shard s packs 120 tokens -> 2 sequences; cumulative order is md5-based
+    s_rows = [rows[i] for i in (1, 2, 3)]
+    assert sorted(r.cum_tokens for r in s_rows) == [sorted(r.cum_tokens for r in s_rows)[0]] + sorted(
+        r.cum_tokens for r in s_rows
+    )[1:]
+    assert max(r.cum_tokens for r in s_rows) == 120
+    # exactly the docs crossing a 100-token boundary straddle
+    for r in s_rows:
+        first, last = (r.cum_tokens - r.n_tok) // 100, (r.cum_tokens - 1) // 100
+        assert (r.first_seq, r.last_seq, r.n_straddles) == (first, last, last - first)
+    # shard t: one 250-token doc spans sequences 0..2
+    assert (rows[5].first_seq, rows[5].last_seq, rows[5].n_straddles) == (0, 2, 2)

@@ -166,3 +166,37 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
     )
+
+
+# PII patterns kept to syntax RE2 (DuckDB) and java.util.regex both
+# implement identically: char classes, bounded repeats, \b — no
+# lookarounds (RE2 has none).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+}
+
+
+def redact_pii(col: Column, kinds: tuple[str, ...] = ("email", "phone", "ssn")) -> Column:
+    """Replace each PII pattern with its placeholder token.
+
+    Order matters (phone before ssn would mis-tag 3-2-4 digit groups if
+    the patterns overlapped; these don't, but the chain is applied in
+    ``kinds`` order deterministically). Pure regexp_replace chain —
+    codegen'd, scan-speed. DuckDB equivalent: the same patterns with
+    the 'g' flag.
+    """
+    out = col
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrence count of one PII pattern as BIGINT.
+
+    DuckDB equivalent: ``len(regexp_extract_all(col, pattern))``.
+    """
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind][0])).cast("bigint")

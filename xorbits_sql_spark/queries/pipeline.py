@@ -548,3 +548,70 @@ def q98_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Sequence packing (r64): 512-token training sequences, per-source streams.
+_SEQ_LEN = 512
+
+
+@register(
+    "r64_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1
+             END AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY md5(doc_id::VARCHAR), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks WHERE n_tok > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((MAX(cum) - 1) // {_SEQ_LEN} + 1 AS BIGINT) AS n_sequences,
+           CAST(SUM(CASE WHEN (cum - n_tok) // {_SEQ_LEN} <> (cum - 1) // {_SEQ_LEN}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS straddling_docs
+    FROM packed
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "packing", "window"),
+    doc=(
+        "GPT-style sequence packing: concatenate each source's token "
+        "stream in engine-portable md5 order and cut it into 512-token "
+        "training sequences (operators/packing.pack_sequences). Reports "
+        "per-source sequence counts and how many documents straddle a "
+        "sequence boundary. Pure window arithmetic — one shuffle on the "
+        "shard key, integer div so exactness survives past 2^53 tokens; "
+        "each shard packs independently, exactly how a 100 TB corpus is "
+        "packed per output shard in practice."
+    ),
+)
+def r64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.packing import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_sequences(docs, "n_tok", "doc_id", "source", seq_len=_SEQ_LEN)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.expr(f"CAST((max(cum_tokens) - 1) div {_SEQ_LEN} + 1 AS BIGINT)").alias(
+                "n_sequences"
+            ),
+            F.sum((F.col("n_straddles") > 0).cast("int")).cast("bigint").alias(
+                "straddling_docs"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -446,3 +446,269 @@ def q79_token_type_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (r61): synthesize a deterministic contact line per doc so the
+# corpus actually contains PII, then redact with the shared patterns.
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+_PII_SSN = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+_DUCK_AUG = (
+    "concat(text, ' contact user', doc_id::VARCHAR, '@example.com or call "
+    "555-', lpad((doc_id % 1000)::VARCHAR, 3, '0'), '-', "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0'), ' ssn 123-45-6789')"
+)
+_DUCK_REDACT = (
+    f"regexp_replace(regexp_replace(regexp_replace({_DUCK_AUG}, "
+    f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{_PII_PHONE}', '<PHONE>', 'g'), "
+    f"'{_PII_SSN}', '<SSN>', 'g')"
+)
+
+
+@register(
+    "r61_pii_redaction",
+    f"""
+    WITH aug AS (SELECT source, {_DUCK_AUG} AS txt FROM documents),
+    red AS (
+      SELECT source,
+             len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS emails,
+             len(regexp_extract_all(txt, '{_PII_PHONE}')) AS phones,
+             len(regexp_extract_all(txt, '{_PII_SSN}')) AS ssns,
+             ('0x' || substring(md5(
+               regexp_replace(regexp_replace(regexp_replace(txt,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_SSN}', '<SSN>', 'g')), 1, 8))::BIGINT AS cksum
+      FROM aug
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(emails) AS BIGINT) AS emails,
+           CAST(SUM(phones) AS BIGINT) AS phones,
+           CAST(SUM(ssns) AS BIGINT) AS ssns,
+           CAST(SUM(cksum) AS BIGINT) AS redacted_cksum
+    FROM red
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "pii", "regex"),
+    doc=(
+        "PII redaction at scan speed: every document gets a "
+        "deterministic synthetic contact line (email/phone/SSN derived "
+        "from doc_id), then functions/text.redact_pii strips them with a "
+        "regexp_replace chain (RE2-and-Java-compatible patterns, no "
+        "UDFs). The oracle re-runs the same patterns in DuckDB and the "
+        "md5 checksum of every redacted text is summed per source — a "
+        "single differing character anywhere hash-fails. Pure map-side "
+        "work until the final tiny aggregate."
+    ),
+)
+def r61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import pii_count, redact_pii
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    docs = t(spark, sf_dir, "documents").select("source", aug.alias("txt"))
+    red = docs.select(
+        "source",
+        pii_count(F.col("txt"), "email").alias("emails"),
+        pii_count(F.col("txt"), "phone").alias("phones"),
+        pii_count(F.col("txt"), "ssn").alias("ssns"),
+        F.conv(F.substring(F.md5(redact_pii(F.col("txt"))), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("cksum"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("emails").cast("bigint").alias("emails"),
+            F.sum("phones").cast("bigint").alias("phones"),
+            F.sum("ssns").cast("bigint").alias("ssns"),
+            F.sum("cksum").cast("bigint").alias("redacted_cksum"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (r62). Cross-engine exactness contract: idf is
+# quantized to micro-units after ln() (Java Math.log and libm may differ
+# in the last ulp — round(x*1e6)/1e6 pins them to the same double), the
+# tf normalization uses identical expression trees on both sides (IEEE
+# ops are correctly rounded, so same tree == same bits), and the per-doc
+# term sum accumulates in DECIMAL so partial-aggregation order can't
+# perturb low bits.
+
+_BM25_TERMS = ("hash", "merge", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "r62_bm25_search",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1
+             END AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM docs
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower({_NORM}), ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      WHERE w IN ('hash', 'merge', 'scan')
+      GROUP BY doc_id, w
+    ),
+    dft AS (SELECT w, COUNT(*) AS dft FROM tf GROUP BY w),
+    idf AS (
+      SELECT w, round(ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)) * 1000000) / 1000000 AS idf
+      FROM dft, stats
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * docs.dl / stats.avgdl))
+               AS term_score
+      FROM tf
+      JOIN idf ON idf.w = tf.w
+      JOIN docs ON docs.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(term_score AS DECIMAL(28,12))) AS DOUBLE) AS score,
+           COUNT(*) AS n_terms
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "search", "bm25"),
+    doc=(
+        "Full BM25 (k1=1.2, b=0.75) keyword search for a 3-term query "
+        "over the documents table, top-20. Relational plan: one token "
+        "explode filtered to the query terms (tiny after pushdown), tf "
+        "per (doc, term), df per term, corpus stats broadcast via cross "
+        "join of one-row aggregates — the inverted-index shape that "
+        "scales to any corpus since only matching postings shuffle."
+    ),
+)
+def r62_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import norm_ws, token_count
+
+    base = t(spark, sf_dir, "documents")
+    docs = base.select("doc_id", token_count(F.col("text")).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = base.select(
+        "doc_id", F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias("w")
+    ).filter(F.col("w").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dft"))
+    idf = dft.crossJoin(F.broadcast(stats)).select(
+        "w",
+        (
+            F.round(
+                F.log(1.0 + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+                * 1000000
+            )
+            / 1000000
+        ).alias("idf"),
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(docs, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(28,12)")).cast("double").alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "r66_repetition_ratio",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, source, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*) AS rep
+      FROM shingled GROUP BY doc_id, source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(rep AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS mean_rep,
+           MAX(rep) AS max_rep
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality", "repetition"),
+    doc=(
+        "Gopher/RefinedWeb-style repetition quality signal: per document, "
+        "the fraction of duplicated word-3-gram occurrences "
+        "(1 - distinct/total), aggregated per source. Boilerplate and "
+        "degenerate generated text score high and get filtered. One "
+        "explode + two aggregations, both keyed on doc id so the window "
+        "shuffle from shingling is reused; exact integer-ratio math so "
+        "cross-engine bit equality holds."
+    ),
+)
+def r66_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_relational
+
+    sh = shingles_relational(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=3, carry_cols=["source"]
+    )
+    per_doc = sh.groupBy("doc", "source").agg(
+        (1.0 - F.countDistinct("shingle").cast("double") / F.count(F.lit(1))).alias("rep")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.col("rep").cast("decimal(18,12)")).cast("double") / F.count(F.lit(1))).alias(
+                "mean_rep"
+            ),
+            F.max("rep").alias("max_rep"),
+        )
+        .orderBy("source")
+    )
