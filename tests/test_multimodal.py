@@ -193,3 +193,86 @@ def test_png_roundtrip_query_matches_oracle(spark, duck):
     ddf = duck.execute(con_sql).fetchdf()
     assert not compare(sdf, ddf)
     assert exact_match(sdf, ddf)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (multimodal/wav.py): pure-stdlib RIFF PCM16
+
+
+def test_wav_roundtrip_mono_stereo():
+    from xorbits_sql_spark.multimodal.wav import decode_wav, encode_wav
+
+    mono = [0, 100, -100, 32767, -32768]
+    rate, ch, frames, out = decode_wav(encode_wav(16000, 1, mono))
+    assert (rate, ch, frames, out) == (16000, 1, 5, mono)
+
+    stereo = [1, -1, 2, -2, 3, -3]  # 3 frames interleaved
+    rate, ch, frames, out = decode_wav(encode_wav(44100, 2, stereo))
+    assert (rate, ch, frames, out) == (44100, 2, 3, stereo)
+
+
+def test_wav_odd_data_padding():
+    from xorbits_sql_spark.multimodal.wav import decode_wav, encode_wav
+
+    # odd sample count -> odd data-chunk byte length is impossible for
+    # 16-bit, but an odd *chunk* arises with an odd-size LIST chunk; the
+    # decoder must honor the pad byte between chunks.
+    wav = encode_wav(8000, 1, [5, 6, 7])
+    # splice an odd-size junk chunk before data
+    import struct
+
+    head, rest = wav[:12], wav[12:]
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded to 4
+    spliced = b"RIFF" + struct.pack("<I", len(head[8:]) + len(junk) + len(rest) - 8 + 8) + head[8:12] + junk + rest[:]
+    # rebuild with correct riff size
+    body = head[8:12] + junk + rest
+    spliced = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_wav(spliced)[3] == [5, 6, 7]
+
+
+def test_wav_malformed_and_unsupported():
+    import struct
+
+    import pytest
+
+    from xorbits_sql_spark.multimodal.wav import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"nope")
+    wav = encode_wav(8000, 1, [1, 2])
+    with pytest.raises(ValueError):
+        decode_wav(wav[:20])  # truncated
+    # flip audio_format to 3 (IEEE float) -> unsupported, not garbage
+    fmt_pos = wav.index(b"fmt ") + 8
+    broken = wav[:fmt_pos] + struct.pack("<H", 3) + wav[fmt_pos + 2 :]
+    with pytest.raises(NotImplementedError):
+        decode_wav(broken)
+
+
+def test_wav_resample_and_features():
+    from xorbits_sql_spark.multimodal.wav import (
+        audio_features,
+        encode_wav,
+        resample_nearest,
+    )
+
+    samples = [10, -20, 30, -40]
+    feats = audio_features(encode_wav(8000, 1, samples))
+    assert feats["duration_ms"] == 4 * 1000 // 8000
+    assert feats["sample_sum"] == -20 and feats["abs_sum"] == 100 and feats["peak"] == 40
+    assert resample_nearest(samples, 1, 4, 2) == [10, 30]
+    assert resample_nearest([1, 2, 3, 4], 2, 2, 4) == [1, 2, 1, 2, 3, 4, 3, 4]
+
+
+def test_decode_audio_routes_wav():
+    import pytest
+
+    from xorbits_sql_spark.multimodal import decode_audio
+    from xorbits_sql_spark.multimodal.wav import encode_wav
+
+    feats = decode_audio(encode_wav(8000, 1, [1, -1]))
+    assert feats["n_frames"] == 2
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfbMP3FRAME")  # not RIFF -> explicit stub path
+    fake = decode_audio(b"\xff\xfbMP3FRAME", fake=True)
+    assert set(fake) >= {"sample_rate", "n_frames", "duration_ms"}

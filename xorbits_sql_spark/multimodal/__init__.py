@@ -7,6 +7,7 @@ pipeline-extension surface (BASELINE.json). See ``media``.
 from .media import (
     MEDIA_SCHEMA,
     attach_fake_media,
+    decode_audio,
     decode_image,
     explode_frames,
     extract_media_features,
@@ -20,6 +21,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "media_struct",
     "attach_fake_media",
+    "decode_audio",
     "decode_image",
     "resize_image",
     "sample_frames",

@@ -113,6 +113,39 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
     }
 
 
+def decode_audio(data: bytes, fake: bool = False) -> dict:
+    """Decode an audio payload to duration/energy statistics.
+
+    WAV (RIFF PCM16) payloads decode for REAL via the built-in
+    pure-stdlib codec (multimodal/wav.py): actual interleaved samples
+    out of actual container bytes. Compressed formats (MP3/AAC) raise
+    ``NotImplementedError`` — swap pyav/ffmpeg into this function for
+    real deployments. With ``fake=True`` returns deterministic byte
+    statistics under the same contract so non-WAV plumbing stays
+    testable.
+    """
+    if not fake:
+        from .wav import audio_features
+
+        if not data.startswith(b"RIFF"):
+            raise NotImplementedError(
+                "only WAV decodes without an audio library; "
+                "swap in pyav/ffmpeg here (decode_audio) for real deployments"
+            )
+        return audio_features(data)
+    digest = hashlib.md5(data).digest()
+    n = max(len(data), 1)
+    return {
+        "sample_rate": 8000,
+        "channels": 1,
+        "n_frames": len(data) // 2,
+        "duration_ms": (len(data) // 2) * 1000 // 8000,
+        "sample_sum": sum(data) - 127 * n,
+        "abs_sum": sum(abs(b - 127) for b in data),
+        "peak": int.from_bytes(digest[:1], "big"),
+    }
+
+
 def resize_image(data: bytes, width: int, height: int, fake: bool = False) -> bytes:
     """Resize an image payload to ``width``x``height``.
 

@@ -615,3 +615,76 @@ def r64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "r91_wav_decode_roundtrip",
+    """
+    WITH params AS (
+      SELECT doc_id, 1 + doc_id % 2 AS channels, 50 + doc_id % 40 AS n_frames
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, channels, n_frames,
+             unnest(generate_series(0, channels * n_frames - 1)) AS j
+      FROM params
+    ),
+    samples AS (
+      SELECT doc_id, channels, n_frames,
+             ((doc_id * 31 + j * 17) % 4096) - 2048 AS s
+      FROM idx
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(SUM(s) AS BIGINT) AS sample_sum,
+           CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak
+    FROM samples
+    GROUP BY doc_id, channels, n_frames
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "wav"),
+    doc=(
+        "REAL audio codec, oracle-checked: per document, synthesize a "
+        "deterministic PCM16 stream (values derived from doc_id), write "
+        "it through the pure-stdlib WAV encoder AND read it back with "
+        "the RIFF chunk-walking decoder (multimodal/wav.py), then report "
+        "decoded frame counts, duration, and integer sample sums that "
+        "the DuckDB oracle predicts arithmetically via generate_series. "
+        "Any container/stride/endianness defect hash-fails. Arrow-"
+        "batched mapInPandas, per-payload work, no shuffle."
+    ),
+)
+def r91_wav_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cols = ("doc_id", "channels", "n_frames", "duration_ms", "sample_sum", "abs_sum", "peak")
+    schema = T.StructType([T.StructField(c, T.LongType()) for c in cols])
+
+    def batches(it):
+        from ..multimodal.wav import audio_features, encode_wav
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                channels, n_frames = 1 + did % 2, 50 + did % 40
+                samples = [
+                    ((did * 31 + j * 17) % 4096) - 2048
+                    for j in range(channels * n_frames)
+                ]
+                feats = audio_features(encode_wav(8000, channels, samples))
+                out["doc_id"].append(did)
+                out["channels"].append(feats["channels"])
+                out["n_frames"].append(feats["n_frames"])
+                out["duration_ms"].append(feats["duration_ms"])
+                out["sample_sum"].append(feats["sample_sum"])
+                out["abs_sum"].append(feats["abs_sum"])
+                out["peak"].append(feats["peak"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
