@@ -332,3 +332,20 @@ def test_pack_sequences_assignment(spark):
         assert (r.first_seq, r.last_seq, r.n_straddles) == (first, last, last - first)
     # shard t: one 250-token doc spans sequences 0..2
     assert (rows[5].first_seq, rows[5].last_seq, rows[5].n_straddles) == (0, 2, 2)
+
+
+def test_kmeans_lloyd_separates_obvious_clusters(spark):
+    from xorbits_sql_spark.operators.similarity import assign_with_score, kmeans_lloyd
+
+    # two tight groups on orthogonal axes; seeds (ids 0,1) start one in each
+    rows = [
+        (0, [1.0, 0.0, 0.05]), (2, [0.9, 0.1, 0.0]), (4, [1.1, -0.1, 0.0]),
+        (1, [0.0, 1.0, 0.05]), (3, [0.1, 0.9, 0.0]), (5, [-0.1, 1.1, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = kmeans_lloyd(emb, k=2, n_iter=2)
+    assigned = {r.cid: r.cell for r in assign_with_score(emb, cents).collect()}
+    assert {assigned[0], assigned[2], assigned[4]} == {0}
+    assert {assigned[1], assigned[3], assigned[5]} == {1}
+    for r in assign_with_score(emb, cents).collect():
+        assert r.score > 0.9

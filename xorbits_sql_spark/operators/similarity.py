@@ -196,3 +196,84 @@ def embedding_dup_pairs(
         .select("id_a", "id_b", _pair_cosine().alias("cosine"))
         .filter(F.col("cosine") > threshold)
     )
+
+
+def centroid_update(assigned: DataFrame, vec_col: str = "cvec") -> DataFrame:
+    """Element-wise decimal-exact mean direction per cell: (cell, cvec).
+
+    posexplode the member vectors to (cell, pos, val) rows, sum each
+    dimension in DECIMAL (order-independent — identical on any cluster
+    size and bit-equal to DuckDB), then reassemble the centroid array
+    ordered by position. Two aggregations, both keyed on (cell[, pos]) —
+    fully parallel with map-side partial sums, no vector ever collected
+    to the driver. The un-normalized dimension sums are used directly:
+    cosine assignment only reads the centroid *direction*, so skipping
+    the division by member count changes nothing and keeps the values
+    exactly representable.
+    """
+    ex = assigned.select(
+        "cell", F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("pos", "val")
+    )
+    dims = ex.groupBy("cell", "pos").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).cast("double").alias("v")
+    )
+    return dims.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("cvec")
+    )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means by Lloyd iterations, fully relational.
+
+    Deterministic seeding (the ``k`` lowest-id vectors are the initial
+    centroids — reproducible across engines, unlike random init), then
+    ``n_iter`` rounds of: assign every vector to its max-cosine centroid
+    (broadcast nested-loop scoring, no corpus shuffle — see
+    :func:`ivf_assign`) and rebuild centroids with
+    :func:`centroid_update`. A fixed iteration count instead of a
+    convergence test keeps the whole computation a pure dataflow that an
+    oracle can replay; callers wanting convergence can loop externally
+    on the centroid delta. Returns the final (cell, cvec) table —
+    exactly the centroid input :func:`ivf_topk` expects, so this is the
+    missing "train the IVF index" step.
+
+    Empty cells drop out (standard Lloyd behavior); at scale each
+    iteration is one broadcast join plus two hash aggregations.
+    """
+    cents = corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("bigint").alias("cell"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("cvec"),
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cents, cid=id_col, vec=vec)
+        cents = centroid_update(assigned)
+    return cents
+
+
+def assign_with_score(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    cid: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment keeping the winning cosine:
+    (cid, cell, score). Same broadcast/argmax plan as :func:`ivf_assign`
+    (ties to the smallest cell), one shuffle of one row per vector."""
+    c = _side(corpus, cid, vec, "cid", "cvec", "cn")
+    cents = centroids.select(
+        F.col("cell"), F.col("cvec").alias("kvec"), norm(F.col("cvec")).alias("kn")
+    )
+    score = dot(F.col("cvec"), F.col("kvec")) / (F.col("cn") * F.col("kn"))
+    scored = c.crossJoin(F.broadcast(cents)).select("cid", "cell", score.alias("score"))
+    best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("neg_cell")))
+    return scored.groupBy("cid").agg(best.alias("b")).select(
+        "cid", (-F.col("b.neg_cell")).cast("bigint").alias("cell"), F.col("b.score").alias("score")
+    )

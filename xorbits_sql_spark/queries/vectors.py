@@ -172,3 +172,102 @@ def q72_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _cosv(vec_expr: str, cent: str) -> str:
+    """DuckDB cosine between a DOUBLE[] expression and centroid ``cent``."""
+    return (
+        f"list_dot_product({vec_expr}, {cent})"
+        f" / (sqrt(list_dot_product({vec_expr}, {vec_expr}))"
+        f" * sqrt(list_dot_product({cent}, {cent})))"
+    )
+
+
+def _duck_kmeans_sql(k: int, n_iter: int) -> str:
+    """Generate the Lloyd-iteration CTE chain mirroring kmeans_lloyd.
+
+    Same deterministic seed (vec_id < k), same argmax tie rule
+    (ROW_NUMBER ... ORDER BY cos DESC, cell == max_by struct with
+    negated cell), same decimal-exact per-dimension sums."""
+    emb = "CAST(embedding AS DOUBLE[])"
+    parts = [
+        f"cents0 AS (SELECT vec_id AS cell, {emb} AS cvec FROM embeddings WHERE vec_id < {k})"
+    ]
+    for i in range(1, n_iter + 1):
+        prev, cos = f"cents{i-1}", _cosv(f"CAST(c.embedding AS DOUBLE[])", "k.cvec")
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT c.vec_id, c.embedding, k.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY {cos} DESC, k.cell) AS rn
+        FROM embeddings c CROSS JOIN {prev} k
+      ) x WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""d{i} AS (
+      SELECT cell, unnest(generate_series(1, len(embedding))) AS pos, embedding FROM a{i}
+    )"""
+        )
+        parts.append(
+            f"""s{i} AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS v
+      FROM d{i} GROUP BY cell, pos
+    )"""
+        )
+        parts.append(
+            f"cents{i} AS (SELECT cell, list(v ORDER BY pos) AS cvec FROM s{i} GROUP BY cell)"
+        )
+    final_cos = _cosv("CAST(c.embedding AS DOUBLE[])", "k.cvec")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    final AS (
+      SELECT vec_id, cell, score FROM (
+        SELECT c.vec_id, k.cell, {final_cos} AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY {final_cos} DESC, k.cell) AS rn
+        FROM embeddings c CROSS JOIN cents{n_iter} k
+      ) x WHERE rn = 1
+    )
+    SELECT cell, COUNT(*) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_cos
+    FROM final
+    GROUP BY cell
+    ORDER BY cell
+    """
+
+
+@register(
+    "r72_kmeans_lloyd",
+    _duck_kmeans_sql(k=8, n_iter=2),
+    tags=("vectors", "kmeans", "iterative"),
+    doc=(
+        "Spherical k-means, 2 Lloyd iterations over the embeddings table "
+        "(operators/similarity.kmeans_lloyd): deterministic lowest-id "
+        "seeds, broadcast argmax assignment (no corpus shuffle), "
+        "decimal-exact per-dimension centroid sums. The DuckDB oracle "
+        "replays both iterations CTE-by-CTE, so assignment ties, "
+        "centroid arithmetic, and the final cluster memberships are all "
+        "bit-checked — the 'train the IVF index' step for q74, "
+        "value-verified end to end."
+    ),
+)
+def r72_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_with_score, kmeans_lloyd
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(emb, k=8, n_iter=2)
+    final = assign_with_score(emb, cents)
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("cid").cast("bigint").alias("id_sum"),
+            (F.sum(F.col("score").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))).alias(
+                "mean_cos"
+            ),
+        )
+        .orderBy("cell")
+    )
