@@ -183,12 +183,14 @@ def _cosv(vec_expr: str, cent: str) -> str:
     )
 
 
-def _duck_kmeans_sql(k: int, n_iter: int) -> str:
+def _duck_kmeans_ctes(k: int, n_iter: int) -> str:
     """Generate the Lloyd-iteration CTE chain mirroring kmeans_lloyd.
 
     Same deterministic seed (vec_id < k), same argmax tie rule
     (ROW_NUMBER ... ORDER BY cos DESC, cell == max_by struct with
-    negated cell), same decimal-exact per-dimension sums."""
+    negated cell), same decimal-exact per-dimension sums. Returns the
+    comma-joined CTE list ending at ``cents{n_iter}`` so callers can
+    append their own consuming CTEs (r72 cluster summary, r73 probe)."""
     emb = "CAST(embedding AS DOUBLE[])"
     parts = [
         f"cents0 AS (SELECT vec_id AS cell, {emb} AS cvec FROM embeddings WHERE vec_id < {k})"
@@ -219,10 +221,14 @@ def _duck_kmeans_sql(k: int, n_iter: int) -> str:
         parts.append(
             f"cents{i} AS (SELECT cell, list(v ORDER BY pos) AS cvec FROM s{i} GROUP BY cell)"
         )
+    return ",\n    ".join(parts)
+
+
+def _duck_kmeans_sql(k: int, n_iter: int) -> str:
+    """r72 oracle: Lloyd chain + final assignment + per-cluster summary."""
     final_cos = _cosv("CAST(c.embedding AS DOUBLE[])", "k.cvec")
-    ctes = ",\n    ".join(parts)
     return f"""
-    WITH {ctes},
+    WITH {_duck_kmeans_ctes(k, n_iter)},
     final AS (
       SELECT vec_id, cell, score FROM (
         SELECT c.vec_id, k.cell, {final_cos} AS score,
@@ -270,4 +276,67 @@ def r72_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cell")
+    )
+
+
+def _duck_ivf_trained_sql(k: int, n_iter: int, n_queries: int, nprobe: int, topk: int) -> str:
+    """r73 oracle: Lloyd chain, then the exact q74 probe shape but over
+    the *trained* cents{n_iter} instead of raw seed vectors."""
+    cent_cos = _cosv("CAST(c.embedding AS DOUBLE[])", "k.cvec")
+    qcent_cos = _cosv("CAST(q.embedding AS DOUBLE[])", "k.cvec")
+    pair_cos = _cos("q", "c")
+    return f"""
+    WITH {_duck_kmeans_ctes(k, n_iter)},
+    cells AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT c.vec_id, c.embedding, k.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY {cent_cos} DESC, k.cell) AS rn
+        FROM embeddings c CROSS JOIN cents{n_iter} k
+      ) x WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT q.vec_id, q.embedding, k.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {qcent_cos} DESC, k.cell) AS rn
+        FROM embeddings q CROSS JOIN cents{n_iter} k
+        WHERE q.vec_id < {n_queries}
+      ) b WHERE rn <= {nprobe}
+    )
+    SELECT qid, cid, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {pair_cos} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {pair_cos} DESC, c.vec_id) AS rank
+      FROM probes q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    ) ranked
+    WHERE rank <= {topk}
+    ORDER BY qid, rank
+    """
+
+
+@register(
+    "r73_ivf_trained",
+    _duck_ivf_trained_sql(k=8, n_iter=2, n_queries=10, nprobe=2, topk=3),
+    tags=("vectors", "ann", "ivf", "kmeans", "iterative"),
+    doc=(
+        "End-to-end trained ANN index: kmeans_lloyd trains 8 centroids "
+        "(2 Lloyd iterations), then ivf_topk buckets the corpus by the "
+        "trained centroids and probes the 2 closest cells per query — "
+        "q74's probe plan fed by r72's training step, the full "
+        "build-index-then-search lifecycle a vector store runs. At scale "
+        "the trained (cell, cvec) table is tiny (k rows) and broadcast; "
+        "the corpus is scanned, never shuffled, and the cells table is "
+        "what you'd persist partitioned by cell. Oracle replays training "
+        "and probe CTE-by-CTE, so the whole lifecycle is bit-checked."
+    ),
+)
+def r73_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(emb, k=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return (
+        ivf_topk(queries, emb, cents, k=3, nprobe=2, exclude_self=True)
+        .select("qid", "cid", "cosine", F.col("rank").cast("int").alias("rank"))
+        .orderBy("qid", "rank")
     )
