@@ -127,6 +127,58 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keepers, id_col, "left_semi")
 
 
+def boilerplate_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Per-document boilerplate n-gram coverage (C4/RefinedWeb-style).
+
+    A k-gram is *boilerplate* when it appears in >= ``min_docs`` distinct
+    documents (navigation chrome, license headers, templated passages).
+    Returns one row per input document: (id, n_grams, n_boiler) where
+    ``n_boiler`` counts gram *instances* whose gram is boilerplate —
+    callers derive a coverage ratio and a drop threshold.
+
+    Scale shape: one explode to (doc, gram) instances, a gram-keyed
+    aggregation for document frequency (map-side partial DISTINCT-ish
+    combine keeps the exchange small), then a gram-keyed join back and a
+    doc-keyed count. Every stage is keyed — nothing is collected, no
+    all-pairs anywhere. The boilerplate set is NOT broadcast-hinted: its
+    size is corpus-dependent (bounded by total_grams/min_docs, not by a
+    constant), so the shuffle join is the safe default and AQE converts
+    it to broadcast when it measures small. The gram-instance table is
+    persisted because both the frequency pass and the join-back consume
+    it; callers release via :func:`release_caches`.
+    """
+    grams = _persist(shingles_relational(df, text_col, id_col, k=k))
+    boiler = (
+        grams.groupBy("shingle")
+        .agg(F.countDistinct("doc").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("shingle", F.lit(1).alias("__boiler"))
+    )
+    per_doc = (
+        grams.join(boiler, "shingle", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__boiler").alias("n_boiler"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+    )
+
+
 def minhash_signature(text: Column, seeds: int = 8, shingle_k: int = 3) -> Column:
     """Array of ``seeds`` MinHash values (hex strings) for the text.
 

@@ -712,3 +712,63 @@ def r66_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "r65_boilerplate_coverage",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    boiler AS (
+      SELECT shingle FROM grams GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) >= 20
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+      FROM grams g LEFT JOIN boiler b ON g.shingle = b.shingle
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                ELSE CAST(n_boiler AS DOUBLE) / n_grams END AS coverage,
+           CAST(CASE WHEN (CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                                ELSE CAST(n_boiler AS DOUBLE) / n_grams END) <= 0.8
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "quality", "boilerplate"),
+    doc=(
+        "C4/RefinedWeb-style boilerplate removal signal: a word-3-gram "
+        "occurring in >= 20 distinct documents is boilerplate (templated "
+        "chrome, license headers); each document reports how much of its "
+        "gram mass is boilerplate and a keep flag at 80% coverage. "
+        "operators/dedup.boilerplate_coverage — every stage keyed "
+        "(gram-frequency agg, gram join-back, doc-id count), no "
+        "broadcast assumption on the boilerplate set (AQE converts when "
+        "small), instance table persisted once for its two consumers."
+    ),
+)
+def r65_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import boilerplate_coverage
+
+    cov = boilerplate_coverage(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=3, min_docs=20
+    )
+    coverage = F.when(
+        F.col("n_grams") > 0, F.col("n_boiler").cast("double") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return (
+        cov.withColumn("coverage", coverage)
+        .withColumn("keep", (F.col("coverage") <= 0.8).cast("int"))
+        .orderBy("doc_id")
+    )
