@@ -15,7 +15,7 @@ import pandas as pd
 
 
 def _canon_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, Decimal):
         return float(v)

@@ -604,3 +604,61 @@ def q99_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         views.join(buys, cond, "left_semi")
         .agg(F.countDistinct("user_id").alias("converted_users"))
     )
+
+
+@register(
+    "r75_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(1) OVER w AS prev_seen
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_id, ts, event_type FROM ordered
+      WHERE prev_seen IS NULL OR prev_type IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           COALESCE(LEAD(ts) OVER w2, TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+           CAST(epoch_us(LEAD(ts) OVER w2) - epoch_us(ts) AS BIGINT) AS duration_us
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+    tags=("events", "scd2", "cdc", "window"),
+    doc=(
+        "SCD2 history build (operators/temporal.scd2_ranges): collapse "
+        "the per-user event log to event_type *changes* (CDC change "
+        "detection, NULL-safe), then attach half-open validity ranges "
+        "[valid_from, valid_to) with is_current on the open row — the "
+        "standard warehouse dimension-history pattern (open rows carry "
+        "the conventional 2100-01-01 high date (pandas/Arrow ns-representable), never NULL). Both windows "
+        "share the user_id partitioning so Catalyst plans one Exchange; "
+        "microsecond-exact duration math on both engines."
+    ),
+)
+def r75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import scd2_ranges
+
+    ranges = scd2_ranges(
+        t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        key_cols=["user_id"],
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    duration = F.unix_micros(F.col("valid_to")) - F.unix_micros(F.col("valid_from"))
+    high_date = F.to_timestamp(F.lit("2100-01-01 00:00:00"))
+    return ranges.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "valid_from",
+        F.coalesce("valid_to", high_date).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+        duration.cast("bigint").alias("duration_us"),
+    ).orderBy("user_id", "valid_from", "event_id")
