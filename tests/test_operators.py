@@ -349,3 +349,29 @@ def test_kmeans_lloyd_separates_obvious_clusters(spark):
     assert {assigned[1], assigned[3], assigned[5]} == {1}
     for r in assign_with_score(emb, cents).collect():
         assert r.score > 0.9
+
+
+def test_zorder_locality_bounds_both_dims(spark):
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.operators.layout import zorder_key
+
+    # 64x64 grid, every cell once: a z-bucket of the top 6 bits must
+    # cover a small tile of BOTH dimensions, not a stripe of one.
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y")
+    )
+    zed = zorder_key(grid, ["x", "y"], bits=16)
+    spans = (
+        zed.groupBy(F.shiftright("zval", 26).alias("b"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(spans) == 64  # 6 top bits over a full 4096-cell grid
+    for r in spans:
+        # each bucket is an 8x8 tile: span 7 in each dim (global span 63)
+        assert r.xs <= 7 and r.ys <= 7 and r.n == 64

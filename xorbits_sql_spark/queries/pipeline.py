@@ -688,3 +688,66 @@ def r91_wav_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import sql_zorder_cte
+
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS o_days
+      FROM orders
+    ),
+    zed AS ({sql_zorder_cte('base', ['o_custkey', 'o_days'], bits=16)})
+    SELECT zval >> 24 AS zbucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_ck,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_ck,
+           CAST(MIN(o_days) AS BIGINT) AS min_day,
+           CAST(MAX(o_days) AS BIGINT) AS max_day
+    FROM zed
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """
+
+
+@register(
+    "r77_zorder_locality",
+    _zorder_oracle(),
+    tags=("layout", "zorder", "data-skipping"),
+    doc=(
+        "Z-order (Morton) clustering key over (o_custkey, order date): "
+        "operators/layout.zorder_key range-normalizes each dimension to "
+        "16 bits via one broadcast global min/max row and interleaves "
+        "bits with pure JVM shift/and/or expressions (whole-stage "
+        "codegen, exact integer div). Grouping by the key's top 8 bits "
+        "shows the locality contract data skipping relies on: every "
+        "bucket covers a narrow range of BOTH dimensions (asserted in "
+        "tests), so sorting a write by zval makes parquet row-group "
+        "min/max stats prune on either column — Delta OPTIMIZE ZORDER "
+        "re-expressed as plain relational ops. Oracle replays the "
+        "identical normalize+interleave arithmetic."
+    ),
+)
+def r77_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_key
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)").alias("o_days"),
+    )
+    zed = zorder_key(base, ["o_custkey", "o_days"], bits=16)
+    return (
+        zed.groupBy(F.shiftright("zval", 24).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").cast("bigint").alias("min_ck"),
+            F.max("o_custkey").cast("bigint").alias("max_ck"),
+            F.min("o_days").cast("bigint").alias("min_day"),
+            F.max("o_days").cast("bigint").alias("max_day"),
+        )
+        .orderBy("zbucket")
+    )
