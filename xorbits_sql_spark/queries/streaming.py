@@ -125,3 +125,40 @@ def q88_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, mode="complete").orderBy("n_name")
+
+
+@register(
+    "r78_stream_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "stateful"),
+    doc=(
+        "Streaming exact dedup (streaming/windows.dedup_stream): "
+        "dropDuplicatesWithinWatermark on (user_id, event_type) with "
+        "bounded per-key state, append output, then a batch rollup of "
+        "the sink. On the bounded single-batch source every duplicate "
+        "falls inside the watermark, so the result equals batch "
+        "COUNT(DISTINCT user_id) per event_type — giving this stateful "
+        "streaming operator a full value oracle instead of a rows-only "
+        "check."
+    ),
+)
+def r78_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import dedup_stream
+
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = dedup_stream(
+        stream.select("user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+        watermark="1 hour",
+    )
+    out = run_to_memory(deduped, mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("event_type")
+    )

@@ -101,6 +101,27 @@ def sessionized_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication on ``keys`` with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts
+    key state once the watermark passes it — the only dedup that runs
+    forever on an unbounded stream (plain ``dropDuplicates`` state
+    grows without bound). The contract is the streaming-native one:
+    duplicates arriving within the watermark delay are dropped;
+    a key recurring *later* than the delay starts a fresh row, which is
+    exactly the at-least-once-source dedup guarantee (retries/replays
+    cluster in time). Append output, so it composes with downstream
+    batch aggregation on the sink.
+    """
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory(
     stream_df: DataFrame, mode: str = "complete", state_partitions: int = 8
 ) -> DataFrame:
