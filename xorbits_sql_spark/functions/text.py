@@ -83,6 +83,44 @@ def quality_score(col: Column) -> Column:
     return (0.4 * len_score + 0.3 * word_score + 0.3 * stop_score).alias("quality")
 
 
+def gopher_rules(
+    col: Column,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word: float = 3.0,
+    max_mean_word: float = 10.0,
+    min_stop_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules as named boolean Columns.
+
+    The classic rule family from the Gopher/MassiveText filtering
+    recipe: word-count bounds, mean-word-length bounds, minimum English
+    stopword evidence, and a symbol-to-character ratio cap. Returned as
+    a dict of independent flags (wc_ok / mwl_ok / stop_ok / sym_ok) so
+    pipelines can report per-rule rejection rates, not just a verdict —
+    all pure length/replace arithmetic, exactly mirrorable in any SQL
+    dialect.
+    """
+    n = F.lower(norm_ws(col))
+    toks = token_count(col)
+    chars = F.length(F.replace(n, F.lit(" "), F.lit("")))
+    mean_word = F.when(toks == 0, F.lit(0.0)).otherwise(
+        chars.cast("double") / toks.cast("double")
+    )
+    stop_hits = sum(
+        (occurrences(F.concat(F.lit(" "), n, F.lit(" ")), m) for m in LANG_MARKERS["en"]),
+        F.lit(0),
+    )
+    sym_ratio = char_ratio(n, "[^a-z0-9 ]")
+    return {
+        "wc_ok": (toks >= min_words) & (toks <= max_words),
+        "mwl_ok": (mean_word >= min_mean_word) & (mean_word <= max_mean_word),
+        "stop_ok": stop_hits >= min_stop_hits,
+        "sym_ok": sym_ratio <= max_symbol_ratio,
+    }
+
+
 def lang_scores(col: Column) -> dict[str, Column]:
     """Per-language stopword-hit counts over whitespace-normalized text."""
     padded = F.concat(F.lit(" "), F.lower(norm_ws(col)), F.lit(" "))

@@ -772,3 +772,75 @@ def r65_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", (F.col("coverage") <= 0.8).cast("int"))
         .orderBy("doc_id")
     )
+
+
+def _gopher_oracle() -> str:
+    lower = f"lower({_NORM})"
+    chars = f"length(replace({lower}, ' ', ''))"
+    mwl = f"CASE WHEN {_NTOK} = 0 THEN 0.0 ELSE CAST({chars} AS DOUBLE) / {_NTOK} END"
+    padded = f"concat(' ', {lower}, ' ')"
+    stop = "(" + " + ".join(_sql_occ(padded, m) for m in (" the ", " and ", " of ")) + ")"
+    stripped = f"regexp_replace({lower}, '[^a-z0-9 ]', '', 'g')"
+    sym = (
+        f"CASE WHEN length({lower}) = 0 THEN 0.0 "
+        f"ELSE CAST(length({lower}) - length({stripped}) AS DOUBLE) / length({lower}) END"
+    )
+    wc_ok = f"CASE WHEN {_NTOK} >= 30 AND {_NTOK} <= 100000 THEN 1 ELSE 0 END"
+    mwl_ok = f"CASE WHEN ({mwl}) >= 3.0 AND ({mwl}) <= 10.0 THEN 1 ELSE 0 END"
+    stop_ok = f"CASE WHEN {stop} >= 2 THEN 1 ELSE 0 END"
+    sym_ok = f"CASE WHEN ({sym}) <= 0.1 THEN 1 ELSE 0 END"
+    return f"""
+    WITH flags AS (
+      SELECT source,
+             {wc_ok} AS wc_ok, {mwl_ok} AS mwl_ok,
+             {stop_ok} AS stop_ok, {sym_ok} AS sym_ok
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(wc_ok) AS BIGINT) AS n_wc_ok,
+           CAST(SUM(mwl_ok) AS BIGINT) AS n_mwl_ok,
+           CAST(SUM(stop_ok) AS BIGINT) AS n_stop_ok,
+           CAST(SUM(sym_ok) AS BIGINT) AS n_sym_ok,
+           CAST(SUM(wc_ok * mwl_ok * stop_ok * sym_ok) AS BIGINT) AS n_keep
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "r60_gopher_rules",
+    _gopher_oracle(),
+    tags=("text", "quality", "gopher"),
+    doc=(
+        "Gopher/MassiveText quality-rule filter "
+        "(functions/text.gopher_rules): word-count bounds, "
+        "mean-word-length bounds, English stopword evidence, and a "
+        "symbol-ratio cap, reported as per-rule pass counts per source "
+        "plus the all-rules keep count — the per-rule rejection "
+        "telemetry a curation pipeline actually monitors. Pure "
+        "length/replace arithmetic, map-only then one keyed aggregate; "
+        "bit-exact oracle."
+    ),
+)
+def r60_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import gopher_rules
+
+    docs = t(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    flags = docs.select(
+        "source", *[v.cast("int").alias(k) for k, v in rules.items()]
+    )
+    keep = F.col("wc_ok") * F.col("mwl_ok") * F.col("stop_ok") * F.col("sym_ok")
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wc_ok").cast("bigint").alias("n_wc_ok"),
+            F.sum("mwl_ok").cast("bigint").alias("n_mwl_ok"),
+            F.sum("stop_ok").cast("bigint").alias("n_stop_ok"),
+            F.sum("sym_ok").cast("bigint").alias("n_sym_ok"),
+            F.sum(keep).cast("bigint").alias("n_keep"),
+        )
+        .orderBy("source")
+    )
