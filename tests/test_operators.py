@@ -375,3 +375,32 @@ def test_zorder_locality_bounds_both_dims(spark):
     for r in spans:
         # each bucket is an 8x8 tile: span 7 in each dim (global span 63)
         assert r.xs <= 7 and r.ys <= 7 and r.n == 64
+
+
+def test_countmin_overcounts_only_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.operators.sketches import countmin_lookup, countmin_sketch
+
+    words = ["a", "b", "c", "d"] * 25 + ["hot"] * 300
+    items = spark.createDataFrame([(w,) for w in words], "tok string")
+    sketch = countmin_sketch(items, "tok", depth=4, width=32)
+    exact = items.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    est = {r.tok: (r.n, r.est) for r in
+           countmin_lookup(sketch, exact, "tok", depth=4, width=32).collect()}
+    for tok, (n, e) in est.items():
+        assert e >= n, tok  # count-min never undercounts
+    assert est["hot"][1] < 400  # and the heavy hitter stays near truth
+
+    # mergeability: sketches of two disjoint halves, unioned and
+    # re-summed, equal the sketch of the whole corpus
+    half1 = items.filter(F.col("tok").isin("a", "b", "hot"))
+    half2 = items.filter(~F.col("tok").isin("a", "b", "hot"))
+    merged = (
+        countmin_sketch(half1, "tok", depth=4, width=32)
+        .unionAll(countmin_sketch(half2, "tok", depth=4, width=32))
+        .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r.d, r.bucket): r.cnt for r in sketch.collect()}
+    b = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b

@@ -844,3 +844,65 @@ def r60_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "r68_countmin_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    clean AS (SELECT tok FROM toks WHERE tok <> ''),
+    hashed AS (
+      SELECT d.d, CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || '#' || tok), 1, 8)) AS BIGINT) % 512 AS bucket
+      FROM clean CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) d
+    ),
+    sketch AS (SELECT d, bucket, COUNT(*) AS cnt FROM hashed GROUP BY d, bucket),
+    exact AS (
+      SELECT tok, COUNT(*) AS n FROM clean GROUP BY tok
+      ORDER BY n DESC, tok LIMIT 20
+    ),
+    probed AS (
+      SELECT e.tok, e.n, d.d,
+             CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || '#' || e.tok), 1, 8)) AS BIGINT) % 512 AS bucket
+      FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) d
+    )
+    SELECT p.tok, CAST(MAX(p.n) AS BIGINT) AS n,
+           CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+    FROM probed p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+    GROUP BY p.tok
+    ORDER BY n DESC, tok
+    """,
+    tags=("text", "sketch", "countmin"),
+    doc=(
+        "Count-min sketch frequency estimation "
+        "(operators/sketches.countmin_sketch): a 4x512 mergeable counter "
+        "grid built with one explode + one map-combined aggregation "
+        "(exchange bounded by depth*width per partition at ANY input "
+        "size), probed for the exact top-20 tokens. Engine-portable "
+        "md5-prefix hashing lets the oracle rebuild the identical grid, "
+        "so the over-count-only estimates are bit-checked, not just "
+        "bounded. The sub-linear answer to global heavy-hitter counting "
+        "on an unbounded stream."
+    ),
+)
+def r68_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import countmin_lookup, countmin_sketch
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(norm_ws(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    sketch = countmin_sketch(toks, "tok", depth=4, width=512)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+    return (
+        countmin_lookup(sketch, exact, "tok", depth=4, width=512)
+        .select("tok", F.col("n").cast("bigint").alias("n"), "est")
+        .orderBy(F.desc("n"), "tok")
+    )
