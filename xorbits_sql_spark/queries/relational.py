@@ -684,3 +684,73 @@ def q100_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "r46_execute_pg_dialect",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(epoch(MAX(CAST(o_orderdate AS TIMESTAMP))) AS DOUBLE) AS max_epoch
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("execute-api", "dialect", "postgres"),
+    doc=(
+        "The reference's headline multi-dialect feature, driver-checked: "
+        "postgres-flavored SQL (double-quoted identifiers, :: casts, "
+        "EXTRACT(EPOCH FROM ...)) through execute(dialect='postgres') — "
+        "the token-stream transpiler (dialect.py) rewrites each "
+        "construct to Spark SQL without touching literals; the oracle "
+        "states the same semantics in DuckDB's own dialect."
+    ),
+)
+def r46_execute_pg_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = '''
+    SELECT "o_orderpriority" AS priority,
+           COUNT(*) AS n,
+           EXTRACT(EPOCH FROM MAX(o_orderdate::timestamp)) AS max_epoch
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY "o_orderpriority"
+    ORDER BY priority
+    '''
+    return execute(
+        sql,
+        dialect="postgres",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "r47_execute_tsql_dialect",
+    """
+    SELECT c_custkey, c_name, CAST(length(c_mktsegment) AS BIGINT) AS seg_len
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 10
+    """,
+    tags=("execute-api", "dialect", "tsql"),
+    doc=(
+        "tsql-flavored SQL ([bracket] identifiers, TOP n, LEN()) through "
+        "execute(dialect='tsql'): the fallback transpiler turns TOP 10 "
+        "into a trailing LIMIT (the silent-row-drop bug class the round-1 "
+        "advice flagged, now driver-checked), brackets into backticks, "
+        "LEN into LENGTH."
+    ),
+)
+def r47_execute_tsql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT TOP 10 [c_custkey], [c_name], CAST(LEN([c_mktsegment]) AS BIGINT) AS seg_len
+    FROM customer
+    ORDER BY [c_custkey]
+    """
+    return execute(
+        sql,
+        dialect="tsql",
+        tables={"customer": t(spark, sf_dir, "customer")},
+        spark=spark,
+    )
