@@ -174,13 +174,21 @@ def resize_image(data: bytes, width: int, height: int, fake: bool = False) -> by
 def sample_frames(data: bytes, n_frames: int, fake: bool = False) -> list[bytes]:
     """Sample ``n_frames`` evenly-spaced frames from a video payload.
 
-    STUB: with ``fake=True`` each frame is a deterministic md5-derived
-    slice keyed by (payload, frame index); swap in pyav/ffmpeg frame
-    extraction for real deployments.
+    PNGV payloads (multimodal/video.py — length-prefixed real PNG
+    frames) sample for REAL: exact integer-spaced indices into actual
+    decoded container framing. Other containers (mp4 etc.) raise
+    ``NotImplementedError`` — swap pyav/ffmpeg into this function for
+    real deployments. With ``fake=True`` each frame is a deterministic
+    md5-derived slice keyed by (payload, frame index) so non-PNGV
+    plumbing stays testable.
     """
     if not fake:
+        from .video import MAGIC, sample_pngv
+
+        if data.startswith(MAGIC):
+            return [png for _, png in sample_pngv(data, n_frames)]
         raise NotImplementedError(
-            "video codec not available in this environment; "
+            "only PNGV containers decode without a video library; "
             "swap in pyav/ffmpeg here (sample_frames) for real deployments"
         )
     return [

@@ -751,3 +751,84 @@ def r77_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+def _r92_oracle() -> str:
+    # mirrors the generator in r92: n = 2 + doc_id%4 frames of w x h,
+    # frame j colored ((id*37+j*11)%256, (id*59+j*13)%256, (id*83+j*17)%256);
+    # sampled indices j*(n-1)//2 for j in 0..2 (k=3).
+    w, h = "(1 + doc_id % 7)", "(1 + doc_id % 5)"
+    n = "(2 + doc_id % 4)"
+    idx = lambda j: f"(({j} * ({n} - 1)) // 2)"
+    def frame_sum(i):
+        return (
+            f"((doc_id * 37 + {i} * 11) % 256"
+            f" + (doc_id * 59 + {i} * 13) % 256"
+            f" + (doc_id * 83 + {i} * 17) % 256) * {w} * {h}"
+        )
+    total = " + ".join(frame_sum(idx(j)) for j in range(3))
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST({n} AS BIGINT) AS n_frames,
+           CAST({idx(1)} AS BIGINT) AS mid_idx,
+           CAST({idx(2)} AS BIGINT) AS last_idx,
+           CAST({total} AS BIGINT) AS sampled_pixel_sum
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "r92_video_frame_sampling",
+    _r92_oracle(),
+    tags=("multimodal", "pandas-udf", "video", "png"),
+    doc=(
+        "REAL video-frame pipeline, oracle-checked end to end: per "
+        "document, build a PNGV container (multimodal/video.py — "
+        "length-prefixed real PNG frames, frame colors derived from "
+        "doc_id and frame index), sample 3 evenly-spaced frames with "
+        "exact integer index arithmetic, decode each sampled frame "
+        "through the CRC-checked stdlib PNG decoder, and report the "
+        "decoded pixel sums. The DuckDB oracle predicts every column "
+        "arithmetically, so container framing, sampling math, and codec "
+        "output are all hash-verified. Arrow-batched mapInPandas, "
+        "per-payload work only — the identical Spark plumbing carries "
+        "mp4+ffmpeg in production (swap decode_pngv)."
+    ),
+)
+def r92_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cols = ("doc_id", "n_frames", "mid_idx", "last_idx", "sampled_pixel_sum")
+    schema = T.StructType([T.StructField(c, T.LongType()) for c in cols])
+
+    def batches(it):
+        from ..multimodal.png import decode_png, encode_png
+        from ..multimodal.video import encode_pngv, sample_pngv
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w, h, n = 1 + did % 7, 1 + did % 5, 2 + did % 4
+                frames = []
+                for j in range(n):
+                    color = bytes(
+                        [(did * 37 + j * 11) % 256, (did * 59 + j * 13) % 256, (did * 83 + j * 17) % 256]
+                    )
+                    frames.append(encode_png(w, h, 3, color * (w * h)))
+                sampled = sample_pngv(encode_pngv(frames), k=3)
+                total = 0
+                for _, png in sampled:
+                    _, _, _, px = decode_png(png)
+                    total += sum(px)
+                out["doc_id"].append(did)
+                out["n_frames"].append(n)
+                out["mid_idx"].append(sampled[1][0])
+                out["last_idx"].append(sampled[2][0])
+                out["sampled_pixel_sum"].append(total)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
