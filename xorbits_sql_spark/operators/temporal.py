@@ -71,3 +71,61 @@ def scd2_ranges(
         .withColumn("valid_to", nxt)
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Time-bucket gap-filling with last-observation-carried-forward.
+
+    TimescaleDB's ``time_bucket_gapfill + locf`` re-expressed as plain
+    relational ops: aggregate per (key, bucket), build the dense
+    key x bucket spine (global [min, max] bounds come from one tiny
+    aggregate broadcast; each distinct key explodes the shared bucket
+    sequence), left-join the sparse data onto the spine, and fill value
+    gaps with ``last(value, ignorenulls=True)`` over the per-key
+    bucket order. Returns (keys..., bucket_ts, n_events, total,
+    total_locf, was_gap).
+
+    Scale shape: the spine explode is |keys| * |buckets| rows — dense by
+    design (that's the semantic) but generated distributed, never on the
+    driver; the join and the locf window both shuffle on the key, and
+    Catalyst collapses them into one Exchange. Leading gaps (before a
+    key's first observation) fill with 0.0 so the output carries no
+    NULL doubles.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    daily = df.groupBy(*key_cols, b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("total"),
+    )
+    bounds = df.agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("__hi"),
+    )
+    keys = df.select(*key_cols).distinct()
+    spine = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            *key_cols,
+            F.explode(F.expr(f"sequence(__lo, __hi, interval 1 {bucket})")).alias("__b"),
+        )
+    )
+    joined = spine.join(daily, [*key_cols, "__b"], "left")
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        *key_cols,
+        F.col("__b").alias("bucket_ts"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+        F.coalesce(F.last("total", ignorenulls=True).over(w), F.lit(0.0)).alias("total_locf"),
+        F.col("n_events").isNull().cast("int").alias("was_gap"),
+    )

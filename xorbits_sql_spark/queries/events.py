@@ -662,3 +662,58 @@ def r75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_current").cast("int").alias("is_current"),
         duration.cast("bigint").alias("duration_us"),
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+@register(
+    "r55_gapfill_locf",
+    f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             COUNT(*) AS n, {sql_dsum('value', 'total')}
+      FROM events GROUP BY user_id, day
+    ),
+    bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT u.user_id, CAST(g.day AS TIMESTAMP) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+      ) g
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, d.n, d.total
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day AS bucket_ts,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           COALESCE(total, 0.0) AS total,
+           COALESCE(last_value(total IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0) AS total_locf,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+    FROM joined
+    ORDER BY user_id, bucket_ts
+    """,
+    tags=("events", "time-series", "gapfill", "locf"),
+    doc=(
+        "Time-bucket gap-filling with last-observation-carried-forward "
+        "(operators/temporal.gapfill_locf) — TimescaleDB's "
+        "time_bucket_gapfill+locf as a spine cross-join plus an "
+        "ignore-nulls window: per user per day, event counts and exact "
+        "decimal value totals densified over the global date span, gaps "
+        "carrying the prior day's total. Spine generated distributed "
+        "(bounds from one broadcast aggregate row), join and locf "
+        "window share the user_id Exchange; bit-exact oracle."
+    ),
+)
+def r55_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import gapfill_locf
+
+    filled = gapfill_locf(
+        t(spark, sf_dir, "events"), ["user_id"], "ts", "value", bucket="day"
+    )
+    return filled.orderBy("user_id", "bucket_ts")
