@@ -754,3 +754,57 @@ def r47_execute_tsql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"customer": t(spark, sf_dir, "customer")},
         spark=spark,
     )
+
+
+@register(
+    "r48_dq_checks",
+    """
+    WITH report AS (
+      SELECT 'enum_orderstatus' AS check_name,
+             (SELECT COUNT(*) FROM orders
+              WHERE NOT COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE)) AS n_violations
+      UNION ALL
+      SELECT 'fk_lineitem_orderkey',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+      UNION ALL
+      SELECT 'null_custkey',
+             (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+      UNION ALL
+      SELECT 'pk_orders_unique',
+             (SELECT COUNT(*) FROM (
+                SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+      UNION ALL
+      SELECT 'range_totalprice_positive',
+             (SELECT COUNT(*) FROM orders WHERE NOT COALESCE(o_totalprice > 0, FALSE))
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM report
+    ORDER BY check_name
+    """,
+    tags=("quality", "dq", "anti-join"),
+    doc=(
+        "Declarative data-quality audit (operators/quality.dq_report): "
+        "PK uniqueness (dup-key aggregation), FK integrity "
+        "(lineitem->orders anti-join, no pair explosion), null check, "
+        "value-range and enum-domain predicates (NULL counts as a "
+        "violation, ANSI-safe) — rolled into one |checks|-row report. "
+        "Each check is an independent pushed-down scan+aggregate; the "
+        "publish-gate every production table pipeline runs."
+    ),
+)
+def r48_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import dq_report, duplicate_keys, failing, null_rows, orphans
+
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    return dq_report(
+        {
+            "pk_orders_unique": duplicate_keys(orders, ["o_orderkey"]),
+            "fk_lineitem_orderkey": orphans(lineitem, orders, "l_orderkey", "o_orderkey"),
+            "null_custkey": null_rows(orders, "o_custkey"),
+            "range_totalprice_positive": failing(orders, F.col("o_totalprice") > 0),
+            "enum_orderstatus": failing(orders, F.col("o_orderstatus").isin("O", "F", "P")),
+        }
+    )
