@@ -572,3 +572,42 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def edit_distance_pairs(df: DataFrame, token_col: str, id_is_token: bool = True) -> DataFrame:
+    """All distinct token pairs within Levenshtein distance 1.
+
+    SymSpell-style deletion-neighborhood blocking: every token emits
+    itself plus its single-character-deletion variants; two tokens are
+    candidates iff they share a variant — which is *complete* for
+    distance <= 1 (a substitution pair shares the deletion at the
+    differing position; an insertion pair shares the shorter token
+    itself), so the expensive levenshtein verification runs only on
+    true near-collisions, never all pairs. One explode (len+1 variants
+    per token), one equi-join on the variant key, and the verify filter
+    — every stage keyed and codegen'd; the classic vocabulary/typo
+    clustering step of a text-cleaning pipeline. Generalizes to
+    distance d with d-deletion sets (variant count ~ len^d).
+
+    Returns (tok_a, tok_b, dist) with tok_a < tok_b.
+    """
+    toks = df.select(F.col(token_col).alias("tok")).distinct()
+    variants = toks.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "concat(array(tok), transform(sequence(1, length(tok)), "
+                "i -> concat(substring(tok, 1, i - 1), substring(tok, i + 1, length(tok)))))"
+            )
+        ).alias("var"),
+    ).distinct()
+    a = variants.select(F.col("tok").alias("tok_a"), "var")
+    b = variants.select(F.col("tok").alias("tok_b"), "var")
+    return (
+        a.join(b, "var")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .filter(F.col("dist") <= 1)
+    )

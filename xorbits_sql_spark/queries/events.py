@@ -717,3 +717,72 @@ def r55_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events"), ["user_id"], "ts", "value", bucket="day"
     )
     return filled.orderBy("user_id", "bucket_ts")
+
+
+@register(
+    "r56_anomaly_zscore",
+    """
+    WITH scored AS (
+      SELECT event_type, value,
+             COUNT(*) OVER w AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS ss
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_type,
+             (value - s / cnt) / sqrt((ss - s * s / cnt) / (cnt - 1)) AS zval
+      FROM scored
+      WHERE cnt >= 20 AND (ss - s * s / cnt) / (cnt - 1) > 0
+    )
+    SELECT event_type,
+           COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN abs(zval) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           MAX(abs(zval)) AS max_abs_z
+    FROM z
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "anomaly", "window-frame"),
+    doc=(
+        "Rolling z-score anomaly detection: each event scored against "
+        "the mean/stddev of its 100 predecessors within its event_type "
+        "(explicit ROWS frame). The moments come from exact DECIMAL "
+        "frame sums (sum, sum-of-squares) rather than a native stddev "
+        "window — native implementations differ across engines "
+        "(incremental vs Welford) in low bits, while exact sums plus a "
+        "fixed double formula are bit-identical anywhere, at any "
+        "partition count. One Exchange on event_type; map-side frame "
+        "scan; warm-up (<20 predecessors) excluded."
+    ),
+)
+def r56_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = F.col("value").cast("decimal(18,6)")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    scored = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum(dec).over(w).cast("double").alias("s"),
+        F.sum(dec * dec).over(w).cast("double").alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("cnt")) / (F.col("cnt") - 1)
+    z = (
+        scored.filter((F.col("cnt") >= 20) & (var > 0))
+        .select("event_type", ((F.col("value") - F.col("s") / F.col("cnt")) / F.sqrt(var)).alias("zval"))
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.when(F.abs("zval") > 3.0, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
+            F.max(F.abs("zval")).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

@@ -906,3 +906,52 @@ def r68_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.col("n").cast("bigint").alias("n"), "est")
         .orderBy(F.desc("n"), "tok")
     )
+
+
+@register(
+    "r67_edit_distance_pairs",
+    f"""
+    WITH words AS (
+      SELECT DISTINCT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    clean AS (SELECT tok FROM words WHERE tok <> ''),
+    variants AS (
+      SELECT DISTINCT tok,
+             unnest(list_prepend(tok,
+               [substr(tok, 1, i - 1) || substr(tok, i + 1, len(tok))
+                for i in range(1, len(tok) + 1)])) AS var
+      FROM clean
+    )
+    SELECT tok_a, tok_b, CAST(dist AS INT) AS dist
+    FROM (
+      SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+             levenshtein(a.tok, b.tok) AS dist
+      FROM variants a JOIN variants b ON a.var = b.var AND a.tok < b.tok
+    ) p
+    WHERE dist <= 1
+    ORDER BY tok_a, tok_b
+    """,
+    tags=("text", "fuzzy", "edit-distance", "symspell"),
+    doc=(
+        "Typo/variant detection over the corpus vocabulary "
+        "(operators/dedup.edit_distance_pairs): SymSpell deletion-"
+        "neighborhood blocking — complete for Levenshtein distance 1 — "
+        "then exact levenshtein verification on the shared-variant "
+        "candidates only. No all-pairs stage at any corpus size; both "
+        "engines agree on the levenshtein definition so the pair set "
+        "is bit-checked."
+    ),
+)
+def r67_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import edit_distance_pairs
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(norm_ws(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return (
+        edit_distance_pairs(toks, "tok")
+        .select("tok_a", "tok_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("tok_a", "tok_b")
+    )
