@@ -808,3 +808,71 @@ def r48_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "enum_orderstatus": failing(orders, F.col("o_orderstatus").isin("O", "F", "P")),
         }
     )
+
+
+@register(
+    "r49_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+    ),
+    diff AS (
+      SELECT CASE
+               WHEN o.o_orderkey IS NULL THEN 'inserted'
+               WHEN n.o_orderkey IS NULL THEN 'deleted'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+               ELSE 'unchanged'
+             END AS change_type
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, COUNT(*) AS n
+    FROM diff
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+    tags=("cdc", "snapshot-diff", "full-outer"),
+    doc=(
+        "Snapshot diff / CDC derivation: two versions of a table "
+        "(date-sliced here) compared by primary key with one full-outer "
+        "join — inserted / deleted / changed / unchanged classification "
+        "with NULL-safe column comparison (IS DISTINCT FROM == "
+        "eqNullSafe). The standard way to derive a changelog between "
+        "warehouse snapshots when the source has none; one key-hashed "
+        "Exchange per side, AQE handles size asymmetry."
+    ),
+)
+def r49_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("o_orderstatus").alias("s_old"),
+        F.col("o_totalprice").alias("p_old"),
+    )
+    new = orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.col("o_orderstatus").alias("s_new"),
+        F.col("o_totalprice").alias("p_new"),
+    )
+    joined = old.join(new, F.col("k_old") == F.col("k_new"), "full_outer")
+    change = (
+        F.when(F.col("k_old").isNull(), "inserted")
+        .when(F.col("k_new").isNull(), "deleted")
+        .when(
+            ~F.col("s_old").eqNullSafe(F.col("s_new"))
+            | ~F.col("p_old").eqNullSafe(F.col("p_new")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )
