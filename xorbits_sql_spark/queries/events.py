@@ -786,3 +786,61 @@ def r56_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "r57_trend_slope",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events
+      GROUP BY event_type, x
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           (COUNT(*) * CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE))
+           / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+             AS slope
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "regression", "analytics"),
+    doc=(
+        "Per-group trend estimation without any ML library: closed-form "
+        "OLS slope of daily value totals per event_type, all moments "
+        "(sum x, sum y, sum xy, sum x^2) accumulated as exact DECIMALs "
+        "so the slope is bit-identical at any partition count and to "
+        "DuckDB — the reason to avoid the engines' native regr_slope, "
+        "whose float accumulation order differs. Two keyed "
+        "aggregations, map-side combined; the daily rollup reuses the "
+        "event_type Exchange."
+    ),
+)
+def r57_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sy = F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
+    sxy = F.sum(F.col("x").cast("decimal(28,6)") * F.col("y").cast("decimal(28,6)")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            n.alias("n_days"),
+            ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope"),
+        )
+        .orderBy("event_type")
+    )
