@@ -844,3 +844,72 @@ def r57_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "r58_item_cosine",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    norms AS (
+      SELECT event_type, CAST(SUM(n * n) AS BIGINT) AS nn FROM c GROUP BY event_type
+    ),
+    dots AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_common_users,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+      FROM c a JOIN c b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_common_users, dot,
+           dot / (sqrt(na.nn) * sqrt(nb.nn)) AS cosine
+    FROM dots
+    JOIN norms na ON na.event_type = type_a
+    JOIN norms nb ON nb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "cooccurrence", "recommender"),
+    doc=(
+        "Item-item cosine similarity from user co-occurrence — the "
+        "collaborative-filtering preprocessing step: per-(user, item) "
+        "interaction counts, pair dot products via a self-join keyed on "
+        "user_id (pair space bounded by per-user item counts, never "
+        "|items|^2 over the corpus), integer-exact dot/norm sums, one "
+        "double division at the end. The item-count aggregation reuses "
+        "the user_id Exchange; norms are a tiny broadcast side."
+    ),
+)
+def r58_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norms = c.groupBy("event_type").agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("nn"))
+    a = c.select(F.col("user_id"), F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    b = c.select(F.col("user_id"), F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    dots = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_users"),
+            F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("dot"),
+        )
+    )
+    na = F.broadcast(norms.select(F.col("event_type").alias("type_a"), F.col("nn").alias("nna")))
+    nb = F.broadcast(norms.select(F.col("event_type").alias("type_b"), F.col("nn").alias("nnb")))
+    return (
+        dots.join(na, "type_a")
+        .join(nb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common_users",
+            "dot",
+            (F.col("dot") / (F.sqrt("nna") * F.sqrt("nnb"))).alias("cosine"),
+        )
+        .orderBy("type_a", "type_b")
+    )
