@@ -913,3 +913,71 @@ def r58_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "r59_chi_square",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS o
+      FROM events GROUP BY event_type, hr
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_n FROM obs GROUP BY event_type),
+    ct AS (SELECT hr, CAST(SUM(o) AS BIGINT) AS col_n FROM obs GROUP BY hr),
+    g AS (SELECT CAST(SUM(o) AS BIGINT) AS grand FROM obs),
+    cells AS (
+      SELECT rt.event_type, ct.hr,
+             COALESCE(obs.o, 0) AS o,
+             CAST(rt.row_n * ct.col_n AS DOUBLE) / g.grand AS e
+      FROM rt CROSS JOIN ct CROSS JOIN g
+      LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.hr = ct.hr
+    )
+    SELECT event_type,
+           COUNT(*) AS n_cells,
+           CAST(SUM(o) AS BIGINT) AS n_obs,
+           CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(28,12))) AS DOUBLE) AS chi2_contrib
+    FROM cells
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "statistics", "chi-square"),
+    doc=(
+        "Chi-square independence profiling of event_type vs hour-of-day: "
+        "observed cell counts, marginal totals, and expected counts over "
+        "the DENSE type x hour spine (zero cells still contribute their "
+        "expected mass — built by crossing the two tiny marginal tables, "
+        "never the fact table). Per-cell contributions are rounded to "
+        "DECIMAL(28,12) before summing so the statistic is "
+        "partition-order-independent and bit-equal cross-engine. The "
+        "only fact-table work is one keyed aggregation."
+    ),
+)
+def r59_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").cast("bigint").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("row_n"))
+    ct = obs.groupBy("hr").agg(F.sum("o").cast("bigint").alias("col_n"))
+    g = obs.agg(F.sum("o").cast("bigint").alias("grand"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(g))
+        .join(obs, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            ((F.col("row_n") * F.col("col_n")).cast("double") / F.col("grand")).alias("e"),
+        )
+    )
+    contrib = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("o").cast("bigint").alias("n_obs"),
+            F.sum(contrib.cast("decimal(28,12)")).cast("double").alias("chi2_contrib"),
+        )
+        .orderBy("event_type")
+    )
