@@ -981,3 +981,71 @@ def r59_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "r76_winsorized_stats",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN rnk = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo,
+             MAX(CASE WHEN rnk = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS hi,
+             MAX(n) AS n
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(MAX(c.n) AS BIGINT) AS n,
+           MAX(c.lo) AS lo,
+           MAX(c.hi) AS hi,
+           CAST(SUM(CAST(least(greatest(r.value, c.lo), c.hi) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS mean_winsorized
+    FROM ranked r JOIN cuts c ON r.event_type = c.event_type
+    GROUP BY r.event_type
+    ORDER BY r.event_type
+    """,
+    tags=("events", "statistics", "winsorize"),
+    doc=(
+        "Winsorized (outlier-clipped) robust mean per event_type using "
+        "DISCRETE rank-based p05/p95 cutoffs — row_number over (value, "
+        "id) rather than interpolated percentiles, because interpolation "
+        "formulas differ across engines in low bits while a rank lookup "
+        "is exact everywhere. One Exchange on event_type shared by the "
+        "rank window, the cutoff extraction, and the clip join; clipped "
+        "values re-accumulate as exact decimals."
+    ),
+)
+def r76_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wv = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rnk") == F.ceil(0.05 * F.col("n")).cast("bigint"), F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rnk") == F.ceil(0.95 * F.col("n")).cast("bigint"), F.col("value"))).alias("hi"),
+        F.max("n").alias("cn"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ranked.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("cn").cast("bigint").alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            (F.sum(clipped.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "mean_winsorized"
+            ),
+        )
+        .orderBy("event_type")
+    )
