@@ -876,3 +876,86 @@ def r49_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("change_type")
     )
+
+
+def _pagerank_oracle(n_iter: int = 2, damping: float = 0.85) -> str:
+    # constants spelled as exact double literals (repr) with explicit
+    # DOUBLE casts — DuckDB would otherwise parse 0.85 as DECIMAL and
+    # diverge from Spark's float arithmetic in the last bits.
+    d = f"CAST({damping!r} AS DOUBLE)"
+    one_minus_d = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    parts = [
+        """base AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )""",
+        """edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM base
+      UNION ALL
+      SELECT 's' || s, 'c' || c FROM base
+    )""",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        "pr0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg CROSS JOIN nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""pr{i} AS (
+      SELECT e.dst AS id,
+             {one_minus_d} / MAX(x.n) + {d} * (CAST(SUM(CAST(floor(p.pr / dg.deg * 1e18) AS HUGEINT)) AS DOUBLE) / 1e18) AS pr
+      FROM edges e
+      JOIN pr{i-1} p ON p.id = e.src
+      JOIN deg dg ON dg.src = e.src
+      CROSS JOIN nn x
+      GROUP BY e.dst
+    )"""
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT id, pr FROM pr{n_iter}
+    ORDER BY pr DESC, id
+    LIMIT 20
+    """
+
+
+@register(
+    "r74_pagerank",
+    _pagerank_oracle(n_iter=2, damping=0.85),
+    tags=("graph", "pagerank", "iterative"),
+    doc=(
+        "PageRank (operators/graph.pagerank) over the symmetric "
+        "customer-supplier bipartite graph derived from lineitem x "
+        "orders: fixed 2-iteration dataflow, rank tables persisted per "
+        "iteration, node count via one-row broadcast (no driver "
+        "count()), contributions floor-quantized to 1e-18 grains and "
+        "summed as exact integers so ranks are partition-order-"
+        "independent (floor, unlike double->decimal casts, rounds "
+        "identically in every engine). The oracle "
+        "replays both iterations CTE-by-CTE with the same exact-decimal "
+        "rule — top-20 ranked nodes bit-match. With connected "
+        "components and k-means this completes the iterative-algorithm "
+        "family (graph centrality / clustering / training) as pure "
+        "relational dataflow."
+    ),
+)
+def r74_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .join(t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).unionAll(
+        base.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    return (
+        pagerank(edges, n_iter=2, damping=0.85)
+        .orderBy(F.desc("pr"), "id")
+        .limit(20)
+    )
