@@ -1049,3 +1049,61 @@ def r76_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "r50_time_weighted_avg",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(round(value * 100.0) AS BIGINT) AS value_c,
+             epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           CAST(SUM(CAST(value_c * dt_us AS HUGEINT)) AS DOUBLE) / 100.0
+             / CAST(SUM(dt_us) AS DOUBLE) AS twa_value
+    FROM iv
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "time-series", "twa"),
+    doc=(
+        "Time-weighted average per user — the IoT/financial aggregate "
+        "where a value holds until the next observation: lead() "
+        "intervals in microsecond-exact integer time; values (2-decimal "
+        "payloads) quantized to integer cents so every value x duration "
+        "product is an exact int64 and the weighted sum accumulates as "
+        "exact int128 (DECIMAL(38,0)) — naive decimal x bigint products "
+        "overflow one engine's precision cap or the other's int64 "
+        "multiply, while integer grains are exact and "
+        "partition-order-independent everywhere — "
+        "one double division at the end. Window and final aggregation "
+        "share the user_id Exchange."
+    ),
+)
+def r50_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100.0).cast("bigint").alias("value_c"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    )
+    return (
+        iv.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            (
+                F.sum((F.col("value_c") * F.col("dt_us")).cast("decimal(38,0)")).cast("double")
+                / 100.0
+                / F.sum("dt_us").cast("double")
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
