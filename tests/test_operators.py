@@ -404,3 +404,50 @@ def test_countmin_overcounts_only_and_merges(spark):
     a = {(r.d, r.bucket): r.cnt for r in sketch.collect()}
     b = {(r.d, r.bucket): r.cnt for r in merged.collect()}
     assert a == b
+
+
+def test_applyinpandas_ols_matches_relational(spark):
+    """Grouped-map (applyInPandas) per-group OLS equals the relational
+    decimal-exact r57 formulation on the same data — the grouped pandas
+    API and the pure-SQL path agree to float tolerance."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.queries import load_all
+    from xorbits_sql_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.001"
+    rel = {
+        r.event_type: r.slope
+        for r in load_all()["r57_trend_slope"].fn(spark, sf).collect()
+    }
+
+    daily = (
+        t(spark, sf, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("bigint").alias("x"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        sx, sy = pdf.x.sum(), pdf.y.sum()
+        sxy, sxx = (pdf.x * pdf.y).sum(), (pdf.x * pdf.x).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pd.DataFrame({"event_type": [pdf.event_type.iloc[0]], "slope": [slope]})
+
+    got = {
+        r.event_type: r.slope
+        for r in daily.groupBy("event_type")
+        .applyInPandas(fit, "event_type string, slope double")
+        .collect()
+    }
+    assert set(got) == set(rel)
+    for k in rel:
+        assert math.isclose(got[k], rel[k], rel_tol=1e-9), k
