@@ -64,3 +64,41 @@ def test_stream_sessions_rows(spark):
     # one row per (user, session); bounded by event count, at least one per user
     assert 150 <= len(sessions) <= 10_000
     assert (sessions["n_events"] >= 1).all()
+
+
+def test_upsert_sink_equals_batch_latest(spark, tmp_path):
+    """foreachBatch keyed-upsert snapshot == batch latest-by-key over the
+    same bounded source (the streaming CDC materialization contract)."""
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.queries._util import t
+    from xorbits_sql_spark.streaming.sinks import upsert_latest_to_parquet
+    from xorbits_sql_spark.streaming.windows import read_parquet_stream
+
+    sf = SF_ORACLE
+    out = str(tmp_path / "state")
+    stream = read_parquet_stream(spark, f"{sf}/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    upsert_latest_to_parquet(
+        stream, out, key_cols=["user_id"], ts_col="ts", tiebreak="event_id",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    got = spark.read.parquet(out).toPandas().set_index("user_id").sort_index()
+
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = (
+        t(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert len(got) == len(want)
+    assert (got["event_id"] == want["event_id"]).all()
+    assert (got["value"] == want["value"]).all()

@@ -1,0 +1,68 @@
+"""Streaming sinks beyond the memory sink: keyed upsert maintenance.
+
+``upsert_latest_to_parquet`` maintains a "current state per key" table
+from a stream via ``foreachBatch`` — the pattern behind every streaming
+CDC materialization: each micro-batch is reduced to its latest row per
+key, merged with the previous snapshot, and the winner per key (by
+event time, then a tiebreak id) is written back. The per-batch work is
+two keyed window reductions — no state store, because the snapshot IS
+the state, which is what you want when the key space is large but the
+update rate per batch is modest.
+
+The snapshot swap here is materialize-then-overwrite (persist + count
+before rewriting the directory) — correct for a single writer; on a
+production lake the same ``foreachBatch`` body becomes a Delta/Iceberg
+``MERGE INTO`` and the swap problem disappears. Documented, not hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _latest(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak: str) -> DataFrame:
+    w = W.partitionBy(*key_cols).orderBy(F.desc(ts_col), F.desc(tiebreak))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_latest_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """Run the (bounded) stream to completion, upserting per-key latest
+    rows into a parquet snapshot at ``path``. Returns the query handle
+    after awaiting termination (availableNow trigger).
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest_new = _latest(batch_df, key_cols, ts_col, tiebreak)
+        try:
+            existing = spark.read.parquet(path)
+            merged = _latest(
+                existing.unionByName(latest_new), key_cols, ts_col, tiebreak
+            )
+        except Exception:  # first batch: no snapshot yet
+            merged = latest_new
+        # materialize fully before overwriting the directory we read from
+        merged = merged.persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(path)
+        merged.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(merge).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
