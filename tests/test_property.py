@@ -171,3 +171,37 @@ def test_asof_join_vs_duckdb(spark, left, right):
         "SELECT l.k AS k, l.v AS v, r.rv AS rv FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.v >= r.t"
     ).fetchdf()
     assert not compare(got, want)
+
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=5), min_size=2, max_size=15, unique=True
+)
+
+
+@given(words=_words)
+@settings(**_SETTINGS)
+def test_edit_distance_blocking_is_complete(spark, words):
+    """SymSpell deletion blocking must find EXACTLY the brute-force
+    levenshtein<=1 pairs — completeness of the candidate generation is
+    the operator's core claim."""
+    from xorbits_sql_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    got = {(r.tok_a, r.tok_b) for r in edit_distance_pairs(df, "tok").collect()}
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(words))
+        for b in sorted(words)[i + 1 :]
+        if lev(a, b) <= 1
+    }
+    assert got == want
