@@ -63,3 +63,47 @@ def test_q02_part_filter_reaches_scan(spark):
 def test_q74_ivf_broadcasts_centroids(spark):
     df = SPECS["q74_ann_ivf"].fn(spark, SF_ORACLE)
     assert uses_broadcast_join(df)
+
+
+def test_zorder_write_tightens_rowgroup_stats(spark, tmp_path):
+    """Writing sorted by the z-order key must yield parquet row groups
+    whose min/max stats are narrow in BOTH dimensions — the physical
+    data-skipping property the operator exists for (readers prune row
+    groups on either column's predicate)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.operators.layout import zorder_key
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y")
+    )
+    zed = zorder_key(grid, ["x", "y"], bits=16)
+    out = str(tmp_path / "zsorted")
+    (
+        zed.repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(out)
+    )
+
+    import glob
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            sx = g.column(cols["x"]).statistics
+            sy = g.column(cols["y"]).statistics
+            spans.append((sx.max - sx.min, sy.max - sy.min))
+    assert spans
+    # every file covers a contiguous z-range: with 16 ranges over a
+    # 64x64 grid each covers ~a 16x16-ish tile — both dims bounded far
+    # below the global span of 63, where a 1-D sort on x would leave
+    # EVERY row group's y-span at 63.
+    mean_x = sum(s[0] for s in spans) / len(spans)
+    mean_y = sum(s[1] for s in spans) / len(spans)
+    assert mean_x < 32 and mean_y < 32, (mean_x, mean_y)
+    assert all(s[0] < 64 and s[1] < 64 for s in spans)
