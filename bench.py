@@ -31,6 +31,8 @@ def main() -> None:
     # charged session startup.
     specs["q01_pricing_summary"].fn(spark, sf_dir).count()
 
+    from xorbits_sql_spark.operators.dedup import release_caches
+
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
         try:
@@ -38,6 +40,11 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001 - report, don't die
             failures[name] = f"{type(exc).__name__}: {exc}"
+        finally:
+            # operators persist their index/centroid/rank tables for
+            # intra-query reuse; release between queries so a 122-query
+            # session doesn't accumulate dead cached partitions.
+            release_caches()
 
     total = round(sum(timings.values()), 4)
     out = {
