@@ -84,3 +84,21 @@ def test_sort_desc_limit(spark, frames):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_execute_accepts_ast_expression(spark):
+    """Reference parity: execute(sql: str | Expression). Any AST object
+    with a .sql() renderer (sqlglot Expression shape) is accepted,
+    independent of whether sqlglot itself is importable."""
+    import pandas as pd
+
+    from xorbits_sql_spark import execute
+
+    class FakeExpression:
+        def sql(self, dialect=None):
+            assert dialect == "duckdb"
+            return "SELECT k, SUM(v) AS s FROM t GROUP BY k ORDER BY k"
+
+    pdf = pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+    got = execute(FakeExpression(), dialect="duckdb", tables={"t": pdf}, spark=spark).collect()
+    assert [(r["k"], r["s"]) for r in got] == [("a", 4), ("b", 2)]

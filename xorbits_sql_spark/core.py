@@ -65,7 +65,11 @@ def execute(
 
     Parameters mirror the reference (core.py:50-65):
 
-    * ``sql`` — the query, in any supported dialect.
+    * ``sql`` — the query, in any supported dialect. Like the reference
+      (``sql: str | Expression``), a parsed AST object is accepted too:
+      anything with a callable ``.sql()`` renderer (e.g. a sqlglot
+      Expression) is rendered in ``dialect`` first — duck-typed, so it
+      works whether or not sqlglot is importable here.
     * ``schema`` — optional ``{table: {col: type-string}}`` (possibly nested
       ``{catalog: {db: {table: ...}}}``); used to type list/pandas inputs.
       Spark DataFrames carry their own schema and ignore it.
@@ -75,6 +79,17 @@ def execute(
     * ``spark`` — optional explicit session (defaults to the tuned
       process-wide session).
     """
+    if not isinstance(sql, str):
+        render = getattr(sql, "sql", None)
+        if not callable(render):
+            raise ExecuteError(
+                f"sql must be a string or an AST with a .sql() renderer, got {type(sql).__name__}"
+            )
+        try:
+            sql = render(dialect=dialect) if dialect else render()
+        except TypeError:  # renderer without a dialect kwarg
+            sql = render()
+
     spark = spark or get_spark()
     registered: dict[tuple[str, ...], str] = {}
     if tables:
