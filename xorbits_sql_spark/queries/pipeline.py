@@ -832,3 +832,67 @@ def r92_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+@register(
+    "r93_resize_roundtrip",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 5
+               + ((x.x * (3 + d.doc_id % 6)) // 4) * 7
+               + ((y.y * (2 + d.doc_id % 5)) // 3) * 13) % 256) AS v
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS y) y
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(4 AS BIGINT) AS out_w,
+           CAST(3 AS BIGINT) AS out_h,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "png", "resize"),
+    doc=(
+        "REAL image resize, oracle-checked: per document a gradient "
+        "grayscale PNG (value (id*5 + x*7 + y*13) mod 256, dims from "
+        "doc_id) goes through the full decode -> nearest-neighbor "
+        "resample -> re-encode -> decode chain of the stdlib codec "
+        "(multimodal/png.py resize_nearest via media.resize_image). The "
+        "oracle predicts every output pixel arithmetically (source "
+        "index = x*w div out_w — the same integer map), so filter math, "
+        "stride handling, and both codec directions are hash-verified. "
+        "Arrow-batched mapInPandas, per-payload work only."
+    ),
+)
+def r93_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cols = ("doc_id", "out_w", "out_h", "pixel_sum")
+    schema = T.StructType([T.StructField(c, T.LongType()) for c in cols])
+
+    def batches(it):
+        from ..multimodal.media import resize_image
+        from ..multimodal.png import decode_png, encode_png
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w, h = 3 + did % 6, 2 + did % 5
+                pixels = bytes(
+                    (did * 5 + x * 7 + y * 13) % 256 for y in range(h) for x in range(w)
+                )
+                resized = resize_image(encode_png(w, h, 1, pixels), 4, 3)
+                rw, rh, ch, rpx = decode_png(resized)
+                out["doc_id"].append(did)
+                out["out_w"].append(rw)
+                out["out_h"].append(rh)
+                out["pixel_sum"].append(sum(rpx))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
