@@ -896,3 +896,60 @@ def r93_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+@register(
+    "r94_audio_resample_roundtrip",
+    """
+    WITH s AS (
+      SELECT d.doc_id,
+             (((d.doc_id * 31 + ((j.j * (20 + d.doc_id % 30)) // 16) * 17) % 4096) - 2048) AS v
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(16 AS BIGINT) AS n_frames,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak
+    FROM s
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "wav", "resample"),
+    doc=(
+        "REAL audio resample, oracle-checked: per document a PCM16 WAV "
+        "(samples (id*31 + i*17) mod 4096 - 2048, frame count from "
+        "doc_id) runs encode -> decode -> nearest-neighbor resample to "
+        "16 frames -> re-encode -> decode through the stdlib RIFF codec "
+        "(multimodal/wav.py). The oracle predicts each resampled frame "
+        "(source index = j*n_from div 16), so container parsing, "
+        "sample packing, and the resampler are hash-verified."
+    ),
+)
+def r94_audio_resample_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cols = ("doc_id", "n_frames", "sample_sum", "peak")
+    schema = T.StructType([T.StructField(c, T.LongType()) for c in cols])
+
+    def batches(it):
+        from ..multimodal.wav import decode_wav, encode_wav, resample_nearest
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                n_from = 20 + did % 30
+                samples = [((did * 31 + i * 17) % 4096) - 2048 for i in range(n_from)]
+                sr, ch, nf, decoded = decode_wav(encode_wav(8000, 1, samples))
+                resampled = resample_nearest(decoded, ch, nf, 16)
+                sr2, ch2, nf2, final = decode_wav(encode_wav(8000, ch, resampled))
+                out["doc_id"].append(did)
+                out["n_frames"].append(nf2)
+                out["sample_sum"].append(sum(final))
+                out["peak"].append(max(abs(v) for v in final))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
