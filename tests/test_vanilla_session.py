@@ -31,6 +31,12 @@ _REPRESENTATIVE = (
     "q60_doc_token_stats",
     "q70_knn_brute_force",
     "q76_decontaminate",
+    # round-2 families: iterative (kmeans), temporal spine (gapfill),
+    # layout bit-math (zorder), codec mapInPandas (video frames)
+    "r72_kmeans_lloyd",
+    "r55_gapfill_locf",
+    "r77_zorder_locality",
+    "r92_video_frame_sampling",
 )
 
 _SCRIPT = r"""
