@@ -41,6 +41,9 @@ def pagerank(
     dangling-mass corrections. The node count enters the formula via a
     one-row broadcast aggregate, never a driver-side ``count()``.
     """
+    # The caller's edge lineage is often expensive (a join + distinct);
+    # without this persist both `deg` and `ed` below would re-derive it.
+    edges = _persist(edges)
     deg = _persist(edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg")))
     n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
     ranks = _persist(

@@ -889,10 +889,13 @@ def _pagerank_oracle(n_iter: int = 2, damping: float = 0.85) -> str:
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     )""",
+        # integer node ids on the hot path (even = customer 2k,
+        # odd = supplier 2k+1) — int shuffles hash/compare far cheaper
+        # than strings; names materialize only for the final 20 rows
         """edges AS (
-      SELECT 'c' || c AS src, 's' || s AS dst FROM base
+      SELECT 2 * c AS src, 2 * s + 1 AS dst FROM base
       UNION ALL
-      SELECT 's' || s, 'c' || c FROM base
+      SELECT 2 * s + 1, 2 * c FROM base
     )""",
         "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
         "nn AS (SELECT COUNT(*) AS n FROM deg)",
@@ -913,7 +916,10 @@ def _pagerank_oracle(n_iter: int = 2, damping: float = 0.85) -> str:
     ctes = ",\n    ".join(parts)
     return f"""
     WITH {ctes}
-    SELECT id, pr FROM pr{n_iter}
+    SELECT CASE WHEN id % 2 = 0 THEN 'c' || (id // 2)
+                ELSE 's' || ((id - 1) // 2) END AS id,
+           pr
+    FROM pr{n_iter}
     ORDER BY pr DESC, id
     LIMIT 20
     """
@@ -946,16 +952,27 @@ def r74_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem")
         .join(t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+            (2 * F.col("o_custkey")).alias("cnode"),
+            (2 * F.col("l_suppkey") + 1).alias("snode"),
         )
         .distinct()
     )
-    edges = base.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")).unionAll(
-        base.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
-    )
+    # symmetrize with one explode, not a self-union — a union would scan
+    # (and re-run the join+distinct of) `base` once per direction
+    edges = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cnode").alias("src"), F.col("snode").alias("dst")),
+                F.struct(F.col("snode").alias("src"), F.col("cnode").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    name = F.when(
+        F.col("id") % 2 == 0, F.concat(F.lit("c"), (F.col("id") / 2).cast("bigint"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("id") - 1) / 2).cast("bigint")))
     return (
         pagerank(edges, n_iter=2, damping=0.85)
+        .select(name.alias("id"), "pr")
         .orderBy(F.desc("pr"), "id")
         .limit(20)
     )
