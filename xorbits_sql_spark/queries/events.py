@@ -759,18 +759,40 @@ def r55_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def r56_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The [i-100, i-1] frame sums are computed as differences of
+    # CUMULATIVE exact-decimal sums via lag(cum, 1) - lag(cum, 101):
+    # O(n) per partition instead of Spark's O(n * frame) re-scan of a
+    # bounded preceding frame (measured 3.9s -> ~1s at sf0.1). Decimal
+    # addition is associative/exact, so the difference equals the
+    # oracle's direct frame sum bit-for-bit — this rewrite is only
+    # valid because the accumulator is exact; with double sums the
+    # subtraction would introduce cancellation error.
     dec = F.col("value").cast("decimal(18,6)")
-    w = (
+    wc = (
         W.partitionBy("event_type")
         .orderBy("ts", "event_id")
-        .rowsBetween(-100, -1)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    scored = t(spark, sf_dir, "events").select(
+    wl = W.partitionBy("event_type").orderBy("ts", "event_id")
+    cum = t(spark, sf_dir, "events").select(
         "event_type",
         "value",
-        F.count(F.lit(1)).over(w).alias("cnt"),
-        F.sum(dec).over(w).cast("double").alias("s"),
-        F.sum(dec * dec).over(w).cast("double").alias("ss"),
+        "ts",
+        "event_id",
+        F.row_number().over(wl).alias("rn"),
+        F.sum(dec).over(wc).alias("cum_s"),
+        F.sum(dec * dec).over(wc).alias("cum_ss"),
+    )
+    def frame(col, lag_far):
+        return F.coalesce(F.lag(col, 1).over(wl), F.lit(0)) - F.coalesce(
+            F.lag(col, lag_far).over(wl), F.lit(0)
+        )
+    scored = cum.select(
+        "event_type",
+        "value",
+        frame(F.col("rn"), 101).cast("bigint").alias("cnt"),
+        frame(F.col("cum_s"), 101).cast("double").alias("s"),
+        frame(F.col("cum_ss"), 101).cast("double").alias("ss"),
     )
     var = (F.col("ss") - F.col("s") * F.col("s") / F.col("cnt")) / (F.col("cnt") - 1)
     z = (
