@@ -451,3 +451,21 @@ def test_applyinpandas_ols_matches_relational(spark):
     assert set(got) == set(rel)
     for k in rel:
         assert math.isclose(got[k], rel[k], rel_tol=1e-9), k
+
+
+def test_semdedup_drops_higher_id_near_dups(spark):
+    from xorbits_sql_spark.operators.similarity import kmeans_lloyd, semdedup
+
+    # two orthogonal groups; ids 2/4 duplicate id 0's direction, id 5
+    # duplicates id 3; id 1 and 3 are distinct directions within their
+    # groups (cosine below threshold).
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0]), (4, [1.0, 0.001, 0.0]),
+        (1, [0.0, 1.0, 0.0]), (3, [0.0, 0.7, 0.7]), (5, [0.0, 0.7001, 0.7]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = kmeans_lloyd(emb, k=2, n_iter=2)
+    decisions = {r.vec_id: r.kept for r in semdedup(emb, cents, threshold=0.95).collect()}
+    assert decisions == {0: True, 1: True, 3: True, 2: False, 4: False, 5: False}
+    # every vector got exactly one decision row
+    assert semdedup(emb, cents, threshold=0.95).count() == 6

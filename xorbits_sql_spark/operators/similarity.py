@@ -266,6 +266,54 @@ def kmeans_lloyd(
     return cents
 
 
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023).
+
+    Cluster the corpus by nearest centroid (k-means cells — train with
+    :func:`kmeans_lloyd`), then compare vectors only WITHIN a cell and
+    drop every vector that has a lower-id neighbor with cosine above
+    ``threshold``. The kept set is the deterministic greedy
+    representative choice (lowest id wins), matching the paper's
+    keep-one-per-duplicate-group intent without an iterative component.
+
+    Scale shape: one broadcast argmax assignment (map-only, no corpus
+    shuffle — :func:`ivf_assign`), one self-join shuffled on the cell
+    key, one anti-join on the id. The pair stage is quadratic in cell
+    size, so size ``k`` so cells stay bounded (the paper uses
+    k ≈ sqrt(n) or larger; hot cells can additionally be split with the
+    salting pattern in operators/skew.py).
+
+    Returns one decision row per corpus vector: (``id_col``, cell,
+    kept) — callers keep ``kept`` rows or join back for the survivors.
+    """
+    cells = ivf_assign(corpus, centroids, cid=id_col, vec=vec)
+    a = cells.select(
+        "cell", F.col("cid").alias("id_a"), F.col("cvec").alias("qvec"), F.col("cn").alias("qn")
+    )
+    b = cells.select("cell", F.col("cid").alias("id_b"), "cvec", "cn")
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_pair_cosine() > threshold)
+        .select(F.col("id_b").alias("cid"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("kept", F.lit(False)), "cid", "left_outer")
+        .select(
+            F.col("cid").alias(id_col),
+            "cell",
+            F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def assign_with_score(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -340,3 +340,57 @@ def r73_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "cosine", F.col("rank").cast("int").alias("rank"))
         .orderBy("qid", "rank")
     )
+
+
+def _duck_semdedup_sql(k: int, n_iter: int, threshold: float) -> str:
+    """r70 oracle: Lloyd chain → cell assignment → within-cell near-dup
+    pairs → greedy lowest-id-kept decision per vector."""
+    cent_cos = _cosv("CAST(c.embedding AS DOUBLE[])", "k.cvec")
+    pair_cos = _cos("a", "b")
+    return f"""
+    WITH {_duck_kmeans_ctes(k, n_iter)},
+    cells AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT c.vec_id, c.embedding, k.cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY {cent_cos} DESC, k.cell) AS rn
+        FROM embeddings c CROSS JOIN cents{n_iter} k
+      ) x WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {pair_cos} > {threshold}
+    )
+    SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@register(
+    "r70_semdedup",
+    _duck_semdedup_sql(k=8, n_iter=1, threshold=0.35),
+    tags=("vectors", "dedup", "kmeans", "iterative"),
+    doc=(
+        "SemDeDup semantic deduplication (Abbas et al. 2023): k-means "
+        "clusters the embedding corpus (1 Lloyd iteration, deterministic "
+        "lowest-id seeds), then near-duplicates are detected only WITHIN "
+        "a cluster (cosine > 0.35; the synthetic corpus has no planted "
+        "near-identical pairs, so the threshold sits in the top tail of "
+        "the real cosine distribution to exercise the drop path) and "
+        "each duplicate group keeps its "
+        "lowest-id representative. The cluster stage bounds the pair "
+        "join to cell-sized blocks — the published trick that makes "
+        "embedding dedup tractable at corpus scale (vs q73's LSH-bucket "
+        "variant: same goal, index-free buckets). One broadcast argmax "
+        "assignment, one cell-keyed self-join, one anti-join; no corpus "
+        "shuffle outside the cell join. Oracle replays training, "
+        "assignment, and the greedy decision CTE-by-CTE per vector."
+    ),
+)
+def r70_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd, semdedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(emb, k=8, n_iter=1)
+    return semdedup(emb, cents, threshold=0.35).orderBy("vec_id")
