@@ -953,3 +953,79 @@ def r94_audio_resample_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+_DECON_GRAMS = "[array_to_string(words[i:i+3], ' ') for i in range(1, len(words) - 2)]"
+
+
+@register(
+    "r71_ngram_decontaminate",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest({_DECON_GRAMS}) AS shingle
+      FROM docs WHERE source IN ('src0', 'src1') AND len(words) >= 4
+    ),
+    train AS (
+      SELECT DISTINCT doc_id, unnest({_DECON_GRAMS}) AS shingle
+      FROM docs WHERE source NOT IN ('src0', 'src1') AND len(words) >= 4
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS hit_grams
+      FROM train JOIN bench USING (shingle)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+           COALESCE(h.hit_grams, 0) > 0 AS contaminated
+    FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.source NOT IN ('src0', 'src1')
+    ORDER BY d.doc_id
+    """,
+    tags=("pipeline", "decontamination", "ngram"),
+    doc=(
+        "N-gram-overlap benchmark decontamination (the GPT-3/PaLM rule: "
+        "flag a training document if any of its word n-grams appears in "
+        "an eval set; real pipelines use 8-13-grams, here 4-grams — the "
+        "discriminating length for this synthetic vocabulary). Both "
+        "sides shingle relationally (codegen'd lead() windows, one "
+        "doc-keyed shuffle); the eval side collapses to a DISTINCT gram "
+        "set that is tiny at any corpus scale, so the probe join "
+        "broadcasts it and the 100 TB training side is never shuffled "
+        "on the gram key. Returns one decision row per training doc "
+        "(hit_grams = distinct overlapping grams, contaminated flag) — "
+        "the n-gram upgrade of q76's exact-fingerprint anti-join."
+    ),
+)
+def r71_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_relational
+
+    docs = t(spark, sf_dir, "documents")
+    is_bench = F.col("source").isin("src0", "src1")
+    bench = (
+        shingles_relational(docs.filter(is_bench), "text", "doc_id", k=4)
+        .select("shingle")
+        .distinct()
+    )
+    train = shingles_relational(
+        docs.filter(~is_bench), "text", "doc_id", k=4, distinct=True
+    )
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+        .withColumnRenamed("doc", "doc_id")
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("hit_grams", F.lit(0)).cast("bigint").alias("hit_grams"),
+            (F.coalesce("hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
