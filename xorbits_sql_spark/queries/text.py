@@ -955,3 +955,73 @@ def r67_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok_a", "tok_b", F.col("dist").cast("int").alias("dist"))
         .orderBy("tok_a", "tok_b")
     )
+
+
+@register(
+    "r79_bpe_merge_stats",
+    f"""
+    WITH docs AS (
+      SELECT string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    vocab AS (
+      SELECT w, COUNT(*) AS f
+      FROM (SELECT unnest(words) AS w FROM docs)
+      WHERE length(w) >= 2
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair, SUM(f) AS cnt
+      FROM vocab, unnest(generate_series(1, length(w) - 1)) AS t(i)
+      GROUP BY pair
+    )
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank
+      FROM pairs
+    ) ranked
+    WHERE rank <= 20
+    ORDER BY rank
+    """,
+    tags=("text", "tokens", "bpe", "vocab"),
+    doc=(
+        "BPE tokenizer-training statistics: the first merge iteration — "
+        "corpus-wide counts of adjacent character pairs, weighted by "
+        "word frequency. The corpus-scale work is ONE word-count groupBy "
+        "(map-side partial aggregation); pair explosion then runs over "
+        "the distinct-word vocabulary, which Zipf keeps tiny relative to "
+        "a 100 TB corpus — exactly how production BPE trainers stay "
+        "tractable. The final top-20 window sorts the distinct-pair "
+        "table, bounded by the squared character alphabet (thousands of "
+        "rows at most), so the single-partition window is scale-safe. "
+        "Ties broken by pair text."
+    ),
+)
+def r79_bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import norm_ws
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(norm_ws(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = (
+        vocab.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "f",
+        )
+        .groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("pair", F.col("cnt").cast("bigint").alias("cnt"), F.col("rank").cast("int").alias("rank"))
+        .orderBy("rank")
+    )
