@@ -1029,3 +1029,89 @@ def r71_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "r80_mixture_sample",
+    f"""
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM({_NTOK}) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_docs, tokens,
+             LEAST(10000, (SELECT SUM(tokens) FROM stats) * 10000
+                          // ((SELECT COUNT(*) FROM stats) * tokens)) AS p_bp
+      FROM stats
+    ),
+    sampled AS (
+      SELECT d.source, {_NTOK} AS ntok, w.p_bp,
+             ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS h_bp
+      FROM documents d JOIN weighted w USING (source)
+    )
+    SELECT w.source, w.n_docs, w.tokens, CAST(w.p_bp AS BIGINT) AS p_bp,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM weighted w
+    LEFT JOIN (
+      SELECT source, COUNT(*) AS kept_docs, SUM(ntok) AS kept_tokens
+      FROM sampled WHERE h_bp < p_bp GROUP BY source
+    ) k USING (source)
+    ORDER BY w.source
+    """,
+    tags=("pipeline", "sampling", "mixture"),
+    doc=(
+        "Domain-mixture resampling: compute each source's share of the "
+        "corpus token budget, derive the sampling probability that "
+        "levels every source to a uniform target (capped at 1 — no "
+        "upsampling), and materialize the downsample decision "
+        "deterministically by md5 hash fraction. Integer basis-point "
+        "arithmetic end to end, so the probability and every keep "
+        "decision are bit-identical across engines, runs, and cluster "
+        "sizes (at real corpus scale widen the *10000 product to "
+        "DECIMAL). The per-source stats table is tiny and broadcast "
+        "back; sampling itself is map-side — the corpus never shuffles. "
+        "This is the mixing step that turns raw crawl sources into a "
+        "training mixture."
+    ),
+)
+def r80_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text"))
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(ntok).cast("bigint").alias("tokens")
+    )
+    totals = stats.agg(
+        F.sum("tokens").alias("tt"), F.count(F.lit(1)).alias("ns")
+    )
+    weighted = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs", "tokens",
+            F.expr("least(10000, (tt * 10000) div (ns * tokens))").alias("p_bp"),
+        )
+    )
+    h_bp = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    kept = (
+        docs.select("source", ntok.alias("ntok"), h_bp.alias("h_bp"))
+        .join(F.broadcast(weighted.select("source", "p_bp")), "source")
+        .filter(F.col("h_bp") < F.col("p_bp"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"), F.sum("ntok").alias("kept_tokens"))
+    )
+    return (
+        weighted.join(kept, "source", "left_outer")
+        .select(
+            "source", "n_docs", "tokens",
+            F.col("p_bp").cast("bigint").alias("p_bp"),
+            F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
