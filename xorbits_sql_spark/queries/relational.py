@@ -757,6 +757,42 @@ def r47_execute_tsql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r81_execute_mysql_dialect",
+    """
+    SELECT c_custkey AS k, c_name, c_acctbal AS bal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    ORDER BY k
+    LIMIT 10 OFFSET 5
+    """,
+    tags=("execute-api", "dialect", "mysql"),
+    doc=(
+        "mysql-flavored SQL (backtick identifiers, IFNULL, the "
+        "comma-form `LIMIT offset, count`) through "
+        "execute(dialect='mysql'): the fallback transpiler rewrites the "
+        "comma LIMIT to LIMIT count OFFSET offset; backticks and IFNULL "
+        "are Spark-native and pass through. Completes driver-checked "
+        "coverage of the three fallback dialect families (pg r46, tsql "
+        "r47, mysql here)."
+    ),
+)
+def r81_execute_mysql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT `c_custkey` AS k, `c_name` AS c_name, IFNULL(`c_acctbal`, 0.0) AS bal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    ORDER BY k
+    LIMIT 5, 10
+    """
+    return execute(
+        sql,
+        dialect="mysql",
+        tables={"customer": t(spark, sf_dir, "customer")},
+        spark=spark,
+    )
+
+
+@register(
     "r48_dq_checks",
     """
     WITH report AS (
