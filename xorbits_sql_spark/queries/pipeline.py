@@ -9,7 +9,7 @@ from pyspark.sql.window import Window as W
 
 from . import register
 from ._util import t
-from .text import _NORM, _NTOK
+from .text import _DUCK_CLUSTERS, _NORM, _NTOK
 from ..functions.text import quality_score
 from ..multimodal import attach_fake_media, extract_media_features
 from ..operators.dedup import simhash_pairs
@@ -1114,4 +1114,160 @@ def r80_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "r82_dedup_best_keeper",
+    _DUCK_CLUSTERS + f""",
+    scored AS (
+      SELECT c.id AS doc_id, c.component, {_SQL_QUALITY} AS quality
+      FROM comp c JOIN documents ON documents.doc_id = c.id
+    ),
+    ranked AS (
+      SELECT component, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      FROM scored
+    )
+    SELECT component, CAST(cluster_size AS BIGINT) AS cluster_size,
+           doc_id AS keeper_id, quality AS keeper_quality
+    FROM ranked WHERE rn = 1
+    ORDER BY component
+    """,
+    tags=("pipeline", "dedup-clusters", "quality", "iterative"),
+    doc=(
+        "Quality-aware dedup keeper selection: the q64 Jaccard pair "
+        "graph collapses into connected components (r63's iterative "
+        "min-label loop), then each cluster keeps its HIGHEST-quality "
+        "document (q66's scoring heuristic; doc_id tiebreak) instead of "
+        "the naive lowest id — the decision production dedup actually "
+        "ships. One extra join against the tiny component table plus a "
+        "component-keyed window; the oracle recursive-CTE replay ranks "
+        "identically because the quality arithmetic is bit-equal "
+        "cross-engine (validated by q66)."
+    ),
+)
+def r82_dedup_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.05, partition_col="source"
+    )
+    comps = connected_components(pairs)
+    scored = comps.join(
+        docs.select(F.col("doc_id").alias("id"), quality_score(F.col("text"))), "id"
+    )
+    wrank = W.partitionBy("component").orderBy(F.desc("quality"), F.asc("id"))
+    wsize = W.partitionBy("component")
+    return (
+        scored.select(
+            "component", "id", "quality",
+            F.row_number().over(wrank).alias("rn"),
+            F.count(F.lit(1)).over(wsize).alias("cluster_size"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("id").alias("keeper_id"),
+            F.col("quality").alias("keeper_quality"),
+        )
+        .orderBy("component")
+    )
+
+
+_PROF_NUM = ("l_quantity", "l_extendedprice", "l_discount")
+_PROF_STR = ("l_shipdate", "l_returnflag", "l_linestatus")
+
+
+def _duck_profile_sql() -> str:
+    aggs = ["COUNT(*) AS n_rows"]
+    for c in _PROF_NUM + _PROF_STR:
+        aggs += [f"COUNT({c}) AS {c}__nn", f"COUNT(DISTINCT {c}) AS {c}__nd"]
+    for c in _PROF_NUM:
+        aggs += [f"CAST(MIN({c}) AS DOUBLE) AS {c}__mn", f"CAST(MAX({c}) AS DOUBLE) AS {c}__mx"]
+    for c in _PROF_STR:
+        aggs += [
+            f"CAST(MIN({c}) AS VARCHAR) AS {c}__mns",
+            f"CAST(MAX({c}) AS VARCHAR) AS {c}__mxs",
+        ]
+    rows = []
+    for c in _PROF_NUM:
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_rows, n_rows - {c}__nn AS n_null, "
+            f"{c}__nd AS n_distinct, {c}__mn AS min_num, {c}__mx AS max_num, "
+            f"CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM agg"
+        )
+    for c in _PROF_STR:
+        rows.append(
+            f"SELECT '{c}', n_rows, n_rows - {c}__nn, {c}__nd, "
+            f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), {c}__mns, {c}__mxs FROM agg"
+        )
+    union = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH agg AS (SELECT {', '.join(aggs)} FROM lineitem)
+    SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_num, max_num, min_str, max_str
+    FROM ({union})
+    ORDER BY col_name
+    """
+
+
+@register(
+    "r83_table_profile",
+    _duck_profile_sql(),
+    tags=("pipeline", "profiling", "aggregate"),
+    doc=(
+        "ANALYZE-style table profiling: one scan computes count / null "
+        "count / exact distinct count / min / max for six lineitem "
+        "columns, then a driver-free explode turns the single aggregate "
+        "row into one profile row per column. Exact COUNT(DISTINCT) on "
+        "several columns expands the scan (Spark's Expand operator "
+        "multiplies rows per distinct aggregate) — at 100 TB swap in "
+        "approx_count_distinct (q89's HLL path) per column and the plan "
+        "collapses back to one map-side pass. Min/max land in typed "
+        "columns (numeric vs string) so the schema stays honest."
+    ),
+)
+def r83_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROF_NUM + _PROF_STR:
+        aggs += [F.count(c).alias(f"{c}__nn"), F.countDistinct(c).alias(f"{c}__nd")]
+    for c in _PROF_NUM:
+        aggs += [F.min(c).cast("double").alias(f"{c}__mn"), F.max(c).cast("double").alias(f"{c}__mx")]
+    for c in _PROF_STR:
+        aggs += [
+        F.min(c).cast("string").alias(f"{c}__mns"),
+        F.max(c).cast("string").alias(f"{c}__mxs"),
+    ]
+    row = li.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in _PROF_NUM:
+        structs.append(F.struct(
+            F.lit(c).alias("col_name"), F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_num"), F.col(f"{c}__mx").alias("max_num"),
+            null_s.alias("min_str"), null_s.alias("max_str"),
+        ))
+    for c in _PROF_STR:
+        structs.append(F.struct(
+            F.lit(c).alias("col_name"), F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            null_d.alias("min_num"), null_d.alias("max_num"),
+            F.col(f"{c}__mns").alias("min_str"), F.col(f"{c}__mxs").alias("max_str"),
+        ))
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .withColumn("n_rows", F.col("n_rows").cast("bigint"))
+        .withColumn("n_null", F.col("n_null").cast("bigint"))
+        .withColumn("n_distinct", F.col("n_distinct").cast("bigint"))
+        .orderBy("col_name")
     )
