@@ -107,3 +107,24 @@ def test_zorder_write_tightens_rowgroup_stats(spark, tmp_path):
     mean_y = sum(s[1] for s in spans) / len(spans)
     assert mean_x < 32 and mean_y < 32, (mean_x, mean_y)
     assert all(s[0] < 64 and s[1] < 64 for s in spans)
+
+
+def test_r71_decontaminate_broadcasts_eval_grams(spark):
+    # the eval-set gram table must broadcast: shuffling the 100 TB
+    # training side on the gram key would be the classic blowup
+    df = SPECS["r71_ngram_decontaminate"].fn(spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+
+
+def test_r80_mixture_broadcasts_weights(spark):
+    # per-source stats (tiny) broadcast back; the corpus is sampled
+    # map-side and never shuffles on the weight join
+    df = SPECS["r80_mixture_sample"].fn(spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+
+
+def test_r70_semdedup_column_pruning(spark):
+    # the decision plan reads only (vec_id, embedding) — label is pruned
+    df = SPECS["r70_semdedup"].fn(spark, SF_ORACLE)
+    schemas = read_schemas(df)
+    assert schemas and all("label" not in s for s in schemas), schemas
