@@ -162,3 +162,56 @@ def r78_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "r84_stream_stream_join",
+    """
+    SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value AS val
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    ORDER BY v.user_id, view_ts, purchase_ts
+    """,
+    tags=("streaming", "join", "stream-stream"),
+    doc=(
+        "Stream-stream inner join (the Structured Streaming capability "
+        "q88's stream-static join doesn't cover): views and purchases "
+        "read as two event-time streams, watermarked on both sides, "
+        "joined per user within a 1-hour interval condition. The "
+        "watermarks plus the time bound let the engine expire buffered "
+        "state — the knob that keeps a 100 TB/day two-stream join's "
+        "state finite; inner-join matches emit eagerly, so the bounded "
+        "run equals the batch interval join and carries a full DuckDB "
+        "value oracle (timestamps are microsecond-aligned in both "
+        "engines)."
+    ),
+)
+def r84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    purchases = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("val"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "view_ts", "purchase_ts", "val")
+    return run_to_memory(joined, mode="append").orderBy(
+        "user_id", "view_ts", "purchase_ts"
+    )
