@@ -1129,3 +1129,45 @@ def r50_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "r85_ohlc_bars",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY hour
+    ORDER BY hour
+    """,
+    tags=("events", "time-series", "ohlc"),
+    doc=(
+        "OHLC bar downsampling (financial/IoT resample): one hash "
+        "aggregation keyed on the hour bucket — open/close are "
+        "min_by/max_by on the event time (deterministic: timestamps are "
+        "unique), high/low/volume plain aggregates with the decimal-"
+        "exact sum. Entirely map-side partial-aggregated; the classic "
+        "time-series rollup TimescaleDB/kdb users expect, and the "
+        "complement of r50's time-weighted average."
+    ),
+)
+def r85_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
+        )
+        .orderBy("hour")
+    )
