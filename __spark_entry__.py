@@ -26,6 +26,11 @@ from xorbits_sql_spark.queries import load_all
 # streaming, multimodal) plus the 7 nanos-fixed events queries
 # (q50..q56) into round 2's window. Canonical names are unchanged in
 # the registry, tests, and bench.py — only the driver-facing keys move.
+#
+# ROUND-3 ROTATION: once CORRECTNESS_r02 confirms q50..q99 green, add
+# them to the rotated set below (extend the second range to cover
+# 50..99 + q100) so the r-prefixed round-2 operators (r46..r94, ~35
+# queries) sort into round 3's first-50 window.
 _R1_DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 23)] + [f"q{i}" for i in range(30, 50)] + ["q100"]
 )
