@@ -1171,3 +1171,47 @@ def r85_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "r86_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           COUNT(*) AS active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    WHERE date_diff('day', f.cohort_day, a.day) BETWEEN 0 AND 7
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY f.cohort_day, day_offset
+    """,
+    tags=("events", "retention", "cohort"),
+    doc=(
+        "Retention cohort analysis: users grouped by first-activity day, "
+        "counted per day-offset for the first week — the standard "
+        "product-analytics triangle. Two aggregations and one join, all "
+        "hash-keyed on user_id so the join reuses the aggregation "
+        "shuffle; per-user state is two small rows regardless of event "
+        "volume, so the shape holds at any scale."
+    ),
+)
+def r86_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct()
+    offset = F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint")
+    return (
+        activity.join(firsts, "user_id")
+        .select("cohort_day", offset.alias("day_offset"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
