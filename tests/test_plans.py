@@ -128,3 +128,12 @@ def test_r70_semdedup_column_pruning(spark):
     df = SPECS["r70_semdedup"].fn(spark, SF_ORACLE)
     schemas = read_schemas(df)
     assert schemas and all("label" not in s for s in schemas), schemas
+
+
+def test_r85_purchase_filter_pushed(spark):
+    df = SPECS["r85_ohlc_bars"].fn(spark, SF_ORACLE)
+    pushed = pushed_filters(df)
+    assert any("event_type" in p for p in pushed), pushed
+    schemas = read_schemas(df)
+    # only (ts, event_type, value) are read from the events scan
+    assert schemas and all(s.count(":") <= 3 for s in schemas), schemas
