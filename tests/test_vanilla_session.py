@@ -37,6 +37,12 @@ _REPRESENTATIVE = (
     "r55_gapfill_locf",
     "r77_zorder_locality",
     "r92_video_frame_sampling",
+    # streaming: read_parquet_stream bypassed t()'s conf fix until late
+    # round 2 — ALL seven streaming queries died on a vanilla session
+    # (same nanos class the docstring describes). q88 carries a full
+    # oracle; r84 (stream-stream join) pins the two-stream path.
+    "q88_stream_static_join",
+    "r84_stream_stream_join",
 )
 
 _SCRIPT = r"""

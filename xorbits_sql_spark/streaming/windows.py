@@ -29,6 +29,14 @@ def read_parquet_stream(
     Converts a nanos-as-long time column (see session.py legacy flag) to
     a microsecond timestamp so event-time operators work unchanged.
     """
+    # Works on a vanilla session (the driver harness): events.parquet
+    # stores TIMESTAMP(NANOS), which both the batch schema probe below
+    # AND the file-stream source itself reject without this
+    # runtime-settable flag; UTC keeps event-time windows aligned with
+    # the DuckDB oracle. Same contract as queries/_util.t() and
+    # sources/readers.load_tables — the round-1 verdict's bug class.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:
         schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
