@@ -1025,3 +1025,58 @@ def r79_bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", F.col("cnt").cast("bigint").alias("cnt"), F.col("rank").cast("int").alias("rank"))
         .orderBy("rank")
     )
+
+
+@register(
+    "r88_length_buckets",
+    f"""
+    WITH toks AS (
+      SELECT CAST({_NTOK} AS BIGINT) AS n_tok FROM documents
+    ),
+    bucketed AS (
+      SELECT n_tok,
+             CAST(power(2, CAST(ceil(log2(GREATEST(n_tok, 1))) AS BIGINT)) AS BIGINT) AS bucket
+      FROM toks
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / (COUNT(*) * bucket) AS efficiency
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("text", "batching", "tokens"),
+    doc=(
+        "Sequence-length bucketing audit for training-batch assembly: "
+        "documents grouped into power-of-two token-length buckets, with "
+        "the padding efficiency (real/padded tokens) a fixed-shape "
+        "batcher would achieve per bucket — the measurement that decides "
+        "bucket boundaries before padding waste eats accelerator time. "
+        "Pure map-side arithmetic plus one small aggregate; pairs with "
+        "r64's greedy sequence packing (the remedy when efficiency is "
+        "low). log2/pow on exact integer inputs — bit-stable in both "
+        "engines."
+    ),
+)
+def r88_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text")).cast("bigint")
+    bucket = (
+        F.pow(F.lit(2), F.ceil(F.log2(F.greatest(n_tok, F.lit(1)))).cast("bigint"))
+        .cast("bigint")
+    )
+    return (
+        docs.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            (F.count(F.lit(1)) * F.first("bucket")).cast("bigint").alias("padded_tokens"),
+            (F.sum("n_tok").cast("double") / (F.count(F.lit(1)) * F.first("bucket"))).alias("efficiency"),
+        )
+        .orderBy("bucket")
+    )
