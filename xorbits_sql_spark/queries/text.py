@@ -1080,3 +1080,36 @@ def r88_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "r89_langid_confusion",
+    f"""
+    SELECT lang AS label, {_SQL_LANG_GUESS} AS guess, COUNT(*) AS n
+    FROM documents
+    GROUP BY label, guess
+    ORDER BY label, guess
+    """,
+    tags=("text", "langid", "evaluation"),
+    doc=(
+        "Classifier evaluation for the q61 language-ID heuristic: the "
+        "confusion matrix of guessed vs labeled language over the "
+        "documents table. On this synthetic corpus the matrix exposes "
+        "label/content disagreement — every label's text is "
+        "English-ish, so rows concentrate in the en/und guess columns — "
+        "which is precisely the audit's real-world job (catching "
+        "mislabeled or machine-generated sources). One "
+        "map-side projection plus a tiny two-key aggregate; the eval "
+        "pattern any classifier-based quality filter needs before "
+        "gating a 100 TB corpus on its output."
+    ),
+)
+def r89_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = add_lang_guess(
+        t(spark, sf_dir, "documents").select(F.col("lang").alias("label"), "text"), "text"
+    )
+    return (
+        docs.groupBy("label", F.col("lang_guess").alias("guess"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "guess")
+    )
