@@ -1113,3 +1113,80 @@ def r89_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "guess")
     )
+
+
+@register(
+    "r95_vocab_concentration",
+    f"""
+    WITH tok AS (
+      SELECT source, token, COUNT(*) AS n
+      FROM (SELECT source, unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY source, token
+    ),
+    ranked AS (
+      SELECT source, token, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY n DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n) OVER (PARTITION BY source) AS total
+      FROM tok
+    )
+    SELECT source,
+           COUNT(*) AS vocab_size,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           CAST(SUM(CASE WHEN 2 * (cum - n) < total THEN 1 ELSE 0 END) AS BIGINT)
+             AS head50_vocab,
+           CAST(MAX(n) AS DOUBLE) / MAX(total) AS top_share
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "vocabulary", "tokenizer"),
+    doc=(
+        "Per-source vocabulary-concentration audit for tokenizer "
+        "design: vocab size, hapax-legomena count, the head size "
+        "covering >=50% of token mass (min k with 2*cumsum(k) >= "
+        "total, counted as ranks whose preceding cumsum is under "
+        "half), and the single most frequent token's share. All "
+        "sums are integer-exact with one double division at the end, "
+        "so the result is bit-stable across engines and partition "
+        "orders. Scale shape: one shuffle to (source, token) counts "
+        "with map-side combine; the running-sum and total windows "
+        "share one source-hash Exchange and sort only vocab-sized "
+        "partitions (vocabulary per source is orders of magnitude "
+        "smaller than the corpus), so no global single-partition "
+        "window appears anywhere."
+    ),
+)
+def r95_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(norm_ws(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy(F.desc("n"), "token")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = tok.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(W.partitionBy("source"))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.max("total").alias("total_tokens"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint").alias("hapax_count"),
+            F.sum(F.when(2 * (F.col("cum") - F.col("n")) < F.col("total"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("head50_vocab"),
+            (F.max("n").cast("double") / F.max("total")).alias("top_share"),
+        )
+        .orderBy("source")
+    )
