@@ -118,6 +118,28 @@ def read_jsonl(
     return reader.json(path)
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events time column to a session-zone TIMESTAMP.
+
+    The driver has shipped events.parquet in two physical encodings
+    across rounds: TIMESTAMP(NANOS) (readable only as BIGINT nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS)
+    without UTC adjustment (read as TIMESTAMP_NTZ). Downstream
+    operators use ``unix_micros``/watermarks, which require TIMESTAMP
+    (ltz), so both forms fold to it here: nanos floor-divide to micros
+    exactly as DuckDB truncates, and NTZ casts value-preserving under
+    the UTC session zone the loaders pin.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -152,10 +174,8 @@ def load_tables(
     out: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            df = normalize_event_ts(df)
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df

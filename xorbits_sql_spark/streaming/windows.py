@@ -51,8 +51,10 @@ def read_parquet_stream(
             os.symlink(path, link)
         path = stage
     df = spark.readStream.schema(schema).parquet(path)
-    if time_col in df.columns and dict(df.dtypes).get(time_col) == "bigint":
-        df = df.withColumn(time_col, F.timestamp_micros(F.expr(f"{time_col} div 1000")))
+    if time_col in df.columns:
+        from ..sources.readers import normalize_event_ts
+
+        df = normalize_event_ts(df, time_col)
     return df
 
 
