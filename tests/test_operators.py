@@ -469,3 +469,61 @@ def test_semdedup_drops_higher_id_near_dups(spark):
     assert decisions == {0: True, 1: True, 3: True, 2: False, 4: False, 5: False}
     # every vector got exactly one decision row
     assert semdedup(emb, cents, threshold=0.95).count() == 6
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    from xorbits_sql_spark.operators.sketches import bloom_build, bloom_probe
+
+    build = spark.createDataFrame([Row(k=i) for i in range(0, 200, 2)])
+    probe = spark.createDataFrame([Row(k=i) for i in range(200)])
+    bits = bloom_build(build, "k", m=4096, k=3)
+    out = {r["k"]: r["bloom_pass"] for r in bloom_probe(probe, "k", bits, m=4096, k=3).collect()}
+    # every member passes (no false negatives, the bloom invariant)
+    assert all(out[i] for i in range(0, 200, 2))
+    # false-positive rate stays near theory: (1 - e^{-kn/m})^k ~ 0.4%
+    # for n=100, m=4096, k=3 — allow a generous margin
+    fp = sum(1 for i in range(1, 200, 2) if out[i])
+    assert fp <= 10, fp
+
+
+def test_bloom_filters_merge_by_union(spark):
+    from xorbits_sql_spark.operators.sketches import bloom_build
+
+    a = spark.createDataFrame([Row(k=i) for i in range(50)])
+    b = spark.createDataFrame([Row(k=i) for i in range(50, 100)])
+    both = spark.createDataFrame([Row(k=i) for i in range(100)])
+    merged = sorted(
+        r["pos"]
+        for r in bloom_build(a, "k").union(bloom_build(b, "k")).distinct().collect()
+    )
+    direct = sorted(r["pos"] for r in bloom_build(both, "k").collect())
+    assert merged == direct
+
+
+def test_incremental_merge_equals_recompute_any_cutoff(spark):
+    # the r96 contract at a second cutoff: merging per-slice partial
+    # states reproduces the single-pass aggregate bit-for-bit
+    from xorbits_sql_spark.queries._util import t as load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+        )
+
+    cut = F.lit("2024-01-07 12:34:56").cast("timestamp")
+    merged = (
+        partial(ev.filter(F.col("ts") < cut))
+        .unionByName(partial(ev.filter(F.col("ts") >= cut)))
+        .groupBy("event_type")
+        .agg(F.sum("pn").alias("n"), F.sum("ps").cast("double").alias("s"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+    )
+    m = {r["event_type"]: (r["n"], r["s"]) for r in merged.collect()}
+    d = {r["event_type"]: (r["n"], r["s"]) for r in direct.collect()}
+    assert m == d

@@ -137,3 +137,16 @@ def test_r85_purchase_filter_pushed(spark):
     schemas = read_schemas(df)
     # only (ts, event_type, value) are read from the events scan
     assert schemas and all(s.count(":") <= 3 for s in schemas), schemas
+
+
+def test_r97_bloom_bits_broadcast(spark):
+    # the m-row bit table must broadcast to the probe side; shuffling a
+    # 100 TB probe table on the position key would defeat the pruning
+    df = SPECS["r97_bloom_prune"].fn(spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+
+
+def test_r97_priority_filter_pushed(spark):
+    df = SPECS["r97_bloom_prune"].fn(spark, SF_ORACLE)
+    pushed = pushed_filters(df)
+    assert any("o_orderpriority" in p for p in pushed), pushed

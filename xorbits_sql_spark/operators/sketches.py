@@ -68,3 +68,62 @@ def countmin_lookup(
         joined.groupBy(*[probes[c] for c in probes.columns])
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+def _bloom_pos(key: Column, i: Column, m: int) -> Column:
+    """Engine-portable bit position: md5('key:i') prefix mod m."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(":"), i.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % m
+
+
+def bloom_build(keys: DataFrame, key_col: str, m: int = 8192, k: int = 3) -> DataFrame:
+    """Build a Bloom filter over the keys as its distinct set-bit positions.
+
+    The relational form of the classic bitmap: one (pos) row per set bit,
+    at most ``m`` rows total regardless of build-side size, produced by a
+    map-side explode (k rows per key) + one distinct. Two filters merge
+    by union+distinct — the mergeability that lets each ingest batch or
+    partition build its own filter. md5-prefix hashing keeps the filter
+    engine-portable (a DuckDB/Trino job can build or probe the identical
+    bit set: '0x'||substr(md5(..),1,8) == conv(..,16,10), the repo-wide
+    hash equivalence).
+    """
+    i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
+    pairs = keys.select(F.col(key_col).alias("__key"), i)
+    return pairs.select(_bloom_pos(F.col("__key"), F.col("i"), m).alias("pos")).distinct()
+
+
+def bloom_probe(
+    probes: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    m: int = 8192,
+    k: int = 3,
+    out: str = "bloom_pass",
+) -> DataFrame:
+    """Append a boolean ``out`` column: could the key be in the built set?
+
+    A key passes iff ALL of its k positions are set (no false negatives;
+    false-positive rate ~(1-e^{-kn/m})^k). The filter is a tiny broadcast
+    — the 100 TB use is pruning a huge probe scan down to candidate rows
+    BEFORE an expensive exact join or shuffle, the same role as Spark's
+    runtime row-group filters but as an explicit, persistable operator.
+    Distinct (key, pos) pairs are probed so a key whose hashes collide
+    into fewer than k distinct positions is still judged on exactly the
+    positions it owns.
+    """
+    i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
+    pairs = (
+        probes.select(F.col(key_col).alias("__key"), i)
+        .select("__key", _bloom_pos(F.col("__key"), F.col("i"), m).alias("pos"))
+        .distinct()
+    )
+    hit = pairs.join(
+        F.broadcast(bits.withColumn("__hit", F.lit(1))), "pos", "left"
+    )
+    verdict = hit.groupBy("__key").agg(
+        (F.min(F.coalesce("__hit", F.lit(0))) == 1).alias(out)
+    )
+    return probes.join(
+        verdict, probes[key_col] == verdict["__key"], "left"
+    ).drop("__key")

@@ -1215,3 +1215,113 @@ def r86_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "r96_incremental_agg_merge",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value', 'total_value')},
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "incremental", "mergeable-state"),
+    doc=(
+        "Incremental aggregate maintenance: the stats the pipeline "
+        "already holds for data before the cutoff (2024-01-16) are NOT "
+        "recomputed — each side produces per-key partial states "
+        "(count, exact decimal sum, min, max) and the two state tables "
+        "merge by union + re-aggregation. The oracle is the full-table "
+        "single-pass aggregate, proving merge == recompute. This is the "
+        "contract that lets a 100 TB daily pipeline aggregate only "
+        "yesterday's partition and fold it into a running state table "
+        "(decimal sums make the fold order-independent, so the merged "
+        "result is bit-identical at any batch granularity or cluster "
+        "size). Each partial agg is one map-side-combined shuffle over "
+        "its own slice; the merge shuffles only |keys| x 2 rows."
+    ),
+)
+def r96_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+            F.min("value").alias("pmn"),
+            F.max("value").alias("pmx"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.sum("ps").cast("double").alias("total_value"),
+            F.min("pmn").alias("min_value"),
+            F.max("pmx").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "r99_event_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type AS prev_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM nxt WHERE next_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS prev_total FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / tot.prev_total AS p
+    FROM c JOIN tot USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+    tags=("events", "sequence", "markov"),
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences (the product-analytics 'what happens after X' "
+        "table, and the sequence prior behind next-event prediction "
+        "features). One user-partitioned window (events of one user "
+        "sort within their own partition — no global sort), one keyed "
+        "count, and a broadcast of the tiny per-prev totals for the "
+        "row-probability division. Ties broken by event_id so the "
+        "sequence — and therefore every count — is deterministic "
+        "across engines and partition orders."
+    ),
+)
+def r99_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("prev_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("prev_total")).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

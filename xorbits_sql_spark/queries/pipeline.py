@@ -1271,3 +1271,91 @@ def r83_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_distinct", F.col("n_distinct").cast("bigint"))
         .orderBy("col_name")
     )
+
+
+@register(
+    "r97_bloom_prune",
+    """
+    WITH build AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      SELECT DISTINCT
+        ('0x' || substring(md5(key::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+          % 8192 AS pos
+      FROM build, UNNEST([0, 1, 2]) AS u(i)
+    ),
+    probe AS (
+      SELECT DISTINCT c_custkey,
+        ('0x' || substring(md5(c_custkey::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT
+          % 8192 AS pos
+      FROM customer, UNNEST([0, 1, 2]) AS u(i)
+    ),
+    verdict AS (
+      SELECT p.c_custkey,
+             MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) = 1 AS bloom_pass
+      FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+      GROUP BY p.c_custkey
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN v.bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass,
+           CAST(SUM(CASE WHEN bu.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_match,
+           CAST(SUM(CASE WHEN v.bloom_pass AND bu.key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_pos
+    FROM customer c
+    JOIN verdict v ON v.c_custkey = c.c_custkey
+    LEFT JOIN build bu ON bu.key = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    tags=("pipeline", "bloom", "join-pruning"),
+    doc=(
+        "Bloom-filter join pruning (operators/sketches.bloom_build/"
+        "bloom_probe): the urgent-order customer keys build an 8192-bit/"
+        "3-hash filter — at most m rows, one map-side explode + "
+        "distinct — which broadcasts to prune the probe scan before any "
+        "exact join, the explicit form of a runtime row-group filter. "
+        "Per nation the query reports filter verdicts against ground "
+        "truth (exact left join), so the oracle pins both the bit "
+        "arithmetic (engine-portable md5-prefix positions) and the "
+        "false-positive census. At 100 TB the filter is built on the "
+        "small side in one pass, persists as a ~m-row table, and every "
+        "probe partition drops non-candidate rows map-side — no "
+        "shuffle of the probe table until only candidates remain; "
+        "filters from separate ingest batches merge by union+distinct."
+    ),
+)
+def r97_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    build_keys = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bits = bloom_build(build_keys, "key", m=8192, k=3)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    probed = bloom_probe(cust, "c_custkey", bits, m=8192, k=3)
+    truth = F.broadcast(build_keys.withColumn("__true", F.lit(1)))
+    return (
+        probed.join(truth, probed["c_custkey"] == truth["key"], "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bloom_pass"),
+            F.sum(F.when(F.col("__true").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("true_match"),
+            F.sum(
+                F.when(F.col("bloom_pass") & F.col("__true").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("false_pos"),
+        )
+        .orderBy("c_nationkey")
+    )

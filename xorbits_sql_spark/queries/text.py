@@ -1190,3 +1190,71 @@ def r95_vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "r98_token_entropy",
+    f"""
+    WITH tok AS (
+      SELECT source, token, COUNT(*) AS n
+      FROM (SELECT source, unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY source, token
+    ),
+    s AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             COUNT(*) AS vocab_size,
+             SUM(CAST(n * ln(n) AS DECIMAL(28,9))) AS nlogn
+      FROM tok GROUP BY source
+    )
+    SELECT source, total_tokens, vocab_size,
+           ln(total_tokens) - CAST(nlogn AS DOUBLE) / total_tokens AS entropy_nats,
+           CASE WHEN vocab_size > 1
+                THEN (ln(total_tokens) - CAST(nlogn AS DOUBLE) / total_tokens)
+                     / ln(vocab_size)
+                ELSE 0.0 END AS norm_entropy
+    FROM s
+    ORDER BY source
+    """,
+    tags=("text", "quality", "entropy"),
+    doc=(
+        "Per-source Shannon entropy of the token distribution (nats) "
+        "plus entropy normalized by ln(vocab) — the standard signal for "
+        "spotting template/boilerplate-heavy or machine-generated "
+        "sources (low entropy) before they flood a training mix. Uses "
+        "H = ln(N) - (sum n*ln n)/N so the only floating-point inputs "
+        "are ln of exact integers — identical doubles in any engine — "
+        "and each token's n*ln(n) contribution is rounded to "
+        "DECIMAL(28,9) before the sum (the r59 discipline), making the "
+        "statistic partition-order-independent and bit-stable "
+        "cross-engine. Scale shape: one (source, token) shuffle with "
+        "map-side combine, then a vocab-sized aggregate; no windows, "
+        "no doubles accumulated in any order-dependent way."
+    ),
+)
+def r98_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(norm_ws(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = tok.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("n") * F.log("n")).cast("decimal(28,9)")).alias("nlogn"),
+    )
+    entropy = F.log(F.col("total_tokens").cast("double")) - (
+        F.col("nlogn").cast("double") / F.col("total_tokens")
+    )
+    return s.select(
+        "source",
+        "total_tokens",
+        "vocab_size",
+        entropy.alias("entropy_nats"),
+        F.when(F.col("vocab_size") > 1, entropy / F.log(F.col("vocab_size").cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    ).orderBy("source")
