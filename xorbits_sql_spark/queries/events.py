@@ -1325,3 +1325,82 @@ def r99_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "s02_sequential_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS click_rate,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c) AS purchase_rate
+    """,
+    tags=("events", "funnel", "sequence"),
+    doc=(
+        "Three-step strictly-sequential funnel (first view -> first "
+        "click after it -> first purchase after that), the ordered "
+        "complement of q99's windowed two-step funnel: each stage is a "
+        "per-user MIN over rows filtered by the previous stage's "
+        "timestamp. All three aggregations and both joins are keyed on "
+        "user_id, so the whole funnel reuses ONE user-hash Exchange "
+        "end-to-end; stage tables shrink monotonically. Counts come "
+        "from three single-row aggregates cross-joined (no collect, "
+        "no window)."
+    ),
+)
+def s02_sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_after",
+            "n_purchase_after",
+            (F.col("n_click_after").cast("double") / F.col("n_view")).alias("click_rate"),
+            (F.col("n_purchase_after").cast("double") / F.col("n_click_after")).alias(
+                "purchase_rate"
+            ),
+        )
+    )

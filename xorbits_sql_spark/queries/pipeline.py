@@ -1359,3 +1359,56 @@ def r97_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s03_pps_sample",
+    """
+    WITH keyed AS (
+      SELECT source, n_chars,
+             ('0x' || substring(md5('pps:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h * 1500 < n_chars * 4294967296 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN h * 1500 < n_chars * 4294967296 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM keyed
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "sampling", "pps"),
+    doc=(
+        "Probability-proportional-to-size sampling: each document is "
+        "kept with probability min(1, n_chars/1500), favoring long "
+        "documents the way token-budget-aware corpus builders do, "
+        "implemented as the pure-integer comparison "
+        "h*1500 < n_chars*2^32 on a salted md5 hash — no floating "
+        "point, no rand(), so the SAME documents are kept on any "
+        "engine, any cluster size, any run (reproducible sampling is "
+        "what makes ablations comparable). Entirely map-side until the "
+        "tiny per-source aggregate."
+    ),
+)
+def s03_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    keep = (h * 1500) < (F.col("n_chars") * F.lit(4294967296))
+    return (
+        docs.select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

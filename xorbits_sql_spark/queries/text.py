@@ -1258,3 +1258,131 @@ def r98_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     ).orderBy("source")
+
+
+@register(
+    "s01_near_dup_leakage",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(4))}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, '{i}|' || h{i} AS band_key FROM sigs" for i in range(4))}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN da.source <= db.source THEN id_a ELSE id_b END)
+                AS BIGINT) AS docs_a,
+           CAST(COUNT(DISTINCT CASE WHEN da.source <= db.source THEN id_b ELSE id_a END)
+                AS BIGINT) AS docs_b
+    FROM pairs
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+    tags=("text", "dedup-minhash", "leakage"),
+    doc=(
+        "Cross-source near-duplicate leakage matrix: MinHash-LSH "
+        "candidate pairs (the q65 machinery) rolled up to an ordered "
+        "(source, source) grid with pair counts and the distinct "
+        "documents involved on each side. This is the audit that "
+        "catches one crawl mirroring another — or eval data leaking "
+        "into a training source — BEFORE mixing weights are chosen. "
+        "The pair table is bucket-bounded (never all-pairs), the two "
+        "doc_id lookups are ordinary keyed joins that prune to "
+        "(doc_id, source), and the final grid is at most "
+        "|sources|^2 rows."
+    ),
+)
+def s01_near_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    labeled = pairs.join(a, "id_a").join(b, "id_b")
+    ordered_a = F.when(F.col("sa") <= F.col("sb"), F.col("id_a")).otherwise(F.col("id_b"))
+    ordered_b = F.when(F.col("sa") <= F.col("sb"), F.col("id_b")).otherwise(F.col("id_a"))
+    return (
+        labeled.groupBy(
+            F.least("sa", "sb").alias("src_a"), F.greatest("sa", "sb").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct(ordered_a).cast("bigint").alias("docs_a"),
+            F.countDistinct(ordered_b).cast("bigint").alias("docs_b"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "s04_length_deciles",
+    f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(floor(((rnk - 1) * 10.0) / n) AS BIGINT) AS decile,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked
+    GROUP BY source, decile
+    ORDER BY source, decile
+    """,
+    tags=("text", "bucketing", "equi-depth"),
+    doc=(
+        "Equi-depth length deciles per source (rank-based, "
+        "interpolation-free): each source's documents are ranked by "
+        "length with doc_id tie-breaks and cut into ten equal-count "
+        "buckets — the histogram a length-balanced batch sampler or a "
+        "skew-aware packing stage reads instead of guessing cut points. "
+        "All integer arithmetic (rank*10/n floored over exactly-"
+        "representable small ints), so buckets are identical across "
+        "engines. The window partitions by source — each source sorts "
+        "only its own slice, no global single-partition window."
+    ),
+)
+def s04_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ranked = t(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    decile = F.floor(((F.col("rnk") - 1) * 10.0) / F.col("n")).cast("bigint")
+    return (
+        ranked.groupBy("source", decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source", "decile")
+    )
