@@ -205,3 +205,43 @@ def test_edit_distance_blocking_is_complete(spark, words):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+@given(frames(), frames())
+@settings(**_SETTINGS)
+def test_asof_join_forward_vs_pandas(spark, left, right):
+    """direction='forward' equals pandas merge_asof(direction='forward').
+
+    Right deduped to one row per (k, t) so the nearest upcoming match is
+    unique; pandas is the reference for forward semantics (DuckDB ASOF
+    is backward-only).
+    """
+    from xorbits_sql_spark.operators.joins import asof_join
+
+    left = left[["k", "v"]].dropna(subset=["v"]).sort_values(["v", "k"], kind="stable")
+    rightd = (
+        right.assign(w=right["w"].fillna(0).astype("int64"))
+        .rename(columns={"v": "t", "w": "rv"})
+        .dropna(subset=["t"])
+        .groupby(["k", "t"], as_index=False)
+        .agg(rv=("rv", "max"))
+        .sort_values(["t", "k"], kind="stable")
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(rightd),
+            on="k",
+            left_time="v",
+            right_time="t",
+            right_values=["rv"],
+            tie_breakers=["rv"],
+            direction="forward",
+        )
+        .select("k", "v", "rv")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        left, rightd, left_on="v", right_on="t", by="k", direction="forward"
+    )[["k", "v", "rv"]]
+    assert not compare(got, want)

@@ -23,9 +23,15 @@ def asof_join(
     right_values: list[str],
     tolerance: float | int | None = None,
     tie_breakers: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
-    ``right_time <= left_time`` within the same key group.
+    ``right_time <= left_time`` within the same key group
+    (``direction="backward"``, the default), or the nearest upcoming
+    right row with ``right_time >= left_time``
+    (``direction="forward"`` — pandas ``merge_asof`` direction
+    semantics). Forward is the same one-window plan scanning time
+    descending; tolerance then bounds the look-AHEAD.
 
     Implementation is the *union trick*, not a join: tag both inputs,
     union them, and run a single ``last_value(..., ignorenulls)`` window
@@ -44,6 +50,8 @@ def asof_join(
     matches older than it are nulled out. Units: same as the time
     columns for numeric times; SECONDS when they are timestamps.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     tie_breakers = tie_breakers or []
 
@@ -65,7 +73,11 @@ def asof_join(
     ).select(*[f"{c}" for c in tagged_left.columns])  # align column order
 
     unioned = tagged_left.unionByName(tagged_right)
-    order = [F.col("__t").asc(), F.col("__side").asc()] + [
+    # Forward scans time descending; either way right rows at exactly
+    # left_time sort before the left row (eligible), and among
+    # equal-time right rows the greatest tie_breakers value wins.
+    time_order = F.col("__t").desc() if direction == "forward" else F.col("__t").asc()
+    order = [time_order, F.col("__side").asc()] + [
         F.col(f"__tb_{b}").asc_nulls_first() for b in tie_breakers
     ]
     w = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -97,6 +109,8 @@ def asof_join(
             if is_ts
             else F.col("__t") - mt
         )
+        if direction == "forward":  # match is ahead of the left row
+            age = -age
         stale = mt.isNull() | (age > tolerance)
         values = [
             F.when(stale, F.lit(None)).otherwise(F.col("__m").getField(v)).alias(v)

@@ -1296,10 +1296,12 @@ def r96_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table, and the sequence prior behind next-event prediction "
         "features). One user-partitioned window (events of one user "
         "sort within their own partition — no global sort), one keyed "
-        "count, and a broadcast of the tiny per-prev totals for the "
-        "row-probability division. Ties broken by event_id so the "
-        "sequence — and therefore every count — is deterministic "
-        "across engines and partition orders."
+        "count, then the row-probability division via a window over "
+        "the ALREADY-AGGREGATED counts table (at most |types|^2 rows) "
+        "— a totals-side self-join would recompute the fact-table "
+        "window twice. Ties broken by event_id so the sequence — and "
+        "therefore every count — is deterministic across engines and "
+        "partition orders."
     ),
 )
 def r99_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,19 +1314,13 @@ def r99_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    totals = counts.groupBy("prev_type").agg(
-        F.sum("n").cast("bigint").alias("prev_total")
-    )
-    return (
-        counts.join(F.broadcast(totals), "prev_type")
-        .select(
-            "prev_type",
-            "next_type",
-            "n",
-            (F.col("n").cast("double") / F.col("prev_total")).alias("p"),
-        )
-        .orderBy("prev_type", "next_type")
-    )
+    prev_total = F.sum("n").over(W.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / prev_total).alias("p"),
+    ).orderBy("prev_type", "next_type")
 
 
 @register(
@@ -1403,4 +1399,105 @@ def s02_sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "purchase_rate"
             ),
         )
+    )
+
+
+@register(
+    "s05_recent_event_features",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           array_to_string(
+             (list(event_type ORDER BY ts DESC, event_id DESC))[1:5], '|'
+           ) AS recent
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "features", "sequence"),
+    doc=(
+        "Bounded per-key sequence features: each user's 5 most recent "
+        "event types, newest first, as one delimited feature string — "
+        "the classic recsys/behavior-model input (and the same shape an "
+        "LLM session-context builder emits). The per-user array is "
+        "BOUNDED (sort_array + slice over a per-key collect_list), so "
+        "state per key is O(events-per-user) during the aggregation and "
+        "O(5) after — no window over the fact table, one user-keyed "
+        "shuffle. Ordering ties broken by event_id so the feature "
+        "string is deterministic across engines and partition orders."
+    ),
+)
+def s05_recent_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # sort_array on struct(ts, event_id, event_type) orders by ts then
+    # event_id; desc=False + reverse gives newest-first deterministically.
+    collected = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))),
+        asc=False,
+    )
+    recent = F.array_join(
+        F.transform(F.slice(collected, 1, 5), lambda s: s["event_type"]), "|"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), recent.alias("recent"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "s06_audience_overlap",
+    """
+    WITH a AS (SELECT DISTINCT user_id, event_type FROM events),
+    s AS (SELECT event_type, COUNT(*) AS n FROM a GROUP BY event_type),
+    p AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS n_common
+      FROM a x JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM p
+    JOIN s sa ON sa.event_type = type_a
+    JOIN s sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "set-similarity", "audience"),
+    doc=(
+        "Audience-overlap matrix: exact Jaccard similarity between the "
+        "user sets of every event-type pair — the set-based complement "
+        "of r58's frequency-weighted cosine (segmentation/cannibalization "
+        "analysis; at corpus scale, the same shape measures user-set "
+        "overlap between data sources). The pair space is bounded per "
+        "user by their distinct types (never |types|^2 over the fact "
+        "table); audience sizes are a tiny broadcast; one double "
+        "division at the end of integer-exact counts."
+    ),
+)
+def s06_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    sizes = a.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    x = a.select("user_id", F.col("event_type").alias("type_a"))
+    y = a.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")))
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
     )

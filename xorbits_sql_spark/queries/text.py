@@ -1386,3 +1386,85 @@ def s04_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+@register(
+    "s07_ctfidf_terms",
+    f"""
+    WITH tok AS (
+      SELECT source, token, COUNT(*) AS tf
+      FROM (SELECT source, unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY source, token
+    ),
+    docfreq AS (SELECT token, COUNT(DISTINCT source) AS df FROM tok GROUP BY token),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM tok),
+    scored AS (
+      SELECT t.source, t.token, t.tf,
+             t.tf * (ln(ns.n_sources) - ln(d.df)) AS score
+      FROM tok t
+      JOIN docfreq d USING (token)
+      CROSS JOIN ns
+    ),
+    ranked AS (
+      SELECT source, token, tf, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY score DESC, token) AS rnk
+      FROM scored
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, token, CAST(tf AS BIGINT) AS tf, score
+    FROM ranked WHERE rnk <= 5
+    ORDER BY source, rnk
+    """,
+    tags=("text", "tfidf", "corpus-card"),
+    doc=(
+        "Per-source distinguishing terms (c-TF-IDF, the BERTopic-style "
+        "class-based variant): source-level term frequency times "
+        "ln(n_sources/df), top five per source — the 'what is this "
+        "slice about' summary a corpus card or mixture-debugging "
+        "session starts from. Every floating-point input is ln of an "
+        "exact integer and each score is one product (no accumulation), "
+        "so scores — and the rank order they induce, tie-broken by "
+        "token — are bit-identical across engines. Shapes: one "
+        "(source, token) shuffle, a token-keyed doc-frequency join, a "
+        "scalar broadcast, and a source-partitioned top-k window over "
+        "vocab-sized partitions."
+    ),
+)
+def s07_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(norm_ws(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tok.groupBy("token").agg(F.countDistinct("source").alias("df"))
+    ns = tok.agg(F.countDistinct("source").alias("n_sources"))
+    scored = (
+        tok.join(docfreq, "token")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log(F.col("n_sources").cast("double"))
+                    - F.log(F.col("df").cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(W.partitionBy("source").orderBy(F.desc("score"), "token")),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 5)
+        .select("source", F.col("rnk").cast("bigint").alias("rnk"), "token", F.col("tf").cast("bigint").alias("tf"), "score")
+        .orderBy("source", "rnk")
+    )
