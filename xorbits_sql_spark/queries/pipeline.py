@@ -1412,3 +1412,97 @@ def s03_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "s09_fit_transform_binning",
+    """
+    WITH labeled AS (
+      SELECT lang, n_chars, doc_id,
+             CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+                  THEN 'train'
+                  WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+                  THEN 'valid' ELSE 'test' END AS split
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM labeled WHERE split = 'train'
+    ),
+    cuts AS (
+      SELECT lang,
+             MAX(CASE WHEN rnk = CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS c1,
+             MAX(CASE WHEN rnk = CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS c2,
+             MAX(CASE WHEN rnk = CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS c3
+      FROM ranked GROUP BY lang
+    )
+    SELECT l.lang, l.split,
+           CASE WHEN l.n_chars <= c.c1 THEN 0
+                WHEN l.n_chars <= c.c2 THEN 1
+                WHEN l.n_chars <= c.c3 THEN 2 ELSE 3 END AS bin,
+           COUNT(*) AS n_docs,
+           MIN(l.n_chars) AS min_chars,
+           MAX(l.n_chars) AS max_chars
+    FROM labeled l JOIN cuts c ON c.lang = l.lang
+    GROUP BY l.lang, l.split, bin
+    ORDER BY l.lang, l.split, bin
+    """,
+    tags=("pipeline", "fit-transform", "binning"),
+    doc=(
+        "The fit/transform discipline as a relational plan: per-language "
+        "length-quartile cut points are fitted on the TRAIN split only "
+        "(discrete rank-based cuts, no interpolation) and applied to "
+        "every split through a tiny broadcast join — the no-leakage "
+        "pattern every feature pipeline needs (valid/test statistics "
+        "never influence the bins). Train ranking windows partition by "
+        "language so no global sort appears; the transform side is one "
+        "map-side CASE after the broadcast. All-integer logic — "
+        "identical bins on any engine. The split labels reuse q77's "
+        "md5-bucket arithmetic, so split assignment is itself "
+        "reproducible and engine-portable."
+    ),
+)
+def s09_fit_transform_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    labeled = docs.select("lang", "n_chars", "doc_id", split.alias("split"))
+    ranked = labeled.filter(F.col("split") == "train").select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+
+    def cut(q: float, name: str):
+        at = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rnk") == at, F.col("n_chars"))).alias(name)
+
+    cuts = ranked.groupBy("lang").agg(cut(0.25, "c1"), cut(0.50, "c2"), cut(0.75, "c3"))
+    binned = labeled.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        "split",
+        F.when(F.col("n_chars") <= F.col("c1"), 0)
+        .when(F.col("n_chars") <= F.col("c2"), 1)
+        .when(F.col("n_chars") <= F.col("c3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "n_chars",
+    )
+    return (
+        binned.groupBy("lang", "split", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "split", "bin")
+    )

@@ -1468,3 +1468,85 @@ def s07_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("rnk").cast("bigint").alias("rnk"), "token", F.col("tf").cast("bigint").alias("tf"), "score")
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "s08_trigram_lm_score",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, source, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    doc_tri AS (
+      SELECT doc_id, source, shingle, COUNT(*) AS m
+      FROM tri GROUP BY doc_id, source, shingle
+    ),
+    model AS (
+      SELECT source, shingle, CAST(SUM(m) AS BIGINT) AS n
+      FROM doc_tri GROUP BY source, shingle
+    ),
+    totals AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tt FROM model GROUP BY source),
+    acc AS (
+      SELECT d.doc_id, d.source,
+             CAST(SUM(d.m) AS BIGINT) AS m_total,
+             SUM(CAST(d.m * ln(mo.n) AS DECIMAL(28,9))) AS s
+      FROM doc_tri d JOIN model mo ON mo.source = d.source AND mo.shingle = d.shingle
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT acc.doc_id, acc.source, acc.m_total,
+           ln(t.tt) - CAST(acc.s AS DOUBLE) / acc.m_total AS h_nats
+    FROM acc JOIN totals t ON t.source = acc.source
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "language-model"),
+    doc=(
+        "CCNet-style LM quality scoring without KenLM: each document's "
+        "cross-entropy (nats/trigram) under its own source's trigram "
+        "unigram-count model, H = ln(T) - (sum m*ln n)/M. High H = "
+        "surprising under the source's distribution — the standard "
+        "signal for boilerplate, spam, or wrong-source documents, and "
+        "the relational skeleton that swaps in real LM logprobs at "
+        "production scale. Floating-point discipline as r98: ln only "
+        "of exact integers, per-trigram contributions rounded to "
+        "DECIMAL(28,9) before summing, one double division at the "
+        "end. Scale shapes: the model derives from the per-doc counts "
+        "(one extra keyed agg, no second corpus scan), the score join "
+        "is (source, shingle)-keyed, totals broadcast."
+    ),
+)
+def s08_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_relational
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tri = shingles_relational(docs, "text", "doc_id", k=3, carry_cols=["source"])
+    doc_tri = tri.groupBy(F.col("doc").alias("doc_id"), "source", "shingle").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    model = doc_tri.groupBy("source", "shingle").agg(
+        F.sum("m").cast("bigint").alias("n")
+    )
+    totals = model.groupBy("source").agg(F.sum("n").cast("bigint").alias("tt"))
+    acc = (
+        doc_tri.join(model, ["source", "shingle"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("m").cast("bigint").alias("m_total"),
+            F.sum((F.col("m") * F.log("n")).cast("decimal(28,9)")).alias("s"),
+        )
+    )
+    return (
+        acc.join(F.broadcast(totals), "source")
+        .select(
+            "doc_id",
+            "source",
+            "m_total",
+            (
+                F.log(F.col("tt").cast("double"))
+                - F.col("s").cast("double") / F.col("m_total")
+            ).alias("h_nats"),
+        )
+        .orderBy("doc_id")
+    )
