@@ -205,7 +205,12 @@ def centroid_update(assigned: DataFrame, vec_col: str = "cvec") -> DataFrame:
     posexplode the member vectors to (cell, pos, val) rows, sum each
     dimension in DECIMAL (order-independent — identical on any cluster
     size and bit-equal to DuckDB), then reassemble the centroid array
-    ordered by position. Two aggregations, both keyed on (cell[, pos]) —
+    ordered by position. Values are ``round(val, 12)``-ed BEFORE the
+    decimal cast: a float32 that is an exact 13-digit binary fraction
+    (e.g. 0.1983642578125) ties at the cast's rounding digit, and
+    Spark (HALF_UP) and DuckDB (HALF_EVEN) break that tie differently;
+    ``round`` itself agrees in both engines (away from zero) and its
+    output can never re-tie. Two aggregations, both keyed on (cell[, pos]) —
     fully parallel with map-side partial sums, no vector ever collected
     to the driver. The un-normalized dimension sums are used directly:
     cosine assignment only reads the centroid *direction*, so skipping
@@ -216,7 +221,7 @@ def centroid_update(assigned: DataFrame, vec_col: str = "cvec") -> DataFrame:
         "cell", F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("pos", "val")
     )
     dims = ex.groupBy("cell", "pos").agg(
-        F.sum(F.col("val").cast("decimal(28,12)")).cast("double").alias("v")
+        F.sum(F.round(F.col("val"), 12).cast("decimal(28,12)")).cast("double").alias("v")
     )
     return dims.groupBy("cell").agg(
         F.transform(

@@ -214,7 +214,7 @@ def _duck_kmeans_ctes(k: int, n_iter: int) -> str:
         parts.append(
             f"""s{i} AS (
       SELECT cell, pos,
-             CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS v
+             CAST(SUM(CAST(round(CAST(embedding[pos] AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) AS v
       FROM d{i} GROUP BY cell, pos
     )"""
         )
@@ -493,4 +493,88 @@ def r87_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (
         agg.select(F.explode(F.array(*structs)).alias("s")).select("s.*").orderBy("threshold")
+    )
+
+
+@register(
+    "s10_embedding_centroids",
+    """
+    WITH dims AS (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT label, pos,
+             SUM(CAST(round(val, 12) AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+      FROM dims GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS centroid
+      FROM sums GROUP BY label
+    ),
+    cosd AS (
+      SELECT e.label,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+      FROM embeddings e JOIN cent c USING (label)
+    )
+    SELECT d.label,
+           COUNT(*) AS n_vecs,
+           sqrt(list_dot_product(c.centroid, c.centroid)) AS centroid_norm,
+           CAST(SUM(CAST(d.cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_cos
+    FROM cosd d JOIN cent c ON c.label = d.label
+    GROUP BY d.label, c.centroid
+    ORDER BY d.label
+    """,
+    tags=("vectors", "cluster-quality", "drift"),
+    doc=(
+        "Per-label embedding centroid and dispersion audit: mean vector "
+        "per label (exact decimal per-dimension sums, one double "
+        "division) and the label's cohesion as mean cosine of members "
+        "to their centroid — the cluster-quality/embedding-drift check "
+        "run before trusting labels, SemDeDup cells, or an IVF "
+        "partitioning. Scale shapes: posexplode -> (label, dim) "
+        "aggregation with map-side combine (never a per-row array "
+        "lambda over the corpus for the sums), centroids reassembled "
+        "ordered-by-dimension and BROADCAST back for the one "
+        "sequential-accumulation cosine per row; per-row cosines fold "
+        "through decimal so the mean is partition-order-independent."
+    ),
+)
+def s10_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine
+
+    emb = t(spark, sf_dir, "embeddings").select("label", "embedding")
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    sums = dims.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("val").cast("double"), 12).cast("decimal(28,12)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = (
+        sums.select("label", "pos", (F.col("s").cast("double") / F.col("n")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("centroid")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    cos = cosine(F.col("embedding"), F.col("centroid"))
+    from ..functions.vectors import norm as vnorm
+
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.first(vnorm(F.col("centroid"))).alias("centroid_norm"),
+            (
+                F.sum(cos.cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))
+            ).alias("mean_cos"),
+        )
+        .orderBy("label")
     )
