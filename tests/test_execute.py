@@ -102,3 +102,28 @@ def test_execute_accepts_ast_expression(spark):
     pdf = pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
     got = execute(FakeExpression(), dialect="duckdb", tables={"t": pdf}, spark=spark).collect()
     assert [(r["k"], r["s"]) for r in got] == [("a", 4), ("b", 2)]
+
+
+def test_ctas_insert_roundtrip(spark, tmp_path):
+    """DDL/DML pass through execute() to Spark's catalog: CTAS writes a
+    parquet table (sink surface via SQL, no writer API needed), INSERT
+    INTO appends, and a follow-up execute() query reads it back."""
+    import pandas as pd
+
+    from xorbits_sql_spark import execute
+
+    src = pd.DataFrame({"k": ["a", "b"], "v": [1.0, 2.0]})
+    try:
+        execute(
+            f"CREATE TABLE ctas_t USING PARQUET LOCATION '{tmp_path}/ctas_t' "
+            "AS SELECT k, v FROM src",
+            tables={"src": src},
+            spark=spark,
+        ).collect()
+        execute("INSERT INTO ctas_t VALUES ('c', 3.0)", spark=spark).collect()
+        got = execute(
+            "SELECT k, SUM(v) AS s FROM ctas_t GROUP BY k ORDER BY k", spark=spark
+        ).collect()
+        assert [(r["k"], r["s"]) for r in got] == [("a", 1.0), ("b", 2.0), ("c", 3.0)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ctas_t")

@@ -1550,3 +1550,94 @@ def s08_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "s11_dup_graph_closure",
+    f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, source, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM shingled a JOIN shingled b
+        ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) > 0.05
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(a, b, hops) AS (
+      SELECT src, dst, 1 FROM und
+      UNION ALL
+      SELECT w.a, u.dst, w.hops + 1
+      FROM walk w JOIN und u ON u.src = w.b
+      WHERE w.hops < 3 AND u.dst <> w.a
+    )
+    SELECT a AS id_a, b AS id_b, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk WHERE a < b
+    GROUP BY a, b
+    ORDER BY id_a, id_b
+    """,
+    tags=("text", "recursive-cte", "graph"),
+    doc=(
+        "Recursive SQL executed BY SPARK (WITH RECURSIVE, new in Spark "
+        "4): min-hop closure (diameter <= 3) over the q64 near-dup "
+        "graph — which documents are transitively related through "
+        "chains of near-duplicates, and how far apart. The edge table "
+        "is built relationally (the bounded inverted-index plan), "
+        "registered as a temp view, and the recursion runs in "
+        "Catalyst; DuckDB executes the IDENTICAL recursion in the "
+        "oracle. Depth is capped in the recursive term, so expansion "
+        "is bounded even with UNION ALL semantics; for full fixpoint "
+        "clustering at 100 TB use the iterative "
+        "operators/dedup.connected_components (r63), whose per-round "
+        "state is one row per node rather than one row per path."
+    ),
+)
+def s11_dup_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    edges = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.05,
+        partition_col="source",
+    ).select("id_a", "id_b")
+    edges.createOrReplaceTempView("s11_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE und AS (
+          SELECT id_a AS src, id_b AS dst FROM s11_edges
+          UNION ALL
+          SELECT id_b, id_a FROM s11_edges
+        ),
+        walk(a, b, hops) AS (
+          SELECT src, dst, 1 FROM und
+          UNION ALL
+          SELECT w.a, u.dst, w.hops + 1
+          FROM walk w JOIN und u ON u.src = w.b
+          WHERE w.hops < 3 AND u.dst <> w.a
+        )
+        SELECT a AS id_a, b AS id_b, CAST(MIN(hops) AS BIGINT) AS hops
+        FROM walk WHERE a < b
+        GROUP BY a, b
+        ORDER BY id_a, id_b
+        """
+    )
