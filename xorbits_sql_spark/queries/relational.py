@@ -1012,3 +1012,160 @@ def r74_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), "id")
         .limit(20)
     )
+
+
+@register(
+    "s12_revenue_pareto",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS r
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, r,
+             SUM(r) OVER (PARTITION BY c_nationkey ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(r) OVER (PARTITION BY c_nationkey) AS total,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM rev
+    )
+    SELECT c_nationkey,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(CAST(MAX(total) AS DECIMAL(18,6)) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CASE WHEN 5 * (cum - r) < 4 * total THEN 1 ELSE 0 END) AS BIGINT)
+             AS head80_customers
+    FROM ranked
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("relational", "pareto", "concentration"),
+    doc=(
+        "Pareto concentration audit per nation: how many top customers "
+        "cover 80% of revenue (min k with 5*cumsum(k) >= 4*total, "
+        "counted as ranks whose preceding cumulative is under the "
+        "threshold — the r95 head-mass rule on money). All "
+        "comparisons are exact-decimal integer-scaled, so the head "
+        "count is bit-stable at any partition order. The two windows "
+        "share one nation-hash Exchange and sort only per-nation "
+        "customer aggregates, never raw orders; the same shape answers "
+        "'how concentrated is token mass over sources' in a corpus."
+    ),
+)
+def s12_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r"))
+    )
+    w_cum = (
+        W.partitionBy("c_nationkey")
+        .orderBy(F.desc("r"), "o_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = rev.select(
+        "c_nationkey",
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(W.partitionBy("c_nationkey")).alias("total"),
+        F.count(F.lit(1)).over(W.partitionBy("c_nationkey")).alias("n"),
+    )
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.max("total").cast("decimal(18,6)").cast("double").alias("total_revenue"),
+            F.sum(
+                F.when(5 * (F.col("cum") - F.col("r")) < 4 * F.col("total"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("head80_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "s13_join_key_skew_audit",
+    """
+    WITH k AS (
+      SELECT 'orders.o_custkey' AS key_col, o_custkey AS key FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+    ),
+    counts AS (
+      SELECT key_col, key, COUNT(*) AS n FROM k GROUP BY key_col, key
+    ),
+    ranked AS (
+      SELECT key_col, n,
+             ROW_NUMBER() OVER (PARTITION BY key_col ORDER BY n, key) AS rnk,
+             COUNT(*) OVER (PARTITION BY key_col) AS nd,
+             SUM(n) OVER (PARTITION BY key_col) AS total
+      FROM counts
+    )
+    SELECT key_col,
+           CAST(MAX(total) AS BIGINT) AS n_rows,
+           CAST(MAX(nd) AS BIGINT) AS n_distinct,
+           CAST(MAX(n) AS BIGINT) AS max_per_key,
+           CAST(MAX(CASE WHEN rnk = CAST(ceil(0.99 * nd) AS BIGINT) THEN n END) AS BIGINT)
+             AS p99_per_key,
+           CAST(MAX(n) AS DOUBLE) / MAX(total) AS top_key_share
+    FROM ranked
+    GROUP BY key_col
+    ORDER BY key_col
+    """,
+    tags=("relational", "skew", "diagnostics"),
+    doc=(
+        "Pre-join skew diagnosis — the audit run BEFORE shuffling 100 TB "
+        "on a key: per join column, total rows, distinct keys, the "
+        "hottest key's row count, the discrete p99 per-key count (rank-"
+        "based, interpolation-free), and the hottest key's share of all "
+        "rows. Reads feed the decision between a plain shuffle join, "
+        "operators/skew.salted_join, or a broadcast. One keyed count "
+        "per column (map-side combined), then windows over the "
+        "key-cardinality table only — the fact tables are scanned once "
+        "with a single projected column each."
+    ),
+)
+def s13_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = (
+        t(spark, sf_dir, "orders")
+        .select(F.lit("orders.o_custkey").alias("key_col"), F.col("o_custkey").alias("key"))
+        .unionByName(
+            t(spark, sf_dir, "lineitem").select(
+                F.lit("lineitem.l_partkey").alias("key_col"),
+                F.col("l_partkey").alias("key"),
+            )
+        )
+    )
+    counts = k.groupBy("key_col", "key").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.select(
+        "key_col",
+        "n",
+        F.row_number().over(W.partitionBy("key_col").orderBy("n", "key")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("key_col")).alias("nd"),
+        F.sum("n").over(W.partitionBy("key_col")).alias("total"),
+    )
+    return (
+        ranked.groupBy("key_col")
+        .agg(
+            F.max("total").cast("bigint").alias("n_rows"),
+            F.max("nd").cast("bigint").alias("n_distinct"),
+            F.max("n").cast("bigint").alias("max_per_key"),
+            F.max(
+                F.when(
+                    F.col("rnk") == F.ceil(F.lit(0.99) * F.col("nd")).cast("bigint"),
+                    F.col("n"),
+                )
+            )
+            .cast("bigint")
+            .alias("p99_per_key"),
+            (F.max("n").cast("double") / F.max("total")).alias("top_key_share"),
+        )
+        .orderBy("key_col")
+    )
