@@ -29,8 +29,10 @@ from xorbits_sql_spark.queries import load_all
 #
 # ROUND-3 ROTATION: once CORRECTNESS_r02 confirms q50..q99 green, add
 # them to the rotated set below (extend the second range to cover
-# 50..99 + q100) so the r-prefixed round-2 operators (r46..r94, ~35
-# queries) sort into round 3's first-50 window.
+# 50..99 + q100) so the r-prefixed round-2 operators (r46..r95 —
+# exactly 50 names) sort into round 3's first-50 window. The late
+# round-2 additions (r96..r99 and s01..s13) sort after r95 and queue
+# for round 4's window; rotate r46..r95 to z in round 4 once green.
 _R1_DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 23)] + [f"q{i}" for i in range(30, 50)] + ["q100"]
 )
