@@ -221,3 +221,44 @@ def test_tsql_brackets_and_len(spark):
         spark=spark,
     ).collect()
     assert [r["n"] for r in got] == [2, 3]
+
+
+_QUALIFY_CASES = [
+    "SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) AS rn "
+    "FROM t QUALIFY rn <= 2 ORDER BY k, rn",
+    "SELECT k, v, RANK() OVER (PARTITION BY k ORDER BY v) AS r "
+    "FROM t QUALIFY r = 1 ORDER BY k",
+    # QUALIFY over an aggregated query (window over SUM)
+    "SELECT k, SUM(v) AS s, ROW_NUMBER() OVER (ORDER BY SUM(v) DESC) AS rn "
+    "FROM t GROUP BY k QUALIFY rn = 1",
+]
+
+
+@pytest.mark.parametrize("q", _QUALIFY_CASES)
+def test_qualify_matches_duckdb(spark, q):
+    """duckdb/snowflake QUALIFY → subquery-filter rewrite, value-checked
+    against DuckDB executing the original QUALIFY query natively."""
+    import duckdb
+
+    pdf = pd.DataFrame({"k": ["a", "a", "a", "b", "b"], "v": [3.0, 1.0, 2.0, 5.0, 4.0]})
+    got = [tuple(r) for r in execute(q, tables={"t": pdf}, dialect="duckdb", spark=spark).collect()]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [tuple(r) for r in con.execute(q).fetchall()]
+    assert got == want
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only guards")
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT * FROM (SELECT k, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1)",
+        "SELECT DISTINCT k, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1",
+        "SELECT *, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1",
+        "SELECT k, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1 "
+        "UNION ALL SELECT k, 1 FROM t",
+    ],
+)
+def test_qualify_unsupported_forms_raise(q):
+    with pytest.raises(UnsupportedError):
+        transpile(q, "duckdb")

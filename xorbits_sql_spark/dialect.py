@@ -230,6 +230,114 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
+def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """``SELECT cols FROM ... QUALIFY pred [tail]`` →
+    ``SELECT * FROM (SELECT cols, (pred) AS __qualify FROM ...) WHERE
+    __qualify [tail]`` (duckdb/snowflake/bigquery/clickhouse post-window
+    filter; Spark has no QUALIFY clause).
+
+    Window functions cannot appear in WHERE, so the predicate is hoisted
+    into the projection and filtered one level up; ORDER BY / LIMIT
+    after QUALIFY move outside the wrapper, where they logically apply.
+    Only the faithful cases rewrite — QUALIFY in a subquery, with
+    SELECT DISTINCT (the rewrite would dedup before filtering and over
+    the helper column), with a depth-0 ``*`` in the select list (the
+    wrapper would leak ``__qualify``), or feeding a set operation —
+    all raise instead of silently changing semantics.
+    """
+    depth = 0
+    q_at: int | None = None
+    for i, (kind, text) in enumerate(tokens):
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        elif kind == "word" and text.upper() == "QUALIFY":
+            if depth > 0:
+                raise UnsupportedError(
+                    "QUALIFY inside a subquery is not supported without sqlglot"
+                )
+            if q_at is not None:
+                raise UnsupportedError("multiple QUALIFY clauses without sqlglot")
+            q_at = i
+    if q_at is None:
+        return tokens
+
+    select_at: int | None = None
+    from_at: int | None = None
+    depth = 0
+    for i, (kind, text) in enumerate(tokens[:q_at]):
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        elif kind == "word" and depth == 0:
+            up = text.upper()
+            if up == "SELECT" and select_at is None:
+                select_at = i
+                j = _next_code(tokens, i)
+                if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() == "DISTINCT":
+                    raise UnsupportedError(
+                        "QUALIFY with SELECT DISTINCT is not supported without sqlglot"
+                    )
+            elif up == "FROM" and select_at is not None and from_at is None:
+                from_at = i
+        elif kind == "op" and text == "*" and depth == 0 and select_at is not None and from_at is None:
+            prev = [k for k in _iter_code(tokens[:i])]
+            if not prev or tokens[prev[-1]][1] != ".":
+                raise UnsupportedError(
+                    "QUALIFY with * in the select list is not supported without sqlglot"
+                )
+    if select_at is None or from_at is None:
+        raise UnsupportedError("could not locate SELECT ... FROM for QUALIFY rewrite")
+
+    # predicate runs until a depth-0 tail keyword / set op / semicolon
+    depth = 0
+    pred_end = len(tokens)
+    tail_start = len(tokens)
+    for i in range(q_at + 1, len(tokens)):
+        kind, text = tokens[i]
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "word" and text.upper() in ("UNION", "INTERSECT", "EXCEPT"):
+            raise UnsupportedError(
+                "QUALIFY feeding a set operation is not supported without sqlglot"
+            )
+        elif depth == 0 and (
+            (kind == "word" and text.upper() in ("ORDER", "LIMIT", "OFFSET", "FETCH", "WINDOW"))
+            or (kind == "op" and text == ";")
+        ):
+            pred_end = tail_start = i
+            break
+    pred = tokens[q_at + 1 : pred_end]
+
+    out: list[tuple[str, str]] = []
+    out += tokens[:select_at]
+    out += [
+        ("word", "SELECT"),
+        ("ws", " "),
+        ("op", "*"),
+        ("ws", " "),
+        ("word", "EXCEPT"),
+        ("ws", " "),
+        ("op", "("),
+        ("word", "__qualify"),
+        ("op", ")"),
+        ("ws", " "),
+        ("word", "FROM"),
+        ("ws", " "),
+        ("op", "("),
+    ]
+    out += tokens[select_at:from_at]
+    out += [("op", ","), ("ws", " "), ("op", "(")] + pred + [("op", ")"), ("ws", " "), ("word", "AS"), ("ws", " "), ("word", "__qualify"), ("ws", " ")]
+    out += tokens[from_at:q_at]
+    out += [("op", ")"), ("ws", " "), ("word", "WHERE"), ("ws", " "), ("word", "__qualify"), ("ws", " ")]
+    out += tokens[tail_start:]
+    return out
+
+
 def _rewrite_mysql_limit(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """mysql ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``."""
     out = list(tokens)
@@ -351,6 +459,8 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
         tokens = _rewrite_mysql_limit(tokens)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
+    if dialect in ("duckdb", "snowflake", "bigquery", "clickhouse"):
+        tokens = _rewrite_qualify(tokens)
     # `expr::type` cast shorthand (postgres/duckdb) parses natively in
     # Spark 4 — no rewrite needed.
     return "".join(t for _, t in tokens)

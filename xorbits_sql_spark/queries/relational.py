@@ -1169,3 +1169,148 @@ def s13_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+@register(
+    "s14_set_ops_all",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    w2 AS (
+      SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    both_halves AS (SELECT * FROM w1 INTERSECT ALL SELECT * FROM w2),
+    only_first AS (SELECT * FROM w1 EXCEPT ALL SELECT * FROM w2)
+    SELECT 'intersect_all' AS op, event_type, COUNT(*) AS n
+    FROM both_halves GROUP BY event_type
+    UNION ALL
+    SELECT 'except_all', event_type, COUNT(*) FROM only_first GROUP BY event_type
+    ORDER BY op, event_type
+    """,
+    tags=("relational", "set-ops", "multiset"),
+    doc=(
+        "Multiset set operations — INTERSECT ALL keeps min(m1, m2) "
+        "copies per row, EXCEPT ALL keeps m1 - m2 — comparing the "
+        "(user, event_type) bags of the month's two halves. The ALL "
+        "variants are real operators, not DISTINCT shortcuts: Spark "
+        "plans them as a single aggregation computing per-row "
+        "multiplicities on both sides (one shuffle on the full row "
+        "key), exactly the multiset algebra a dedup-aware diff needs. "
+        "Complements q38/q39's DISTINCT set ops."
+    ),
+)
+def s14_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    w1 = ev.filter(F.col("ts") < cutoff).select("user_id", "event_type")
+    w2 = ev.filter(F.col("ts") >= cutoff).select("user_id", "event_type")
+    inter = (
+        w1.intersectAll(w2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "event_type", "n")
+    )
+    exc = (
+        w1.exceptAll(w2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "event_type", "n")
+    )
+    return inter.unionByName(exc).orderBy("op", "event_type")
+
+
+@register(
+    "s15_range_frame_window",
+    """
+    WITH priced AS (
+      SELECT event_id, event_type, epoch_us(ts) AS tus, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS trailing_avg
+    FROM priced
+    WINDOW w AS (PARTITION BY event_type ORDER BY tus
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("relational", "window", "range-frame"),
+    doc=(
+        "Value-based RANGE window frame: each purchase's trailing-hour "
+        "same-type average, where the frame is defined by the TIME "
+        "DISTANCE (microsecond epoch within 3.6e9) rather than a row "
+        "count — the semantics ROWS frames cannot express when events "
+        "arrive irregularly. RANGE includes all time-peers of the "
+        "current row symmetrically in both engines, so ties need no "
+        "breaking; frame sums accumulate in exact decimal (the r56 "
+        "discipline) making each frame's average partition-order-"
+        "independent. The window partitions by event_type — sorts "
+        "spread across the cluster, no global single-partition window."
+    ),
+)
+def s15_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    priced = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("tus"),
+            "value",
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("tus")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return priced.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("trailing_avg"),
+    ).orderBy("event_id")
+
+
+@register(
+    "s16_execute_qualify_dialect",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 2
+    ORDER BY o_orderpriority, rn
+    """,
+    tags=("execute-api", "dialect", "qualify"),
+    doc=(
+        "duckdb/snowflake QUALIFY through execute(dialect='duckdb'): "
+        "Spark has no QUALIFY clause, so the token-stream transpiler "
+        "hoists the post-window predicate into the projection and "
+        "filters one level up (SELECT * EXCEPT(__qualify) FROM (...) "
+        "WHERE __qualify) — semantics pinned by DuckDB executing the "
+        "IDENTICAL QUALIFY text natively as the oracle. Top-2 orders "
+        "per priority: the window partitions by priority, and Catalyst "
+        "collapses the wrapper projection, so the rewritten plan equals "
+        "the hand-written subquery form."
+    ),
+)
+def s16_execute_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 2
+    ORDER BY o_orderpriority, rn
+    """
+    return execute(
+        sql,
+        dialect="duckdb",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
