@@ -1314,3 +1314,47 @@ def s16_execute_qualify_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"orders": t(spark, sf_dir, "orders")},
         spark=spark,
     )
+
+
+@register(
+    "s17_grouping_flags",
+    f"""
+    SELECT CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(hr) AS BIGINT) AS g_hr,
+           event_type,
+           hr,
+           COUNT(*) AS n,
+           {sql_dsum('value', 'total_value')}
+    FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value FROM events)
+    GROUP BY GROUPING SETS ((event_type, hr), (event_type), (hr), ())
+    ORDER BY g_type, g_hr, event_type NULLS FIRST, hr NULLS FIRST
+    """,
+    tags=("relational", "grouping-sets", "grouping-id"),
+    doc=(
+        "GROUPING() flags over four grouping sets — the bit that "
+        "distinguishes 'aggregated over this column' from 'column is "
+        "genuinely NULL', which q40/q41's plain rollups cannot express "
+        "and every OLAP cube consumer needs. Spark evaluates all sets "
+        "in one Expand + single hash aggregation (rows amplified 4x "
+        "map-side, partials combined before the one shuffle); flags "
+        "cast to BIGINT for cross-engine hashing."
+    ),
+)
+def s17_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("bigint").alias("hr"), "value"
+    )
+    base.createOrReplaceTempView("s17_base")
+    return spark.sql(
+        """
+        SELECT CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+               CAST(GROUPING(hr) AS BIGINT) AS g_hr,
+               event_type,
+               hr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM s17_base
+        GROUP BY GROUPING SETS ((event_type, hr), (event_type), (hr), ())
+        ORDER BY g_type, g_hr, event_type NULLS FIRST, hr NULLS FIRST
+        """
+    )
