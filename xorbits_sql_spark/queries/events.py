@@ -1501,3 +1501,143 @@ def s06_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "s18_purchase_attribution",
+    """
+    WITH purch AS (
+      SELECT user_id, event_id AS pid, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, MIN(event_id) AS vid, ts AS vts
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ),
+    attributed AS (
+      SELECT p.user_id, p.pid, p.ts, v.vid, v.vts
+      FROM purch p ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts >= v.vts
+    )
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_attributed,
+           CAST(SUM(CASE WHEN vid IS NOT NULL
+                         THEN epoch_us(ts) - epoch_us(vts) ELSE 0 END) AS BIGINT)
+             AS total_lag_us
+    FROM attributed
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("events", "attribution", "asof"),
+    doc=(
+        "Last-touch attribution: each purchase is credited to the most "
+        "recent prior view by the same user — the as-of join's "
+        "marketing-analytics face (operators/joins.asof_join, the "
+        "union-trick single-window plan, no pair explosion on "
+        "heavy-viewing users). Views are deduped to one row per "
+        "(user, ts) with the MIN event id so the match is unique and "
+        "engine-deterministic; per-day totals report attachment rate "
+        "and total view-to-purchase lag in exact integer microseconds "
+        "(averages derivable without any float accumulation)."
+    ),
+)
+def s18_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.min("event_id").alias("vid"))
+    )
+    att = asof_join(
+        purch,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="vts",
+        right_values=["vid", "vts"],
+        tie_breakers=["vid"],
+    )
+    lag = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("vts"))
+    return (
+        att.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.when(F.col("vid").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_attributed"),
+            F.sum(F.when(F.col("vid").isNotNull(), lag).otherwise(0))
+            .cast("bigint")
+            .alias("total_lag_us"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "s19_trailing_wau",
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM active),
+    contrib AS (
+      SELECT a.user_id, a.day + o.off AS target_day
+      FROM active a, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS o(off)
+    ),
+    wau AS (
+      SELECT c.target_day AS day, COUNT(DISTINCT c.user_id) AS wau
+      FROM contrib c CROSS JOIN bounds b
+      WHERE c.target_day BETWEEN b.lo AND b.hi
+      GROUP BY c.target_day
+    ),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY day)
+    SELECT CAST(w.day AS TIMESTAMP) AS day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM wau w JOIN dau d ON d.day = w.day
+    ORDER BY day
+    """,
+    tags=("events", "retention", "sliding-distinct"),
+    doc=(
+        "Trailing-7-day active users and DAU/WAU stickiness — the "
+        "sliding DISTINCT aggregate windows can't express (distinct "
+        "doesn't decompose over overlapping frames). Relational shape: "
+        "each (user, active-day) pair is exploded to the seven trailing "
+        "report days it supports (map-side, x7), then one "
+        "(day, user)-keyed distinct count — the shuffle spreads over "
+        "users, never a per-day state blowup; date bounds enter as a "
+        "one-row broadcast, not a driver collect."
+    ),
+)
+def s19_trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    active = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .distinct()
+    )
+    bounds = active.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    off = F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("off")
+    contrib = active.select("user_id", "day", off).select(
+        "user_id", F.date_add("day", F.col("off")).alias("target_day")
+    )
+    wau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("target_day").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    dau = active.groupBy("day").agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
+    return (
+        wau.join(dau, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
