@@ -1641,3 +1641,49 @@ def s19_trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "s20_dod_change",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             {sql_dsum('value', 'total_value')}
+      FROM events GROUP BY day, event_type
+    )
+    SELECT day, event_type, total_value,
+           CASE WHEN LAG(total_value) OVER w IS NULL
+                OR LAG(total_value) OVER w = 0 THEN NULL
+                ELSE (total_value - LAG(total_value) OVER w)
+                     / LAG(total_value) OVER w END AS dod_pct
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type, day
+    """,
+    tags=("events", "time-series", "growth"),
+    doc=(
+        "Day-over-day growth per event type: daily exact-decimal "
+        "totals, then LAG over the ALREADY-AGGREGATED daily table "
+        "(|days| x |types| rows — the window never touches the fact "
+        "table) with NULL for the first day and zero-base days. The "
+        "division runs on two identical exact-decimal-derived doubles, "
+        "so the percentage is bit-stable cross-engine. The KPI-sheet "
+        "shape every metrics pipeline ships."
+    ),
+)
+def s20_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(dsum("value", "total_value"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total_value").over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "total_value",
+        F.when(prev.isNull() | (prev == 0), F.lit(None)).otherwise(
+            (F.col("total_value") - prev) / prev
+        ).alias("dod_pct"),
+    ).orderBy("event_type", "day")
