@@ -527,3 +527,24 @@ def test_incremental_merge_equals_recompute_any_cutoff(spark):
     m = {r["event_type"]: (r["n"], r["s"]) for r in merged.collect()}
     d = {r["event_type"]: (r["n"], r["s"]) for r in direct.collect()}
     assert m == d
+
+
+def test_asof_join_forward_tolerance(spark):
+    left = spark.createDataFrame([Row(k="A", t=10), Row(k="A", t=90)])
+    right = spark.createDataFrame([Row(k="A", rt=15, q=1), Row(k="A", rt=200, q=2)])
+    out = {
+        r["t"]: r["q"]
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="rt",
+            right_values=["q"],
+            tolerance=20,
+            direction="forward",
+        ).collect()
+    }
+    # t=10 -> rt=15 is 5 ahead, within tolerance; t=90 -> rt=200 is 110
+    # ahead, nulled (look-AHEAD bound, mirroring pandas merge_asof)
+    assert out == {10: 1, 90: None}

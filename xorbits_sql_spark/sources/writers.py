@@ -109,4 +109,9 @@ def compact_table(
     shutil.move(tmp, path)
     out = spark.read.format(fmt).load(path)
     assert out.count() == n, "compaction must preserve row count"
-    return len([f for f in os.listdir(path) if f.endswith("." + fmt)])
+    return sum(
+        1
+        for _dir, _sub, names in os.walk(path)
+        for f in names
+        if f.endswith("." + fmt)
+    )
