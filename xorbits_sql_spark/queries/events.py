@@ -1687,3 +1687,164 @@ def s20_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_value") - prev) / prev
         ).alias("dod_pct"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "s21_mad_outliers",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS median,
+             MAX(n) AS n
+      FROM ranked GROUP BY event_type
+    ),
+    devs AS (
+      SELECT e.event_type, e.event_id, abs(e.value - m.median) AS dev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    dranked AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM devs
+    ),
+    mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN dev END) AS mad
+      FROM dranked GROUP BY event_type
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n, m.median, d.mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.median) > 5 * d.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    GROUP BY m.event_type, m.n, m.median, d.mad
+    ORDER BY m.event_type
+    """,
+    tags=("events", "robust-statistics", "outliers"),
+    doc=(
+        "Median-absolute-deviation outlier census per event type — the "
+        "robust global complement of r56's rolling z-score (mean/stddev "
+        "break down exactly when outliers are present; the median/MAD "
+        "pair does not). Both medians are discrete rank-based "
+        "(interpolation-free, engine-identical), deviations and the "
+        "5*MAD threshold are single products of identical doubles, and "
+        "every stage — two partitioned rank windows, two broadcast-"
+        "size medians joined back, one counting pass — shuffles on "
+        "event_type only. No global window, no float accumulation."
+    ),
+)
+def s21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def rank_stat(df: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = df.select(
+            "event_type",
+            col,
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy(col, "event_id"))
+            .alias("rnk"),
+            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        )
+        at = F.ceil(F.lit(0.5) * F.col("n")).cast("bigint")
+        return ranked.groupBy("event_type").agg(
+            F.max(F.when(F.col("rnk") == at, F.col(col))).alias(out),
+            F.max("n").alias("n"),
+        )
+
+    med = rank_stat(ev, "value", "median").select("event_type", "median", "n")
+    devs = ev.join(F.broadcast(med.select("event_type", "median")), "event_type").select(
+        "event_type", "event_id", F.abs(F.col("value") - F.col("median")).alias("dev")
+    )
+    mad = rank_stat(devs, "dev", "mad").select("event_type", "mad")
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "median", "mad")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("median")) > 5 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select("event_type", F.col("n").cast("bigint").alias("n"), "median", "mad", "n_outliers")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "s22_top_session_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+    tags=("events", "sessionize", "journeys"),
+    doc=(
+        "Top user journeys: sessions rebuilt with the q51 lag-gap rule "
+        "(30 min, microsecond-exact), each session reduced to its first "
+        "eight event types as one delimited path (bounded per-key list, "
+        "the s05 discipline — state O(8) after aggregation), then a "
+        "path frequency count with a top-10 TakeOrderedAndProject. "
+        "Everything shuffles on (user) then (path); ties broken by "
+        "event_id so paths are byte-identical across engines. The "
+        "'what do users actually do' table every funnel design starts "
+        "from."
+    ),
+)
+def s22_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    path = F.array_join(
+        F.transform(F.slice(ordered, 1, 8), lambda s: s["event_type"]), ">"
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
