@@ -1848,3 +1848,165 @@ def s22_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@register(
+    "s23_threshold_runs",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY hr
+    ),
+    avg_n AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS m FROM hourly),
+    flagged AS (
+      SELECT hr, n,
+             CAST(epoch_us(hr) / 3600000000 AS BIGINT) AS hidx
+      FROM hourly CROSS JOIN avg_n WHERE n > m
+    ),
+    grouped AS (
+      SELECT hr, n,
+             hidx - ROW_NUMBER() OVER (ORDER BY hidx) AS grp
+      FROM flagged
+    )
+    SELECT MIN(hr) AS run_start, MAX(hr) AS run_end,
+           COUNT(*) AS run_hours,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(MAX(n) AS BIGINT) AS peak_hour_events
+    FROM grouped
+    GROUP BY grp
+    ORDER BY run_start
+    """,
+    tags=("events", "gaps-and-islands", "monitoring"),
+    doc=(
+        "Gaps-and-islands: maximal runs of consecutive hours whose "
+        "event volume exceeds the overall hourly average — sustained-"
+        "load episodes, the alerting primitive behind 'elevated for N "
+        "consecutive hours'. The threshold is data-relative (one-row "
+        "broadcast average), so the query is scale-free. The classic "
+        "index-minus-rank grouping runs over the HOURLY table, whose "
+        "size is bounded by the time span (720 rows/month) regardless "
+        "of event volume — the one unpartitioned window here can never "
+        "grow with data size. Integer hour indices both engines derive "
+        "identically from epoch microseconds."
+    ),
+)
+def s23_threshold_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    avg_n = hourly.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    flagged = (
+        hourly.crossJoin(F.broadcast(avg_n))
+        .filter(F.col("n") > F.col("m"))
+        .select(
+            "hr", "n", (F.unix_micros("hr") / 3_600_000_000).cast("bigint").alias("hidx")
+        )
+    )
+    grouped = flagged.select(
+        "hr", "n", (F.col("hidx") - F.row_number().over(W.orderBy("hidx"))).alias("grp")
+    )
+    return (
+        grouped.groupBy("grp")
+        .agg(
+            F.min("hr").alias("run_start"),
+            F.max("hr").alias("run_end"),
+            F.count(F.lit(1)).alias("run_hours"),
+            F.sum("n").cast("bigint").alias("total_events"),
+            F.max("n").cast("bigint").alias("peak_hour_events"),
+        )
+        .drop("grp")
+        .orderBy("run_start")
+    )
+
+
+@register(
+    "s24_duplicate_payments",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    buck AS (
+      SELECT *, CAST(floor(tus / 3600000000) AS BIGINT) AS b FROM p
+    ),
+    cand AS (
+      SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+             a.tus AS t_a, b.tus AS t_b, a.value AS v_a, b.value AS v_b
+      FROM buck a JOIN buck b
+        ON a.user_id = b.user_id
+       AND (a.tus < b.tus OR (a.tus = b.tus AND a.event_id < b.event_id))
+       AND b.b - a.b BETWEEN 0 AND 1
+    )
+    SELECT user_id, least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+           CAST(abs(t_b - t_a) AS BIGINT) AS dt_us,
+           abs(v_b - v_a) AS dv
+    FROM cand
+    WHERE abs(t_b - t_a) <= 3600000000 AND abs(v_b - v_a) <= 25.0
+    ORDER BY user_id, id_a, id_b
+    """,
+    tags=("events", "band-self-join", "fraud"),
+    doc=(
+        "Near-duplicate payment detection: purchase pairs by the same "
+        "user within an hour and within 25.0 in value — the fraud/"
+        "double-charge screen. The scale technique is the bucketed "
+        "band SELF-join: bucket the time axis at the band width and "
+        "join only (same bucket, adjacent bucket) pairs, which covers "
+        "every within-band pair exactly once — with a as the EARLIER "
+        "event the later one's bucket is offset 0 or 1 by construction "
+        "(id-ordering alone would miss pairs whose larger id has the "
+        "earlier time) while the join stays keyed on (user, bucket) — "
+        "no all-pairs blowup, unlike a raw inequality self-join, and "
+        "no broadcast requirement, unlike range_join's dimension-table "
+        "form. The exact band predicate then filters candidates; "
+        "all comparisons are integer microseconds or single double "
+        "subtractions."
+    ),
+)
+def s24_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("tus"), "value")
+    )
+    buck = p.withColumn("b", F.floor(F.col("tus") / 3_600_000_000).cast("bigint"))
+    a = buck.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("tus").alias("t_a"),
+        F.col("value").alias("v_a"),
+        F.col("b").alias("b_a"),
+    )
+    bb = buck.select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("tus").alias("t_b"),
+        F.col("value").alias("v_b"),
+        F.col("b").alias("b_b"),
+    )
+    cand = a.join(
+        bb,
+        (F.col("user_id") == F.col("user_b"))
+        & (
+            (F.col("t_a") < F.col("t_b"))
+            | ((F.col("t_a") == F.col("t_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        & ((F.col("b_b") - F.col("b_a")).between(0, 1)),
+    )
+    return (
+        cand.filter(
+            (F.abs(F.col("t_b") - F.col("t_a")) <= 3_600_000_000)
+            & (F.abs(F.col("v_b") - F.col("v_a")) <= 25.0)
+        )
+        .select(
+            "user_id",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.abs(F.col("t_b") - F.col("t_a")).cast("bigint").alias("dt_us"),
+            F.abs(F.col("v_b") - F.col("v_a")).alias("dv"),
+        )
+        .orderBy("user_id", "id_a", "id_b")
+    )
