@@ -1506,3 +1506,58 @@ def s09_fit_transform_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split", "bin")
     )
+
+
+@register(
+    "s25_weighted_reservoir",
+    """
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln((('0x' || substring(md5('aes:' || doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+                / 4294967296.0) / n_chars AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars, k,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars
+    FROM ranked WHERE rnk <= 3
+    ORDER BY source, rnk
+    """,
+    tags=("pipeline", "sampling", "weighted-reservoir"),
+    doc=(
+        "Weighted sampling WITHOUT replacement, top-3 per source "
+        "(Efraimidis-Spirakis A-ES): each document draws key "
+        "ln(u)/weight from a salted-md5 uniform and the k largest keys "
+        "are the sample — the distributed, single-pass equivalent of "
+        "sequential weighted reservoir sampling, and the standard way "
+        "to draw a size-weighted corpus sample that is REPRODUCIBLE "
+        "across engines, runs, and cluster sizes (no rand()). "
+        "u = (h + 0.5)/2^32 is an exact dyadic double (never zero), "
+        "so ln sees identical inputs in both engines; complements "
+        "s03's with-replacement PPS keep/drop. Map-side keys + one "
+        "source-partitioned top-k window over doc-count rows."
+    ),
+)
+def s25_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.log((h + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("n_chars")
+    ranked = (
+        t(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars", key.alias("k"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(W.partitionBy("source").orderBy(F.desc("k"), "doc_id")),
+        )
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 3)
+        .select("source", F.col("rnk").cast("bigint").alias("rnk"), "doc_id", "n_chars")
+        .orderBy("source", "rnk")
+    )
