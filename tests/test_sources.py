@@ -110,3 +110,23 @@ def test_compact_table_reduces_files_preserves_data(spark, tmp_path):
     got = {r["o_orderkey"]: r["o_totalprice"] for r in out.collect()}
     want = {r["o_orderkey"]: r["o_totalprice"] for r in src.collect()}
     assert got == want
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema unifies the footer schemas and back-fills NULL
+    — the read contract an append-only 100 TB lake relies on when
+    producers upgrade independently."""
+    from pyspark.sql import Row
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(k=1, v=1.0), Row(k=2, v=2.0)]).write.parquet(
+        f"{base}/batch=1"
+    )
+    spark.createDataFrame(
+        [Row(k=3, v=3.0, extra="x"), Row(k=4, v=4.0, extra="y")]
+    ).write.parquet(f"{base}/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert sorted(c for c in df.columns if c != "batch") == ["extra", "k", "v"]
+    rows = {r["k"]: r["extra"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "x", 4: "y"}
