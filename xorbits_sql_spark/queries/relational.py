@@ -1358,3 +1358,66 @@ def s17_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_type, g_hr, event_type NULLS FIRST, hr NULLS FIRST
         """
     )
+
+
+@register(
+    "s26_revenue_hhi",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS r
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    tot AS (
+      SELECT c_nationkey, CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM rev GROUP BY c_nationkey
+    )
+    SELECT rev.c_nationkey,
+           CAST(MAX(tot.n) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST((rev.r / tot.total) * (rev.r / tot.total)
+                         AS DECIMAL(28,12))) AS DOUBLE) AS hhi
+    FROM rev JOIN tot ON tot.c_nationkey = rev.c_nationkey
+    GROUP BY rev.c_nationkey
+    ORDER BY rev.c_nationkey
+    """,
+    tags=("relational", "concentration", "hhi"),
+    doc=(
+        "Herfindahl-Hirschman concentration index per nation: the sum "
+        "of squared customer revenue shares — 1/n for perfectly even "
+        "revenue, 1.0 for a single-customer nation — the continuous "
+        "complement of s12's head-count Pareto rule (and, over corpus "
+        "sources, the mixture-diversity number a data-curation review "
+        "quotes). Shares divide two identically-derived exact-decimal "
+        "doubles, each squared share is rounded to DECIMAL(28,12) "
+        "before summation (r59 discipline) so the index is partition-"
+        "order-independent; per-nation totals broadcast back onto the "
+        "per-customer aggregate, which reuses the same nation-keyed "
+        "Exchange."
+    ),
+)
+def s26_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("r"))
+    )
+    tot = rev.groupBy("c_nationkey").agg(
+        F.sum(F.col("r").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    share = F.col("r") / F.col("total")
+    return (
+        rev.join(F.broadcast(tot), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.sum((share * share).cast("decimal(28,12)")).cast("double").alias("hhi"),
+        )
+        .orderBy("c_nationkey")
+    )
