@@ -1421,3 +1421,86 @@ def s26_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "s27_join_size_estimate",
+    """
+    WITH oa AS (
+      SELECT d, bucket, COUNT(*) AS cnt FROM (
+        SELECT u.d,
+               ('0x' || substring(md5(u.d::VARCHAR || '#' || o_custkey::VARCHAR), 1, 8))::BIGINT
+                 % 512 AS bucket
+        FROM orders, UNNEST([0, 1, 2, 3]) AS u(d)
+      ) GROUP BY d, bucket
+    ),
+    cb AS (
+      SELECT d, bucket, COUNT(*) AS cnt FROM (
+        SELECT u.d,
+               ('0x' || substring(md5(u.d::VARCHAR || '#' || c_custkey::VARCHAR), 1, 8))::BIGINT
+                 % 512 AS bucket
+        FROM customer, UNNEST([0, 1, 2, 3]) AS u(d)
+      ) GROUP BY d, bucket
+    ),
+    est AS (
+      SELECT MIN(dot) AS est_rows FROM (
+        SELECT oa.d, CAST(SUM(oa.cnt * cb.cnt) AS BIGINT) AS dot
+        FROM oa JOIN cb ON cb.d = oa.d AND cb.bucket = oa.bucket
+        GROUP BY oa.d
+      )
+    ),
+    exact AS (
+      SELECT COUNT(*) AS true_rows
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT CAST(est.est_rows AS BIGINT) AS est_rows,
+           CAST(exact.true_rows AS BIGINT) AS true_rows
+    FROM est CROSS JOIN exact
+    """,
+    tags=("relational", "sketches", "cardinality-estimation"),
+    doc=(
+        "Join-size estimation from count-min sketches: the inner "
+        "product of the two key-frequency sketches (per depth, sum of "
+        "bucket-count products; min over depths) upper-bounds "
+        "|orders JOIN customer| — the statistic a cost-based planner "
+        "wants BEFORE committing to a join strategy, computed from two "
+        "depth x width summaries instead of the tables themselves. "
+        "Both sketches are md5-portable (operators/sketches grid "
+        "arithmetic, replicated exactly by the oracle), the estimate "
+        "is integer-exact, and the exact join count rides along so the "
+        "oracle also pins the overcount-only property end-to-end. At "
+        "100 TB the sketches are built incrementally (they merge by "
+        "cnt addition) and the estimate costs a 512x4-row join."
+    ),
+)
+def s27_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import countmin_sketch
+
+    oa = countmin_sketch(
+        t(spark, sf_dir, "orders").select(F.col("o_custkey").cast("string").alias("k")),
+        "k",
+        depth=4,
+        width=512,
+    )
+    cb = countmin_sketch(
+        t(spark, sf_dir, "customer").select(F.col("c_custkey").cast("string").alias("k")),
+        "k",
+        depth=4,
+        width=512,
+    )
+    dots = (
+        oa.alias("a")
+        .join(cb.alias("b"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("bigint").alias("est_rows"))
+    exact = (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_rows"))
+    )
+    return est.crossJoin(exact)
