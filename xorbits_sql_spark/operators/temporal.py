@@ -129,3 +129,72 @@ def gapfill_locf(
         F.coalesce(F.last("total", ignorenulls=True).over(w), F.lit(0.0)).alias("total_locf"),
         F.col("n_events").isNull().cast("int").alias("was_gap"),
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Time-bucket gap-filling with LINEAR INTERPOLATION between the
+    neighboring observed buckets (TimescaleDB ``interpolate()`` to
+    :func:`gapfill_locf`'s ``locf()``).
+
+    Same dense-spine plan as locf; each gap row then reads its previous
+    and next OBSERVED (bucket, total) via one backward ignore-nulls
+    ``last`` and one forward ignore-nulls ``first`` window — both on
+    the same key Exchange — and fills
+    ``prev + (next - prev) * (t - t_prev)/(t_next - t_prev)`` with the
+    fractions computed on integer bucket indices, so the fill is a
+    single double expression (no accumulation; bit-identical on any
+    engine/partitioning). Buckets before the first or after the last
+    observation stay NULL — interpolation honestly has no answer there.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    agg = df.groupBy(*key_cols, b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("total"),
+    )
+    bounds = df.agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(bucket, F.max(ts_col)).alias("__hi"),
+    )
+    keys = df.select(*key_cols).distinct()
+    spine = keys.crossJoin(F.broadcast(bounds)).select(
+        *key_cols,
+        F.explode(F.expr(f"sequence(__lo, __hi, interval 1 {bucket})")).alias("__b"),
+    )
+    joined = spine.join(agg, [*key_cols, "__b"], "left").withColumn(
+        "__bi", (F.unix_micros("__b") / bucket_us).cast("bigint")
+    )
+    wp = (
+        W.partitionBy(*key_cols)
+        .orderBy("__bi")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(*key_cols)
+        .orderBy("__bi")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs = F.col("total").isNotNull()
+    prev_v = F.last(F.when(obs, F.col("total")), ignorenulls=True).over(wp)
+    prev_b = F.last(F.when(obs, F.col("__bi")), ignorenulls=True).over(wp)
+    next_v = F.first(F.when(obs, F.col("total")), ignorenulls=True).over(wf)
+    next_b = F.first(F.when(obs, F.col("__bi")), ignorenulls=True).over(wf)
+    lerp = prev_v + (next_v - prev_v) * (
+        (F.col("__bi") - prev_b).cast("double") / (next_b - prev_b).cast("double")
+    )
+    filled = F.when(obs, F.col("total")).when(
+        prev_b.isNotNull() & next_b.isNotNull(), lerp
+    )
+    return joined.select(
+        *key_cols,
+        F.col("__b").alias("bucket_ts"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        filled.alias("total_interp"),
+        F.col("n_events").isNull().cast("int").alias("was_gap"),
+    )

@@ -2010,3 +2010,80 @@ def s24_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "id_a", "id_b")
     )
+
+
+@register(
+    "s28_gapfill_interpolate",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS n, {sql_dsum('value', 'total')}
+      FROM events GROUP BY event_type, hr
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT k.event_type, CAST(g.hr AS TIMESTAMP) AS hr
+      FROM (SELECT DISTINCT event_type FROM events) k
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+      ) g
+    ),
+    joined AS (
+      SELECT s.event_type, s.hr, h.n, h.total,
+             CAST(epoch_us(s.hr) / 3600000000 AS BIGINT) AS bi
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hr = h.hr
+    ),
+    ctx AS (
+      SELECT *,
+             last_value(total IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN total IS NOT NULL THEN bi END IGNORE NULLS)
+               OVER wp AS prev_b,
+             first_value(total IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN total IS NOT NULL THEN bi END IGNORE NULLS)
+               OVER wf AS next_b
+      FROM joined
+      WINDOW wp AS (PARTITION BY event_type ORDER BY bi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY bi
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hr AS bucket_ts,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CASE WHEN total IS NOT NULL THEN total
+                WHEN prev_b IS NOT NULL AND next_b IS NOT NULL
+                THEN prev_v + (next_v - prev_v)
+                     * (CAST(bi - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+           END AS total_interp,
+           CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+    FROM ctx
+    ORDER BY event_type, bucket_ts
+    """,
+    tags=("events", "time-series", "gapfill", "interpolate"),
+    doc=(
+        "Time-bucket gap-filling with linear interpolation "
+        "(operators/temporal.gapfill_interpolate) — TimescaleDB's "
+        "interpolate() to r55's locf(): gap hours fill with the line "
+        "between the neighboring observed totals, computed as ONE "
+        "double expression over integer bucket indices (no float "
+        "accumulation, bit-identical at any partitioning); buckets "
+        "outside a type's observed range stay NULL because "
+        "interpolation honestly has no answer there. Backward and "
+        "forward ignore-nulls windows share the same event_type "
+        "Exchange as the spine join."
+    ),
+)
+def s28_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import gapfill_interpolate
+
+    return gapfill_interpolate(
+        t(spark, sf_dir, "events"),
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        bucket="hour",
+        bucket_us=3_600_000_000,
+    ).orderBy("event_type", "bucket_ts")
