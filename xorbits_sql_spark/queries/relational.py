@@ -1504,3 +1504,52 @@ def s27_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("true_rows"))
     )
     return est.crossJoin(exact)
+
+
+@register(
+    "s29_null_safe_join",
+    """
+    WITH keyed AS (
+      SELECT NULLIF(event_type, 'error') AS k, value FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT NULLIF(event_type, 'error') AS k,
+             COALESCE(NULLIF(event_type, 'error'), 'quarantine') AS label
+      FROM events
+    )
+    SELECT d.label, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    ORDER BY d.label
+    """,
+    tags=("relational", "join", "null-semantics"),
+    doc=(
+        "Null-safe equi-join: Spark's <=> (eqNullSafe) against DuckDB's "
+        "IS NOT DISTINCT FROM — the NULL key group joins its NULL "
+        "dimension row instead of silently dropping, the semantics a "
+        "quarantine/unknown-bucket routing join needs (an ordinary "
+        "equi-join loses every NULL-keyed fact row). Catalyst still "
+        "plans a hash join (null-safe equality is a valid hash key "
+        "via coalesce-tagging), so this costs one keyed shuffle, not "
+        "a nested loop."
+    ),
+)
+def s29_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    keyed = ev.select(k.alias("k"), "value")
+    dim = (
+        ev.select(k.alias("k"))
+        .distinct()
+        .select("k", F.coalesce("k", F.lit("quarantine")).alias("label"))
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed["k"].eqNullSafe(dim["k"]))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("label")
+    )
