@@ -2087,3 +2087,109 @@ def s28_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket="hour",
         bucket_us=3_600_000_000,
     ).orderBy("event_type", "bucket_ts")
+
+
+@register(
+    "s30_bot_regularity",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             event_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    g AS (SELECT user_id, event_id, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    ranked AS (
+      SELECT user_id, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_us, event_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM g
+    ),
+    med AS (
+      SELECT user_id,
+             MAX(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN gap_us END) AS med,
+             MAX(n) AS n
+      FROM ranked GROUP BY user_id
+    ),
+    dev AS (
+      SELECT g.user_id, g.event_id, abs(g.gap_us - m.med) AS d
+      FROM g JOIN med m ON m.user_id = g.user_id
+    ),
+    dranked AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d, event_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT user_id,
+             MAX(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN d END) AS mad
+      FROM dranked GROUP BY user_id
+    )
+    SELECT m.user_id, CAST(m.n AS BIGINT) AS n_gaps,
+           CAST(m.med AS BIGINT) AS median_gap_us,
+           CAST(d.mad AS BIGINT) AS mad_gap_us,
+           CAST(d.mad AS DOUBLE) / m.med AS regularity
+    FROM med m JOIN mad d ON d.user_id = m.user_id
+    WHERE m.n >= 20
+    ORDER BY regularity, m.user_id
+    LIMIT 10
+    """,
+    tags=("events", "bot-detection", "robust-statistics"),
+    doc=(
+        "Bot screening by inter-event regularity: per user, the median "
+        "and MAD of inter-arrival gaps — humans are bursty (MAD on the "
+        "order of the median), schedulers and scripts are metronomic "
+        "(MAD/median near zero). The ten most-regular users with >= 20 "
+        "gaps surface for review. All statistics are integer-"
+        "microsecond rank-based (the s21 discipline applied per user — "
+        "every window partitions on user_id, gap counts bound each "
+        "partition), with one double division for the ranking ratio, "
+        "ties broken by user_id."
+    ),
+)
+def s30_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus"), "ts"
+    )
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("tus") - F.lag("tus").over(wseq)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+
+    def rank_stat(df: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = df.select(
+            "user_id",
+            col,
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy(col, "event_id"))
+            .alias("rnk"),
+            F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+        )
+        at = F.ceil(F.lit(0.5) * F.col("n")).cast("bigint")
+        return ranked.groupBy("user_id").agg(
+            F.max(F.when(F.col("rnk") == at, F.col(col))).alias(out),
+            F.max("n").alias("n"),
+        )
+
+    med = rank_stat(g, "gap_us", "med")
+    dev = g.join(med.select("user_id", "med"), "user_id").select(
+        "user_id", "event_id", F.abs(F.col("gap_us") - F.col("med")).alias("d")
+    )
+    mad = rank_stat(dev, "d", "mad").select("user_id", "mad")
+    return (
+        med.join(mad, "user_id")
+        .filter(F.col("n") >= 20)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.col("med").cast("bigint").alias("median_gap_us"),
+            F.col("mad").cast("bigint").alias("mad_gap_us"),
+            (F.col("mad").cast("double") / F.col("med")).alias("regularity"),
+        )
+        .orderBy("regularity", "user_id")
+        .limit(10)
+    )
