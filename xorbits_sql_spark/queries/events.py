@@ -2193,3 +2193,45 @@ def s30_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("regularity", "user_id")
         .limit(10)
     )
+
+
+@register(
+    "s31_user_growth_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS day FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day
+    ORDER BY day
+    """,
+    tags=("events", "growth", "cumulative"),
+    doc=(
+        "User growth curve: first-activity day per user (one user-keyed "
+        "MIN), new-user counts per day, and the cumulative total via a "
+        "running sum — the acquisition chart every product review "
+        "opens with. The only unpartitioned window runs over the "
+        "per-DAY table, bounded by the time span (30 rows/month) "
+        "regardless of event volume — the s23 argument; the fact table "
+        "contributes exactly one user-keyed aggregation."
+    ),
+)
+def s31_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_seen = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("day"))
+    )
+    per_day = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")
