@@ -548,3 +548,41 @@ def test_asof_join_forward_tolerance(spark):
     # t=10 -> rt=15 is 5 ahead, within tolerance; t=90 -> rt=200 is 110
     # ahead, nulled (look-AHEAD bound, mirroring pandas merge_asof)
     assert out == {10: 1, 90: None}
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    """A corpus-common shingle must not drive a quadratic inverted-index
+    join: with max_df set, hot shingles leave every doc's shingle SET
+    (intersections AND set sizes), so docs related only through the hot
+    shingle produce no pair at all, while genuinely similar docs keep an
+    exact Jaccard over their filtered sets."""
+    n = 40
+    # Every doc embeds the same hot phrase ("terms of service apply"),
+    # plus unique filler; docs 0 and 1 additionally share real content.
+    rows = [
+        (0, "alpha beta gamma delta epsilon terms of service apply"),
+        (1, "alpha beta gamma delta zeta terms of service apply"),
+    ] + [
+        (i, f"unique{i} filler{i} words{i} here{i} terms of service apply")
+        for i in range(2, n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_k=3, threshold=0.0, max_df=5
+        ).collect()
+    }
+    # Only the genuinely-similar pair survives; its Jaccard is over the
+    # filtered sets: each doc keeps 5 shingles ("terms of service" and
+    # "of service apply" have DF=40 and drop out), sharing 2 ("alpha
+    # beta gamma", "beta gamma delta") -> 2 / (5 + 5 - 2) = 0.25.
+    assert set(capped) == {(0, 1)}
+    assert abs(capped[(0, 1)] - 0.25) < 1e-12
+
+    # Uncapped: the hot shingles connect everything pairwise.
+    full = ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.0, max_df=None
+    ).count()
+    assert full == n * (n - 1) // 2

@@ -301,6 +301,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.1,
     partition_col: str | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard similarity on word-shingle sets for candidate pairs.
 
@@ -309,11 +310,35 @@ def ngram_jaccard_pairs(
     sizes at scale) → count shared shingles → Jaccard from per-doc set
     sizes. Only pairs sharing >= 1 shingle are ever materialized.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard > threshold.
+
+    ``max_df`` is the hot-shingle guard: a shingle appearing in more
+    than ``max_df`` documents (within its ``partition_col`` group) is
+    dropped from every document's shingle *set* — from both the
+    intersection counts and the set sizes, so Jaccard stays a true
+    Jaccard over the filtered sets and both engines of an oracle pair
+    can express it identically. Without the cap the inverted-index
+    self-join materializes ~DF² pairs per shingle: one corpus-common
+    trigram with DF=10⁶ is a 10¹²-row join at 100 TB. Corpus-common
+    shingles carry negligible similarity signal (standard max-DF
+    practice in MinHash/Jaccard dedup pipelines), so the default keeps
+    the join bounded at ``max_df²`` rows per shingle while leaving
+    small-corpus results untouched. ``None`` disables the guard.
     """
     parts = [partition_col] if partition_col else []
     shingled = shingles_relational(
         df, text_col, id_col, k=shingle_k, distinct=True, carry_cols=parts
     )
+    if max_df is not None:
+        # Window over the join key (shingle [+ group]): the DF count
+        # shuffles on the same key as the inverted-index join and is the
+        # document-frequency stat a 100 TB index materializes anyway.
+        shingled = (
+            shingled.withColumn(
+                "__df", F.count(F.lit(1)).over(W.partitionBy("shingle", *parts))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     # Per-doc set size rides along as a window count over the shingle
     # rows instead of a separate groupBy branch — the inverted-index
     # join then carries both sizes, so the shingle pipeline is planned

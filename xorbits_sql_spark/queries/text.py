@@ -162,10 +162,20 @@ _DUCK_SHINGLES = (
       SELECT DISTINCT doc_id, source, unnest({_DUCK_SHINGLES}) AS shingle
       FROM docs WHERE len(words) >= 3
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id),
+    -- Hot-shingle guard (max_df=50): shingles in > 50 docs per source
+    -- are dropped from every shingle SET (intersections and set sizes),
+    -- mirroring ngram_jaccard_pairs(max_df=50) so both engines compute
+    -- Jaccard over identical filtered sets.
+    kept AS (
+      SELECT doc_id, source, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY shingle, source) AS df
+        FROM shingled
+      ) WHERE df <= 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM kept GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM shingled a JOIN shingled b
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY id_a, id_b
     )
@@ -187,6 +197,7 @@ def q64_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=3,
         threshold=0.05,
         partition_col="source",
+        max_df=50,
     ).orderBy("id_a", "id_b")
 
 
@@ -203,10 +214,17 @@ _DUCK_CLUSTERS = f"""
       SELECT DISTINCT doc_id, source, unnest({_DUCK_SHINGLES}) AS shingle
       FROM docs WHERE len(words) >= 3
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id),
+    -- Hot-shingle guard mirroring ngram_jaccard_pairs(max_df=50); see q64.
+    kept AS (
+      SELECT doc_id, source, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY shingle, source) AS df
+        FROM shingled
+      ) WHERE df <= 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM kept GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM shingled a JOIN shingled b
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY id_a, id_b
     ),
@@ -261,6 +279,7 @@ def r63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=3,
         threshold=0.05,
         partition_col="source",
+        max_df=50,
     )
     comps = connected_components(pairs)
     return (
