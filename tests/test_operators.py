@@ -586,3 +586,18 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
         docs, "text", "doc_id", shingle_k=3, threshold=0.0, max_df=None
     ).count()
     assert full == n * (n - 1) // 2
+
+
+def test_bloom_probe_null_key_is_false(spark):
+    """A NULL probe key hashes to no positions; its verdict must be a
+    concrete False, not NULL (null-safe verdict join + coalesce)."""
+    from xorbits_sql_spark.operators.sketches import bloom_build, bloom_probe
+
+    build = spark.createDataFrame([Row(k="a"), Row(k="b")])
+    probe = spark.createDataFrame(
+        [Row(k="a"), Row(k=None), Row(k="zz")], "k string"
+    )
+    bits = bloom_build(build, "k", m=1024, k=3)
+    out = {r["k"]: r["bloom_pass"] for r in bloom_probe(probe, "k", bits, m=1024, k=3).collect()}
+    assert out["a"] is True
+    assert out[None] is False

@@ -130,3 +130,25 @@ def test_merge_schema_evolution_read(spark, tmp_path):
     assert sorted(c for c in df.columns if c != "batch") == ["extra", "k", "v"]
     rows = {r["k"]: r["extra"] for r in df.collect()}
     assert rows == {1: None, 2: None, 3: "x", 4: "y"}
+
+
+def test_events_parquet_encoding_sentinel():
+    """The driver regenerates testdata between rounds and has already
+    shipped events.ts in two physical encodings (round 1:
+    TIMESTAMP(NANOS); round 2+: TIMESTAMP(MICROS) isAdjustedToUTC=false,
+    i.e. TIMESTAMP_NTZ). normalize_event_ts handles exactly those two.
+    If a THIRD encoding ever appears (e.g. INT96 or adjusted MICROS),
+    fail HERE with the observed physical type instead of leaking seven
+    opaque value mismatches into the correctness window."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        field = pq.ParquetFile(
+            f"/root/testdata/{sf}/events.parquet"
+        ).schema_arrow.field("ts")
+        t = field.type
+        known = {"timestamp[ns]", "timestamp[us]"}
+        assert str(t) in known, (
+            f"events.ts in {sf} has NEW physical type {t!r} (tz={getattr(t, 'tz', None)!r}); "
+            "extend sources/readers.normalize_event_ts for this encoding"
+        )

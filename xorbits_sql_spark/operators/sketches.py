@@ -110,7 +110,9 @@ def bloom_probe(
     runtime row-group filters but as an explicit, persistable operator.
     Distinct (key, pos) pairs are probed so a key whose hashes collide
     into fewer than k distinct positions is still judged on exactly the
-    positions it owns.
+    positions it owns. A NULL probe key gets ``False`` (it hashes to no
+    positions, so it cannot be a member): the verdict join is null-safe
+    and the output column is coalesced, never NULL.
     """
     i = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("i")
     pairs = (
@@ -124,6 +126,8 @@ def bloom_probe(
     verdict = hit.groupBy("__key").agg(
         (F.min(F.coalesce("__hit", F.lit(0))) == 1).alias(out)
     )
-    return probes.join(
-        verdict, probes[key_col] == verdict["__key"], "left"
-    ).drop("__key")
+    return (
+        probes.join(verdict, probes[key_col].eqNullSafe(verdict["__key"]), "left")
+        .drop("__key")
+        .withColumn(out, F.coalesce(F.col(out), F.lit(False)))
+    )

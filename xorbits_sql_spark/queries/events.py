@@ -1953,12 +1953,12 @@ def s23_threshold_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Near-duplicate payment detection: purchase pairs by the same "
         "user within an hour and within 25.0 in value — the fraud/"
         "double-charge screen. The scale technique is the bucketed "
-        "band SELF-join: bucket the time axis at the band width and "
-        "join only (same bucket, adjacent bucket) pairs, which covers "
-        "every within-band pair exactly once — with a as the EARLIER "
-        "event the later one's bucket is offset 0 or 1 by construction "
-        "(id-ordering alone would miss pairs whose larger id has the "
-        "earlier time) while the join stays keyed on (user, bucket) — "
+        "band SELF-join: bucket the time axis at the band width, "
+        "explode the earlier side to (bucket, bucket+1), and EQUI-join "
+        "on (user, bucket), which covers every within-band pair "
+        "exactly once — with a as the EARLIER event the later one's "
+        "bucket is offset 0 or 1 by construction (id-ordering alone "
+        "would miss pairs whose larger id has the earlier time) — "
         "no all-pairs blowup, unlike a raw inequality self-join, and "
         "no broadcast requirement, unlike range_join's dimension-table "
         "form. The exact band predicate then filters candidates; "
@@ -1973,28 +1973,34 @@ def s24_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.unix_micros("ts").alias("tus"), "value")
     )
     buck = p.withColumn("b", F.floor(F.col("tus") / 3_600_000_000).cast("bigint"))
+    # The earlier side explodes to its own and the next bucket, so the
+    # join is a true EQUI-join on (user_id, bucket) — Spark hashes on
+    # both keys and a user with many purchases only meets the two
+    # adjacent hour-buckets, not all their same-user pairs. (A residual
+    # `b_b - b_a BETWEEN 0 AND 1` condition would plan as an equi-join
+    # on user_id alone with the bucket check as a post-join filter.)
     a = buck.select(
         "user_id",
         F.col("event_id").alias("id_a"),
         F.col("tus").alias("t_a"),
         F.col("value").alias("v_a"),
-        F.col("b").alias("b_a"),
+        F.explode(F.array(F.col("b"), F.col("b") + F.lit(1))).alias("jb"),
     )
     bb = buck.select(
         F.col("user_id").alias("user_b"),
         F.col("event_id").alias("id_b"),
         F.col("tus").alias("t_b"),
         F.col("value").alias("v_b"),
-        F.col("b").alias("b_b"),
+        F.col("b").alias("jb_b"),
     )
     cand = a.join(
         bb,
         (F.col("user_id") == F.col("user_b"))
+        & (F.col("jb") == F.col("jb_b"))
         & (
             (F.col("t_a") < F.col("t_b"))
             | ((F.col("t_a") == F.col("t_b")) & (F.col("id_a") < F.col("id_b")))
-        )
-        & ((F.col("b_b") - F.col("b_a")).between(0, 1)),
+        ),
     )
     return (
         cand.filter(

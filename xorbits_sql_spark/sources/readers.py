@@ -171,6 +171,11 @@ def load_tables(
     # nanos and converted to a microsecond timestamp below, matching
     # DuckDB's nanos->micros truncation).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # normalize_event_ts's NTZ->ltz cast is value-preserving only under
+    # a UTC session zone; pin it here so a vanilla session on a
+    # non-UTC machine matches the DuckDB oracle (get_spark() already
+    # sets this, but load_tables must not depend on that).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

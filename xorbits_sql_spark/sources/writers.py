@@ -104,11 +104,20 @@ def compact_table(
         partition_by=partition_by,
         max_records_per_file=target_records_per_file,
     )
-    # Swap: point the final path at the compacted copy.
-    shutil.rmtree(path)
+    # Verify the compacted copy BEFORE touching the source: a lost-rows
+    # rewrite must leave the original directory intact.
+    if spark.read.format(fmt).load(tmp).count() != n:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction of {path} lost rows; source left untouched"
+        )
+    # Swap: move the source aside, point the final path at the compacted
+    # copy, and only then drop the old data — a crash mid-swap leaves
+    # either the original or both copies on disk, never neither.
+    old = path.rstrip("/") + "__compact_old"
+    shutil.move(path, old)
     shutil.move(tmp, path)
-    out = spark.read.format(fmt).load(path)
-    assert out.count() == n, "compaction must preserve row count"
+    shutil.rmtree(old)
     return sum(
         1
         for _dir, _sub, names in os.walk(path)
