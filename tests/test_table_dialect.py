@@ -262,3 +262,126 @@ def test_qualify_matches_duckdb(spark, q):
 def test_qualify_unsupported_forms_raise(q):
     with pytest.raises(UnsupportedError):
         transpile(q, "duckdb")
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_snowflake_rewrites():
+    got = transpile("SELECT IFF(a > 1, 'x', 'y'), NVL(b, 0) FROM t", "snowflake")
+    assert "IF(a > 1, 'x', 'y')" in got and "NVL(b, 0)" in got
+    got = transpile("SELECT DATEADD('day', 3, d) FROM t", "snowflake")
+    assert "TIMESTAMPADD(DAY," in got
+    got = transpile("SELECT TO_NUMBER(s, 10, 2), TO_VARCHAR(x) FROM t", "snowflake")
+    assert "AS DECIMAL(10,2))" in got and "CAST(x AS STRING)" in got
+    # IFF as a bare identifier (no call parens) survives
+    assert "iff" in transpile("SELECT iff FROM t", "snowflake")
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_snowflake_datediff_boundary_semantics(spark):
+    """Snowflake/T-SQL DATEDIFF counts boundary crossings, not complete
+    elapsed units: one day across New Year is 1 year, 1 month, 1 day."""
+    sql = """
+    SELECT CAST(DATEDIFF(year,  TIMESTAMP'2019-12-31 23:00:00', TIMESTAMP'2020-01-01 01:00:00') AS BIGINT) AS y,
+           CAST(DATEDIFF(month, TIMESTAMP'2019-12-31 23:00:00', TIMESTAMP'2020-01-01 01:00:00') AS BIGINT) AS m,
+           CAST(DATEDIFF(day,   TIMESTAMP'2019-12-31 23:00:00', TIMESTAMP'2020-01-01 01:00:00') AS BIGINT) AS d,
+           CAST(DATEDIFF(hour,  TIMESTAMP'2020-01-01 00:59:00', TIMESTAMP'2020-01-01 01:01:00') AS BIGINT) AS h,
+           CAST(DATEDIFF(second, TIMESTAMP'2020-01-01 00:00:00.9', TIMESTAMP'2020-01-01 00:00:01.1') AS BIGINT) AS s
+    """
+    row = spark.sql(transpile(sql, "snowflake")).collect()[0]
+    assert (row["y"], row["m"], row["d"], row["h"], row["s"]) == (1, 1, 1, 1, 1)
+    # and the reverse direction is negative
+    neg = spark.sql(
+        transpile(
+            "SELECT CAST(DATEDIFF(day, TIMESTAMP'2020-01-02 00:00:00', "
+            "TIMESTAMP'2020-01-01 23:59:59') AS BIGINT) AS d",
+            "snowflake",
+        )
+    ).collect()[0]
+    assert neg["d"] == -1
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only guards")
+def test_snowflake_unsupported_forms_raise():
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT DATEDIFF(dayofyear, a, b) FROM t", "snowflake")
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT TO_NUMBER(s, '999.99') FROM t", "snowflake")
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT TO_CHAR(d, 'YYYY-MM') FROM t", "snowflake")
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_bigquery_rewrites(spark):
+    got = transpile(
+        "SELECT SAFE_CAST(x AS INT64), SAFE_DIVIDE(p, q) FROM t", "bigquery"
+    )
+    assert "TRY_CAST(x AS BIGINT)" in got and "TRY_DIVIDE(p, q)" in got
+    row = spark.sql(
+        transpile(
+            "SELECT SAFE_CAST('zz' AS INT64) AS bad, SAFE_DIVIDE(1.0, 0) AS z, "
+            "CAST(1.5 AS NUMERIC) AS n",
+            "bigquery",
+        )
+    ).collect()[0]
+    assert row["bad"] is None and row["z"] is None
+    from decimal import Decimal
+
+    assert row["n"] == Decimal("1.500000000")  # BigQuery NUMERIC = DECIMAL(38,9)
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_dialect_literals_survive_new_rewrites():
+    sql = "SELECT 'DATEADD(day, 1, x) IFF TO_NUMBER(1)' AS lit FROM t"
+    assert "'DATEADD(day, 1, x) IFF TO_NUMBER(1)'" in transpile(sql, "snowflake")
+
+
+def test_dialect_identifier_normalization_case_variants(spark):
+    """Reference table.py:85 normalizes catalog names per input dialect:
+    unquoted names case-fold, quoted names unquote case-preserved. The
+    same query text then resolves whatever case the registration used."""
+    pdf = pd.DataFrame({"v": [1, 2, 3]})
+    # unquoted-uppercase registration + lowercase reference (pg folds both)
+    got = execute(
+        'SELECT SUM(v) AS s FROM mydb.tbl',
+        dialect="postgres",
+        tables={"MyDB": {"TBL": pdf}},
+        spark=spark,
+    ).collect()
+    assert got[0]["s"] == 6
+    # quoted registration keys + quoted case-variant reference
+    got = execute(
+        'SELECT SUM(v) AS s FROM "MyDb"."Tbl2"',
+        dialect="snowflake",
+        tables={'"MyDb"': {'"Tbl2"': pdf}},
+        spark=spark,
+    ).collect()
+    assert got[0]["s"] == 6
+    # snowflake unquoted registration folds UP; unquoted query ref matches
+    got = execute(
+        "SELECT COUNT(*) AS n FROM sales.orders2",
+        dialect="snowflake",
+        tables={"Sales": {"Orders2": pdf}},
+        spark=spark,
+    ).collect()
+    assert got[0]["n"] == 3
+    # tsql bracket-quoted reference to a bracket-registered name
+    got = execute(
+        "SELECT SUM(v) AS s FROM [Db3].[T3]",
+        dialect="tsql",
+        tables={"[Db3]": {"[T3]": pdf}},
+        spark=spark,
+    ).collect()
+    assert got[0]["s"] == 6
+
+
+def test_normalize_name_invalid_identifier_rejected():
+    from xorbits_sql_spark.table import normalize_name
+
+    assert normalize_name("Events", "postgres") == "events"
+    assert normalize_name("Events", "snowflake") == "EVENTS"
+    assert normalize_name('"Events"', "snowflake") == "Events"
+    assert normalize_name("`Events`", "bigquery") == "Events"
+    with pytest.raises(UnsupportedError):
+        normalize_name('"has space"', "postgres")
+    with pytest.raises(UnsupportedError):
+        normalize_name("1starts_with_digit", None)

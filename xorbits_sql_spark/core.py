@@ -18,7 +18,6 @@ the same boundary as the reference's ``xorbits.run``.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,10 +28,6 @@ from .session import get_spark
 from .sources.readers import register_csv_reads
 from .table import register_tables
 
-# dotted table references that must be rewritten to flattened view names
-_IDENT = r"[A-Za-z_][\w]*"
-
-
 def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]) -> str:
     """Rewrite ``catalog.db.table`` / ``db.table`` refs to flat view names.
 
@@ -40,18 +35,70 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
     (reference core.py:62-65) are flattened by table.view_name and the SQL
     text updated to match. Plain single-part names need no rewrite.
 
-    Substitution is literal-safe: a ``db.table`` spelling inside a string
-    literal, quoted identifier, or comment is left untouched
-    (dialect.sub_outside_literals lexes the SQL first).
+    Runs AFTER transpile, so identifier quoting is already Spark's
+    backticks regardless of input dialect. The rewrite walks the token
+    stream: each part of a registered qualified name matches a bare word
+    or a backtick-quoted identifier, case-insensitively (Spark view
+    resolution is case-insensitive, and registration keys were already
+    case-normalized per dialect by table.normalize_name). String
+    literals and comments can never match — they aren't word/backtick
+    tokens.
     """
     multi = {q: v for q, v in registered.items() if len(q) > 1}
     if not multi:
         return sql
+    tokens = _dialect.tokenize(sql)
+
+    def part_matches(idx: int, part: str) -> bool:
+        kind, text = tokens[idx]
+        if kind == "word":
+            return text.lower() == part.lower()
+        if kind == "backtick":
+            return text[1:-1].replace("``", "`").lower() == part.lower()
+        return False
+
+    def match_at(start: int, qualified: tuple[str, ...]) -> int | None:
+        """Token index just past a full dotted match starting at ``start``."""
+        i = start
+        for n, part in enumerate(qualified):
+            if n:
+                j = _dialect._next_code(tokens, i)
+                if j is None or tokens[j] != ("op", "."):
+                    return None
+                i = _dialect._next_code(tokens, j)
+                if i is None:
+                    return None
+            if not part_matches(i, part):
+                return None
+        return i
+
+    out: list[tuple[str, str]] = []
+    i = 0
+    prev_code: tuple[str, str] | None = None
     # Longest-first so catalog.db.table wins over db.table prefixes.
-    for qualified in sorted(multi, key=len, reverse=True):
-        pattern = r"\b" + r"\s*\.\s*".join(re.escape(p) for p in qualified) + r"\b"
-        sql = _dialect.sub_outside_literals(pattern, multi[qualified], sql)
-    return sql
+    by_len = sorted(multi, key=len, reverse=True)
+    while i < len(tokens):
+        kind, _text = tokens[i]
+        hit = None
+        # a dotted ref never starts right after a '.' (that would be the
+        # tail of an outer qualification, e.g. `other_db.` + our name)
+        if kind in ("word", "backtick") and prev_code != ("op", "."):
+            for qualified in by_len:
+                end = match_at(i, qualified)
+                if end is not None:
+                    hit = (qualified, end)
+                    break
+        if hit is None:
+            if kind not in ("ws", "comment"):
+                prev_code = tokens[i]
+            out.append(tokens[i])
+            i += 1
+        else:
+            qualified, end = hit
+            out.append(("word", multi[qualified]))
+            prev_code = ("word", multi[qualified])
+            i = end + 1
+    return "".join(t for _, t in out)
 
 
 def execute(
@@ -93,11 +140,13 @@ def execute(
     spark = spark or get_spark()
     registered: dict[tuple[str, ...], str] = {}
     if tables:
-        registered = register_tables(spark, tables, schema)
+        registered = register_tables(spark, tables, schema, dialect=dialect)
 
-    text = _rewrite_qualified_names(sql, registered)
-    text = register_csv_reads(spark, text, schema)
+    # Transpile first: qualified-name rewriting then sees Spark quoting
+    # (backticks) regardless of the input dialect's identifier style.
+    text = register_csv_reads(spark, sql, schema)
     text = _dialect.transpile(text, dialect)
+    text = _rewrite_qualified_names(text, registered)
 
     try:
         return spark.sql(text)

@@ -338,6 +338,229 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
+def _rewrite_func_names(
+    tokens: list[tuple[str, str]], mapping: dict[str, str]
+) -> list[tuple[str, str]]:
+    """Rename function calls only: a word rewrites iff its next code
+    token is ``(`` — identifiers that happen to share the name survive."""
+    out = list(tokens)
+    for i in _iter_code(out):
+        kind, text = out[i]
+        if kind == "word" and text.upper() in mapping:
+            j = _next_code(out, i)
+            if j is not None and out[j] == ("op", "("):
+                out[i] = ("word", mapping[text.upper()])
+    return out
+
+
+def _call_args(
+    tokens: list[tuple[str, str]], open_at: int
+) -> tuple[list[list[tuple[str, str]]], int] | None:
+    """Split ``FUNC( ... )`` starting at the ``(`` into top-level-comma
+    argument token lists. Returns (args, index_of_closing_paren) or None
+    if the parens never balance."""
+    depth = 0
+    args: list[list[tuple[str, str]]] = [[]]
+    for p in range(open_at, len(tokens)):
+        kind, text = tokens[p]
+        if (kind, text) == ("op", "("):
+            depth += 1
+            if depth == 1:
+                continue
+        elif (kind, text) == ("op", ")"):
+            depth -= 1
+            if depth == 0:
+                return [a for a in args], p
+        elif (kind, text) == ("op", ",") and depth == 1:
+            args.append([])
+            continue
+        args[-1].append((kind, text))
+    return None
+
+
+# Snowflake / T-SQL date-part spellings → Spark unit keywords.
+_DATE_PARTS = {
+    "YEAR": "YEAR", "YY": "YEAR", "YYYY": "YEAR", "YR": "YEAR", "YEARS": "YEAR",
+    "QUARTER": "QUARTER", "QQ": "QUARTER", "Q": "QUARTER", "QTR": "QUARTER",
+    "MONTH": "MONTH", "MM": "MONTH", "MON": "MONTH", "MONTHS": "MONTH",
+    "WEEK": "WEEK", "WK": "WEEK", "WW": "WEEK", "WEEKS": "WEEK",
+    "DAY": "DAY", "DD": "DAY", "D": "DAY", "DAYS": "DAY",
+    "HOUR": "HOUR", "HH": "HOUR", "HRS": "HOUR", "HOURS": "HOUR",
+    "MINUTE": "MINUTE", "MI": "MINUTE", "N": "MINUTE", "MINS": "MINUTE",
+    "MINUTES": "MINUTE",
+    "SECOND": "SECOND", "SS": "SECOND", "S": "SECOND", "SECS": "SECOND",
+    "SECONDS": "SECOND",
+}
+
+_UNIT_MICROS = {"HOUR": 3_600_000_000, "MINUTE": 60_000_000, "SECOND": 1_000_000}
+
+
+def _date_part(arg: list[tuple[str, str]]) -> str:
+    """Normalize a date-part argument (bare word or 'quoted') to a Spark
+    unit keyword; raises on parts the fallback can't translate (e.g.
+    DAYOFYEAR, EPOCH, NANOSECOND — unit semantics differ)."""
+    code = [(k, t) for k, t in arg if k not in ("ws", "comment")]
+    if len(code) != 1:
+        raise UnsupportedError("unsupported date part expression without sqlglot")
+    kind, text = code[0]
+    name = _unquote(text, "'") if kind == "string" else text
+    unit = _DATE_PARTS.get(name.upper())
+    if unit is None:
+        raise UnsupportedError(
+            f"date part {name!r} is not supported without sqlglot"
+        )
+    return unit
+
+
+def _rewrite_dateadd_datediff(
+    tokens: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Snowflake / T-SQL ``DATEADD(part, n, expr)`` and
+    ``DATEDIFF(part, a, b)`` → Spark equivalents with the source
+    engines' BOUNDARY-CROSSING semantics.
+
+    DATEADD maps to ``TIMESTAMPADD(unit, n, expr)`` (result is a
+    TIMESTAMP even for DATE input — cast the result if a DATE is
+    needed). DATEDIFF in both source dialects counts unit-boundary
+    crossings, NOT elapsed complete units, so it does NOT map to
+    Spark's TIMESTAMPDIFF: ``DATEDIFF(year, '2019-12-31',
+    '2020-01-01')`` is 1. Each unit therefore rewrites to exact
+    boundary arithmetic (calendar-index differences for YEAR/QUARTER/
+    MONTH, truncated-date day counts for WEEK/DAY, truncated-epoch
+    division for HOUR/MINUTE/SECOND).
+    """
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in ("DATEADD", "DATEDIFF"):
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) == 2 and up == "DATEDIFF":
+            # two-arg DATEDIFF(end, start) is the mysql/spark spelling;
+            # leave it for the native parser.
+            i += 1
+            continue
+        if len(args) != 3:
+            raise UnsupportedError(
+                f"{up} expects (part, x, y) in this dialect"
+            )
+        unit = _date_part(args[0])
+        a, b = args[1], args[2]
+        if up == "DATEADD":
+            repl = (
+                tokenize(f"TIMESTAMPADD({unit}, ")
+                + a
+                + tokenize(", ")
+                + b
+                + tokenize(")")
+            )
+        elif unit in ("YEAR", "QUARTER", "MONTH"):
+            per_year = {"YEAR": 1, "QUARTER": 4, "MONTH": 12}[unit]
+            def _idx(e: list[tuple[str, str]]) -> list[tuple[str, str]]:
+                if per_year == 1:
+                    return tokenize("YEAR(") + e + tokenize(")")
+                return (
+                    tokenize(f"(YEAR(")
+                    + e
+                    + tokenize(f") * {per_year} + {unit}(")
+                    + e
+                    + tokenize("))")
+                )
+            repl = (
+                tokenize("(") + _idx(b) + tokenize(" - ") + _idx(a) + tokenize(")")
+            )
+        elif unit in ("DAY", "WEEK"):
+            trunc = (
+                (lambda e: tokenize("CAST(DATE_TRUNC('WEEK', ") + e + tokenize(") AS DATE)"))
+                if unit == "WEEK"
+                else (lambda e: tokenize("CAST(") + e + tokenize(" AS DATE)"))
+            )
+            core = (
+                tokenize("DATEDIFF(")
+                + trunc(b)
+                + tokenize(", ")
+                + trunc(a)
+                + tokenize(")")
+            )
+            repl = core if unit == "DAY" else tokenize("(") + core + tokenize(" DIV 7)")
+        else:
+            u = _UNIT_MICROS[unit]
+            def _floor(e: list[tuple[str, str]]) -> list[tuple[str, str]]:
+                return (
+                    tokenize(f"UNIX_MICROS(DATE_TRUNC('{unit}', CAST(")
+                    + e
+                    + tokenize(" AS TIMESTAMP)))")
+                )
+            repl = (
+                tokenize("((")
+                + _floor(b)
+                + tokenize(" - ")
+                + _floor(a)
+                + tokenize(f") DIV {u})")
+            )
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
+def _rewrite_to_number(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Snowflake ``TO_NUMBER(x[, p[, s]])`` → ``CAST(x AS DECIMAL(p,s))``
+    (defaults p=38, s=0, matching snowflake); ``TO_VARCHAR(x)``/
+    ``TO_CHAR(x)`` (no format) → ``CAST(x AS STRING)``. Format-string
+    forms raise — faithful number/date formatting needs sqlglot."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in ("TO_NUMBER", "TO_DECIMAL", "TO_NUMERIC", "TO_VARCHAR", "TO_CHAR"):
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if up in ("TO_VARCHAR", "TO_CHAR"):
+            if len(args) != 1:
+                raise UnsupportedError(
+                    f"{up} with a format string is not supported without sqlglot"
+                )
+            repl = tokenize("CAST(") + args[0] + tokenize(" AS STRING)")
+        else:
+            nums = [
+                [(k, t) for k, t in a if k not in ("ws", "comment")]
+                for a in args[1:]
+            ]
+            if len(args) > 3 or any(
+                len(c) != 1 or c[0][0] != "number" for c in nums
+            ):
+                raise UnsupportedError(
+                    f"{up} with a format string is not supported without sqlglot"
+                )
+            p = nums[0][0][1] if len(nums) >= 1 else "38"
+            s = nums[1][0][1] if len(nums) >= 2 else "0"
+            repl = tokenize("CAST(") + args[0] + tokenize(f" AS DECIMAL({p},{s}))")
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
 def _rewrite_mysql_limit(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """mysql ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``."""
     out = list(tokens)
@@ -459,6 +682,32 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
         tokens = _rewrite_mysql_limit(tokens)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
+    if dialect in ("snowflake", "tsql"):
+        tokens = _rewrite_dateadd_datediff(tokens)
+    if dialect == "snowflake":
+        # IFF(c,a,b) → IF; NVL/NVL2/IFNULL/COALESCE parse natively.
+        tokens = _rewrite_func_names(tokens, {"IFF": "IF"})
+        tokens = _rewrite_to_number(tokens)
+    if dialect == "bigquery":
+        # SAFE_CAST → TRY_CAST (NULL on failure), SAFE_DIVIDE →
+        # TRY_DIVIDE (NULL on /0); IFNULL/COUNTIF parse natively, and
+        # BigQuery's `SELECT * EXCEPT (col)` is native Spark 4 syntax.
+        tokens = _rewrite_func_names(
+            tokens, {"SAFE_CAST": "TRY_CAST", "SAFE_DIVIDE": "TRY_DIVIDE"}
+        )
+        # BigQuery type keywords → Spark types. NUMERIC is parameterized
+        # (38,9) in BigQuery but DECIMAL(10,0) in Spark, so the explicit
+        # mapping avoids a silent precision change; BIGNUMERIC (76,38)
+        # exceeds Spark's max precision and is left to fail loudly.
+        tokens = _rewrite_words(
+            tokens,
+            {
+                "INT64": "BIGINT",
+                "FLOAT64": "DOUBLE",
+                "BOOL": "BOOLEAN",
+                "NUMERIC": "DECIMAL(38,9)",
+            },
+        )
     if dialect in ("duckdb", "snowflake", "bigquery", "clickhouse"):
         tokens = _rewrite_qualify(tokens)
     # `expr::type` cast shorthand (postgres/duckdb) parses natively in

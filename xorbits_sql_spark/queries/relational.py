@@ -793,6 +793,98 @@ def r81_execute_mysql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s32_execute_snowflake_dialect",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST((YEAR(MAX(o_orderdate)) * 12 + MONTH(MAX(o_orderdate)))
+              - (YEAR(MIN(o_orderdate)) * 12 + MONTH(MIN(o_orderdate))) AS BIGINT) AS span_months,
+           CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                          CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS span_days,
+           CASE WHEN COUNT(*) > 100 THEN 'big' ELSE 'small' END AS bucket,
+           CAST(round(MAX(o_totalprice), 2) AS DECIMAL(18,2)) AS max_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("execute-api", "dialect", "snowflake"),
+    doc=(
+        "Snowflake-flavored SQL through execute(dialect='snowflake') "
+        "with NO sqlglot installed: double-quoted identifiers, IFF, "
+        "DATEDIFF(month|day, a, b) with snowflake's boundary-crossing "
+        "semantics (NOT elapsed complete units — the fallback rewrites "
+        "each unit to exact calendar-index/truncated-date arithmetic), "
+        "and TO_NUMBER(x, p, s) as a DECIMAL cast. The reference gets "
+        "snowflake via sqlglot (reference core.py:102); this is the "
+        "sqlglot-free parity path, driver-value-checked against a "
+        "DuckDB oracle stating the same semantics natively."
+    ),
+)
+def s32_execute_snowflake_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = '''
+    SELECT "o_orderpriority" AS priority,
+           COUNT(*) AS n,
+           CAST(DATEDIFF(month, MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT) AS span_months,
+           CAST(DATEDIFF(dd, MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT) AS span_days,
+           IFF(COUNT(*) > 100, 'big', 'small') AS bucket,
+           TO_NUMBER(ROUND(MAX(o_totalprice), 2), 18, 2) AS max_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY "o_orderpriority"
+    ORDER BY priority
+    '''
+    return execute(
+        sql,
+        dialect="snowflake",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "s33_execute_bigquery_dialect",
+    """
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+           CAST(100.0 AS DOUBLE) / COUNT(*) AS inv_rate,
+           CAST(NULL AS DOUBLE) AS div0
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+    tags=("execute-api", "dialect", "bigquery"),
+    doc=(
+        "BigQuery-flavored SQL through execute(dialect='bigquery') with "
+        "NO sqlglot installed: SAFE_CAST -> TRY_CAST (NULL on bad "
+        "input, never an error), SAFE_DIVIDE -> TRY_DIVIDE (NULL on "
+        "division by zero), INT64/FLOAT64 type keywords -> Spark "
+        "BIGINT/DOUBLE. Division inputs are exact integers so the "
+        "double quotient is bit-identical cross-engine; the DuckDB "
+        "oracle states the same semantics natively (TRY_CAST, NULL)."
+    ),
+)
+def s33_execute_bigquery_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT l_returnflag AS flag,
+           COUNT(*) AS n,
+           SAFE_CAST(l_returnflag AS INT64) AS flag_as_int,
+           SAFE_DIVIDE(100.0, CAST(COUNT(*) AS FLOAT64)) AS inv_rate,
+           SAFE_DIVIDE(CAST(COUNT(*) AS FLOAT64), 0) AS div0
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """
+    return execute(
+        sql,
+        dialect="bigquery",
+        tables={"lineitem": t(spark, sf_dir, "lineitem")},
+        spark=spark,
+    )
+
+
+@register(
     "r48_dq_checks",
     """
     WITH report AS (

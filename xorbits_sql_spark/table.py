@@ -17,6 +17,7 @@ non-starter, so that behavior is deliberately dropped.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,54 @@ def schema_to_struct(table_schema: Mapping[str, str]) -> T.StructType:
     return T.StructType(
         [T.StructField(col, parse_type(ts), nullable=True) for col, ts in table_schema.items()]
     )
+
+
+# Identifier quote styles by input dialect (open, close). Mirrors the
+# reference's dialect-aware catalog normalization (reference
+# table.py:85, via sqlglot.normalize_name).
+_QUOTE_STYLES: dict[str | None, tuple[tuple[str, str], ...]] = {
+    "mysql": (("`", "`"),),
+    "bigquery": (("`", "`"),),
+    "spark": (("`", "`"),),
+    "databricks": (("`", "`"),),
+    "hive": (("`", "`"),),
+    "tsql": (("[", "]"), ('"', '"')),
+}
+_DEFAULT_QUOTES: tuple[tuple[str, str], ...] = (('"', '"'),)
+
+_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def normalize_name(name: str, dialect: str | None = None) -> str:
+    """Normalize one table-name part per the input dialect's rules.
+
+    A name quoted in the dialect's identifier style is unquoted with its
+    case preserved; an unquoted name folds to the dialect's canonical
+    case (upper for snowflake/oracle, lower otherwise — cosmetic on
+    Spark, whose view resolution is case-insensitive, but it keeps the
+    returned registration keys faithful to the source dialect, matching
+    reference table.py:85). Names that aren't valid identifiers after
+    unquoting raise: Spark temp views cannot carry them.
+
+    Spark-level caveat: temp views share one case-insensitive namespace,
+    so two registrations differing only in case collide — a snowflake
+    quoted-lowercase name and unquoted-uppercase name cannot coexist
+    here the way they can in snowflake itself.
+    """
+    d = (dialect or "").lower() or None
+    for op, cl in _QUOTE_STYLES.get(d, _DEFAULT_QUOTES):
+        if len(name) >= 2 and name.startswith(op) and name.endswith(cl):
+            inner = name[1:-1].replace(cl + cl, cl)
+            if not _IDENT_RE.fullmatch(inner):
+                raise UnsupportedError(
+                    f"table name {name!r} is not a valid identifier for a Spark view"
+                )
+            return inner
+    if not _IDENT_RE.fullmatch(name):
+        raise UnsupportedError(
+            f"table name {name!r} is not a valid identifier for a Spark view"
+        )
+    return name.upper() if d in ("snowflake", "oracle") else name.lower()
 
 
 def _is_leaf(value: Any) -> bool:
@@ -155,17 +204,26 @@ def register_tables(
     spark: SparkSession,
     tables: Mapping[str, Any],
     schema: Mapping[str, Any] | None = None,
+    dialect: str | None = None,
 ) -> dict[tuple[str, ...], str]:
     """Register all tables as temp views; returns {qualified: view_name}.
 
     ``schema`` follows the reference's nested dict form and, when given for
     a table, types list/pandas inputs explicitly instead of sampling.
+    Name parts (table, db, catalog — and schema keys) are normalized per
+    ``dialect`` via :func:`normalize_name` before view creation, matching
+    the reference's catalog normalization (reference table.py:85): quoted
+    names unquote case-preserved, unquoted names case-fold.
     """
-    flat = flatten_tables(tables)
+
+    def norm(qualified: tuple[str, ...]) -> tuple[str, ...]:
+        return tuple(normalize_name(p, dialect) for p in qualified)
+
+    flat = {norm(q): leaf for q, leaf in flatten_tables(tables).items()}
     flat_schema: dict[tuple[str, ...], T.StructType] = {}
     if schema:
         for qualified, tbl_schema in flatten_schema(schema).items():
-            flat_schema[qualified] = schema_to_struct(tbl_schema)
+            flat_schema[norm(qualified)] = schema_to_struct(tbl_schema)
 
     registered: dict[tuple[str, ...], str] = {}
     for qualified, leaf in flat.items():
