@@ -16,7 +16,14 @@ page-cache misses — on this single-JVM rig those dominate and swing
 timed as the headline ``queries`` number: steady-state throughput, which
 is the reproducible measure and the one that projects to a long-lived
 cluster where JIT warmup is amortized across thousands of tasks. Round 1
-reported single cold runs; BASELINE.md records the switch."""
+reported single cold runs; BASELINE.md records the switch.
+
+Noise hardening (round 3+): warm entries under 1 s are re-run twice more
+and the MEDIAN of the three warm passes is reported — sub-second entries
+are dominated by scheduler/suite-context jitter, and both round-2 bench
+reports flagged phantom regressions from single noisy passes. Streaming
+queries (micro-batch scheduler floor, 3-8 s run-to-run variance) use an
+8 s absolute regression floor instead of 0.3 s."""
 
 from __future__ import annotations
 
@@ -56,15 +63,22 @@ def main() -> None:
         # repeats the operator's full work (only codegen + page cache
         # stay warm), then time steady state.
         release_caches()
-        t1 = time.perf_counter()
         try:
-            spec.fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t1, 4)
+            warm = [_timed(spec.fn, spark, sf_dir, release_caches)]
+            # Sub-second entries are jitter-dominated: median of 3.
+            if warm[0] < 1.0:
+                warm.append(_timed(spec.fn, spark, sf_dir, release_caches))
+                warm.append(_timed(spec.fn, spark, sf_dir, release_caches))
+            timings[name] = round(sorted(warm)[len(warm) // 2], 4)
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"
-        finally:
             release_caches()
 
+    streaming = {
+        name
+        for name, spec in specs.items()
+        if "streaming" in getattr(spec, "tags", ()) or "stream" in name
+    }
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "query_suite_wall_seconds",
@@ -78,26 +92,42 @@ def main() -> None:
         "value_cold": round(sum(cold.values()), 4),
         "queries_cold": cold,
     }
-    out.update(_vs_baseline(timings, total, sf_dir))
+    out.update(_vs_baseline(timings, total, sf_dir, streaming))
     _persist_snapshot(out)
     print(json.dumps(out))
     if failures:
         sys.exit(1)
 
 
+def _timed(fn, spark, sf_dir: str, release_caches) -> float:
+    """One full warm execution; operator caches released after."""
+    t0 = time.perf_counter()
+    try:
+        fn(spark, sf_dir).count()
+    finally:
+        release_caches()
+    return time.perf_counter() - t0
+
+
 _BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 _SNAPSHOT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
 
 
-def _vs_baseline(timings: dict[str, float], total: float, sf_dir: str) -> dict:
+def _vs_baseline(
+    timings: dict[str, float],
+    total: float,
+    sf_dir: str,
+    streaming: set[str] | frozenset[str] = frozenset(),
+) -> dict:
     """Per-query regression check against the committed baseline snapshot.
 
     The baseline is the previous round's full per-query timing map
     (BENCH_BASELINE.json, refreshed when a round's numbers are accepted),
     so each round's judge can diff rounds mechanically instead of
     eyeballing totals. Queries >1.5x slower than baseline (and >0.3s
-    absolute, to ignore scheduler noise on sub-100ms queries) are
-    reported; new queries are listed but not flagged.
+    absolute, to ignore scheduler noise on sub-100ms queries; >8s for
+    streaming queries, whose micro-batch scheduler floor swings 3-8s
+    run to run) are reported; new queries are listed but not flagged.
     """
     try:
         with open(_BASELINE_PATH) as f:
@@ -110,7 +140,10 @@ def _vs_baseline(timings: dict[str, float], total: float, sf_dir: str) -> dict:
     regressions = {
         name: {"sec": sec, "baseline_sec": base_q[name], "ratio": round(sec / base_q[name], 2)}
         for name, sec in timings.items()
-        if name in base_q and base_q[name] > 0 and sec > 0.3 and sec / base_q[name] > 1.5
+        if name in base_q
+        and base_q[name] > 0
+        and sec > (8.0 if name in streaming else 0.3)
+        and sec / base_q[name] > 1.5
     }
     shared = [n for n in timings if n in base_q]
     base_total = round(sum(base_q[n] for n in shared), 4)

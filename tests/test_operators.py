@@ -601,3 +601,21 @@ def test_bloom_probe_null_key_is_false(spark):
     out = {r["k"]: r["bloom_pass"] for r in bloom_probe(probe, "k", bits, m=1024, k=3).collect()}
     assert out["a"] is True
     assert out[None] is False
+
+
+def test_release_caches_keeps_storage_stable_across_passes(spark):
+    """The documented long-session contract (README 'Operator cache
+    contract'): N dedup passes with release_caches() between them leave
+    ZERO cached tables in the session's cache manager — storage memory
+    does not grow with the number of passes."""
+    from xorbits_sql_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma delta") for i in range(30)],
+        "doc_id int, text string",
+    )
+    for _ in range(4):
+        dedup.minhash_lsh_pairs(docs, "text", "doc_id").count()
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).count()
+        assert dedup.release_caches() >= 2
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

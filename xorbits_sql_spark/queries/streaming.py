@@ -19,9 +19,23 @@ from ..streaming.windows import read_parquet_stream, run_to_memory, tumbling_cou
 
 @register(
     "q80_stream_hourly",
-    None,  # non-SQL-expressible: Structured Streaming execution
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY hour, event_type
+    ORDER BY hour, event_type
+    """,
     tags=("streaming", "time-window"),
-    doc="Streaming tumbling-window counts over events, driven to completion on the bounded parquet source.",
+    doc=(
+        "Streaming tumbling-window counts over events, driven to "
+        "completion on the bounded parquet source. Complete-mode window "
+        "aggregates are deterministic (counts and exact-decimal sums "
+        "are micro-batch-order-proof), so the streaming result carries "
+        "a full DuckDB value oracle stating the same hourly aggregate "
+        "in batch SQL."
+    ),
 )
 def q80_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
@@ -53,12 +67,28 @@ def q82_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q83_stream_sliding",
-    None,  # non-SQL-expressible: Structured Streaming execution
+    """
+    WITH grid AS (
+      SELECT event_type, value,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) * 1800
+                            - 1800 * k.k) AS hour
+      FROM events, (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT hour, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM grid
+    GROUP BY hour, event_type
+    ORDER BY hour, event_type
+    """,
     tags=("streaming", "time-window", "sliding"),
     doc=(
         "Streaming sliding windows (1h every 30min) with watermark; "
         "equals the batch q58 result on the bounded source "
-        "(tests/test_streaming.py)."
+        "(tests/test_streaming.py). The DuckDB oracle replays the "
+        "window assignment arithmetically: each event lands in the two "
+        "epoch-aligned 30-minute-grid windows that cover it (Spark "
+        "aligns window starts to the unix epoch modulo the slide)."
     ),
 )
 def q83_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,9 +99,39 @@ def q83_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q81_stream_sessions",
-    None,  # non-SQL-expressible: session_window streaming state
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
     tags=("streaming", "sessionize"),
-    doc="Streaming session windows (30 min gap) per user on the bounded events stream.",
+    doc=(
+        "Streaming session windows (30 min gap) per user on the bounded "
+        "events stream. Session merging is order-independent, so the "
+        "complete-mode result is deterministic and carries a full "
+        "DuckDB value oracle: the gaps-and-islands construction q96 "
+        "pinned (split at gap >= 30 min), with session_end = last "
+        "event + gap, matching session_window's window.end."
+    ),
 )
 def q81_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import sessionized_counts
