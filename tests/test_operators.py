@@ -619,3 +619,37 @@ def test_release_caches_keeps_storage_stable_across_passes(spark):
         dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).count()
         assert dedup.release_caches() >= 2
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_incremental_dedup_decisions(spark):
+    """Batch docs screen against the base index and each other: exact
+    dups of base docs drop with dup_of = base id; batch-internal dups
+    keep only the lowest id; unique docs keep."""
+    from xorbits_sql_spark.operators.dedup import (
+        incremental_dedup_decisions,
+        minhash_band_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different historical corpus text here")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(4, "the quick brown fox jumps over the lazy dog"),   # dup of base 1
+         (8, "a genuinely novel document with fresh words"),   # unique
+         (12, "a genuinely novel document with fresh words"),  # dup of new 8
+         (16, "another unique ingest document entirely new")],
+        "doc_id int, text string",
+    )
+    index = minhash_band_index(base, "text", "doc_id", seeds=4, band_size=1)
+    out = {
+        r["id"]: (r["dup_of"], r["keep"])
+        for r in incremental_dedup_decisions(
+            new, index, "text", "doc_id", seeds=4, band_size=1
+        ).collect()
+    }
+    assert out[4] == (1, False)
+    assert out[8] == (None, True)
+    assert out[12] == (8, False)
+    assert out[16] == (None, True)

@@ -220,16 +220,37 @@ def minhash_lsh_pairs(
     the same duplicate cluster a full clique would. The default never
     triggers at test scale; at 100 TB it bounds worst-case pair counts.
     """
+    banded = minhash_band_index(
+        df, text_col, id_col, seeds=seeds, band_size=band_size, shingle_k=shingle_k
+    )
+    return _capped_pair_join(banded, "band_key", max_bucket)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seeds: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, band_key) membership rows — the persistable LSH dedup index.
+
+    This is the table a 100 TB pipeline writes once per corpus snapshot
+    and joins every new ingest batch against (see
+    :func:`incremental_dedup_decisions`). md5-portable hashes make the
+    index engine-agnostic: a DuckDB/Trino job reproduces identical band
+    keys from the same text.
+    """
     # Relational plan: shingle rows once (codegen'd — see
     # shingles_relational), then the per-seed minima are ordinary
     # aggregates reusing the same doc partitioning. A single giant nested
     # array expression here fell back to interpreted evaluation and was
     # ~25x slower at sf0.1.
     shingled = shingles_relational(df, text_col, id_col, k=shingle_k)
-    # The banded self-join below would otherwise plan the whole
-    # shingle+min-agg pipeline once per side; the signature table is one
-    # short row per doc (the table you'd persist as the dedup index at
-    # 100 TB), so cache it and compute the signatures exactly once.
+    # Downstream self-joins would otherwise plan the whole shingle +
+    # min-agg pipeline once per side; the signature table is one short
+    # row per doc, so cache it and compute the signatures exactly once.
     # Measured at sf0.1: 1.8s -> 0.5s.
     sigs = _persist(
         shingled.groupBy("doc").agg(
@@ -240,7 +261,7 @@ def minhash_lsh_pairs(
         )
     )
     n_bands = seeds // band_size
-    banded = sigs.select(
+    return sigs.select(
         "doc",
         F.explode(
             F.array(
@@ -255,7 +276,57 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
-    return _capped_pair_join(banded, "band_key", max_bucket)
+
+
+def incremental_dedup_decisions(
+    new_docs: DataFrame,
+    base_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    seeds: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Keep/drop decisions for an ingest batch against a persisted index.
+
+    The production dedup shape: the historical corpus exists only as its
+    banded MinHash index (:func:`minhash_band_index` — short rows, no
+    text), and each new batch is screened against it plus itself. A new
+    doc is dropped when any of its bands collides with a base doc's band
+    or with a lower-id doc in the same batch.
+
+    Returns (id, dup_of, keep): ``dup_of`` is the minimum colliding
+    partner id (NULL when unique), ``keep`` its negation.
+
+    Scale design — NO pair join anywhere: keep/drop only needs the
+    minimum partner per band, so the base index collapses to one
+    (band_key, min_doc) row per band before the join, and batch-internal
+    collisions come from a min window over the batch's own band rows.
+    Cost is one shuffle of the (tiny) batch bands plus one aggregation
+    of the index keyed the same way — a hot boilerplate band costs one
+    row, not bucket² pairs, and the decision join's width is bounded by
+    the batch's band count regardless of corpus size.
+    """
+    new_bands = minhash_band_index(
+        new_docs, text_col, id_col, seeds=seeds, band_size=band_size, shingle_k=shingle_k
+    )
+    base_min = base_index.groupBy("band_key").agg(F.min("doc").alias("__base_min"))
+    peer = new_bands.withColumn(
+        "__peer_min", F.min("doc").over(W.partitionBy("band_key"))
+    )
+    joined = peer.join(base_min, "band_key", "left")
+    # least() skips NULLs, so a band with no base hit still considers
+    # the batch-internal minimum (and vice versa).
+    partner = F.least(
+        F.col("__base_min"),
+        F.when(F.col("__peer_min") < F.col("doc"), F.col("__peer_min")),
+    )
+    per_doc = joined.groupBy("doc").agg(F.min(partner).alias("dup_of"))
+    return (
+        new_docs.select(F.col(id_col).alias("id"))
+        .join(per_doc.withColumnRenamed("doc", "id"), "id", "left")
+        .select("id", "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )
 
 
 def _capped_pair_join(

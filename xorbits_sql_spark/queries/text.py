@@ -423,6 +423,67 @@ def q65_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s34_incremental_minhash_dedup",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(4))}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, '{i}|' || h{i} AS band_key FROM sigs" for i in range(4))}
+    ),
+    new_bands AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+    base_bands AS (SELECT * FROM bands WHERE doc_id % 4 <> 0),
+    hits AS (
+      SELECT n.doc_id AS id, b.doc_id AS partner
+      FROM new_bands n JOIN base_bands b ON n.band_key = b.band_key
+      UNION ALL
+      SELECT n.doc_id, m.doc_id
+      FROM new_bands n JOIN new_bands m
+        ON n.band_key = m.band_key AND m.doc_id < n.doc_id
+    ),
+    per_doc AS (SELECT id, MIN(partner) AS dup_of FROM hits GROUP BY id)
+    SELECT d.doc_id AS id, p.dup_of, p.dup_of IS NULL AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+    LEFT JOIN per_doc p ON p.id = d.doc_id
+    ORDER BY id
+    """,
+    tags=("text", "dedup-minhash", "incremental"),
+    doc=(
+        "Incremental dedup against a persisted index — the production "
+        "continuous-ingestion shape: the historical corpus (doc_id %% 4 "
+        "!= 0) exists only as its banded MinHash index, and the ingest "
+        "batch (doc_id %% 4 == 0) is screened against it plus itself. "
+        "NO pair join anywhere: the index collapses to one (band_key, "
+        "min_doc) row before the decision join and batch-internal "
+        "collisions come from a min window, so a hot boilerplate band "
+        "costs one row instead of bucket-squared pairs "
+        "(operators/dedup.incremental_dedup_decisions). The DuckDB "
+        "oracle replays the md5 band keys and takes the same minimum "
+        "over the (locally materialized) collision pairs."
+    ),
+)
+def s34_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_dedup_decisions, minhash_band_index
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    index = minhash_band_index(base, "text", "doc_id", seeds=4, band_size=1, shingle_k=3)
+    return incremental_dedup_decisions(
+        new, index, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+    ).orderBy("id")
+
+
+@register(
     "q79_token_type_ratio",
     f"""
     WITH toks AS (
