@@ -653,3 +653,29 @@ def test_incremental_dedup_decisions(spark):
     assert out[8] == (None, True)
     assert out[12] == (8, False)
     assert out[16] == (None, True)
+
+
+def test_apply_changeset_merge_semantics(spark):
+    """MERGE-style CDC apply: latest change per key wins (seq_col
+    compaction), deletes remove, upserts replace/insert, untouched rows
+    survive."""
+    from xorbits_sql_spark.operators.temporal import apply_changeset
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),   # superseded by the later delete
+            (2, "b3", "D", 2),
+            (3, "c2", "U", 1),
+            (4, "d", "I", 1),
+        ],
+        "k int, v string, op string, seq int",
+    )
+    out = apply_changeset(
+        snap, changes.select("k", "v", "op", "seq"), ["k"],
+        seq_col="seq", broadcast_changes=True,
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "a", 3: "c2", 4: "d"}

@@ -198,3 +198,47 @@ def gapfill_interpolate(
         filled.alias("total_interp"),
         F.col("n_events").isNull().cast("int").alias("was_gap"),
     )
+
+
+def apply_changeset(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """MERGE-style batch apply of a CDC changeset to a snapshot.
+
+    ``changes`` carries the snapshot's columns plus ``op_col`` with
+    values ``'I'`` (insert/upsert), ``'U'`` (update/upsert) or ``'D'``
+    (delete). When ``seq_col`` is given, only the latest change per key
+    applies (a key changed multiple times in one batch folds to its
+    final state first — standard CDC compaction). The result is:
+    snapshot rows whose key has no change, plus the I/U rows, minus the
+    D keys — the batch equivalent of ``MERGE INTO`` without requiring a
+    table format that supports it.
+
+    Scale shape: the latest-change window and the key distinct shuffle
+    only the changeset; the 100 TB snapshot side is touched by exactly
+    one LEFT ANTI join on the key — broadcastable via
+    ``broadcast_changes=True`` when the changeset is a typical daily
+    batch (small next to the snapshot), making the whole merge
+    shuffle-free on the big side. No full outer join, no row updates in
+    place.
+    """
+    data_cols = list(snapshot.columns)
+    ch = changes
+    if seq_col is not None:
+        w = W.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+        ch = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    keys = ch.select(*key_cols).distinct()
+    keep = snapshot.join(
+        F.broadcast(keys) if broadcast_changes else keys, key_cols, "left_anti"
+    )
+    applied = ch.filter(F.upper(F.col(op_col)).isin("I", "U")).select(*data_cols)
+    return keep.unionByName(applied)

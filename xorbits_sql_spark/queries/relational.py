@@ -885,6 +885,71 @@ def s33_execute_bigquery_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s35_apply_changeset",
+    """
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice, 'U' AS op
+      FROM snap WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' FROM snap WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT -o_orderkey, 'N', o_totalprice, 'I' FROM snap WHERE o_orderkey % 10 = 2
+    ),
+    kept AS (
+      SELECT s.* FROM snap s
+      WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = s.o_orderkey)
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM kept
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM changes WHERE op IN ('I', 'U')
+    ORDER BY o_orderkey
+    """,
+    tags=("cdc", "merge", "upsert"),
+    doc=(
+        "MERGE-style changeset apply (operators/temporal.apply_changeset): "
+        "a CDC batch of updates/deletes/inserts folds into a snapshot as "
+        "keep (anti join) + apply (union) — the batch equivalent of MERGE "
+        "INTO without a table format that supports it. The changeset side "
+        "is the only thing shuffled; the snapshot sees one broadcastable "
+        "anti join, so a daily batch against a 100 TB table never "
+        "shuffles the table. Changes are derived deterministically from "
+        "orders (key % 10: 0=update +1.0, 1=delete, 2=insert negated "
+        "key), so the DuckDB oracle replays the same merge relationally."
+    ),
+)
+def s35_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import apply_changeset
+
+    snap = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    changes = (
+        snap.filter(k % 10 == 0)
+        .select(k.alias("o_orderkey"), "o_orderstatus",
+                (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+                F.lit("U").alias("op"))
+        .unionByName(
+            snap.filter(k % 10 == 1).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("D").alias("op")
+            )
+        )
+        .unionByName(
+            snap.filter(k % 10 == 2).select(
+                (-k).alias("o_orderkey"), F.lit("N").alias("o_orderstatus"),
+                "o_totalprice", F.lit("I").alias("op"),
+            )
+        )
+    )
+    return apply_changeset(
+        snap, changes, ["o_orderkey"], broadcast_changes=True
+    ).orderBy("o_orderkey")
+
+
+@register(
     "r48_dq_checks",
     """
     WITH report AS (
