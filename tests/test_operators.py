@@ -679,3 +679,26 @@ def test_apply_changeset_merge_semantics(spark):
     )
     got = {r["k"]: r["v"] for r in out.collect()}
     assert got == {1: "a", 3: "c2", 4: "d"}
+
+
+def test_ngram_containment_asymmetric(spark):
+    """A short doc fully quoted inside a long doc: containment of the
+    short side ~1.0, the reverse direction small, Jaccard small."""
+    from xorbits_sql_spark.operators.dedup import ngram_containment_pairs
+
+    quote = "the five boxing wizards jump quickly tonight"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")],
+        "doc_id int, text string",
+    )
+    out = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, "text", "doc_id", threshold=0.0, max_df=None
+        ).collect()
+    }
+    # all 5 of doc1's 3-shingles appear in doc2
+    assert out[(1, 2)] == 1.0
+    # reverse containment is small (5 shared / 47 distinct shingles)
+    assert abs(out[(2, 1)] - 5.0 / 47.0) < 1e-12

@@ -395,6 +395,33 @@ def ngram_jaccard_pairs(
     the join bounded at ``max_df²`` rows per shingle while leaving
     small-corpus results untouched. ``None`` disables the guard.
     """
+    shared = _shingle_pair_stats(
+        df, text_col, id_col, shingle_k, partition_col, max_df
+    )
+    return (
+        shared.select(
+            F.col("doc").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
+def _shingle_pair_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    partition_col: str | None,
+    max_df: int | None,
+) -> DataFrame:
+    """Inverted-index pair statistics: (doc, doc_b, shared, size_a,
+    size_b) for every doc < doc_b pair sharing >= 1 (DF-capped) shingle.
+    Shared core of Jaccard and containment scoring."""
     parts = [partition_col] if partition_col else []
     shingled = shingles_relational(
         df, text_col, id_col, k=shingle_k, distinct=True, carry_cols=parts
@@ -428,7 +455,7 @@ def ngram_jaccard_pairs(
         F.col("shingle"),
         F.col("set_size").alias("size_b"),
     )
-    shared = (
+    return (
         sized.join(right, on)
         .filter(F.col("doc") < F.col("doc_b"))
         .groupBy("doc", "doc_b")
@@ -438,17 +465,49 @@ def ngram_jaccard_pairs(
             F.min("size_b").alias("size_b"),
         )
     )
-    return (
-        shared.select(
-            F.col("doc").alias("id_a"),
-            F.col("doc_b").alias("id_b"),
-            (
-                F.col("shared").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") > threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    partition_col: str | None = None,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment: |A ∩ B| / |A| per ordered pair.
+
+    Jaccard misses partial copies: a paragraph quoted inside a much
+    longer document scores near zero symmetrically but ~1.0 as
+    containment of the shorter side — the signal training-data
+    pipelines use to catch quote extraction, boilerplate wrapping, and
+    subset duplicates (Broder's containment, the other half of the
+    resemblance/containment pair). Returns (id_small, id_big,
+    containment) where ``id_small`` is the CONTAINED doc (its set is
+    the denominator), for pairs over ``threshold``. Same inverted-index
+    plan and ``max_df`` hot-shingle guard as
+    :func:`ngram_jaccard_pairs` — containment is computed over the
+    DF-capped sets on both sides.
+    """
+    shared = _shingle_pair_stats(
+        df, text_col, id_col, shingle_k, partition_col, max_df
     )
+    a_in_b = shared.select(
+        F.col("doc").alias("id_small"),
+        F.col("doc_b").alias("id_big"),
+        (F.col("shared").cast("double") / F.col("size_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    b_in_a = shared.select(
+        F.col("doc_b").alias("id_small"),
+        F.col("doc").alias("id_big"),
+        (F.col("shared").cast("double") / F.col("size_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return a_in_b.unionByName(b_in_a).filter(F.col("containment") > threshold)
 
 
 def connected_components(

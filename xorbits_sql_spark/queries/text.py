@@ -484,6 +484,67 @@ def s34_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "s36_ngram_containment",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, source, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, source, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY shingle, source) AS df
+        FROM shingled
+      ) WHERE df <= 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM kept GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ),
+    directed AS (
+      SELECT id_a AS id_small, id_b AS id_big,
+             CAST(shared AS DOUBLE) / sa.set_size AS containment
+      FROM shared JOIN sizes sa ON sa.doc_id = id_a
+      UNION ALL
+      SELECT id_b, id_a, CAST(shared AS DOUBLE) / sb.set_size
+      FROM shared JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_small, id_big, containment
+    FROM directed
+    WHERE containment > 0.2
+    ORDER BY id_small, id_big
+    """,
+    tags=("text", "dedup-containment"),
+    doc=(
+        "Asymmetric shingle containment |A∩B|/|A| "
+        "(operators/dedup.ngram_containment_pairs): catches partial "
+        "copies — a paragraph quoted inside a longer document scores "
+        "near zero as Jaccard but ~1.0 as containment of the shorter "
+        "side (Broder's resemblance/containment pair). Same "
+        "inverted-index plan and max_df=50 hot-shingle guard as q64; "
+        "the DuckDB oracle replays both directions of the division."
+    ),
+)
+def s36_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.2,
+        partition_col="source",
+        max_df=50,
+    ).orderBy("id_small", "id_big")
+
+
+@register(
     "q79_token_type_ratio",
     f"""
     WITH toks AS (
