@@ -385,3 +385,115 @@ def test_normalize_name_invalid_identifier_rejected():
         normalize_name('"has space"', "postgres")
     with pytest.raises(UnsupportedError):
         normalize_name("1starts_with_digit", None)
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_trino_rewrites(spark):
+    got = transpile(
+        "SELECT approx_distinct(x), arbitrary(y), strpos(s, 'a') FROM t", "trino"
+    )
+    assert "APPROX_COUNT_DISTINCT(x)" in got
+    assert "ANY_VALUE(y)" in got and "INSTR(s, 'a')" in got
+    # presto date_diff counts elapsed COMPLETE units (not boundary
+    # crossings): one day across New Year is 0 years, 0 months, 1 day.
+    row = spark.sql(
+        transpile(
+            "SELECT CAST(date_diff('year', TIMESTAMP'2019-12-31 23:00:00', "
+            "TIMESTAMP'2020-01-01 01:00:00') AS BIGINT) AS y, "
+            "CAST(date_diff('day', DATE'2019-12-31', DATE'2020-01-01') AS BIGINT) AS d, "
+            "CAST(date_add('day', 3, DATE'2020-01-01') AS DATE) AS d3",
+            "trino",
+        )
+    ).collect()[0]
+    import datetime
+
+    assert (row["y"], row["d"], row["d3"]) == (0, 1, datetime.date(2020, 1, 4))
+    # Spark's own two-arg DATE_ADD(date, n) survives untouched
+    assert "DATE_ADD(d, 1)" in transpile("SELECT DATE_ADD(d, 1) FROM t", "trino")
+    # quantified subquery ANY is not renamed (trino shares the keyword)
+    kept = transpile("SELECT * FROM t WHERE x = ANY (SELECT v FROM u)", "trino")
+    assert "ANY (SELECT" in kept
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_oracle_rewrites(spark):
+    got = transpile(
+        "SELECT TO_CHAR(d, 'YYYY-MM-DD HH24:MI:SS') FROM t WHERE ROWNUM <= 10",
+        "oracle",
+    )
+    assert "DATE_FORMAT(d, 'yyyy-MM-dd HH:mm:ss')" in got
+    assert got.rstrip().endswith("LIMIT 10")
+    row = spark.sql(
+        transpile(
+            "SELECT TO_DATE('2020-01-02', 'YYYY-MM-DD') AS d, "
+            "TO_CHAR(TIMESTAMP'2020-03-04 05:06:07', 'MON DY') AS m FROM dual",
+            "oracle",
+        )
+    ).collect()[0]
+    import datetime
+
+    assert row["d"] == datetime.date(2020, 1, 2)
+    assert row["m"] == "Mar Wed"
+    # ROWNUM < n is off-by-one-exact
+    assert transpile("SELECT x FROM t WHERE ROWNUM < 6", "oracle").rstrip().endswith(
+        "LIMIT 5"
+    )
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only guards")
+def test_oracle_unsupported_forms_raise():
+    # ROWNUM with ORDER BY / extra predicates / in a subquery: Oracle
+    # applies ROWNUM before sorting, so a LIMIT rewrite would lie.
+    for bad in (
+        "SELECT x FROM t WHERE ROWNUM <= 5 ORDER BY x",
+        "SELECT x FROM t WHERE ROWNUM <= 5 AND x > 1",
+        "SELECT * FROM (SELECT x FROM t WHERE ROWNUM <= 5)",
+        "SELECT ROWNUM, x FROM t",
+        "SELECT TO_CHAR(n, '999.99') FROM t",
+        "SELECT TO_DATE(s) FROM t",
+    ):
+        with pytest.raises(UnsupportedError):
+            transpile(bad, "oracle")
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_clickhouse_rewrites(spark):
+    got = transpile(
+        "SELECT uniq(x), uniqExact(x), any(v), countIf(v > 1), "
+        "sumIf(v, v > 0), toInt64(s), toDate(ts) FROM t",
+        "clickhouse",
+    )
+    assert "APPROX_COUNT_DISTINCT(x)" in got
+    assert "COUNT(DISTINCT x)" in got
+    assert "ANY_VALUE(v)" in got and "COUNT_IF(v > 1)" in got
+    assert "SUM(IF( v > 0, v, NULL))" in got
+    assert "CAST(s AS BIGINT)" in got and "CAST(ts AS DATE)" in got
+    # executable end-to-end: sumIf NULL-skipping matches clickhouse
+    row = spark.sql(
+        transpile(
+            "SELECT sumIf(v, v > 1) AS s, countIf(v > 1) AS n, "
+            "toFloat64('2.5') AS f FROM VALUES (1), (2), (3) AS t(v)",
+            "clickhouse",
+        )
+    ).collect()[0]
+    assert (row["s"], row["n"], row["f"]) == (5, 2, 2.5)
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_sqlite_redshift_teradata_rewrites(spark):
+    assert "DATE_FORMAT( ts, 'yyyy-MM')" in transpile(
+        "SELECT strftime('%Y-%m', ts) FROM t", "sqlite"
+    )
+    row = spark.sql(
+        transpile("SELECT strftime('%Y-%m-%d', TIMESTAMP'2020-03-04 05:06:07') AS s", "sqlite")
+    ).collect()[0]
+    assert row["s"] == "2020-03-04"
+    # redshift: tsql-family GETDATE + boundary-crossing DATEDIFF
+    got = transpile("SELECT GETDATE(), DATEDIFF(day, a, b) FROM t", "redshift")
+    assert "CURRENT_TIMESTAMP()" in got and "DATEDIFF(CAST(" in got
+    # teradata: TOP + QUALIFY + double-quoted identifiers
+    got = transpile(
+        'SELECT TOP 5 "col" FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY x) <= 3',
+        "teradata",
+    )
+    assert "`col`" in got and "LIMIT 5" in got and "__qualify" in got

@@ -56,6 +56,16 @@ KNOWN_DIALECTS = {
     "clickhouse",
     "oracle",
     "tsql",
+    "teradata",
+}
+
+# ClickHouse conversion functions → Spark CAST target types.
+_CLICKHOUSE_CASTS = {
+    "TOINT8": "TINYINT", "TOINT16": "SMALLINT", "TOINT32": "INT",
+    "TOINT64": "BIGINT", "TOUINT8": "SMALLINT", "TOUINT16": "INT",
+    "TOUINT32": "BIGINT", "TOUINT64": "DECIMAL(20,0)",
+    "TOFLOAT32": "FLOAT", "TOFLOAT64": "DOUBLE",
+    "TOSTRING": "STRING", "TODATE": "DATE", "TODATETIME": "TIMESTAMP",
 }
 
 # Dialects where "double quoted" means identifier (Spark's default parser
@@ -71,6 +81,8 @@ _DQUOTE_IDENT_DIALECTS = {
     "oracle",
     "sqlite",
     "ansi",
+    "clickhouse",
+    "teradata",
 }
 
 # ---------------------------------------------------------------------------
@@ -342,13 +354,18 @@ def _rewrite_func_names(
     tokens: list[tuple[str, str]], mapping: dict[str, str]
 ) -> list[tuple[str, str]]:
     """Rename function calls only: a word rewrites iff its next code
-    token is ``(`` — identifiers that happen to share the name survive."""
+    token is ``(`` — identifiers that happen to share the name survive,
+    as do quantified-subquery keywords (``= ANY (SELECT ...)``), guarded
+    by skipping calls whose first inner token is SELECT."""
     out = list(tokens)
     for i in _iter_code(out):
         kind, text = out[i]
         if kind == "word" and text.upper() in mapping:
             j = _next_code(out, i)
             if j is not None and out[j] == ("op", "("):
+                k = _next_code(out, j)
+                if k is not None and out[k][0] == "word" and out[k][1].upper() == "SELECT":
+                    continue
                 out[i] = ("word", mapping[text.upper()])
     return out
 
@@ -510,7 +527,10 @@ def _rewrite_dateadd_datediff(
                 + tokenize(f") DIV {u})")
             )
         out = out[:i] + repl + out[close + 1 :]
-        i += len(repl)
+        # rescan from here: the spliced argument tokens may contain
+        # further rewritable calls (e.g. toString(toDate(x))); the
+        # replacement never reproduces the trigger word, so no loop.
+        i += 1
     return out
 
 
@@ -557,7 +577,416 @@ def _rewrite_to_number(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             s = nums[1][0][1] if len(nums) >= 2 else "0"
             repl = tokenize("CAST(") + args[0] + tokenize(f" AS DECIMAL({p},{s}))")
         out = out[:i] + repl + out[close + 1 :]
+        # rescan from here: the spliced argument tokens may contain
+        # further rewritable calls (e.g. toString(toDate(x))); the
+        # replacement never reproduces the trigger word, so no loop.
+        i += 1
+    return out
+
+
+def _rewrite_cast_funcs(
+    tokens: list[tuple[str, str]], mapping: dict[str, str]
+) -> list[tuple[str, str]]:
+    """Single-arg conversion functions → ``CAST(x AS TYPE)`` (clickhouse
+    ``toInt64``/``toDate``-family, sqlite ``datetime``). Multi-arg forms
+    (clickhouse cast-with-default, sqlite datetime modifiers) raise —
+    their extra arguments change semantics."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in mapping:
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) != 1:
+            raise UnsupportedError(
+                f"{text} with {len(args)} arguments is not supported without sqlglot"
+            )
+        repl = tokenize("CAST(") + args[0] + tokenize(f" AS {mapping[up]})")
+        out = out[:i] + repl + out[close + 1 :]
+        # rescan from here: the spliced argument tokens may contain
+        # further rewritable calls (e.g. toString(toDate(x))); the
+        # replacement never reproduces the trigger word, so no loop.
+        i += 1
+    return out
+
+
+def _rewrite_unit_first_dates(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """presto/trino ``DATE_ADD('unit', n, x)`` → ``TIMESTAMPADD(UNIT, n,
+    x)`` and ``DATE_DIFF('unit', a, b)`` → ``TIMESTAMPDIFF(UNIT, a, b)``.
+
+    Presto's date_diff counts elapsed COMPLETE units (Joda
+    ``getDifference`` chronology arithmetic), which is exactly Spark's
+    TIMESTAMPDIFF — unlike snowflake/tsql DATEDIFF boundary counting,
+    which `_rewrite_dateadd_datediff` handles separately. Spark's own
+    two-arg DATE_ADD(date, n) is left untouched (only the three-arg
+    string-unit spelling is presto's)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in ("DATE_ADD", "DATE_DIFF"):
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        first = [(k, t) for k, t in args[0] if k not in ("ws", "comment")] if args else []
+        if len(args) != 3 or len(first) != 1 or first[0][0] != "string":
+            i += 1  # not the unit-first spelling; leave for Spark's parser
+            continue
+        unit = _date_part(args[0])
+        fn = "TIMESTAMPADD" if up == "DATE_ADD" else "TIMESTAMPDIFF"
+        repl = (
+            tokenize(f"{fn}({unit}, ")
+            + args[1]
+            + tokenize(", ")
+            + args[2]
+            + tokenize(")")
+        )
+        out = out[:i] + repl + out[close + 1 :]
+        # rescan from here: the spliced argument tokens may contain
+        # further rewritable calls (e.g. toString(toDate(x))); the
+        # replacement never reproduces the trigger word, so no loop.
+        i += 1
+    return out
+
+
+def _rewrite_agg_if(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """clickhouse ``sumIf(x, cond)`` / ``avgIf`` / ``minIf`` / ``maxIf``
+    → ``AGG(IF(cond, x, NULL))`` (identical NULL-skipping aggregate
+    semantics); ``countIf(cond)`` is renamed separately to COUNT_IF."""
+    aggs = {"SUMIF": "SUM", "AVGIF": "AVG", "MINIF": "MIN", "MAXIF": "MAX"}
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in aggs:
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) != 2:
+            raise UnsupportedError(f"{text} expects (value, condition)")
+        repl = (
+            tokenize(f"{aggs[up]}(IF(")
+            + args[1]
+            + tokenize(", ")
+            + args[0]
+            + tokenize(", NULL))")
+        )
+        out = out[:i] + repl + out[close + 1 :]
+        # rescan from here: the spliced argument tokens may contain
+        # further rewritable calls (e.g. toString(toDate(x))); the
+        # replacement never reproduces the trigger word, so no loop.
+        i += 1
+    return out
+
+
+def _rewrite_uniq_exact(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """clickhouse ``uniqExact(x[, y...])`` → ``COUNT(DISTINCT x[, y...])``."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "UNIQEXACT":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        repl = tokenize("COUNT(DISTINCT ")
+        out = out[:i] + repl + out[j + 1 :]
         i += len(repl)
+    return out
+
+
+def _rewrite_from_dual(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """oracle ``FROM dual`` (sole table, end of query) → removed; Spark
+    supports SELECT without FROM. Other positions are left alone and
+    fail at name resolution, which is the honest error."""
+    out = list(tokens)
+    for i in _iter_code(out):
+        if out[i][0] == "word" and out[i][1].upper() == "FROM":
+            j = _next_code(out, i)
+            if j is None or out[j][0] != "word" or out[j][1].upper() != "DUAL":
+                continue
+            k = _next_code(out, j)
+            if k is None or out[k] == ("op", ";"):
+                return out[:i] + out[j + 1 :]
+    return out
+
+
+def _rewrite_oracle_rownum(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """oracle ``WHERE ROWNUM <= n`` (or ``< n``) → trailing ``LIMIT``.
+
+    Only the faithful subset rewrites: top-level, the sole predicate, no
+    DISTINCT/GROUP BY/HAVING/ORDER BY in the query (Oracle applies the
+    ROWNUM filter BEFORE dedup/sort, so ``LIMIT`` would change those row
+    sets). Everything else — ROWNUM in a projection, AND-combined,
+    inside a subquery — raises instead of silently changing results."""
+    out = list(tokens)
+    depth = 0
+    rownum_at: int | None = None
+    end: int | None = None
+    count: int | None = None
+    for i, (kind, text) in enumerate(out):
+        if (kind, text) == ("op", "("):
+            depth += 1
+        elif (kind, text) == ("op", ")"):
+            depth -= 1
+        elif kind == "word":
+            up = text.upper()
+            if up == "ROWNUM":
+                if depth > 0:
+                    raise UnsupportedError(
+                        "ROWNUM inside a subquery is not supported without sqlglot"
+                    )
+                if rownum_at is not None:
+                    raise UnsupportedError("multiple ROWNUM uses without sqlglot")
+                prev = None
+                for p in range(i - 1, -1, -1):
+                    if out[p][0] not in ("ws", "comment"):
+                        prev = p
+                        break
+                j = _next_code(out, i)
+                k = _next_code(out, j) if j is not None else None
+                if (
+                    prev is None
+                    or out[prev][0] != "word"
+                    or out[prev][1].upper() != "WHERE"
+                    or j is None
+                    or out[j][0] != "op"
+                    or out[j][1] not in ("<=", "<")
+                    or k is None
+                    or out[k][0] != "number"
+                    or "." in out[k][1]
+                ):
+                    raise UnsupportedError(
+                        "only `WHERE ROWNUM <= n` is supported without sqlglot"
+                    )
+                after = _next_code(out, k)
+                if after is not None and out[after] != ("op", ";"):
+                    raise UnsupportedError(
+                        "ROWNUM combined with other predicates is not "
+                        "supported without sqlglot"
+                    )
+                n = int(out[k][1])
+                count = n if out[j][1] == "<=" else n - 1
+                rownum_at, end = prev, k
+            elif up in ("DISTINCT", "GROUP", "HAVING", "ORDER") and depth == 0:
+                if rownum_at is not None or "ROWNUM" in (
+                    t.upper() for kk, t in out if kk == "word"
+                ):
+                    raise UnsupportedError(
+                        f"ROWNUM with {up} changes semantics; not supported "
+                        "without sqlglot"
+                    )
+    if rownum_at is None:
+        return out
+    assert end is not None and count is not None
+    out = out[:rownum_at] + out[end + 1 :]
+    tail = ""
+    while out and out[-1][0] == "ws":
+        out.pop()
+    if out and out[-1] == ("op", ";"):
+        out.pop()
+        tail = ";"
+    out += [("ws", " "), ("word", "LIMIT"), ("ws", " "), ("number", str(max(count, 0)))]
+    if tail:
+        out.append(("op", tail))
+    return out
+
+
+# Oracle datetime format models → Spark datetime patterns. Ordered
+# longest-first for greedy matching; separators pass through verbatim.
+_ORA_FMT = [
+    ("HH24", "HH"), ("HH12", "hh"),
+    ("YYYY", "yyyy"), ("RRRR", "yyyy"),
+    ("MONTH", "MMMM"), ("MON", "MMM"),
+    ("DAY", "EEEE"), ("DY", "EEE"),
+    ("YY", "yy"), ("RR", "yy"),
+    ("MM", "MM"), ("DD", "dd"), ("HH", "hh"),
+    ("MI", "mm"), ("SS", "ss"),
+    ("AM", "a"), ("PM", "a"),
+]
+_ORA_FMT_SEP = " -/,.:;"
+
+
+def _ora_datefmt(fmt: str) -> str:
+    """Translate an Oracle date format model to a Spark pattern; raises
+    on elements without a faithful Spark equivalent (FF fractions,
+    quoted literals, number-format models like '999.99')."""
+    outp: list[str] = []
+    i = 0
+    up = fmt.upper()
+    while i < len(fmt):
+        if fmt[i] in _ORA_FMT_SEP:
+            outp.append(fmt[i])
+            i += 1
+            continue
+        for pat, spark in _ORA_FMT:
+            if up.startswith(pat, i):
+                outp.append(spark)
+                i += len(pat)
+                break
+        else:
+            raise UnsupportedError(
+                f"oracle format element at {fmt[i:]!r} is not supported "
+                "without sqlglot"
+            )
+    return "".join(outp)
+
+
+def _rewrite_oracle_fmt(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """oracle ``TO_DATE(x, fmt)`` / ``TO_TIMESTAMP(x, fmt)`` → the same
+    Spark function with the format model translated; ``TO_CHAR(x, fmt)``
+    → ``DATE_FORMAT(x, fmt')`` when fmt is a date model (number models
+    raise); one-arg ``TO_CHAR(x)`` → ``CAST(x AS STRING)``. One-arg
+    TO_DATE depends on NLS session defaults and raises."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in ("TO_DATE", "TO_TIMESTAMP", "TO_CHAR"):
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) == 1:
+            if up == "TO_CHAR":
+                repl = tokenize("CAST(") + args[0] + tokenize(" AS STRING)")
+            else:
+                raise UnsupportedError(
+                    f"one-arg {up} depends on NLS defaults; pass a format "
+                    "model or use sqlglot"
+                )
+        elif len(args) == 2:
+            fcode = [(k, t) for k, t in args[1] if k not in ("ws", "comment")]
+            if len(fcode) != 1 or fcode[0][0] != "string":
+                raise UnsupportedError(
+                    f"{up} format must be a string literal without sqlglot"
+                )
+            spark_fmt = _ora_datefmt(_unquote(fcode[0][1], "'"))
+            fn = "DATE_FORMAT" if up == "TO_CHAR" else up
+            if fn == "DATE_FORMAT":
+                repl = (
+                    tokenize("DATE_FORMAT(")
+                    + args[0]
+                    + tokenize(f", '{spark_fmt}')")
+                )
+            else:
+                repl = (
+                    tokenize(f"{fn}(")
+                    + args[0]
+                    + tokenize(f", '{spark_fmt}')")
+                )
+        else:
+            raise UnsupportedError(f"{up} with NLS parameters is not supported")
+        out = out[:i] + repl + out[close + 1 :]
+        # rescan from here: the spliced argument tokens may contain
+        # further rewritable calls (e.g. toString(toDate(x))); the
+        # replacement never reproduces the trigger word, so no loop.
+        i += 1
+    return out
+
+
+# sqlite strftime %-codes → Spark datetime patterns.
+_SQLITE_FMT = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%M": "mm", "%S": "ss",
+    "%j": "DDD", "%%": "%",
+}
+
+
+def _rewrite_strftime(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """sqlite ``strftime(fmt, x)`` → ``DATE_FORMAT(x, fmt')``. Only the
+    two-arg form (no modifiers) with %-codes that have exact Spark
+    equivalents; %s/%f/%w and datetime modifiers raise."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "STRFTIME":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        fcode = [(k, t) for k, t in args[0] if k not in ("ws", "comment")] if args else []
+        if len(args) != 2 or len(fcode) != 1 or fcode[0][0] != "string":
+            raise UnsupportedError(
+                "strftime with modifiers is not supported without sqlglot"
+            )
+        fmt = _unquote(fcode[0][1], "'")
+        outp: list[str] = []
+        p = 0
+        while p < len(fmt):
+            if fmt[p] == "%":
+                code = fmt[p : p + 2]
+                if code not in _SQLITE_FMT:
+                    raise UnsupportedError(
+                        f"strftime code {code!r} is not supported without sqlglot"
+                    )
+                outp.append(_SQLITE_FMT[code])
+                p += 2
+            elif fmt[p] in _ORA_FMT_SEP:
+                outp.append(fmt[p])
+                p += 1
+            else:
+                raise UnsupportedError(
+                    f"strftime literal {fmt[p]!r} is not supported without sqlglot"
+                )
+        repl = (
+            tokenize("DATE_FORMAT(")
+            + args[1]
+            + tokenize(f", '{''.join(outp)}')")
+        )
+        out = out[:i] + repl + out[close + 1 :]
+        # rescan from here: the spliced argument tokens may contain
+        # further rewritable calls (e.g. toString(toDate(x))); the
+        # replacement never reproduces the trigger word, so no loop.
+        i += 1
     return out
 
 
@@ -682,6 +1111,40 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
         tokens = _rewrite_mysql_limit(tokens)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
+    if dialect == "oracle":
+        tokens = _rewrite_oracle_fmt(tokens)
+        tokens = _rewrite_from_dual(tokens)
+        tokens = _rewrite_oracle_rownum(tokens)
+    if dialect in ("presto", "trino"):
+        tokens = _rewrite_func_names(
+            tokens,
+            {
+                "APPROX_DISTINCT": "APPROX_COUNT_DISTINCT",
+                "ARBITRARY": "ANY_VALUE",
+                "STRPOS": "INSTR",
+            },
+        )
+        tokens = _rewrite_unit_first_dates(tokens)
+    if dialect == "redshift":
+        tokens = _rewrite_words(tokens, {"GETDATE": "CURRENT_TIMESTAMP"})
+        tokens = _rewrite_dateadd_datediff(tokens)
+    if dialect == "clickhouse":
+        tokens = _rewrite_func_names(
+            tokens,
+            {
+                "UNIQ": "APPROX_COUNT_DISTINCT",
+                "ANY": "ANY_VALUE",
+                "COUNTIF": "COUNT_IF",
+            },
+        )
+        tokens = _rewrite_uniq_exact(tokens)
+        tokens = _rewrite_agg_if(tokens)
+        tokens = _rewrite_cast_funcs(tokens, _CLICKHOUSE_CASTS)
+    if dialect == "sqlite":
+        tokens = _rewrite_strftime(tokens)
+        tokens = _rewrite_cast_funcs(tokens, {"DATETIME": "TIMESTAMP"})
+    if dialect == "teradata":
+        tokens = _rewrite_top(tokens)
     if dialect in ("snowflake", "tsql"):
         tokens = _rewrite_dateadd_datediff(tokens)
     if dialect == "snowflake":
@@ -708,7 +1171,7 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
                 "NUMERIC": "DECIMAL(38,9)",
             },
         )
-    if dialect in ("duckdb", "snowflake", "bigquery", "clickhouse"):
+    if dialect in ("duckdb", "snowflake", "bigquery", "clickhouse", "teradata"):
         tokens = _rewrite_qualify(tokens)
     # `expr::type` cast shorthand (postgres/duckdb) parses natively in
     # Spark 4 — no rewrite needed.

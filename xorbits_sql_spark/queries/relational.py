@@ -1710,3 +1710,257 @@ def s29_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "s37_execute_trino_dialect",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT) AS span_days,
+           CAST((YEAR(MAX(o_orderdate)) * 12 + MONTH(MAX(o_orderdate)))
+              - (YEAR(MIN(o_orderdate)) * 12 + MONTH(MIN(o_orderdate)))
+              - CASE WHEN DAY(MAX(o_orderdate)) < DAY(MIN(o_orderdate)) THEN 1 ELSE 0 END
+             AS BIGINT) AS span_months,
+           MAX(o_orderdate) + INTERVAL 30 DAY AS due_date,
+           CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("execute-api", "dialect", "trino"),
+    doc=(
+        "Trino/Presto-flavored SQL through execute(dialect='trino') with "
+        "NO sqlglot installed: approx-free deterministic subset — "
+        "strpos -> INSTR, unit-first date_add('day', n, x) -> "
+        "TIMESTAMPADD, and date_diff('unit', a, b) -> TIMESTAMPDIFF "
+        "(presto counts elapsed COMPLETE units, which is exactly "
+        "TIMESTAMPDIFF — unlike snowflake/tsql boundary counting). The "
+        "reference gets trino via sqlglot (reference core.py:102); the "
+        "DuckDB oracle states the complete-unit month arithmetic "
+        "explicitly (calendar index minus a day-of-month borrow)."
+    ),
+)
+def s37_execute_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT) AS span_days,
+           CAST(date_diff('month', MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT) AS span_months,
+           date_add('day', 30, MAX(o_orderdate)) AS due_date,
+           CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """
+    return execute(
+        sql,
+        dialect="trino",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "s38_execute_oracle_dialect",
+    """
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+           strftime(MAX(o_orderdate), '%b') AS last_mon,
+           COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN o_totalprice END), 0) AS max_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    tags=("execute-api", "dialect", "oracle"),
+    doc=(
+        "Oracle-flavored SQL through execute(dialect='oracle') with NO "
+        "sqlglot installed: TO_CHAR(ts, 'YYYY-MM-DD'/'MON') with the "
+        "Oracle datetime format model translated element-wise to Spark "
+        "patterns, and NVL (native in Spark). ROWNUM/FROM dual are "
+        "covered by unit tests (faithful subset only — ROWNUM with "
+        "ORDER BY raises because Oracle filters before sorting). The "
+        "reference gets oracle via sqlglot (reference core.py:102)."
+    ),
+)
+def s38_execute_oracle_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           TO_CHAR(MIN(o_orderdate), 'YYYY-MM-DD') AS first_day,
+           TO_CHAR(MAX(o_orderdate), 'MON') AS last_mon,
+           NVL(MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN o_totalprice END), 0) AS max_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """
+    return execute(
+        sql,
+        dialect="oracle",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "s39_execute_clickhouse_dialect",
+    """
+    SELECT l_returnflag AS flag,
+           COUNT(DISTINCT l_orderkey) AS orders,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS big_n,
+           SUM(CASE WHEN l_quantity > 25 THEN CAST(l_quantity AS BIGINT) END) AS big_qty,
+           CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS first_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+    tags=("execute-api", "dialect", "clickhouse"),
+    doc=(
+        "ClickHouse-flavored SQL through execute(dialect='clickhouse') "
+        "with NO sqlglot installed: uniqExact -> COUNT(DISTINCT), "
+        "countIf -> COUNT_IF, sumIf(x, cond) -> SUM(IF(cond, x, NULL)) "
+        "(identical NULL-skipping aggregate), and the toInt64/toDate "
+        "conversion family -> CASTs. The deterministic exact subset "
+        "only (uniq -> APPROX_COUNT_DISTINCT exists but sketches "
+        "differ cross-engine, so the driver query avoids it). The "
+        "reference gets clickhouse via sqlglot (reference core.py:102)."
+    ),
+)
+def s39_execute_clickhouse_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT l_returnflag AS flag,
+           uniqExact(l_orderkey) AS orders,
+           countIf(l_quantity > 25) AS big_n,
+           sumIf(toInt64(l_quantity), l_quantity > 25) AS big_qty,
+           toString(toDate(MIN(l_shipdate))) AS first_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """
+    return execute(
+        sql,
+        dialect="clickhouse",
+        tables={"lineitem": t(spark, sf_dir, "lineitem")},
+        spark=spark,
+    )
+
+
+@register(
+    "s40_execute_sqlite_dialect",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           COUNT(*) AS n,
+           COALESCE(MAX(CASE WHEN o_orderstatus = 'F'
+                             THEN o_totalprice END), 0.0) AS max_f
+    FROM orders
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    ORDER BY ym
+    """,
+    tags=("execute-api", "dialect", "sqlite"),
+    doc=(
+        "SQLite-flavored SQL through execute(dialect='sqlite') with NO "
+        "sqlglot installed: strftime(fmt, x) -> DATE_FORMAT(x, fmt') "
+        "with %-codes mapped to Spark patterns (unsupported codes like "
+        "%s raise), IFNULL native. The reference gets sqlite via "
+        "sqlglot (reference core.py:102)."
+    ),
+)
+def s40_execute_sqlite_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT strftime('%Y-%m', o_orderdate) AS ym,
+           COUNT(*) AS n,
+           IFNULL(MAX(CASE WHEN o_orderstatus = 'F'
+                           THEN o_totalprice END), 0.0) AS max_f
+    FROM orders
+    GROUP BY strftime('%Y-%m', o_orderdate)
+    ORDER BY ym
+    """
+    return execute(
+        sql,
+        dialect="sqlite",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "s41_execute_redshift_dialect",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(datediff('day', date_trunc('week', MIN(o_orderdate)),
+                         date_trunc('week', MAX(o_orderdate))) // 7 AS BIGINT) AS span_weeks,
+           MAX(o_orderdate) + INTERVAL 7 DAY AS ship_by
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("execute-api", "dialect", "redshift"),
+    doc=(
+        "Redshift-flavored SQL through execute(dialect='redshift') with "
+        "NO sqlglot installed: GETDATE, and the tsql-family DATEADD/"
+        "DATEDIFF with boundary-crossing semantics (redshift counts "
+        "unit-boundary crossings like tsql/snowflake, NOT elapsed "
+        "units; WEEK rewrites to truncated-to-Monday day counts DIV 7, "
+        "which the DuckDB oracle states explicitly). The reference "
+        "gets redshift via sqlglot (reference core.py:102)."
+    ),
+)
+def s41_execute_redshift_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(DATEDIFF(week, MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT) AS span_weeks,
+           DATEADD(day, 7, MAX(o_orderdate)) AS ship_by
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """
+    return execute(
+        sql,
+        dialect="redshift",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "s42_execute_teradata_dialect",
+    """
+    SELECT seg, cust, bal FROM (
+      SELECT c_mktsegment AS seg, c_custkey AS cust, c_acctbal AS bal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) ranked
+    WHERE rn <= 3
+    ORDER BY seg, cust
+    """,
+    tags=("execute-api", "dialect", "teradata"),
+    doc=(
+        "Teradata-flavored SQL through execute(dialect='teradata') with "
+        "NO sqlglot installed: QUALIFY (Teradata's hallmark post-window "
+        "filter, rewritten to a hoisted-projection subquery), "
+        "double-quoted identifiers -> backticks, TOP covered by unit "
+        "tests. The reference gets teradata via sqlglot (reference "
+        "core.py:102); deterministic because the window order key "
+        "(c_acctbal DESC, c_custkey) is a total order."
+    ),
+)
+def s42_execute_teradata_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = '''
+    SELECT "c_mktsegment" AS seg, "c_custkey" AS cust, c_acctbal AS bal
+    FROM customer
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) <= 3
+    ORDER BY seg, cust
+    '''
+    return execute(
+        sql,
+        dialect="teradata",
+        tables={"customer": t(spark, sf_dir, "customer")},
+        spark=spark,
+    )
