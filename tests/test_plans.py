@@ -150,3 +150,21 @@ def test_r97_priority_filter_pushed(spark):
     df = SPECS["r97_bloom_prune"].fn(spark, SF_ORACLE)
     pushed = pushed_filters(df)
     assert any("o_orderpriority" in p for p in pushed), pushed
+
+
+def test_s46_vocab_join_is_broadcast(spark):
+    # the 30-row vocabulary must broadcast against the per-(source,
+    # token) counts; a shuffle join on the token key would re-shuffle
+    # the whole fact side for a dimension that fits in one packet
+    df = SPECS["s46_vocab_oov_rate"].fn(spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+
+
+def test_s45_substring_dedup_has_no_pair_join(spark):
+    # the shared-window join must stay an equi-join on the window text:
+    # any nested-loop/cartesian shape would mean a pair-materializing
+    # plan that cannot survive a hot shared window at scale
+    df = SPECS["s45_exact_substring_dup"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

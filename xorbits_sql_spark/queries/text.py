@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from . import register
 from ._util import t
@@ -1781,4 +1782,332 @@ def s11_dup_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a, b
         ORDER BY id_a, id_b
         """
+    )
+
+
+@register(
+    "s43_repetition_top_fractions",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, unnest(words) AS w FROM docs
+    ),
+    wc AS (
+      SELECT doc_id, source, w, COUNT(*) AS c FROM toks GROUP BY doc_id, source, w
+    ),
+    per_doc_w AS (
+      SELECT doc_id, source, MAX(c) AS top_c, SUM(c) AS n_words
+      FROM wc GROUP BY doc_id, source
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest([array_to_string(words[i:i+1], ' ')
+                     for i in range(1, len(words))]) AS g
+      FROM docs WHERE len(words) >= 2
+    ),
+    gc AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g
+    ),
+    per_doc_g AS (
+      SELECT doc_id, MAX(c) AS top_gc, SUM(c) AS n_grams
+      FROM gc GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT w.doc_id, w.source,
+             CAST(w.top_c AS DOUBLE) / w.n_words AS top_word_frac,
+             CAST(g.top_gc AS DOUBLE) / g.n_grams AS top_bigram_frac
+      FROM per_doc_w w JOIN per_doc_g g ON w.doc_id = g.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(top_word_frac AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+             AS mean_top_word_frac,
+           CAST(SUM(CAST(top_bigram_frac AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+             AS mean_top_bigram_frac,
+           CAST(SUM(CASE WHEN top_word_frac > 0.10 OR top_bigram_frac > 0.06
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM joined
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality", "repetition", "gopher"),
+    doc=(
+        "Gopher/MassiveText repetition rule family, top-n-gram half "
+        "(Rae et al. 2021 Table A1): per document, the fraction of "
+        "token occurrences taken by the most frequent word and by the "
+        "most frequent 2-gram; documents over threshold are degenerate "
+        "repetition and get flagged. (The duplicate-LINE half of the "
+        "family needs newline structure the synthetic corpus lacks; "
+        "r66 covers duplicate n-gram fraction.) Scale shape: explode "
+        "keyed by doc id, two (doc,gram) count aggregations, per-doc "
+        "max — every shuffle keyed on doc id or (doc,gram), no "
+        "cross-document joins at all, so it scales linearly with "
+        "corpus size. Exact integer-ratio math for cross-engine bit "
+        "equality; only the count (not which gram) is taken, so no "
+        "tie-break nondeterminism."
+    ),
+)
+def s43_repetition_top_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_relational
+
+    docs = t(spark, sf_dir, "documents")
+    words = shingles_relational(docs, "text", "doc_id", k=1, carry_cols=["source"])
+    wc = words.groupBy("doc", "source", "shingle").count()
+    per_doc_w = wc.groupBy("doc", "source").agg(
+        F.max("count").alias("top_c"), F.sum("count").alias("n_words")
+    )
+    bigrams = shingles_relational(docs, "text", "doc_id", k=2)
+    gc = bigrams.groupBy("doc", "shingle").count()
+    per_doc_g = gc.groupBy("doc").agg(
+        F.max("count").alias("top_gc"), F.sum("count").alias("n_grams")
+    )
+    joined = per_doc_w.join(per_doc_g, "doc").select(
+        "source",
+        (F.col("top_c").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("top_gc").cast("double") / F.col("n_grams")).alias("top_bigram_frac"),
+    )
+    flagged = (F.col("top_word_frac") > 0.10) | (F.col("top_bigram_frac") > 0.06)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("top_word_frac").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_top_word_frac"),
+            (
+                F.sum(F.col("top_bigram_frac").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_top_bigram_frac"),
+            F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "s44_per_domain_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN rk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rk <= 30 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+           CAST(SUM(CASE WHEN rk <= 30 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "curation", "sampling"),
+    doc=(
+        "Common-Crawl-style per-domain document cap (the `source` "
+        "column stands in for the registrable domain): keep at most K "
+        "documents per domain, selected by deterministic md5(doc_id) "
+        "order — i.e. a reproducible uniform-without-replacement draw "
+        "that needs no RNG state and gives the same answer at any "
+        "cluster size. Emits per-domain kept/dropped counts plus a "
+        "kept-id checksum proving both engines selected the identical "
+        "set. Scale shape: one rank window keyed by domain; a "
+        "pathologically hot domain (N >> K) can be pre-pruned with an "
+        "approximate hash threshold before the exact rank so the hot "
+        "partition never materializes, and the md5 sort key is what "
+        "makes that refinement sound."
+    ),
+)
+def s44_per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    ranked = docs.select("doc_id", "source", "n_chars", rk.alias("rk"))
+    kept = F.col("rk") <= 30
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("bigint").alias("kept_id_sum"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "s45_exact_substring_dup",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(words[i:i+7], ' ')
+                     for i in range(1, len(words) - 6)]) AS win
+      FROM docs WHERE len(words) >= 8
+    ),
+    shared AS (
+      SELECT win FROM (SELECT DISTINCT doc_id, win FROM wins)
+      GROUP BY win HAVING COUNT(*) >= 2
+    ),
+    per_doc AS (
+      SELECT w.doc_id, w.source,
+             COUNT(*) AS n_windows,
+             SUM(CASE WHEN s.win IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM wins w LEFT JOIN shared s ON w.win = s.win
+      GROUP BY w.doc_id, w.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_dup) AS BIGINT) AS dup_windows,
+           CAST(SUM(n_windows) AS BIGINT) AS total_windows,
+           CAST(SUM(CAST(CAST(n_dup AS DOUBLE) / n_windows AS DECIMAL(18,12)))
+                AS DOUBLE) / COUNT(*) AS mean_dup_frac,
+           CAST(SUM(CASE WHEN n_dup * 2 > n_windows THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_heavy_overlap
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "dedup", "substring"),
+    doc=(
+        "Exact-substring duplication fraction in the style of "
+        "'Deduplicating Training Data Makes Language Models Better' "
+        "(Lee et al. 2022): every 8-token sliding window is hashed; a "
+        "window whose text occurs in >= 2 distinct documents is "
+        "duplicated, and each document reports the fraction of its "
+        "window positions covered by shared windows (the spans an "
+        "ExactSubstr pass would cut). Scale shape: windows explode "
+        "keyed by doc, one groupBy window-text to find shared windows, "
+        "one equi-join back on the same key (partitioning reused), one "
+        "per-doc aggregate — strictly linear, NO pair join: a window "
+        "shared by a million documents still contributes one group row "
+        "and per-occurrence flags, never the million-squared pairs a "
+        "naive self-join would. The suffix-array machinery of the "
+        "paper is an index-build optimization; the relational form "
+        "here is the shuffle-native equivalent for a 100 TB corpus."
+    ),
+)
+def s45_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_relational
+
+    docs = t(spark, sf_dir, "documents")
+    wins = shingles_relational(docs, "text", "doc_id", k=8, carry_cols=["source"])
+    shared = (
+        wins.select("doc", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("shingle")
+    )
+    flagged = wins.join(
+        shared.withColumn("is_dup", F.lit(1)), "shingle", "left"
+    )
+    per_doc = flagged.groupBy("doc", "source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)).alias("n_dup"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_dup").cast("bigint").alias("dup_windows"),
+            F.sum("n_windows").cast("bigint").alias("total_windows"),
+            (
+                F.sum(
+                    (F.col("n_dup").cast("double") / F.col("n_windows")).cast(
+                        "decimal(18,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_dup_frac"),
+            F.sum(F.when(F.col("n_dup") * 2 > F.col("n_windows"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_heavy_overlap"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "s46_vocab_oov_rate",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    toks AS (
+      SELECT source, unnest(words) AS w FROM docs
+    ),
+    global_counts AS (
+      SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ),
+    vocab AS (
+      SELECT w FROM global_counts ORDER BY c DESC, w LIMIT 30
+    ),
+    per_src AS (
+      SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w
+    )
+    SELECT p.source,
+           CAST(SUM(p.c) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN p.c ELSE 0 END) AS BIGINT) AS oov_tokens,
+           CAST(COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS BIGINT) AS oov_types,
+           CAST(CAST(SUM(CASE WHEN v.w IS NULL THEN p.c ELSE 0 END) AS DECIMAL(18,6))
+                / SUM(p.c) AS DOUBLE) AS oov_rate
+    FROM per_src p LEFT JOIN vocab v ON p.w = v.w
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+    tags=("pipeline", "tokenizer", "vocabulary"),
+    doc=(
+        "Tokenizer-fit audit: fix the corpus vocabulary to the top-V "
+        "tokens by global frequency (deterministic (count DESC, token) "
+        "tie-break) and report each source's out-of-vocabulary rate — "
+        "the occurrences a V-entry tokenizer would map to <unk>. The "
+        "per-source OOV rate is the standard drift check before "
+        "training a tokenizer on one slice and applying it to another. "
+        "Scale shape: one token-keyed count aggregation, a top-V that "
+        "reduces to 30 rows (TakeOrdered, no full sort), and a "
+        "broadcast join of that tiny vocabulary back against "
+        "per-(source, token) counts — the fact table is touched "
+        "exactly twice, both times map-side combinable."
+    ),
+)
+def s46_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles_relational
+
+    docs = t(spark, sf_dir, "documents")
+    words = shingles_relational(docs, "text", "doc_id", k=1, carry_cols=["source"])
+    global_counts = words.groupBy("shingle").count()
+    vocab = (
+        global_counts.orderBy(F.desc("count"), "shingle")
+        .limit(30)
+        .select("shingle")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    per_src = words.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    joined = per_src.join(F.broadcast(vocab), "shingle", "left")
+    oov = F.col("in_vocab").isNull()
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(oov, F.col("c")).otherwise(0)).cast("bigint").alias("oov_tokens"),
+            F.count(F.when(oov, F.lit(1))).cast("bigint").alias("oov_types"),
+            (
+                F.sum(F.when(oov, F.col("c")).otherwise(0)).cast("decimal(18,6)")
+                / F.sum("c")
+            )
+            .cast("double")
+            .alias("oov_rate"),
+        )
+        .orderBy("source")
     )
