@@ -18,6 +18,8 @@ from xorbits_sql_spark.operators.joins import asof_join, range_join
 from xorbits_sql_spark.operators.similarity import brute_topk, ivf_topk
 from xorbits_sql_spark.operators.skew import salted_join
 
+from .conftest import SF_ORACLE
+
 
 def test_asof_join_basic(spark):
     trades = spark.createDataFrame(
@@ -702,3 +704,45 @@ def test_ngram_containment_asymmetric(spark):
     assert out[(1, 2)] == 1.0
     # reverse containment is small (5 shared / 47 distinct shingles)
     assert abs(out[(2, 1)] - 5.0 / 47.0) < 1e-12
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """The distributed BPE loop must reproduce the classic sequential
+    algorithm exactly: same merges, same order, same pair counts."""
+    import collections
+
+    from xorbits_sql_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").filter("doc_id % 5 < 2")
+    got = [tuple(r) for r in learn_bpe_merges(docs, k=6).collect()]
+
+    wc = collections.Counter(
+        w
+        for (t,) in docs.select("text").collect()
+        for w in t.split()
+        if w
+    )
+    vocab = {w: list(w) for w in wc}
+    want = []
+    for rank in range(1, 7):
+        pc = collections.Counter()
+        for w, c in wc.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        cands = [(-c, l, r) for (l, r), c in pc.items() if c >= 2]
+        if not cands:
+            break
+        negc, l, r = min(cands)
+        want.append((rank, l, r, l + r, -negc))
+        for w in vocab:
+            s, new, i = vocab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            vocab[w] = new
+    assert got == want

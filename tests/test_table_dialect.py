@@ -497,3 +497,19 @@ def test_sqlite_redshift_teradata_rewrites(spark):
         "teradata",
     )
     assert "`col`" in got and "LIMIT 5" in got and "__qualify" in got
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_family_alias_dialects(spark):
+    # doris/starrocks ride the mysql path (LIMIT offset,count; backticks)
+    got = transpile("SELECT v FROM t LIMIT 5, 10", "doris")
+    assert "LIMIT 10 OFFSET 5" in got
+    got = transpile("SELECT v FROM t LIMIT 5, 10", "starrocks")
+    assert "LIMIT 10 OFFSET 5" in got
+    # drill rides the ansi path (double-quoted identifiers)
+    assert "`col`" in transpile('SELECT "col" FROM t', "drill")
+    from xorbits_sql_spark.table import normalize_name
+
+    assert normalize_name("`Tbl`", "doris") == "Tbl"
+    assert normalize_name('"Tbl"', "clickhouse") == "Tbl"
+    assert normalize_name("`Tbl`", "clickhouse") == "Tbl"

@@ -57,6 +57,19 @@ KNOWN_DIALECTS = {
     "oracle",
     "tsql",
     "teradata",
+    "doris",
+    "starrocks",
+    "drill",
+}
+
+# Family aliases: dialects whose fallback-relevant surface is another
+# dialect's (doris/starrocks are mysql-wire with mysql quoting and
+# LIMIT syntax; drill is ANSI with double-quoted identifiers).
+_DIALECT_FAMILY = {
+    "postgresql": "postgres",
+    "doris": "mysql",
+    "starrocks": "mysql",
+    "drill": "ansi",
 }
 
 # ClickHouse conversion functions → Spark CAST target types.
@@ -1089,6 +1102,7 @@ def transpile(sql: str, dialect: str | None = None) -> str:
 
 
 def _fallback_normalize(sql: str, dialect: str | None) -> str:
+    dialect = _DIALECT_FAMILY.get(dialect, dialect)
     tokens = tokenize(sql)
     if dialect in _DQUOTE_IDENT_DIALECTS:
         tokens = [

@@ -2111,3 +2111,25 @@ def s46_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "s47_bpe_learn_merges",
+    None,  # iterative argmax loop: not expressible as one SQL statement;
+    # equivalence vs a pure-Python BPE reference is pinned in
+    # tests/test_operators.py::test_bpe_merges_match_python_reference
+    tags=("pipeline", "tokenizer", "iterative"),
+    doc=(
+        "Learn the top-8 BPE merges over the corpus (Sennrich et al. "
+        "2016): collapse the corpus to the distinct-word frequency "
+        "table, then iterate adjacent-symbol pair counts + a "
+        "deterministic argmax (count DESC, pair ASC) + a codegen'd "
+        "array-fold merge. Driver traffic is one scalar row per "
+        "iteration; all pair statistics stay distributed. See "
+        "operators/bpe.py for the k=30000 batching note."
+    ),
+)
+def s47_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(t(spark, sf_dir, "documents"), k=8)

@@ -74,11 +74,14 @@ def schema_to_struct(table_schema: Mapping[str, str]) -> T.StructType:
 # table.py:85, via sqlglot.normalize_name).
 _QUOTE_STYLES: dict[str | None, tuple[tuple[str, str], ...]] = {
     "mysql": (("`", "`"),),
+    "doris": (("`", "`"),),
+    "starrocks": (("`", "`"),),
     "bigquery": (("`", "`"),),
     "spark": (("`", "`"),),
     "databricks": (("`", "`"),),
     "hive": (("`", "`"),),
     "tsql": (("[", "]"), ('"', '"')),
+    "clickhouse": (("`", "`"), ('"', '"')),
 }
 _DEFAULT_QUOTES: tuple[tuple[str, str], ...] = (('"', '"'),)
 
