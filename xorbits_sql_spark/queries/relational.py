@@ -1964,3 +1964,156 @@ def s42_execute_teradata_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"customer": t(spark, sf_dir, "customer")},
         spark=spark,
     )
+
+
+@register(
+    "s48_window_rank_family",
+    """
+    SELECT c_custkey AS cust,
+           c_mktsegment AS seg,
+           c_acctbal AS bal,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(c_custkey) OVER w AS first_cust,
+           nth_value(c_custkey, 2) OVER w AS second_cust,
+           last_value(c_custkey) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal, c_custkey
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING) AS last_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY seg, bal, cust
+    """,
+    tags=("window", "rank-family"),
+    doc=(
+        "SURVEY.md §2.6 breadth: the remaining rank-family window "
+        "functions (percent_rank, cume_dist, nth_value, first_value, "
+        "last_value-with-forward-frame) in one pass. The reference has "
+        "no window functions at all (its executor covers only the five "
+        "sqlglot step types); Spark evaluates all five over a single "
+        "sort within each segment partition. Deterministic because the "
+        "order key (c_acctbal, c_custkey) is a total order; "
+        "percent_rank/cume_dist are exact small-integer ratios, "
+        "bit-identical cross-engine."
+    ),
+)
+def s48_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    fwd = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    dflt = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("bal"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.first("c_custkey").over(dflt).alias("first_cust"),
+            F.nth_value("c_custkey", 2).over(dflt).alias("second_cust"),
+            F.last("c_custkey").over(fwd).alias("last_cust"),
+        )
+        .orderBy("seg", "bal", "cust")
+    )
+
+
+@register(
+    "s49_triangle_count",
+    """
+    WITH edges AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT p, COUNT(*) AS d FROM (
+        SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges
+      ) GROUP BY p
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.p1 = e1.p2
+      JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_degree,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(3.0 * n_triangles
+                / (SELECT SUM(d * (d - 1) / 2) FROM deg) AS DOUBLE) AS clustering
+    FROM tri
+    """,
+    tags=("graph", "triangles", "market-basket"),
+    doc=(
+        "Triangle counting / global clustering coefficient over the "
+        "part co-purchase graph: parts co-ordered in >= 2 orders form "
+        "an edge (support threshold = the classic market-basket prune "
+        "that keeps the graph signal-bearing); triangles counted by "
+        "the oriented wedge join (p1 < p2 ordering means each triangle "
+        "is produced exactly once). Scale shape: the pair-generation "
+        "join is keyed on orderkey and bounded by order size squared "
+        "(TPC-H ~4 lines/order -> <=6 pairs); the support threshold "
+        "collapses the edge set before any graph join; the triangle "
+        "join is edges-with-edges on the oriented endpoints — at real "
+        "scale the orientation key switches from id to (degree, id), "
+        "the standard trick that bounds every wedge list by sqrt(|E|). "
+        "All-integer counts, exact ratio for the coefficient."
+    ),
+)
+def s49_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _persist
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    edges = _persist(edges)  # released via release_caches(), same contract
+    # as the dedup pair generators (README "operator caches")
+    deg = (
+        edges.select(F.col("p1").alias("p"))
+        .unionAll(edges.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.max("d").alias("max_degree"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    out = (
+        n_edges.crossJoin(stats)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            F.col("max_degree").cast("bigint"),
+            "n_wedges",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            (3.0 * F.col("n_triangles") / F.col("n_wedges"))
+            .cast("double")
+            .alias("clustering"),
+        )
+    )
+    return out

@@ -275,3 +275,55 @@ def r84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, mode="append").orderBy(
         "user_id", "view_ts", "purchase_ts"
     )
+
+
+@register(
+    "s51_stream_upsert_snapshot",
+    """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) latest
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    tags=("streaming", "cdc", "upsert", "foreachBatch"),
+    doc=(
+        "Streaming CDC materialization driven to completion: the "
+        "events stream maintains a latest-row-per-user parquet "
+        "snapshot via foreachBatch keyed upsert "
+        "(streaming/sinks.upsert_latest_to_parquet — the MERGE INTO "
+        "pattern with the snapshot as the state store). The final "
+        "snapshot is deterministic regardless of micro-batch "
+        "boundaries (latest-by (ts, event_id) is associative across "
+        "batches), so unlike most streaming entries this one carries a "
+        "full DuckDB value oracle. Multi-batch merge behavior is "
+        "additionally pinned by tests/test_streaming.py's staged "
+        "two-file run."
+    ),
+)
+def s51_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.sinks import upsert_latest_to_parquet
+
+    base = tempfile.mkdtemp(prefix="xss_upsert_")
+    snap = os.path.join(base, "snapshot")
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    upsert_latest_to_parquet(
+        stream,
+        snap,
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak="event_id",
+        checkpoint=os.path.join(base, "ck"),
+    )
+    return (
+        spark.read.parquet(snap)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )

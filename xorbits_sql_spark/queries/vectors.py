@@ -578,3 +578,139 @@ def s10_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_QPREP = """
+  prep AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS s,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+  ),
+  quant AS (
+    SELECT vec_id, e, s, nrm,
+           list_transform(e, x -> CAST(floor(x / s * 127.0 + 0.5) AS INT)) AS q
+    FROM prep WHERE s > 0
+  ),
+  pairs AS (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_true,
+           list_dot_product(a.q, b.q)
+             * (a.s / 127.0) * (b.s / 127.0) / (a.nrm * b.nrm) AS est
+    FROM quant a JOIN quant b ON b.vec_id >= 10
+    WHERE a.vec_id < 10
+  ),
+  ranked AS (
+    SELECT qid, cid, cos_true, est,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_true DESC, cid) AS rn_t,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est DESC, cid) AS rn_e
+    FROM pairs
+  )
+"""
+
+
+@register(
+    "s50_int8_quant_recall",
+    f"""
+    WITH {_QPREP}
+    SELECT t.qid,
+           t.cid AS cid_exact,
+           e.cid AS cid_quant,
+           CAST(CASE WHEN t.cid = e.cid THEN 1 ELSE 0 END AS INT) AS hit,
+           t.cos_true AS cos_exact,
+           e.cos_true AS cos_quant_true,
+           abs(e.est - e.cos_true) AS est_err
+    FROM (SELECT * FROM ranked WHERE rn_t = 1) t
+    JOIN (SELECT * FROM ranked WHERE rn_e = 1) e ON e.qid = t.qid
+    ORDER BY t.qid
+    """,
+    tags=("vectors", "quantization", "recall"),
+    doc=(
+        "Int8 embedding quantization with a recall audit: each vector "
+        "is row-wise scaled to int8 (q = floor(x/s*127 + 0.5), s = "
+        "max|x|; floor-based to dodge cross-engine round-half rules), "
+        "top-1 neighbors are retrieved by the integer dot product "
+        "rescaled through the stored (scale, norm) pair, and compared "
+        "against exact-cosine top-1: hit flag and estimation error per "
+        "query. This is the memory-scale path for 100 TB ANN — int8 "
+        "cuts the resident index 4x and the integer dot is exact "
+        "arithmetic, so the audit itself is bit-reproducible (the only "
+        "doubles are the shared rescale factors, computed in the same "
+        "IEEE order on both engines). Pairs join is the intentional "
+        "brute-force audit shape, same as q70; the production path "
+        "composes this quantizer with the IVF cells of q74."
+    ),
+)
+def s50_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.vectors import dot, norm
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    prep = emb.select(
+        "vec_id",
+        "e",
+        F.array_max(F.transform("e", lambda x: F.abs(x))).alias("s"),
+        norm(F.col("e")).alias("nrm"),
+    ).filter(F.col("s") > 0)
+    quant = prep.withColumn(
+        "q",
+        F.transform(
+            "e", lambda x: F.floor(x / F.col("s") * F.lit(127.0) + F.lit(0.5)).cast("int")
+        ),
+    )
+    a = quant.filter(F.col("vec_id") < 10).alias("a")
+    b = quant.filter(F.col("vec_id") >= 10).alias("b")
+    idot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pairs = a.crossJoin(b).select(
+        F.col("a.vec_id").alias("qid"),
+        F.col("b.vec_id").alias("cid"),
+        (dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "cos_true"
+        ),
+        (
+            idot.cast("double")
+            * (F.col("a.s") / F.lit(127.0))
+            * (F.col("b.s") / F.lit(127.0))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("est"),
+    )
+    wt = W.partitionBy("qid").orderBy(F.desc("cos_true"), "cid")
+    we = W.partitionBy("qid").orderBy(F.desc("est"), "cid")
+    ranked = pairs.select(
+        "*",
+        F.row_number().over(wt).alias("rn_t"),
+        F.row_number().over(we).alias("rn_e"),
+    )
+    tbest = ranked.filter(F.col("rn_t") == 1).select(
+        "qid", F.col("cid").alias("cid_exact"), F.col("cos_true").alias("cos_exact")
+    )
+    ebest = ranked.filter(F.col("rn_e") == 1).select(
+        "qid",
+        F.col("cid").alias("cid_quant"),
+        F.col("cos_true").alias("cos_quant_true"),
+        F.abs(F.col("est") - F.col("cos_true")).alias("est_err"),
+    )
+    return (
+        tbest.join(ebest, "qid")
+        .select(
+            "qid",
+            "cid_exact",
+            "cid_quant",
+            F.when(F.col("cid_exact") == F.col("cid_quant"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("hit"),
+            "cos_exact",
+            "cos_quant_true",
+            "est_err",
+        )
+        .orderBy("qid")
+    )
