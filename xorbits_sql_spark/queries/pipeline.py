@@ -1561,3 +1561,112 @@ def s25_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("rnk").cast("bigint").alias("rnk"), "doc_id", "n_chars")
         .orderBy("source", "rnk")
     )
+
+
+@register(
+    "s52_image_dhash_dedup",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             doc_id % 37 AS fam,
+             10 + (doc_id % 37) % 5 AS w,
+             8 + (doc_id % 37) % 3 AS h,
+             doc_id % 3 AS var
+      FROM documents
+    ),
+    bits AS (
+      SELECT p.doc_id, y.y, x.x,
+             CASE WHEN
+               ((p.fam * 11 + ((x.x * p.w) // 9) * 7 + ((y.y * p.h) // 8) * 13
+                 + CASE WHEN (((x.x * p.w) // 9) + ((y.y * p.h) // 8)) % 9 = 0
+                        THEN p.var ELSE 0 END) % 256)
+               >
+               ((p.fam * 11 + (((x.x + 1) * p.w) // 9) * 7 + ((y.y * p.h) // 8) * 13
+                 + CASE WHEN ((((x.x + 1) * p.w) // 9) + ((y.y * p.h) // 8)) % 9 = 0
+                        THEN p.var ELSE 0 END) % 256)
+             THEN '1' ELSE '0' END AS b
+      FROM params p
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) x
+    ),
+    hashed AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS dhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM hashed
+    GROUP BY dhash
+    ORDER BY dhash
+    """,
+    tags=("multimodal", "pandas-udf", "png", "dedup", "phash"),
+    doc=(
+        "REAL perceptual-hash image dedup, oracle-checked end to end: "
+        "per document a deterministic grayscale PNG (pixel (fam*11 + "
+        "x*7 + y*13 [+ tiny variant perturbation]) mod 256; 37 image "
+        "families, so the corpus contains true duplicate groups) runs "
+        "the full stdlib codec chain — encode -> decode -> "
+        "nearest-neighbor resize to the canonical 9x8 dHash grid "
+        "(multimodal/png.resize_nearest via media.resize_image, PNG "
+        "roundtrip included) -> 64-bit difference hash (row-adjacent "
+        "brightness comparisons). The hash computation is per-payload "
+        "Arrow-batched mapInPandas (the codec is genuinely imperative "
+        "byte work); the DEDUP is a plain Spark groupBy on the hash — "
+        "exactly how a 100 TB image corpus dedups: hash in the data "
+        "path, cluster relationally. The DuckDB oracle replays the "
+        "resize index arithmetic and comparison bits symbolically, so "
+        "codec, resampler, and hash are all value-pinned. Near-dup "
+        "extension: band the 64 bits like q67's SimHash hamming "
+        "buckets; swap the stdlib codec for PIL at the documented "
+        "boundary for real formats."
+    ),
+)
+def s52_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dhash", T.StringType()),
+        ]
+    )
+
+    def batches(it):
+        from ..multimodal.media import resize_image
+        from ..multimodal.png import decode_png, encode_png
+
+        for pdf in it:
+            ids, hashes = [], []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                fam, var = did % 37, did % 3
+                w, h = 10 + fam % 5, 8 + fam % 3
+                pixels = bytes(
+                    (fam * 11 + x * 7 + y * 13 + (var if (x + y) % 9 == 0 else 0))
+                    % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                small = resize_image(encode_png(w, h, 1, pixels), 9, 8)
+                _, _, _, px = decode_png(small)
+                bits = "".join(
+                    "1" if px[y * 9 + x] > px[y * 9 + x + 1] else "0"
+                    for y in range(8)
+                    for x in range(8)
+                )
+                ids.append(did)
+                hashes.append(bits)
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    hashed = docs.mapInPandas(batches, schema)
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+        )
+        .orderBy("dhash")
+    )

@@ -2117,3 +2117,53 @@ def s49_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "s53_lateral_topn_join",
+    """
+    SELECT n.n_name AS nation, c.cust, c.bal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey AS cust, c_acctbal AS bal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) c
+    ORDER BY nation, bal DESC, cust
+    """,
+    tags=("join", "lateral", "execute-api"),
+    doc=(
+        "LATERAL correlated-subquery join (SURVEY.md §2.4 breadth): "
+        "top-2 customers per nation via a per-row correlated subquery, "
+        "run through execute() as SQL so Catalyst's lateral-join "
+        "decorrelation handles it (Spark rewrites to a "
+        "window/aggregate under the hood — the user writes the "
+        "per-row form, the engine runs the set-based plan, which is "
+        "the scale-correct outcome). The reference parses LATERAL via "
+        "sqlglot but its executor has no step type for it. "
+        "Deterministic: (c_acctbal DESC, c_custkey) total order."
+    ),
+)
+def s53_lateral_topn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT n.n_name AS nation, c.cust, c.bal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey AS cust, c_acctbal AS bal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) c
+    ORDER BY nation, bal DESC, cust
+    """
+    return execute(
+        sql,
+        tables={
+            "nation": t(spark, sf_dir, "nation"),
+            "customer": t(spark, sf_dir, "customer"),
+        },
+        spark=spark,
+    )
