@@ -168,3 +168,71 @@ def test_s45_substring_dedup_has_no_pair_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# Queries where a BroadcastNestedLoopJoin is the *intended* plan shape.
+# Two legitimate classes only:
+#   scalar-broadcast — a 1-row (or few-row) aggregate/bounds/centroid
+#     relation joined against the fact side without an equi-key; the
+#     broadcast side is constant-size at any corpus scale.
+#   audit — intentionally quadratic ground-truth/brute-force scans,
+#     bounded by construction (fixed query subset or bucket cap).
+_BNLJ_INTENDED = {
+    "q11_important_stock": "scalar-broadcast (value threshold)",
+    "q22_idle_balances": "scalar-broadcast (avg balance)",
+    "q42_cross_join": "audit (the §2.4 cross-join row itself)",
+    "q53_events_value_bands": "scalar-broadcast (band boundaries)",
+    "q70_knn_brute_force": "audit (exact-kNN ground truth)",
+    "q74_ann_ivf": "scalar-broadcast (centroid table)",
+    "r55_gapfill_locf": "scalar-broadcast (time-grid bounds)",
+    "r59_chi_square": "scalar-broadcast (contingency totals)",
+    "r62_bm25_search": "scalar-broadcast (corpus stats row)",
+    "r70_semdedup": "scalar-broadcast (k-means centroids)",
+    "r72_kmeans_lloyd": "scalar-broadcast (centroids per iter)",
+    "r73_ivf_trained": "scalar-broadcast (trained centroids)",
+    "r74_pagerank": "scalar-broadcast (node count)",
+    "r77_zorder_locality": "scalar-broadcast (dimension bounds)",
+    "r80_mixture_sample": "scalar-broadcast (mixture weights)",
+    "r87_lsh_recall_audit": "audit (bounded recall pair scan)",
+    "s02_sequential_funnel": "scalar-broadcast (step anchor row)",
+    "s07_ctfidf_terms": "scalar-broadcast (corpus totals)",
+    "s19_trailing_wau": "scalar-broadcast (day-grid bounds)",
+    "s23_threshold_runs": "scalar-broadcast (threshold row)",
+    "s27_join_size_estimate": "scalar-broadcast (sketch inner product)",
+    "s28_gapfill_interpolate": "scalar-broadcast (time-grid bounds)",
+    "s49_triangle_count": "scalar-broadcast (singleton stat rows)",
+    "s50_int8_quant_recall": "audit (exact-vs-quantized pair scan)",
+}
+
+_PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
+
+
+def test_inventory_wide_join_shapes(spark):
+    """Sweep EVERY batch query's physical plan: no CartesianProduct
+    anywhere in the 190+ query inventory, and BroadcastNestedLoopJoin
+    only where it is the intended scalar-broadcast/audit shape. A new
+    query that accidentally plans a cartesian (e.g. a dropped join key
+    after a refactor) fails here before it ever ships."""
+    from xorbits_sql_spark.operators.dedup import release_caches
+
+    cartesian, unexpected_bnlj = [], []
+    for name, s in sorted(SPECS.items()):
+        if _PLAN_SWEEP_SKIP_TAGS & set(s.tags):
+            continue
+        plan = (
+            s.fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_INTENDED:
+            unexpected_bnlj.append(name)
+    release_caches()
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not unexpected_bnlj, (
+        "unreviewed BroadcastNestedLoopJoin in: "
+        f"{unexpected_bnlj} — classify each as scalar-broadcast/audit "
+        "in _BNLJ_INTENDED or fix the join key"
+    )
