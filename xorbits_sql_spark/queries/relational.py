@@ -2167,3 +2167,172 @@ def s53_lateral_topn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         spark=spark,
     )
+
+
+_CORR_COLS = (
+    ("qty", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("disc", "l_discount"),
+    ("tax", "l_tax"),
+)
+
+
+def _corr_sql() -> str:
+    ints = ",\n      ".join(
+        f"CAST(round({src} * 100) AS BIGINT) AS {name}"
+        for name, src in _CORR_COLS
+    )
+    sums = ["COUNT(*) AS n"]
+    for name, _ in _CORR_COLS:
+        sums.append(f"SUM(CAST({name} AS DECIMAL(38,0))) AS s_{name}")
+        sums.append(f"SUM(CAST({name} * {name} AS DECIMAL(38,0))) AS ss_{name}")
+    pairs = [
+        (a, b)
+        for i, (a, _) in enumerate(_CORR_COLS)
+        for b, _ in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(f"SUM(CAST({a} * {b} AS DECIMAL(38,0))) AS sp_{a}_{b}")
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+        (CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+         - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                  - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))) AS corr
+    FROM moments"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH ints AS (
+      SELECT {ints}
+      FROM lineitem
+    ),
+    moments AS (
+      SELECT {", ".join(sums)} FROM ints
+    )
+    SELECT col_a, col_b, corr FROM (
+    {rows}
+    ) all_pairs
+    ORDER BY col_a, col_b
+    """
+
+
+@register(
+    "s54_correlation_matrix",
+    _corr_sql(),
+    tags=("stats", "correlation"),
+    doc=(
+        "Pairwise Pearson correlation matrix over the lineitem numeric "
+        "columns in ONE aggregation pass: every value is scaled to an "
+        "exact integer (2-decimal money/rate columns x100), all 15 "
+        "moments (count, sums, squares, cross-products) accumulate as "
+        "exact DECIMAL(38,0) — order-independent, so any cluster size "
+        "gives bit-identical moments — and the textbook correlation "
+        "formula evaluates in IEEE doubles spelled identically on both "
+        "engines. The single-pass moment-matrix shape is how a 100 TB "
+        "correlation screen runs: one map-side-combinable aggregate, "
+        "6 output rows, no per-pair rescans."
+    ),
+)
+def s54_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SQL is engine-portable ANSI; run it through execute() so Spark
+    # and DuckDB evaluate the very same statement text.
+    return execute(
+        _corr_sql(),
+        tables={"lineitem": t(spark, sf_dir, "lineitem")},
+        spark=spark,
+    )
+
+
+def _ols_sql() -> str:
+    # 3x3 normal equations solved by Cramer's rule; every determinant is
+    # spelled once here so Spark and DuckDB evaluate identical text.
+    def det(m: list[list[str]]) -> str:
+        (a, b, c), (d, e, f), (g, h, i) = m
+        return (
+            f"({a} * ({e} * {i} - {f} * {h}) "
+            f"- {b} * ({d} * {i} - {f} * {g}) "
+            f"+ {c} * ({d} * {h} - {e} * {g}))"
+        )
+
+    xtx = [["dn", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    xty = ["sy", "s1y", "s2y"]
+    d0 = det(xtx)
+    b = [
+        det([[xty[r] if c == k else xtx[r][c] for c in range(3)] for r in range(3)])
+        for k in range(3)
+    ]
+    return f"""
+    WITH ints AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x1 AS DECIMAL(38,0))) AS i1,
+             SUM(CAST(x2 AS DECIMAL(38,0))) AS i2,
+             SUM(CAST(y AS DECIMAL(38,0))) AS iy,
+             SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS i11,
+             SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS i12,
+             SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS i22,
+             SUM(CAST(x1 * y AS DECIMAL(38,0))) AS i1y,
+             SUM(CAST(x2 * y AS DECIMAL(38,0))) AS i2y,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS iyy
+      FROM ints
+    ),
+    d AS (
+      SELECT CAST(n AS DOUBLE) AS dn,
+             CAST(i1 AS DOUBLE) AS s1, CAST(i2 AS DOUBLE) AS s2,
+             CAST(iy AS DOUBLE) AS sy,
+             CAST(i11 AS DOUBLE) AS s11, CAST(i12 AS DOUBLE) AS s12,
+             CAST(i22 AS DOUBLE) AS s22,
+             CAST(i1y AS DOUBLE) AS s1y, CAST(i2y AS DOUBLE) AS s2y,
+             CAST(iyy AS DOUBLE) AS syy,
+             n
+      FROM m
+    ),
+    solved AS (
+      SELECT n,
+             {b[0]} / {d0} AS b0s,
+             {b[1]} / {d0} AS b1s,
+             {b[2]} / {d0} AS b2s,
+             dn, s1, s2, sy, s11, s12, s22, s1y, s2y, syy
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           b0s / 100.0 AS intercept,
+           b1s AS beta_quantity,
+           b2s AS beta_discount,
+           1.0 - (syy - b0s * sy - b1s * s1y - b2s * s2y)
+               / (syy - sy * sy / dn) AS r2
+    FROM solved
+    """
+
+
+@register(
+    "s55_ols_normal_equations",
+    _ols_sql(),
+    tags=("stats", "regression"),
+    doc=(
+        "Multi-feature OLS (extendedprice ~ quantity + discount) solved "
+        "in closed form from the normal equations: one aggregation pass "
+        "accumulates all ten moments as exact DECIMAL(38,0) over "
+        "integer-scaled values (order-independent, cluster-size-proof), "
+        "then Cramer's rule evaluates the 3x3 solve in IEEE doubles "
+        "spelled identically on both engines — coefficients, intercept "
+        "and R-squared, bit-reproducible. The moment-matrix collapse is "
+        "the canonical way to fit small linear models on 100 TB: the "
+        "data is touched once, the solve is O(1). Extends r57's "
+        "single-feature trend fit to the matrix form."
+    ),
+)
+def s55_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return execute(
+        _ols_sql(),
+        tables={"lineitem": t(spark, sf_dir, "lineitem")},
+        spark=spark,
+    )
