@@ -6,6 +6,8 @@ the product."""
 
 from __future__ import annotations
 
+import re
+
 from xorbits_sql_spark.plans import pushed_filters, read_schemas, uses_broadcast_join
 from xorbits_sql_spark.queries import load_all
 
@@ -235,4 +237,57 @@ def test_inventory_wide_join_shapes(spark):
         "unreviewed BroadcastNestedLoopJoin in: "
         f"{unexpected_bnlj} — classify each as scalar-broadcast/audit "
         "in _BNLJ_INTENDED or fix the join key"
+    )
+
+
+# Queries where a globally-partitioned window (single-partition sort) is
+# the reviewed, intended shape. Legitimate only when the window input is
+# already collapsed to a bounded relation (post-aggregation), or the
+# semantic is inherently global AND a distributed approximate twin
+# exists in the inventory.
+_GLOBAL_WINDOW_INTENDED = {
+    "q47_ntile_spend": "exact global NTILE over per-customer aggregates; "
+    "q93_approx_ntile is the distributed scale twin",
+    "r79_bpe_merge_stats": "rank over the vocabulary-bounded pair table",
+    "s23_threshold_runs": "run-numbering over the bounded time grid",
+    "s31_user_growth_curve": "running sum over the bounded day grid",
+}
+
+_WINSPEC = re.compile(
+    r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))"
+)
+
+
+def _global_window_count(plan: str) -> int:
+    n = 0
+    for m in _WINSPEC.finditer(plan):
+        first = m.group(1).split(",")[0].strip() if m.group(1).strip() else ""
+        if first == "" or " ASC" in first or " DESC" in first:
+            n += 1
+    return n
+
+
+def test_inventory_wide_window_partitioning(spark):
+    """No query may sneak an unpartitioned window (single-task global
+    sort — the quiet scale killer WindowExec warns about) past review:
+    every global window must be in the classified set above."""
+    from xorbits_sql_spark.operators.dedup import release_caches
+
+    unexpected = []
+    for name, s in sorted(SPECS.items()):
+        if _PLAN_SWEEP_SKIP_TAGS & set(s.tags):
+            continue
+        plan = (
+            s.fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if _global_window_count(plan) and name not in _GLOBAL_WINDOW_INTENDED:
+            unexpected.append(name)
+    release_caches()
+    assert not unexpected, (
+        f"unreviewed global windows in: {unexpected} — partition the "
+        "window or classify it in _GLOBAL_WINDOW_INTENDED with the "
+        "bounded-input justification"
     )
