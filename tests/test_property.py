@@ -245,3 +245,33 @@ def test_asof_join_forward_vs_pandas(spark, left, right):
         left, rightd, left_on="v", right_on="t", by="k", direction="forward"
     )[["k", "v", "rv"]]
     assert not compare(got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lit=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    ),
+    dialect=st.sampled_from(
+        [
+            "postgres", "mysql", "duckdb", "tsql", "snowflake", "bigquery",
+            "trino", "oracle", "clickhouse", "sqlite", "redshift",
+            "teradata", "doris", "drill",
+        ]
+    ),
+)
+def test_dialect_fallback_never_corrupts_literals(lit, dialect):
+    """Property: for EVERY dialect path, a string literal passes through
+    the token-stream transpiler byte-identical — rewrites may only touch
+    code tokens. (The round-1 design promise of the lexing fallback,
+    pinned against all 14 special-cased dialects at once.)"""
+    from xorbits_sql_spark.dialect import transpile
+    from xorbits_sql_spark.errors import UnsupportedError
+
+    quoted = "'" + lit.replace("'", "''") + "'"
+    sql = f"SELECT {quoted} AS x, COUNT(*) FROM t GROUP BY x"
+    try:
+        out = transpile(sql, dialect)
+    except UnsupportedError:
+        return  # honest refusal is allowed; corruption is not
+    assert quoted in out

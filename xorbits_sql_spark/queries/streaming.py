@@ -327,3 +327,41 @@ def s51_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type", "value")
         .orderBy("user_id")
     )
+
+
+@register(
+    "s56_stream_append_finalized",
+    """
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY date_trunc('hour', ts), event_type
+    ),
+    wm AS (
+      SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events
+    )
+    SELECT hour, event_type, n, total_value
+    FROM agg, wm
+    WHERE hour + INTERVAL 1 HOUR <= w
+    ORDER BY hour, event_type
+    """,
+    tags=("streaming", "time-window", "watermark", "append-mode"),
+    doc=(
+        "Append-mode watermarked windows — the mode a 100 TB/day "
+        "production pipeline actually runs, because complete mode "
+        "re-emits all state every batch: each hourly window is emitted "
+        "exactly once, when the 30-minute watermark passes its end, "
+        "and late rows beyond the watermark would be dropped. On the "
+        "bounded source the final watermark is max(ts) - 30min, so the "
+        "emitted set is exactly the windows whose end precedes it — "
+        "deterministic, hence a full DuckDB value oracle (the oracle "
+        "states the finalization predicate explicitly). Complements "
+        "q80 (complete mode, all windows) with the state-eviction "
+        "semantics that make streaming aggregation memory-bounded."
+    ),
+)
+def s56_stream_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    agg = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
+    return run_to_memory(agg, mode="append").orderBy("hour", "event_type")
