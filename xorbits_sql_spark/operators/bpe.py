@@ -105,9 +105,13 @@ def learn_bpe_merges(
     syms = vocab.select(
         "wc", F.expr("filter(split(w, ''), x -> x <> '')").alias("syms")
     ).persist()
+    prev = None
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for rank in range(1, k + 1):
+            # This argmax job materializes `syms` into its cache (reading
+            # the still-cached parent), so the grandparent can be released
+            # right after — one job per iteration, lineage stays O(1).
             best = (
                 syms.select("wc", F.explode(_adjacent_pairs("syms")).alias("p"))
                 .groupBy("p.l", "p.r")
@@ -117,14 +121,17 @@ def learn_bpe_merges(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
             merges.append((rank, a, b, a + b, c))
             nxt = syms.select("wc", _apply_merge(a, b).alias("syms")).persist()
-            nxt.count()  # materialize before releasing the parent cache
-            syms.unpersist()
-            syms = nxt
+            prev, syms = syms, nxt
     finally:
         syms.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
