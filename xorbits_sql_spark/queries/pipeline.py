@@ -1670,3 +1670,161 @@ def s52_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dhash")
     )
+
+
+@register(
+    "s57_video_scene_cuts",
+    """
+    WITH params AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n, 2 + doc_id % 2 AS s
+      FROM documents
+    ),
+    diffs AS (
+      SELECT p.doc_id, j.j,
+             abs(((p.doc_id * 23 + (j.j // p.s) * 71) % 256)
+                 - ((p.doc_id * 23 + ((j.j - 1) // p.s) * 71) % 256)) AS d
+      FROM params p
+      CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) j
+      WHERE j.j < p.n
+    )
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+           CAST(p.n AS BIGINT) AS n_frames,
+           CAST(COALESCE(SUM(CASE WHEN d.d > 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MIN(CASE WHEN d.d > 10 THEN d.j END), -1) AS BIGINT) AS first_cut,
+           CAST(COALESCE(SUM(d.d), 0) AS BIGINT) AS diff_sum
+    FROM params p LEFT JOIN diffs d ON d.doc_id = p.doc_id
+    GROUP BY p.doc_id, p.n
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "video", "png", "scene-cut"),
+    doc=(
+        "REAL video scene-cut detection, oracle-checked end to end: per "
+        "document a PNGV container of solid-color PNG frames (scene "
+        "color steps every s frames), every frame decoded through the "
+        "CRC-checked stdlib PNG codec, consecutive frames differenced "
+        "on mean absolute pixel delta, cuts flagged above threshold — "
+        "the shot-boundary primitive of video curation pipelines "
+        "(dedup by scene, sample per shot). The DuckDB oracle predicts "
+        "frame colors, deltas, cut count and first cut arithmetically, "
+        "so container framing, codec output, and the detector are all "
+        "hash-verified. Arrow-batched mapInPandas, per-payload work "
+        "only; swap decode_pngv for an ffmpeg demux in production."
+    ),
+)
+def s57_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cols = ("doc_id", "n_frames", "n_cuts", "first_cut", "diff_sum")
+    schema = T.StructType([T.StructField(c, T.LongType()) for c in cols])
+
+    def batches(it):
+        from ..multimodal.png import decode_png, encode_png
+        from ..multimodal.video import decode_pngv, encode_pngv
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                n, s = 4 + did % 5, 2 + did % 2
+                w, h = 3, 2
+                frames = [
+                    encode_png(
+                        w, h, 1, bytes([(did * 23 + (j // s) * 71) % 256]) * (w * h)
+                    )
+                    for j in range(n)
+                ]
+                payload = encode_pngv(frames)
+                prev = None
+                n_cuts, first_cut, diff_sum = 0, -1, 0
+                for j, png in enumerate(decode_pngv(payload)):
+                    _, _, _, px = decode_png(png)
+                    mean = sum(px) // len(px)  # solid color: exact mean
+                    if prev is not None:
+                        d = abs(mean - prev)
+                        diff_sum += d
+                        if d > 10:
+                            n_cuts += 1
+                            if first_cut < 0:
+                                first_cut = j
+                    prev = mean
+                out["doc_id"].append(did)
+                out["n_frames"].append(n)
+                out["n_cuts"].append(n_cuts)
+                out["first_cut"].append(first_cut)
+                out["diff_sum"].append(diff_sum)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+@register(
+    "s58_audio_rms_windows",
+    """
+    WITH params AS (
+      SELECT doc_id, 24 + doc_id % 16 AS n FROM documents
+    ),
+    s AS (
+      SELECT p.doc_id, i.i, i.i // 8 AS win,
+             (((p.doc_id * 31 + i.i * 17) % 4096) - 2048) AS v
+      FROM params p
+      CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS i) i
+      WHERE i.i < (p.n // 8) * 8
+    ),
+    wins AS (
+      SELECT doc_id, win, SUM(v * v) AS energy
+      FROM s GROUP BY doc_id, win
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(MAX(energy) AS BIGINT) AS max_energy,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM wins
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "wav", "features"),
+    doc=(
+        "REAL audio energy windowing, oracle-checked: per document a "
+        "PCM16 WAV (samples (id*31 + i*17) mod 4096 - 2048) runs "
+        "encode -> decode through the stdlib RIFF codec, then "
+        "8-frame windows report sum-of-squares energy (the RMS/VAD "
+        "primitive of audio curation — silence trimming, loudness "
+        "normalization, segment selection). All-integer arithmetic, so "
+        "the DuckDB oracle predicts every window energy exactly and "
+        "the codec roundtrip is hash-verified. Partial trailing "
+        "windows are dropped (n div 8 full windows), stated in both "
+        "engines."
+    ),
+)
+def s58_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cols = ("doc_id", "n_windows", "max_energy", "total_energy")
+    schema = T.StructType([T.StructField(c, T.LongType()) for c in cols])
+
+    def batches(it):
+        from ..multimodal.wav import decode_wav, encode_wav
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                n = 24 + did % 16
+                samples = [((did * 31 + i * 17) % 4096) - 2048 for i in range(n)]
+                _, _, _, decoded = decode_wav(encode_wav(16000, 1, samples))
+                full = (len(decoded) // 8) * 8
+                energies = [
+                    sum(v * v for v in decoded[w : w + 8])
+                    for w in range(0, full, 8)
+                ]
+                out["doc_id"].append(did)
+                out["n_windows"].append(len(energies))
+                out["max_energy"].append(max(energies))
+                out["total_energy"].append(sum(energies))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
