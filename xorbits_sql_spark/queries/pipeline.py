@@ -1623,10 +1623,23 @@ def s25_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def s52_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = _dhash_frame(t(spark, sf_dir, "documents").select("doc_id"))
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+        )
+        .orderBy("dhash")
+    )
+
+
+def _dhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, dhash) via the synthetic-image PNG codec chain (shared
+    by s52's dedup and s59's joint multimodal closure)."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1661,15 +1674,7 @@ def s52_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hashes.append(bits)
             yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
 
-    hashed = docs.mapInPandas(batches, schema)
-    return (
-        hashed.groupBy("dhash")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.min("doc_id").cast("bigint").alias("keeper"),
-        )
-        .orderBy("dhash")
-    )
+    return docs.mapInPandas(batches, schema)
 
 
 @register(
@@ -1828,3 +1833,116 @@ def s58_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+@register(
+    "s59_joint_multimodal_dedup",
+    r"""
+    WITH RECURSIVE params AS (
+      SELECT doc_id,
+             doc_id % 37 AS fam,
+             10 + (doc_id % 37) % 5 AS w,
+             8 + (doc_id % 37) % 3 AS h,
+             doc_id % 3 AS var
+      FROM documents
+    ),
+    bits AS (
+      SELECT p.doc_id, y.y, x.x,
+             CASE WHEN
+               ((p.fam * 11 + ((x.x * p.w) // 9) * 7 + ((y.y * p.h) // 8) * 13
+                 + CASE WHEN (((x.x * p.w) // 9) + ((y.y * p.h) // 8)) % 9 = 0
+                        THEN p.var ELSE 0 END) % 256)
+               >
+               ((p.fam * 11 + (((x.x + 1) * p.w) // 9) * 7 + ((y.y * p.h) // 8) * 13
+                 + CASE WHEN ((((x.x + 1) * p.w) // 9) + ((y.y * p.h) // 8)) % 9 = 0
+                        THEN p.var ELSE 0 END) % 256)
+             THEN '1' ELSE '0' END AS b
+      FROM params p
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) x
+    ),
+    hashed AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY y, x) AS dhash
+      FROM bits GROUP BY doc_id
+    ),
+    norm AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    tkeep AS (SELECT fp, MIN(doc_id) AS k FROM norm GROUP BY fp),
+    tedges AS (
+      SELECT t.k AS a, n.doc_id AS b
+      FROM norm n JOIN tkeep t ON t.fp = n.fp WHERE n.doc_id <> t.k
+    ),
+    ikeep AS (SELECT dhash, MIN(doc_id) AS k FROM hashed GROUP BY dhash),
+    iedges AS (
+      SELECT i.k AS a, h.doc_id AS b
+      FROM hashed h JOIN ikeep i ON i.dhash = h.dhash WHERE h.doc_id <> i.k
+    ),
+    edges AS (SELECT a, b FROM tedges UNION SELECT a, b FROM iedges),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    walk(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT w.a, u.b FROM walk w JOIN und u ON u.a = w.b WHERE u.b <> w.a
+    ),
+    labels AS (
+      SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(w.b), d.doc_id)) AS comp
+      FROM documents d LEFT JOIN walk w ON w.a = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT CAST(comp AS BIGINT) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM labels
+    GROUP BY comp
+    ORDER BY keeper
+    """,
+    tags=("multimodal", "dedup", "graph", "phash"),
+    doc=(
+        "Joint multimodal dedup closure: documents are duplicates if "
+        "their TEXT matches exactly (md5 fingerprint) OR their IMAGE "
+        "perceptually matches (s52's dHash through the real PNG codec "
+        "chain); both evidence kinds become star edges to each group's "
+        "minimum id, the union graph runs min-label-propagation "
+        "connected components (operators/dedup.connected_components), "
+        "and every document lands in exactly one cluster under one "
+        "keeper — the cross-modal transitivity (A~B by text, B~C by "
+        "image => one cluster) that per-modality dedup passes miss. "
+        "Star edges bound each group's diameter at 2, so the label "
+        "loop converges in a few rounds at any corpus size. The "
+        "DuckDB oracle replays the dHash arithmetic and closes the "
+        "same graph with a recursive CTE."
+    ),
+)
+def s59_joint_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint
+    from ..operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    tkeep = norm.groupBy("fp").agg(F.min("doc_id").alias("k"))
+    tedges = (
+        norm.join(tkeep, "fp")
+        .filter(F.col("doc_id") != F.col("k"))
+        .select(F.col("k").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    hashed = _dhash_frame(docs.select("doc_id"))
+    ikeep = hashed.groupBy("dhash").agg(F.min("doc_id").alias("k"))
+    iedges = (
+        hashed.join(ikeep, "dhash")
+        .filter(F.col("doc_id") != F.col("k"))
+        .select(F.col("k").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    edges = tedges.unionAll(iedges).distinct()
+    labels = connected_components(edges)
+    all_labels = (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(F.coalesce("component", "doc_id").alias("comp"))
+    )
+    return (
+        all_labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(F.col("comp").cast("bigint").alias("keeper"), "n_docs")
+        .orderBy("keeper")
+    )
