@@ -1933,7 +1933,13 @@ def s59_joint_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("k"))
         .select(F.col("k").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    edges = tedges.unionAll(iedges).distinct()
+    from ..operators.dedup import _persist
+
+    # Persist the edge list before the label loop: every CC round joins
+    # against it, and its lineage includes the Python-codec dHash pass —
+    # uncached, each round would re-decode the whole corpus. Released
+    # via release_caches(), the documented operator-cache contract.
+    edges = _persist(tedges.unionAll(iedges).distinct())
     labels = connected_components(edges)
     all_labels = (
         docs.select("doc_id")
