@@ -2241,3 +2241,223 @@ def s31_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     ).orderBy("day")
+
+
+@register(
+    "s60_pattern_v_shape",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(value)  OVER w AS prev_v,
+             LEAD(value) OVER w AS next_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    hits AS (
+      SELECT user_id, event_id, ts,
+             prev_v - value AS drop_amt,
+             next_v - value AS recover_amt
+      FROM ordered
+      WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+        AND prev_v - value > 50.0 AND next_v - value > 50.0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vshapes,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(SUM(CAST(drop_amt + recover_amt AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_swing
+    FROM hits
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "pattern", "window"),
+    doc=(
+        "Row-pattern detection (the MATCH_RECOGNIZE-lite family): a "
+        "V-shape is a local minimum whose neighbors both sit more than "
+        "a threshold above it — detected with one lag/lead pass per "
+        "user, no self-joins. Per-user counts, first match, and total "
+        "swing (exact decimal sum). At 100 TB this is one user-keyed "
+        "window shuffle; fixed-length patterns compile to lag/lead "
+        "exactly like this, which is why the engine doesn't need a "
+        "MATCH_RECOGNIZE interpreter for them. Deterministic: (ts, "
+        "event_id) is a total order per user."
+    ),
+)
+def s60_pattern_v_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.lag("value").over(w).alias("prev_v"),
+            F.lead("value").over(w).alias("next_v"),
+        )
+    )
+    hits = ordered.filter(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & (F.col("prev_v") - F.col("value") > 50.0)
+        & (F.col("next_v") - F.col("value") > 50.0)
+    ).select(
+        "user_id",
+        "event_id",
+        (F.col("prev_v") - F.col("value")).alias("drop_amt"),
+        (F.col("next_v") - F.col("value")).alias("recover_amt"),
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vshapes"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+            F.sum(
+                (F.col("drop_amt") + F.col("recover_amt")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("total_swing"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "s61_heatmap_2d_bins",
+    """
+    SELECT CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(CASE WHEN value < 0 THEN -1
+                     WHEN value >= 500 THEN 10
+                     ELSE CAST(floor(value / 50.0) AS BIGINT) END AS BIGINT) AS vband,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY hod, vband
+    ORDER BY hod, vband
+    """,
+    tags=("events", "histogram", "binning"),
+    doc=(
+        "2-D histogram (hour-of-day x value band) — the heatmap "
+        "aggregation behind activity dashboards: fixed-width value "
+        "bands with explicit underflow (-1) and overflow (10) bins, "
+        "crossed with the 24 hour-of-day cells. One map-side-combinable "
+        "aggregate over at most 24x12 cells, so the shuffle payload is "
+        "constant regardless of corpus size. floor-based band edges "
+        "dodge cross-engine round-half rules; exact decimal sums."
+    ),
+)
+def s61_heatmap_2d_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    vband = (
+        F.when(F.col("value") < 0, F.lit(-1))
+        .when(F.col("value") >= 500, F.lit(10))
+        .otherwise(F.floor(F.col("value") / 50.0))
+        .cast("bigint")
+    )
+    return (
+        ev.select(F.hour("ts").cast("bigint").alias("hod"), vband.alias("vband"), "value")
+        .groupBy("hod", "vband")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hod", "vband")
+    )
+
+
+@register(
+    "s62_state_debounce",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_type IS NULL
+                           OR event_type <> prev_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN event_type = prev_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM flagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "compression", "window"),
+    doc=(
+        "State de-bounce (consecutive-duplicate compression): a row "
+        "survives only when its state differs from the previous row of "
+        "the same user — the standard CDC/log-compaction pre-step that "
+        "turns chatty state streams into change records. One lag pass "
+        "per user, per-user kept/collapsed counts. The same predicate "
+        "filters the actual rows when materializing; the counts here "
+        "make the result hash-compact."
+    ),
+)
+def s62_state_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    keep = F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("event_type") == F.col("prev_type"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_debounced"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "s63_user_event_sequences",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (list(event_type ORDER BY ts, event_id))[1:10] AS seq
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "sequence", "feature-assembly"),
+    doc=(
+        "Ordered per-user event sequences as array columns — the "
+        "feature-assembly shape for sequence models (each user's "
+        "behavioral history as one training example). Spark: "
+        "sort_array(collect_list(struct(ts, event_id, type))) then a "
+        "projection lambda; the struct sort key makes the assembled "
+        "order deterministic regardless of shuffle arrival order, "
+        "which is the property that matters at 1000 executors "
+        "(collect_list alone is arrival-ordered = nondeterministic). "
+        "Truncated to the first 10 events to bound row width; the "
+        "full-history variant pairs with r64's packing."
+    ),
+)
+def s63_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    seq = F.slice(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        1,
+        10,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            seq.alias("seq"),
+        )
+        .orderBy("user_id")
+    )
