@@ -204,6 +204,7 @@ _BNLJ_INTENDED = {
     "s28_gapfill_interpolate": "scalar-broadcast (time-grid bounds)",
     "s49_triangle_count": "scalar-broadcast (singleton stat rows)",
     "s50_int8_quant_recall": "audit (exact-vs-quantized pair scan)",
+    "s64_hybrid_search_rrf": "scalar-broadcast (the single query vector)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -251,6 +252,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "r79_bpe_merge_stats": "rank over the vocabulary-bounded pair table",
     "s23_threshold_runs": "run-numbering over the bounded time grid",
     "s31_user_growth_curve": "running sum over the bounded day grid",
+    "s64_hybrid_search_rrf": "rank over the two 100-row TakeOrdered "
+    "retrieval legs (bounded by construction)",
 }
 
 _WINSPEC = re.compile(

@@ -753,9 +753,18 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     ),
 )
 def r62_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_doc_scores(t(spark, sf_dir, "documents"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_doc_scores(base: DataFrame) -> DataFrame:
+    """(doc_id, score, n_terms) BM25 scores for the fixed query terms
+    (shared by r62's ranked search and s64's hybrid fusion)."""
     from ..functions.text import norm_ws, token_count
 
-    base = t(spark, sf_dir, "documents")
     docs = base.select("doc_id", token_count(F.col("text")).alias("dl"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -790,14 +799,9 @@ def r62_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term_score"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum(F.col("term_score").cast("decimal(28,12)")).cast("double").alias("score"),
-            F.count(F.lit(1)).alias("n_terms"),
-        )
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(20)
+    return scored.groupBy("doc_id").agg(
+        F.sum(F.col("term_score").cast("decimal(28,12)")).cast("double").alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
     )
 
 
@@ -2133,3 +2137,129 @@ def s47_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import learn_bpe_merges
 
     return learn_bpe_merges(t(spark, sf_dir, "documents"), k=8)
+
+
+@register(
+    "s64_hybrid_search_rrf",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1
+             END AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM docs
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower({_NORM}), ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM toks
+      WHERE w IN ('hash', 'merge', 'scan')
+      GROUP BY doc_id, w
+    ),
+    dft AS (SELECT w, COUNT(*) AS dft FROM tf GROUP BY w),
+    idf AS (
+      SELECT w, round(ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)) * 1000000) / 1000000 AS idf
+      FROM dft, stats
+    ),
+    bm AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * docs.dl / stats.avgdl))
+               AS DECIMAL(28,12))) AS DOUBLE) AS score
+      FROM tf
+      JOIN idf ON idf.w = tf.w
+      JOIN docs ON docs.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    bm_top AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 100),
+    bm_rank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+      FROM bm_top
+    ),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+               AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id BETWEEN 1 AND 499
+      WHERE q.vec_id = 0
+    ),
+    cos_top AS (SELECT doc_id, cosine FROM cos ORDER BY cosine DESC, doc_id LIMIT 100),
+    cos_rank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rc
+      FROM cos_top
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           COALESCE(1.0 / (60.0 + b.rb), 0.0)
+             + COALESCE(1.0 / (60.0 + c.rc), 0.0) AS rrf,
+           CAST(COALESCE(b.rb, -1) AS BIGINT) AS rank_bm25,
+           CAST(COALESCE(c.rc, -1) AS BIGINT) AS rank_cosine
+    FROM bm_rank b FULL OUTER JOIN cos_rank c ON c.doc_id = b.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "vectors", "search", "hybrid", "rrf"),
+    doc=(
+        "Hybrid retrieval with reciprocal-rank fusion (the standard "
+        "RAG / training-data retrieval stack): a BM25 keyword leg "
+        "(shared scorer with r62) and an exact-cosine vector leg "
+        "(query = embedding 0 against the document id range) each "
+        "produce a top-100 via distributed TakeOrdered — no global "
+        "sort — and only the two 100-row lists get rank windows "
+        "(bounded input, classified in the window gate). RRF "
+        "k=60 fuses them through a full outer join, so a document "
+        "strong in either leg surfaces. Deterministic end to end: "
+        "both leg scores are bit-exact cross-engine (decimal BM25 "
+        "sums, identical IEEE cosine), ties break on doc_id, and the "
+        "fusion arithmetic is spelled identically in both engines."
+    ),
+)
+def s64_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W2
+
+    from ..functions.vectors import cosine
+
+    base = t(spark, sf_dir, "documents")
+    bm_top = (
+        _bm25_doc_scores(base)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(100)
+    )
+    bm_rank = bm_top.select(
+        "doc_id",
+        F.row_number().over(W2.orderBy(F.desc("score"), "doc_id")).alias("rb"),
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = emb.filter(F.col("vec_id").between(1, 499)).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    cos_top = (
+        cand.crossJoin(F.broadcast(q))
+        .select("doc_id", cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(100)
+    )
+    cos_rank = cos_top.select(
+        "doc_id",
+        F.row_number().over(W2.orderBy(F.desc("cosine"), "doc_id")).alias("rc"),
+    )
+    fused = bm_rank.join(cos_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60.0 + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (60.0 + F.col("rc")), F.lit(0.0))
+        ).alias("rrf"),
+        F.coalesce(F.col("rb"), F.lit(-1)).cast("bigint").alias("rank_bm25"),
+        F.coalesce(F.col("rc"), F.lit(-1)).cast("bigint").alias("rank_cosine"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
