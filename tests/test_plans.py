@@ -205,6 +205,7 @@ _BNLJ_INTENDED = {
     "s49_triangle_count": "scalar-broadcast (singleton stat rows)",
     "s50_int8_quant_recall": "audit (exact-vs-quantized pair scan)",
     "s64_hybrid_search_rrf": "scalar-broadcast (the single query vector)",
+    "s65_scd2_point_in_time": "scalar-broadcast (the span-bounded probe-day grid)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

@@ -2461,3 +2461,84 @@ def s63_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "s65_scd2_point_in_time",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(1) OVER w AS prev_seen
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_id, ts, event_type FROM ordered
+      WHERE prev_seen IS NULL OR prev_type IS DISTINCT FROM event_type
+    ),
+    ranges AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    ),
+    days AS (
+      SELECT unnest(generate_series(
+        date_trunc('day', (SELECT MIN(ts) FROM events)) + INTERVAL 1 DAY,
+        date_trunc('day', (SELECT MAX(ts) FROM events)),
+        INTERVAL 1 DAY)) AS d
+    )
+    SELECT d, event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM days JOIN ranges
+      ON valid_from <= d AND (valid_to IS NULL OR d < valid_to)
+    GROUP BY d, event_type
+    ORDER BY d, event_type
+    """,
+    tags=("events", "scd2", "temporal-join", "as-of"),
+    doc=(
+        "SCD2 point-in-time join — the consumption side of r75's "
+        "dimension history: at every midnight in the data span, count "
+        "users per current state by probing the half-open validity "
+        "ranges with `valid_from <= T AND (valid_to IS NULL OR T < "
+        "valid_to)`. Scale shape: the probe grid is span-bounded tiny "
+        "and broadcasts against the range table (classified "
+        "scalar-broadcast BNLJ), so the history table never shuffles "
+        "for the lookup — exactly how a warehouse answers 'state of "
+        "the world at time T' against billions of SCD2 rows; a "
+        "per-probe-heavy variant would range-bucket the join like "
+        "q53. Deterministic: ranges come from a totally-ordered "
+        "change log."
+    ),
+)
+def s65_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import scd2_ranges
+
+    ev = t(spark, sf_dir, "events")
+    ranges = scd2_ranges(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        key_cols=["user_id"],
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak="event_id",
+    ).select("user_id", "event_type", "valid_from", "valid_to")
+    days = (
+        ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .select(
+            F.explode(
+                F.expr(
+                    "sequence(date_trunc('DAY', mn) + INTERVAL 1 DAY, "
+                    "date_trunc('DAY', mx), INTERVAL 1 DAY)"
+                )
+            ).alias("d")
+        )
+    )
+    joined = ranges.join(
+        F.broadcast(days),
+        (F.col("valid_from") <= F.col("d"))
+        & (F.col("valid_to").isNull() | (F.col("d") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy("d", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("d", "event_type")
+    )

@@ -2336,3 +2336,45 @@ def s55_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"lineitem": t(spark, sf_dir, "lineitem")},
         spark=spark,
     )
+
+
+@register(
+    "s66_aggregate_filter_clause",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+           CAST(MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS max_open
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("aggregate", "filter-clause", "execute-api"),
+    doc=(
+        "ANSI aggregate FILTER clause (SURVEY.md §2.5 breadth) through "
+        "execute(): per-aggregate predicates evaluated in ONE pass over "
+        "the fact table — the idiom that replaces N filtered subquery "
+        "scans with one grouped aggregate, which at 100 TB is the "
+        "difference between one shuffle and N. Identical syntax on "
+        "Spark and DuckDB; exact decimal sum for the filtered total."
+    ),
+)
+def s66_aggregate_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f,
+           CAST(MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS max_open
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """
+    return execute(
+        sql,
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
