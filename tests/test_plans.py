@@ -206,6 +206,7 @@ _BNLJ_INTENDED = {
     "s50_int8_quant_recall": "audit (exact-vs-quantized pair scan)",
     "s64_hybrid_search_rrf": "scalar-broadcast (the single query vector)",
     "s65_scd2_point_in_time": "scalar-broadcast (the span-bounded probe-day grid)",
+    "s67_event_type_pmi": "scalar-broadcast (the 1-row user-count total)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

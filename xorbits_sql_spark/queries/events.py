@@ -2542,3 +2542,81 @@ def s65_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("d", "event_type")
     )
+
+
+@register(
+    "s67_event_type_pmi",
+    """
+    WITH per_user AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (
+      SELECT COUNT(DISTINCT user_id) AS nu FROM events
+    ),
+    singles AS (
+      SELECT event_type, COUNT(*) AS c FROM per_user GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS cab
+      FROM per_user a JOIN per_user b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.cab AS BIGINT) AS n_both,
+           ln((CAST(p.cab AS DOUBLE) * nu.nu)
+              / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE))) AS pmi
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_users nu
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "stats", "pmi", "co-occurrence"),
+    doc=(
+        "Pointwise mutual information between event types, with users "
+        "as the co-occurrence context — the association statistic "
+        "behind co-occurrence embeddings and market-basket lift. Scale "
+        "shape: the context collapses to DISTINCT (user, type) first "
+        "(type cardinality is small and bounded, so the per-user pair "
+        "expansion is at most C(|types|,2), never event-count "
+        "quadratic), then one pair count plus broadcast singles/total. "
+        "PMI evaluates in identically-spelled IEEE doubles over exact "
+        "integer counts — bit-reproducible."
+    ),
+)
+def s67_event_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("nu"))
+    singles = per_user.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = per_user.alias("a"), per_user.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("cab").cast("bigint").alias("n_both"),
+            F.log(
+                (F.col("cab").cast("double") * F.col("nu"))
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )
