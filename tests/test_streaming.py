@@ -102,3 +102,40 @@ def test_upsert_sink_equals_batch_latest(spark, tmp_path):
     assert len(got) == len(want)
     assert (got["event_id"] == want["event_id"]).all()
     assert (got["value"] == want["value"]).all()
+
+
+def test_welford_anomalies_match_sequential_reference(spark):
+    """Final streaming Welford state per user must equal a sequential
+    Python pass over the same rows in (ts, event_id) order — pinning
+    the state machine including the prior-history alert predicate."""
+    from xorbits_sql_spark.queries import load_all
+
+    got = {
+        r["user_id"]: (r["n"], r["mean"], r["m2"], r["n_alerts"])
+        for r in load_all()["s68_stream_welford_anomalies"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    }
+
+    rows = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(float(r["value"]))
+    for uid, values in by_user.items():
+        n, mean, m2, alerts = 0, 0.0, 0.0, 0
+        for v in values:
+            if n >= 10:
+                var = m2 / (n - 1)
+                if var > 0 and abs(v - mean) > 3.0 * var**0.5:
+                    alerts += 1
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+        gn, gmean, gm2, galerts = got[uid]
+        assert (gn, galerts) == (n, alerts), uid
+        assert abs(gmean - mean) < 1e-9 and abs(gm2 - m2) < 1e-6, uid

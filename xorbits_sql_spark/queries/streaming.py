@@ -365,3 +365,34 @@ def s56_stream_append_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     agg = tumbling_counts(stream, window="1 hour", watermark="30 minutes")
     return run_to_memory(agg, mode="append").orderBy("hour", "event_type")
+
+
+@register(
+    "s68_stream_welford_anomalies",
+    None,  # custom stateful operator: the per-row Welford recurrence is
+    # order-dependent inside the state machine; equivalence with a
+    # sequential Python reference is pinned in tests/test_streaming.py
+    tags=("streaming", "stateful", "pandas-udf", "anomaly"),
+    doc=(
+        "Streaming per-user anomaly detection with constant-size state "
+        "(streaming/stateful.welford_anomalies): Welford (count, mean, "
+        "M2) per key, alerts when a value sits beyond 3 sigma of the "
+        "PRIOR history. Three scalars per key regardless of stream "
+        "length — the memory-bounded streaming counterpart of the "
+        "batch r56 rolling z-score. Final per-user state is checked "
+        "against a sequential reference implementation in tests."
+    ),
+)
+def s68_stream_welford_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W2
+
+    from ..streaming.stateful import welford_anomalies
+
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_to_memory(
+        welford_anomalies(stream, key_col="user_id", value_col="value"),
+        mode="update",
+    )
+    # update mode re-emits a key each batch; final state = greatest n.
+    rn = F.row_number().over(W2.partitionBy("user_id").orderBy(F.desc("n")))
+    return out.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn").orderBy("user_id")

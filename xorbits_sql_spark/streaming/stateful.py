@@ -92,3 +92,90 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_WELFORD_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+        StructField("n_alerts", LongType()),
+    ]
+)
+
+
+def welford_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    time_col: str = "ts",
+    watermark: str = "1 day",
+    z_threshold: float = 3.0,
+    min_history: int = 10,
+) -> DataFrame:
+    """Streaming per-key anomaly detection with Welford online moments.
+
+    Each key's state carries (count, mean, M2) — Welford's numerically
+    stable single-pass variance recurrence — updated row-by-row inside
+    the Arrow batch; a row is flagged when it sits more than
+    ``z_threshold`` standard deviations from the mean of the PRIOR
+    history (never including itself) once ``min_history`` rows have
+    been seen. Emits the refreshed per-key summary each batch (update
+    mode). The state is three scalars per key regardless of stream
+    length — the constant-memory property that makes this shape safe
+    on an unbounded 100 TB/day stream, vs. the batch r56 z-score that
+    windows over stored history.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, mean, m2, n_alerts = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            # event-time order within the batch: state transitions must
+            # not depend on shuffle arrival order
+            pdf = pdf.sort_values([time_col, "event_id"])
+            for v in pdf[value_col].astype(float):
+                if n >= min_history:
+                    var = m2 / (n - 1)
+                    if var > 0 and abs(v - mean) > z_threshold * var**0.5:
+                        n_alerts += 1
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2, n_alerts))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "mean": [mean],
+                "m2": [m2],
+                "n_alerts": [n_alerts],
+            }
+        )
+
+    out_schema = StructType(
+        [
+            events.schema[key_col],
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("m2", DoubleType()),
+            StructField("n_alerts", LongType()),
+        ]
+    )
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_WELFORD_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
