@@ -207,6 +207,8 @@ _BNLJ_INTENDED = {
     "s64_hybrid_search_rrf": "scalar-broadcast (the single query vector)",
     "s65_scd2_point_in_time": "scalar-broadcast (the span-bounded probe-day grid)",
     "s67_event_type_pmi": "scalar-broadcast (the 1-row user-count total)",
+    "s69_psi_value_drift": "scalar-broadcast (the 1-row bin-edge bounds)",
+    "s77_kcore_peel": "scalar-broadcast (singleton stat rows)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -256,6 +258,20 @@ _GLOBAL_WINDOW_INTENDED = {
     "s31_user_growth_curve": "running sum over the bounded day grid",
     "s64_hybrid_search_rrf": "rank over the two 100-row TakeOrdered "
     "retrieval legs (bounded by construction)",
+    "s69_psi_value_drift": "totals over the fixed 10-bin grid",
+    "s70_ks_two_sample": "ECDF cumsum over the per-distinct-value "
+    "collapse (bounded by value cardinality, not row count)",
+    "s71_mann_whitney_u": "rank cumsum over the same per-distinct-value "
+    "collapse as s70",
+    "s72_benford_first_digit": "total over the fixed 9-digit grid",
+    "s73_peak_concurrency": "sweep-line running sum — inherently a "
+    "total order over session endpoints (2 rows/session, already "
+    "collapsed); at larger scale: range-partition + per-partition "
+    "offset pass",
+    "s74_cumulative_distinct_users": "running sum over the bounded "
+    "day grid (post user-collapse)",
+    "s76_zipf_exponent": "rank over the 200-row TakeOrdered head "
+    "(bounded by construction)",
 }
 
 _WINSPEC = re.compile(

@@ -61,5 +61,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import vectors  # noqa: F401
     from . import streaming  # noqa: F401
     from . import pipeline  # noqa: F401
+    from . import stats  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,964 @@
+"""Distribution statistics, drift detection and graph-structure queries.
+
+The statistical layer a data-curation pipeline runs *between* ingestion
+and training: distribution-drift monitors (PSI), nonparametric
+two-sample tests (Kolmogorov-Smirnov, Mann-Whitney), fraud/quality
+audits (Benford), load analytics (sweep-line peak concurrency), growth
+accounting (cumulative distinct users), corpus statistics (ARI
+readability, Zipf exponent) and k-core graph peeling.
+
+None of these exist in the reference (its surface stops at basic
+aggregates — SURVEY.md §2.5); they are pure extensions in the same
+oracle-checked contract as the rest of the inventory.
+
+Cross-engine determinism strategy (see queries/__init__.py): every
+aggregate accumulates integers (counts, micros, or round(x*1e9)
+fixed-point) so sums are order-independent, then the final statistic is
+one identically-spelled IEEE-double expression on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import register
+from ._util import t
+from ..functions.text import norm_ws, token_count
+
+# DuckDB fragments mirroring functions/text.py (same as queries/text.py)
+_NORM = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+_NTOK = (
+    f"CASE WHEN {_NORM} = '' THEN 0 "
+    f"ELSE length({_NORM}) - length(replace({_NORM}, ' ', '')) + 1 END"
+)
+
+
+@register(
+    "s69_psi_value_drift",
+    """
+    WITH ref AS (
+      SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    cur AS (
+      SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    edges AS (
+      SELECT MIN(value) AS lo, (MAX(value) - MIN(value)) / 10.0 AS width
+      FROM ref
+    ),
+    binned_ref AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(floor((value - lo) / width) AS INT))) AS bin,
+             COUNT(*) AS c_ref
+      FROM ref CROSS JOIN edges GROUP BY 1
+    ),
+    binned_cur AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(floor((value - lo) / width) AS INT))) AS bin,
+             COUNT(*) AS c_cur
+      FROM cur CROSS JOIN edges GROUP BY 1
+    ),
+    bins AS (SELECT UNNEST(range(10)) AS bin),
+    joined AS (
+      SELECT CAST(b.bin AS INT) AS bin,
+             CAST(COALESCE(r.c_ref, 0) AS BIGINT) AS c_ref,
+             CAST(COALESCE(c.c_cur, 0) AS BIGINT) AS c_cur,
+             CAST(SUM(COALESCE(r.c_ref, 0)) OVER () AS BIGINT) AS n_ref,
+             CAST(SUM(COALESCE(c.c_cur, 0)) OVER () AS BIGINT) AS n_cur
+      FROM bins b
+      LEFT JOIN binned_ref r ON r.bin = b.bin
+      LEFT JOIN binned_cur c ON c.bin = b.bin
+    ),
+    terms AS (
+      SELECT bin, c_ref, c_cur,
+             (CAST(c_cur AS DOUBLE) + 0.5) / (CAST(n_cur AS DOUBLE) + 5.0)
+               AS p_cur,
+             (CAST(c_ref AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + 5.0)
+               AS p_ref
+      FROM joined
+    )
+    SELECT bin, c_ref, c_cur,
+           (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_term,
+           CAST(SUM(CAST(round(((p_cur - p_ref) * ln(p_cur / p_ref)) * 1e12)
+                         AS BIGINT)) OVER () AS DOUBLE) / 1e12 AS psi_total
+    FROM terms
+    ORDER BY bin
+    """,
+    tags=("stats", "drift", "psi"),
+    doc=(
+        "Population Stability Index between the first and second half of "
+        "the event window — the standard production monitor for feature/"
+        "score drift. Bin edges are 10 equal-width bins over the "
+        "REFERENCE period's [min, max] (exact doubles, identical on both "
+        "engines), counts are one grouped aggregate per period, and the "
+        "Laplace-smoothed (+0.5) PSI terms evaluate in identically-"
+        "spelled doubles. Scale shape: two map-side-combinable "
+        "aggregations over the fact table plus a broadcast of the "
+        "2-scalar edge row; the total PSI is re-accumulated from "
+        "round(term*1e12) integers so the 10-term sum is order-"
+        "independent. At 100 TB this is two scans, no wide shuffle."
+    ),
+)
+def s69_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    edges = ref.agg(
+        F.min("value").alias("lo"),
+        ((F.max("value") - F.min("value")) / 10.0).alias("width"),
+    )
+
+    def binned(df: DataFrame, cname: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(
+                F.least(
+                    F.lit(9),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("value") - F.col("lo")) / F.col("width"))
+                        .cast("int"),
+                    ),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(F.broadcast(binned(ref, "c_ref")), "bin", "left")
+        .join(F.broadcast(binned(cur, "c_cur")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).cast("bigint").alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).cast("bigint").alias("c_cur"),
+        )
+        .withColumn("n_ref", F.sum("c_ref").over(W.partitionBy()).cast("bigint"))
+        .withColumn("n_cur", F.sum("c_cur").over(W.partitionBy()).cast("bigint"))
+    )
+    p_cur = (F.col("c_cur").cast("double") + 0.5) / (
+        F.col("n_cur").cast("double") + 5.0
+    )
+    p_ref = (F.col("c_ref").cast("double") + 0.5) / (
+        F.col("n_ref").cast("double") + 5.0
+    )
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        joined.select("bin", "c_ref", "c_cur", term.alias("psi_term"))
+        .withColumn(
+            "psi_total",
+            F.sum(F.round(F.col("psi_term") * 1e12).cast("bigint"))
+            .over(W.partitionBy())
+            .cast("double")
+            / 1e12,
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "s70_ks_two_sample",
+    """
+    WITH per_v AS (
+      SELECT value,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS c1,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT SUM(c1) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum2,
+             SUM(c1) OVER () AS n1,
+             SUM(c2) OVER () AS n2
+      FROM per_v
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           MAX(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_d
+    FROM cum
+    """,
+    tags=("stats", "hypothesis-test", "ks"),
+    doc=(
+        "Two-sample Kolmogorov-Smirnov statistic between the 'view' and "
+        "'purchase' value distributions: D = max |ECDF1 - ECDF2|, "
+        "evaluated only at distinct observed values (where the ECDF "
+        "difference can change). Scale shape: the fact table collapses "
+        "to per-distinct-value integer counts first (bounded by value "
+        "cardinality, not row count); the single-ordered cumulative "
+        "window runs over that collapsed set. All accumulation is "
+        "integer; the final division/abs/max is order-independent."
+    ),
+)
+def s70_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    per_v = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
+    )
+    wo = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    cum = per_v.select(
+        F.sum("c1").over(wo).alias("cum1"),
+        F.sum("c2").over(wo).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max(
+            F.abs(
+                F.col("cum1").cast("double") / F.col("n1").cast("double")
+                - F.col("cum2").cast("double") / F.col("n2").cast("double")
+            )
+        ).alias("ks_d"),
+    )
+
+
+@register(
+    "s71_mann_whitney_u",
+    """
+    WITH per_v AS (
+      SELECT value,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS c1,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY value
+    ),
+    ranked AS (
+      SELECT c1, c2,
+             SUM(c1 + c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+               - (c1 + c2) AS cum_before
+      FROM per_v
+    ),
+    moments AS (
+      -- 2*avg_rank = 2*cum_before + (c1 + c2 + 1); all-integer sums
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c1 * (2 * cum_before + c1 + c2 + 1)) AS r1_twice
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+             - CAST(r1_twice AS DOUBLE) / 2.0 AS u1,
+           (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+             - CAST(r1_twice AS DOUBLE) / 2.0
+             - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+           / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0)
+             AS z_score
+    FROM moments
+    """,
+    tags=("stats", "hypothesis-test", "rank"),
+    doc=(
+        "Mann-Whitney U (rank-sum) test between 'view' and 'purchase' "
+        "values, with exact average-rank tie handling: per distinct "
+        "value, 2*avg_rank = 2*cum_before + (c1+c2+1) — an INTEGER — so "
+        "the rank-sum R1 accumulates as SUM(c1 * that) in exact integer "
+        "arithmetic, order-independent at any cluster size. The normal "
+        "z approximation (no tie-variance correction; documented) is "
+        "one identically-spelled double expression. Same collapsed "
+        "per-distinct-value scale shape as the KS test."
+    ),
+)
+def s71_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    per_v = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
+    )
+    wo = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = per_v.select(
+        "c1",
+        "c2",
+        (F.sum(F.col("c1") + F.col("c2")).over(wo) - (F.col("c1") + F.col("c2"))).alias(
+            "cum_before"
+        ),
+    )
+    m = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (2 * F.col("cum_before") + F.col("c1") + F.col("c2") + 1)
+        ).alias("r1_twice"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1 = n1d * n2d + n1d * (n1d + 1.0) / 2.0 - F.col("r1_twice").cast("double") / 2.0
+    z = (u1 - n1d * n2d / 2.0) / F.sqrt(n1d * n2d * (n1d + n2d + 1.0) / 12.0)
+    return m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1.alias("u1"),
+        z.alias("z_score"),
+    )
+
+
+@register(
+    "s72_benford_first_digit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    counts AS (
+      SELECT digit, COUNT(*) AS n,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_observed,
+           ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS p_benford,
+           (CAST(n AS DOUBLE)
+            - CAST(n_total AS DOUBLE)
+              * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+           * (CAST(n AS DOUBLE)
+              - CAST(n_total AS DOUBLE)
+                * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+           / (CAST(n_total AS DOUBLE)
+              * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+             AS chi2_term
+    FROM counts
+    ORDER BY digit
+    """,
+    tags=("stats", "data-quality", "benford"),
+    doc=(
+        "Benford's-law first-significant-digit audit of order totals — "
+        "the classic anomaly/fraud screen for monetary columns. The "
+        "first digit is extracted via exact integer arithmetic "
+        "(round(price*100) -> BIGINT -> first character), deliberately "
+        "avoiding floor(log10(x)): Java's and C's log10 are each "
+        "allowed 1-ulp error, so a boundary value like 1000.00 could "
+        "bucket differently across engines. One grouped count (9 "
+        "groups), map-side combinable; chi-square terms against "
+        "ln(1+1/d)/ln(10) evaluate in identically-spelled doubles."
+    ),
+)
+def s72_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digit = (
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+    ).cast("int")
+    counts = (
+        t(spark, sf_dir, "orders")
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("n_total", F.sum("n").over(W.partitionBy()).cast("bigint"))
+    )
+    nd = F.col("n").cast("double")
+    ntd = F.col("n_total").cast("double")
+    p_b = F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(F.lit(10.0))
+    exp_n = ntd * p_b
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        (nd / ntd).alias("p_observed"),
+        p_b.alias("p_benford"),
+        ((nd - exp_n) * (nd - exp_n) / exp_n).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+@register(
+    "s73_peak_concurrency",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, session_seq,
+             MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+      FROM (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+      )
+      GROUP BY user_id, session_seq
+    ),
+    points AS (
+      SELECT start_us AS t, 1 AS d FROM sessions
+      UNION ALL
+      SELECT end_us AS t, -1 AS d FROM sessions
+    ),
+    swept AS (
+      SELECT date_trunc('day', make_timestamp(t)) AS day,
+             SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS conc
+      FROM points
+    )
+    SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrent_sessions
+    FROM swept
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("events", "interval", "sweep-line"),
+    doc=(
+        "Peak concurrent sessions per day via the sweep-line algorithm: "
+        "sessions (30-min-gap sessionization, shared with q51) emit "
+        "(start,+1)/(end,-1) deltas; one running integer sum over "
+        "(t, d) order gives instantaneous concurrency; a session ending "
+        "exactly when another starts does not overlap (the -1 sorts "
+        "first). This is THE scalable alternative to an interval self-"
+        "join (quadratic in overlap degree): 2 rows per session, one "
+        "ordered window. Tie blocks carry equal deltas, so the partial-"
+        "sum multiset — hence the per-day MAX — is order-independent. "
+        "All integer micros arithmetic."
+    ),
+)
+def s73_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wuser))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+        "event_id",
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            wuser.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    sessions = flagged.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )
+    points = sessions.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("d")
+    ).unionAll(sessions.select(F.col("end_us").alias("t"), F.lit(-1).alias("d")))
+    swept = points.select(
+        F.date_trunc("day", F.timestamp_micros(F.col("t"))).alias("day"),
+        F.sum("d")
+        .over(W.orderBy("t", "d").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("conc"),
+    )
+    return (
+        swept.groupBy("day")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrent_sessions"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "s74_cumulative_distinct_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS day
+      FROM events GROUP BY user_id
+    )
+    SELECT day,
+           COUNT(*) AS new_users,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM first_seen
+    GROUP BY day
+    ORDER BY day
+    """,
+    tags=("events", "growth", "window"),
+    doc=(
+        "Cumulative distinct users per day — the growth-accounting "
+        "curve. Spark's window frames cannot express COUNT(DISTINCT) "
+        "over a running frame; the scalable re-expression is first-"
+        "touch attribution: collapse each user to their MIN(date) (one "
+        "map-side-combinable aggregate on user_id), then a running sum "
+        "over ~30 day rows. At 100 TB the only shuffle is the user_id "
+        "aggregation; the window runs on the day-level rollup. Distinct-"
+        "over-frame via first-touch is exact, unlike sketch approaches."
+    ),
+)
+def s74_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_seen = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("day"))
+    )
+    return (
+        first_seen.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+        .withColumn(
+            "cum_users",
+            F.sum("new_users")
+            .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("bigint"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "s75_readability_ari",
+    f"""
+    WITH per_doc AS (
+      SELECT source,
+             length(replace({_NORM}, ' ', '')) AS chars_ns,
+             {_NTOK} AS words,
+             GREATEST(1,
+               length(regexp_replace({_NORM}, '[.!?]+', '.', 'g'))
+               - length(replace(regexp_replace({_NORM}, '[.!?]+', '.', 'g'),
+                                '.', ''))) AS sentences
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, chars_ns, words, sentences,
+             4.71 * (CAST(chars_ns AS DOUBLE) / CAST(words AS DOUBLE))
+             + 0.5 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+             - 21.43 AS ari
+      FROM per_doc WHERE words > 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(chars_ns AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(CAST(words AS DECIMAL(38,0))) AS DOUBLE)
+             AS chars_per_word,
+           CAST(SUM(CAST(words AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(CAST(sentences AS DECIMAL(38,0))) AS DOUBLE)
+             AS words_per_sentence,
+           CAST(SUM(CAST(round(ari * 1e9) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e9 AS avg_ari
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality", "readability"),
+    doc=(
+        "Automated Readability Index per source — a standard pretraining "
+        "quality-scoring feature (complements the Gopher rules in r60). "
+        "Syllable-free by design: ARI needs only chars/word and words/"
+        "sentence, both computable with length arithmetic that is "
+        "expressible identically in any dialect (sentence runs [.!?]+ "
+        "collapsed to one '.', counted by length difference — no "
+        "regex-split, whose trailing-empty semantics differ between "
+        "engines). Per-doc ARI doubles are re-accumulated as "
+        "round(x*1e9) integers so the per-source mean is order-"
+        "independent. One narrow projection + one grouped aggregate."
+    ),
+)
+def s75_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = norm_ws(F.col("text"))
+    collapsed = F.regexp_replace(norm, r"[.!?]+", ".")
+    per_doc = t(spark, sf_dir, "documents").select(
+        "source",
+        F.length(F.replace(norm, F.lit(" "), F.lit(""))).alias("chars_ns"),
+        token_count(F.col("text")).alias("words"),
+        F.greatest(
+            F.lit(1),
+            F.length(collapsed)
+            - F.length(F.replace(collapsed, F.lit("."), F.lit(""))),
+        ).alias("sentences"),
+    )
+    ari = (
+        4.71 * (F.col("chars_ns").cast("double") / F.col("words").cast("double"))
+        + 0.5 * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - 21.43
+    )
+    scored = per_doc.filter(F.col("words") > 0).withColumn("ari", ari)
+    dec = "decimal(38,0)"
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("chars_ns").cast(dec)).cast("double")
+                / F.sum(F.col("words").cast(dec)).cast("double")
+            ).alias("chars_per_word"),
+            (
+                F.sum(F.col("words").cast(dec)).cast("double")
+                / F.sum(F.col("sentences").cast(dec)).cast("double")
+            ).alias("words_per_sentence"),
+            (
+                F.sum(F.round(F.col("ari") * 1e9).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+                / 1e9
+            ).alias("avg_ari"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "s76_zipf_exponent",
+    f"""
+    WITH tokens AS (
+      SELECT unnest(string_split(lower({_NORM}), ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS n FROM tokens WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r, n
+      FROM freq
+      QUALIFY r <= 200
+    ),
+    ints AS (
+      -- 1e6 fixed-point: |x| < 2.4e7, so x*y < 6e14 stays inside BIGINT
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT COUNT(*) AS k,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+      FROM ints
+    )
+    SELECT CAST(k AS BIGINT) AS n_ranks,
+           (CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+             - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           / (CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+             - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+             AS zipf_slope,
+           ((CAST(sy AS DOUBLE) / 1e6)
+            - ((CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+               / (CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                  - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))
+              * (CAST(sx AS DOUBLE) / 1e6))
+           / CAST(k AS DOUBLE) AS log_intercept
+    FROM m
+    """,
+    tags=("text", "corpus-stats", "regression"),
+    doc=(
+        "Zipf-law exponent of the corpus: OLS slope of ln(freq) ~ "
+        "ln(rank) over the top-200 token ranks (a healthy natural-"
+        "language corpus fits slope ~ -1; machine-generated or boiler-"
+        "plate-heavy corpora deviate — a cheap corpus-level quality "
+        "monitor). Scale shape: token counting is the same exploded "
+        "aggregate as q63; only the 200-row rank head enters the "
+        "regression. ln values are fixed-point-scaled (round(x*1e6), "
+        "keeping x*y inside BIGINT under ANSI mode) so the moment sums "
+        "are exact integers (same contract as s55's "
+        "normal equations); slope/intercept are identically-spelled "
+        "double expressions over those exact moments."
+    ),
+)
+def s76_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # top-200 via TakeOrderedAndProject (distributed top-k), then rank
+    # within the 200-row head — never a global window over the vocabulary
+    head = freq.orderBy(F.desc("n"), "tok").limit(200)
+    ranked = head.select(
+        F.row_number().over(W.orderBy(F.desc("n"), "tok")).alias("r"), "n"
+    )
+    ints = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1e6).cast("bigint").alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6).cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = ints.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double") / 1e6
+    sy = F.col("sy").cast("double") / 1e6
+    sxy = F.col("sxy").cast("double") / 1e12
+    sxx = F.col("sxx").cast("double") / 1e12
+    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / kd
+    return m.select(
+        F.col("k").cast("bigint").alias("n_ranks"),
+        slope.alias("zipf_slope"),
+        intercept.alias("log_intercept"),
+    )
+
+
+@register(
+    "s77_kcore_peel",
+    """
+    WITH edges0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    deg0 AS (
+      SELECT p, COUNT(*) AS d FROM (
+        SELECT p1 AS p FROM edges0 UNION ALL SELECT p2 FROM edges0
+      ) GROUP BY p
+    ),
+    keep1 AS (SELECT p FROM deg0 WHERE d >= 3),
+    edges1 AS (
+      SELECT e.p1, e.p2 FROM edges0 e
+      JOIN keep1 k1 ON k1.p = e.p1
+      JOIN keep1 k2 ON k2.p = e.p2
+    ),
+    deg1 AS (
+      SELECT p, COUNT(*) AS d FROM (
+        SELECT p1 AS p FROM edges1 UNION ALL SELECT p2 FROM edges1
+      ) GROUP BY p
+    ),
+    keep2 AS (SELECT p FROM deg1 WHERE d >= 3),
+    edges2 AS (
+      SELECT e.p1, e.p2 FROM edges1 e
+      JOIN keep2 k1 ON k1.p = e.p1
+      JOIN keep2 k2 ON k2.p = e.p2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg0) AS BIGINT) AS nodes_0,
+           CAST((SELECT COUNT(*) FROM edges0) AS BIGINT) AS edges_0,
+           CAST((SELECT COUNT(*) FROM keep1) AS BIGINT) AS nodes_1,
+           CAST((SELECT COUNT(*) FROM edges1) AS BIGINT) AS edges_1,
+           CAST((SELECT COUNT(*) FROM keep2) AS BIGINT) AS nodes_2,
+           CAST((SELECT COUNT(*) FROM edges2) AS BIGINT) AS edges_2
+    """,
+    tags=("graph", "kcore", "market-basket"),
+    doc=(
+        "3-core peeling (two bounded rounds) of the part co-purchase "
+        "graph — the dense-subgraph filter used to find tightly-coupled "
+        "product clusters before community detection. Each round is one "
+        "degree aggregation plus two semi-join-shaped filters on the "
+        "edge list; rounds are BOUNDED (2) and documented as such, the "
+        "same bounded-iteration contract as r74's PageRank. The edge "
+        "list is built once (same support-thresholded co-purchase "
+        "construction as s49, bounded by order size squared) and "
+        "persisted across rounds. All counts exact integers."
+    ),
+)
+def s77_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _persist
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges0 = _persist(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("p1").alias("p"))
+            .unionAll(edges.select(F.col("p2").alias("p")))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    def peel(edges: DataFrame, keep: DataFrame) -> DataFrame:
+        k1 = keep.select(F.col("p").alias("p1"))
+        k2 = keep.select(F.col("p").alias("p2"))
+        return edges.join(k1, "p1", "left_semi").join(k2, "p2", "left_semi")
+
+    deg0 = degrees(edges0)
+    keep1 = deg0.filter(F.col("d") >= 3).select("p")
+    edges1 = _persist(peel(edges0, keep1))
+    deg1 = degrees(edges1)
+    keep2 = deg1.filter(F.col("d") >= 3).select("p")
+    edges2 = peel(edges1, keep2)
+
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+
+    return (
+        cnt(deg0, "nodes_0")
+        .crossJoin(cnt(edges0, "edges_0"))
+        .crossJoin(cnt(keep1, "nodes_1"))
+        .crossJoin(cnt(edges1, "edges_1"))
+        .crossJoin(cnt(keep2, "nodes_2"))
+        .crossJoin(cnt(edges2, "edges_2"))
+    )
+
+
+@register(
+    "s78_execute_hive_dialect",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_urgent_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_final
+    FROM orders
+    WHERE regexp_matches(o_orderpriority, '^[12]-')
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("execute-api", "dialect", "hive"),
+    doc=(
+        "HiveQL through execute(dialect='hive'): backquoted identifiers, "
+        "IF(cond, a, b) and RLIKE — the Hadoop-ecosystem dialect the "
+        "reference covers via sqlglot (reference core.py:102 delegates "
+        "to sqlglot.transpile; its README lists hive). Hive is in "
+        "Spark's own syntax family, so the token-stream fallback mostly "
+        "passes tokens through — the test value is pinning that the "
+        "family mapping stays a no-op (no over-rewriting)."
+    ),
+)
+def s78_execute_hive_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..core import execute
+
+    sql = """
+    SELECT `o_orderpriority` AS priority,
+           COUNT(*) AS n_urgent_f,
+           CAST(SUM(IF(`o_orderstatus` = 'F', 1, 0)) AS BIGINT) AS n_final
+    FROM orders
+    WHERE `o_orderpriority` RLIKE '^[12]-'
+    GROUP BY `o_orderpriority`
+    ORDER BY priority
+    """
+    return execute(
+        sql,
+        dialect="hive",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "s79_sorted_array_agg",
+    """
+    WITH ints AS (
+      SELECT DISTINCT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+      FROM ints
+    )
+    SELECT event_type,
+           CAST(MAX(n_distinct) AS BIGINT) AS n_distinct,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY v) AS lowest5
+    FROM ranked
+    WHERE rn <= 5
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("aggregate", "array-agg", "collect"),
+    doc=(
+        "Ordered array aggregation (ARRAY_AGG ... ORDER BY / Spark "
+        "collect_list): the 5 smallest distinct cent-scaled values per "
+        "event type, emitted as a canonical comma-joined string. Spark's "
+        "collect_list order is partition-arrival nondeterministic BY "
+        "DESIGN — the engine re-establishes determinism with array_sort "
+        "before joining, the required pattern for reproducible collected "
+        "aggregates on any cluster. The rank filter bounds the collected "
+        "set (never collect unbounded groups); values are integer-scaled "
+        "so string rendering is engine-independent."
+    ),
+)
+def s79_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ints = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+        )
+        .distinct()
+    )
+    wtype = W.partitionBy("event_type")
+    ranked = ints.select(
+        "event_type",
+        "v",
+        F.row_number().over(wtype.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(wtype).alias("n_distinct"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 5)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_distinct").cast("bigint").alias("n_distinct"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("v")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("lowest5"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "s80_exact_group_median",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           SUM(value) / COUNT(*) AS median
+    FROM ranked
+    WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+       OR rn = CAST(floor(n / 2.0) AS BIGINT) + 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("aggregate", "median", "window"),
+    doc=(
+        "EXACT per-group median via positional selection: rank rows "
+        "within each group, keep the one (odd n) or two (even n) middle "
+        "positions, average them. Interpolating percentile built-ins "
+        "(percentile_cont) evaluate (1-f)*a + f*b with engine-internal "
+        "spelling, so their low bits are not portable; positional "
+        "selection is — the picked values are raw column doubles and "
+        "the 2-element average is order-independent. Scale shape: one "
+        "per-group sort (the unavoidable cost of an exact median), no "
+        "driver-side collection; for sketch-grade needs at 100 TB the "
+        "engine offers approx_tiles (q57/q93) instead."
+    ),
+)
+def s80_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wtype = W.partitionBy("event_type")
+    ranked = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.row_number().over(wtype.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    hi = F.floor(F.col("n") / 2.0).cast("bigint") + 1
+    return (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            (F.sum("value") / F.count(F.lit(1))).alias("median"),
+        )
+        .orderBy("event_type")
+    )
