@@ -37,10 +37,12 @@ from xorbits_sql_spark.queries import load_all
 # ROUND-4 ROTATION: once CORRECTNESS_r03 confirms those 50 green,
 # extend the ranges below to cover q57..q99 and r46..r56; the window
 # then becomes r57..r99 (42 — r51..r54 unused) + s01..s08. Round 5:
-# extend through r99 + s08 → window s09..s56 takes two more rounds
-# (s09..s31 existed at r02-close; s32..s56 landed during round 3 —
-# dialect paths, curation ops, BPE, graph/stats/streaming entries);
-# keep adding new query names that sort before ``z`` so every round
+# extend through r99 + s08 → window s09..s58. Round 6: extend through
+# s58 → window s59..s80 (+ any later additions). s01..s31 existed at
+# r02-close; s32..s68 landed in round 3's first session (dialect
+# paths, curation ops, BPE, graph/stats/streaming entries); s69..s80
+# in its second (distribution stats, drift tests, hive, median).
+# Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 23)]

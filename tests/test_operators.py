@@ -746,3 +746,32 @@ def test_bpe_merges_match_python_reference(spark):
                     i += 1
             vocab[w] = new
     assert got == want
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    """hll_union_agg over per-day sketches must yield EXACTLY the same
+    estimate as one sketch built directly over the whole period — the
+    lossless-merge property that lets daily sketch pre-aggregates
+    answer arbitrary date-range distinct queries (s81)."""
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.queries.stats import s81_hll_sketch_rollup
+    from xorbits_sql_spark.queries._util import t
+
+    sf = "/root/testdata/sf0.01"
+    merged = {
+        r["event_type"]: r["merged_distinct_users"]
+        for r in s81_hll_sketch_rollup(spark, sf).collect()
+    }
+    direct = {
+        r["event_type"]: r["d"]
+        for r in t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .collect()
+    }
+    assert merged == direct

@@ -962,3 +962,39 @@ def s80_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s81_hll_sketch_rollup",
+    None,  # sketch binary/estimates are engine-specific; the merge==direct
+    # equality is asserted in tests/test_operators.py instead
+    tags=("events", "sketch", "approx", "rollup"),
+    doc=(
+        "Mergeable-sketch rollup — the pattern that makes distinct "
+        "counts tractable at 100 TB: build one DataSketches HLL per "
+        "(day, event_type) cell (hll_sketch_agg), then merge the daily "
+        "sketches per event_type with hll_union_agg instead of "
+        "re-scanning the fact table. HLL union at equal lgConfigK is "
+        "lossless, so the merged estimate is IDENTICAL to the estimate "
+        "of a sketch built directly over the whole period — asserted "
+        "exactly in tests (merge==direct), which is the property that "
+        "lets daily pre-aggregates answer any date-range distinct query "
+        "without touching raw data. No DuckDB oracle: sketch registers "
+        "are engine-specific (rows-only driver check)."
+    ),
+)
+def s81_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("merged_distinct_users"),
+        )
+        .orderBy("event_type")
+    )
