@@ -23,7 +23,12 @@ and the MEDIAN of the three warm passes is reported — sub-second entries
 are dominated by scheduler/suite-context jitter, and both round-2 bench
 reports flagged phantom regressions from single noisy passes. Streaming
 queries (micro-batch scheduler floor, 3-8 s run-to-run variance) use an
-8 s absolute regression floor instead of 0.3 s."""
+8 s absolute regression floor instead of 0.3 s. Additionally, any warm
+pass that would be FLAGGED as a regression (>1.5x its committed
+baseline) is re-measured twice and the median reported: in a 200+ query
+suite a single pass occasionally lands on a JIT-deopt/GC pause (observed
+r75 at 12x once, 0.6 s on the very next run), and a regression report
+must survive re-measurement before it is worth a human's attention."""
 
 from __future__ import annotations
 
@@ -50,6 +55,13 @@ def main() -> None:
 
     from xorbits_sql_spark.operators.dedup import release_caches
 
+    try:
+        with open(_BASELINE_PATH) as f:
+            _base = json.load(f)
+        _base_q = _base.get("queries", {}) if _base.get("sf") == sf_dir else {}
+    except (OSError, ValueError):
+        _base_q = {}
+
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
         try:
@@ -65,8 +77,11 @@ def main() -> None:
         release_caches()
         try:
             warm = [_timed(spec.fn, spark, sf_dir, release_caches)]
-            # Sub-second entries are jitter-dominated: median of 3.
-            if warm[0] < 1.0:
+            # Sub-second entries are jitter-dominated, and any pass that
+            # would flag as a regression must survive re-measurement
+            # (one-off JIT-deopt/GC pauses masquerade as 10x): median of 3.
+            suspect = name in _base_q and _base_q[name] > 0 and warm[0] > 0.3 and warm[0] / _base_q[name] > 1.5
+            if warm[0] < 1.0 or suspect:
                 warm.append(_timed(spec.fn, spark, sf_dir, release_caches))
                 warm.append(_timed(spec.fn, spark, sf_dir, release_caches))
             timings[name] = round(sorted(warm)[len(warm) // 2], 4)

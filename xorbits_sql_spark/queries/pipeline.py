@@ -1952,3 +1952,150 @@ def s59_joint_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("comp").cast("bigint").alias("keeper"), "n_docs")
         .orderBy("keeper")
     )
+
+
+@register(
+    "s82_curation_funnel",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, source, lower({_NORM}) AS norm, {_NTOK} AS words, n_chars
+      FROM documents WHERE doc_id % 17 <> 0
+    ),
+    quality AS (
+      SELECT * FROM corpus
+      WHERE words >= 10 AND words <= 5000
+        AND CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+            / CAST(words AS DOUBLE) BETWEEN 3.0 AND 12.0
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm)
+                                     ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    bench AS (
+      SELECT DISTINCT md5(lower({_NORM})) AS fp
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    clean AS (
+      SELECT d.* FROM deduped d
+      WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.fp = md5(d.norm))
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM clean
+      ) WHERE rk <= 50
+    ),
+    sampled AS (
+      SELECT * FROM capped
+      WHERE ('0x' || substring(md5('s82:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 100 < 80
+    )
+    SELECT * FROM (
+      SELECT '1_corpus' AS stage, COUNT(*) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS total_words FROM corpus
+      UNION ALL
+      SELECT '2_quality', COUNT(*), CAST(SUM(words) AS BIGINT) FROM quality
+      UNION ALL
+      SELECT '3_deduped', COUNT(*), CAST(SUM(words) AS BIGINT) FROM deduped
+      UNION ALL
+      SELECT '4_decontaminated', COUNT(*), CAST(SUM(words) AS BIGINT) FROM clean
+      UNION ALL
+      SELECT '5_domain_capped', COUNT(*), CAST(SUM(words) AS BIGINT) FROM capped
+      UNION ALL
+      SELECT '6_sampled', COUNT(*), CAST(SUM(words) AS BIGINT) FROM sampled
+    ) ORDER BY stage
+    """,
+    tags=("pipeline", "curation", "funnel"),
+    doc=(
+        "The whole curation pipeline as ONE dataflow — the end-to-end "
+        "shape a pretraining data job actually runs: quality gate "
+        "(length + mean-word-length), exact dedup keeping the lowest "
+        "doc_id, benchmark decontamination (broadcast anti-join), "
+        "per-domain cap (deterministic md5-order rank), and an 80% "
+        "deterministic hash sample; the result is the stage-by-stage "
+        "retention funnel (docs + token mass per stage). Every keep "
+        "decision is a pure hash/arithmetic function of the row, so "
+        "the funnel is bit-reproducible at any cluster size, and each "
+        "stage reuses the inventory's proven primitive (q66/q62/q76/"
+        "s44/q77). Scale shape: one scan feeds the chain; the only "
+        "shuffles are the dedup fingerprint groupBy and the domain-cap "
+        "window; the bench side broadcasts. Stage counts are six 1-row "
+        "aggregates over the SAME cached lineage (Catalyst reuses the "
+        "exchange under AQE), unioned."
+    ),
+)
+def s82_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import norm_ws, token_count
+
+    docs = t(spark, sf_dir, "documents")
+    norm = F.lower(norm_ws(F.col("text")))
+    base = docs.select(
+        "doc_id", "source", norm.alias("norm"),
+        token_count(F.col("text")).alias("words"),
+    )
+    corpus = base.filter(F.col("doc_id") % 17 != 0)
+    mean_word = F.length(F.replace(F.col("norm"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / F.col("words").cast("double")
+    quality = corpus.filter(
+        (F.col("words") >= 10)
+        & (F.col("words") <= 5000)
+        & mean_word.between(3.0, 12.0)
+    )
+    wfp = W.partitionBy(F.md5(F.col("norm"))).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.md5(norm).alias("fp"))
+        .distinct()
+    )
+    clean = deduped.withColumn("fp", F.md5(F.col("norm"))).join(
+        F.broadcast(bench), "fp", "left_anti"
+    )
+    wcap = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = (
+        clean.withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= 50)
+        .drop("rk")
+    )
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s82:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 80
+    )
+    sampled = capped.filter(keep)
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").cast("bigint").alias("total_words"),
+        ).select("stage", "n_docs", "total_words")
+
+    return (
+        stage(corpus, "1_corpus")
+        .unionAll(stage(quality, "2_quality"))
+        .unionAll(stage(deduped, "3_deduped"))
+        .unionAll(stage(clean, "4_decontaminated"))
+        .unionAll(stage(capped, "5_domain_capped"))
+        .unionAll(stage(sampled, "6_sampled"))
+        .orderBy("stage")
+    )
