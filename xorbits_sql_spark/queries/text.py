@@ -2263,3 +2263,65 @@ def s64_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("rc"), F.lit(-1)).cast("bigint").alias("rank_cosine"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+@register(
+    "s83_phrase_search",
+    f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(lower({_NORM}), ' ') AS arr FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(arr) AS tok, unnest(range(len(arr))) AS pos
+      FROM arrs
+    ),
+    m1 AS (SELECT doc_id, pos FROM toks WHERE tok = 'table'),
+    m2 AS (SELECT doc_id, pos FROM toks WHERE tok = 'scan')
+    SELECT m1.doc_id AS doc_id,
+           COUNT(*) AS n_hits,
+           CAST(MIN(m1.pos) AS BIGINT) AS first_pos
+    FROM m1 JOIN m2 ON m2.doc_id = m1.doc_id AND m2.pos = m1.pos + 1
+    GROUP BY 1
+    ORDER BY n_hits DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "search", "positional-index"),
+    doc=(
+        "Exact phrase search ('table scan') over a positional inverted "
+        "index — the search-engine primitive BM25 (r62) cannot express: "
+        "posexplode assigns 0-based token positions, the phrase is an "
+        "equi-join on (doc_id, pos+1) between the two term postings. "
+        "Scale shape: postings are filtered to the phrase terms BEFORE "
+        "the join (selectivity of the rarest term bounds the join input "
+        "— the classic term-ordering optimization), the join key is "
+        "(doc, position) so it is linear in posting size, never "
+        "quadratic; top-20 via TakeOrdered. Counts/positions are exact "
+        "integers."
+    ),
+)
+def s83_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    m1 = toks.filter(F.col("tok") == "table").select("doc_id", "pos")
+    m2 = toks.filter(F.col("tok") == "scan").select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("pos2")
+    )
+    return (
+        m1.join(
+            m2,
+            (F.col("doc2") == F.col("doc_id"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+        .limit(20)
+    )
