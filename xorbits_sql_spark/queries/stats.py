@@ -782,10 +782,13 @@ def s77_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         k2 = keep.select(F.col("p").alias("p2"))
         return edges.join(k1, "p1", "left_semi").join(k2, "p2", "left_semi")
 
-    deg0 = degrees(edges0)
+    # degree tables feed several branches (node counts, keep filters,
+    # both peel semi-joins) — persist them or each branch re-runs the
+    # degree shuffle against the persisted edge list
+    deg0 = _persist(degrees(edges0))
     keep1 = deg0.filter(F.col("d") >= 3).select("p")
     edges1 = _persist(peel(edges0, keep1))
-    deg1 = degrees(edges1)
+    deg1 = _persist(degrees(edges1))
     keep2 = deg1.filter(F.col("d") >= 3).select("p")
     edges2 = peel(edges1, keep2)
 
