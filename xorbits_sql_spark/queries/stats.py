@@ -79,11 +79,14 @@ _NTOK = (
                AS p_ref
       FROM joined
     )
-    SELECT bin, c_ref, c_cur,
-           (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_term,
-           CAST(SUM(CAST(round(((p_cur - p_ref) * ln(p_cur / p_ref)) * 1e12)
-                         AS BIGINT)) OVER () AS DOUBLE) / 1e12 AS psi_total
-    FROM terms
+    SELECT bin, c_ref, c_cur, psi_term,
+           CAST(SUM(CAST(round(psi_term * 1e12) AS BIGINT)) OVER ()
+                AS DOUBLE) / 1e12 AS psi_total
+    FROM (
+      SELECT bin, c_ref, c_cur,
+             round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS psi_term
+      FROM terms
+    )
     ORDER BY bin
     """,
     tags=("stats", "drift", "psi"),
@@ -146,7 +149,11 @@ def s69_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_ref = (F.col("c_ref").cast("double") + 0.5) / (
         F.col("n_ref").cast("double") + 5.0
     )
-    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    # ln here takes a NON-integer argument, so the two engines' libm may
+    # disagree by 1 ulp (observed at sf0.1); round(x, 12) restores the
+    # suite's portable-low-bits contract (README determinism rules) —
+    # both terms are non-negative, so HALF_UP == away-from-zero.
+    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 12)
     return (
         joined.select("bin", "c_ref", "c_cur", term.alias("psi_term"))
         .withColumn(
