@@ -312,3 +312,41 @@ def test_inventory_wide_window_partitioning(spark):
         "window or classify it in _GLOBAL_WINDOW_INTENDED with the "
         "bounded-input justification"
     )
+
+
+def test_collect_metrics_mapside_combine(spark):
+    """Measured (not just asserted-by-shape) shuffle economy: TPC-H Q1's
+    grouped aggregate over 60k lineitem rows must shuffle only the
+    per-partition partial-aggregate rows — orders of magnitude below the
+    scan row count. This is the outcome check behind every 'map-side
+    combinable' claim in the inventory docs."""
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.plans import collect_metrics, metrics_tree
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    df.collect()
+    m = collect_metrics(df)
+    assert m["scan_rows"] == 60_000
+    assert 0 < m["shuffle_records_written"] < 600  # partials, not rows
+    assert m["spill_bytes"] == 0
+    tree = metrics_tree(df)
+    assert "ShuffleExchangeExec" in tree and "FileSourceScanExec" in tree
+
+
+def test_collect_metrics_broadcast_join_no_shuffle(spark):
+    """A broadcast-dimension join must report ZERO shuffle records — the
+    measured counterpart of the uses_broadcast_join plan gate."""
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.plans import collect_metrics
+
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    nation = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+    df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    df.count()
+    assert collect_metrics(df)["shuffle_records_written"] == 0

@@ -24,3 +24,7 @@ __all__ = [
     "read_schemas",
     "uses_broadcast_join",
 ]
+
+from .metrics import collect_metrics, metrics_tree  # noqa: E402
+
+__all__ += ["collect_metrics", "metrics_tree"]

@@ -1,0 +1,109 @@
+"""Post-execution physical metrics: what a query ACTUALLY shuffled.
+
+The plan-shape gates (explain.py) check intent — broadcast here, filter
+pushed there. This module checks outcome: after an action has run, every
+physical operator carries populated SQLMetrics (the numbers the Spark UI
+shows), and reading them turns "this aggregation is map-side combinable"
+from a design claim into a measured fact (e.g. TPC-H Q1 at sf0.01 scans
+60,000 rows and shuffles THREE records).
+
+Usage contract: call on the SAME DataFrame object AFTER a full action
+(`df.count()` / `df.collect()`); the executed plan — including
+materialized AQE query stages — is memoized on the DataFrame's
+QueryExecution. Calling before any action returns zeros (metrics unset),
+not an error, because the plan tree itself exists either way.
+
+The traversal descends through AQE wrappers (AdaptiveSparkPlanExec ->
+its final executed plan; *QueryStageExec -> the materialized stage
+plan), so reused/cached stages are counted once per appearance in the
+final plan, exactly as the UI renders them.
+
+No equivalent exists in the reference (its executor is eager pandas with
+no physical metrics layer; reference executor.py interprets plan steps
+directly) — this is Spark-native observability surface.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+
+def _walk(node, visit) -> None:
+    name = node.getClass().getSimpleName()
+    visit(node, name)
+    if name == "AdaptiveSparkPlanExec":
+        _walk(node.executedPlan(), visit)
+        return
+    if name.endswith("QueryStageExec"):
+        _walk(node.plan(), visit)
+        return
+    children = node.children().iterator()
+    while children.hasNext():
+        _walk(children.next(), visit)
+
+
+def _node_metrics(node) -> dict[str, int]:
+    out: dict[str, int] = {}
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2().value()
+    return out
+
+
+def collect_metrics(df: DataFrame) -> dict[str, int]:
+    """Aggregate executed-plan metrics across all physical nodes.
+
+    Returns a dict with the scale-relevant totals::
+
+        shuffle_records_written, shuffle_bytes_written, spill_bytes,
+        scan_rows, scan_files, output_rows (root operator)
+
+    plus ``nodes`` (physical operator count). All zeros until an action
+    has run on this DataFrame.
+    """
+    totals: dict[str, int] = defaultdict(int)
+    root_rows: list[int] = []
+
+    def visit(node, name: str) -> None:
+        totals["nodes"] += 1
+        m = _node_metrics(node)
+        totals["shuffle_records_written"] += max(0, m.get("shuffleRecordsWritten", 0))
+        totals["shuffle_bytes_written"] += max(0, m.get("shuffleBytesWritten", 0))
+        totals["spill_bytes"] += max(0, m.get("spillSize", 0))
+        if name.endswith("ScanExec"):
+            totals["scan_rows"] += max(0, m.get("numOutputRows", 0))
+            totals["scan_files"] += max(0, m.get("numFiles", 0))
+        if not root_rows and "numOutputRows" in m and not name.endswith(
+            ("ScanExec", "ExchangeExec")
+        ):
+            root_rows.append(max(0, m["numOutputRows"]))
+
+    _walk(df._jdf.queryExecution().executedPlan(), visit)
+    totals["output_rows"] = root_rows[0] if root_rows else 0
+    return dict(totals)
+
+
+def metrics_tree(df: DataFrame) -> str:
+    """Indented per-operator report of non-zero metrics (UI-style)."""
+    lines: list[str] = []
+
+    def walk(node, depth: int) -> None:
+        name = node.getClass().getSimpleName()
+        interesting = {
+            k: v for k, v in _node_metrics(node).items() if v not in (0, -1)
+        }
+        lines.append("  " * depth + name + (f"  {interesting}" if interesting else ""))
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), depth + 1)
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan(), depth + 1)
+            return
+        children = node.children().iterator()
+        while children.hasNext():
+            walk(children.next(), depth + 1)
+
+    walk(df._jdf.queryExecution().executedPlan(), 0)
+    return "\n".join(lines)
