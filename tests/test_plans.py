@@ -348,5 +348,9 @@ def test_collect_metrics_broadcast_join_no_shuffle(spark):
     cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
     nation = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
     df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-    df.count()
-    assert collect_metrics(df)["shuffle_records_written"] == 0
+    df.collect()
+    m = collect_metrics(df)
+    # non-vacuous: the scan/output metrics prove the plan really ran
+    # (count() would leave everything zero — see the module contract)
+    assert m["scan_rows"] > 0 and m["output_rows"] > 0
+    assert m["shuffle_records_written"] == 0

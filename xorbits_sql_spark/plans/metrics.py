@@ -7,11 +7,12 @@ shows), and reading them turns "this aggregation is map-side combinable"
 from a design claim into a measured fact (e.g. TPC-H Q1 at sf0.01 scans
 60,000 rows and shuffles THREE records).
 
-Usage contract: call on the SAME DataFrame object AFTER a full action
-(`df.count()` / `df.collect()`); the executed plan — including
-materialized AQE query stages — is memoized on the DataFrame's
-QueryExecution. Calling before any action returns zeros (metrics unset),
-not an error, because the plan tree itself exists either way.
+Usage contract: call on the SAME DataFrame object AFTER an action that
+executes the DataFrame's OWN QueryExecution — `collect()`, `toPandas()`,
+or `write`. NOT `count()`: count builds a separate aggregated
+QueryExecution, leaving this DataFrame's metrics unset. Calling before
+any qualifying action returns zeros (metrics unset), not an error,
+because the plan tree itself exists either way.
 
 The traversal descends through AQE wrappers (AdaptiveSparkPlanExec ->
 its final executed plan; *QueryStageExec -> the materialized stage
