@@ -513,3 +513,27 @@ def test_family_alias_dialects(spark):
     assert normalize_name("`Tbl`", "doris") == "Tbl"
     assert normalize_name('"Tbl"', "clickhouse") == "Tbl"
     assert normalize_name("`Tbl`", "clickhouse") == "Tbl"
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_athena_materialize_spark2_aliases():
+    # athena rides the trino/presto path (dquote idents, unit-first dates)
+    assert "`col`" in transpile('SELECT "col" FROM t', "athena")
+    got = transpile("SELECT DATE_ADD('day', 3, d) FROM t", "athena")
+    assert "TIMESTAMPADD(DAY," in got and "DATE_ADD" not in got
+    # materialize rides the postgres path
+    assert "`col`" in transpile('SELECT "col" FROM t', "materialize")
+    # spark2 is a passthrough alias
+    q = "SELECT `col` FROM t"
+    assert transpile(q, "spark2") == q
+
+
+def test_unknown_dialect_raises():
+    """A typo'd/uncovered dialect must raise, never silently pass tokens
+    through with the wrong quoting semantics."""
+    from xorbits_sql_spark.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError, match="unknown dialect"):
+        transpile("SELECT 1", "postgre")
+    with pytest.raises(UnsupportedError, match="supported"):
+        transpile("SELECT 1", "prql")

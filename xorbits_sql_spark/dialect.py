@@ -60,6 +60,9 @@ KNOWN_DIALECTS = {
     "doris",
     "starrocks",
     "drill",
+    "athena",
+    "materialize",
+    "spark2",
 }
 
 # Family aliases: dialects whose fallback-relevant surface is another
@@ -70,6 +73,10 @@ _DIALECT_FAMILY = {
     "doris": "mysql",
     "starrocks": "mysql",
     "drill": "ansi",
+    # athena engine v2+ is presto/trino under the hood; materialize
+    # speaks the postgres wire dialect
+    "athena": "trino",
+    "materialize": "postgres",
 }
 
 # ClickHouse conversion functions → Spark CAST target types.
@@ -1092,9 +1099,20 @@ def has_sqlglot() -> bool:
 
 
 def transpile(sql: str, dialect: str | None = None) -> str:
-    """Translate ``sql`` from ``dialect`` into Spark SQL."""
+    """Translate ``sql`` from ``dialect`` into Spark SQL.
+
+    Unknown dialect names raise ``UnsupportedError`` instead of passing
+    tokens through untranslated: a typo ('postgre') or an uncovered
+    dialect would otherwise silently mistranslate quoting — e.g.
+    double-quoted identifiers staying string literals.
+    """
     d = (dialect or "").lower() or None
-    if d in {"spark", "databricks", "hive", None}:
+    if d not in KNOWN_DIALECTS:
+        raise UnsupportedError(
+            f"unknown dialect {dialect!r}; supported: "
+            + ", ".join(sorted(x for x in KNOWN_DIALECTS if x))
+        )
+    if d in {"spark", "spark2", "databricks", "hive", None}:
         return sql
     if _HAS_SQLGLOT:
         return sqlglot.transpile(sql, read=d, write="spark")[0]
