@@ -1008,3 +1008,113 @@ def s81_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "s84_time_decayed_value",
+    """
+    WITH terms AS (
+      SELECT user_id,
+             round(value * pow(0.95,
+                   CAST(date_diff('day', CAST(ts AS DATE),
+                                  DATE '2024-01-31') AS BIGINT)), 12)
+               AS term
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS decayed_value
+    FROM terms
+    GROUP BY user_id
+    ORDER BY decayed_value DESC, user_id
+    LIMIT 20
+    """,
+    tags=("events", "feature-engineering", "decay"),
+    doc=(
+        "Exponentially time-decayed user value (half-life scoring, the "
+        "standard recency-weighted feature for ranking/churn models): "
+        "each purchase contributes value * 0.95^age_days toward a "
+        "per-user score. pow() runs on an integer exponent but is still "
+        "libm — so each term is round(x, 12)-ed before the DECIMAL cast "
+        "(README determinism rule: rounded terms cannot re-tie at the "
+        "cast digit), making the per-user sum exact-decimal and "
+        "order-independent at any cluster size. One filtered scan, one "
+        "user-keyed aggregate, top-20 via TakeOrdered."
+    ),
+)
+def s84_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    age = F.datediff(
+        F.lit("2024-01-31").cast("date"), F.col("ts").cast("date")
+    ).cast("bigint")
+    term = F.round(F.col("value") * F.pow(F.lit(0.95), age), 12)
+    return (
+        ev.select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("term").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("decayed_value"),
+        )
+        .orderBy(F.desc("decayed_value"), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "s85_eventually_follows",
+    """
+    WITH spans AS (
+      SELECT user_id, event_type,
+             MIN(epoch_us(ts)) AS tmin, MAX(epoch_us(ts)) AS tmax
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM spans a JOIN spans b
+      ON a.user_id = b.user_id
+     AND a.event_type <> b.event_type
+     AND a.tmin < b.tmax
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "process-mining", "sequence"),
+    doc=(
+        "Eventually-follows matrix — the process-mining primitive behind "
+        "directly/eventually-follows graphs: for each ordered pair of "
+        "event types, how many users did A at some point before (any "
+        "occurrence of) B. The trick that keeps it linear: 'exists "
+        "a_ts < b_ts' collapses to MIN(ts of A) < MAX(ts of B), so the "
+        "fact table reduces to one (user, type) span aggregate and the "
+        "pair join expands at most |types|^2 = 25 rows per user — never "
+        "event-count quadratic (same bounded-context shape as s67's "
+        "PMI). All integer micros comparisons and counts."
+    ),
+)
+def s85_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("tmin"),
+            F.max(F.unix_micros("ts")).alias("tmax"),
+        )
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.tmin") < F.col("b.tmax")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
