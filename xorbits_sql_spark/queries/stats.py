@@ -1118,3 +1118,145 @@ def s85_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "s86_session_length_histogram",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, session_seq, COUNT(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+      )
+      GROUP BY user_id, session_seq
+    )
+    SELECT CASE WHEN n_events = 1 THEN '1_bounce'
+                WHEN n_events = 2 THEN '2'
+                WHEN n_events <= 5 THEN '3-5'
+                WHEN n_events <= 10 THEN '6-10'
+                ELSE '11+' END AS bucket,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events_total
+    FROM sessions
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("events", "sessionize", "histogram"),
+    doc=(
+        "Session-length histogram with an explicit bounce bucket — the "
+        "engagement-shape report product analytics runs daily. Shares "
+        "q51/s73's 30-min-gap sessionization exactly (one windowed pass "
+        "keyed on user), then collapses to per-session event counts and "
+        "a 5-bucket census. All integer counts; bucket labels sort "
+        "deterministically."
+    ),
+)
+def s86_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wuser))
+    sessions = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1)
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                wuser.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, "1_bounce")
+        .when(F.col("n_events") == 2, "2")
+        .when(F.col("n_events") <= 5, "3-5")
+        .when(F.col("n_events") <= 10, "6-10")
+        .otherwise("11+")
+    )
+    return (
+        sessions.select(bucket.alias("bucket"), "n_events")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "s87_kwic_contexts",
+    f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(lower({_NORM}), ' ') AS arr FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, arr, unnest(arr) AS tok,
+             unnest(range(1, len(arr) + 1)) AS pos
+      FROM arrs
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           array_to_string(arr[GREATEST(1, pos - 2) :
+                               LEAST(len(arr), pos + 2)], ' ') AS context
+    FROM toks
+    WHERE tok = 'vector'
+    ORDER BY doc_id, pos
+    LIMIT 50
+    """,
+    tags=("text", "search", "kwic"),
+    doc=(
+        "Keyword-in-context (KWIC) extraction for the term 'vector': "
+        "each occurrence with a +/-2-token window — the concordance "
+        "view linguists and data-quality reviewers use to inspect how a "
+        "term is actually used in a corpus. Built on the same exploded "
+        "positional index as s83 (1-based positions here, matching "
+        "DuckDB list slicing; Spark's slice(arr, start, length) is "
+        "spelled to the identical clamped bounds). The context slice is "
+        "computed from the doc's own array — no join at all; the term "
+        "filter bounds output before the global sort, and the top-50 is "
+        "TakeOrdered."
+    ),
+)
+def s87_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id", F.split(F.lower(norm_ws(F.col("text"))), " ").alias("arr")
+    )
+    toks = arrs.select(
+        "doc_id",
+        "arr",
+        F.posexplode(F.col("arr")).alias("pos0", "tok"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    start = F.greatest(F.lit(1), F.col("pos") - 2)
+    end = F.least(F.size("arr"), F.col("pos") + 2)
+    return (
+        toks.filter(F.col("tok") == "vector")
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.array_join(
+                F.slice(F.col("arr"), start, end - start + 1), " "
+            ).alias("context"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(50)
+    )
