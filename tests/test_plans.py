@@ -209,6 +209,7 @@ _BNLJ_INTENDED = {
     "s67_event_type_pmi": "scalar-broadcast (the 1-row user-count total)",
     "s69_psi_value_drift": "scalar-broadcast (the 1-row bin-edge bounds)",
     "s77_kcore_peel": "scalar-broadcast (singleton stat rows)",
+    "s89_association_rules": "scalar-broadcast (the 1-row basket total)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

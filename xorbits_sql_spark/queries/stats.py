@@ -1260,3 +1260,157 @@ def s87_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "pos")
         .limit(50)
     )
+
+
+@register(
+    "s88_quantile_normalize",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_NTOK} AS words FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, words,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY words, doc_id) AS pct
+      FROM scored
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pct >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_decile,
+           CAST(MIN(CASE WHEN pct >= 0.9 THEN words END) AS BIGINT)
+             AS top_decile_cutoff_words
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "feature-engineering", "quantile"),
+    doc=(
+        "Within-source quantile normalization — the cross-domain "
+        "calibration step before mixing corpora: a doc's raw length "
+        "(or quality) score is replaced by its percentile WITHIN its "
+        "source, so 'top decile' means the same thing for every domain "
+        "regardless of scale differences. percent_rank is partitioned "
+        "by source (never global), with a deterministic (words, doc_id) "
+        "tie order; its value is (rank-1)/(n-1) over integers — "
+        "identical doubles on both engines. Output: per-source top-"
+        "decile census and the raw-score cutoff that decile maps to."
+    ),
+)
+def s88_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("words")
+    )
+    ranked = scored.select(
+        "source",
+        "words",
+        F.percent_rank()
+        .over(W.partitionBy("source").orderBy("words", "doc_id"))
+        .alias("pct"),
+    )
+    top = F.when(F.col("pct") >= 0.9, 1).otherwise(0)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(top).cast("bigint").alias("n_top_decile"),
+            F.min(F.when(F.col("pct") >= 0.9, F.col("words")))
+            .cast("bigint")
+            .alias("top_decile_cutoff_words"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "s89_association_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem
+    ),
+    item_counts AS (
+      SELECT l_partkey, COUNT(*) AS c FROM baskets GROUP BY l_partkey
+    ),
+    pair_counts AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS cab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT item_a, item_b,
+           CAST(cab AS BIGINT) AS n_both,
+           CAST(cab AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+           CAST(cab AS DOUBLE) / CAST(ia.c AS DOUBLE) AS confidence,
+           (CAST(cab AS DOUBLE) * CAST(n.n AS DOUBLE))
+             / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) AS lift
+    FROM pair_counts
+    JOIN item_counts ia ON ia.l_partkey = item_a
+    JOIN item_counts ib ON ib.l_partkey = item_b
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 20
+    """,
+    tags=("market-basket", "association-rules", "stats"),
+    doc=(
+        "Association-rule mining over order baskets: support, "
+        "confidence and lift for co-purchased part pairs above a "
+        "support threshold — the classic frequent-itemset stage 1-2 "
+        "(pairs) of Apriori, expressed relationally. Scale shape: the "
+        "basket pair join is keyed on orderkey and bounded by order "
+        "size squared (TPC-H ~4 lines/order); the support threshold "
+        "prunes BEFORE the metric joins; item counts broadcast; the "
+        "1-row order total broadcasts. All ratios are identically-"
+        "spelled doubles over exact integer counts; top-20 by lift via "
+        "TakeOrdered with full deterministic tie-break."
+    ),
+)
+def s89_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_counts = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    ia = item_counts.select(
+        F.col("l_partkey").alias("item_a"), F.col("c").alias("ca")
+    )
+    ib = item_counts.select(
+        F.col("l_partkey").alias("item_b"), F.col("c").alias("cb")
+    )
+    nd = F.col("n").cast("double")
+    return (
+        pair_counts.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("cab").cast("bigint").alias("n_both"),
+            (F.col("cab").cast("double") / nd).alias("support"),
+            (F.col("cab").cast("double") / F.col("ca").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("cab").cast("double") * nd)
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(20)
+    )
