@@ -210,6 +210,8 @@ _BNLJ_INTENDED = {
     "s69_psi_value_drift": "scalar-broadcast (the 1-row bin-edge bounds)",
     "s77_kcore_peel": "scalar-broadcast (singleton stat rows)",
     "s89_association_rules": "scalar-broadcast (the 1-row basket total)",
+    "s90_naive_bayes_langid": "scalar-broadcast (5-row lang totals + "
+    "1-row vocab/train-size model constants)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

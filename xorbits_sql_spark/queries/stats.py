@@ -1414,3 +1414,138 @@ def s89_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(20)
     )
+
+
+@register(
+    "s90_naive_bayes_langid",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(lower({_NORM}), ' ')) AS tok
+      FROM documents
+    ),
+    toks_clean AS (SELECT * FROM toks WHERE tok <> ''),
+    train AS (SELECT * FROM toks_clean WHERE doc_id % 5 <> 0),
+    test AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS n_occ
+      FROM toks_clean WHERE doc_id % 5 = 0
+      GROUP BY doc_id, lang, tok
+    ),
+    counts AS (
+      SELECT lang, tok, COUNT(*) AS c FROM train GROUP BY lang, tok
+    ),
+    totals AS (
+      SELECT lang, COUNT(*) AS total,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM train GROUP BY lang
+    ),
+    vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+    n_train AS (SELECT COUNT(DISTINCT doc_id) AS n FROM train),
+    -- integer fixed-point log-likelihoods: ln taken ONLY of integers
+    scores AS (
+      SELECT te.doc_id, te.lang AS actual, t.lang AS cand,
+             SUM(te.n_occ * (CAST(round(ln(CAST(COALESCE(c.c, 0) + 1
+                                              AS DOUBLE)) * 1e6) AS BIGINT)
+                             - CAST(round(ln(CAST(t.total + v.v AS DOUBLE))
+                                          * 1e6) AS BIGINT)))
+             + CAST(round(ln(CAST(t.n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+             - CAST(round(ln(CAST(n.n AS DOUBLE)) * 1e6) AS BIGINT)
+               AS score
+      FROM test te
+      CROSS JOIN totals t
+      CROSS JOIN vocab v
+      CROSS JOIN n_train n
+      LEFT JOIN counts c ON c.lang = t.lang AND c.tok = te.tok
+      GROUP BY te.doc_id, te.lang, t.lang, t.n_docs, v.v, n.n
+    ),
+    predicted AS (
+      SELECT doc_id, actual, cand AS predicted
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand) AS rk
+        FROM scores
+      ) WHERE rk = 1
+    )
+    SELECT actual, predicted, COUNT(*) AS n_docs
+    FROM predicted
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+    tags=("text", "ml", "naive-bayes", "classification"),
+    doc=(
+        "Multinomial Naive Bayes language identification, trained AND "
+        "applied entirely relationally: token likelihoods with Laplace "
+        "smoothing learned on the doc_id%5<>0 split, the held-out split "
+        "classified by argmax log-posterior, output as a confusion "
+        "matrix against the true labels — distributed ML as dataflow, "
+        "no driver-side model object. Bit-exactness trick: every log "
+        "term is ln OF AN INTEGER (ln(c+1) - ln(total+V), priors as "
+        "ln(n_docs) - ln(n)), fixed-point-scaled to round(x*1e6) "
+        "BIGINTs, so scores are exact integer sums (order-independent "
+        "at any parallelism) and argmax has a deterministic lang "
+        "tie-break. Scale shape: the model IS a (lang, token) count "
+        "table — the classic shape that broadcasts (5 langs x vocab); "
+        "scoring is one join keyed on token, partial-aggregated by "
+        "(doc, candidate). The reference has no ML surface at all."
+    ),
+)
+def s90_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    train = toks.filter(F.col("doc_id") % 5 != 0)
+    test = (
+        toks.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", F.col("lang").alias("actual"), "tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    counts = train.groupBy(F.col("lang").alias("cand"), "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = train.groupBy(F.col("lang").alias("cand")).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    vocab = train.agg(F.countDistinct("tok").alias("v"))
+    n_train = train.agg(F.countDistinct("doc_id").alias("n"))
+
+    def fxln(col) -> "F.Column":
+        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    grid = (
+        test.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(counts), ["cand", "tok"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_train))
+    )
+    term = F.col("n_occ") * (
+        fxln(F.coalesce(F.col("c"), F.lit(0)) + 1)
+        - fxln(F.col("total") + F.col("v"))
+    )
+    scores = grid.groupBy(
+        "doc_id", "actual", "cand", "n_docs", "v", "n"
+    ).agg(F.sum(term).alias("tok_score"))
+    scores = scores.select(
+        "doc_id",
+        "actual",
+        "cand",
+        (F.col("tok_score") + fxln(F.col("n_docs")) - fxln(F.col("n"))).alias(
+            "score"
+        ),
+    )
+    wdoc = W.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    predicted = (
+        scores.withColumn("rk", F.row_number().over(wdoc))
+        .filter(F.col("rk") == 1)
+        .select("actual", F.col("cand").alias("predicted"))
+    )
+    return (
+        predicted.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
