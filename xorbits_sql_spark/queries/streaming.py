@@ -396,3 +396,69 @@ def s68_stream_welford_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update mode re-emits a key each batch; final state = greatest n.
     rn = F.row_number().over(W2.partitionBy("user_id").orderBy(F.desc("n")))
     return out.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn").orderBy("user_id")
+
+
+@register(
+    "s91_stream_stream_left_join",
+    """
+    SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value AS val
+    FROM (SELECT * FROM events
+          WHERE event_type = 'view'
+            AND ts < TIMESTAMP '2024-01-28') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY v.user_id, view_ts, purchase_ts NULLS FIRST
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+    doc=(
+        "Stream-stream LEFT OUTER join — the capability beyond r84's "
+        "inner join: views with NO purchase within the hour must emit a "
+        "null-padded row, which Structured Streaming can only do once "
+        "the watermark passes the view's join window (state eviction "
+        "proves no match can still arrive). Determinism contract: the "
+        "view side is bounded 3 days clear of the stream tail "
+        "(ts < 2024-01-28), because views inside the final "
+        "watermark-delay+interval horizon stay buffered forever on a "
+        "bounded run — the same append-mode finalization discipline as "
+        "s56. With that bound, the no-data flush batch finalizes every "
+        "retained view and the result equals the batch LEFT JOIN "
+        "bit-for-bit, so this streaming entry carries a FULL DuckDB "
+        "value oracle. Both watermarks + the interval bound keep "
+        "two-unbounded-stream state finite at any volume."
+    ),
+)
+def s91_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    purchases = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    # The ts bound is applied AFTER withWatermark: predicates on the
+    # watermark column are not pushed below the watermark operator, so
+    # the watermark tracks the FULL view stream (max ts 2024-01-30) and
+    # finalizes every bounded view's null row; filtering before the
+    # watermark would cap it at the bound and strand the last
+    # delay+interval hours of views in state forever.
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+        .filter(F.col("view_ts") < F.lit("2024-01-28").cast("timestamp"))
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("val"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("user_id", "view_ts", "purchase_ts", "val")
+    return run_to_memory(joined, mode="append").orderBy(
+        "user_id", "view_ts", F.asc_nulls_first("purchase_ts")
+    )
