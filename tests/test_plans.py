@@ -212,6 +212,7 @@ _BNLJ_INTENDED = {
     "s89_association_rules": "scalar-broadcast (the 1-row basket total)",
     "s90_naive_bayes_langid": "scalar-broadcast (5-row lang totals + "
     "1-row vocab/train-size model constants)",
+    "s93_lagged_cross_correlation": "scalar-broadcast (the 7-row lag grid)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

@@ -1549,3 +1549,190 @@ def s90_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+@register(
+    "s92_ses_forecast",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type, day
+    ),
+    indexed AS (
+      SELECT event_type, revenue,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    terms AS (
+      -- closed form: level_n = sum_i alpha*(1-alpha)^(n-i)*x_i
+      --              + (1-alpha)^n * x_1  (l0 = first observation)
+      SELECT event_type, n,
+             -- round to 9 (not 12): terms reach ~1e4, so a 1-ulp pow
+             -- divergence (~1e-12 absolute) could flip a 12th-digit
+             -- rounding; at 9 digits the margin is 500x the error
+             round(0.3 * pow(0.7, CAST(n - i AS BIGINT)) * revenue, 9)
+               AS w_term,
+             CASE WHEN i = 1
+                  THEN round(pow(0.7, CAST(n AS BIGINT)) * revenue, 9)
+                  ELSE 0.0 END AS init_term
+      FROM indexed
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(w_term AS DECIMAL(28,12)))
+                + SUM(CAST(init_term AS DECIMAL(28,12))) AS DOUBLE)
+             AS ses_forecast
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "time-series", "forecast"),
+    doc=(
+        "Simple exponential smoothing forecast of next-day revenue per "
+        "event type (alpha=0.3, seeded with the first observation). The "
+        "sequential recurrence l_t = a*x_t + (1-a)*l_(t-1) unrolls to a "
+        "closed-form weighted sum — the re-expression that turns an "
+        "inherently serial update into ONE parallel aggregate (each "
+        "day's weight depends only on its distance from the end), the "
+        "same serial->dataflow move as s74's first-touch trick. Daily "
+        "revenues are exact decimal sums; pow terms follow the round("
+        "x,12)-before-decimal-cast rule (s84), so the weighted sum is "
+        "exact and order-independent."
+    ),
+)
+def s92_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"))
+    wtype = W.partitionBy("event_type")
+    indexed = daily.select(
+        "event_type",
+        "revenue",
+        F.row_number().over(wtype.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+    )
+    w_term = F.round(
+        0.3 * F.pow(F.lit(0.7), (F.col("n") - F.col("i")).cast("bigint"))
+        * F.col("revenue"),
+        9,
+    )
+    init_term = F.when(
+        F.col("i") == 1,
+        F.round(F.pow(F.lit(0.7), F.col("n").cast("bigint")) * F.col("revenue"), 9),
+    ).otherwise(0.0)
+    dec = "decimal(28,12)"
+    return (
+        indexed.select(
+            "event_type", "n", w_term.alias("w_term"), init_term.alias("init_term")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            (
+                F.sum(F.col("w_term").cast(dec)) + F.sum(F.col("init_term").cast(dec))
+            )
+            .cast("double")
+            .alias("ses_forecast"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "s93_lagged_cross_correlation",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+      FROM events GROUP BY day
+    ),
+    lags AS (SELECT UNNEST(range(-3, 4)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.views AS x, b.purchases AS y
+      FROM daily a
+      JOIN lags l ON TRUE
+      JOIN daily b ON b.day = a.day + to_days(CAST(l.lag AS INT))
+    ),
+    m AS (
+      SELECT lag, COUNT(*) AS k,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(k AS BIGINT) AS n_days,
+           (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS xcorr
+    FROM m
+    ORDER BY lag
+    """,
+    tags=("events", "time-series", "correlation"),
+    doc=(
+        "Lead-lag cross-correlation between daily view and purchase "
+        "volumes at lags -3..+3 — the signal analysts use to measure "
+        "how many days views precede purchases. The lag alignment is "
+        "an equi-join on (day + lag), never a window over a replicated "
+        "series; moments accumulate as exact DECIMAL(38,0) integer "
+        "sums per lag (s55's contract), and each Pearson r is one "
+        "identically-spelled double expression. 7 lags x 30 days — "
+        "everything after the daily rollup is constant-size."
+    ),
+)
+def s93_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "purchases"
+            ),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("day", "views")
+    b = daily.select(F.col("day").alias("bday"), "purchases")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("bday")
+            == F.col("day") + F.make_dt_interval(F.col("lag").cast("int")),
+        )
+        .select("lag", F.col("views").alias("x"), F.col("purchases").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (kd * sxy - sx * sy) / (
+        F.sqrt(kd * sxx - sx * sx) * F.sqrt(kd * syy - sy * sy)
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("k").cast("bigint").alias("n_days"),
+        r.alias("xcorr"),
+    ).orderBy("lag")
