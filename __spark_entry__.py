@@ -38,10 +38,12 @@ from xorbits_sql_spark.queries import load_all
 # extend the ranges below to cover q57..q99 and r46..r56; the window
 # then becomes r57..r99 (42 — r51..r54 unused) + s01..s08. Round 5:
 # extend through r99 + s08 → window s09..s58. Round 6: extend through
-# s58 → window s59..s80 (+ any later additions). s01..s31 existed at
-# r02-close; s32..s68 landed in round 3's first session (dialect
-# paths, curation ops, BPE, graph/stats/streaming entries); s69..s80
-# in its second (distribution stats, drift tests, hive, median).
+# s58 → window s59..s93 (+ any later additions; two windows' worth).
+# s01..s31 existed at r02-close; s32..s68 landed in round 3's first
+# session (dialect paths, curation ops, BPE, graph/stats/streaming
+# entries); s69..s93 in its second (distribution stats, drift and
+# hypothesis tests, curation funnel, phrase search/KWIC, association
+# rules, Naive Bayes, outer stream-stream join, forecasting).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(
