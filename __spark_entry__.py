@@ -43,7 +43,9 @@ from xorbits_sql_spark.queries import load_all
 # session (dialect paths, curation ops, BPE, graph/stats/streaming
 # entries); s69..s93 in its second (distribution stats, drift and
 # hypothesis tests, curation funnel, phrase search/KWIC, association
-# rules, Naive Bayes, outer stream-stream join, forecasting).
+# rules, Naive Bayes, outer stream-stream join, forecasting); s94..s99
+# in its third (DSIR resampling, CUSUM, Neyman allocation, text
+# normalization, Kaplan-Meier, Gini).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

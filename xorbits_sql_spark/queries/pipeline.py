@@ -2099,3 +2099,223 @@ def s82_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(sampled, "6_sampled"))
         .orderBy("stage")
     )
+
+
+@register(
+    "s94_dsir_importance_resample",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             unnest(string_split(lower({_NORM}), ' ')) AS tok
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, source, lang,
+             ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS b
+      FROM toks WHERE tok <> ''
+    ),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM bt WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
+    tots AS (
+      SELECT (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS nt,
+             (SELECT COUNT(*) FROM bt) AS nr
+    ),
+    -- integer fixed-point log-ratio per hashed feature bucket
+    -- (s90 discipline: ln of INTEGERS only, round(x*1e6) BIGINT)
+    w AS (
+      SELECT r.b,
+             CAST(round(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)) * 1e6)
+                  AS BIGINT)
+             - CAST(round(ln(CAST(tots.nt + 64 AS DOUBLE)) * 1e6) AS BIGINT)
+             - CAST(round(ln(CAST(r.cr + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+             + CAST(round(ln(CAST(tots.nr + 64 AS DOUBLE)) * 1e6) AS BIGINT)
+               AS lw
+      FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tots
+    ),
+    docw AS (
+      SELECT bt.doc_id, bt.source, SUM(w.lw) AS dw
+      FROM bt JOIN w ON w.b = bt.b
+      GROUP BY bt.doc_id, bt.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(SUM(dw) AS BIGINT) AS total_logweight
+    FROM docw GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "sampling", "dsir"),
+    doc=(
+        "DSIR-style importance resampling (Xie et al., NeurIPS 2023: "
+        "Data Selection via Importance Resampling): score every raw "
+        "document by how target-like its hashed-unigram features are. "
+        "Tokens hash (md5 prefix) into 64 feature buckets; the target "
+        "distribution (here: lang='en' docs) and raw distribution are "
+        "bucket histograms; a doc's importance weight is the sum over "
+        "its tokens of log((ct_b+1)/(Nt+64)) - log((cr_b+1)/(Nr+64)) "
+        "(add-one smoothing). Every log has an INTEGER argument, "
+        "fixed-point quantized to round(x*1e6) BIGINT (s90 "
+        "discipline), so per-doc weights are exact integers - "
+        "order-independent and bit-equal across engines. Scale shape: "
+        "the bucket-weight table is 64 rows (broadcast); scoring is a "
+        "map-side explode + broadcast join + one groupBy(doc_id) "
+        "shuffle - no pairwise anything, linear in corpus tokens."
+    ),
+)
+def s94_dsir_importance_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.text import norm_ws
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bt = toks.select(
+        "doc_id",
+        "source",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % 64
+        ).alias("b"),
+    )
+    tgt = bt.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tots = bt.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+
+    def fxln(col):
+        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                fxln(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                - fxln(F.col("nt") + 64)
+                - fxln(F.col("cr") + 1)
+                + fxln(F.col("nr") + 64)
+            ).alias("lw"),
+        )
+    )
+    docw = (
+        bt.select("doc_id", "source", "b")
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lw").alias("dw"))
+    )
+    return (
+        docw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("dw") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.sum("dw").cast("bigint").alias("total_logweight"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "s96_neyman_allocation",
+    """
+    WITH strata AS (
+      SELECT source, COUNT(*) AS n_h,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents GROUP BY source
+    ),
+    scored AS (
+      SELECT source, n_h,
+             -- sample std: every input to the IEEE expression is an
+             -- exact integer; *,-,/,sqrt are correctly-rounded, so the
+             -- double is bit-identical across engines
+             sqrt((CAST(n_h AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n_h AS DOUBLE) * CAST(n_h - 1 AS DOUBLE)))
+               AS s_h
+      FROM strata WHERE n_h > 1
+    ),
+    weights AS (
+      SELECT source, n_h, s_h,
+             CAST(round(CAST(n_h AS DOUBLE) * s_h * 1e6) AS BIGINT) AS wq
+      FROM scored
+    ),
+    tot AS (SELECT SUM(wq) AS wtot FROM weights)
+    SELECT w.source, CAST(w.n_h AS BIGINT) AS n_docs,
+           round(w.s_h, 6) AS stddev_chars,
+           CAST(floor(CAST(1000 * w.wq AS DOUBLE)
+                      / CAST(t.wtot AS DOUBLE)) AS BIGINT) AS n_alloc
+    FROM weights w CROSS JOIN tot t
+    ORDER BY w.source
+    """,
+    tags=("pipeline", "sampling", "survey-statistics"),
+    doc=(
+        "Neyman optimal allocation of a 1000-document sample budget "
+        "across source strata: n_h proportional to N_h * S_h (stratum "
+        "size times stratum std of document length), the "
+        "minimum-variance allocation from classical survey sampling - "
+        "the principled way to size per-domain samples for corpus QA "
+        "audits. N_h, sum(x), sum(x^2) are exact integer aggregates; "
+        "the std and the allocation are identically-spelled IEEE "
+        "expressions (sqrt and arithmetic are correctly-rounded, "
+        "unlike libm ln/exp, so no quantization is needed); the "
+        "cross-stratum weight total is summed over round(w*1e6) "
+        "BIGINTs to stay order-independent. One tiny aggregate per "
+        "stratum - fully map-side combinable at any scale."
+    ),
+)
+def s96_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    nd = F.col("n_h").cast("double")
+    s_h = F.sqrt(
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        / (nd * (F.col("n_h") - 1).cast("double"))
+    )
+    weights = strata.filter(F.col("n_h") > 1).select(
+        "source",
+        "n_h",
+        s_h.alias("s_h"),
+        F.round(F.col("n_h").cast("double") * s_h * 1e6)
+        .cast("bigint")
+        .alias("wq"),
+    )
+    tot = weights.agg(F.sum("wq").alias("wtot"))
+    return (
+        weights.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_h").cast("bigint").alias("n_docs"),
+            F.round("s_h", 6).alias("stddev_chars"),
+            F.floor(
+                (1000 * F.col("wq")).cast("double")
+                / F.col("wtot").cast("double")
+            )
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+        .orderBy("source")
+    )

@@ -1736,3 +1736,267 @@ def s93_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("n_days"),
         r.alias("xcorr"),
     ).orderBy("lag")
+
+
+@register(
+    "s95_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, day
+    ),
+    cum AS (
+      SELECT event_type, day,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, day, n,
+             abs(CAST(n * c - i * total AS BIGINT)) AS t_abs,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(CAST(n * c - i * total AS BIGINT)) DESC, day
+             ) AS rk
+      FROM cum
+    )
+    SELECT event_type, day AS change_day, CAST(n AS BIGINT) AS n_days,
+           CAST(t_abs AS DOUBLE) / CAST(n AS DOUBLE) AS max_abs_cusum
+    FROM scored WHERE rk = 1 ORDER BY event_type
+    """,
+    tags=("events", "time-series", "changepoint"),
+    doc=(
+        "CUSUM change-point detection over the daily event-count series "
+        "of each event type: the classic mean-centered cumulative sum "
+        "S_i = sum_j<=i (x_j - mean), with the change point at argmax "
+        "|S_i|. The float-free trick: multiply through by n so "
+        "T_i = n*cumsum_i - i*total is PURE INTEGER (exact, "
+        "order-independent); the reported excursion max|S_i| = |T_i|/n "
+        "is one identical IEEE division of two integers on both "
+        "engines. One small shuffle (per-type daily grid) and windows "
+        "over it; series length is days, not events, so the windowed "
+        "stage is O(types x days) regardless of raw volume."
+    ),
+)
+def s95_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wtype = W.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("cnt")
+        .over(wtype.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .alias("c"),
+        F.row_number().over(wtype.orderBy("day")).alias("i"),
+        F.sum("cnt").over(wtype).alias("total"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+    )
+    t_abs = F.abs(
+        (F.col("n") * F.col("c") - F.col("i") * F.col("total")).cast("bigint")
+    )
+    scored = cum.select(
+        "event_type",
+        "day",
+        "n",
+        t_abs.alias("t_abs"),
+        F.row_number()
+        .over(wtype.orderBy(t_abs.desc(), "day"))
+        .alias("rk"),
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("n").cast("bigint").alias("n_days"),
+            (F.col("t_abs").cast("double") / F.col("n").cast("double")).alias(
+                "max_abs_cusum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "s98_kaplan_meier",
+    """
+    WITH bounds AS (SELECT max(ts) AS end_ts FROM events),
+    users AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS dur,
+             CASE WHEN max(ts) < (SELECT end_ts FROM bounds)
+                                 - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS observed
+      FROM events GROUP BY user_id
+    ),
+    alldur AS (
+      SELECT dur, COUNT(*) AS c_all, SUM(observed) AS d
+      FROM users GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             SUM(c_all) OVER (ORDER BY dur DESC
+                              ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM alldur
+    ),
+    -- fixed-point ln of INTEGERS only (house s90 discipline):
+    -- ln((n-d)/n) decomposes to fxln(n-d) - fxln(n), both integer args
+    km AS (
+      SELECT dur, d, n_risk,
+             CASE WHEN n_risk > d THEN
+               CAST(round(ln(CAST(n_risk - d AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(round(ln(CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT)
+             ELSE NULL END AS lnterm
+      FROM risk WHERE d > 0
+    ),
+    curve AS (
+      SELECT dur, d, n_risk,
+             SUM(lnterm) OVER (ORDER BY dur
+                               ROWS UNBOUNDED PRECEDING) AS lnsum
+      FROM km
+    )
+    SELECT CAST(dur AS INT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN n_risk = d THEN 0.0
+                ELSE round(exp(CAST(lnsum AS DOUBLE) / 1e6), 9)
+           END AS survival
+    FROM curve ORDER BY t_days
+    """,
+    tags=("events", "survival", "statistics"),
+    doc=(
+        "Kaplan-Meier product-limit survival curve of user lifetime "
+        "(days between first and last event), right-censoring users "
+        "still active within 7 days of the corpus end. The product "
+        "prod(1 - d_i/n_i) is rewritten as exp(sum(ln(n_i - d_i) - "
+        "ln(n_i))): each ln has an INTEGER argument, fixed-point "
+        "quantized to round(x*1e6) BIGINT (s90 discipline), so the "
+        "cumulative log-sum is exact integer arithmetic on both "
+        "engines and only the final one-shot exp/round touches "
+        "floats. Risk sets come from a descending cumulative count "
+        "over the per-duration histogram - no correlated subquery, "
+        "no self-join; the windowed stage is O(distinct durations)."
+    ),
+)
+def s98_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(F.max("ts").alias("end_ts"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias(
+                "dur"
+            ),
+            F.max("ts").alias("last_ts"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "dur",
+            F.when(
+                F.col("last_ts")
+                < F.col("end_ts") - F.expr("INTERVAL 7 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    alldur = users.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("observed").alias("d")
+    )
+    wdesc = W.orderBy(F.col("dur").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    risk = alldur.select(
+        "dur", "d", F.sum("c_all").over(wdesc).alias("n_risk")
+    )
+
+    def fxln(col):
+        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    km = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("n_risk") > F.col("d"),
+            fxln(F.col("n_risk") - F.col("d")) - fxln(F.col("n_risk")),
+        ).alias("lnterm"),
+    )
+    wasc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    curve = km.select(
+        "dur", "d", "n_risk", F.sum("lnterm").over(wasc).alias("lnsum")
+    )
+    return curve.select(
+        F.col("dur").cast("int").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.col("n_risk") == F.col("d"), F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("lnsum").cast("double") / F.lit(1e6)), 9)
+        )
+        .alias("survival"),
+    ).orderBy("t_days")
+
+
+@register(
+    "s99_gini_inequality",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents WHERE n_chars IS NOT NULL
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST((2 * i - n - 1) * n_chars AS DECIMAL(38, 0)))
+                AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE)) AS gini
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    tags=("text", "statistics", "inequality"),
+    doc=(
+        "Gini coefficient of document-length inequality per source via "
+        "the sorted-rank identity G = sum((2i - n - 1) x_(i)) / "
+        "(n sum(x)): every aggregate is integer/decimal-exact (the "
+        "rank weights summed within a tie-block are invariant to the "
+        "arbitrary row_number order among equal lengths), and the "
+        "final statistic is one identical IEEE division on both "
+        "engines. Complements s12 (Pareto share) and s26 (HHI) with "
+        "the standard inequality measure. One shuffle to rank within "
+        "source; DECIMAL(38,0) accumulation keeps the weighted sum "
+        "overflow-safe at 100 TB row counts."
+    ),
+)
+def s99_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    wsrc = W.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc.orderBy("n_chars")).alias("i"),
+        F.count(F.lit(1)).over(wsrc).alias("n"),
+        F.sum("n_chars").over(wsrc).alias("tot"),
+    )
+    weighted = (
+        (2 * F.col("i") - F.col("n") - 1) * F.col("n_chars")
+    ).cast("decimal(38,0)")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            (
+                F.sum(weighted).cast("double")
+                / (F.max("n").cast("double") * F.max("tot").cast("double"))
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )

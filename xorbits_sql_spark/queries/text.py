@@ -2325,3 +2325,66 @@ def s83_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_hits"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "s97_text_normalize",
+    """
+    WITH cleaned AS (
+      SELECT source, text,
+             lower(trim(regexp_replace(
+               regexp_replace(text, '[^ -~]', '', 'g'),
+               ' +', ' ', 'g'))) AS clean
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(length(text) - length(clean)) AS BIGINT)
+             AS chars_removed,
+           CAST(SUM(length(clean)) AS DOUBLE) / COUNT(*) AS avg_clean_len
+    FROM cleaned GROUP BY source ORDER BY source
+    """,
+    tags=("text", "cleaning", "normalization"),
+    doc=(
+        "Unicode/whitespace text normalization - the first stage of "
+        "every web-corpus cleaning pipeline: strip non-printable and "
+        "non-ASCII bytes ([^ -~], i.e. outside space..tilde), collapse "
+        "space runs, trim, lowercase; report per-source how many "
+        "documents changed, total characters removed, and the mean "
+        "cleaned length (exact integer sums, one IEEE division). Both "
+        "engines run the SAME two regexes (character class + ' +' are "
+        "identical in Java regex and RE2; DuckDB needs the 'g' flag "
+        "Spark implies). Pure map-side string work with a tiny "
+        "per-source aggregate - no Python in the path, fully "
+        "whole-stage-codegen'd."
+    ),
+)
+def s97_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    clean = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[^ -~]", ""), " +", " "
+            )
+        )
+    )
+    cleaned = docs.select("source", "text", clean.alias("clean"))
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("clean") != F.col("text"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_changed"),
+            F.sum(F.length("text") - F.length("clean"))
+            .cast("bigint")
+            .alias("chars_removed"),
+            (
+                F.sum(F.length("clean")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_clean_len"),
+        )
+        .orderBy("source")
+    )
