@@ -45,7 +45,9 @@ from xorbits_sql_spark.queries import load_all
 # hypothesis tests, curation funnel, phrase search/KWIC, association
 # rules, Naive Bayes, outer stream-stream join, forecasting); s94..s99
 # in its third (DSIR resampling, CUSUM, Neyman allocation, text
-# normalization, Kaplan-Meier, Gini).
+# normalization, Kaplan-Meier, Gini); t01..t07 later that session
+# (bootstrap, k-anonymity, weighted median, knn-eval, A/B, xi,
+# capture-recapture).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

@@ -58,11 +58,18 @@ def brute_topk(
     qid: str = "vec_id",
     cid: str = "vec_id",
     vec: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
-    """Exact cosine top-k per query. Returns (qid, cid, cosine, rank)."""
+    """Exact cosine top-k per query. Returns (qid, cid, cosine, rank).
+
+    ``exclude_self`` drops qid == cid pairs before ranking (for
+    leave-one-out evaluation over a corpus that contains the queries).
+    """
     q = _side(queries, qid, vec, "qid", "qvec", "qn")
     c = _side(corpus, cid, vec, "cid", "cvec", "cn")
     scored = F.broadcast(q).crossJoin(c).select("qid", "cid", _pair_cosine().alias("cosine"))
+    if exclude_self:
+        scored = scored.filter(F.col("qid") != F.col("cid"))
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

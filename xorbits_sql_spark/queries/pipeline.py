@@ -2319,3 +2319,61 @@ def s96_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t02_k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    groups AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS k
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT CASE WHEN k >= 5 THEN '5+' ELSE CAST(k AS VARCHAR) END
+             AS group_size,
+           COUNT(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_individuals
+    FROM groups
+    GROUP BY group_size ORDER BY group_size
+    """,
+    tags=("pipeline", "privacy", "audit"),
+    doc=(
+        "k-anonymity audit of the customer table under the "
+        "quasi-identifier (nation, market segment, $1000 account-"
+        "balance band): how many equivalence classes have fewer than "
+        "k=5 members, and how many individuals sit in them - the "
+        "standard re-identification risk census run before releasing "
+        "or training on user-derived data (Sweeney 2002). Pure "
+        "integer groupBy arithmetic (floor of an IEEE division is "
+        "deterministic), two map-side-combinable aggregations, no "
+        "joins - the shape survives any scale."
+    ),
+)
+def t02_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        groups.select(
+            F.when(F.col("k") >= 5, F.lit("5+"))
+            .otherwise(F.col("k").cast("string"))
+            .alias("group_size"),
+            "k",
+        )
+        .groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_individuals"),
+        )
+        .orderBy("group_size")
+    )

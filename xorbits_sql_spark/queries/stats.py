@@ -2000,3 +2000,457 @@ def s99_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Inverse-CDF thresholds for Poisson(1) on a 32-bit uniform hash:
+# floor(cumsum_{k=0..8} e^-1/k! * 2^32). Integer literals, so replicate
+# weights are EXACT integer comparisons on both engines (no float CDF).
+_POIS1_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+    4294962463,
+)
+
+
+@register(
+    "t01_poisson_bootstrap_ci",
+    f"""
+    WITH reps AS (
+      SELECT d.doc_id, d.n_chars, b.b,
+             ('0x' || substring(md5(d.doc_id::VARCHAR || '-' || b.b::VARCHAR),
+                                1, 8))::BIGINT AS u
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range(100)) AS b) b
+    ),
+    weighted AS (
+      SELECT b, n_chars,
+             CASE {' '.join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_T))}
+                  ELSE 9 END AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+               AS mean_b
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn
+      FROM means
+    ),
+    ci AS (
+      SELECT MIN(CASE WHEN rn = 3 THEN mean_b END) AS boot_lo,
+             MIN(CASE WHEN rn = 98 THEN mean_b END) AS boot_hi
+      FROM ranked
+    ),
+    base AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+      FROM documents
+    )
+    SELECT base.n_docs, base.mean_chars,
+           CAST(100 AS BIGINT) AS n_replicates,
+           ci.boot_lo, ci.boot_hi
+    FROM base CROSS JOIN ci
+    """,
+    tags=("statistics", "bootstrap", "sampling"),
+    doc=(
+        "95% bootstrap confidence interval for mean document length via "
+        "the POISSON bootstrap - the distributed-systems form of the "
+        "bootstrap (Chamandy et al., Google 2012): instead of resampling "
+        "n rows with replacement (which needs global coordination), each "
+        "row independently draws a Poisson(1) replicate weight, which is "
+        "map-side and embarrassingly parallel. Weights come from a "
+        "32-bit md5 hash of (doc_id, replicate) compared against "
+        "PRECOMPUTED INTEGER inverse-CDF thresholds - no float CDF "
+        "evaluation, so replicate membership is bit-equal across "
+        "engines; replicate means are exact-integer-sum IEEE divisions, "
+        "and the CI is positional selection (ranks 3/98 of 100 "
+        "replicate means). Scale shape: the 100x row expansion is the "
+        "algorithm's stated cost and is pure map-side; everything "
+        "reduces through one 100-group aggregate."
+    ),
+)
+def t01_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
+    ).select(
+        "n_chars",
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    w = F.lit(9)
+    for k in range(len(_POIS1_T) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS1_T[k], k).otherwise(w)
+    means = (
+        reps.select("b", "n_chars", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("mean_b")
+        )
+    )
+    ranked = means.select(
+        "mean_b", F.row_number().over(W.orderBy("mean_b", "b")).alias("rn")
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("rn") == 3, F.col("mean_b"))).alias("boot_lo"),
+        F.min(F.when(F.col("rn") == 98, F.col("mean_b"))).alias("boot_hi"),
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "mean_chars"
+        ),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_docs",
+        "mean_chars",
+        F.lit(100).cast("bigint").alias("n_replicates"),
+        "boot_lo",
+        "boot_hi",
+    )
+
+
+@register(
+    "t03_weighted_median",
+    """
+    WITH wl AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+             CAST(l_quantity AS DECIMAL(18,6)) AS qty
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, price,
+             SUM(qty) OVER (PARTITION BY flag ORDER BY price
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cw,
+             SUM(qty) OVER (PARTITION BY flag) AS tw
+      FROM wl
+    )
+    SELECT flag,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN price END) AS DOUBLE)
+             AS weighted_median,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM cum GROUP BY flag ORDER BY flag
+    """,
+    tags=("tpch", "statistics", "percentile"),
+    doc=(
+        "Exact quantity-weighted median of extended price per return "
+        "flag: the smallest price whose cumulative weight reaches half "
+        "the total. The cumulative sum uses a RANGE frame (value-based, "
+        "so tied prices all carry the same cumulative weight - the "
+        "result is tie-order invariant, unlike a ROWS frame over an "
+        "ambiguous sort) and DECIMAL accumulation, making the selection "
+        "predicate 2*cw >= tw exact rational arithmetic on both "
+        "engines. Extends s80 (unweighted positional median) to the "
+        "weighted case every sampling/pricing pipeline needs. One "
+        "shuffle to order within flag; O(rows) window, no self-join."
+    ),
+)
+def t03_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+    wl = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast(dec).alias("price"),
+        F.col("l_quantity").cast(dec).alias("qty"),
+    )
+    wflag = W.partitionBy("flag")
+    cum = wl.select(
+        "flag",
+        "price",
+        F.sum("qty")
+        .over(
+            wflag.orderBy("price").rangeBetween(W.unboundedPreceding, 0)
+        )
+        .alias("cw"),
+        F.sum("qty").over(wflag).alias("tw"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price")))
+            .cast("double")
+            .alias("weighted_median"),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "t05_two_proportion_ab",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+               AS grp,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS c_a,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS c_b
+      FROM u
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+           CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1 - CAST(c_a + c_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))) AS z_score
+    FROM g
+    """,
+    tags=("events", "experimentation", "hypothesis-test"),
+    doc=(
+        "Two-proportion z-test on user conversion (any purchase of "
+        "value >= 150 - a partial-rate outcome on this corpus) "
+        "between deterministic hash-split A/B cohorts - the workhorse "
+        "of online experimentation, completing the hypothesis-test "
+        "family (s70 KS, s71 Mann-Whitney, r59 chi-square). Assignment "
+        "is md5(user_id) % 2 (reproducible across runs/engines, the "
+        "q77 split discipline); all counts are exact integer "
+        "aggregates; the pooled-variance z statistic is one "
+        "identically-spelled IEEE expression (/,-,*,sqrt are "
+        "correctly-rounded - no libm, no quantization needed). Two "
+        "map-side-combinable aggregations, single-row output."
+    ),
+)
+def t05_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("grp"),
+        "conv",
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0)).alias(
+            "c_a"
+        ),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0)).alias(
+            "c_b"
+        ),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (ca / na - cb / nb) / F.sqrt(
+        p_pool * (1 - p_pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return g.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        (ca / na).alias("p_a"),
+        (cb / nb).alias("p_b"),
+        z.alias("z_score"),
+    )
+
+
+@register(
+    "t06_chatterjee_xi",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS x,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+      FROM events GROUP BY day
+    ),
+    rk AS (
+      SELECT day, x, y,
+             COUNT(*) OVER (ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS r,
+             COUNT(*) OVER (ORDER BY y DESC RANGE BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS l,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    seq AS (
+      SELECT r, l, n, LEAD(r) OVER (ORDER BY x, day) AS r_next
+      FROM rk
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           1.0 - CAST(MAX(n) AS DOUBLE)
+                 * CAST(SUM(abs(r_next - r)) AS DOUBLE)
+                 / (2.0 * CAST(SUM(l * (n - l)) AS DOUBLE)) AS xi
+    FROM seq
+    """,
+    tags=("events", "statistics", "correlation"),
+    doc=(
+        "Chatterjee's xi rank correlation (JASA 2021) between daily "
+        "view and purchase counts - the modern dependence coefficient "
+        "that, unlike Pearson (s93) or rank-linear measures, detects "
+        "ANY functional relationship (xi -> 1 iff y is a measurable "
+        "function of x). The ties-aware estimator xi = 1 - n*sum|r_(i+1)"
+        "-r_i| / (2*sum l_i(n-l_i)) is computed entirely from integer "
+        "ranks: r_i and l_i are tie-inclusive cumulative counts via "
+        "RANGE frames (value-based, so tied y days agree on both "
+        "engines), the x-order walk breaks x ties deterministically by "
+        "day, and the final statistic is one IEEE expression over "
+        "exact integer sums. O(days) after the daily collapse."
+    ),
+)
+def t06_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    rk = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1))
+        .over(W.orderBy("y").rangeBetween(W.unboundedPreceding, 0))
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(
+            W.orderBy(F.col("y").desc()).rangeBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("l"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    seq = rk.select(
+        "r",
+        "l",
+        "n",
+        F.lead("r").over(W.orderBy("x", "day")).alias("r_next"),
+    )
+    return seq.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        (
+            F.lit(1.0)
+            - F.max("n").cast("double")
+            * F.sum(F.abs(F.col("r_next") - F.col("r"))).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sum(F.col("l") * (F.col("n") - F.col("l"))).cast(
+                    "double"
+                )
+            )
+        ).alias("xi"),
+    )
+
+
+@register(
+    "t07_capture_recapture",
+    """
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    u AS (
+      SELECT user_id,
+             MAX(CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE))
+                      BETWEEN 0 AND 6 THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE))
+                      BETWEEN 7 AND 13 THEN 1 ELSE 0 END) AS s2
+      FROM events CROSS JOIN b GROUP BY user_id
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+           CAST(SUM(s2) AS BIGINT) AS n2,
+           CAST(SUM(s1 * s2) AS BIGINT) AS n_both,
+           CAST(floor((CAST(SUM(s1) + 1 AS DOUBLE)
+                       * CAST(SUM(s2) + 1 AS DOUBLE))
+                      / CAST(SUM(s1 * s2) + 1 AS DOUBLE))
+                AS BIGINT) - 1 AS est_population,
+           COUNT(*) AS n_observed_total
+    FROM u
+    """,
+    tags=("events", "statistics", "estimation"),
+    doc=(
+        "Capture-recapture population estimate: treat week 1 and week "
+        "2 of activity as two independent 'captures' of the user "
+        "population and estimate the TRUE population size from the "
+        "overlap via the Chapman bias-corrected Lincoln-Petersen "
+        "estimator (n1+1)(n2+1)/(m+1) - 1 (defined even at zero "
+        "overlap). The same estimator audits dedup pipelines: two "
+        "independent near-dup passes' overlap estimates the true "
+        "duplicate count. Membership flags are exact integer MAX "
+        "aggregates per user; the estimate is floor of one IEEE "
+        "division of integers. Two aggregations, no joins beyond the "
+        "broadcast of the 1-row corpus-start date."
+    ),
+)
+def t07_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.to_date(F.min("ts")).alias("d0"))
+    dd = F.datediff(F.to_date(F.col("ts")), F.col("d0"))
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(dd.between(0, 6), 1).otherwise(0)).alias("s1"),
+            F.max(F.when(dd.between(7, 13), 1).otherwise(0)).alias("s2"),
+        )
+    )
+    n1, n2 = F.sum("s1"), F.sum("s2")
+    m = F.sum(F.col("s1") * F.col("s2"))
+    return u.agg(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        m.cast("bigint").alias("n_both"),
+        (
+            F.floor(
+                ((n1 + 1).cast("double") * (n2 + 1).cast("double"))
+                / (m + 1).cast("double")
+            ).cast("bigint")
+            - 1
+        ).alias("est_population"),
+        F.count(F.lit(1)).alias("n_observed_total"),
+    )

@@ -714,3 +714,74 @@ def s50_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@register(
+    "t04_knn_label_accuracy",
+    f"""
+    WITH nn AS (
+      SELECT actual, predicted
+      FROM (
+        SELECT q.label AS actual, c.label AS predicted,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 37 = 0
+      ) ranked
+      WHERE rank = 1
+    )
+    SELECT actual,
+           COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM nn GROUP BY actual ORDER BY actual
+    """,
+    tags=("vectors", "knn", "evaluation"),
+    doc=(
+        "Leave-one-out 1-NN label accuracy over the embedding corpus - "
+        "the standard intrinsic quality check for an embedding space "
+        "(do nearest neighbors share labels?), run on a deterministic "
+        "hash-mod query sample (vec_id % 37) so the audited pair count "
+        "is corpus_size * sample_size, not quadratic. Reuses "
+        "brute_topk's broadcast-queries/scan-corpus-once shape with "
+        "exclude_self for the leave-one-out semantics; cosine ties "
+        "break on vec_id so the predicted neighbor is deterministic. "
+        "Sequential double accumulation of the dot product is "
+        "bit-equal to DuckDB's list_dot_product (q70 precedent)."
+    ),
+)
+def t04_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 37 == 0)
+    nn = brute_topk(queries, emb, k=1, exclude_self=True)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("qid"), F.col("label").alias("actual")
+            ),
+            "qid",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("cid"),
+                F.col("label").alias("predicted"),
+            ),
+            "cid",
+        )
+    )
+    correct = F.sum(
+        F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0)
+    )
+    return (
+        joined.groupBy("actual")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            correct.cast("bigint").alias("n_correct"),
+            (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        )
+        .orderBy("actual")
+    )
