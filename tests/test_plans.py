@@ -213,6 +213,17 @@ _BNLJ_INTENDED = {
     "s90_naive_bayes_langid": "scalar-broadcast (5-row lang totals + "
     "1-row vocab/train-size model constants)",
     "s93_lagged_cross_correlation": "scalar-broadcast (the 7-row lag grid)",
+    "s94_dsir_importance_resample": "scalar-broadcast (the 1-row corpus "
+    "token totals joined onto the 64-row bucket histogram)",
+    "s96_neyman_allocation": "scalar-broadcast (the 1-row weight total)",
+    "s98_kaplan_meier": "scalar-broadcast (the 1-row corpus-end bound)",
+    "t01_poisson_bootstrap_ci": "scalar-broadcast (1-row base stats x "
+    "1-row CI row)",
+    "t04_knn_label_accuracy": "audit (leave-one-out exact-kNN scan, "
+    "query side bounded by the hash-mod sample)",
+    "t05_two_proportion_ab": "scalar-broadcast (1-row cohort counts)",
+    "t07_capture_recapture": "scalar-broadcast (the 1-row corpus-start "
+    "date)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -276,6 +287,12 @@ _GLOBAL_WINDOW_INTENDED = {
     "day grid (post user-collapse)",
     "s76_zipf_exponent": "rank over the 200-row TakeOrdered head "
     "(bounded by construction)",
+    "s98_kaplan_meier": "risk-set cumsums over the per-duration "
+    "histogram (bounded by distinct lifetime days, not users)",
+    "t01_poisson_bootstrap_ci": "rank over the 100 replicate means "
+    "(bounded by the replicate count)",
+    "t06_chatterjee_xi": "rank walks over the daily series (bounded "
+    "by days after the daily collapse)",
 }
 
 _WINSPEC = re.compile(

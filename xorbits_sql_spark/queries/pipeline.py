@@ -2114,23 +2114,24 @@ def s82_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS b
       FROM toks WHERE tok <> ''
     ),
-    tgt AS (SELECT b, COUNT(*) AS ct FROM bt WHERE lang = 'en' GROUP BY b),
-    raw AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
-    tots AS (
-      SELECT (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS nt,
-             (SELECT COUNT(*) FROM bt) AS nr
+    -- ONE aggregation over the token stream yields both histograms;
+    -- corpus totals fold from the 64-row bucket table, not a rescan
+    hist AS (
+      SELECT b, COUNT(*) AS cr,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM bt GROUP BY b
     ),
+    tots AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM hist),
     -- integer fixed-point log-ratio per hashed feature bucket
     -- (s90 discipline: ln of INTEGERS only, round(x*1e6) BIGINT)
     w AS (
-      SELECT r.b,
-             CAST(round(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)) * 1e6)
-                  AS BIGINT)
+      SELECT h.b,
+             CAST(round(ln(CAST(h.ct + 1 AS DOUBLE)) * 1e6) AS BIGINT)
              - CAST(round(ln(CAST(tots.nt + 64 AS DOUBLE)) * 1e6) AS BIGINT)
-             - CAST(round(ln(CAST(r.cr + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+             - CAST(round(ln(CAST(h.cr + 1 AS DOUBLE)) * 1e6) AS BIGINT)
              + CAST(round(ln(CAST(tots.nr + 64 AS DOUBLE)) * 1e6) AS BIGINT)
                AS lw
-      FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tots
+      FROM hist h CROSS JOIN tots
     ),
     docw AS (
       SELECT bt.doc_id, bt.source, SUM(w.lw) AS dw
@@ -2157,9 +2158,11 @@ def s82_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fixed-point quantized to round(x*1e6) BIGINT (s90 "
         "discipline), so per-doc weights are exact integers - "
         "order-independent and bit-equal across engines. Scale shape: "
-        "the bucket-weight table is 64 rows (broadcast); scoring is a "
-        "map-side explode + broadcast join + one groupBy(doc_id) "
-        "shuffle - no pairwise anything, linear in corpus tokens."
+        "ONE aggregation over the token stream builds both histograms "
+        "at once (64 rows; corpus totals fold from the bucket table, "
+        "never a rescan); scoring is a map-side explode + broadcast "
+        "join + one groupBy(doc_id) shuffle - two passes over tokens "
+        "total, no pairwise anything, linear in corpus tokens."
     ),
 )
 def s94_dsir_importance_resample(
@@ -2185,30 +2188,23 @@ def s94_dsir_importance_resample(
             % 64
         ).alias("b"),
     )
-    tgt = bt.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
+    hist = bt.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tots = bt.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
-        F.count(F.lit(1)).alias("nr"),
-    )
+    tots = hist.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
 
     def fxln(col):
         return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
 
-    w = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            (
-                fxln(F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                - fxln(F.col("nt") + 64)
-                - fxln(F.col("cr") + 1)
-                + fxln(F.col("nr") + 64)
-            ).alias("lw"),
-        )
+    w = hist.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            fxln(F.col("ct") + 1)
+            - fxln(F.col("nt") + 64)
+            - fxln(F.col("cr") + 1)
+            + fxln(F.col("nr") + 64)
+        ).alias("lw"),
     )
     docw = (
         bt.select("doc_id", "source", "b")
