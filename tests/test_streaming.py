@@ -139,3 +139,111 @@ def test_welford_anomalies_match_sequential_reference(spark):
         gn, gmean, gm2, galerts = got[uid]
         assert (gn, galerts) == (n, alerts), uid
         assert abs(gmean - mean) < 1e-9 and abs(gm2 - m2) < 1e-6, uid
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill a stream mid-corpus and restart it from its checkpoint: the
+    file-source offset log plus the file-sink transaction log must
+    deliver every input row EXACTLY once across the restart — no loss,
+    no re-emission. This is the fault-tolerance contract a 100 TB/day
+    pipeline leans on every time an executor or driver dies."""
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.queries._util import t
+
+    ev = t(spark, SF_ORACLE, "events")
+    inp, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    def run_phase():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(inp)
+            .select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_phase()
+    committed = spark.read.parquet(out).count()
+    assert committed == half1.count()
+    # the restart must pick up ONLY the new files
+    half2.write.mode("append").parquet(inp)
+    run_phase()
+    got = spark.read.parquet(out)
+    total = ev.count()
+    assert got.count() == total  # no loss, no duplicates
+    assert got.select("event_id").distinct().count() == total
+
+
+def test_stateful_restart_resumes_window_state(spark, tmp_path):
+    """Split the corpus at day 15 across a stop/restart: hourly windows
+    pending at shutdown (not yet past the watermark) must flush AFTER
+    the restart with batch-equal totals — proving the aggregation state
+    store recovers from the checkpoint instead of recounting from
+    scratch or emitting partial windows."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.queries._util import t
+    from xorbits_sql_spark.streaming.windows import tumbling_counts
+
+    ev = t(spark, SF_ORACLE, "events")
+    d0 = ev.agg(F.min("ts")).first()[0]
+    split = d0 + datetime.timedelta(days=15)
+    inp, out, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    ev.filter(F.col("ts") < F.lit(split)).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    def run_phase():
+        q = (
+            tumbling_counts(spark.readStream.schema(schema).parquet(inp))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run_phase()
+    flushed_p1 = spark.read.parquet(out).count()
+    ev.filter(F.col("ts") >= F.lit(split)).write.mode("append").parquet(inp)
+    run_phase()
+
+    got = spark.read.parquet(out).toPandas()
+    # truth: the same operator evaluated in BATCH mode over everything
+    # (withWatermark is a no-op in batch)
+    truth = tumbling_counts(ev).toPandas()
+    tmap = {
+        (r.hour, r.event_type): (r.n, r.total_value)
+        for r in truth.itertuples()
+    }
+    assert len(got) > flushed_p1, "no windows flushed after the restart"
+    for r in got.itertuples():
+        assert tmap[(r.hour, r.event_type)] == (r.n, r.total_value), (
+            "window emitted with partial state after restart: "
+            f"{r.hour} {r.event_type}"
+        )
+    # windows finalized before shutdown must not re-emit (append mode
+    # emits each window once; duplicate keys here would mean replay)
+    assert len(got) == len({(r.hour, r.event_type) for r in got.itertuples()})
