@@ -47,7 +47,8 @@ from xorbits_sql_spark.queries import load_all
 # in its third (DSIR resampling, CUSUM, Neyman allocation, text
 # normalization, Kaplan-Meier, Gini); t01..t07 later that session
 # (bootstrap, k-anonymity, weighted median, knn-eval, A/B, xi,
-# capture-recapture).
+# capture-recapture); t08..t12 (CDC chunking, Mann-Kendall,
+# Theil-Sen, Adamic-Adar, weekday seasonality).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

@@ -224,6 +224,13 @@ _BNLJ_INTENDED = {
     "t05_two_proportion_ab": "scalar-broadcast (1-row cohort counts)",
     "t07_capture_recapture": "scalar-broadcast (the 1-row corpus-start "
     "date)",
+    "t09_mann_kendall_trend": "audit (day-pair sign scan over the "
+    "daily collapse — bounded by calendar days squared) + 1-row "
+    "count/tie-term broadcasts",
+    "t10_theil_sen_slope": "audit (day-pair slope scan over the daily "
+    "collapse — bounded by calendar days squared)",
+    "t12_weekday_seasonality": "scalar-broadcast (the 1-row overall "
+    "daily mean)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -293,6 +300,9 @@ _GLOBAL_WINDOW_INTENDED = {
     "(bounded by the replicate count)",
     "t06_chatterjee_xi": "rank walks over the daily series (bounded "
     "by days after the daily collapse)",
+    "t10_theil_sen_slope": "slope-median rank over the day-pair table "
+    "(bounded by calendar days squared); day indexing over the daily "
+    "collapse",
 }
 
 _WINSPEC = re.compile(

@@ -2454,3 +2454,359 @@ def t07_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_population"),
         F.count(F.lit(1)).alias("n_observed_total"),
     )
+
+
+@register(
+    "t09_mann_kendall_trend",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY day
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    s AS (SELECT SUM(sgn) AS s_stat, (SELECT COUNT(*) FROM daily) AS n
+          FROM pairs),
+    ties AS (
+      SELECT COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS tie_term
+      FROM (SELECT COUNT(*) AS c FROM daily GROUP BY x) g
+      WHERE c > 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           (CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)) / 18.0
+             AS variance,
+           CASE WHEN s_stat > 0 THEN
+                  CAST(s_stat - 1 AS DOUBLE)
+                  / sqrt((CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                               AS DOUBLE)) / 18.0)
+                WHEN s_stat < 0 THEN
+                  CAST(s_stat + 1 AS DOUBLE)
+                  / sqrt((CAST(n * (n - 1) * (2 * n + 5) - tie_term
+                               AS DOUBLE)) / 18.0)
+                ELSE 0.0 END AS z_score
+    FROM s CROSS JOIN ties
+    """,
+    tags=("events", "time-series", "hypothesis-test"),
+    doc=(
+        "Mann-Kendall nonparametric trend test on the daily event-count "
+        "series: S = sum over day pairs of sign(x_j - x_i), with the "
+        "tie-corrected variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18 "
+        "and the continuity-corrected z. The monotone-trend companion "
+        "to t06 (dependence) and r57 (OLS slope): distribution-free, "
+        "robust to outliers. S and the tie term are pure integers; "
+        "variance and z are one identically-spelled IEEE expression. "
+        "The pair join is over the DAILY series - O(days^2) with days "
+        "bounded by the calendar, independent of event volume; the "
+        "heavy reduction (events -> days) happens first."
+    ),
+)
+def t09_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+    )
+    s = a.join(b, F.col("b.day") > F.col("a.day")).agg(
+        F.sum(sgn).alias("s_stat")
+    )
+    n_row = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    joined = s.crossJoin(F.broadcast(n_row)).crossJoin(F.broadcast(ties))
+    n, ss = F.col("n"), F.col("s_stat")
+    var = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double")
+        / 18.0
+    )
+    z = (
+        F.when(ss > 0, (ss - 1).cast("double") / F.sqrt(var))
+        .when(ss < 0, (ss + 1).cast("double") / F.sqrt(var))
+        .otherwise(0.0)
+    )
+    return joined.select(
+        n.cast("bigint").alias("n_days"),
+        ss.cast("bigint").alias("s_stat"),
+        var.alias("variance"),
+        z.alias("z_score"),
+    )
+
+
+@register(
+    "t10_theil_sen_slope",
+    """
+    WITH daily AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY date_trunc('day', ts)) AS i,
+             COUNT(*) AS x
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    slopes AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS m
+      FROM daily a JOIN daily b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, i, j) AS rn,
+             COUNT(*) OVER () AS k
+      FROM slopes
+    )
+    SELECT CAST(MAX(k) AS BIGINT) AS n_pairs,
+           (MIN(CASE WHEN rn = (k + 1) // 2 THEN m END)
+            + MIN(CASE WHEN rn = (k + 2) // 2 THEN m END)) / 2.0
+             AS theil_sen_slope
+    FROM ranked
+    """,
+    tags=("events", "time-series", "robust-statistics"),
+    doc=(
+        "Theil-Sen robust trend slope of the daily event-count series: "
+        "the median of all pairwise slopes (y_j - y_i)/(j - i) - the "
+        "29%-breakdown-point companion to the Mann-Kendall test (t09), "
+        "immune to the outlier days that drag an OLS fit (r57). Each "
+        "slope is one IEEE division of exact integers; the median is "
+        "positional selection over a deterministic (slope, i, j) order "
+        "(s80 discipline), averaging the middle two for even counts. "
+        "O(days^2) pairs AFTER the daily collapse - bounded by the "
+        "calendar, not the event volume."
+    ),
+)
+def t10_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    ).select(
+        F.row_number().over(W.orderBy("day")).alias("i"), "x"
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.i") > F.col("a.i")).select(
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.i") - F.col("a.i")).cast("double")
+        ).alias("m"),
+    )
+    ranked = slopes.select(
+        "m",
+        F.row_number().over(W.orderBy("m", "i", "j")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("k"),
+    )
+    return ranked.agg(
+        F.max("k").cast("bigint").alias("n_pairs"),
+        (
+            (
+                F.min(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("k") + 1) / 2),
+                        F.col("m"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("k") + 2) / 2),
+                        F.col("m"),
+                    )
+                )
+            )
+            / 2.0
+        ).alias("theil_sen_slope"),
+    )
+
+
+@register(
+    "t11_adamic_adar_linkpred",
+    """
+    WITH pairs_raw AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT p1 AS u, p2 AS z FROM pairs_raw
+      UNION ALL SELECT p2, p1 FROM pairs_raw
+    ),
+    deg AS (SELECT z, COUNT(*) AS d FROM adj GROUP BY z),
+    -- hub cap: a common neighbor of degree > 50 contributes little
+    -- AA weight but quadratic candidate pairs; drop it (documented)
+    adj_capped AS (
+      SELECT adj.u, adj.z, deg.d FROM adj JOIN deg USING (z)
+      WHERE deg.d BETWEEN 2 AND 50
+    ),
+    cands AS (
+      SELECT x.u AS u, y.u AS v,
+             COUNT(*) AS n_common,
+             SUM(CAST(round(1e9 / ln(CAST(x.d AS DOUBLE))) AS BIGINT))
+               AS aa_q
+      FROM adj_capped x JOIN adj_capped y
+        ON y.z = x.z AND y.u > x.u
+      GROUP BY x.u, y.u
+    ),
+    new_links AS (
+      SELECT c.* FROM cands c
+      LEFT JOIN pairs_raw e ON e.p1 = c.u AND e.p2 = c.v
+      WHERE e.p1 IS NULL
+    )
+    SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+           CAST(aa_q AS BIGINT) AS aa_score_q
+    FROM new_links
+    ORDER BY aa_score_q DESC, u, v
+    LIMIT 15
+    """,
+    tags=("graph", "link-prediction", "market-basket"),
+    doc=(
+        "Adamic-Adar link prediction over the part co-purchase graph "
+        "(same support>=2 edge set as s49): score non-adjacent part "
+        "pairs by sum over common neighbors z of 1/ln(deg(z)) - "
+        "low-degree shared neighbors are stronger evidence. The "
+        "wedge-generating self-join is capped to neighbors of degree "
+        "<= 50 (a hub contributes O(d^2) candidate pairs but only "
+        "1/ln(d) weight each - the standard prune, stated in the "
+        "output contract); existing edges are removed by anti-join. "
+        "Weights are fixed-point round(1e9/ln(d)) BIGINTs (ln of an "
+        "INTEGER degree, s90 discipline), so scores sum exactly and "
+        "rank identically on both engines; top-15 via TakeOrdered."
+    ),
+)
+def t11_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _persist
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    edges = _persist(edges)
+    adj = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("z")
+    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("z")))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    adj_capped = adj.join(deg, "z").filter(F.col("d").between(2, 50))
+    x, y = adj_capped.alias("x"), adj_capped.alias("y")
+    aa_w = F.round(
+        F.lit(1e9) / F.log(F.col("x.d").cast("double"))
+    ).cast("bigint")
+    cands = (
+        x.join(
+            y,
+            (F.col("y.z") == F.col("x.z")) & (F.col("y.u") > F.col("x.u")),
+        )
+        .groupBy(F.col("x.u").alias("u"), F.col("y.u").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(aa_w).alias("aa_q"),
+        )
+    )
+    new_links = cands.join(
+        edges,
+        (F.col("p1") == F.col("u")) & (F.col("p2") == F.col("v")),
+        "left_anti",
+    )
+    return (
+        new_links.select(
+            "u",
+            "v",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("aa_q").cast("bigint").alias("aa_score_q"),
+        )
+        .orderBy(F.desc("aa_score_q"), "u", "v")
+        .limit(15)
+    )
+
+
+@register(
+    "t12_weekday_seasonality",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY day
+    ),
+    byday AS (
+      SELECT isodow(day) AS dow, COUNT(*) AS n_w,
+             CAST(SUM(x) AS BIGINT) AS sum_w
+      FROM daily GROUP BY dow
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_all, CAST(SUM(x) AS BIGINT) AS sum_all
+      FROM daily
+    )
+    SELECT CAST(dow AS INT) AS iso_weekday,
+           CAST(n_w AS BIGINT) AS n_days,
+           CAST(sum_w AS DOUBLE) / CAST(n_w AS DOUBLE) AS mean_events,
+           CAST(sum_w * n_all AS DOUBLE)
+             / CAST(n_w * sum_all AS DOUBLE) AS seasonal_index
+    FROM byday CROSS JOIN tot
+    ORDER BY iso_weekday
+    """,
+    tags=("events", "time-series", "seasonality"),
+    doc=(
+        "Weekday seasonality index: mean daily event count per ISO "
+        "weekday divided by the overall daily mean - the multiplicative "
+        "seasonal factor used to deseasonalize KPI series before trend "
+        "tests like t09/t10. Spark's weekday() (0=Monday) maps to "
+        "DuckDB's isodow (1=Monday) by +1, pinned cross-engine. The "
+        "index is (sum_w * n_all)/(n_w * sum_all): integer products, "
+        "ONE IEEE division - exact, no intermediate float means. Two "
+        "tiny aggregates off the daily collapse."
+    ),
+)
+def t12_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    byday = daily.groupBy(
+        (F.weekday("day") + 1).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("x").cast("bigint").alias("sum_w"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("x").cast("bigint").alias("sum_all"),
+    )
+    return (
+        byday.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("iso_weekday"),
+            F.col("n_w").cast("bigint").alias("n_days"),
+            (F.col("sum_w").cast("double") / F.col("n_w").cast("double")).alias(
+                "mean_events"
+            ),
+            (
+                (F.col("sum_w") * F.col("n_all")).cast("double")
+                / (F.col("n_w") * F.col("sum_all")).cast("double")
+            ).alias("seasonal_index"),
+        )
+        .orderBy("iso_weekday")
+    )

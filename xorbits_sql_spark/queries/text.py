@@ -2388,3 +2388,117 @@ def s97_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t08_cdc_chunk_dedup",
+    f"""
+    WITH arrs AS (
+      SELECT doc_id, source, string_split(lower({_NORM}), ' ') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, unnest(arr) AS tok,
+             unnest(range(len(arr))) AS pos
+      FROM arrs
+    ),
+    marked AS (
+      SELECT doc_id, source, tok, pos,
+             CASE WHEN ('0x' || substring(md5(tok), 1, 8))::BIGINT % 16 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM toks WHERE tok <> ''
+    ),
+    chunked AS (
+      SELECT doc_id, source, tok, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) - b AS chunk_id
+      FROM marked
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+             COUNT(*) AS n_toks
+      FROM chunked GROUP BY doc_id, source, chunk_id
+    ),
+    fps AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp)
+    SELECT c.source,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(SUM(CASE WHEN f.nd > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+             AS shared_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM chunks c JOIN fps f USING (fp)
+    GROUP BY c.source ORDER BY c.source
+    """,
+    tags=("text", "dedup", "chunking"),
+    doc=(
+        "Content-defined chunking (CDC) duplicate census: token-level "
+        "Rabin-style chunking where a token whose hash lands in 1/16 of "
+        "the space ENDS a chunk, so chunk boundaries depend only on "
+        "LOCAL content - insert one sentence at the top of a page and, "
+        "unlike fixed windows (s45) or fixed-size blocks, every "
+        "downstream chunk boundary stays put and still matches its "
+        "twin in other documents. The backup/dedup-storage technique "
+        "(LBFS, Muthitacharoen et al. SOSP 2001) applied to corpus "
+        "sub-document dedup: per-source share of chunk instances (and "
+        "tokens) whose exact chunk fingerprint recurs in another "
+        "document. Boundaries and fingerprints are md5-portable, chunk "
+        "ids come from a per-doc cumulative sum (partitioned window), "
+        "and the fingerprint join is a plain hash join on fp - linear "
+        "in chunk count, no pair explosion, mean chunk length 16 "
+        "tokens by construction."
+    ),
+)
+def t08_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    arr = F.split(F.lower(norm_ws(F.col("text"))), " ")
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(arr).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    marked = toks.withColumn(
+        "b",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % 16
+            == 0
+        ).cast("int"),
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    chunked = marked.withColumn(
+        "chunk_id", F.sum("b").over(wdoc) - F.col("b")
+    )
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    fps = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(fps, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+            F.sum(F.when(F.col("nd") > 1, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("shared_tokens"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
