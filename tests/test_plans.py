@@ -303,6 +303,10 @@ _GLOBAL_WINDOW_INTENDED = {
     "t10_theil_sen_slope": "slope-median rank over the day-pair table "
     "(bounded by calendar days squared); day indexing over the daily "
     "collapse",
+    "t14_skyline_pareto_frontier": "the one-sort 2D skyline walk over "
+    "DISTINCT (price, size) pairs — inherently a total order; at "
+    "scale: range-partition on price + per-partition skyline + "
+    "frontier merge (documented in the op)",
 }
 
 _WINSPEC = re.compile(

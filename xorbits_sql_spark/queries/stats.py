@@ -2810,3 +2810,124 @@ def t12_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_weekday")
     )
+
+
+@register(
+    "t13_fano_burstiness",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY event_type, day
+    ),
+    mom AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_daily,
+           (CAST(n * sxx - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS fano_factor
+    FROM mom WHERE n > 1 ORDER BY event_type
+    """,
+    tags=("events", "time-series", "statistics"),
+    doc=(
+        "Fano factor (index of dispersion) of the daily count series "
+        "per event type: sample variance over mean. 1 = Poisson-like "
+        "arrivals, >1 = bursty/overdispersed, <1 = regular - the "
+        "single-number burstiness monitor that pairs with s30's "
+        "per-user regularity audit and flags event types whose traffic "
+        "is clumping (incidents, bots, batch replays). All moments are "
+        "exact integer aggregates off the daily collapse; the statistic "
+        "is one identically-spelled IEEE expression. Two "
+        "map-side-combinable aggregations, no joins."
+    ),
+)
+def t13_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    n, s, sxx = F.col("n"), F.col("s"), F.col("sxx")
+    mean = s.cast("double") / n.cast("double")
+    var = (n * sxx - s * s).cast("double") / (n * (n - 1)).cast("double")
+    return (
+        mom.filter(n > 1)
+        .select(
+            "event_type",
+            n.cast("bigint").alias("n_days"),
+            mean.alias("mean_daily"),
+            (var / mean).alias("fano_factor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "t14_skyline_pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+    ),
+    walk AS (
+      SELECT price, size,
+             MAX(size) OVER (ORDER BY price ASC, size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+      FROM pts
+    )
+    SELECT price, CAST(size AS INT) AS size
+    FROM walk
+    WHERE prev_max IS NULL OR size > prev_max
+    ORDER BY price
+    """,
+    tags=("relational", "skyline", "operator"),
+    doc=(
+        "2D skyline (Pareto frontier) of parts: minimize price, "
+        "maximize size - the classic SKYLINE OF operator (Borzsonyi et "
+        "al., ICDE 2001) Spark has no native form of. The naive "
+        "formulation is a quadratic NOT-EXISTS dominance anti-join; "
+        "the 2D re-expression here is ONE sort: walk points in (price "
+        "ASC, size DESC) order and keep a point iff its size exceeds "
+        "the running max of every strictly-preceding row - equal-price "
+        "ties sort larger-size first so the dominated twin is dropped, "
+        "and exact (price, size) duplicates are collapsed by DISTINCT "
+        "(documented convention). No arithmetic at all, so cross-engine "
+        "equality is structural. At 100 TB: range-partition on price, "
+        "per-partition skyline, then merge the per-partition frontiers "
+        "- the standard distributed skyline; the global window here is "
+        "over the DISTINCT value pairs."
+    ),
+)
+def t14_skyline_pareto_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pts = (
+        t(spark, sf_dir, "part")
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .distinct()
+    )
+    walk = pts.withColumn(
+        "prev_max",
+        F.max("size").over(
+            W.orderBy(F.col("price").asc(), F.col("size").desc()).rowsBetween(
+                W.unboundedPreceding, -1
+            )
+        ),
+    )
+    return (
+        walk.filter(
+            F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max"))
+        )
+        .select("price", F.col("size").cast("int").alias("size"))
+        .orderBy("price")
+    )
