@@ -231,6 +231,9 @@ _BNLJ_INTENDED = {
     "collapse — bounded by calendar days squared)",
     "t12_weekday_seasonality": "scalar-broadcast (the 1-row overall "
     "daily mean)",
+    "t15_blocking_quality_audit": "scalar-broadcast (four 1-row "
+    "candidate/truth/caught/universe counts folded into the metric "
+    "row)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

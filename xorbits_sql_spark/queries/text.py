@@ -2502,3 +2502,133 @@ def t08_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t15_blocking_quality_audit",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM shingled
+      ) WHERE df <= 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ss FROM kept GROUP BY doc_id),
+    truth AS (
+      SELECT ia, ib FROM (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS sh
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) s
+      JOIN sizes sa ON sa.doc_id = ia
+      JOIN sizes sb ON sb.doc_id = ib
+      WHERE CAST(sh AS DOUBLE) / (sa.ss + sb.ss - sh) > 0.2
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(4))}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, '{i}|' || h{i} AS band_key FROM sigs" for i in range(4))}
+    ),
+    cands AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM cands) AS n_cand,
+             (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM truth t
+              JOIN cands c ON c.ia = t.ia AND c.ib = t.ib) AS n_caught,
+             (SELECT COUNT(*) FROM documents) AS n
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST((n * (n - 1)) // 2 AS BIGINT) AS total_pairs,
+           CAST(n_cand AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true_pairs,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           1.0 - CAST(n_cand AS DOUBLE)
+                 / CAST((n * (n - 1)) // 2 AS DOUBLE) AS reduction_ratio,
+           CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE)
+             AS pair_completeness,
+           CAST(n_caught AS DOUBLE) / CAST(n_cand AS DOUBLE)
+             AS pair_quality
+    FROM counts
+    """,
+    tags=("text", "dedup", "evaluation"),
+    doc=(
+        "Record-linkage blocking-quality audit of the MinHash LSH "
+        "blocker (q65's 4-seed band-1 scheme) against exact 3-gram "
+        "Jaccard > 0.2 ground truth (q64's inverted-index pipeline, "
+        "global, max_df=50): the three standard metrics - reduction "
+        "ratio (fraction of the n(n-1)/2 pair space the blocker "
+        "prunes), pair completeness (recall: true near-dup pairs that "
+        "share a band) and pair quality (precision of the candidate "
+        "set). This is how a 100 TB dedup pipeline tunes seeds/bands "
+        "BEFORE paying for the full run - the text-side companion to "
+        "r87's embedding-LSH recall audit. All counts are exact "
+        "integers (candidate and truth sets reuse the bounded "
+        "inverted-index/banded joins); the metrics are single IEEE "
+        "divisions; total_pairs uses integer division so it stays "
+        "exact at any corpus size."
+    ),
+)
+def t15_blocking_quality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(
+        docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+    ).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.2,
+        partition_col=None,
+        max_df=50,
+    ).select("id_a", "id_b")
+    c_cand = cands.agg(F.count(F.lit(1)).alias("n_cand"))
+    c_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c_caught = truth.join(cands, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_caught")
+    )
+    c_n = docs.agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        c_cand.crossJoin(F.broadcast(c_true))
+        .crossJoin(F.broadcast(c_caught))
+        .crossJoin(F.broadcast(c_n))
+    )
+    n = F.col("n")
+    total_pairs = F.expr("(n * (n - 1)) div 2")
+    return joined.select(
+        n.cast("bigint").alias("n_docs"),
+        total_pairs.cast("bigint").alias("total_pairs"),
+        F.col("n_cand").cast("bigint").alias("n_candidates"),
+        F.col("n_true").cast("bigint").alias("n_true_pairs"),
+        F.col("n_caught").cast("bigint").alias("n_caught"),
+        (
+            F.lit(1.0)
+            - F.col("n_cand").cast("double") / total_pairs.cast("double")
+        ).alias("reduction_ratio"),
+        (
+            F.col("n_caught").cast("double") / F.col("n_true").cast("double")
+        ).alias("pair_completeness"),
+        (
+            F.col("n_caught").cast("double") / F.col("n_cand").cast("double")
+        ).alias("pair_quality"),
+    )
