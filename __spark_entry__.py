@@ -49,7 +49,8 @@ from xorbits_sql_spark.queries import load_all
 # (bootstrap, k-anonymity, weighted median, knn-eval, A/B, xi,
 # capture-recapture); t08..t12 (CDC chunking, Mann-Kendall,
 # Theil-Sen, Adamic-Adar, weekday seasonality); t13..t14 (Fano
-# burstiness, 2D skyline); t15 (blocking-quality audit).
+# burstiness, 2D skyline); t15..t18 (blocking-quality audit, RFM,
+# assortativity, Wasserstein).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

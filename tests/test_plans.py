@@ -234,6 +234,10 @@ _BNLJ_INTENDED = {
     "t15_blocking_quality_audit": "scalar-broadcast (four 1-row "
     "candidate/truth/caught/universe counts folded into the metric "
     "row)",
+    "t16_rfm_segmentation": "scalar-broadcast (the 1-row corpus-end "
+    "date)",
+    "t18_wasserstein_distance": "scalar-broadcast (the 1-row class "
+    "totals)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -310,6 +314,12 @@ _GLOBAL_WINDOW_INTENDED = {
     "DISTINCT (price, size) pairs — inherently a total order; at "
     "scale: range-partition on price + per-partition skyline + "
     "frontier merge (documented in the op)",
+    "t16_rfm_segmentation": "exact global NTILE over per-user "
+    "aggregates (q47's justification; q93_approx_ntile is the "
+    "distributed scale twin)",
+    "t18_wasserstein_distance": "ECDF cumsum over the per-distinct-"
+    "value collapse (bounded by value cardinality — the s70/s71 "
+    "shape)",
 }
 
 _WINSPEC = re.compile(

@@ -2931,3 +2931,297 @@ def t14_skyline_pareto_frontier(
         .select("price", F.col("size").cast("int").alias("size"))
         .orderBy("price")
     )
+
+
+@register(
+    "t16_rfm_segmentation",
+    """
+    WITH bounds AS (SELECT CAST(max(ts) AS DATE) AS d1 FROM events),
+    rfm AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE),
+                       (SELECT d1 FROM bounds)) AS recency,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             NTILE(5) OVER (ORDER BY recency DESC, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary ASC, user_id) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           COUNT(*) AS n_users
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("events", "segmentation", "marketing"),
+    doc=(
+        "RFM customer segmentation: quintile-score each purchasing "
+        "user on Recency (days since last purchase - recent = high), "
+        "Frequency and Monetary value, then census the 5x5x5 segment "
+        "grid - the classic marketing/LTV segmentation, and the same "
+        "shape a curation pipeline uses to tier contributors by "
+        "activity. Recency counts from the corpus-end date (exact "
+        "integer), monetary sums in DECIMAL; every NTILE orders with a "
+        "user_id tie-break so bucket assignment is deterministic on "
+        "both engines (NTILE's larger-earlier-bucket rule matches). "
+        "One shuffle to score, one tiny grid aggregate."
+    ),
+)
+def t16_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bounds = ev.agg(F.to_date(F.max("ts")).alias("d1"))
+    rfm = (
+        ev.groupBy("user_id")
+        .agg(
+            F.to_date(F.max("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.datediff(F.col("d1"), F.col("last_day")).alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = rfm.select(
+        F.ntile(5)
+        .over(W.orderBy(F.col("recency").desc(), F.col("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("frequency").asc(), F.col("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary").asc(), F.col("user_id")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("r_score").cast("int").alias("r_score"),
+            F.col("f_score").cast("int").alias("f_score"),
+            F.col("m_score").cast("int").alias("m_score"),
+            "n_users",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "t17_degree_assortativity",
+    """
+    WITH edges AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    adj AS (
+      SELECT p1 AS u, p2 AS v FROM edges
+      UNION ALL SELECT p2, p1 FROM edges
+    ),
+    deg AS (SELECT u AS p, COUNT(*) AS d FROM adj GROUP BY u),
+    de AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj
+      JOIN deg du ON du.p = adj.u
+      JOIN deg dv ON dv.p = adj.v
+    ),
+    m AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM de
+    )
+    SELECT CAST(k / 2 AS BIGINT) AS n_edges,
+           (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS assortativity
+    FROM m
+    """,
+    tags=("graph", "statistics", "market-basket"),
+    doc=(
+        "Degree assortativity of the part co-purchase graph (same "
+        "support>=2 edge set as s49/t11): the Pearson correlation of "
+        "endpoint degrees over directed edge stubs (Newman 2002) - "
+        "positive means hubs link to hubs, negative means hub-leaf "
+        "structure, which predicts how the graph shatters under "
+        "dedup/cleaning cuts. Over the symmetric stub list the x and y "
+        "marginals coincide, so r = (k*Sxy - Sx^2)/(k*Sxx - Sx^2) with "
+        "every S an exact integer aggregate and the statistic one "
+        "identically-spelled IEEE expression. Joins are equi-keyed on "
+        "part ids; no pair explosion beyond the bounded edge set."
+    ),
+)
+def t17_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import _persist
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    edges = _persist(edges)
+    adj = edges.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    de = (
+        adj.join(deg.select(F.col("u").alias("__u"), F.col("d").alias("x")),
+                 F.col("u") == F.col("__u"))
+        .join(deg.select(F.col("u").alias("__v"), F.col("d").alias("y")),
+              F.col("v") == F.col("__v"))
+        .select("x", "y")
+    )
+    m = de.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    k, sx = F.col("k").cast("double"), F.col("sx").cast("double")
+    r = (k * F.col("sxy").cast("double") - sx * sx) / (
+        k * F.col("sxx").cast("double") - sx * sx
+    )
+    return m.select(
+        (F.col("k") / 2).cast("bigint").alias("n_edges"),
+        r.alias("assortativity"),
+    )
+
+
+@register(
+    "t18_wasserstein_distance",
+    """
+    WITH vals AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    tot AS (
+      SELECT SUM(is_p) AS n1, SUM(1 - is_p) AS n2 FROM vals
+    ),
+    pts AS (
+      SELECT value,
+             SUM(is_p) AS c1_here, SUM(1 - is_p) AS c2_here
+      FROM vals GROUP BY value
+    ),
+    walk AS (
+      SELECT value,
+             SUM(c1_here) OVER (ORDER BY value
+                                ROWS UNBOUNDED PRECEDING) AS c1,
+             SUM(c2_here) OVER (ORDER BY value
+                                ROWS UNBOUNDED PRECEDING) AS c2,
+             LEAD(value) OVER (ORDER BY value) AS next_value
+      FROM pts
+    ),
+    terms AS (
+      SELECT round(CAST(abs(c1 * t.n2 - c2 * t.n1) AS DOUBLE)
+                   * (next_value - value)
+                   / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)),
+                   12) AS term
+      FROM walk CROSS JOIN tot t
+      WHERE next_value IS NOT NULL
+    )
+    SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_purchase,
+           (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_click,
+           CAST(SUM(CAST(term AS DECIMAL(38,15))) AS DOUBLE)
+             AS wasserstein_1
+    FROM terms
+    """,
+    tags=("events", "statistics", "drift"),
+    doc=(
+        "1D Wasserstein-1 (earth mover's) distance between the "
+        "purchase and click value distributions: the integral of "
+        "|ECDF1 - ECDF2|, computed as sum over adjacent distinct "
+        "values of |c1*n2 - c2*n1|/(n1*n2) * gap. Where KS (s70) "
+        "reports only the worst ECDF gap, W1 integrates the whole "
+        "discrepancy - the drift metric of choice when small "
+        "everywhere-shifts matter. The ECDF difference numerator is "
+        "pure integer; each term is one IEEE expression rounded to 12 "
+        "digits and summed in DECIMAL (the s69 PSI discipline), so "
+        "the total is order-independent and bit-equal across engines. "
+        "O(distinct values) after the per-value collapse, same shape "
+        "as s70/s71."
+    ),
+)
+def t18_wasserstein_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    vals = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_p"),
+    )
+    tot = vals.agg(
+        F.sum("is_p").alias("n1"),
+        F.sum(1 - F.col("is_p")).alias("n2"),
+    )
+    pts = vals.groupBy("value").agg(
+        F.sum("is_p").alias("c1_here"),
+        F.sum(1 - F.col("is_p")).alias("c2_here"),
+    )
+    wv = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    walk = pts.select(
+        "value",
+        F.sum("c1_here").over(wv).alias("c1"),
+        F.sum("c2_here").over(wv).alias("c2"),
+        F.lead("value").over(W.orderBy("value")).alias("next_value"),
+    )
+    terms = (
+        walk.crossJoin(F.broadcast(tot))
+        .filter(F.col("next_value").isNotNull())
+        .select(
+            "n1",
+            "n2",
+            F.round(
+                F.abs(
+                    F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+                ).cast("double")
+                * (F.col("next_value") - F.col("value"))
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                12,
+            ).alias("term"),
+        )
+    )
+    return terms.agg(
+        F.max("n1").cast("bigint").alias("n_purchase"),
+        F.max("n2").cast("bigint").alias("n_click"),
+        F.sum(F.col("term").cast("decimal(38,15)"))
+        .cast("double")
+        .alias("wasserstein_1"),
+    )
