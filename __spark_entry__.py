@@ -50,7 +50,8 @@ from xorbits_sql_spark.queries import load_all
 # capture-recapture); t08..t12 (CDC chunking, Mann-Kendall,
 # Theil-Sen, Adamic-Adar, weekday seasonality); t13..t14 (Fano
 # burstiness, 2D skyline); t15..t18 (blocking-quality audit, RFM,
-# assortativity, Wasserstein).
+# assortativity, Wasserstein); t19..t21 (Burrows Delta, CUPED,
+# diff-in-differences).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

@@ -238,6 +238,12 @@ _BNLJ_INTENDED = {
     "date)",
     "t18_wasserstein_distance": "scalar-broadcast (the 1-row class "
     "totals)",
+    "t19_burrows_delta": "scalar-broadcast (the 20-row top-word grid "
+    "and 1-row source count joined onto per-source totals)",
+    "t20_cuped_adjustment": "scalar-broadcast (the 1-row corpus-start "
+    "date)",
+    "t21_difference_in_differences": "scalar-broadcast (the 1-row "
+    "corpus-start date)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

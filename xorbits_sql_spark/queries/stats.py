@@ -3225,3 +3225,272 @@ def t18_wasserstein_distance(
         .cast("double")
         .alias("wasserstein_1"),
     )
+
+
+@register(
+    "t20_cuped_adjustment",
+    """
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    u AS (
+      SELECT user_id,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+               AS grp,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND date_diff('day', b.d0, CAST(ts AS DATE)) < 15
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS pre,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND date_diff('day', b.d0, CAST(ts AS DATE)) >= 15
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS post
+      FROM events CROSS JOIN b GROUP BY user_id
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(pre) AS BIGINT) AS sp,
+             CAST(SUM(post) AS BIGINT) AS ss,
+             CAST(SUM(pre * pre) AS BIGINT) AS spp,
+             CAST(SUM(post * post) AS BIGINT) AS sss,
+             CAST(SUM(pre * post) AS BIGINT) AS sps,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN grp = 0 THEN pre ELSE 0 END) AS BIGINT)
+               AS sp_a,
+             CAST(SUM(CASE WHEN grp = 0 THEN post ELSE 0 END) AS BIGINT)
+               AS ss_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN grp = 1 THEN pre ELSE 0 END) AS BIGINT)
+               AS sp_b,
+             CAST(SUM(CASE WHEN grp = 1 THEN post ELSE 0 END) AS BIGINT)
+               AS ss_b
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           (CAST(n AS DOUBLE) * CAST(sps AS DOUBLE)
+            - CAST(sp AS DOUBLE) * CAST(ss AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+              - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) AS theta,
+           (CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 100.0
+             AS raw_delta,
+           ((CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+            - ((CAST(n AS DOUBLE) * CAST(sps AS DOUBLE)
+                - CAST(sp AS DOUBLE) * CAST(ss AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                  - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+              * (CAST(sp_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(sp_b AS DOUBLE) / CAST(n_b AS DOUBLE))) / 100.0
+             AS adjusted_delta,
+           100.0 * (CAST(n AS DOUBLE) * CAST(sps AS DOUBLE)
+                    - CAST(sp AS DOUBLE) * CAST(ss AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sps AS DOUBLE)
+                    - CAST(sp AS DOUBLE) * CAST(ss AS DOUBLE))
+           / ((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+               - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sss AS DOUBLE)
+                 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)))
+             AS var_reduction_pct
+    FROM mom
+    """,
+    tags=("events", "experimentation", "variance-reduction"),
+    doc=(
+        "CUPED variance-reduced A/B comparison of per-user purchase "
+        "spend (Deng et al., WSDM 2013): use each user's PRE-period "
+        "spend (first 15 days) as the control covariate for the "
+        "post-period metric, theta = cov(pre,post)/var(pre); the "
+        "group-mean adjustment reduces metric variance by corr^2 - "
+        "the technique every large experimentation platform runs to "
+        "shrink confidence intervals without more traffic. Spend is "
+        "integer CENTS (round(value*100)), so every moment is an "
+        "exact integer aggregate (the global pre-mean cancels in the "
+        "between-group difference, so no second per-user pass is "
+        "needed); theta, deltas and the variance-reduction percentage "
+        "are identically-spelled IEEE expressions. ONE aggregation "
+        "over users after the per-user collapse."
+    ),
+)
+def t20_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.to_date(F.min("ts")).alias("d0"))
+    dd = F.datediff(F.to_date(F.col("ts")), F.col("d0"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_p & (dd < 15), cents).otherwise(0)).alias(
+                "pre"
+            ),
+            F.sum(F.when(is_p & (dd >= 15), cents).otherwise(0)).alias(
+                "post"
+            ),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("grp"),
+            "pre",
+            "post",
+        )
+    )
+    g0, g1 = F.col("grp") == 0, F.col("grp") == 1
+    mom = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").cast("bigint").alias("sp"),
+        F.sum("post").cast("bigint").alias("ss"),
+        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("spp"),
+        F.sum(F.col("post") * F.col("post")).cast("bigint").alias("sss"),
+        F.sum(F.col("pre") * F.col("post")).cast("bigint").alias("sps"),
+        F.sum(F.when(g0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(g0, F.col("pre")).otherwise(0))
+        .cast("bigint")
+        .alias("sp_a"),
+        F.sum(F.when(g0, F.col("post")).otherwise(0))
+        .cast("bigint")
+        .alias("ss_a"),
+        F.sum(F.when(g1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(g1, F.col("pre")).otherwise(0))
+        .cast("bigint")
+        .alias("sp_b"),
+        F.sum(F.when(g1, F.col("post")).otherwise(0))
+        .cast("bigint")
+        .alias("ss_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_n = d("n") * d("sps") - d("sp") * d("ss")
+    var_n = d("n") * d("spp") - d("sp") * d("sp")
+    theta = cov_n / var_n
+    raw = d("ss_a") / d("n_a") - d("ss_b") / d("n_b")
+    pre_diff = d("sp_a") / d("n_a") - d("sp_b") / d("n_b")
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        theta.alias("theta"),
+        (raw / 100.0).alias("raw_delta"),
+        ((raw - theta * pre_diff) / 100.0).alias("adjusted_delta"),
+        (
+            100.0
+            * cov_n
+            * cov_n
+            / (var_n * (d("n") * d("sss") - d("ss") * d("ss")))
+        ).alias("var_reduction_pct"),
+    )
+
+
+@register(
+    "t21_difference_in_differences",
+    """
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    cells AS (
+      SELECT ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+               AS grp,
+             CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE)) < 15
+                  THEN 0 ELSE 1 END AS period,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events CROSS JOIN b
+      WHERE event_type = 'purchase'
+      GROUP BY grp, period
+    ),
+    wide AS (
+      SELECT
+        MIN(CASE WHEN grp = 1 AND period = 0
+                 THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END)
+          AS t_pre,
+        MIN(CASE WHEN grp = 1 AND period = 1
+                 THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END)
+          AS t_post,
+        MIN(CASE WHEN grp = 0 AND period = 0
+                 THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END)
+          AS c_pre,
+        MIN(CASE WHEN grp = 0 AND period = 1
+                 THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END)
+          AS c_post
+      FROM cells
+    )
+    SELECT t_pre / 100.0 AS treat_pre, t_post / 100.0 AS treat_post,
+           c_pre / 100.0 AS control_pre, c_post / 100.0 AS control_post,
+           ((t_post - t_pre) - (c_post - c_pre)) / 100.0
+             AS did_estimate
+    FROM wide
+    """,
+    tags=("events", "experimentation", "causal-inference"),
+    doc=(
+        "Difference-in-differences estimate of the treatment effect on "
+        "mean purchase value: hash-split cohorts x pre/post periods "
+        "(split at day 15), DiD = (treat_post - treat_pre) - "
+        "(control_post - control_pre) - the workhorse quasi-"
+        "experimental design when randomization alone can't rule out "
+        "time trends; under A/A hashing the estimate should hover near "
+        "zero, making this doubly useful as a pipeline health check. "
+        "Cell sums are integer cents, cell means single IEEE "
+        "divisions; one aggregation over purchase events, 4-cell "
+        "pivot, single-row output."
+    ),
+)
+def t21_difference_in_differences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    b = ev.agg(F.to_date(F.min("ts")).alias("d0"))
+    dd = F.datediff(F.to_date(F.col("ts")), F.col("d0"))
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("grp"),
+            F.when(dd < 15, 0).otherwise(1).alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    mean = F.col("cents").cast("double") / F.col("n").cast("double")
+
+    def cell(g, p, alias):
+        return F.min(
+            F.when((F.col("grp") == g) & (F.col("period") == p), mean)
+        ).alias(alias)
+
+    wide = cells.agg(
+        cell(1, 0, "t_pre"),
+        cell(1, 1, "t_post"),
+        cell(0, 0, "c_pre"),
+        cell(0, 1, "c_post"),
+    )
+    return wide.select(
+        (F.col("t_pre") / 100.0).alias("treat_pre"),
+        (F.col("t_post") / 100.0).alias("treat_post"),
+        (F.col("c_pre") / 100.0).alias("control_pre"),
+        (F.col("c_post") / 100.0).alias("control_post"),
+        (
+            (
+                (F.col("t_post") - F.col("t_pre"))
+                - (F.col("c_post") - F.col("c_pre"))
+            )
+            / 100.0
+        ).alias("did_estimate"),
+    )

@@ -2632,3 +2632,158 @@ def t15_blocking_quality_audit(
             F.col("n_caught").cast("double") / F.col("n_cand").cast("double")
         ).alias("pair_quality"),
     )
+
+
+@register(
+    "t19_burrows_delta",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower({_NORM}), ' ')) AS tok
+      FROM documents
+    ),
+    toks_clean AS (SELECT * FROM toks WHERE tok <> ''),
+    totals AS (SELECT source, COUNT(*) AS n_s FROM toks_clean GROUP BY source),
+    n_sources AS (SELECT COUNT(*) AS s FROM totals),
+    top_words AS (
+      SELECT tok FROM toks_clean GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok LIMIT 20
+    ),
+    counts AS (
+      SELECT tc.source, tc.tok, COUNT(*) AS c
+      FROM toks_clean tc JOIN top_words tw ON tw.tok = tc.tok
+      GROUP BY tc.source, tc.tok
+    ),
+    -- fixed-point relative frequency per (word, source): round(f*1e9)
+    freq AS (
+      SELECT t.source, tw.tok,
+             CAST(round(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                        / CAST(t.n_s AS DOUBLE) * 1e9) AS BIGINT) AS q
+      FROM totals t
+      CROSS JOIN top_words tw
+      LEFT JOIN counts c ON c.source = t.source AND c.tok = tw.tok
+    ),
+    mom AS (
+      SELECT tok, CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS sqq
+      FROM freq GROUP BY tok
+    ),
+    z AS (
+      SELECT f.source, f.tok,
+             CAST(ns.s * f.q - m.sq AS DOUBLE)
+             / (CAST(ns.s AS DOUBLE)
+                * sqrt(CAST(ns.s * m.sqq - m.sq * m.sq AS DOUBLE)
+                       / CAST(ns.s * (ns.s - 1) AS DOUBLE))) AS z
+      FROM freq f
+      JOIN mom m ON m.tok = f.tok
+      CROSS JOIN n_sources ns
+    ),
+    pair_terms AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             round(abs(a.z - b.z), 12) AS term
+      FROM z a JOIN z b ON b.tok = a.tok AND b.source > a.source
+    )
+    SELECT source_a, source_b,
+           CAST(SUM(CAST(term AS DECIMAL(38,15))) AS DOUBLE) / 20.0
+             AS burrows_delta
+    FROM pair_terms
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("text", "stylometry", "statistics"),
+    doc=(
+        "Burrows' Delta stylometric distance between sources: z-score "
+        "each source's relative frequency of the corpus's top-20 words "
+        "against the cross-source mean/std, then Delta(a,b) = mean "
+        "|z_a - z_b| - the standard authorship-attribution measure, "
+        "here profiling which corpus sources 'write alike' (useful for "
+        "provenance checks and mixture design). Relative frequencies "
+        "are fixed-point round(f*1e9) BIGINTs, so cross-source moments "
+        "are exact integers and each z is one IEEE expression; the "
+        "20-term pair sums round to 12 digits into DECIMAL (the PSI "
+        "discipline). Top-20 selection is TakeOrdered with a token "
+        "tie-break; everything downstream is bounded by 20 words x "
+        "source pairs."
+    ),
+)
+def t19_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    totals = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_sources = totals.agg(F.count(F.lit(1)).alias("s"))
+    top_words = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cc"))
+        .orderBy(F.desc("cc"), "tok")
+        .limit(20)
+        .select("tok")
+    )
+    counts = (
+        toks.join(F.broadcast(top_words), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    freq = (
+        totals.crossJoin(F.broadcast(top_words))
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n_s").cast("double")
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    mom = freq.groupBy("tok").agg(
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+    )
+    s = F.col("s")
+    z = (
+        freq.join(F.broadcast(mom), "tok")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "tok",
+            (
+                (s * F.col("q") - F.col("sq")).cast("double")
+                / (
+                    s.cast("double")
+                    * F.sqrt(
+                        (s * F.col("sqq") - F.col("sq") * F.col("sq")).cast(
+                            "double"
+                        )
+                        / (s * (s - 1)).cast("double")
+                    )
+                )
+            ).alias("z"),
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pair_terms = a.join(
+        b,
+        (F.col("b.tok") == F.col("a.tok"))
+        & (F.col("b.source") > F.col("a.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.round(F.abs(F.col("a.z") - F.col("b.z")), 12).alias("term"),
+    )
+    return (
+        pair_terms.groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.sum(F.col("term").cast("decimal(38,15)")).cast("double")
+                / 20.0
+            ).alias("burrows_delta")
+        )
+        .orderBy("source_a", "source_b")
+    )
