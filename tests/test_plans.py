@@ -244,6 +244,10 @@ _BNLJ_INTENDED = {
     "date)",
     "t21_difference_in_differences": "scalar-broadcast (the 1-row "
     "corpus-start date)",
+    "t22_seasonal_residual_anomalies": "scalar-broadcast (1-row trend "
+    "moments and residual-sigma rows)",
+    "t23_prefix_dim_recall": "audit (q70's bounded brute-force scan, "
+    "run on the full and prefix-truncated vectors)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -326,6 +330,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "t18_wasserstein_distance": "ECDF cumsum over the per-distinct-"
     "value collapse (bounded by value cardinality — the s70/s71 "
     "shape)",
+    "t22_seasonal_residual_anomalies": "day indexing over the daily "
+    "collapse (bounded by calendar days)",
 }
 
 _WINSPEC = re.compile(

@@ -3494,3 +3494,218 @@ def t21_difference_in_differences(
             / 100.0
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "t22_seasonal_residual_anomalies",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT day, x, isodow(day) AS dow,
+             ROW_NUMBER() OVER (ORDER BY day) AS i
+      FROM daily
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(i) AS BIGINT) AS si,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six,
+             CAST(SUM(i * i) AS BIGINT) AS sii
+      FROM idx
+    ),
+    dows AS (
+      SELECT dow, COUNT(*) AS n_w, CAST(SUM(x) AS BIGINT) AS sum_w
+      FROM idx GROUP BY dow
+    ),
+    pred AS (
+      SELECT idx.day, idx.x, idx.i,
+             -- trend a + b*i from exact integer moments
+             (CAST(f.sx AS DOUBLE)
+              - ((CAST(f.n AS DOUBLE) * CAST(f.six AS DOUBLE)
+                  - CAST(f.si AS DOUBLE) * CAST(f.sx AS DOUBLE))
+                 / (CAST(f.n AS DOUBLE) * CAST(f.sii AS DOUBLE)
+                    - CAST(f.si AS DOUBLE) * CAST(f.si AS DOUBLE)))
+                * CAST(f.si AS DOUBLE)) / CAST(f.n AS DOUBLE)
+             + ((CAST(f.n AS DOUBLE) * CAST(f.six AS DOUBLE)
+                 - CAST(f.si AS DOUBLE) * CAST(f.sx AS DOUBLE))
+                / (CAST(f.n AS DOUBLE) * CAST(f.sii AS DOUBLE)
+                   - CAST(f.si AS DOUBLE) * CAST(f.si AS DOUBLE)))
+               * CAST(idx.i AS DOUBLE)
+             -- additive weekday offset mean_w - mean_all
+             + (CAST(d.sum_w * f.n - d.n_w * f.sx AS DOUBLE)
+                / CAST(d.n_w * f.n AS DOUBLE)) AS predicted
+      FROM idx
+      JOIN dows d ON d.dow = isodow(idx.day)
+      CROSS JOIN fit f
+    ),
+    resid AS (
+      SELECT day, x, predicted,
+             CAST(round((CAST(x AS DOUBLE) - predicted) * 1e6) AS BIGINT)
+               AS rq
+      FROM pred
+    ),
+    sd AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(rq) AS BIGINT) AS sr,
+             CAST(SUM(rq * rq) AS BIGINT) AS srr
+      FROM resid
+    )
+    SELECT r.day, CAST(r.x AS BIGINT) AS n_events,
+           r.predicted,
+           (CAST(r.rq AS DOUBLE) / 1e6)
+           / sqrt((CAST(s.k AS DOUBLE) * CAST(s.srr AS DOUBLE)
+                   - CAST(s.sr AS DOUBLE) * CAST(s.sr AS DOUBLE))
+                  / (CAST(s.k AS DOUBLE) * CAST(s.k - 1 AS DOUBLE))
+                  / 1e12) AS z_score
+    FROM resid r CROSS JOIN sd s
+    WHERE abs(CAST(r.rq AS DOUBLE) / 1e6)
+          > 2 * sqrt((CAST(s.k AS DOUBLE) * CAST(s.srr AS DOUBLE)
+                      - CAST(s.sr AS DOUBLE) * CAST(s.sr AS DOUBLE))
+                     / (CAST(s.k AS DOUBLE) * CAST(s.k - 1 AS DOUBLE))
+                     / 1e12)
+    ORDER BY r.day
+    """,
+    tags=("events", "time-series", "anomaly"),
+    doc=(
+        "Seasonal-plus-trend residual anomaly detection: fit the daily "
+        "event-count series with an OLS linear trend (r57's exact "
+        "integer moments) plus an ADDITIVE weekday offset (t12's "
+        "seasonality as mean_w - mean_all), then flag days whose "
+        "residual exceeds 2 residual-sigmas - the STL-lite "
+        "decomposition that catches a bad day a raw z-score (r56) "
+        "misses because weekends always look 'anomalous' without "
+        "deseasonalization. Trend and offsets are IEEE expressions "
+        "over exact integer moments; residuals are fixed-point "
+        "round(r*1e6) BIGINTs so the residual variance is again exact "
+        "integer arithmetic. One daily collapse, a 7-row equi-join, "
+        "two scalar broadcasts."
+    ),
+)
+def t22_seasonal_residual_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    idx = daily.select(
+        "day",
+        "x",
+        (F.weekday("day") + 1).alias("dow"),
+        F.row_number().over(W.orderBy("day")).alias("i"),
+    )
+    fit = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("i").cast("bigint").alias("si"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+        F.sum(F.col("i") * F.col("i")).cast("bigint").alias("sii"),
+    )
+    dows = idx.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("x").cast("bigint").alias("sum_w"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("six") - d("si") * d("sx")) / (
+        d("n") * d("sii") - d("si") * d("si")
+    )
+    intercept = (d("sx") - slope * d("si")) / d("n")
+    offset = (
+        (F.col("sum_w") * F.col("n") - F.col("n_w") * F.col("sx")).cast(
+            "double"
+        )
+        / (F.col("n_w") * F.col("n")).cast("double")
+    )
+    pred = (
+        idx.join(F.broadcast(dows), "dow")
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "day",
+            "x",
+            (intercept + slope * F.col("i").cast("double") + offset).alias(
+                "predicted"
+            ),
+        )
+    )
+    resid = pred.select(
+        "day",
+        "x",
+        "predicted",
+        F.round((F.col("x").cast("double") - F.col("predicted")) * 1e6)
+        .cast("bigint")
+        .alias("rq"),
+    )
+    sd = resid.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("rq").cast("bigint").alias("sr"),
+        F.sum(F.col("rq") * F.col("rq")).cast("bigint").alias("srr"),
+    )
+    sigma = F.sqrt(
+        (d("k") * d("srr") - d("sr") * d("sr"))
+        / (d("k") * (F.col("k") - 1).cast("double"))
+        / 1e12
+    )
+    return (
+        resid.crossJoin(F.broadcast(sd))
+        .filter(F.abs(F.col("rq").cast("double") / 1e6) > 2 * sigma)
+        .select(
+            "day",
+            F.col("x").cast("bigint").alias("n_events"),
+            "predicted",
+            ((F.col("rq").cast("double") / 1e6) / sigma).alias("z_score"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "t24_l_diversity_audit",
+    """
+    WITH groups AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS k,
+             COUNT(DISTINCT c_mktsegment) AS l
+      FROM customer
+      GROUP BY c_nationkey, bal_band
+    )
+    SELECT CAST(l AS BIGINT) AS distinct_sensitive,
+           COUNT(*) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_individuals
+    FROM groups
+    GROUP BY l ORDER BY l
+    """,
+    tags=("pipeline", "privacy", "audit"),
+    doc=(
+        "l-diversity audit complementing t02's k-anonymity: within "
+        "each quasi-identifier group (nation, $1000 balance band), "
+        "count DISTINCT values of the sensitive attribute (market "
+        "segment) - a group can be k-anonymous yet still leak the "
+        "sensitive value if everyone in it shares one segment "
+        "(Machanavajjhala et al. 2006: the homogeneity attack). "
+        "Output is the census of groups by their diversity level l; "
+        "l=1 rows are the exposed populations. One grouped "
+        "COUNT(DISTINCT) (two-phase shuffle, scale-safe) and a tiny "
+        "histogram aggregate."
+    ),
+)
+def t24_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    return (
+        groups.groupBy(F.col("l").cast("bigint").alias("distinct_sensitive"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_individuals"),
+        )
+        .orderBy("distinct_sensitive")
+    )

@@ -785,3 +785,78 @@ def t04_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual")
     )
+
+
+@register(
+    "t23_prefix_dim_recall",
+    f"""
+    WITH full_nn AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+        WHERE q.vec_id < 10
+      ) ranked WHERE rank <= 5
+    ),
+    pre AS (SELECT vec_id, embedding[1:8] AS embedding FROM embeddings),
+    pre_nn AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC, c.vec_id) AS rank
+        FROM pre q JOIN pre c ON c.vec_id >= 10
+        WHERE q.vec_id < 10
+      ) ranked WHERE rank <= 5
+    )
+    SELECT f.qid,
+           CAST(COUNT(p.cid) AS BIGINT) AS n_matched,
+           CAST(COUNT(p.cid) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM full_nn f
+    LEFT JOIN pre_nn p ON p.qid = f.qid AND p.cid = f.cid
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+    tags=("vectors", "ann", "evaluation"),
+    doc=(
+        "Matryoshka-style dimension-truncation audit: top-5 cosine "
+        "recall when searching on only the FIRST 8 of 64 embedding "
+        "dimensions versus the full vector - the measurement behind "
+        "prefix-dim retrieval (Kusupati et al., NeurIPS 2022), where "
+        "a cheap low-dim first pass shortlists candidates for "
+        "full-dim rescoring at a fraction of the FLOPs and shuffle "
+        "bytes. Reuses q70's bounded brute-force shape (broadcast "
+        "query set, corpus scanned once per variant) with F.slice / "
+        "list-slice truncation; recall is exact integer overlap "
+        "counting on (qid, cid) pairs, ties broken by cid on both "
+        "engines."
+    ),
+)
+def t23_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    full_nn = brute_topk(queries, corpus, k=5).select("qid", "cid")
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
+    )
+    pre_nn = brute_topk(
+        pre.filter(F.col("vec_id") < 10),
+        pre.filter(F.col("vec_id") >= 10),
+        k=5,
+    ).select(
+        F.col("qid").alias("p_qid"), F.col("cid").alias("p_cid")
+    )
+    return (
+        full_nn.join(
+            pre_nn,
+            (F.col("p_qid") == F.col("qid"))
+            & (F.col("p_cid") == F.col("cid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("p_cid").cast("bigint").alias("n_matched"),
+            (F.count("p_cid").cast("double") / 5.0).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
