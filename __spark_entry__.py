@@ -52,7 +52,8 @@ from xorbits_sql_spark.queries import load_all
 # burstiness, 2D skyline); t15..t18 (blocking-quality audit, RFM,
 # assortativity, Wasserstein); t19..t21 (Burrows Delta, CUPED,
 # diff-in-differences); t22..t24 (seasonal residual anomalies,
-# prefix-dim recall, l-diversity).
+# prefix-dim recall, l-diversity); t25..t26 (power analysis,
+# Heaps law).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

@@ -248,6 +248,8 @@ _BNLJ_INTENDED = {
     "moments and residual-sigma rows)",
     "t23_prefix_dim_recall": "audit (q70's bounded brute-force scan, "
     "run on the full and prefix-truncated vectors)",
+    "t26_heaps_law": "scalar-broadcast (the 1-row doc count and the "
+    "1-row regression-moment/total rows)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -332,6 +334,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "shape)",
     "t22_seasonal_residual_anomalies": "day indexing over the daily "
     "collapse (bounded by calendar days)",
+    "t26_heaps_law": "cumulative token/vocab sums over the fixed "
+    "10-bucket prefix grid",
 }
 
 _WINSPEC = re.compile(

@@ -3709,3 +3709,109 @@ def t24_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("distinct_sensitive")
     )
+
+
+@register(
+    "t25_power_analysis",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+               AS grp,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS c_a,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS c_b
+      FROM u
+    ),
+    p AS (
+      SELECT CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+             CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+             CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pbar
+      FROM g
+    )
+    SELECT p1 AS p_a, p2 AS p_b, p1 - p2 AS observed_delta,
+           CAST(ceil(
+             (1.96 * sqrt(2 * pbar * (1 - pbar))
+              + 0.8416 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             * (1.96 * sqrt(2 * pbar * (1 - pbar))
+                + 0.8416 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_per_arm_80pct,
+           CAST(ceil(
+             (1.96 * sqrt(2 * pbar * (1 - pbar))
+              + 1.2816 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             * (1.96 * sqrt(2 * pbar * (1 - pbar))
+                + 1.2816 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+             / ((p1 - p2) * (p1 - p2))) AS BIGINT) AS n_per_arm_90pct
+    FROM p
+    """,
+    tags=("events", "experimentation", "power-analysis"),
+    doc=(
+        "Prospective power analysis closing the experimentation loop "
+        "(t05 test -> t20 CUPED -> here): given the observed "
+        "conversion rates of the two hash cohorts, the classical "
+        "two-proportion sample size n = (z_a*sqrt(2*pbar*qbar) + "
+        "z_b*sqrt(p1q1 + p2q2))^2 / (p1-p2)^2 per arm to detect the "
+        "observed delta at alpha=0.05 with 80% and 90% power "
+        "(Fleiss). Normal quantiles are the textbook LITERALS 1.96 / "
+        "0.8416 / 1.2816 (no erf needed, identical on both engines); "
+        "rates come from exact integer counts; the whole formula is "
+        "one IEEE expression with a final ceil. Single-row output "
+        "from one user-level aggregation."
+    ),
+)
+def t25_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("grp"),
+        "conv",
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0)).alias(
+            "c_a"
+        ),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0)).alias(
+            "c_b"
+        ),
+    )
+    p1 = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    p2 = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pbar = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+
+    def n_arm(zb):
+        num = F.lit(1.96) * F.sqrt(2 * pbar * (1 - pbar)) + F.lit(
+            zb
+        ) * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+        return F.ceil(num * num / ((p1 - p2) * (p1 - p2))).cast("bigint")
+
+    return g.select(
+        p1.alias("p_a"),
+        p2.alias("p_b"),
+        (p1 - p2).alias("observed_delta"),
+        n_arm(0.8416).alias("n_per_arm_80pct"),
+        n_arm(1.2816).alias("n_per_arm_90pct"),
+    )

@@ -2787,3 +2787,146 @@ def t19_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "t26_heaps_law",
+    f"""
+    WITH nmax AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower({_NORM}), ' ')) AS tok
+      FROM documents
+    ),
+    toks_clean AS (SELECT * FROM toks WHERE tok <> ''),
+    bucketed AS (
+      SELECT CAST(doc_id * 10 // nd AS BIGINT) AS b, tok
+      FROM toks_clean CROSS JOIN nmax
+    ),
+    tok_per_b AS (SELECT b, COUNT(*) AS n_tok FROM bucketed GROUP BY b),
+    first_touch AS (
+      SELECT tok, MIN(b) AS fb FROM bucketed GROUP BY tok
+    ),
+    new_per_b AS (SELECT fb AS b, COUNT(*) AS n_new FROM first_touch
+                  GROUP BY fb),
+    grid AS (
+      SELECT t.b,
+             SUM(t.n_tok) OVER (ORDER BY t.b
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok,
+             SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY t.b
+                                ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      FROM tok_per_b t LEFT JOIN new_per_b n ON n.b = t.b
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(cum_tok AS DOUBLE)) * 1e6) AS BIGINT)
+               AS lx,
+             CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1e6) AS BIGINT)
+               AS ly
+      FROM grid
+    ),
+    mom AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(lx) AS BIGINT) AS sx,
+             CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx
+      FROM pts
+    ),
+    tot AS (
+      SELECT MAX(cum_tok) AS n_tokens, MAX(cum_vocab) AS n_vocab
+      FROM grid
+    )
+    SELECT CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_vocab AS BIGINT) AS n_vocab,
+           (CAST(m.k AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+            - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+           / (CAST(m.k AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+              - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+             AS heaps_beta,
+           round(exp((CAST(m.sy AS DOUBLE)
+                      - ((CAST(m.k AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+                          - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+                         / (CAST(m.k AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                            - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)))
+                        * CAST(m.sx AS DOUBLE))
+                     / CAST(m.k AS DOUBLE) / 1e6), 9) AS heaps_k
+    FROM mom m CROSS JOIN tot t
+    """,
+    tags=("text", "corpus-statistics", "scaling-law"),
+    doc=(
+        "Heaps' law fit V(N) = K*N^beta of vocabulary growth: split "
+        "the corpus into 10 doc-id prefix buckets (doc_id*10//N - "
+        "map-side, no global rank needed), accumulate running token "
+        "and first-touch vocabulary counts (s74's first-touch "
+        "re-expression of cumulative-distinct), then OLS on the "
+        "ln-ln points. The companion scaling law to Zipf (s76) - "
+        "together they forecast how much NEW vocabulary another 10x "
+        "of corpus will bring, which sizes tokenizer vocab budgets. "
+        "ln is taken only of INTEGER cumulative counts, fixed-point "
+        "quantized (s90 discipline), so the regression moments are "
+        "exact integers; beta is one IEEE expression and K one "
+        "final exp, rounded to 9. Heavy work is two token-stream "
+        "aggregations; the windowed stage is the 10-row bucket grid."
+    ),
+)
+def t26_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    nmax = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    bucketed = toks.crossJoin(F.broadcast(nmax)).select(
+        F.expr("(doc_id * 10) div nd").cast("bigint").alias("b"), "tok"
+    )
+    tok_per_b = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_touch = bucketed.groupBy("tok").agg(F.min("b").alias("fb"))
+    new_per_b = first_touch.groupBy(F.col("fb").alias("b")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    grid = (
+        tok_per_b.join(new_per_b, "b", "left")
+        .select(
+            "b",
+            F.sum("n_tok").over(wb).alias("cum_tok"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(wb)
+            .alias("cum_vocab"),
+        )
+    )
+
+    def fxln(col):
+        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    pts = grid.select(
+        fxln(F.col("cum_tok")).alias("lx"),
+        fxln(F.col("cum_vocab")).alias("ly"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("bigint").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("bigint").alias("sxx"),
+    )
+    tot = grid.agg(
+        F.max("cum_tok").alias("n_tokens"),
+        F.max("cum_vocab").alias("n_vocab"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    beta = (d("k") * d("sxy") - d("sx") * d("sy")) / (
+        d("k") * d("sxx") - d("sx") * d("sx")
+    )
+    return (
+        mom.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_vocab").cast("bigint").alias("n_vocab"),
+            beta.alias("heaps_beta"),
+            F.round(
+                F.exp((d("sy") - beta * d("sx")) / d("k") / F.lit(1e6)), 9
+            ).alias("heaps_k"),
+        )
+    )
