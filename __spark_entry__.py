@@ -53,7 +53,8 @@ from xorbits_sql_spark.queries import load_all
 # assortativity, Wasserstein); t19..t21 (Burrows Delta, CUPED,
 # diff-in-differences); t22..t24 (seasonal residual anomalies,
 # prefix-dim recall, l-diversity); t25..t26 (power analysis,
-# Heaps law).
+# Heaps law); t27..t30 (ABC classes, Bollinger, runs test,
+# Hellinger).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

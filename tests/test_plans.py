@@ -250,6 +250,9 @@ _BNLJ_INTENDED = {
     "run on the full and prefix-truncated vectors)",
     "t26_heaps_law": "scalar-broadcast (the 1-row doc count and the "
     "1-row regression-moment/total rows)",
+    "t29_runs_test": "scalar-broadcast (the 1-row series median)",
+    "t30_hellinger_distance": "scalar-broadcast (the 1-row class "
+    "totals)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -336,6 +339,13 @@ _GLOBAL_WINDOW_INTENDED = {
     "collapse (bounded by calendar days)",
     "t26_heaps_law": "cumulative token/vocab sums over the fixed "
     "10-bucket prefix grid",
+    "t27_abc_analysis": "cumulative revenue-share walk — inherently "
+    "a total order over parts; at scale: range-partition on revenue "
+    "+ per-partition offset pass (s73's pattern, stated in the op)",
+    "t28_bollinger_breakouts": "trailing 7-day rolling sums over the "
+    "daily collapse (bounded by calendar days)",
+    "t29_runs_test": "median positional selection + the run walk "
+    "over the daily collapse (bounded by calendar days)",
 }
 
 _WINSPEC = re.compile(

@@ -3815,3 +3815,381 @@ def t25_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm(0.8416).alias("n_per_arm_80pct"),
         n_arm(1.2816).alias("n_per_arm_90pct"),
     )
+
+
+@register(
+    "t27_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    walk AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(revenue) OVER () AS total
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum <= 0.80 * total THEN 'A'
+                  WHEN cum <= 0.95 * total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             revenue, total
+      FROM walk
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
+           CAST(SUM(revenue) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+             AS revenue_share
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    tags=("tpch", "inventory", "pareto"),
+    doc=(
+        "ABC inventory classification: rank parts by revenue, class A "
+        "= the head covering 80% of cumulative revenue, B to 95%, C "
+        "the tail - the operations-management standard that s12's "
+        "Pareto share stops short of (it reports the curve; this "
+        "assigns and censuses the classes). Revenue accumulates in "
+        "DECIMAL so the cumulative walk and the 0.80/0.95 boundary "
+        "comparisons are exact rational arithmetic - no float "
+        "boundary flicker between engines; the census and shares are "
+        "integer counts and one IEEE division. At scale the ordered "
+        "walk range-partitions on revenue with a per-partition offset "
+        "pass (s73's pattern)."
+    ),
+)
+def t27_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("revenue")
+    )
+    wwalk = W.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    walk = rev.select(
+        "revenue",
+        F.sum("revenue").over(wwalk).alias("cum"),
+        F.sum("revenue").over(W.partitionBy()).alias("total"),
+    )
+    abc = (
+        F.when(F.col("cum") <= 0.80 * F.col("total"), "A")
+        .when(F.col("cum") <= 0.95 * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return (
+        walk.select(abc.alias("abc_class"), "revenue", "total")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("revenue").cast("double").alias("class_revenue"),
+            (
+                F.sum("revenue").cast("double")
+                / F.max("total").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "t28_bollinger_breakouts",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY day
+    ),
+    roll AS (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             SUM(cents) OVER (ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS s7,
+             SUM(cents * cents) OVER (ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS ss7
+      FROM daily
+    )
+    SELECT day,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(s7 AS DOUBLE) / 7.0 / 100.0 AS ma7,
+           (CAST(cents AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0)
+           / sqrt((7.0 * CAST(ss7 AS DOUBLE)
+                   - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE))
+                  / (7.0 * 6.0)) AS band_z
+    FROM roll
+    WHERE rn >= 7
+      AND abs(CAST(cents AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0)
+          > 2 * sqrt((7.0 * CAST(ss7 AS DOUBLE)
+                      - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE))
+                     / (7.0 * 6.0))
+    ORDER BY day
+    """,
+    tags=("events", "time-series", "anomaly"),
+    doc=(
+        "Bollinger-band breakout days for daily purchase revenue: a "
+        "trailing 7-day moving mean and sample std (the band), "
+        "flagging days outside mean +/- 2 sigma - the "
+        "rolling-context anomaly monitor that complements the "
+        "global-model detectors (r56 z-score, t22 seasonal "
+        "residuals) by adapting to recent level shifts. Revenue is "
+        "integer cents, the rolling sum/sum-of-squares are exact "
+        "windowed integer aggregates, and the band math is one "
+        "identically-spelled IEEE expression - no incremental float "
+        "state to diverge. O(days) after the daily collapse."
+    ),
+)
+def t28_bollinger_breakouts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    roll = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(W.orderBy("day")).alias("rn"),
+        F.sum("cents").over(w7).alias("s7"),
+        F.sum(F.col("cents") * F.col("cents")).over(w7).alias("ss7"),
+    )
+    c, s7, ss7 = (
+        F.col("cents").cast("double"),
+        F.col("s7").cast("double"),
+        F.col("ss7").cast("double"),
+    )
+    sigma = F.sqrt((7.0 * ss7 - s7 * s7) / (7.0 * 6.0))
+    return (
+        roll.filter(
+            (F.col("rn") >= 7) & (F.abs(c - s7 / 7.0) > 2 * sigma)
+        )
+        .select(
+            "day",
+            (c / 100.0).alias("revenue"),
+            (s7 / 7.0 / 100.0).alias("ma7"),
+            ((c - s7 / 7.0) / sigma).alias("band_z"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "t29_runs_test",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY day
+    ),
+    med AS (
+      SELECT CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                           THEN x ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS m
+      FROM (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+      )
+    ),
+    signs AS (
+      SELECT day, CASE WHEN CAST(x AS DOUBLE) > m.m THEN 1 ELSE -1 END
+               AS s
+      FROM daily CROSS JOIN med m
+      WHERE CAST(x AS DOUBLE) <> m.m
+    ),
+    runs AS (
+      SELECT s, LAG(s) OVER (ORDER BY day) AS prev_s FROM signs
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN prev_s IS NULL OR s <> prev_s
+                      THEN 1 ELSE 0 END) AS r,
+             SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n2
+      FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           (CAST(r AS DOUBLE)
+            - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE) + 1.0))
+           / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                  / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                     * CAST(n1 + n2 - 1 AS DOUBLE))) AS z_score
+    FROM agg
+    """,
+    tags=("events", "time-series", "hypothesis-test"),
+    doc=(
+        "Wald-Wolfowitz runs test for randomness of the daily "
+        "event-count series: dichotomize days above/below the median "
+        "(median-equal days dropped, the standard convention), count "
+        "sign runs, and compare against the null mean 2*n1*n2/(n1+n2) "
+        "+ 1 - too FEW runs means level-shift clustering, too many "
+        "means oscillation; either invalidates the i.i.d. assumption "
+        "the other monitors lean on. The median is s80's positional "
+        "selection, runs and counts are exact integers from one "
+        "ordered walk over the daily collapse, and z is one IEEE "
+        "expression."
+    ),
+)
+def t29_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ranked = daily.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "day")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    is_mid = (F.col("rn") == lo) | (F.col("rn") == hi)
+    med = ranked.agg(
+        (
+            F.sum(F.when(is_mid, F.col("x")).otherwise(0)).cast("double")
+            / F.sum(F.when(is_mid, 1).otherwise(0)).cast("double")
+        ).alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x").cast("double") != F.col("m"))
+        .select(
+            "day",
+            F.when(F.col("x").cast("double") > F.col("m"), 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    runs = signs.select(
+        "s", F.lag("s").over(W.orderBy("day")).alias("prev_s")
+    )
+    agg = runs.agg(
+        F.sum(
+            F.when(
+                F.col("prev_s").isNull() | (F.col("s") != F.col("prev_s")),
+                1,
+            ).otherwise(0)
+        ).alias("r"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ntot = (F.col("n1") + F.col("n2")).cast("double")
+    two_n1n2 = 2.0 * d("n1") * d("n2")
+    mu = two_n1n2 / ntot + 1.0
+    var = (
+        two_n1n2
+        * (two_n1n2 - d("n1") - d("n2"))
+        / (ntot * ntot * (F.col("n1") + F.col("n2") - 1).cast("double"))
+    )
+    return agg.select(
+        F.col("r").cast("bigint").alias("n_runs"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        ((d("r") - mu) / F.sqrt(var)).alias("z_score"),
+    )
+
+
+@register(
+    "t30_hellinger_distance",
+    """
+    WITH binned AS (
+      SELECT LEAST(CAST(floor(value / 25) AS BIGINT), 15) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    cells AS (
+      SELECT bin, SUM(is_p) AS c1, SUM(1 - is_p) AS c2
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM cells),
+    terms AS (
+      SELECT round(sqrt(CAST(c1 * c2 AS DOUBLE)), 6) AS bc_term
+      FROM cells
+    )
+    SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_purchase,
+           (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_click,
+           round(sqrt(1 - CAST(SUM(CAST(bc_term AS DECIMAL(38,10)))
+                               AS DOUBLE)
+                          / sqrt((SELECT CAST(n1 AS DOUBLE) FROM tot)
+                                 * (SELECT CAST(n2 AS DOUBLE) FROM tot))),
+                 9) AS hellinger
+    FROM terms
+    """,
+    tags=("events", "statistics", "drift"),
+    doc=(
+        "Hellinger distance between the purchase and click value "
+        "histograms ($25 bins, top-coded at bin 15): H = sqrt(1 - "
+        "sum sqrt(p_i * q_i)), the bounded-in-[0,1] f-divergence "
+        "that, unlike PSI (s69), never blows up on empty bins and, "
+        "unlike KS/W1 (s70/t18), is shape-based rather than "
+        "CDF-based - the third lens in the drift toolkit. The "
+        "Bhattacharyya terms are sqrt of integer PRODUCTS (sqrt is "
+        "correctly-rounded IEEE - no libm risk), rounded to 6 and "
+        "summed in DECIMAL, then one final normalize/sqrt rounded to "
+        "9. Two map-side aggregations over a fixed 16-bin grid."
+    ),
+)
+def t30_hellinger_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    binned = ev.select(
+        F.least(
+            F.floor(F.col("value") / 25).cast("bigint"), F.lit(15)
+        ).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_p"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_p").alias("c1"),
+        F.sum(1 - F.col("is_p")).alias("c2"),
+    )
+    tot = cells.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    terms = cells.select(
+        F.round(
+            F.sqrt((F.col("c1") * F.col("c2")).cast("double")), 6
+        ).alias("bc_term")
+    )
+    bc_sum = F.sum(F.col("bc_term").cast("decimal(38,10)")).cast("double")
+    return (
+        terms.agg(bc_sum.alias("bc"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n1").cast("bigint").alias("n_purchase"),
+            F.col("n2").cast("bigint").alias("n_click"),
+            F.round(
+                F.sqrt(
+                    1
+                    - F.col("bc")
+                    / F.sqrt(
+                        F.col("n1").cast("double")
+                        * F.col("n2").cast("double")
+                    )
+                ),
+                9,
+            ).alias("hellinger"),
+        )
+    )
