@@ -428,3 +428,19 @@ def test_collect_metrics_broadcast_join_no_shuffle(spark):
     # (count() would leave everything zero — see the module contract)
     assert m["scan_rows"] > 0 and m["output_rows"] > 0
     assert m["shuffle_records_written"] == 0
+
+
+def test_s94_dsir_weight_table_broadcasts(spark):
+    # the 64-row bucket-weight table must broadcast onto the token
+    # stream; a shuffle join on the bucket key would re-shuffle the
+    # whole corpus for a dimension that fits in one packet
+    df = SPECS["s94_dsir_importance_resample"].fn(spark, SF_ORACLE)
+    assert uses_broadcast_join(df)
+
+
+def test_t15_blocking_audit_no_allpairs(spark):
+    # both the candidate and truth legs must stay bounded joins —
+    # a cartesian anywhere here means an all-pairs scan snuck in
+    df = SPECS["t15_blocking_quality_audit"].fn(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
