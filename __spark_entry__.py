@@ -54,7 +54,7 @@ from xorbits_sql_spark.queries import load_all
 # diff-in-differences); t22..t24 (seasonal residual anomalies,
 # prefix-dim recall, l-diversity); t25..t26 (power analysis,
 # Heaps law); t27..t30 (ABC classes, Bollinger, runs test,
-# Hellinger).
+# Hellinger); t31..t32 (Shapley attribution, log-odds keyness).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

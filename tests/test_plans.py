@@ -253,6 +253,10 @@ _BNLJ_INTENDED = {
     "t29_runs_test": "scalar-broadcast (the 1-row series median)",
     "t30_hellinger_distance": "scalar-broadcast (the 1-row class "
     "totals)",
+    "t31_shapley_attribution": "scalar-broadcast (the constant "
+    "16-subset grid and 4-channel table)",
+    "t32_log_odds_distinguishing_terms": "scalar-broadcast (the "
+    "1-row corpus totals)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

@@ -2930,3 +2930,115 @@ def t26_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("heaps_k"),
         )
     )
+
+
+@register(
+    "t32_log_odds_distinguishing_terms",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower({_NORM}), ' ')) AS tok
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    toks_clean AS (SELECT * FROM toks WHERE tok <> ''),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c2
+      FROM toks_clean GROUP BY tok
+    ),
+    tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2, COUNT(*) AS v FROM counts
+    ),
+    -- Monroe et al. 2008 log-odds with a symmetric Dirichlet(1)
+    -- prior: every ln argument is an INTEGER (s90 discipline)
+    scored AS (
+      SELECT c.tok, c.c1, c.c2,
+             (CAST(round(ln(CAST(c.c1 + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+              - CAST(round(ln(CAST(t.n1 + t.v - c.c1 - 1 AS DOUBLE))
+                           * 1e6) AS BIGINT)
+              - CAST(round(ln(CAST(c.c2 + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+              + CAST(round(ln(CAST(t.n2 + t.v - c.c2 - 1 AS DOUBLE))
+                           * 1e6) AS BIGINT)) AS dq,
+             sqrt(1.0 / CAST(c.c1 + 1 AS DOUBLE)
+                  + 1.0 / CAST(c.c2 + 1 AS DOUBLE)) AS se
+      FROM counts c CROSS JOIN tot t
+    )
+    SELECT tok,
+           CAST(c1 AS BIGINT) AS n_src0,
+           CAST(c2 AS BIGINT) AS n_src1,
+           (CAST(dq AS DOUBLE) / 1e6) / se AS z_score
+    FROM scored
+    ORDER BY abs((CAST(dq AS DOUBLE) / 1e6) / se) DESC, tok
+    LIMIT 15
+    """,
+    tags=("text", "corpus-statistics", "keyness"),
+    doc=(
+        "Monroe et al. (2008) 'Fightin' Words' log-odds with a "
+        "Dirichlet(1) prior: the statistically-grounded way to find "
+        "terms that DISTINGUISH corpus source src0 from src1 "
+        "(raw frequency ratios overweight rare words; plain TF-IDF "
+        "has no variance model). delta = ln(c1+1) - ln(n1+V-c1-1) - "
+        "ln(c2+1) + ln(n2+V-c2-1), z = delta/sqrt(1/(c1+1) + "
+        "1/(c2+1)). Every ln argument is an INTEGER, fixed-point "
+        "quantized (s90 discipline); the standard error is "
+        "IEEE-exact sqrt of integer reciprocals; top-15 by |z| via "
+        "TakeOrdered with a token tie-break. One token-stream "
+        "aggregation; the scoring join is against a 1-row totals "
+        "broadcast."
+    ),
+)
+def t32_log_odds_distinguishing_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    tot = counts.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("v"),
+    )
+
+    def fxln(col):
+        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "c1",
+        "c2",
+        (
+            fxln(F.col("c1") + 1)
+            - fxln(F.col("n1") + F.col("v") - F.col("c1") - 1)
+            - fxln(F.col("c2") + 1)
+            + fxln(F.col("n2") + F.col("v") - F.col("c2") - 1)
+        ).alias("dq"),
+        F.sqrt(
+            1.0 / (F.col("c1") + 1).cast("double")
+            + 1.0 / (F.col("c2") + 1).cast("double")
+        ).alias("se"),
+    )
+    z = (F.col("dq").cast("double") / 1e6) / F.col("se")
+    return (
+        scored.select(
+            "tok",
+            F.col("c1").cast("bigint").alias("n_src0"),
+            F.col("c2").cast("bigint").alias("n_src1"),
+            z.alias("z_score"),
+        )
+        .orderBy(F.abs(F.col("z_score")).desc(), "tok")
+        .limit(15)
+    )
