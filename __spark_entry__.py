@@ -54,7 +54,8 @@ from xorbits_sql_spark.queries import load_all
 # diff-in-differences); t22..t24 (seasonal residual anomalies,
 # prefix-dim recall, l-diversity); t25..t26 (power analysis,
 # Heaps law); t27..t30 (ABC classes, Bollinger, runs test,
-# Hellinger); t31..t32 (Shapley attribution, log-odds keyness).
+# Hellinger); t31..t35 (Shapley attribution, log-odds keyness,
+# forecast backtest, discount elasticity, revenue bridge).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

@@ -257,6 +257,10 @@ _BNLJ_INTENDED = {
     "16-subset grid and 4-channel table)",
     "t32_log_odds_distinguishing_terms": "scalar-broadcast (the "
     "1-row corpus totals)",
+    "t33_forecast_backtest": "audit (the bounded (origin, i<=origin) "
+    "pair join over the daily collapse — calendar-days squared)",
+    "t35_revenue_bridge": "scalar-broadcast (the 1-row corpus-start "
+    "date and total-delta rows)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -350,6 +354,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "daily collapse (bounded by calendar days)",
     "t29_runs_test": "median positional selection + the run walk "
     "over the daily collapse (bounded by calendar days)",
+    "t33_forecast_backtest": "day indexing over the per-type daily "
+    "collapse (bounded by calendar days)",
 }
 
 _WINSPEC = re.compile(

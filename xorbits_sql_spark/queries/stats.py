@@ -4345,3 +4345,288 @@ def t31_shapley_attribution(
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "t33_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type, day
+    ),
+    indexed AS (
+      SELECT event_type, rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    -- one-step-ahead SES forecast for every origin t >= 7: the
+    -- closed-form unrolling (s92) evaluated per origin via a
+    -- bounded (t, i<=t) pair join over the daily collapse
+    fcst AS (
+      SELECT o.event_type, o.i AS t,
+             SUM(round(0.3 * pow(0.7, CAST(o.i - h.i AS BIGINT))
+                       * h.rev, 9))
+             + SUM(CASE WHEN h.i = 1
+                        THEN round(pow(0.7, CAST(o.i AS BIGINT))
+                                   * h.rev, 9)
+                        ELSE 0 END) AS yhat
+      FROM indexed o
+      JOIN indexed h ON h.event_type = o.event_type AND h.i <= o.i
+      WHERE o.i >= 7 AND o.i < o.n
+      GROUP BY o.event_type, o.i
+    ),
+    errs AS (
+      SELECT f.event_type,
+             round(abs(a.rev - CAST(f.yhat AS DOUBLE)), 6) AS abs_err
+      FROM fcst f
+      JOIN indexed a ON a.event_type = f.event_type AND a.i = f.t + 1
+    )
+    SELECT event_type,
+           COUNT(*) AS n_forecasts,
+           CAST(SUM(CAST(abs_err AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*) AS mae
+    FROM errs GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "time-series", "forecast", "evaluation"),
+    doc=(
+        "Rolling-origin backtest of the SES forecaster (s92): for "
+        "every origin day t >= 7, produce the one-step-ahead forecast "
+        "from the prefix [1..t] via the same closed-form unrolling, "
+        "compare against day t+1's actual, and report per-type MAE - "
+        "the evaluation harness that tells you whether a forecasting "
+        "operator is WORTH deploying, expressed as dataflow (no "
+        "serial refit loop: each origin's forecast is an independent "
+        "weighted aggregate, all origins computed in one bounded "
+        "(t, i<=t) pair join over the daily collapse - O(days^2) "
+        "with days bounded by the calendar). Decay terms follow "
+        "s92's round-9 discipline; absolute errors round to 6 and "
+        "sum in DECIMAL, so the MAE is order-independent."
+    ),
+)
+def t33_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    wtype = W.partitionBy("event_type")
+    indexed = daily.select(
+        "event_type",
+        "rev",
+        F.row_number().over(wtype.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+    )
+    o = indexed.alias("o")
+    h = indexed.alias("h")
+    w_term = F.round(
+        0.3
+        * F.pow(F.lit(0.7), (F.col("o.i") - F.col("h.i")).cast("bigint"))
+        * F.col("h.rev"),
+        9,
+    )
+    init_term = F.when(
+        F.col("h.i") == 1,
+        F.round(
+            F.pow(F.lit(0.7), F.col("o.i").cast("bigint"))
+            * F.col("h.rev"),
+            9,
+        ),
+    ).otherwise(0.0)
+    fcst = (
+        o.join(
+            h,
+            (F.col("h.event_type") == F.col("o.event_type"))
+            & (F.col("h.i") <= F.col("o.i")),
+        )
+        .filter((F.col("o.i") >= 7) & (F.col("o.i") < F.col("o.n")))
+        .groupBy(F.col("o.event_type").alias("event_type"),
+                 F.col("o.i").alias("t"))
+        .agg((F.sum(w_term) + F.sum(init_term)).alias("yhat"))
+    )
+    a = indexed.alias("a")
+    errs = fcst.join(
+        a,
+        (F.col("a.event_type") == fcst["event_type"])
+        & (F.col("a.i") == F.col("t") + 1),
+    ).select(
+        fcst["event_type"].alias("event_type"),
+        F.round(
+            F.abs(F.col("a.rev") - F.col("yhat").cast("double")), 6
+        ).alias("abs_err"),
+    )
+    return (
+        errs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_forecasts"),
+            (
+                F.sum(F.col("abs_err").cast("decimal(28,10)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "t34_discount_elasticity",
+    """
+    WITH rows_x AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+             CAST(l_quantity AS DECIMAL(18,6)) AS y
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(y) AS sy,
+             SUM(x * y) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM rows_x
+    )
+    SELECT CAST(n AS BIGINT) AS n_lineitems,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS qty_per_discount_pt,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS base_qty
+    FROM mom
+    """,
+    tags=("tpch", "econometrics", "regression"),
+    doc=(
+        "Discount elasticity of order quantity: row-level OLS of "
+        "quantity on the discount level (in whole points, "
+        "round(l_discount*100)) across all lineitems - does a deeper "
+        "discount actually move volume? The demand-curve slope that "
+        "pricing analytics starts from. x is an exact integer, y and "
+        "the cross-moment x*y accumulate in DECIMAL, so all five "
+        "regression moments are exact and order-independent; slope "
+        "and intercept are identically-spelled IEEE expressions. ONE "
+        "map-side-combinable aggregation over the fact table - no "
+        "shuffle beyond the single-row reduce."
+    ),
+)
+def t34_discount_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    rows_x = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("y"),
+    )
+    mom = rows_x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_lineitems"),
+        slope.alias("qty_per_discount_pt"),
+        ((d("sy") - slope * d("sx")) / d("n")).alias("base_qty"),
+    )
+
+
+@register(
+    "t35_revenue_bridge",
+    """
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    cells AS (
+      SELECT event_type,
+             CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE)) < 15
+                  THEN 0 ELSE 1 END AS period,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events CROSS JOIN b GROUP BY event_type, period
+    ),
+    wide AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN period = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN period = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM cells GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(c2 - c1) AS total_delta FROM wide)
+    SELECT w.event_type,
+           CAST(w.c1 AS DOUBLE) / 100.0 AS first_half,
+           CAST(w.c2 AS DOUBLE) / 100.0 AS second_half,
+           CAST(w.c2 - w.c1 AS DOUBLE) / 100.0 AS delta,
+           CAST(w.c2 - w.c1 AS DOUBLE) / CAST(t.total_delta AS DOUBLE)
+             AS share_of_change
+    FROM wide w CROSS JOIN tot t
+    ORDER BY w.event_type
+    """,
+    tags=("events", "kpi", "decomposition"),
+    doc=(
+        "Revenue bridge (waterfall decomposition): split the corpus "
+        "at day 15 and attribute the total half-over-half value "
+        "change to each event type - the 'why did the number move' "
+        "decomposition every KPI review starts with, with the "
+        "accounting identity sum(per-segment delta) = total delta "
+        "holding EXACTLY because all cells are integer cents. One "
+        "aggregation, a per-segment pivot, and a 1-row total "
+        "broadcast; shares are single IEEE divisions."
+    ),
+)
+def t35_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.to_date(F.min("ts")).alias("d0"))
+    period = F.when(
+        F.datediff(F.to_date(F.col("ts")), F.col("d0")) < 15, 0
+    ).otherwise(1)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type", period.alias("period"))
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    wide = cells.groupBy("event_type").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    tot = wide.agg(
+        F.sum(F.col("c2") - F.col("c1")).alias("total_delta")
+    )
+    return (
+        wide.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            (F.col("c1").cast("double") / 100.0).alias("first_half"),
+            (F.col("c2").cast("double") / 100.0).alias("second_half"),
+            ((F.col("c2") - F.col("c1")).cast("double") / 100.0).alias(
+                "delta"
+            ),
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / F.col("total_delta").cast("double")
+            ).alias("share_of_change"),
+        )
+        .orderBy("event_type")
+    )
