@@ -261,6 +261,14 @@ _BNLJ_INTENDED = {
     "pair join over the daily collapse — calendar-days squared)",
     "t35_revenue_bridge": "scalar-broadcast (the 1-row corpus-start "
     "date and total-delta rows)",
+    "t36_isotropy_audit": "scalar-broadcast (the 1-row corpus count "
+    "for the affine pair map)",
+    "t37_simpson_paradox_detector": "scalar-broadcast (the 1-row "
+    "overall-sign numerator)",
+    "t38_effective_diversity": "scalar-broadcast (1-row totals and "
+    "entropy-term rows)",
+    "t39_keyset_pagination": "scalar-broadcast (the 1-row page "
+    "anchor)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -356,6 +364,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "over the daily collapse (bounded by calendar days)",
     "t33_forecast_backtest": "day indexing over the per-type daily "
     "collapse (bounded by calendar days)",
+    "t37_simpson_paradox_detector": "exact global NTILE over "
+    "per-user aggregates (q47's justification)",
 }
 
 _WINSPEC = re.compile(

@@ -2378,3 +2378,64 @@ def s66_aggregate_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"orders": t(spark, sf_dir, "orders")},
         spark=spark,
     )
+
+
+@register(
+    "t39_keyset_pagination",
+    """
+    WITH anchor AS (
+      SELECT o_totalprice AS ap, o_orderkey AS ak
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 1 OFFSET 19
+    )
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o CROSS JOIN anchor a
+    WHERE o.o_totalprice < a.ap
+       OR (o.o_totalprice = a.ap AND o.o_orderkey > a.ak)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    tags=("relational", "pagination", "operator"),
+    doc=(
+        "Keyset (seek-method) pagination: fetch page 2 of orders by "
+        "most-expensive-first using the LAST ROW OF PAGE 1 as an "
+        "anchor predicate - (price < ap) OR (price = ap AND key > "
+        "ak) - instead of OFFSET (q48). The scale story is the whole "
+        "point: OFFSET n must order-and-discard n rows EVERY page "
+        "(page 10^6 of a 100 TB table sorts a million rows to throw "
+        "them away), while the keyset predicate is a plain filter "
+        "that reaches the scan and feeds a constant TakeOrdered(20) "
+        "- per-page cost independent of page depth, and stable under "
+        "concurrent inserts. The anchor here is derived in-query for "
+        "self-containment (min of page 1, no second offset on the "
+        "Spark side); in production it is the client's cursor. The "
+        "(price, key) total order makes pages deterministic on both "
+        "engines despite duplicate prices."
+    ),
+)
+def t39_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    page1 = orders.orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    ).limit(20)
+    anchor = (
+        page1.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("ap"),
+            F.col("o_orderkey").alias("ak"),
+        )
+    )
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("o_totalprice") < F.col("ap"))
+            | (
+                (F.col("o_totalprice") == F.col("ap"))
+                & (F.col("o_orderkey") > F.col("ak"))
+            )
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -4630,3 +4630,203 @@ def t35_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "t37_simpson_paradox_detector",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+               AS grp,
+             COUNT(*) AS activity,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    strat AS (
+      SELECT grp, conv,
+             NTILE(4) OVER (ORDER BY activity, user_id) AS stratum
+      FROM u
+    ),
+    cells AS (
+      SELECT stratum,
+             SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS c_a,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS c_b
+      FROM strat GROUP BY stratum
+    ),
+    overall AS (
+      SELECT SUM(c_a) * SUM(n_b) - SUM(c_b) * SUM(n_a) AS num
+      FROM cells
+    )
+    SELECT CAST(c.stratum AS INT) AS activity_quartile,
+           CAST(c.c_a AS DOUBLE) / CAST(c.n_a AS DOUBLE) AS p_a,
+           CAST(c.c_b AS DOUBLE) / CAST(c.n_b AS DOUBLE) AS p_b,
+           CASE WHEN (c.c_a * c.n_b - c.c_b * c.n_a) * o.num < 0
+                THEN 1 ELSE 0 END AS sign_flips_vs_overall
+    FROM cells c CROSS JOIN overall o
+    ORDER BY activity_quartile
+    """,
+    tags=("events", "experimentation", "diagnostics"),
+    doc=(
+        "Simpson's-paradox detector for the A/B comparison: compare "
+        "the SIGN of the conversion-rate difference within each "
+        "user-activity quartile against the overall sign - a stratum "
+        "whose effect direction flips means the aggregate number is "
+        "confounded by activity mix and the experiment readout (t05) "
+        "cannot be trusted without stratification. Sign comparison "
+        "uses the cross-multiplied INTEGER numerator c_a*n_b - "
+        "c_b*n_a (no float rate subtraction near zero), so the flip "
+        "flag is exact on both engines; strata come from a "
+        "deterministic NTILE with user_id tie-break. One user-level "
+        "collapse, a 4-cell census, a 1-row overall broadcast."
+    ),
+)
+def t37_simpson_paradox_detector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("grp"),
+        "conv",
+        "activity",
+        "user_id",
+    )
+    strat = u.select(
+        "grp",
+        "conv",
+        F.ntile(4).over(W.orderBy("activity", "user_id")).alias("stratum"),
+    )
+    cells = strat.groupBy("stratum").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0)).alias(
+            "c_a"
+        ),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0)).alias(
+            "c_b"
+        ),
+    )
+    overall = cells.agg(
+        (
+            F.sum("c_a") * F.sum("n_b") - F.sum("c_b") * F.sum("n_a")
+        ).alias("num")
+    )
+    strat_num = F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")
+    return (
+        cells.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("stratum").cast("int").alias("activity_quartile"),
+            (F.col("c_a").cast("double") / F.col("n_a").cast("double")).alias(
+                "p_a"
+            ),
+            (F.col("c_b").cast("double") / F.col("n_b").cast("double")).alias(
+                "p_b"
+            ),
+            F.when(strat_num * F.col("num") < 0, 1)
+            .otherwise(0)
+            .alias("sign_flips_vs_overall"),
+        )
+        .orderBy("activity_quartile")
+    )
+
+
+@register(
+    "t38_effective_diversity",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower({_NORM}), ' ')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, COUNT(*) AS c FROM toks WHERE tok <> ''
+      GROUP BY source
+    ),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS s FROM counts),
+    -- H = ln(N) - sum(c_i * ln(c_i)) / N : ln of INTEGERS only
+    terms AS (
+      SELECT CAST(SUM(c * (CAST(round(ln(CAST(c AS DOUBLE)) * 1e6)
+                                AS BIGINT))) AS BIGINT) AS sq
+      FROM counts
+    )
+    SELECT CAST(t.s AS BIGINT) AS n_sources,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           round(ln(CAST(t.n AS DOUBLE))
+                 - CAST(terms.sq AS DOUBLE) / 1e6
+                   / CAST(t.n AS DOUBLE), 9) AS shannon_entropy,
+           round(exp(ln(CAST(t.n AS DOUBLE))
+                     - CAST(terms.sq AS DOUBLE) / 1e6
+                       / CAST(t.n AS DOUBLE)), 9) AS effective_sources
+    FROM tot t CROSS JOIN terms
+    """,
+    tags=("text", "corpus-statistics", "diversity"),
+    doc=(
+        "Effective source diversity of the token mixture: Shannon "
+        "entropy of per-source token shares and its exponential - "
+        "Hill number N1, the 'effective number of equally-sized "
+        "sources' (Jost 2006) - the single number a mixture designer "
+        "tracks so that one giant crawl doesn't silently dominate "
+        "the training mix (20 sources with N1=3 is a 3-source diet). "
+        "The identity H = ln(N) - sum(c_i ln c_i)/N keeps every ln "
+        "argument an INTEGER (s90 discipline; the share-ratio form "
+        "would take ln of rationals); the weighted sum is exact "
+        "integer fixed-point, with one final exp rounded to 9. One "
+        "token-stream aggregation."
+    ),
+)
+def t38_effective_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.text import norm_ws
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("s")
+    )
+    terms = counts.agg(
+        F.sum(
+            F.col("c")
+            * F.round(F.log(F.col("c").cast("double")) * 1e6).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("sq")
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("sq").cast(
+        "double"
+    ) / 1e6 / F.col("n").cast("double")
+    return (
+        tot.crossJoin(F.broadcast(terms))
+        .select(
+            F.col("s").cast("bigint").alias("n_sources"),
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.round(h, 9).alias("shannon_entropy"),
+            F.round(F.exp(h), 9).alias("effective_sources"),
+        )
+    )

@@ -860,3 +860,81 @@ def t23_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@register(
+    "t36_isotropy_audit",
+    f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {_COS} AS cosine
+      FROM embeddings q
+      JOIN embeddings c
+        ON c.vec_id = (q.vec_id * 7 + 13) % (SELECT COUNT(*)
+                                             FROM embeddings)
+       AND c.vec_id <> q.vec_id
+      WHERE q.vec_id % 3 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(round(cosine, 9) AS DECIMAL(28,12)))
+                AS DOUBLE) / COUNT(*) AS mean_cosine,
+           CAST(SUM(CAST(round(abs(cosine), 9) AS DECIMAL(28,12)))
+                AS DOUBLE) / COUNT(*) AS mean_abs_cosine
+    FROM pairs
+    """,
+    tags=("vectors", "evaluation", "isotropy"),
+    doc=(
+        "Embedding-space isotropy audit (Ethayarajh 2019): the mean "
+        "(and mean absolute) cosine between deterministically-matched "
+        "'random' vector pairs - an isotropic space scores near 0, "
+        "while anisotropy (all vectors crowding a narrow cone) "
+        "inflates every similarity score and silently degrades both "
+        "ANN recall and SemDeDup thresholds, so this is the health "
+        "check to run BEFORE trusting r70/q74. Pairing is the fixed "
+        "affine map (id*7+13) mod N on a 1-in-3 id sample - "
+        "reproducible, linear in corpus size, no random() and no "
+        "quadratic scan; cosines round to 9 and sum in DECIMAL."
+    ),
+)
+def t36_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    n_row = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    q = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        norm(F.col("embedding")).alias("cn"),
+    )
+    from ..functions.vectors import dot
+
+    paired = (
+        q.crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "target", (F.col("qid") * 7 + 13) % F.col("n_emb")
+        )
+        .join(c, F.col("cid") == F.col("target"))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine")
+        )
+    )
+    dec = "decimal(28,12)"
+    return paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (
+            F.sum(F.round(F.col("cosine"), 9).cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cosine"),
+        (
+            F.sum(F.round(F.abs(F.col("cosine")), 9).cast(dec)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_abs_cosine"),
+    )
