@@ -152,3 +152,64 @@ def test_events_parquet_encoding_sentinel():
             f"events.ts in {sf} has NEW physical type {t!r} (tz={getattr(t, 'tz', None)!r}); "
             "extend sources/readers.normalize_event_ts for this encoding"
         )
+
+
+def test_malformed_jsonl_quarantine(spark, tmp_path):
+    """Bad-data quarantine contract: a JSONL batch with corrupt lines
+    must (a) in PERMISSIVE mode keep every line, routing unparseable
+    ones to _corrupt_record so a census/quarantine sink can count and
+    store them, and (b) in DROPMALFORMED mode yield exactly the clean
+    rows — silent row loss in mode (a) or ghost rows in mode (b) would
+    poison a 100 TB ingest where some corruption is a certainty."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = str(tmp_path / "raw.jsonl")
+    lines = [
+        '{"id": 1, "txt": "ok"}',
+        '{"id": 2, "txt": "fine"}',
+        '{"id": broken',
+        'not json at all',
+        '{"id": 3, "txt": "good"}',
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("txt", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark requires caching/materializing before filtering on the
+    # corrupt-record column alone (SPARK-21610 guard)
+    permissive = permissive.cache()
+    try:
+        assert permissive.count() == 5
+        bad = permissive.filter(F.col("_corrupt_record").isNotNull())
+        good = permissive.filter(F.col("_corrupt_record").isNull())
+        assert bad.count() == 2
+        assert sorted(r.id for r in good.collect()) == [1, 2, 3]
+
+        dropped = (
+            spark.read.schema(
+                StructType(schema.fields[:2])
+            )
+            .option("mode", "DROPMALFORMED")
+            .json(path)
+        )
+        assert sorted(r.id for r in dropped.collect()) == [1, 2, 3]
+    finally:
+        permissive.unpersist()
