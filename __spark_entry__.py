@@ -56,7 +56,8 @@ from xorbits_sql_spark.queries import load_all
 # Heaps law); t27..t30 (ABC classes, Bollinger, runs test,
 # Hellinger); t31..t35 (Shapley attribution, log-odds keyness,
 # forecast backtest, discount elasticity, revenue bridge);
-# t36..t39 (isotropy, Simpson detector, diversity, keyset paging).
+# t36..t39 (isotropy, Simpson detector, diversity, keyset paging);
+# t40..t42 (LOO encoding, new-vs-returning, Kendall tau).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

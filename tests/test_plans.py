@@ -269,6 +269,10 @@ _BNLJ_INTENDED = {
     "entropy-term rows)",
     "t39_keyset_pagination": "scalar-broadcast (the 1-row page "
     "anchor)",
+    "t42_kendall_tau": "audit (part-pair concordance scan — bounded "
+    "by the part-dimension size squared, not fact volume; the "
+    "O(n log n) merge-count form replaces it at larger catalogs, "
+    "stated in the op)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

@@ -4830,3 +4830,236 @@ def t38_effective_diversity(
             F.round(F.exp(h), 9).alias("effective_sources"),
         )
     )
+
+
+@register(
+    "t40_loo_target_encoding",
+    """
+    WITH c AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(MIN(cents) AS BIGINT) AS mn,
+             CAST(MAX(cents) AS BIGINT) AS mx
+      FROM c GROUP BY c_nationkey
+    )
+    SELECT CAST(c_nationkey AS INT) AS nation,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_balance,
+           CAST(s - mn AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100.0
+             AS loo_encoding_max,
+           CAST(s - mx AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100.0
+             AS loo_encoding_min
+    FROM g WHERE n > 1 ORDER BY nation
+    """,
+    tags=("pipeline", "feature-engineering", "ml"),
+    doc=(
+        "Leave-one-out target encoding audit: the ML feature that "
+        "replaces a categorical (nation) with the mean of the target "
+        "(account balance) computed EXCLUDING the row itself - the "
+        "standard leakage guard (a plain group mean leaks each row's "
+        "own target into its feature). The audit form reports, per "
+        "category, the plain mean and the LOO encoding's exact range "
+        "((S-min)/(n-1), (S-max)/(n-1)) - all from integer-cent "
+        "aggregates, so no per-row second pass is needed and the "
+        "leakage spread is visible at a glance (wide range = "
+        "small-n categories where LOO matters most). One grouped "
+        "aggregation, map-side combinable."
+    ),
+)
+def t40_loo_target_encoding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    g = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.min("cents").cast("bigint").alias("mn"),
+        F.max("cents").cast("bigint").alias("mx"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return (
+        g.filter(F.col("n") > 1)
+        .select(
+            F.col("c_nationkey").cast("int").alias("nation"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            (d("s") / d("n") / 100.0).alias("mean_balance"),
+            (
+                (F.col("s") - F.col("mn")).cast("double")
+                / (F.col("n") - 1).cast("double")
+                / 100.0
+            ).alias("loo_encoding_max"),
+            (
+                (F.col("s") - F.col("mx")).cast("double")
+                / (F.col("n") - 1).cast("double")
+                / 100.0
+            ).alias("loo_encoding_min"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "t41_new_vs_returning",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    dau AS (
+      SELECT date_trunc('day', ts) AS day, user_id
+      FROM events GROUP BY day, user_id
+    )
+    SELECT d.day,
+           COUNT(*) AS dau,
+           CAST(SUM(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN f.first_day <> d.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM dau d JOIN firsts f ON f.user_id = d.user_id
+    GROUP BY d.day ORDER BY d.day
+    """,
+    tags=("events", "kpi", "growth"),
+    doc=(
+        "Daily active users decomposed into new vs returning via each "
+        "user's first-touch day - the growth-accounting split behind "
+        "every DAU chart (is growth acquisition or retention?), "
+        "complementing s31's cumulative curve and s74's distinct "
+        "counting with the daily NEW/RETURNING classification. Two "
+        "user-keyed aggregations and one equi-join on user_id; all "
+        "counts exact integers. The first-touch table is the same "
+        "re-expression trick as s74 - no window over raw events."
+    ),
+)
+def t41_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    dau = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    return (
+        dau.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("first_day") != F.col("day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "t42_kendall_tau",
+    """
+    WITH parts AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS rev,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+      FROM lineitem GROUP BY l_partkey
+    ),
+    classed AS (
+      SELECT CASE WHEN (a.rev < b.rev AND a.qty < b.qty)
+                    OR (a.rev > b.rev AND a.qty > b.qty) THEN 'c'
+                  WHEN (a.rev < b.rev AND a.qty > b.qty)
+                    OR (a.rev > b.rev AND a.qty < b.qty) THEN 'd'
+                  WHEN a.rev = b.rev AND a.qty = b.qty THEN 'txy'
+                  WHEN a.rev = b.rev THEN 'tx'
+                  ELSE 'ty' END AS cls
+      FROM parts a JOIN parts b ON a.l_partkey < b.l_partkey
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN cls = 'c' THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN cls = 'd' THEN 1 ELSE 0 END) AS d,
+             SUM(CASE WHEN cls = 'tx' THEN 1 ELSE 0 END) AS tx,
+             SUM(CASE WHEN cls = 'ty' THEN 1 ELSE 0 END) AS ty
+      FROM classed
+    )
+    SELECT CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           CAST(c - d AS DOUBLE)
+           / sqrt(CAST(c + d + tx AS DOUBLE)
+                  * CAST(c + d + ty AS DOUBLE)) AS kendall_tau_b
+    FROM agg
+    """,
+    tags=("tpch", "statistics", "correlation"),
+    doc=(
+        "Kendall tau-b rank correlation between per-part revenue and "
+        "quantity: classify every part pair as concordant/discordant/"
+        "tied and compute tau_b = (C-D)/sqrt((C+D+Tx)(C+D+Ty)) - the "
+        "tie-corrected ordinal association measure completing the "
+        "correlation family (Pearson s93, Chatterjee t06, Spearman-"
+        "adjacent s71). Pair comparisons are on EXACT DECIMAL "
+        "aggregates so tie detection never flickers across engines; "
+        "all four counts are integers and tau is one IEEE "
+        "expression. The pair join is an audit over the part "
+        "DIMENSION (bounded by part-catalog size squared, not fact "
+        "volume); at larger catalogs the O(n log n) merge-count "
+        "formulation replaces it."
+    ),
+)
+def t42_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"),
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    ra, rb = F.col("a.rev"), F.col("b.rev")
+    qa, qb = F.col("a.qty"), F.col("b.qty")
+    cls = (
+        F.when(((ra < rb) & (qa < qb)) | ((ra > rb) & (qa > qb)), "c")
+        .when(((ra < rb) & (qa > qb)) | ((ra > rb) & (qa < qb)), "d")
+        .when((ra == rb) & (qa == qb), "txy")
+        .when(ra == rb, "tx")
+        .otherwise("ty")
+    )
+    agg = (
+        a.join(b, F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(cls.alias("cls"))
+        .agg(
+            F.sum(F.when(F.col("cls") == "c", 1).otherwise(0)).alias("c"),
+            F.sum(F.when(F.col("cls") == "d", 1).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("cls") == "tx", 1).otherwise(0)).alias(
+                "tx"
+            ),
+            F.sum(F.when(F.col("cls") == "ty", 1).otherwise(0)).alias(
+                "ty"
+            ),
+        )
+    )
+    dd = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return agg.select(
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("d").cast("bigint").alias("discordant"),
+        (
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (dd("c") + dd("d") + dd("tx"))
+                * (dd("c") + dd("d") + dd("ty"))
+            )
+        ).alias("kendall_tau_b"),
+    )
