@@ -57,7 +57,8 @@ from xorbits_sql_spark.queries import load_all
 # Hellinger); t31..t35 (Shapley attribution, log-odds keyness,
 # forecast backtest, discount elasticity, revenue bridge);
 # t36..t39 (isotropy, Simpson detector, diversity, keyset paging);
-# t40..t42 (LOO encoding, new-vs-returning, Kendall tau).
+# t40..t42 (LOO encoding, new-vs-returning, Kendall tau); t43..t45
+# (price-volume-mix, geometric growth, Welch t).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

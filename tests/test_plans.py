@@ -273,6 +273,8 @@ _BNLJ_INTENDED = {
     "by the part-dimension size squared, not fact volume; the "
     "O(n log n) merge-count form replaces it at larger catalogs, "
     "stated in the op)",
+    "t43_price_volume_mix": "scalar-broadcast (the 1-row first-order "
+    "date)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

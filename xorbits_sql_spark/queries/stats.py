@@ -5063,3 +5063,340 @@ def t42_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kendall_tau_b"),
     )
+
+
+@register(
+    "t43_price_volume_mix",
+    """
+    WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0 FROM orders),
+    li AS (
+      SELECT l.l_partkey,
+             CASE WHEN date_diff('day', b.d0,
+                                 CAST(o.o_orderdate AS DATE)) < 200
+                  THEN 0 ELSE 1 END AS period,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS qty
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      CROSS JOIN b
+      GROUP BY l.l_partkey, period
+    ),
+    wide AS (
+      SELECT l_partkey,
+             SUM(CASE WHEN period = 0 THEN rev ELSE 0 END) AS r1,
+             SUM(CASE WHEN period = 0 THEN qty ELSE 0 END) AS q1,
+             SUM(CASE WHEN period = 1 THEN rev ELSE 0 END) AS r2,
+             SUM(CASE WHEN period = 1 THEN qty ELSE 0 END) AS q2
+      FROM li GROUP BY l_partkey
+      HAVING SUM(CASE WHEN period = 0 THEN qty ELSE 0 END) > 0
+         AND SUM(CASE WHEN period = 1 THEN qty ELSE 0 END) > 0
+    ),
+    -- terms quantized to BIGINT millis: sums stay pure integer and
+    -- the final /1e3 is one deterministic IEEE division (a DECIMAL
+    -- sum above 2^53 quanta casts to DOUBLE with engine-dependent
+    -- last-ulp rounding - observed on volume_effect at sf0.01)
+    terms AS (
+      SELECT CAST(round((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                         - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                        * CAST(q1 AS DOUBLE) * 1e3) AS BIGINT)
+               AS price_q,
+             CAST(round(CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                        * CAST(q2 - q1 AS DOUBLE) * 1e3) AS BIGINT)
+               AS volume_q,
+             CAST(round((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)
+                         - CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                        * CAST(q2 - q1 AS DOUBLE) * 1e3) AS BIGINT)
+               AS joint_q,
+             CAST(round(CAST(r2 - r1 AS DOUBLE) * 1e3) AS BIGINT)
+               AS delta_q
+      FROM wide
+    )
+    SELECT COUNT(*) AS n_parts,
+           CAST(SUM(price_q) AS DOUBLE) / 1e3 AS price_effect,
+           CAST(SUM(volume_q) AS DOUBLE) / 1e3 AS volume_effect,
+           CAST(SUM(joint_q) AS DOUBLE) / 1e3 AS joint_effect,
+           CAST(SUM(delta_q) AS DOUBLE) / 1e3 AS total_delta
+    FROM terms
+    """,
+    tags=("tpch", "kpi", "decomposition"),
+    doc=(
+        "Price-volume-mix decomposition of the revenue change between "
+        "the first 200 days of orders and the rest, over parts traded "
+        "in BOTH periods: delta = sum (p2-p1)*q1 [price effect] + "
+        "p1*(q2-q1) [volume effect] + (p2-p1)*(q2-q1) [joint] - the "
+        "FP&A bridge that answers 'did revenue move because prices "
+        "moved or because volumes moved', per part and exactly "
+        "additive by construction. Per-part revenues/quantities are "
+        "exact DECIMAL; realized unit prices are IEEE divisions; "
+        "effect terms quantize to round(x*1e3) BIGINT so sums are "
+        "pure integers (a DECIMAL sum above 2^53 quanta casts to "
+        "DOUBLE with engine-dependent last-ulp rounding). One fact-side "
+        "aggregation (orders joined for dates), a per-part pivot, "
+        "and a single-row reduce."
+    ),
+)
+def t43_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    b = orders.agg(F.to_date(F.min("o_orderdate")).alias("d0"))
+    period = F.when(
+        F.datediff(F.to_date(F.col("o_orderdate")), F.col("d0")) < 200, 0
+    ).otherwise(1)
+    dec = "decimal(18,6)"
+    per = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .crossJoin(F.broadcast(b))
+        .groupBy("l_partkey", period.alias("period"))
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast(dec)
+            )
+            .cast(dec)
+            .alias("rev"),
+            F.sum(F.col("l_quantity").cast(dec)).cast(dec).alias("qty"),
+        )
+    )
+    wide = (
+        per.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, F.col("rev")).otherwise(0))
+            .alias("r1"),
+            F.sum(F.when(F.col("period") == 0, F.col("qty")).otherwise(0))
+            .alias("q1"),
+            F.sum(F.when(F.col("period") == 1, F.col("rev")).otherwise(0))
+            .alias("r2"),
+            F.sum(F.when(F.col("period") == 1, F.col("qty")).otherwise(0))
+            .alias("q2"),
+        )
+        .filter((F.col("q1") > 0) & (F.col("q2") > 0))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p1 = d("r1") / d("q1")
+    p2 = d("r2") / d("q2")
+    terms = wide.select(
+        F.round((p2 - p1) * d("q1") * 1e3).cast("bigint").alias("price_q"),
+        F.round(p1 * (F.col("q2") - F.col("q1")).cast("double") * 1e3)
+        .cast("bigint")
+        .alias("volume_q"),
+        F.round(
+            (p2 - p1) * (F.col("q2") - F.col("q1")).cast("double") * 1e3
+        )
+        .cast("bigint")
+        .alias("joint_q"),
+        F.round((F.col("r2") - F.col("r1")).cast("double") * 1e3)
+        .cast("bigint")
+        .alias("delta_q"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum("price_q").cast("double") / 1e3).alias("price_effect"),
+        (F.sum("volume_q").cast("double") / 1e3).alias("volume_effect"),
+        (F.sum("joint_q").cast("double") / 1e3).alias("joint_effect"),
+        (F.sum("delta_q").cast("double") / 1e3).alias("total_delta"),
+    )
+
+
+@register(
+    "t44_geometric_growth",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY event_type, day
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             LAG(x) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev_x
+      FROM daily
+    ),
+    -- ln(x_t / x_(t-1)) = fxln(x_t) - fxln(x_(t-1)): integers only
+    terms AS (
+      SELECT event_type,
+             CAST(round(ln(CAST(x AS DOUBLE)) * 1e6) AS BIGINT)
+             - CAST(round(ln(CAST(prev_x AS DOUBLE)) * 1e6) AS BIGINT)
+               AS lr
+      FROM lagged WHERE prev_x IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n_ratios,
+           round(exp(CAST(SUM(lr) AS DOUBLE) / COUNT(*) / 1e6) - 1, 9)
+             AS geo_daily_growth
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "time-series", "kpi"),
+    doc=(
+        "Geometric-mean daily growth rate per event type: the "
+        "compound rate exp(mean ln(x_t/x_(t-1))) - 1, the correct "
+        "average of growth RATIOS (an arithmetic mean of +50%/-50% "
+        "days claims +0% while the series actually shrank 13%). Each "
+        "log-ratio decomposes to fxln(x_t) - fxln(x_(t-1)) - ln of "
+        "INTEGERS only (s90/s98 discipline) - so the mean log-return "
+        "is exact integer arithmetic with one final exp, rounded to "
+        "9. O(days) per type after the daily collapse."
+    ),
+)
+def t44_geometric_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x")
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("prev_x"),
+    )
+
+    def fxln(col):
+        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    terms = lagged.filter(F.col("prev_x").isNotNull()).select(
+        "event_type",
+        (fxln(F.col("x")) - fxln(F.col("prev_x"))).alias("lr"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_ratios"),
+            F.round(
+                F.exp(
+                    F.sum("lr").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(1e6)
+                )
+                - 1,
+                9,
+            ).alias("geo_daily_growth"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "t45_welch_ttest",
+    """
+    WITH u AS (
+      SELECT ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+               AS grp,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    mom AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM u GROUP BY grp
+    ),
+    wide AS (
+      SELECT MIN(CASE WHEN grp = 0 THEN n END) AS n1,
+             MIN(CASE WHEN grp = 0 THEN s END) AS s1,
+             MIN(CASE WHEN grp = 0 THEN ss END) AS ss1,
+             MIN(CASE WHEN grp = 1 THEN n END) AS n2,
+             MIN(CASE WHEN grp = 1 THEN s END) AS s2,
+             MIN(CASE WHEN grp = 1 THEN ss END) AS ss2
+      FROM mom
+    ),
+    v AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+             (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+             / CAST(n1 AS DOUBLE) AS se1sq,
+             (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))
+             / CAST(n2 AS DOUBLE) AS se2sq
+      FROM wide
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           m1 / 100.0 AS mean_a, m2 / 100.0 AS mean_b,
+           (m1 - m2) / sqrt(se1sq + se2sq) AS t_stat,
+           (se1sq + se2sq) * (se1sq + se2sq)
+           / (se1sq * se1sq / CAST(n1 - 1 AS DOUBLE)
+              + se2sq * se2sq / CAST(n2 - 1 AS DOUBLE)) AS welch_df
+    FROM v
+    """,
+    tags=("events", "experimentation", "hypothesis-test"),
+    doc=(
+        "Welch's unequal-variance t-test on per-user purchase spend "
+        "between the hash cohorts, with the Welch-Satterthwaite "
+        "degrees of freedom - the CONTINUOUS-metric counterpart to "
+        "t05's proportion z-test (spend is heavy-tailed and "
+        "per-cohort variances differ; Student's pooled test would "
+        "understate the error). Spend is integer cents so all four "
+        "moments per cohort are exact; t and df are one "
+        "identically-spelled IEEE expression over them. One per-user "
+        "collapse and a 2-row pivot."
+    ),
+)
+def t45_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("grp"),
+        "cents",
+    )
+    mom = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+
+    def cell(g, c, alias):
+        return F.min(F.when(F.col("grp") == g, F.col(c))).alias(alias)
+
+    wide = mom.agg(
+        cell(0, "n", "n1"), cell(0, "s", "s1"), cell(0, "ss", "ss1"),
+        cell(1, "n", "n2"), cell(1, "s", "s2"), cell(1, "ss", "ss2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m1, m2 = d("s1") / d("n1"), d("s2") / d("n2")
+    se1sq = (
+        (d("n1") * d("ss1") - d("s1") * d("s1"))
+        / (d("n1") * (F.col("n1") - 1).cast("double"))
+        / d("n1")
+    )
+    se2sq = (
+        (d("n2") * d("ss2") - d("s2") * d("s2"))
+        / (d("n2") * (F.col("n2") - 1).cast("double"))
+        / d("n2")
+    )
+    sesum = se1sq + se2sq
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_a"),
+        F.col("n2").cast("bigint").alias("n_b"),
+        (m1 / 100.0).alias("mean_a"),
+        (m2 / 100.0).alias("mean_b"),
+        ((m1 - m2) / F.sqrt(sesum)).alias("t_stat"),
+        (
+            sesum
+            * sesum
+            / (
+                se1sq * se1sq / (F.col("n1") - 1).cast("double")
+                + se2sq * se2sq / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )
