@@ -275,6 +275,8 @@ _BNLJ_INTENDED = {
     "stated in the op)",
     "t43_price_volume_mix": "scalar-broadcast (the 1-row first-order "
     "date)",
+    "t47_bigram_pmi_collocations": "scalar-broadcast (the 1-row "
+    "corpus token total)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

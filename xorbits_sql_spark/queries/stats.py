@@ -5400,3 +5400,90 @@ def t45_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+@register(
+    "t48_fd_histogram_binning",
+    """
+    WITH vals AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    quartiles AS (
+      SELECT event_type,
+             MAX(n) AS n,
+             MIN(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+             MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3,
+             MIN(value) AS lo, MAX(value) AS hi
+      FROM vals GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_values,
+           q3 - q1 AS iqr,
+           round(2.0 * (q3 - q1) / pow(CAST(n AS DOUBLE), 1.0 / 3),
+                 9) AS fd_bin_width,
+           CAST(ceil((hi - lo)
+                     / (2.0 * (q3 - q1)
+                        / pow(CAST(n AS DOUBLE), 1.0 / 3)))
+                AS BIGINT) AS n_bins
+    FROM quartiles
+    WHERE q3 > q1
+    ORDER BY event_type
+    """,
+    tags=("events", "statistics", "histogram"),
+    doc=(
+        "Freedman-Diaconis optimal histogram binning per event type: "
+        "bin width 2*IQR/n^(1/3) - the principled, outlier-robust "
+        "rule that replaces the magic bin counts hard-coded in ad-hoc "
+        "histograms (q100, s61), and the right precursor to any "
+        "binned drift metric (s69 PSI, t30 Hellinger). Quartiles are "
+        "exact positional selections (s80 discipline, event_id "
+        "tie-break); the width involves pow(n, 1/3) - a libm call "
+        "that DID diverge by 1 ulp across engines at sf0.1 - so the "
+        "reported width is rounded to 9 digits (1e6x margin) and "
+        "the bin-count ceil tolerates the raw 1e-15 wobble. One ranked "
+        "pass per type."
+    ),
+)
+def t48_fd_histogram_binning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wtype = W.partitionBy("event_type")
+    vals = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(wtype.orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+    )
+    q1_pos = F.floor((F.col("n") + 3) / 4)
+    q3_pos = F.floor((3 * F.col("n") + 3) / 4)
+    quart = vals.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("rn") == q1_pos, F.col("value"))).alias("q1"),
+        F.min(F.when(F.col("rn") == q3_pos, F.col("value"))).alias("q3"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    width = (
+        2.0
+        * (F.col("q3") - F.col("q1"))
+        / F.pow(F.col("n").cast("double"), F.lit(1.0) / 3)
+    )
+    return (
+        quart.filter(F.col("q3") > F.col("q1"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_values"),
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            F.round(width, 9).alias("fd_bin_width"),
+            F.ceil((F.col("hi") - F.col("lo")) / width)
+            .cast("bigint")
+            .alias("n_bins"),
+        )
+        .orderBy("event_type")
+    )

@@ -3042,3 +3042,195 @@ def t32_log_odds_distinguishing_terms(
         .orderBy(F.abs(F.col("z_score")).desc(), "tok")
         .limit(15)
     )
+
+
+@register(
+    "t46_mattr_lexical_diversity",
+    f"""
+    WITH arrs AS (
+      SELECT doc_id, source, string_split(lower({_NORM}), ' ') AS words
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, unnest(words) AS tok,
+             unnest(range(len(words))) AS pos
+      FROM arrs
+    ),
+    windows AS (
+      SELECT doc_id, source, CAST(pos // 50 AS BIGINT) AS w, tok,
+             MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+      FROM toks WHERE tok <> ''
+    ),
+    complete AS (
+      SELECT doc_id, source, w, tok FROM windows
+      WHERE (w + 1) * 50 - 1 <= max_pos
+    ),
+    per_window AS (
+      SELECT source, doc_id, w, COUNT(DISTINCT tok) AS n_types
+      FROM complete GROUP BY source, doc_id, w
+    )
+    SELECT source,
+           COUNT(*) AS n_windows,
+           CAST(SUM(n_types) AS DOUBLE) / (COUNT(*) * 50.0) AS mattr
+    FROM per_window GROUP BY source ORDER BY source
+    """,
+    tags=("text", "quality", "lexical-diversity"),
+    doc=(
+        "Moving-average type-token ratio (MATTR, Covington & McFall "
+        "2010) per source: mean distinct-type count over complete "
+        "50-token windows, divided by the window length - the "
+        "length-controlled lexical-diversity measure that fixes q79's "
+        "raw TTR confound (longer documents mechanically score lower "
+        "TTR, so cross-source raw comparisons mislead). Windows come "
+        "from integer position division (map-side, no sliding "
+        "window); incomplete tail windows are excluded so every "
+        "window contributes exactly 50 tokens and the ratio is a "
+        "pure integer division. One token explode, one grouped "
+        "COUNT(DISTINCT) keyed by (doc, window) - scale-safe."
+    ),
+)
+def t46_mattr_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    arr = F.split(F.lower(norm_ws(F.col("text"))), " ")
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(arr).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    windows = toks.select(
+        "doc_id",
+        "source",
+        F.expr("pos div 50").cast("bigint").alias("w"),
+        "tok",
+        F.max("pos").over(W.partitionBy("doc_id")).alias("max_pos"),
+    )
+    complete = windows.filter(
+        (F.col("w") + 1) * 50 - 1 <= F.col("max_pos")
+    )
+    per_window = complete.groupBy("source", "doc_id", "w").agg(
+        F.countDistinct("tok").alias("n_types")
+    )
+    return (
+        per_window.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            (
+                F.sum("n_types").cast("double")
+                / (F.count(F.lit(1)) * F.lit(50.0))
+            ).alias("mattr"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "t47_bigram_pmi_collocations",
+    f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split(lower({_NORM}), ' ') AS words
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(words) AS tok,
+             unnest(range(len(words))) AS pos
+      FROM arrs
+    ),
+    clean AS (SELECT * FROM toks WHERE tok <> ''),
+    uni AS (SELECT tok, COUNT(*) AS c FROM clean GROUP BY tok),
+    n_tot AS (SELECT SUM(c) AS n FROM uni),
+    bi AS (
+      SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c12
+      FROM clean a JOIN clean b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.tok, b.tok
+      HAVING COUNT(*) >= 5
+    ),
+    -- PMI = ln(c12 * N) - ln(c1 * c2): ln of INTEGER products only,
+    -- fixed-point BIGINT so the ranking key is exact
+    scored AS (
+      SELECT bi.w1, bi.w2, bi.c12,
+             CAST(round(ln(CAST(bi.c12 * t.n AS DOUBLE)) * 1e6)
+                  AS BIGINT)
+             - CAST(round(ln(CAST(u1.c * u2.c AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS pmi_q
+      FROM bi
+      JOIN uni u1 ON u1.tok = bi.w1
+      JOIN uni u2 ON u2.tok = bi.w2
+      CROSS JOIN n_tot t
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS n_cooccur,
+           CAST(pmi_q AS DOUBLE) / 1e6 AS pmi
+    FROM scored
+    ORDER BY pmi_q DESC, w1, w2
+    LIMIT 15
+    """,
+    tags=("text", "collocations", "nlp"),
+    doc=(
+        "Pointwise-mutual-information collocations: the top adjacent "
+        "word pairs whose co-occurrence beats chance, PMI = "
+        "ln(c12*N / (c1*c2)) with a min-support of 5 - the classic "
+        "collocation extractor (Church & Hanks 1990) behind phrase "
+        "vocabularies and tokenizer merge seeding, and the TEXT "
+        "counterpart of s67's event-type PMI. Bigrams come from the "
+        "positional (doc, pos+1) equi-join (s83's index shape, never "
+        "quadratic); PMI is fxln of INTEGER products so the ranking "
+        "key pmi_q is an exact BIGINT - top-15 ordering cannot "
+        "flicker across engines; the min-support prunes the "
+        "candidate set before the unigram joins."
+    ),
+)
+def t47_bigram_pmi_collocations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    arr = F.split(F.lower(norm_ws(F.col("text"))), " ")
+    clean = docs.select(
+        "doc_id", F.posexplode(arr).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    uni = clean.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = uni.agg(F.sum("c").alias("n"))
+    a, b = clean.alias("a"), clean.alias("b")
+    bi = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+
+    def fxln(col):
+        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    scored = (
+        bi.join(
+            uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                fxln(F.col("c12") * F.col("n"))
+                - fxln(F.col("c1") * F.col("c2"))
+            ).alias("pmi_q"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi_q").desc(), "w1", "w2")
+        .limit(15)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_cooccur"),
+            (F.col("pmi_q").cast("double") / 1e6).alias("pmi"),
+        )
+    )
