@@ -277,6 +277,10 @@ _BNLJ_INTENDED = {
     "date)",
     "t47_bigram_pmi_collocations": "scalar-broadcast (the 1-row "
     "corpus token total)",
+    "t49_cluster_size_histogram": "scalar-broadcast (1-row doc and "
+    "clustered-doc totals)",
+    "t50_threshold_calibration": "scalar-broadcast (the constant "
+    "6-row threshold grid against the bounded pair set)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

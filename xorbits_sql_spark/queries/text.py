@@ -3234,3 +3234,164 @@ def t47_bigram_pmi_collocations(
             (F.col("pmi_q").cast("double") / 1e6).alias("pmi"),
         )
     )
+
+
+@register(
+    "t49_cluster_size_histogram",
+    f"""
+    {_DUCK_CLUSTERS},
+    counts AS (
+      SELECT component, COUNT(*) AS k FROM comp GROUP BY component
+    ),
+    n_docs AS (SELECT COUNT(*) AS nd FROM documents),
+    clustered AS (SELECT SUM(k) AS in_clusters FROM counts)
+    SELECT CAST(k AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(k) AS BIGINT) AS n_docs_in_size,
+           CAST(SUM(k) - COUNT(*) AS BIGINT) AS removable_docs,
+           CAST((SELECT nd FROM n_docs)
+                - (SELECT in_clusters FROM clustered) AS BIGINT)
+             AS singleton_docs
+    FROM counts
+    GROUP BY k ORDER BY k
+    """,
+    tags=("text", "dedup-clusters", "reporting"),
+    doc=(
+        "Dedup planning census: the size histogram of r63's "
+        "near-duplicate connected components - how many 2-clusters, "
+        "3-clusters, etc., how many documents each size class holds, "
+        "and the REMOVABLE count (size - 1 per cluster: what a "
+        "keep-one policy deletes), plus the singleton population "
+        "outside any cluster. This is the report that sizes the "
+        "storage/token savings of a dedup run BEFORE committing to "
+        "it, and the distribution shape (many small clusters vs one "
+        "giant) dictates whether r82's quality-keeper or plain "
+        "keep-first is appropriate. Reuses the oracle-checked "
+        "component machinery; the histogram itself is two tiny "
+        "integer aggregates."
+    ),
+)
+def t49_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.05,
+        partition_col="source",
+        max_df=50,
+    )
+    comps = connected_components(pairs)
+    counts = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    clustered = counts.agg(F.sum("k").alias("in_clusters"))
+    return (
+        counts.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("k").cast("bigint").alias("n_docs_in_size"),
+            (F.sum("k") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("removable_docs"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(clustered))
+        .select(
+            F.col("k").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs_in_size",
+            "removable_docs",
+            (F.col("nd") - F.col("in_clusters"))
+            .cast("bigint")
+            .alias("singleton_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "t50_threshold_calibration",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM shingled
+      ) WHERE df <= 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ss FROM kept GROUP BY doc_id),
+    jac AS (
+      SELECT CAST(s.sh AS DOUBLE) / (sa.ss + sb.ss - s.sh) AS j
+      FROM (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS sh
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) s
+      JOIN sizes sa ON sa.doc_id = s.ia
+      JOIN sizes sb ON sb.doc_id = s.ib
+    ),
+    grid AS (SELECT unnest([0.1, 0.2, 0.3, 0.5, 0.7, 0.9]) AS thr)
+    SELECT thr AS threshold,
+           CAST(SUM(CASE WHEN j > thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_above
+    FROM grid CROSS JOIN jac
+    GROUP BY thr ORDER BY thr
+    """,
+    tags=("text", "dedup", "calibration"),
+    doc=(
+        "Similarity-threshold calibration curve: how many candidate "
+        "pairs survive each Jaccard cutoff (0.1 .. 0.9) over the "
+        "bounded inverted-index pair set - the knee of this curve is "
+        "how a dedup operator's threshold is actually chosen (too "
+        "low merges near-misses into giant clusters, too high leaves "
+        "twins unmerged), turning q64's single hard-coded cutoff "
+        "into an informed decision. Jaccards are computed ONCE; the "
+        "6-point threshold grid cross-joins against them (constant "
+        "x bounded = bounded); counts are exact integers and the "
+        "threshold comparisons exact literals."
+    ),
+)
+def t50_threshold_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    jac = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.0,
+        partition_col=None,
+        max_df=50,
+    ).select(F.col("jaccard").alias("j"))
+    grid = spark.createDataFrame(
+        [(0.1,), (0.2,), (0.3,), (0.5,), (0.7,), (0.9,)], ["thr"]
+    )
+    return (
+        F.broadcast(grid)
+        .crossJoin(jac)
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("j") > F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs_above")
+        )
+        .select(F.col("thr").alias("threshold"), "n_pairs_above")
+        .orderBy("threshold")
+    )
