@@ -60,7 +60,8 @@ from xorbits_sql_spark.queries import load_all
 # t40..t42 (LOO encoding, new-vs-returning, Kendall tau); t43..t45
 # (price-volume-mix, geometric growth, Welch t); t46..t48 (MATTR,
 # bigram PMI, Freedman-Diaconis binning); t49..t50 (cluster-size
-# histogram, threshold calibration).
+# histogram, threshold calibration); t51..t52 (codec tile stats,
+# streaming percentiles).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

@@ -247,3 +247,38 @@ def test_stateful_restart_resumes_window_state(spark, tmp_path):
     # windows finalized before shutdown must not re-emit (append mode
     # emits each window once; duplicate keys here would mean replay)
     assert len(got) == len({(r.hour, r.event_type) for r in got.itertuples()})
+
+
+def test_stream_percentiles_match_batch(spark):
+    """t52's windowed approx_percentile stream must equal the same
+    aggregation run in batch over the same bounded input — pinning
+    that the mergeable sketch accumulates identically through
+    micro-batch state as in one pass."""
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.queries import load_all
+    from xorbits_sql_spark.queries._util import t
+
+    specs = load_all()
+    got = specs["t52_stream_window_percentiles"].fn(spark, SF_ORACLE).toPandas()
+    ev = t(spark, SF_ORACLE, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n",
+        )
+        .orderBy("hour", "event_type")
+        .toPandas()
+    )
+    assert canonical_rows(got) == canonical_rows(want)

@@ -2373,3 +2373,88 @@ def t02_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+@register(
+    "t51_image_tile_stats",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 5 + x.x * 7 + y.y * 13) % 256) AS v,
+             ((y.y * 2) // (4 + d.doc_id % 4)) * 2
+               + ((x.x * 2) // (4 + d.doc_id % 5)) AS tile
+      FROM documents d
+      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) x
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) y
+      WHERE x.x < 4 + d.doc_id % 5 AND y.y < 4 + d.doc_id % 4
+    ),
+    tiles AS (
+      SELECT doc_id, tile, CAST(SUM(v) AS BIGINT) AS tile_sum
+      FROM px GROUP BY doc_id, tile
+    ),
+    ranked AS (
+      SELECT doc_id, tile, tile_sum,
+             SUM(tile_sum) OVER (PARTITION BY doc_id) AS total,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tile_sum DESC, tile) AS rk
+      FROM tiles
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(tile AS BIGINT) AS brightest_tile,
+           CAST(tile_sum AS BIGINT) AS tile_sum,
+           CAST(total AS BIGINT) AS pixel_total
+    FROM ranked WHERE rk = 1
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "png", "features"),
+    doc=(
+        "REAL image tile statistics, oracle-checked: per document a "
+        "gradient grayscale PNG (value (id*5 + x*7 + y*13) mod 256, "
+        "dims (4 + id%5) x (4 + id%4)) is ENCODED and DECODED through "
+        "the stdlib zlib+CRC codec (multimodal/png.py), the pixel "
+        "array split into a 2x2 tile grid (tile = (2y div h)*2 + "
+        "(2x div w) - the saliency-crop primitive), and the "
+        "brightest tile reported with its sum and the image total. "
+        "The oracle predicts every pixel and tile assignment "
+        "arithmetically, so the codec roundtrip AND the tiling "
+        "geometry are value-verified - extending the r90-r94 family "
+        "with a spatial-aggregation feature. Arrow-batched "
+        "mapInPandas; per-payload work only, embarrassingly "
+        "parallel."
+    ),
+)
+def t51_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cols = ("doc_id", "brightest_tile", "tile_sum", "pixel_total")
+    schema = T.StructType([T.StructField(c, T.LongType()) for c in cols])
+
+    def batches(it):
+        from ..multimodal.png import decode_png, encode_png
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w, h = 4 + did % 5, 4 + did % 4
+                pixels = bytes(
+                    (did * 5 + x * 7 + y * 13) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                dw, dh, _ch, px = decode_png(encode_png(w, h, 1, pixels))
+                sums = [0, 0, 0, 0]
+                for y in range(dh):
+                    for x in range(dw):
+                        tile = (y * 2) // dh * 2 + (x * 2) // dw
+                        sums[tile] += px[y * dw + x]
+                best = max(range(4), key=lambda i: (sums[i], -i))
+                out["doc_id"].append(did)
+                out["brightest_tile"].append(best)
+                out["tile_sum"].append(sums[best])
+                out["pixel_total"].append(sum(sums))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")

@@ -462,3 +462,50 @@ def s91_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, mode="append").orderBy(
         "user_id", "view_ts", F.asc_nulls_first("purchase_ts")
     )
+
+
+@register(
+    "t52_stream_window_percentiles",
+    None,  # approx_percentile's sketch is Spark-internal; the local
+    # streaming==batch equality test is the value check
+    tags=("streaming", "percentiles"),
+    doc=(
+        "Streaming per-hour value percentiles: tumbling event-time "
+        "windows aggregating approx_percentile(value, [0.5, 0.9, "
+        "0.99]) - the latency/SLA dashboard primitive, computed "
+        "incrementally with watermark-bounded state instead of a "
+        "nightly batch over raw history. approx_percentile's KLL-ish "
+        "sketch is mergeable, which is exactly what makes it legal "
+        "inside a streaming aggregation (exact percentiles are not - "
+        "they would need unbounded per-window buffers). The sketch is "
+        "deterministic for a given dataset, so the local test pins "
+        "streaming == batch on the same input; no DuckDB oracle "
+        "since the sketch is Spark-internal (rows-only driver "
+        "check, like q80-q83)."
+    ),
+)
+def t52_stream_window_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n",
+        )
+    )
+    return run_to_memory(agg, mode="complete").orderBy(
+        "hour", "event_type"
+    )
