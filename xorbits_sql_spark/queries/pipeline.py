@@ -2458,3 +2458,95 @@ def t51_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+@register(
+    "t53_audio_silence_segments",
+    """
+    WITH params AS (
+      SELECT doc_id, 24 + doc_id % 16 AS n FROM documents
+    ),
+    s AS (
+      SELECT p.doc_id, i.i,
+             (((p.doc_id * 31 + i.i * 17) % 4096) - 2048) AS v
+      FROM params p
+      CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS i) i
+      WHERE i.i < p.n
+    ),
+    silent AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+               AS island
+      FROM s WHERE abs(v) < 1024
+    ),
+    runs AS (
+      SELECT doc_id, island, COUNT(*) AS run_len
+      FROM silent GROUP BY doc_id, island
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_silent,
+           COUNT(*) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM runs GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "wav", "vad"),
+    doc=(
+        "REAL audio silence segmentation, oracle-checked: the s58 "
+        "deterministic PCM16 WAV runs encode -> decode through the "
+        "stdlib RIFF codec, then samples with |v| < 1024 (half "
+        "amplitude) are grouped into consecutive RUNS - the "
+        "voice-activity-detection primitive behind silence trimming "
+        "and utterance splitting, one level up from s58's windowed "
+        "energy (runs have arbitrary extents; windows are fixed). "
+        "The Spark side detects runs in the Arrow batch right where "
+        "the decoded samples live (per-payload work - the correct "
+        "mapInPandas shape); the oracle re-derives them relationally "
+        "with the gaps-and-islands idiom (i - row_number), all "
+        "integer arithmetic, so codec + segmentation are "
+        "hash-verified."
+    ),
+)
+def t53_audio_silence_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cols = ("doc_id", "n_silent", "n_runs", "longest_run")
+    schema = T.StructType([T.StructField(c, T.LongType()) for c in cols])
+
+    def batches(it):
+        from ..multimodal.wav import decode_wav, encode_wav
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                n = 24 + did % 16
+                samples = [
+                    ((did * 31 + i * 17) % 4096) - 2048 for i in range(n)
+                ]
+                _sr, _ch, _nf, decoded = decode_wav(
+                    encode_wav(8000, 1, samples)
+                )
+                n_silent = n_runs = longest = cur = 0
+                for v in decoded:
+                    if abs(v) < 1024:
+                        cur += 1
+                        n_silent += 1
+                        if cur == 1:
+                            n_runs += 1
+                        longest = max(longest, cur)
+                    else:
+                        cur = 0
+                if n_silent == 0:
+                    continue  # oracle emits no row for all-loud docs
+                out["doc_id"].append(did)
+                out["n_silent"].append(n_silent)
+                out["n_runs"].append(n_runs)
+                out["longest_run"].append(longest)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(batches, schema).orderBy("doc_id")
