@@ -61,7 +61,8 @@ from xorbits_sql_spark.queries import load_all
 # (price-volume-mix, geometric growth, Welch t); t46..t48 (MATTR,
 # bigram PMI, Freedman-Diaconis binning); t49..t50 (cluster-size
 # histogram, threshold calibration); t51..t52 (codec tile stats,
-# streaming percentiles); t53 (audio silence VAD).
+# streaming percentiles); t53..t54 (audio silence VAD, giant
+# component share).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

@@ -5487,3 +5487,89 @@ def t48_fd_histogram_binning(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "t54_giant_component_share",
+    """
+    WITH RECURSIVE pairs_raw AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT p1 AS src, p2 AS dst FROM pairs_raw
+      UNION
+      SELECT p2, p1 FROM pairs_raw
+    ),
+    reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    sizes AS (
+      SELECT component, COUNT(*) AS k FROM comp GROUP BY component
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_components,
+             CAST(SUM(k) AS BIGINT) AS n_nodes,
+             CAST(MAX(k) AS BIGINT) AS giant
+      FROM sizes
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_components AS BIGINT) AS n_components,
+           CAST(giant AS BIGINT) AS giant_size,
+           CAST(giant AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+             AS giant_share
+    FROM tot
+    """,
+    tags=("graph", "connectivity", "market-basket"),
+    doc=(
+        "Giant-component share of the part co-purchase graph (same "
+        "support>=2 edge set as s49/t11/t17): the fraction of "
+        "connected parts inside the largest component - the "
+        "percolation indicator that tells a dedup or recommendation "
+        "pipeline whether its pair graph is many islands (per-cluster "
+        "work is cheap) or one giant blob (cluster-level algorithms "
+        "hit their worst case; r63's lineage truncation and t11's hub "
+        "caps exist exactly for this regime). Spark runs the "
+        "iterative min-label propagation operator; the oracle "
+        "re-derives components with a recursive CTE (the r63 "
+        "pattern). All counts exact integers, one final IEEE share."
+    ),
+)
+def t54_giant_component_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import _persist, connected_components
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"),
+            F.col("b.l_partkey").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("id_a", "id_b")
+    )
+    edges = _persist(edges)
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("k"))
+    return sizes.agg(
+        F.sum("k").cast("bigint").alias("n_nodes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.max("k").cast("bigint").alias("giant_size"),
+        (
+            F.max("k").cast("double") / F.sum("k").cast("double")
+        ).alias("giant_share"),
+    )
