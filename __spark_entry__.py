@@ -62,7 +62,8 @@ from xorbits_sql_spark.queries import load_all
 # bigram PMI, Freedman-Diaconis binning); t49..t50 (cluster-size
 # histogram, threshold calibration); t51..t52 (codec tile stats,
 # streaming percentiles); t53..t54 (audio silence VAD, giant
-# component share).
+# component share); t55..t57 (SMD balance, detector agreement,
+# budgeted selection).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

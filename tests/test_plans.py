@@ -281,6 +281,12 @@ _BNLJ_INTENDED = {
     "clustered-doc totals)",
     "t50_threshold_calibration": "scalar-broadcast (the constant "
     "6-row threshold grid against the bounded pair set)",
+    "t55_covariate_balance": "scalar-broadcast (the 1-row corpus-"
+    "start date)",
+    "t56_detector_agreement": "scalar-broadcast (1-row pair-set "
+    "counts folded into the agreement row)",
+    "t57_budgeted_selection": "scalar-broadcast (the 1-row corpus "
+    "token total)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -378,6 +384,10 @@ _GLOBAL_WINDOW_INTENDED = {
     "collapse (bounded by calendar days)",
     "t37_simpson_paradox_detector": "exact global NTILE over "
     "per-user aggregates (q47's justification)",
+    "t57_budgeted_selection": "cumulative token walk in quality "
+    "order — inherently a total order; at scale: range-partition "
+    "on quality + per-partition offset pass (s73/t27's pattern, "
+    "stated in the op)",
 }
 
 _WINSPEC = re.compile(

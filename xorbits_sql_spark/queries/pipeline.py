@@ -2550,3 +2550,189 @@ def t53_audio_silence_segments(
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+from .text import _DUCK_SHINGLES, _duck_minhash  # noqa: E402
+
+
+@register(
+    "t56_detector_agreement",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    mh_sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(4))}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, '{i}|' || h{i} AS band_key FROM mh_sigs" for i in range(4))}
+    ),
+    mh AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    sums AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_SH_SUMS}
+      FROM hashed GROUP BY doc_id
+    ),
+    sh_sigs AS (SELECT doc_id, {_SH_SIG} AS sh FROM sums),
+    bucketed AS (SELECT doc_id, sh, sh >> 56 AS bucket FROM sh_sigs),
+    sh AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 14
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM mh) AS n_minhash,
+             (SELECT COUNT(*) FROM sh) AS n_simhash,
+             (SELECT COUNT(*) FROM mh
+              JOIN sh ON sh.id_a = mh.id_a AND sh.id_b = mh.id_b)
+               AS n_both
+    )
+    SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
+           CAST(n_simhash AS BIGINT) AS n_simhash,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_both AS DOUBLE)
+             / CAST(n_minhash + n_simhash - n_both AS DOUBLE)
+             AS pair_set_jaccard
+    FROM agg
+    """,
+    tags=("text", "dedup", "evaluation"),
+    doc=(
+        "Near-duplicate detector agreement audit: the candidate pair "
+        "sets of the MinHash LSH blocker (q65: 4 seeds, band 1) and "
+        "the SimHash blocker (q67: Hamming <= 14) compared as sets - "
+        "counts, intersection, and pair-set Jaccard. Two detectors "
+        "built on different principles agreeing strongly means the "
+        "near-dup signal is robust; divergence pinpoints pairs only "
+        "one family can see (MinHash = set overlap, SimHash = "
+        "weighted-feature proximity) and calibrates whether running "
+        "BOTH (s59's joint policy) is worth the cost. Reuses the "
+        "oracle-proven bounded pipelines; the comparison is an "
+        "equi-join of two bounded pair sets + integer counts."
+    ),
+)
+def t56_detector_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(
+        docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+    ).select("id_a", "id_b")
+    sh = simhash_pairs(
+        docs, "text", "doc_id", max_hamming=14, prefix_bits=4
+    ).select("id_a", "id_b")
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+    n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
+    n_both = mh.join(sh, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    return (
+        n_mh.crossJoin(F.broadcast(n_sh))
+        .crossJoin(F.broadcast(n_both))
+        .select(
+            F.col("n_minhash").cast("bigint").alias("n_minhash"),
+            F.col("n_simhash").cast("bigint").alias("n_simhash"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            (
+                F.col("n_both").cast("double")
+                / (
+                    F.col("n_minhash")
+                    + F.col("n_simhash")
+                    - F.col("n_both")
+                ).cast("double")
+            ).alias("pair_set_jaccard"),
+        )
+    )
+
+
+@register(
+    "t57_budgeted_selection",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tok,
+             CAST({_SQL_QUALITY} AS DOUBLE) AS q
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tok FROM scored),
+    walk AS (
+      SELECT doc_id, n_tok, q,
+             SUM(n_tok) OVER (ORDER BY q DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    ),
+    -- budget = 30% of corpus tokens; 10*cum <= 3*total is PURE
+    -- integer, so the admission boundary is exact on both engines
+    sel AS (
+      SELECT w.* FROM walk w CROSS JOIN tot
+      WHERE 10 * w.cum <= 3 * tot.total_tok
+    )
+    SELECT COUNT(*) AS n_selected,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_used,
+           (SELECT total_tok FROM tot) AS corpus_tokens,
+           MIN(q) AS min_quality_admitted
+    FROM sel
+    """,
+    tags=("pipeline", "curation", "selection"),
+    doc=(
+        "Token-budget greedy selection: admit documents in descending "
+        "quality order until 30% of the corpus token budget is spent "
+        "- the knapsack-greedy data selection every budget-constrained "
+        "training run performs (given N tokens of compute, keep the "
+        "best N), reported as the admission count, tokens used, and "
+        "the marginal quality cutoff (the 'price' of the budget). "
+        "Quality scores are deterministic IEEE arithmetic (q66's "
+        "formula), the cumulative walk orders by (quality, doc_id), "
+        "and the budget test 10*cum <= 3*total is pure integer - no "
+        "float boundary. At scale the ordered walk range-partitions "
+        "on quality with a per-partition offset pass (s73/t27's "
+        "pattern)."
+    ),
+)
+def t57_budgeted_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    tot = scored.agg(F.sum("n_tok").cast("bigint").alias("total_tok"))
+    wwalk = W.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    walk = scored.select(
+        "doc_id", "n_tok", "q", F.sum("n_tok").over(wwalk).alias("cum")
+    )
+    sel = walk.crossJoin(F.broadcast(tot)).filter(
+        10 * F.col("cum") <= 3 * F.col("total_tok")
+    )
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tok").cast("bigint").alias("tokens_used"),
+        F.max("total_tok").alias("corpus_tokens"),
+        F.min("q").alias("min_quality_admitted"),
+    )

@@ -5573,3 +5573,154 @@ def t54_giant_component_share(
             F.max("k").cast("double") / F.sum("k").cast("double")
         ).alias("giant_share"),
     )
+
+
+@register(
+    "t55_covariate_balance",
+    """
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    u AS (
+      SELECT user_id,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+               AS grp,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND date_diff('day', b.d0, CAST(ts AS DATE)) < 15
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS pre,
+             SUM(CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE)) < 15
+                      THEN 1 ELSE 0 END) AS pre_events
+      FROM events CROSS JOIN b GROUP BY user_id
+    ),
+    mom AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(pre) AS BIGINT) AS s1,
+             CAST(SUM(pre * pre) AS BIGINT) AS ss1,
+             CAST(SUM(pre_events) AS BIGINT) AS s2,
+             CAST(SUM(pre_events * pre_events) AS BIGINT) AS ss2
+      FROM u GROUP BY grp
+    ),
+    wide AS (
+      SELECT MIN(CASE WHEN grp = 0 THEN n END) AS na,
+             MIN(CASE WHEN grp = 0 THEN s1 END) AS s1a,
+             MIN(CASE WHEN grp = 0 THEN ss1 END) AS ss1a,
+             MIN(CASE WHEN grp = 0 THEN s2 END) AS s2a,
+             MIN(CASE WHEN grp = 0 THEN ss2 END) AS ss2a,
+             MIN(CASE WHEN grp = 1 THEN n END) AS nb,
+             MIN(CASE WHEN grp = 1 THEN s1 END) AS s1b,
+             MIN(CASE WHEN grp = 1 THEN ss1 END) AS ss1b,
+             MIN(CASE WHEN grp = 1 THEN s2 END) AS s2b,
+             MIN(CASE WHEN grp = 1 THEN ss2 END) AS ss2b
+      FROM mom
+    )
+    SELECT 'pre_spend' AS covariate,
+           (CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE))
+           / sqrt(((CAST(na AS DOUBLE) * CAST(ss1a AS DOUBLE)
+                    - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+                   / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))
+                   + (CAST(nb AS DOUBLE) * CAST(ss1b AS DOUBLE)
+                      - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+                     / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+                  / 2.0) AS smd
+    FROM wide
+    UNION ALL
+    SELECT 'pre_events',
+           (CAST(s2a AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(s2b AS DOUBLE) / CAST(nb AS DOUBLE))
+           / sqrt(((CAST(na AS DOUBLE) * CAST(ss2a AS DOUBLE)
+                    - CAST(s2a AS DOUBLE) * CAST(s2a AS DOUBLE))
+                   / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))
+                   + (CAST(nb AS DOUBLE) * CAST(ss2b AS DOUBLE)
+                      - CAST(s2b AS DOUBLE) * CAST(s2b AS DOUBLE))
+                     / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+                  / 2.0)
+    FROM wide
+    ORDER BY covariate
+    """,
+    tags=("events", "experimentation", "diagnostics"),
+    doc=(
+        "Covariate balance check (standardized mean difference) for "
+        "the hash-split cohorts on two PRE-period covariates (spend "
+        "and activity): SMD = (m_A - m_B)/sqrt((v_A + v_B)/2), the "
+        "randomization sanity every experiment readout should gate on "
+        "- |SMD| < 0.1 is the conventional 'balanced' bar, and a "
+        "violation invalidates t05/t20/t45 before any effect is read. "
+        "Covariates are integer cents/counts so the moments are "
+        "exact; SMDs are identically-spelled IEEE expressions. One "
+        "user-level collapse and a 2-row pivot."
+    ),
+)
+def t55_covariate_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.to_date(F.min("ts")).alias("d0"))
+    dd = F.datediff(F.to_date(F.col("ts")), F.col("d0"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (dd < 15), cents
+                ).otherwise(0)
+            ).alias("pre"),
+            F.sum(F.when(dd < 15, 1).otherwise(0)).alias("pre_events"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("grp"),
+            "pre",
+            "pre_events",
+        )
+    )
+    mom = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").cast("bigint").alias("s1"),
+        F.sum(F.col("pre") * F.col("pre")).cast("bigint").alias("ss1"),
+        F.sum("pre_events").cast("bigint").alias("s2"),
+        F.sum(F.col("pre_events") * F.col("pre_events"))
+        .cast("bigint")
+        .alias("ss2"),
+    )
+
+    def cell(g, c, alias):
+        return F.min(F.when(F.col("grp") == g, F.col(c))).alias(alias)
+
+    wide = mom.agg(
+        cell(0, "n", "na"), cell(0, "s1", "s1a"), cell(0, "ss1", "ss1a"),
+        cell(0, "s2", "s2a"), cell(0, "ss2", "ss2a"),
+        cell(1, "n", "nb"), cell(1, "s1", "s1b"), cell(1, "ss1", "ss1b"),
+        cell(1, "s2", "s2b"), cell(1, "ss2", "ss2b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def smd(s_a, ss_a, s_b, ss_b):
+        va = (d("na") * d(ss_a) - d(s_a) * d(s_a)) / (
+            d("na") * (F.col("na") - 1).cast("double")
+        )
+        vb = (d("nb") * d(ss_b) - d(s_b) * d(s_b)) / (
+            d("nb") * (F.col("nb") - 1).cast("double")
+        )
+        return (d(s_a) / d("na") - d(s_b) / d("nb")) / F.sqrt(
+            (va + vb) / 2.0
+        )
+
+    spend = wide.select(
+        F.lit("pre_spend").alias("covariate"),
+        smd("s1a", "ss1a", "s1b", "ss1b").alias("smd"),
+    )
+    activity = wide.select(
+        F.lit("pre_events").alias("covariate"),
+        smd("s2a", "ss2a", "s2b", "ss2b").alias("smd"),
+    )
+    return spend.unionAll(activity).orderBy("covariate")
