@@ -287,6 +287,10 @@ _BNLJ_INTENDED = {
     "counts folded into the agreement row)",
     "t57_budgeted_selection": "scalar-broadcast (the 1-row corpus "
     "token total)",
+    "t58_wilcoxon_signed_rank": "scalar-broadcast (the 1-row "
+    "corpus-start date)",
+    "t59_mcnemar_test": "scalar-broadcast (the 1-row corpus-start "
+    "date)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -388,6 +392,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "order — inherently a total order; at scale: range-partition "
     "on quality + per-partition offset pass (s73/t27's pattern, "
     "stated in the op)",
+    "t58_wilcoxon_signed_rank": "rank cumsum over the per-distinct-"
+    "|difference| collapse (s70/s71's bounded shape)",
 }
 
 _WINSPEC = re.compile(

@@ -5724,3 +5724,305 @@ def t55_covariate_balance(
         smd("s2a", "ss2a", "s2b", "ss2b").alias("smd"),
     )
     return spend.unionAll(activity).orderBy("covariate")
+
+
+@register(
+    "t58_wilcoxon_signed_rank",
+    """
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND date_diff('day', b.d0, CAST(ts AS DATE)) < 15
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS pre,
+             SUM(CASE WHEN event_type = 'purchase'
+                       AND date_diff('day', b.d0, CAST(ts AS DATE)) >= 15
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS post
+      FROM events CROSS JOIN b GROUP BY user_id
+    ),
+    diffs AS (
+      SELECT abs(post - pre) AS ad,
+             CASE WHEN post > pre THEN 1 ELSE 0 END AS pos
+      FROM u WHERE post <> pre
+    ),
+    per_v AS (
+      SELECT ad, SUM(pos) AS c_pos, COUNT(*) AS c
+      FROM diffs GROUP BY ad
+    ),
+    ranked AS (
+      SELECT c_pos, c,
+             SUM(c) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - c
+               AS cum_before
+      FROM per_v
+    ),
+    m AS (
+      SELECT SUM(c) AS n,
+             SUM(c_pos * (2 * cum_before + c + 1)) AS w_twice
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(w_twice AS DOUBLE) / 2.0 AS w_plus,
+           (CAST(w_twice AS DOUBLE) / 2.0
+            - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+           / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                  * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0) AS z_score
+    FROM m
+    """,
+    tags=("events", "experimentation", "hypothesis-test"),
+    doc=(
+        "Wilcoxon signed-rank test of per-user purchase spend, first "
+        "half vs second half of the corpus - the PAIRED nonparametric "
+        "test (each user is their own control) completing the test "
+        "family: s70/s71 compare independent samples, this compares "
+        "matched pre/post outcomes without normality assumptions. "
+        "Zero differences drop (standard); tied |differences| get "
+        "exact average ranks via s71's integer identity 2*avg_rank = "
+        "2*cum_before + (c+1) over the per-distinct-|d| collapse, so "
+        "W+ accumulates in exact integer arithmetic; the z "
+        "approximation (no tie-variance correction, documented) is "
+        "one IEEE expression."
+    ),
+)
+def t58_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.to_date(F.min("ts")).alias("d0"))
+    dd = F.datediff(F.to_date(F.col("ts")), F.col("d0"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_p & (dd < 15), cents).otherwise(0)).alias(
+                "pre"
+            ),
+            F.sum(F.when(is_p & (dd >= 15), cents).otherwise(0)).alias(
+                "post"
+            ),
+        )
+    )
+    diffs = u.filter(F.col("post") != F.col("pre")).select(
+        F.abs(F.col("post") - F.col("pre")).alias("ad"),
+        F.when(F.col("post") > F.col("pre"), 1).otherwise(0).alias("pos"),
+    )
+    per_v = diffs.groupBy("ad").agg(
+        F.sum("pos").alias("c_pos"), F.count(F.lit(1)).alias("c")
+    )
+    wv = W.orderBy("ad").rowsBetween(W.unboundedPreceding, 0)
+    ranked = per_v.select(
+        "c_pos",
+        "c",
+        (F.sum("c").over(wv) - F.col("c")).alias("cum_before"),
+    )
+    m = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c_pos") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("w_twice"),
+    )
+    nd = F.col("n").cast("double")
+    w_plus = F.col("w_twice").cast("double") / 2.0
+    z = (w_plus - nd * (nd + 1.0) / 4.0) / F.sqrt(
+        nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        w_plus.alias("w_plus"),
+        z.alias("z_score"),
+    )
+
+
+@register(
+    "t59_mcnemar_test",
+    """
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                       AND date_diff('day', b.d0, CAST(ts AS DATE)) < 15
+                      THEN 1 ELSE 0 END) AS conv_pre,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                       AND date_diff('day', b.d0, CAST(ts AS DATE)) >= 15
+                      THEN 1 ELSE 0 END) AS conv_post
+      FROM events CROSS JOIN b GROUP BY user_id
+    ),
+    cells AS (
+      SELECT SUM(CASE WHEN conv_pre = 1 AND conv_post = 0
+                      THEN 1 ELSE 0 END) AS b_cell,
+             SUM(CASE WHEN conv_pre = 0 AND conv_post = 1
+                      THEN 1 ELSE 0 END) AS c_cell,
+             COUNT(*) AS n
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(b_cell AS BIGINT) AS pre_only,
+           CAST(c_cell AS BIGINT) AS post_only,
+           (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+           * (abs(CAST(b_cell AS DOUBLE) - CAST(c_cell AS DOUBLE)) - 1.0)
+           / CAST(b_cell + c_cell AS DOUBLE) AS mcnemar_chi2
+    FROM cells
+    """,
+    tags=("events", "experimentation", "hypothesis-test"),
+    doc=(
+        "McNemar's test for paired binary outcomes: did each user's "
+        "high-value-conversion status CHANGE between the first and "
+        "second half of the corpus? Only the discordant cells matter "
+        "(b = converted-then-stopped, c = newly-converted); chi2 = "
+        "(|b-c|-1)^2/(b+c) with the Edwards continuity correction "
+        "(stated). The paired-binary member of the test family - "
+        "t58 covers paired continuous, t05 independent binary. All "
+        "cells exact integers from one user-level collapse; the "
+        "statistic is one IEEE expression."
+    ),
+)
+def t59_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.to_date(F.min("ts")).alias("d0"))
+    dd = F.datediff(F.to_date(F.col("ts")), F.col("d0"))
+    hv = (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(hv & (dd < 15), 1).otherwise(0)).alias(
+                "conv_pre"
+            ),
+            F.max(F.when(hv & (dd >= 15), 1).otherwise(0)).alias(
+                "conv_post"
+            ),
+        )
+    )
+    cells = u.agg(
+        F.sum(
+            F.when((F.col("conv_pre") == 1) & (F.col("conv_post") == 0), 1)
+            .otherwise(0)
+        ).alias("b_cell"),
+        F.sum(
+            F.when((F.col("conv_pre") == 0) & (F.col("conv_post") == 1), 1)
+            .otherwise(0)
+        ).alias("c_cell"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bd = F.col("b_cell").cast("double")
+    cd = F.col("c_cell").cast("double")
+    chi2 = (
+        (F.abs(bd - cd) - 1.0)
+        * (F.abs(bd - cd) - 1.0)
+        / (F.col("b_cell") + F.col("c_cell")).cast("double")
+    )
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("b_cell").cast("bigint").alias("pre_only"),
+        F.col("c_cell").cast("bigint").alias("post_only"),
+        chi2.alias("mcnemar_chi2"),
+    )
+
+
+@register(
+    "t60_cronbach_alpha",
+    """
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x1,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x2,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS x3,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS x4,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x5
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x1) AS BIGINT) AS s1,
+             CAST(SUM(x1 * x1) AS BIGINT) AS ss1,
+             CAST(SUM(x2) AS BIGINT) AS s2,
+             CAST(SUM(x2 * x2) AS BIGINT) AS ss2,
+             CAST(SUM(x3) AS BIGINT) AS s3,
+             CAST(SUM(x3 * x3) AS BIGINT) AS ss3,
+             CAST(SUM(x4) AS BIGINT) AS s4,
+             CAST(SUM(x4 * x4) AS BIGINT) AS ss4,
+             CAST(SUM(x5) AS BIGINT) AS s5,
+             CAST(SUM(x5 * x5) AS BIGINT) AS ss5,
+             CAST(SUM(x1 + x2 + x3 + x4 + x5) AS BIGINT) AS st,
+             CAST(SUM((x1 + x2 + x3 + x4 + x5)
+                      * (x1 + x2 + x3 + x4 + x5)) AS BIGINT) AS sst
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           (5.0 / 4.0)
+           * (1.0
+              - ((CAST(n AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 + (CAST(n AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                 + (CAST(n AS DOUBLE) * CAST(ss3 AS DOUBLE)
+                    - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+                 + (CAST(n AS DOUBLE) * CAST(ss4 AS DOUBLE)
+                    - CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE))
+                 + (CAST(n AS DOUBLE) * CAST(ss5 AS DOUBLE)
+                    - CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE)))
+                / (CAST(n AS DOUBLE) * CAST(sst AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)))
+             AS cronbach_alpha
+    FROM m
+    """,
+    tags=("events", "statistics", "reliability"),
+    doc=(
+        "Cronbach's alpha internal-consistency coefficient treating a "
+        "user's five event-type counts as a 5-item activity scale: "
+        "alpha = k/(k-1) * (1 - sum(item variances)/variance(total)) "
+        "- the psychometric reliability measure, here answering "
+        "whether 'user activity' is one coherent construct (items "
+        "covary) or five independent behaviors - which decides if a "
+        "single activity score is a legitimate stratification "
+        "feature (t37) or an artifact. The n-scaled variance "
+        "identity keeps every term a difference of exact integer "
+        "moments (the n*(n-1) denominators cancel), so alpha is one "
+        "IEEE expression over one user-level aggregation."
+    ),
+)
+def t60_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def item(etype, alias):
+        return F.sum(
+            F.when(F.col("event_type") == etype, 1).otherwise(0)
+        ).alias(alias)
+
+    u = ev.groupBy("user_id").agg(
+        item("view", "x1"),
+        item("click", "x2"),
+        item("purchase", "x3"),
+        item("signup", "x4"),
+        item("error", "x5"),
+    )
+    total = (
+        F.col("x1") + F.col("x2") + F.col("x3") + F.col("x4") + F.col("x5")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(1, 6):
+        aggs.append(F.sum(f"x{i}").cast("bigint").alias(f"s{i}"))
+        aggs.append(
+            F.sum(F.col(f"x{i}") * F.col(f"x{i}"))
+            .cast("bigint")
+            .alias(f"ss{i}")
+        )
+    aggs.append(F.sum(total).cast("bigint").alias("st"))
+    aggs.append(F.sum(total * total).cast("bigint").alias("sst"))
+    m = u.agg(*aggs)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    item_var_sum = None
+    for i in range(1, 6):
+        v = d("n") * d(f"ss{i}") - d(f"s{i}") * d(f"s{i}")
+        item_var_sum = v if item_var_sum is None else item_var_sum + v
+    tot_var = d("n") * d("sst") - d("st") * d("st")
+    alpha = (F.lit(5.0) / 4.0) * (1.0 - item_var_sum / tot_var)
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        alpha.alias("cronbach_alpha"),
+    )
