@@ -63,7 +63,8 @@ from xorbits_sql_spark.queries import load_all
 # histogram, threshold calibration); t51..t52 (codec tile stats,
 # streaming percentiles); t53..t54 (audio silence VAD, giant
 # component share); t55..t57 (SMD balance, detector agreement,
-# budgeted selection); t58..t60 (Wilcoxon, McNemar, Cronbach).
+# budgeted selection); t58..t62 (Wilcoxon, McNemar, Cronbach,
+# bootstrap delta CI, u-chart SPC).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

@@ -291,6 +291,8 @@ _BNLJ_INTENDED = {
     "corpus-start date)",
     "t59_mcnemar_test": "scalar-broadcast (the 1-row corpus-start "
     "date)",
+    "t62_uchart_error_monitor": "scalar-broadcast (the 1-row corpus "
+    "error/event totals)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -394,6 +396,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "stated in the op)",
     "t58_wilcoxon_signed_rank": "rank cumsum over the per-distinct-"
     "|difference| collapse (s70/s71's bounded shape)",
+    "t61_bootstrap_delta_ci": "rank over the 100 replicate deltas "
+    "(bounded by the replicate count)",
 }
 
 _WINSPEC = re.compile(

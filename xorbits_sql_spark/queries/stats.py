@@ -6026,3 +6026,243 @@ def t60_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_users"),
         alpha.alias("cronbach_alpha"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds on a 32-bit hash (see t01)
+_POIS1_T2 = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+    4294962463,
+)
+
+
+@register(
+    "t61_bootstrap_delta_ci",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2
+               AS grp,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    reps AS (
+      SELECT u.grp, u.conv, b.b,
+             ('0x' || substring(md5(u.user_id::VARCHAR || '-'
+                                    || b.b::VARCHAR), 1, 8))::BIGINT AS h
+      FROM u CROSS JOIN (SELECT unnest(range(100)) AS b) b
+    ),
+    weighted AS (
+      SELECT grp, conv, b,
+             CASE {' '.join(f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS1_T2))}
+                  ELSE 9 END AS w
+      FROM reps
+    ),
+    deltas AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN grp = 0 THEN w * conv ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(CASE WHEN grp = 0 THEN w ELSE 0 END) AS DOUBLE)
+             - CAST(SUM(CASE WHEN grp = 1 THEN w * conv ELSE 0 END)
+                    AS DOUBLE)
+               / CAST(SUM(CASE WHEN grp = 1 THEN w ELSE 0 END)
+                      AS DOUBLE) AS delta_b
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT delta_b, ROW_NUMBER() OVER (ORDER BY delta_b, b) AS rn
+      FROM deltas
+    )
+    SELECT CAST(100 AS BIGINT) AS n_replicates,
+           MIN(CASE WHEN rn = 3 THEN delta_b END) AS delta_ci_lo,
+           MIN(CASE WHEN rn = 98 THEN delta_b END) AS delta_ci_hi,
+           CAST(SUM(CASE WHEN delta_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive
+    FROM ranked
+    """,
+    tags=("events", "experimentation", "bootstrap"),
+    doc=(
+        "Nonparametric 95% CI for the A/B conversion-rate delta via "
+        "the Poisson bootstrap (t01's machinery applied to the "
+        "EXPERIMENT readout): each user draws a Poisson(1) weight per "
+        "replicate from integer inverse-CDF thresholds, replicate "
+        "deltas are weighted-rate differences, and the CI is "
+        "positional ranks 3/98 - the distribution-free companion to "
+        "t05's normal-theory z (heavy-tailed or small-cell metrics "
+        "where the z interval lies). Also reports how many replicates "
+        "land positive (a sign-stability readout). Everything "
+        "reduces through one 100-group aggregate; weights and counts "
+        "are exact integers, each delta one IEEE expression."
+    ),
+)
+def t61_bootstrap_delta_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("grp"),
+        "conv",
+    )
+    reps = u.select(
+        "grp",
+        "conv",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
+        "user_id",
+    ).select(
+        "grp",
+        "conv",
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = F.lit(9)
+    for k in range(len(_POIS1_T2) - 1, -1, -1):
+        w = F.when(F.col("h") < _POIS1_T2[k], k).otherwise(w)
+    g0, g1 = F.col("grp") == 0, F.col("grp") == 1
+    deltas = (
+        reps.select("grp", "conv", "b", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.when(g0, F.col("w") * F.col("conv")).otherwise(0))
+                .cast("double")
+                / F.sum(F.when(g0, F.col("w")).otherwise(0)).cast(
+                    "double"
+                )
+                - F.sum(
+                    F.when(g1, F.col("w") * F.col("conv")).otherwise(0)
+                ).cast("double")
+                / F.sum(F.when(g1, F.col("w")).otherwise(0)).cast(
+                    "double"
+                )
+            ).alias("delta_b")
+        )
+    )
+    ranked = deltas.select(
+        "delta_b",
+        F.row_number().over(W.orderBy("delta_b", "b")).alias("rn"),
+    )
+    return ranked.agg(
+        F.lit(100).cast("bigint").alias("n_replicates"),
+        F.min(F.when(F.col("rn") == 3, F.col("delta_b"))).alias(
+            "delta_ci_lo"
+        ),
+        F.min(F.when(F.col("rn") == 98, F.col("delta_b"))).alias(
+            "delta_ci_hi"
+        ),
+        F.sum(F.when(F.col("delta_b") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_positive"),
+    )
+
+
+@register(
+    "t62_uchart_error_monitor",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS errs,
+             COUNT(*) AS total
+      FROM events GROUP BY day
+    ),
+    tot AS (
+      SELECT CAST(SUM(errs) AS BIGINT) AS se,
+             CAST(SUM(total) AS BIGINT) AS st
+      FROM daily
+    )
+    SELECT d.day,
+           CAST(d.errs AS BIGINT) AS errors,
+           CAST(d.total AS BIGINT) AS events,
+           CAST(d.errs AS DOUBLE) / CAST(d.total AS DOUBLE) AS rate,
+           CAST(t.se AS DOUBLE) / CAST(t.st AS DOUBLE)
+             + 3.0 * sqrt((CAST(t.se AS DOUBLE) / CAST(t.st AS DOUBLE))
+                          / CAST(d.total AS DOUBLE)) AS ucl
+    FROM daily d CROSS JOIN tot t
+    WHERE CAST(d.errs AS DOUBLE) / CAST(d.total AS DOUBLE)
+          > CAST(t.se AS DOUBLE) / CAST(t.st AS DOUBLE)
+            + 3.0 * sqrt((CAST(t.se AS DOUBLE) / CAST(t.st AS DOUBLE))
+                         / CAST(d.total AS DOUBLE))
+    ORDER BY d.day
+    """,
+    tags=("events", "spc", "anomaly"),
+    doc=(
+        "u-chart statistical process control for the daily error "
+        "rate: the Poisson-based control chart for defects-per-unit "
+        "with per-day sample-size-adjusted limits ubar + "
+        "3*sqrt(ubar/n_day) - the Shewhart SPC member of the anomaly "
+        "family (r56 global z, t22 seasonal residual, t28 rolling "
+        "band); u-charts are the standard when daily volume varies, "
+        "because the limit WIDENS on low-traffic days instead of "
+        "false-alarming. Center line from exact corpus totals; each "
+        "day's limit is one IEEE expression; out-of-control days "
+        "only are emitted."
+    ),
+)
+def t62_uchart_error_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errs"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    tot = daily.agg(
+        F.sum("errs").cast("bigint").alias("se"),
+        F.sum("total").cast("bigint").alias("st"),
+    )
+    ubar = F.col("se").cast("double") / F.col("st").cast("double")
+    rate = F.col("errs").cast("double") / F.col("total").cast("double")
+    ucl = ubar + 3.0 * F.sqrt(ubar / F.col("total").cast("double"))
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .filter(rate > ucl)
+        .select(
+            "day",
+            F.col("errs").cast("bigint").alias("errors"),
+            F.col("total").cast("bigint").alias("events"),
+            rate.alias("rate"),
+            ucl.alias("ucl"),
+        )
+        .orderBy("day")
+    )
