@@ -2439,3 +2439,166 @@ def t39_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "t63_mode_statistic",
+    """
+    WITH counts AS (
+      SELECT l_returnflag AS flag, l_quantity AS v, COUNT(*) AS c
+      FROM lineitem GROUP BY flag, v
+    ),
+    ranked AS (
+      SELECT flag, v, c,
+             ROW_NUMBER() OVER (PARTITION BY flag
+                                ORDER BY c DESC, v) AS rk,
+             SUM(c) OVER (PARTITION BY flag) AS n
+      FROM counts
+    )
+    SELECT flag,
+           CAST(v AS DOUBLE) AS mode_quantity,
+           CAST(c AS BIGINT) AS mode_count,
+           CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS mode_share
+    FROM ranked WHERE rk = 1 ORDER BY flag
+    """,
+    tags=("tpch", "statistics", "aggregate"),
+    doc=(
+        "Statistical mode per group: the most frequent quantity per "
+        "return flag with its share - the aggregate SQL engines "
+        "chronically lack (Spark has no mode(); the two-phase "
+        "count-then-rank re-expression here IS the scalable "
+        "implementation, and is exactly how a mode() aggregate "
+        "decomposes on a cluster: per-value partial counts combine "
+        "map-side, then one rank per group). Ties break on the "
+        "smaller value (stated); all counts exact integers. "
+        "Completes the central-tendency set: mean (q01), exact "
+        "median (s80), weighted median (t03), mode (here)."
+    ),
+)
+def t63_mode_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wflag = W.partitionBy("flag")
+    ranked = counts.select(
+        "flag",
+        "v",
+        "c",
+        F.row_number()
+        .over(wflag.orderBy(F.col("c").desc(), "v"))
+        .alias("rk"),
+        F.sum("c").over(wflag).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "flag",
+            F.col("v").cast("double").alias("mode_quantity"),
+            F.col("c").cast("bigint").alias("mode_count"),
+            (F.col("c").cast("double") / F.col("n").cast("double")).alias(
+                "mode_share"
+            ),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "t64_referential_integrity",
+    """
+    SELECT 'lineitem_orphan_orders' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 WHERE o.o_orderkey IS NULL) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'order_orphan_customers',
+           CAST((SELECT COUNT(*) FROM orders o
+                 LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_orphan_nations',
+           CAST((SELECT COUNT(*) FROM customer c
+                 LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+                 WHERE n.n_nationkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'duplicate_orderkeys',
+           CAST((SELECT COALESCE(SUM(c - 1), 0) FROM (
+                   SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+                 ) g WHERE c > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'duplicate_custkeys',
+           CAST((SELECT COALESCE(SUM(c - 1), 0) FROM (
+                   SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey
+                 ) g WHERE c > 1) AS BIGINT)
+    ORDER BY check_name
+    """,
+    tags=("relational", "data-quality", "audit"),
+    doc=(
+        "Referential-integrity audit across the star schema: orphan "
+        "foreign keys (lineitems without orders, orders without "
+        "customers, customers without nations) and primary-key "
+        "duplicate counts - the constraint checks a lakehouse cannot "
+        "delegate to the storage layer (parquet enforces nothing), "
+        "extending r48's column-level DQ checks to CROSS-TABLE "
+        "contracts. Each orphan check is a left-anti-join count "
+        "(broadcast for dimension-sized right sides, shuffle "
+        "hash-join for fact-fact - Catalyst picks per AQE stats); "
+        "duplicate counts are sum(multiplicity - 1). All-integer "
+        "single-row-per-check output."
+    ),
+)
+def t64_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+
+    def row(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("bigint").alias("violations"),
+        )
+
+    orphan_li = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    orphan_o = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    orphan_c = cust.join(
+        nation,
+        cust["c_nationkey"] == nation["n_nationkey"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    dup_o = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias(
+                "violations"
+            )
+        )
+    )
+    dup_c = (
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias(
+                "violations"
+            )
+        )
+    )
+    return (
+        row("lineitem_orphan_orders", orphan_li)
+        .unionAll(row("order_orphan_customers", orphan_o))
+        .unionAll(row("customer_orphan_nations", orphan_c))
+        .unionAll(row("duplicate_orderkeys", dup_o))
+        .unionAll(row("duplicate_custkeys", dup_c))
+        .orderBy("check_name")
+    )
