@@ -65,7 +65,8 @@ from xorbits_sql_spark.queries import load_all
 # component share); t55..t57 (SMD balance, detector agreement,
 # budgeted selection); t58..t62 (Wilcoxon, McNemar, Cronbach,
 # bootstrap delta CI, u-chart SPC); t63..t64 (mode aggregate,
-# referential integrity).
+# referential integrity); t65..t66 (conversion window curve,
+# forecast reconciliation).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

@@ -293,6 +293,11 @@ _BNLJ_INTENDED = {
     "date)",
     "t62_uchart_error_monitor": "scalar-broadcast (the 1-row corpus "
     "error/event totals)",
+    "t65_conversion_window_curve": "scalar-broadcast (the constant "
+    "14-row window grid and 1-row signup total against the bounded "
+    "per-user lag table)",
+    "t66_forecast_reconciliation": "scalar-broadcast (the 1-row "
+    "bottom-up forecast total)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -398,6 +403,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "|difference| collapse (s70/s71's bounded shape)",
     "t61_bootstrap_delta_ci": "rank over the 100 replicate deltas "
     "(bounded by the replicate count)",
+    "t66_forecast_reconciliation": "day indexing over the total "
+    "daily collapse (bounded by calendar days)",
 }
 
 _WINSPEC = re.compile(

@@ -2620,3 +2620,96 @@ def s67_event_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "t65_conversion_window_curve",
+    """
+    WITH su AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT su.user_id,
+             date_diff('day', CAST(su.signup_ts AS DATE),
+                       CAST(min(e.ts) AS DATE)) AS lag_days
+      FROM su JOIN events e
+        ON e.user_id = su.user_id
+       AND e.event_type = 'purchase' AND e.ts >= su.signup_ts
+      GROUP BY su.user_id, su.signup_ts
+    ),
+    grid AS (SELECT unnest(range(1, 15)) AS k),
+    tot AS (SELECT COUNT(*) AS n_signups FROM su)
+    SELECT CAST(g.k AS INT) AS within_days,
+           CAST(SUM(CASE WHEN c.lag_days <= g.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN c.lag_days <= g.k THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(t.n_signups AS DOUBLE)
+             AS conversion_rate
+    FROM grid g
+    CROSS JOIN tot t
+    LEFT JOIN conv c ON TRUE
+    GROUP BY g.k, t.n_signups
+    ORDER BY within_days
+    """,
+    tags=("events", "funnel", "latency"),
+    doc=(
+        "Conversion-window curve: the share of signed-up users whose "
+        "FIRST post-signup purchase lands within k days, for k = "
+        "1..14 - the latency dimension of the funnel that rate-only "
+        "views (q99, s02, s18) cannot show, and the number that sets "
+        "attribution windows and activation SLAs ('80% of converters "
+        "convert within N days' => window = N). Per-user firsts are "
+        "two keyed collapses and one equi-join; the cumulative curve "
+        "is the constant 14-row grid against the bounded per-user "
+        "lag table. All counts exact integers; rates one IEEE "
+        "division against the signup denominator."
+    ),
+)
+def t65_conversion_window_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    su = ev.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("signup_ts"))
+    conv = (
+        su.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("signup_ts")),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.datediff(
+                F.to_date(F.min("p_ts")), F.to_date(F.col("signup_ts"))
+            ).alias("lag_days")
+        )
+    )
+    grid = spark.range(1, 15).select(F.col("id").alias("k"))
+    tot = su.agg(F.count(F.lit(1)).alias("n_signups"))
+    joined = (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(tot))
+        .join(conv, F.lit(True), "left")
+    )
+    hit = F.sum(
+        F.when(F.col("lag_days") <= F.col("k"), 1).otherwise(0)
+    )
+    return (
+        joined.groupBy("k", "n_signups")
+        .agg(
+            hit.cast("bigint").alias("n_converted"),
+            (hit.cast("double") / F.col("n_signups").cast("double")).alias(
+                "conversion_rate"
+            ),
+        )
+        .select(
+            F.col("k").cast("int").alias("within_days"),
+            "n_converted",
+            "conversion_rate",
+        )
+        .orderBy("within_days")
+    )

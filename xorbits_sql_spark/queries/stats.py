@@ -6266,3 +6266,144 @@ def t62_uchart_error_monitor(
         )
         .orderBy("day")
     )
+
+
+@register(
+    "t66_forecast_reconciliation",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type, day
+    ),
+    indexed AS (
+      SELECT event_type, rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    bu AS (
+      SELECT event_type,
+             SUM(round(0.3 * pow(0.7, CAST(n - i AS BIGINT)) * rev, 9))
+             + SUM(CASE WHEN i = 1
+                        THEN round(pow(0.7, CAST(n AS BIGINT)) * rev, 9)
+                        ELSE 0 END) AS f
+      FROM indexed GROUP BY event_type
+    ),
+    total_daily AS (
+      SELECT day, CAST(SUM(CAST(rev AS DECIMAL(28,12))) AS DOUBLE)
+               AS rev
+      FROM daily GROUP BY day
+    ),
+    tindexed AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS i,
+             COUNT(*) OVER () AS n
+      FROM total_daily
+    ),
+    td AS (
+      SELECT SUM(round(0.3 * pow(0.7, CAST(n - i AS BIGINT)) * rev, 9))
+             + SUM(CASE WHEN i = 1
+                        THEN round(pow(0.7, CAST(n AS BIGINT)) * rev, 9)
+                        ELSE 0 END) AS f_total
+      FROM tindexed
+    ),
+    bu_sum AS (
+      SELECT CAST(SUM(CAST(f AS DECIMAL(28,12))) AS DOUBLE) AS f_bu
+      FROM bu
+    )
+    SELECT round(CAST(td.f_total AS DOUBLE), 6) AS top_down_forecast,
+           round(CAST(bu_sum.f_bu AS DOUBLE), 6) AS bottom_up_forecast,
+           round(CAST(td.f_total AS DOUBLE)
+                 - CAST(bu_sum.f_bu AS DOUBLE), 6)
+             AS reconciliation_gap
+    FROM td CROSS JOIN bu_sum
+    """,
+    tags=("events", "time-series", "forecast"),
+    doc=(
+        "Hierarchical forecast reconciliation check: the next-day SES "
+        "forecast of TOTAL revenue (top-down, fit on the aggregated "
+        "series) versus the SUM of per-type SES forecasts (bottom-up) "
+        "- the coherence gap that hierarchical forecasting "
+        "(Hyndman's reconciliation framework) exists to close, and a "
+        "nonzero gap is structural for any nonlinear smoother "
+        "because aggregation and exponential smoothing do not "
+        "commute when series lengths or profiles differ. Both paths "
+        "reuse s92's closed-form unrolling with round-9 decay terms; "
+        "cross-level sums are DECIMAL; outputs round to 6 so the "
+        "reported gap is bit-stable."
+    ),
+)
+def t66_forecast_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+
+    def ses(df, part_cols):
+        part = (
+            W.partitionBy(*part_cols) if part_cols else W.partitionBy()
+        )
+        indexed = df.select(
+            *part_cols,
+            "rev",
+            F.row_number().over(part.orderBy("day")).alias("i"),
+            F.count(F.lit(1)).over(part).alias("n"),
+        )
+        w_term = F.round(
+            0.3
+            * F.pow(F.lit(0.7), (F.col("n") - F.col("i")).cast("bigint"))
+            * F.col("rev"),
+            9,
+        )
+        init_term = F.when(
+            F.col("i") == 1,
+            F.round(
+                F.pow(F.lit(0.7), F.col("n").cast("bigint"))
+                * F.col("rev"),
+                9,
+            ),
+        ).otherwise(0.0)
+        grouped = (
+            indexed.groupBy(*part_cols)
+            if part_cols
+            else indexed.groupBy()
+        )
+        return grouped.agg(
+            (F.sum(w_term) + F.sum(init_term)).alias("f")
+        )
+
+    bu = ses(daily.withColumn("day", F.col("day")), ["event_type"])
+    total_daily = daily.groupBy("day").agg(
+        F.sum(F.col("rev").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("rev")
+    )
+    td = ses(total_daily, []).select(F.col("f").alias("f_total"))
+    bu_sum = bu.agg(
+        F.sum(F.col("f").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("f_bu")
+    )
+    return td.crossJoin(F.broadcast(bu_sum)).select(
+        F.round(F.col("f_total").cast("double"), 6).alias(
+            "top_down_forecast"
+        ),
+        F.round(F.col("f_bu").cast("double"), 6).alias(
+            "bottom_up_forecast"
+        ),
+        F.round(
+            F.col("f_total").cast("double")
+            - F.col("f_bu").cast("double"),
+            6,
+        ).alias("reconciliation_gap"),
+    )
