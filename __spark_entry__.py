@@ -66,7 +66,8 @@ from xorbits_sql_spark.queries import load_all
 # budgeted selection); t58..t62 (Wilcoxon, McNemar, Cronbach,
 # bootstrap delta CI, u-chart SPC); t63..t64 (mode aggregate,
 # referential integrity); t65..t66 (conversion window curve,
-# forecast reconciliation).
+# forecast reconciliation); t67..t68 (anomaly ensemble, interval
+# union coverage).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

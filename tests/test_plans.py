@@ -298,6 +298,8 @@ _BNLJ_INTENDED = {
     "per-user lag table)",
     "t66_forecast_reconciliation": "scalar-broadcast (the 1-row "
     "bottom-up forecast total)",
+    "t67_anomaly_ensemble": "scalar-broadcast (the 1-row global "
+    "moments; weekday peers are a 7-row broadcast)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -404,6 +406,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "t61_bootstrap_delta_ci": "rank over the 100 replicate deltas "
     "(bounded by the replicate count)",
     "t66_forecast_reconciliation": "day indexing over the total "
+    "daily collapse (bounded by calendar days)",
+    "t67_anomaly_ensemble": "rolling/indexing windows over the "
     "daily collapse (bounded by calendar days)",
 }
 

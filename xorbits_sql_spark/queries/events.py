@@ -2713,3 +2713,111 @@ def t65_conversion_window_curve(
         )
         .orderBy("within_days")
     )
+
+
+@register(
+    "t68_interval_union_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS is_new
+      FROM walk
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island,
+             date_diff('microseconds', MIN(s), MAX(e)) AS dur_us
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dur_us) // 1000000 AS BIGINT) AS covered_seconds
+    FROM merged
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "intervals", "operator"),
+    doc=(
+        "Per-user interval union: merge each user's overlapping "
+        "5-minute activity intervals and report the count of merged "
+        "spans and total COVERED time - the interval-algebra operator "
+        "behind billable-time, exposure, and uptime metrics, where "
+        "naively summing interval lengths double-counts overlaps. "
+        "The merge is the running-max sweep: an interval starts a new "
+        "island iff its start exceeds the max end of all predecessors "
+        "(per user, ordered (s, e) - deterministic under duplicate "
+        "timestamps), islands labeled by a cumulative flag sum - "
+        "O(n log n) partitioned windows, never an interval self-join. "
+        "Timestamps are exact micros; durations integer microseconds "
+        "floored to seconds identically on both engines."
+    ),
+)
+def t68_interval_union_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    wuser = W.partitionBy("user_id").orderBy("s", "e")
+    walk = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.max("e")
+        .over(wuser.rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_max_e"),
+    )
+    flagged = walk.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("prev_max_e").isNull()
+            | (F.col("s") > F.col("prev_max_e")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("is_new")
+        .over(wuser.rowsBetween(W.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        (
+            F.unix_micros(F.max("e")) - F.unix_micros(F.min("s"))
+        ).alias("dur_us")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.floor(F.sum("dur_us") / 1000000)
+            .cast("bigint")
+            .alias("covered_seconds"),
+        )
+        .orderBy("user_id")
+    )

@@ -6407,3 +6407,159 @@ def t66_forecast_reconciliation(
             6,
         ).alias("reconciliation_gap"),
     )
+
+
+@register(
+    "t67_anomaly_ensemble",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY day
+    ),
+    -- detector 1: global z-score (r56's model)
+    g AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM daily
+    ),
+    d1 AS (
+      SELECT day FROM daily CROSS JOIN g
+      WHERE abs(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            > 2 * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+    ),
+    -- detector 2: trailing 7-day band (t28's model, count series)
+    roll AS (
+      SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             SUM(x) OVER (ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS s7,
+             SUM(x * x) OVER (ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS ss7
+      FROM daily
+    ),
+    d2 AS (
+      SELECT day FROM roll
+      WHERE rn >= 7
+        AND abs(CAST(x AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0)
+            > 2 * sqrt((7.0 * CAST(ss7 AS DOUBLE)
+                        - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE))
+                       / (7.0 * 6.0))
+    ),
+    -- detector 3: weekday-peer comparison (t12's seasonality lens)
+    wd AS (
+      SELECT isodow(day) AS dow, COUNT(*) AS nw,
+             CAST(SUM(x) AS BIGINT) AS sw,
+             CAST(SUM(x * x) AS BIGINT) AS ssw
+      FROM daily GROUP BY dow
+    ),
+    d3 AS (
+      SELECT d.day FROM daily d JOIN wd ON wd.dow = isodow(d.day)
+      WHERE wd.nw > 1
+        AND abs(CAST(d.x AS DOUBLE)
+                - CAST(wd.sw AS DOUBLE) / CAST(wd.nw AS DOUBLE))
+            > 2 * sqrt((CAST(wd.nw AS DOUBLE) * CAST(wd.ssw AS DOUBLE)
+                        - CAST(wd.sw AS DOUBLE) * CAST(wd.sw AS DOUBLE))
+                       / (CAST(wd.nw AS DOUBLE)
+                          * CAST(wd.nw - 1 AS DOUBLE)))
+    ),
+    votes AS (
+      SELECT day, COUNT(*) AS n_votes FROM (
+        SELECT day FROM d1
+        UNION ALL SELECT day FROM d2
+        UNION ALL SELECT day FROM d3
+      ) GROUP BY day
+    )
+    SELECT v.day, CAST(v.n_votes AS BIGINT) AS n_detectors,
+           CAST(d.x AS BIGINT) AS n_events
+    FROM votes v JOIN daily d ON d.day = v.day
+    WHERE v.n_votes >= 2
+    ORDER BY v.day
+    """,
+    tags=("events", "anomaly", "ensemble"),
+    doc=(
+        "Anomaly-detector ensemble vote: a day is flagged only when "
+        "at least 2 of 3 INDEPENDENT detectors agree - global "
+        "z-score (r56's lens), trailing 7-day band (t28's), and "
+        "weekday-peer comparison (t12's) - the production practice "
+        "that suppresses each model's idiosyncratic false alarms "
+        "(global-z fires on every weekend, rolling bands fire after "
+        "level shifts, weekday-peers fire on short history; their "
+        "INTERSECTION is the defensible page). All three reuse the "
+        "integer-moment discipline over the same daily collapse; "
+        "the vote is a UNION ALL + count. One scan feeds everything."
+    ),
+)
+def t67_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    sd_g = F.sqrt(
+        (d("n") * d("ss") - d("s") * d("s"))
+        / (d("n") * (F.col("n") - 1).cast("double"))
+    )
+    d1 = (
+        daily.crossJoin(F.broadcast(g))
+        .filter(F.abs(d("x") - d("s") / d("n")) > 2 * sd_g)
+        .select("day")
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    roll = daily.select(
+        "day",
+        "x",
+        F.row_number().over(W.orderBy("day")).alias("rn"),
+        F.sum("x").over(w7).alias("s7"),
+        F.sum(F.col("x") * F.col("x")).over(w7).alias("ss7"),
+    )
+    sd7 = F.sqrt(
+        (7.0 * d("ss7") - d("s7") * d("s7")) / (7.0 * 6.0)
+    )
+    d2 = roll.filter(
+        (F.col("rn") >= 7)
+        & (F.abs(d("x") - d("s7") / 7.0) > 2 * sd7)
+    ).select("day")
+    wd = daily.groupBy((F.weekday("day") + 1).alias("dow")).agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.sum("x").cast("bigint").alias("sw"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ssw"),
+    )
+    sd_w = F.sqrt(
+        (d("nw") * d("ssw") - d("sw") * d("sw"))
+        / (d("nw") * (F.col("nw") - 1).cast("double"))
+    )
+    d3 = (
+        daily.join(
+            F.broadcast(wd),
+            (F.weekday("day") + 1) == F.col("dow"),
+        )
+        .filter(
+            (F.col("nw") > 1)
+            & (F.abs(d("x") - d("sw") / d("nw")) > 2 * sd_w)
+        )
+        .select("day")
+    )
+    votes = (
+        d1.unionAll(d2)
+        .unionAll(d3)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .filter(F.col("n_votes") >= 2)
+    )
+    return (
+        votes.join(daily, "day")
+        .select(
+            "day",
+            F.col("n_votes").cast("bigint").alias("n_detectors"),
+            F.col("x").cast("bigint").alias("n_events"),
+        )
+        .orderBy("day")
+    )
