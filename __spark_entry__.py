@@ -67,7 +67,8 @@ from xorbits_sql_spark.queries import load_all
 # bootstrap delta CI, u-chart SPC); t63..t64 (mode aggregate,
 # referential integrity); t65..t66 (conversion window curve,
 # forecast reconciliation); t67..t68 (anomaly ensemble, interval
-# union coverage).
+# union coverage); t69..t70 (JS divergence matrix, cross-source
+# dup provenance).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

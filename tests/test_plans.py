@@ -300,6 +300,9 @@ _BNLJ_INTENDED = {
     "bottom-up forecast total)",
     "t67_anomaly_ensemble": "scalar-broadcast (the 1-row global "
     "moments; weekday peers are a 7-row broadcast)",
+    "t69_js_divergence_matrix": "scalar-broadcast (the source-pair "
+    "grid x distinct-lang table — both constant-size dimension "
+    "relations)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

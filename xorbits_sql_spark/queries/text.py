@@ -3395,3 +3395,225 @@ def t50_threshold_calibration(
         .select(F.col("thr").alias("threshold"), "n_pairs_above")
         .orderBy("threshold")
     )
+
+
+@register(
+    "t69_js_divergence_matrix",
+    """
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts
+      GROUP BY source
+    ),
+    pairs AS (
+      SELECT ta.source AS src_a, tb.source AS src_b,
+             ta.n AS na, tb.n AS nb,
+             COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      FROM totals ta
+      JOIN totals tb ON tb.source > ta.source
+      JOIN (SELECT DISTINCT lang FROM counts) l ON TRUE
+      LEFT JOIN counts a ON a.source = ta.source AND a.lang = l.lang
+      LEFT JOIN counts b ON b.source = tb.source AND b.lang = l.lang
+      WHERE COALESCE(a.c, 0) + COALESCE(b.c, 0) > 0
+    ),
+    -- JS = H(m) - (H(p)+H(q))/2 via the integer-ln identity
+    -- H(p) = ln(n) - sum(c ln c)/n; m's numerators M = ca*nb + cb*na
+    -- over denominator 2*na*nb keep EVERY ln argument an integer
+    terms AS (
+      SELECT src_a, src_b, na, nb,
+             SUM((ca * nb + cb * na)
+                 * (CAST(round(ln(CAST(ca * nb + cb * na AS DOUBLE))
+                               * 1e6) AS BIGINT))) AS sm,
+             SUM(CASE WHEN ca > 0 THEN
+                   ca * CAST(round(ln(CAST(ca AS DOUBLE)) * 1e6)
+                             AS BIGINT) ELSE 0 END) AS sa,
+             SUM(CASE WHEN cb > 0 THEN
+                   cb * CAST(round(ln(CAST(cb AS DOUBLE)) * 1e6)
+                             AS BIGINT) ELSE 0 END) AS sb
+      FROM pairs GROUP BY src_a, src_b, na, nb
+    )
+    SELECT src_a, src_b,
+           round((CAST(round(ln(2.0 * CAST(na AS DOUBLE)
+                                * CAST(nb AS DOUBLE)) * 1e6) AS BIGINT)
+                  - CAST(sm AS DOUBLE)
+                    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                 / 1e6
+                 - ((CAST(round(ln(CAST(na AS DOUBLE)) * 1e6) AS BIGINT)
+                     - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 1e6
+                    + (CAST(round(ln(CAST(nb AS DOUBLE)) * 1e6)
+                            AS BIGINT)
+                       - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 1e6)
+                   / 2.0, 9) AS js_divergence
+    FROM terms
+    ORDER BY js_divergence DESC, src_a, src_b
+    LIMIT 10
+    """,
+    tags=("text", "drift", "divergence"),
+    doc=(
+        "Jensen-Shannon divergence between source language mixes, "
+        "top-10 most-divergent pairs: the SYMMETRIC, bounded "
+        "divergence (unlike KL it never blows up on a lang one side "
+        "lacks) that tells a mixture designer which sources bring "
+        "genuinely different language balance - the pairwise "
+        "companion to t38's corpus-level diversity. The identity "
+        "H(p) = ln(n) - sum(c ln c)/n, with the mixture numerators "
+        "M_i = ca*nb + cb*na over the common denominator 2*na*nb, "
+        "keeps EVERY ln argument an INTEGER (s90 discipline) - no "
+        "ln of a rational anywhere; the 190-pair x lang grid is "
+        "constant-size after the (source, lang) collapse; the final "
+        "statistic rounds to 9."
+    ),
+)
+def t69_js_divergence_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    langs = counts.select("lang").distinct()
+    ta = totals.select(
+        F.col("source").alias("src_a"), F.col("n").alias("na")
+    )
+    tb = totals.select(
+        F.col("source").alias("src_b"), F.col("n").alias("nb")
+    )
+    ca = counts.select(
+        F.col("source").alias("src_a"),
+        F.col("lang").alias("lang"),
+        F.col("c").alias("ca"),
+    )
+    cb = counts.select(
+        F.col("source").alias("src_b2"),
+        F.col("lang").alias("lang_b"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        ta.join(tb, F.col("src_b") > F.col("src_a"))
+        .crossJoin(F.broadcast(langs))
+        .join(ca, ["src_a", "lang"], "left")
+        .join(
+            cb,
+            (F.col("src_b2") == F.col("src_b"))
+            & (F.col("lang_b") == F.col("lang")),
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "na",
+            "nb",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+        .filter(F.col("ca") + F.col("cb") > 0)
+    )
+
+    def fxln(col):
+        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    m_num = F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")
+    terms = pairs.groupBy("src_a", "src_b", "na", "nb").agg(
+        F.sum(m_num * fxln(m_num)).alias("sm"),
+        F.sum(
+            F.when(F.col("ca") > 0, F.col("ca") * fxln(F.col("ca")))
+            .otherwise(0)
+        ).alias("sa"),
+        F.sum(
+            F.when(F.col("cb") > 0, F.col("cb") * fxln(F.col("cb")))
+            .otherwise(0)
+        ).alias("sb"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    h_m = (
+        F.round(F.log(2.0 * nad * nbd) * 1e6).cast("bigint")
+        - F.col("sm").cast("double") / (2.0 * nad * nbd)
+    ) / 1e6
+    h_a = (fxln(F.col("na")) - F.col("sa").cast("double") / nad) / 1e6
+    h_b = (fxln(F.col("nb")) - F.col("sb").cast("double") / nbd) / 1e6
+    js = F.round(h_m - (h_a + h_b) / 2.0, 9)
+    return (
+        terms.select("src_a", "src_b", js.alias("js_divergence"))
+        .orderBy(F.desc("js_divergence"), "src_a", "src_b")
+        .limit(10)
+    )
+
+
+@register(
+    "t70_cross_source_dup_matrix",
+    f"""
+    {_DUCK_CLUSTERS},
+    membership AS (
+      SELECT DISTINCT c.component, d.source
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS shared_clusters
+    FROM membership a
+    JOIN membership b
+      ON b.component = a.component AND b.source > a.source
+    GROUP BY src_a, src_b
+    ORDER BY shared_clusters DESC, src_a, src_b
+    """,
+    tags=("text", "dedup-clusters", "provenance"),
+    doc=(
+        "Cross-source duplication provenance matrix: which source "
+        "PAIRS share near-duplicate clusters (r63's connected "
+        "components joined back to document sources) - the "
+        "provenance question behind mixture design: a heavy cell "
+        "means one source is mirroring/scraping another, so keeping "
+        "both at full weight double-counts that content (and "
+        "cross-source contamination of held-out splits becomes "
+        "likely). NOTE: r63's pair generation is source-partitioned, "
+        "so cross-source cells here come from clusters CHAINED "
+        "through within-source edges - the transitive-closure leak "
+        "this census exists to surface. The membership table is one "
+        "row per (cluster, source) - the pair join is bounded by "
+        "cluster span, not corpus size."
+    ),
+)
+def t70_cross_source_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.05,
+        partition_col="source",
+        max_df=50,
+    )
+    comps = connected_components(pairs)
+    membership = (
+        comps.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .select("component", "source")
+        .distinct()
+    )
+    a = membership.alias("a")
+    b = membership.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.component") == F.col("a.component"))
+            & (F.col("b.source") > F.col("a.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_clusters"))
+        .orderBy(F.desc("shared_clusters"), "src_a", "src_b")
+    )
