@@ -303,6 +303,8 @@ _BNLJ_INTENDED = {
     "t69_js_divergence_matrix": "scalar-broadcast (the source-pair "
     "grid x distinct-lang table — both constant-size dimension "
     "relations)",
+    "t71_lsh_band_curve": "scalar-broadcast (the constant 4-row "
+    "band-count grid against the bounded pair-band list)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

@@ -2821,3 +2821,113 @@ def t68_interval_union_coverage(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "t72_entry_type_bounce",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ),
+    numbered AS (
+      SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM sessions
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             MIN(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS bounce_rate,
+           CAST(SUM(n_events) AS DOUBLE) / COUNT(*)
+             AS avg_session_events
+    FROM per_session
+    GROUP BY entry_type ORDER BY entry_type
+    """,
+    tags=("events", "sessionize", "web-analytics"),
+    doc=(
+        "Entry-type bounce analysis: sessionize (q51's 30-minute "
+        "lag-gap, microsecond-exact), take each session's ENTRY "
+        "event type (first by (ts, event_id) - deterministic under "
+        "timestamp ties), and report per entry type the bounce rate "
+        "(single-event sessions) and mean session depth - the "
+        "landing-page quality census of web analytics, repurposed "
+        "here to show which entry behaviors retain engagement. "
+        "the oracle takes the rn=1 row per session where Spark uses "
+        "min_by over a (ts, event_id) struct - same total order; counts exact "
+        "integers, rates one IEEE division. Partitioned windows "
+        "only - fully scalable."
+    ),
+)
+def t72_entry_type_bounce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wuser)
+                > 1800000000
+            )
+            | F.lag("ts").over(wuser).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = gaps.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("new_session")
+        .over(wuser.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    per_session = sessions.groupBy("user_id", "sid").agg(
+        F.min_by(
+            "event_type", F.struct("ts", "event_id")
+        ).alias("entry_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounce.cast("bigint").alias("n_bounces"),
+            (bounce.cast("double") / F.count(F.lit(1))).alias(
+                "bounce_rate"
+            ),
+            (
+                F.sum("n_events").cast("double") / F.count(F.lit(1))
+            ).alias("avg_session_events"),
+        )
+        .orderBy("entry_type")
+    )

@@ -3617,3 +3617,87 @@ def t70_cross_source_dup_matrix(
         .agg(F.count(F.lit(1)).alias("shared_clusters"))
         .orderBy(F.desc("shared_clusters"), "src_a", "src_b")
     )
+
+
+@register(
+    "t71_lsh_band_curve",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(4))}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {i} AS band, h{i} AS key FROM sigs" for i in range(4))}
+    ),
+    pair_bands AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_bands
+      FROM bands a JOIN bands b
+        ON b.band = a.band AND b.key = a.key AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ),
+    grid AS (SELECT unnest(range(1, 5)) AS k)
+    SELECT CAST(g.k AS INT) AS min_bands_agreeing,
+           CAST(SUM(CASE WHEN p.n_bands >= g.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_candidate_pairs
+    FROM grid g CROSS JOIN pair_bands p
+    GROUP BY g.k ORDER BY min_bands_agreeing
+    """,
+    tags=("text", "dedup-minhash", "calibration"),
+    doc=(
+        "LSH band-agreement curve: candidate pairs surviving a "
+        "'collide in at least k of 4 bands' rule, for k = 1..4 - the "
+        "empirical S-curve behind MinHash parameter tuning (k=1 is "
+        "q65's any-band rule, high recall/low precision; k=4 "
+        "approaches exact-signature match). With t50's threshold "
+        "curve and t15's quality audit this completes the dedup "
+        "tuning toolkit: bands trade candidate volume for recall at "
+        "CONSTANT cost - the pair-band counts come from the same "
+        "bounded banded join, and the 4-point grid cross-joins the "
+        "bounded pair list. All exact integers."
+    ),
+)
+def t71_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_band_index
+
+    docs = t(spark, sf_dir, "documents")
+    banded = minhash_band_index(
+        docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+    )
+    pair_bands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("b.band_key") == F.col("a.band_key"))
+            & (F.col("b.doc") > F.col("a.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("ia"), F.col("b.doc").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    grid = spark.range(1, 5).select(F.col("id").alias("k"))
+    return (
+        F.broadcast(grid)
+        .crossJoin(pair_bands)
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("n_bands") >= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_candidate_pairs")
+        )
+        .select(
+            F.col("k").cast("int").alias("min_bands_agreeing"),
+            "n_candidate_pairs",
+        )
+        .orderBy("min_bands_agreeing")
+    )
