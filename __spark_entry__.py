@@ -68,7 +68,8 @@ from xorbits_sql_spark.queries import load_all
 # referential integrity); t65..t66 (conversion window curve,
 # forecast reconciliation); t67..t68 (anomaly ensemble, interval
 # union coverage); t69..t70 (JS divergence matrix, cross-source
-# dup provenance); t71..t72 (LSH band curve, entry bounce).
+# dup provenance); t71..t74 (LSH band curve, entry bounce, margin
+# planning, dedup savings).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

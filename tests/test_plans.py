@@ -305,6 +305,8 @@ _BNLJ_INTENDED = {
     "relations)",
     "t71_lsh_band_curve": "scalar-broadcast (the constant 4-row "
     "band-count grid against the bounded pair-band list)",
+    "t74_dedup_savings_projection": "scalar-broadcast (the 1-row "
+    "dropped-token totals)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

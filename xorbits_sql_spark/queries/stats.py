@@ -6563,3 +6563,91 @@ def t67_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "t73_mean_margin_planning",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_observed,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_spend,
+           sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0
+             AS std_spend,
+           CAST(ceil(1.96 * 1.96
+                     * ((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                     / ((0.01 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (0.01 * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE)))) AS BIGINT)
+             AS n_for_1pct_margin,
+           CAST(ceil(1.96 * 1.96
+                     * ((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                     / ((0.05 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (0.05 * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE)))) AS BIGINT)
+             AS n_for_5pct_margin
+    FROM m
+    """,
+    tags=("events", "statistics", "sampling"),
+    doc=(
+        "Sample-size planning for a MEAN estimate: from the observed "
+        "per-user spend distribution, the n needed so a 95% CI "
+        "half-width stays within 1% (and 5%) of the mean - n = "
+        "(1.96 * s / E)^2 - the continuous-metric companion to t25's "
+        "proportion power analysis, and the number that sizes QA "
+        "sampling audits (t96/s96 allocates a budget; this says "
+        "whether the budget is ENOUGH). Spend is integer cents so "
+        "variance comes from exact moments; the plan is one IEEE "
+        "expression with literal 1.96 and a final ceil. One per-user "
+        "collapse, single-row output."
+    ),
+)
+def t73_mean_margin_planning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("n") * d("ss") - d("s") * d("s")) / (
+        d("n") * (F.col("n") - 1).cast("double")
+    )
+    mean = d("s") / d("n")
+
+    def n_for(frac):
+        e = F.lit(frac) * mean
+        return F.ceil(F.lit(1.96) * 1.96 * var / (e * e)).cast("bigint")
+
+    return m.select(
+        F.col("n").cast("bigint").alias("n_observed"),
+        (mean / 100.0).alias("mean_spend"),
+        (F.sqrt(var) / 100.0).alias("std_spend"),
+        n_for(0.01).alias("n_for_1pct_margin"),
+        n_for(0.05).alias("n_for_5pct_margin"),
+    )

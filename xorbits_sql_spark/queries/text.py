@@ -3701,3 +3701,93 @@ def t71_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_bands_agreeing")
     )
+
+
+@register(
+    "t74_dedup_savings_projection",
+    f"""
+    {_DUCK_CLUSTERS},
+    dropped AS (
+      SELECT c.id FROM comp c WHERE c.id <> c.component
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST({{ntok}} AS BIGINT) AS n_tok FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tok) AS BIGINT) AS corpus_tokens,
+             COUNT(*) AS n_docs
+      FROM doc_tokens
+    ),
+    savings AS (
+      SELECT COUNT(*) AS n_dropped,
+             CAST(COALESCE(SUM(dt.n_tok), 0) AS BIGINT)
+               AS dropped_tokens
+      FROM dropped d JOIN doc_tokens dt ON dt.doc_id = d.id
+    )
+    SELECT t.n_docs,
+           CAST(s.n_dropped AS BIGINT) AS n_dropped_docs,
+           t.corpus_tokens,
+           s.dropped_tokens,
+           CAST(s.dropped_tokens AS DOUBLE)
+             / CAST(t.corpus_tokens AS DOUBLE) AS token_savings_share
+    FROM tot t CROSS JOIN savings s
+    """.replace("{ntok}", _NTOK),
+    tags=("text", "dedup-clusters", "reporting"),
+    doc=(
+        "Dedup savings projection: the headline ROI number of a "
+        "keep-one-per-cluster run - how many documents and, more "
+        "importantly, what SHARE of corpus tokens a near-dup dedup "
+        "pass would delete (training cost scales with tokens, not "
+        "docs; t49 gives the cluster shapes, this prices them). "
+        "Dropped docs are exactly the non-representative members of "
+        "r63's components (id != component - the canonical keep-min "
+        "policy); token counts use the house separator-arithmetic "
+        "formula. Two integer aggregates over the oracle-checked "
+        "component table."
+    ),
+)
+def t74_dedup_savings_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.05,
+        partition_col="source",
+        max_df=50,
+    )
+    comps = connected_components(pairs)
+    dropped = comps.filter(F.col("id") != F.col("component")).select(
+        "id"
+    )
+    doc_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    tot = doc_tokens.agg(
+        F.sum("n_tok").cast("bigint").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    savings = dropped.join(
+        doc_tokens, dropped["id"] == doc_tokens["doc_id"]
+    ).agg(
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.coalesce(F.sum("n_tok"), F.lit(0))
+        .cast("bigint")
+        .alias("dropped_tokens"),
+    )
+    return tot.crossJoin(F.broadcast(savings)).select(
+        "n_docs",
+        F.col("n_dropped").cast("bigint").alias("n_dropped_docs"),
+        "corpus_tokens",
+        "dropped_tokens",
+        (
+            F.col("dropped_tokens").cast("double")
+            / F.col("corpus_tokens").cast("double")
+        ).alias("token_savings_share"),
+    )
