@@ -2194,13 +2194,19 @@ def _corr_sql() -> str:
     for a, b in pairs:
         sums.append(f"SUM(CAST({a} * {b} AS DECIMAL(38,0))) AS sp_{a}_{b}")
     rows = "\n    UNION ALL\n    ".join(
+        # round(corr, 9): the DECIMAL(38,0) squared/cross moments pass
+        # 2^53 at sf0.1 (sum(y*y) ~ 6e17), so their DOUBLE casts carry
+        # an engine-dependent last ulp (determinism class #3); the
+        # resulting ~1e-15 wobble in corr is rounded out with a 1e6x
+        # margin. Caught by the full sf0.1 parity sweep, not sf0.01.
         f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-        (CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+        round((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
          - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
         / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
                 - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
                * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
-                  - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))) AS corr
+                  - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 9)
+          AS corr
     FROM moments"""
         for a, b in pairs
     )
@@ -2231,7 +2237,9 @@ def _corr_sql() -> str:
         "exact DECIMAL(38,0) — order-independent, so any cluster size "
         "gives bit-identical moments — and the textbook correlation "
         "formula evaluates in IEEE doubles spelled identically on both "
-        "engines. The single-pass moment-matrix shape is how a 100 TB "
+        "engines, rounded to 9 digits (the squared moments exceed "
+        "2^53 at sf0.1, so their double casts carry an engine-"
+        "dependent last ulp - determinism class #3). The single-pass moment-matrix shape is how a 100 TB "
         "correlation screen runs: one map-side-combinable aggregate, "
         "6 output rows, no per-pair rescans."
     ),
