@@ -408,6 +408,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "order — inherently a total order; at scale: range-partition "
     "on quality + per-partition offset pass (s73/t27's pattern, "
     "stated in the op)",
+    "t76_abc_xyz_matrix": "t27's cumulative revenue-share walk — "
+    "same range-partition + offset scale path",
     "t58_wilcoxon_signed_rank": "rank cumsum over the per-distinct-"
     "|difference| collapse (s70/s71's bounded shape)",
     "t61_bootstrap_delta_ci": "rank over the 100 replicate deltas "

@@ -2610,3 +2610,221 @@ def t64_referential_integrity(
         .unionAll(row("duplicate_custkeys", dup_c))
         .orderBy("check_name")
     )
+
+
+@register(
+    "t75_order_cycle_time",
+    """
+    WITH cyc AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(MAX(l.l_shipdate) AS DATE)) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ),
+    ranked AS (
+      SELECT priority, days,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY days) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM cyc
+    )
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN days END)
+                AS BIGINT) AS median_days,
+           CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN days END)
+                AS BIGINT) AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM ranked GROUP BY priority ORDER BY priority
+    """,
+    tags=("tpch", "operations", "latency"),
+    doc=(
+        "Order fulfillment cycle time: days from order date to the "
+        "LAST line shipment, summarized per order priority as median "
+        "/ p90 / max - the operations SLA view that validates whether "
+        "'1-URGENT' actually ships faster, and the TPC-H-side "
+        "counterpart to t65's behavioral latency curve. Cycle times "
+        "are exact integer day differences; percentiles are s80's "
+        "positional selection ((n+1)//2 and ceil(0.9n) positions, "
+        "integer arithmetic). One fact-dimension equi-join, one "
+        "per-order collapse, one ranked pass per priority."
+    ),
+)
+def t75_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cyc = (
+        orders.join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.to_date(F.max("l_shipdate")),
+                F.to_date(F.col("o_orderdate")),
+            ).alias("days")
+        )
+        .select(F.col("o_orderpriority").alias("priority"), "days")
+    )
+    wp = W.partitionBy("priority")
+    ranked = cyc.select(
+        "priority",
+        "days",
+        F.row_number().over(wp.orderBy("days")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med_pos = F.floor((F.col("n") + 1) / 2)
+    p90_pos = F.floor((9 * F.col("n") + 9) / 10)
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.min(F.when(F.col("rn") == med_pos, F.col("days")))
+            .cast("bigint")
+            .alias("median_days"),
+            F.min(F.when(F.col("rn") == p90_pos, F.col("days")))
+            .cast("bigint")
+            .alias("p90_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "t76_abc_xyz_matrix",
+    """
+    WITH monthly AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS q
+      FROM lineitem GROUP BY l_partkey, m
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN COUNT(*) < 2 THEN 'Z'
+                  WHEN sqrt((CAST(COUNT(*) AS DOUBLE)
+                             * CAST(SUM(CAST(round(q * 100) AS BIGINT)
+                                        * CAST(round(q * 100) AS BIGINT))
+                                    AS DOUBLE)
+                             - CAST(SUM(CAST(round(q * 100) AS BIGINT))
+                                    AS DOUBLE)
+                               * CAST(SUM(CAST(round(q * 100) AS BIGINT))
+                                      AS DOUBLE))
+                            / (CAST(COUNT(*) AS DOUBLE)
+                               * CAST(COUNT(*) - 1 AS DOUBLE)))
+                       / (CAST(SUM(CAST(round(q * 100) AS BIGINT))
+                               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                       < 0.5 THEN 'X'
+                  WHEN sqrt((CAST(COUNT(*) AS DOUBLE)
+                             * CAST(SUM(CAST(round(q * 100) AS BIGINT)
+                                        * CAST(round(q * 100) AS BIGINT))
+                                    AS DOUBLE)
+                             - CAST(SUM(CAST(round(q * 100) AS BIGINT))
+                                    AS DOUBLE)
+                               * CAST(SUM(CAST(round(q * 100) AS BIGINT))
+                                      AS DOUBLE))
+                            / (CAST(COUNT(*) AS DOUBLE)
+                               * CAST(COUNT(*) - 1 AS DOUBLE)))
+                       / (CAST(SUM(CAST(round(q * 100) AS BIGINT))
+                               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                       < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM monthly GROUP BY l_partkey
+    ),
+    rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    walk AS (
+      SELECT l_partkey,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(revenue) OVER () AS total
+      FROM rev
+    ),
+    abc AS (
+      SELECT l_partkey,
+             CASE WHEN cum <= 0.80 * total THEN 'A'
+                  WHEN cum <= 0.95 * total THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM walk
+    )
+    SELECT a.abc_class, x.xyz_class, COUNT(*) AS n_parts
+    FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+    GROUP BY a.abc_class, x.xyz_class
+    ORDER BY a.abc_class, x.xyz_class
+    """,
+    tags=("tpch", "inventory", "planning"),
+    doc=(
+        "ABC-XYZ planning matrix: cross the revenue classes (t27's "
+        "decimal-exact cumulative ABC walk) with demand-variability "
+        "classes from the monthly quantity coefficient of variation "
+        "(X: CV < 0.5 steady, Y: < 1.0, Z: erratic or single-month) "
+        "- the 9-cell grid that drives stocking policy (AX = "
+        "automate, CZ = make-to-order) and, in a data pipeline, "
+        "which sources deserve incremental maintenance vs full "
+        "refresh. Monthly quantities quantize to integer centi-units "
+        "so the CV comes from exact moments; the boundary "
+        "comparisons are IEEE on identical inputs. Two part-level "
+        "collapses and one equi-join."
+    ),
+)
+def t76_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("q")
+    )
+    qi = F.round(F.col("q") * 100).cast("bigint")
+    mom = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(qi).alias("s"),
+        F.sum(qi * qi).alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sd = F.sqrt(
+        (d("k") * d("ss") - d("s") * d("s"))
+        / (d("k") * (F.col("k") - 1).cast("double"))
+    )
+    cv = sd / (d("s") / d("k"))
+    xyz = mom.select(
+        "l_partkey",
+        F.when(F.col("k") < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("revenue")
+    )
+    wwalk = W.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    walk = rev.select(
+        "l_partkey",
+        F.sum("revenue").over(wwalk).alias("cum"),
+        F.sum("revenue").over(W.partitionBy()).alias("total"),
+    )
+    abc = walk.select(
+        "l_partkey",
+        F.when(F.col("cum") <= 0.80 * F.col("total"), "A")
+        .when(F.col("cum") <= 0.95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("abc_class", "xyz_class")
+    )
