@@ -69,7 +69,8 @@ from xorbits_sql_spark.queries import load_all
 # forecast reconciliation); t67..t68 (anomaly ensemble, interval
 # union coverage); t69..t70 (JS divergence matrix, cross-source
 # dup provenance); t71..t74 (LSH band curve, entry bounce, margin
-# planning, dedup savings); t75..t76 (cycle time, ABC-XYZ).
+# planning, dedup savings); t75..t79 (cycle time, ABC-XYZ, return
+# lift, sole-source risk, nzv screen).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

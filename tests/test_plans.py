@@ -307,6 +307,8 @@ _BNLJ_INTENDED = {
     "band-count grid against the bounded pair-band list)",
     "t74_dedup_savings_projection": "scalar-broadcast (the 1-row "
     "dropped-token totals)",
+    "t77_return_rate_by_discount": "scalar-broadcast (the 1-row "
+    "overall return rate)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

@@ -2828,3 +2828,232 @@ def t76_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@register(
+    "t77_return_rate_by_discount",
+    """
+    WITH bands AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS band,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem
+    ),
+    tot AS (
+      SELECT CAST(SUM(ret) AS BIGINT) AS r_all, COUNT(*) AS n_all
+      FROM bands
+    )
+    SELECT CAST(b.band AS INT) AS discount_pct,
+           COUNT(*) AS n_lines,
+           CAST(SUM(b.ret) AS BIGINT) AS n_returned,
+           CAST(SUM(b.ret) AS DOUBLE) / COUNT(*) AS return_rate,
+           (CAST(SUM(b.ret) AS DOUBLE) / COUNT(*))
+           / (CAST(t.r_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+             AS lift_vs_overall
+    FROM bands b CROSS JOIN tot t
+    GROUP BY b.band, t.r_all, t.n_all
+    ORDER BY discount_pct
+    """,
+    tags=("tpch", "risk", "diagnostics"),
+    doc=(
+        "Return rate by discount band with lift against the overall "
+        "rate: do discounted lines come back more often? - the "
+        "margin-risk diagnostic behind markdown policy, and a "
+        "ready-made input for r59's chi-square if the lift pattern "
+        "looks non-flat. Discount bands are exact integer points "
+        "(round(x*100)); rates and lifts are IEEE divisions of exact "
+        "integer counts against a 1-row overall broadcast. One "
+        "map-side-combinable aggregation."
+    ),
+)
+def t77_return_rate_by_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    bands = li.select(
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("band"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    tot = bands.agg(
+        F.sum("ret").cast("bigint").alias("r_all"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    rate = F.sum("ret").cast("double") / F.count(F.lit(1))
+    overall = F.col("r_all").cast("double") / F.col("n_all").cast("double")
+    return (
+        bands.crossJoin(F.broadcast(tot))
+        .groupBy("band", "r_all", "n_all")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("ret").cast("bigint").alias("n_returned"),
+            rate.alias("return_rate"),
+            (rate / overall).alias("lift_vs_overall"),
+        )
+        .select(
+            F.col("band").cast("int").alias("discount_pct"),
+            "n_lines",
+            "n_returned",
+            "return_rate",
+            "lift_vs_overall",
+        )
+        .orderBy("discount_pct")
+    )
+
+
+@register(
+    "t78_sole_source_risk",
+    """
+    WITH ps AS (
+      SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CASE WHEN n_suppliers = 1 THEN '1_sole_source'
+                WHEN n_suppliers = 2 THEN '2_dual_source'
+                ELSE '3_multi_source' END AS sourcing_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN n_suppliers = 1 THEN n_lines ELSE 0 END)
+                AS BIGINT) AS sole_sourced_lines
+    FROM ps
+    GROUP BY sourcing_class ORDER BY sourcing_class
+    """,
+    tags=("tpch", "risk", "supply-chain"),
+    doc=(
+        "Sole-source supply risk census: parts served by exactly one "
+        "supplier (a single point of failure), two, or more - the "
+        "supply-chain resilience audit procurement runs before any "
+        "disruption scenario, and structurally the same "
+        "single-provider-dependency check a data platform runs over "
+        "its source feeds. One grouped COUNT(DISTINCT) (two-phase "
+        "shuffle) and a 3-row census; all exact integers."
+    ),
+)
+def t78_sole_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    cls = (
+        F.when(F.col("n_suppliers") == 1, "1_sole_source")
+        .when(F.col("n_suppliers") == 2, "2_dual_source")
+        .otherwise("3_multi_source")
+    )
+    return (
+        ps.groupBy(cls.alias("sourcing_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(
+                    F.col("n_suppliers") == 1, F.col("n_lines")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sole_sourced_lines"),
+        )
+        .orderBy("sourcing_class")
+    )
+
+
+@register(
+    "t79_nzv_feature_screen",
+    """
+    WITH cols AS (
+      SELECT 'l_quantity' AS col, CAST(l_quantity AS DOUBLE) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+      FROM lineitem
+    ),
+    per_val AS (
+      SELECT col, v, COUNT(*) AS c FROM cols GROUP BY col, v
+    ),
+    ranked AS (
+      SELECT col, c,
+             ROW_NUMBER() OVER (PARTITION BY col
+                                ORDER BY c DESC, v) AS rk,
+             SUM(c) OVER (PARTITION BY col) AS n,
+             COUNT(*) OVER (PARTITION BY col) AS n_distinct
+      FROM per_val
+    ),
+    top2 AS (
+      SELECT col,
+             MAX(n) AS n, MAX(n_distinct) AS n_distinct,
+             MAX(CASE WHEN rk = 1 THEN c END) AS c1,
+             MAX(CASE WHEN rk = 2 THEN c END) AS c2
+      FROM ranked GROUP BY col
+    )
+    SELECT col AS feature,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(c1 AS DOUBLE) / CAST(COALESCE(c2, 1) AS DOUBLE)
+             AS freq_ratio,
+           100.0 * CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)
+             AS pct_unique,
+           CASE WHEN CAST(c1 AS DOUBLE) / CAST(COALESCE(c2, 1) AS DOUBLE)
+                     > 19.0
+                 AND 100.0 * CAST(n_distinct AS DOUBLE)
+                     / CAST(n AS DOUBLE) < 10.0
+                THEN 1 ELSE 0 END AS near_zero_variance
+    FROM top2 ORDER BY feature
+    """,
+    tags=("tpch", "feature-engineering", "diagnostics"),
+    doc=(
+        "Near-zero-variance feature screen (the caret nzv rule): per "
+        "numeric column, the frequency ratio of the two most common "
+        "values and the percent-unique - a feature is flagged when "
+        "the top value dominates (ratio > 19) AND distinct values "
+        "are scarce (< 10% unique), the standard pre-model screen "
+        "that drops degenerate features before they destabilize "
+        "cross-validation (and, in a pipeline, catches columns a "
+        "broken upstream filled with a constant). Long-format "
+        "UNION ALL over columns -> one count-rank pass per feature "
+        "(t63's mode machinery); all counts exact."
+    ),
+)
+def t79_nzv_feature_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cols = None
+    for c in ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]:
+        part = li.select(
+            F.lit(c).alias("col"), F.col(c).cast("double").alias("v")
+        )
+        cols = part if cols is None else cols.unionAll(part)
+    per_val = cols.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    wcol = W.partitionBy("col")
+    ranked = per_val.select(
+        "col",
+        "c",
+        F.row_number()
+        .over(wcol.orderBy(F.col("c").desc(), "v"))
+        .alias("rk"),
+        F.sum("c").over(wcol).alias("n"),
+        F.count(F.lit(1)).over(wcol).alias("n_distinct"),
+    )
+    top2 = ranked.groupBy("col").agg(
+        F.max("n").alias("n"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.max(F.when(F.col("rk") == 1, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("rk") == 2, F.col("c"))).alias("c2"),
+    )
+    ratio = F.col("c1").cast("double") / F.coalesce(
+        F.col("c2"), F.lit(1)
+    ).cast("double")
+    pct_u = (
+        100.0 * F.col("n_distinct").cast("double") / F.col("n").cast("double")
+    )
+    return top2.select(
+        F.col("col").alias("feature"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        ratio.alias("freq_ratio"),
+        pct_u.alias("pct_unique"),
+        F.when((ratio > 19.0) & (pct_u < 10.0), 1)
+        .otherwise(0)
+        .alias("near_zero_variance"),
+    ).orderBy("feature")
