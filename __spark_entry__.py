@@ -70,7 +70,8 @@ from xorbits_sql_spark.queries import load_all
 # union coverage); t69..t70 (JS divergence matrix, cross-source
 # dup provenance); t71..t74 (LSH band curve, entry bounce, margin
 # planning, dedup savings); t75..t79 (cycle time, ABC-XYZ, return
-# lift, sole-source risk, nzv screen).
+# lift, sole-source risk, nzv screen); t80..t82 (sketch error,
+# novelty share, higher moments).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

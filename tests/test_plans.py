@@ -309,6 +309,8 @@ _BNLJ_INTENDED = {
     "dropped-token totals)",
     "t77_return_rate_by_discount": "scalar-broadcast (the 1-row "
     "overall return rate)",
+    "t80_sketch_error_audit": "scalar-broadcast (1-row error "
+    "aggregates over the bounded candidate pair set)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

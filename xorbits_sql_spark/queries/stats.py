@@ -6651,3 +6651,101 @@ def t73_mean_margin_planning(
         n_for(0.01).alias("n_for_1pct_margin"),
         n_for(0.05).alias("n_for_5pct_margin"),
     )
+
+
+@register(
+    "t82_higher_moments",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(cents * cents AS DECIMAL(38,0))) AS s2,
+             SUM(CAST(cents * cents * cents AS DECIMAL(38,0))) AS s3,
+             SUM(CAST(cents * cents AS DECIMAL(38,0))
+                 * CAST(cents * cents AS DECIMAL(38,0))) AS s4
+      FROM u
+    ),
+    c AS (
+      SELECT CAST(n AS DOUBLE) AS dn,
+             CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+             CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4,
+             n
+      FROM m
+    ),
+    k AS (
+      SELECT n, dn,
+             d1 / dn AS mu,
+             d2 / dn - (d1 / dn) * (d1 / dn) AS m2,
+             d3 / dn - 3 * (d1 / dn) * (d2 / dn)
+               + 2 * (d1 / dn) * (d1 / dn) * (d1 / dn) AS m3,
+             d4 / dn - 4 * (d1 / dn) * (d3 / dn)
+               + 6 * (d1 / dn) * (d1 / dn) * (d2 / dn)
+               - 3 * (d1 / dn) * (d1 / dn) * (d1 / dn) * (d1 / dn)
+               AS m4
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(mu / 100.0, 6) AS mean_spend,
+           round(m3 / pow(m2, 1.5), 9) AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 9) AS excess_kurtosis
+    FROM k
+    """,
+    tags=("events", "statistics", "moments"),
+    doc=(
+        "Skewness and excess kurtosis of per-user purchase spend "
+        "from a SINGLE pass of raw power sums - the distribution-"
+        "shape diagnostics (heavy right tail? outlier-prone?) that "
+        "decide between mean-based (t45) and rank-based (s71/t58) "
+        "testing, and whether winsorization (r76) is warranted. "
+        "Spend is integer cents; s1..s4 accumulate in DECIMAL(38,0) "
+        "(the 4th power of a 7-digit cent value times 1e6 users "
+        "stays within 38 digits), so the moments are exact and "
+        "order-independent; the central-moment identities and the "
+        "final ratios are identically-spelled IEEE expressions with "
+        "round(x, 9) absorbing the class-3 cast ulp on the "
+        "above-2^53 sums and the pow(m2, 1.5) libm call. One "
+        "map-side-combinable aggregation."
+    ),
+)
+def t82_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    dec = "decimal(38,0)"
+    c2 = F.col("cents") * F.col("cents")
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(dec)).alias("s1"),
+        F.sum(c2.cast(dec)).alias("s2"),
+        F.sum((c2 * F.col("cents")).cast(dec)).alias("s3"),
+        F.sum(c2.cast(dec) * c2.cast(dec)).alias("s4"),
+    )
+    dn = F.col("n").cast("double")
+    d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    d3, d4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    mu = d1 / dn
+    m2 = d2 / dn - mu * mu
+    m3 = d3 / dn - 3 * mu * (d2 / dn) + 2 * mu * mu * mu
+    m4 = (
+        d4 / dn
+        - 4 * mu * (d3 / dn)
+        + 6 * mu * mu * (d2 / dn)
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(mu / 100.0, 6).alias("mean_spend"),
+        F.round(m3 / F.pow(m2, 1.5), 9).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 9).alias("excess_kurtosis"),
+    )

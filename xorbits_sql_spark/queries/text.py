@@ -3791,3 +3791,182 @@ def t74_dedup_savings_projection(
             / F.col("corpus_tokens").cast("double")
         ).alias("token_savings_share"),
     )
+
+
+@register(
+    "t80_sketch_error_audit",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(4))}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, {i} AS band, h{i} AS key FROM sigs" for i in range(4))}
+    ),
+    cand AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_match
+      FROM bands a JOIN bands b
+        ON b.band = a.band AND b.key = a.key AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ss FROM shingled
+              GROUP BY doc_id),
+    exact AS (
+      SELECT s.ia, s.ib,
+             CAST(s.sh AS DOUBLE) / (sa.ss + sb.ss - s.sh) AS j
+      FROM (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS sh
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) s
+      JOIN sizes sa ON sa.doc_id = s.ia
+      JOIN sizes sb ON sb.doc_id = s.ib
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CAST(round(abs(CAST(c.n_match AS DOUBLE) / 4.0
+                                   - COALESCE(e.j, 0.0)) * 1e9)
+                         AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+             AS mean_abs_error,
+           CAST(SUM(CASE WHEN CAST(c.n_match AS DOUBLE) / 4.0
+                              > COALESCE(e.j, 0.0)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overestimates
+    FROM cand c
+    LEFT JOIN exact e ON e.ia = c.ia AND e.ib = c.ib
+    """,
+    tags=("text", "dedup-minhash", "evaluation"),
+    doc=(
+        "MinHash estimator error audit: for every LSH candidate pair, "
+        "compare the 4-seed signature's Jaccard ESTIMATE (matching "
+        "hashes / 4) against the exact shingle Jaccard - the "
+        "sketch-accuracy census that tells you whether 4 seeds are "
+        "enough before trusting signature-only dedup decisions "
+        "(s34's incremental path never rechecks exact overlap). "
+        "Candidate pairs come from the bounded banded join (never "
+        "all-pairs); absolute errors quantize to round(e*1e9) "
+        "BIGINTs so the MAE sum is exact and order-independent; the "
+        "overestimate count shows the one-sided bias LSH candidates "
+        "inherently carry (they matched at least one band)."
+    ),
+)
+def t80_sketch_error_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import minhash_band_index, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    banded = minhash_band_index(
+        docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("b.band_key") == F.col("a.band_key"))
+            & (F.col("b.doc") > F.col("a.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("ia"), F.col("b.doc").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    exact = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.0,
+        partition_col=None,
+        max_df=None,
+    ).select(
+        F.col("id_a").alias("ia"),
+        F.col("id_b").alias("ib"),
+        F.col("jaccard").alias("j"),
+    )
+    joined = cand.join(exact, ["ia", "ib"], "left")
+    est = F.col("n_match").cast("double") / 4.0
+    err_q = F.round(
+        F.abs(est - F.coalesce(F.col("j"), F.lit(0.0))) * 1e9
+    ).cast("bigint")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        (
+            F.sum(err_q).cast("double") / 1e9 / F.count(F.lit(1))
+        ).alias("mean_abs_error"),
+        F.sum(
+            F.when(est > F.coalesce(F.col("j"), F.lit(0.0)), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_overestimates"),
+    )
+
+
+@register(
+    "t81_source_novelty_share",
+    f"""
+    {_DUCK_CLUSTERS},
+    clustered_docs AS (SELECT DISTINCT id FROM comp)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique_docs,
+           CAST(SUM(CASE WHEN c.id IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_share
+    FROM documents d
+    LEFT JOIN clustered_docs c ON c.id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("text", "dedup-clusters", "mixture-design"),
+    doc=(
+        "Source novelty share: the fraction of each source's "
+        "documents that sit OUTSIDE every near-duplicate cluster - "
+        "the content-uniqueness signal for mixture design (a source "
+        "that is 95% novel earns weight; one that is 40% "
+        "cluster-bound mostly re-serves what other docs already "
+        "provide), complementing t70's pairwise provenance matrix "
+        "with a per-source headline number. One anti-membership "
+        "LEFT JOIN against the oracle-checked component table; "
+        "exact integer counts."
+    ),
+)
+def t81_source_novelty_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.05,
+        partition_col="source",
+        max_df=50,
+    )
+    comps = connected_components(pairs)
+    clustered = comps.select(F.col("id")).distinct()
+    joined = docs.join(
+        clustered, docs["doc_id"] == clustered["id"], "left"
+    )
+    uniq = F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            uniq.cast("bigint").alias("n_unique_docs"),
+            (uniq.cast("double") / F.count(F.lit(1))).alias(
+                "novelty_share"
+            ),
+        )
+        .orderBy("source")
+    )
