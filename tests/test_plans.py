@@ -311,6 +311,8 @@ _BNLJ_INTENDED = {
     "overall return rate)",
     "t80_sketch_error_audit": "scalar-broadcast (1-row error "
     "aggregates over the bounded candidate pair set)",
+    "t84_temporal_leakage_audit": "scalar-broadcast (the 1-row "
+    "corpus-start date)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -414,6 +416,9 @@ _GLOBAL_WINDOW_INTENDED = {
     "stated in the op)",
     "t76_abc_xyz_matrix": "t27's cumulative revenue-share walk — "
     "same range-partition + offset scale path",
+    "t83_decision_stump": "split-candidate cumulative walk over the "
+    "per-distinct-activity collapse (bounded by value cardinality "
+    "— the s70 shape); argmin rank over the same bounded table",
     "t58_wilcoxon_signed_rank": "rank cumsum over the per-distinct-"
     "|difference| collapse (s70/s71's bounded shape)",
     "t61_bootstrap_delta_ci": "rank over the 100 replicate deltas "

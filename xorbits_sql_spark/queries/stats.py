@@ -6749,3 +6749,185 @@ def t82_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 9).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3.0, 9).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "t83_decision_stump",
+    """
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS activity,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    per_v AS (
+      SELECT activity AS thr, COUNT(*) AS c, SUM(conv) AS p
+      FROM u GROUP BY activity
+    ),
+    walk AS (
+      SELECT thr,
+             SUM(c) OVER (ORDER BY thr ROWS UNBOUNDED PRECEDING)
+               AS n_le,
+             SUM(p) OVER (ORDER BY thr ROWS UNBOUNDED PRECEDING)
+               AS p_le,
+             SUM(c) OVER () AS n, SUM(p) OVER () AS p_tot
+      FROM per_v
+    ),
+    scored AS (
+      SELECT thr, n_le, p_le, n, p_tot,
+             -- weighted Gini impurity * n, quantized to a BIGINT key:
+             -- 2*[p_le*(n_le-p_le)/n_le + p_gt*(n_gt-p_gt)/n_gt]
+             CAST(round((2.0 * CAST(p_le AS DOUBLE)
+                         * CAST(n_le - p_le AS DOUBLE)
+                         / CAST(n_le AS DOUBLE)
+                         + 2.0 * CAST(p_tot - p_le AS DOUBLE)
+                           * CAST((n - n_le) - (p_tot - p_le) AS DOUBLE)
+                           / CAST(n - n_le AS DOUBLE)) * 1e9) AS BIGINT)
+               AS imp_q
+      FROM walk WHERE n_le < n
+    ),
+    best AS (
+      SELECT thr, imp_q, n_le, p_le, n, p_tot,
+             ROW_NUMBER() OVER (ORDER BY imp_q, thr) AS rk
+      FROM scored
+    )
+    SELECT CAST(thr AS BIGINT) AS best_split_activity,
+           CAST(imp_q AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+             AS weighted_gini,
+           CAST(p_le AS DOUBLE) / CAST(n_le AS DOUBLE) AS rate_low_side,
+           CAST(p_tot - p_le AS DOUBLE) / CAST(n - n_le AS DOUBLE)
+             AS rate_high_side
+    FROM best WHERE rk = 1
+    """,
+    tags=("events", "ml", "decision-tree"),
+    doc=(
+        "Decision-stump split finder: the single activity threshold "
+        "that best separates high-value converters by weighted Gini "
+        "impurity - the CART building block (and the strongest "
+        "one-variable rule a fraud/propensity reviewer can apply by "
+        "hand), computed relationally: candidate thresholds are the "
+        "distinct activity values, both sides' class counts come "
+        "from ONE cumulative walk over the per-value collapse (no "
+        "per-threshold rescans - the same trick a scalable tree "
+        "trainer uses for split finding), and the argmin key is "
+        "impurity quantized to round(g*1e9) BIGINT so the chosen "
+        "split never flickers across engines (ties break on the "
+        "smaller threshold)."
+    ),
+)
+def t83_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    )
+    per_v = u.groupBy(F.col("activity").alias("thr")).agg(
+        F.count(F.lit(1)).alias("c"), F.sum("conv").alias("p")
+    )
+    wv = W.orderBy("thr").rowsBetween(W.unboundedPreceding, 0)
+    walk = per_v.select(
+        "thr",
+        F.sum("c").over(wv).alias("n_le"),
+        F.sum("p").over(wv).alias("p_le"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+        F.sum("p").over(W.partitionBy()).alias("p_tot"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p_gt = F.col("p_tot") - F.col("p_le")
+    n_gt = F.col("n") - F.col("n_le")
+    imp = (
+        2.0 * d("p_le") * (F.col("n_le") - F.col("p_le")).cast("double")
+        / d("n_le")
+        + 2.0
+        * p_gt.cast("double")
+        * (n_gt - p_gt).cast("double")
+        / n_gt.cast("double")
+    )
+    scored = walk.filter(F.col("n_le") < F.col("n")).select(
+        "thr",
+        "n_le",
+        "p_le",
+        "n",
+        "p_tot",
+        F.round(imp * 1e9).cast("bigint").alias("imp_q"),
+    )
+    best = scored.select(
+        "*", F.row_number().over(W.orderBy("imp_q", "thr")).alias("rk")
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("thr").cast("bigint").alias("best_split_activity"),
+        (F.col("imp_q").cast("double") / 1e9 / F.col("n").cast("double")).alias(
+            "weighted_gini"
+        ),
+        (d("p_le") / d("n_le")).alias("rate_low_side"),
+        (
+            (F.col("p_tot") - F.col("p_le")).cast("double")
+            / (F.col("n") - F.col("n_le")).cast("double")
+        ).alias("rate_high_side"),
+    )
+
+
+@register(
+    "t84_temporal_leakage_audit",
+    """
+    WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    u AS (
+      SELECT user_id,
+             MAX(CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE)) < 20
+                      THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN date_diff('day', b.d0, CAST(ts AS DATE)) >= 20
+                      THEN 1 ELSE 0 END) AS in_test
+      FROM events CROSS JOIN b GROUP BY user_id
+    )
+    SELECT CAST(SUM(in_train) AS BIGINT) AS n_train_users,
+           CAST(SUM(in_test) AS BIGINT) AS n_test_users,
+           CAST(SUM(in_train * in_test) AS BIGINT) AS n_overlap_users,
+           CAST(SUM(in_train * in_test) AS DOUBLE)
+             / CAST(SUM(in_test) AS DOUBLE) AS test_contamination_share
+    FROM u
+    """,
+    tags=("events", "ml", "leakage"),
+    doc=(
+        "Temporal leakage audit for a time-based train/test split "
+        "(day 20 boundary): how many TEST-period users also appear "
+        "in the TRAIN period - for user-level models this overlap "
+        "means the model has memorized those users' identities, and "
+        "the test metric silently measures recall of known users "
+        "rather than generalization; the standard remedies "
+        "(user-disjoint splits, q77's hash split) are justified by "
+        "exactly this number. The entity-level counterpart to q76's "
+        "content decontamination. One user-level collapse, exact "
+        "integer flags, one IEEE share."
+    ),
+)
+def t84_temporal_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(F.to_date(F.min("ts")).alias("d0"))
+    dd = F.datediff(F.to_date(F.col("ts")), F.col("d0"))
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(dd < 20, 1).otherwise(0)).alias("in_train"),
+            F.max(F.when(dd >= 20, 1).otherwise(0)).alias("in_test"),
+        )
+    )
+    return u.agg(
+        F.sum("in_train").cast("bigint").alias("n_train_users"),
+        F.sum("in_test").cast("bigint").alias("n_test_users"),
+        F.sum(F.col("in_train") * F.col("in_test"))
+        .cast("bigint")
+        .alias("n_overlap_users"),
+        (
+            F.sum(F.col("in_train") * F.col("in_test")).cast("double")
+            / F.sum("in_test").cast("double")
+        ).alias("test_contamination_share"),
+    )
