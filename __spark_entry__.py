@@ -72,7 +72,8 @@ from xorbits_sql_spark.queries import load_all
 # planning, dedup savings); t75..t79 (cycle time, ABC-XYZ, return
 # lift, sole-source risk, nzv screen); t80..t82 (sketch error,
 # novelty share, higher moments); t83..t84 (decision stump,
-# temporal leakage).
+# temporal leakage); t85..t86 (forecast skill, watermark
+# lateness tradeoff).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

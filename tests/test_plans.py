@@ -313,6 +313,8 @@ _BNLJ_INTENDED = {
     "aggregates over the bounded candidate pair set)",
     "t84_temporal_leakage_audit": "scalar-broadcast (the 1-row "
     "corpus-start date)",
+    "t86_watermark_lateness_tradeoff": "scalar-broadcast (the "
+    "constant 5-row delay grid against the lateness stream)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -419,6 +421,10 @@ _GLOBAL_WINDOW_INTENDED = {
     "t83_decision_stump": "split-candidate cumulative walk over the "
     "per-distinct-activity collapse (bounded by value cardinality "
     "— the s70 shape); argmin rank over the same bounded table",
+    "t86_watermark_lateness_tradeoff": "arrival-order high-water "
+    "scan — the audit is inherently sequential (it replays the "
+    "watermark); at scale it runs per arrival segment with "
+    "boundary carryover (stated in the op)",
     "t58_wilcoxon_signed_rank": "rank cumsum over the per-distinct-"
     "|difference| collapse (s70/s71's bounded shape)",
     "t61_bootstrap_delta_ci": "rank over the 100 replicate deltas "

@@ -6931,3 +6931,260 @@ def t84_temporal_leakage_audit(
             / F.sum("in_test").cast("double")
         ).alias("test_contamination_share"),
     )
+
+
+@register(
+    "t85_forecast_skill_score",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type, day
+    ),
+    indexed AS (
+      SELECT event_type, rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    ses AS (
+      SELECT o.event_type, o.i AS t,
+             SUM(round(0.3 * pow(0.7, CAST(o.i - h.i AS BIGINT))
+                       * h.rev, 9))
+             + SUM(CASE WHEN h.i = 1
+                        THEN round(pow(0.7, CAST(o.i AS BIGINT))
+                                   * h.rev, 9)
+                        ELSE 0 END) AS yhat
+      FROM indexed o
+      JOIN indexed h ON h.event_type = o.event_type AND h.i <= o.i
+      WHERE o.i >= 7 AND o.i < o.n
+      GROUP BY o.event_type, o.i
+    ),
+    naive AS (
+      SELECT event_type, i AS t,
+             LAG(rev, 6) OVER (PARTITION BY event_type ORDER BY i)
+               AS yhat_naive
+      FROM indexed
+    ),
+    errs AS (
+      SELECT s.event_type,
+             round(abs(a.rev - CAST(s.yhat AS DOUBLE)), 6) AS e_ses,
+             round(abs(a.rev - nv.yhat_naive), 6) AS e_naive
+      FROM ses s
+      JOIN indexed a ON a.event_type = s.event_type AND a.i = s.t + 1
+      JOIN naive nv ON nv.event_type = s.event_type AND nv.t = s.t + 1
+      WHERE nv.yhat_naive IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n_forecasts,
+           CAST(SUM(CAST(e_ses AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*) AS mae_ses,
+           CAST(SUM(CAST(e_naive AS DECIMAL(28,10))) AS DOUBLE)
+             / COUNT(*) AS mae_seasonal_naive,
+           1.0 - (CAST(SUM(CAST(e_ses AS DECIMAL(28,10))) AS DOUBLE)
+                  / CAST(SUM(CAST(e_naive AS DECIMAL(28,10)))
+                         AS DOUBLE)) AS skill_score
+    FROM errs GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("events", "time-series", "forecast", "evaluation"),
+    doc=(
+        "Forecast skill score: the SES forecaster's rolling-origin "
+        "MAE (t33's harness) against the SEASONAL-NAIVE baseline "
+        "(predict what happened one week earlier) - forecasting's "
+        "governance rule: a model that cannot beat the naive "
+        "baseline (skill <= 0) should not ship, however "
+        "sophisticated. The naive forecast for day t+1 is the lag-6 "
+        "value at index t+1 (same weekday one week prior); both "
+        "error streams round to 6 and sum in DECIMAL over the same "
+        "origins, so the skill ratio is exact-over-exact. Bounded "
+        "day-pair join for SES (t33), one lag for the baseline."
+    ),
+)
+def t85_forecast_skill_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    wtype = W.partitionBy("event_type")
+    indexed = daily.select(
+        "event_type",
+        "rev",
+        F.row_number().over(wtype.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+    )
+    o, h = indexed.alias("o"), indexed.alias("h")
+    w_term = F.round(
+        0.3
+        * F.pow(F.lit(0.7), (F.col("o.i") - F.col("h.i")).cast("bigint"))
+        * F.col("h.rev"),
+        9,
+    )
+    init_term = F.when(
+        F.col("h.i") == 1,
+        F.round(
+            F.pow(F.lit(0.7), F.col("o.i").cast("bigint"))
+            * F.col("h.rev"),
+            9,
+        ),
+    ).otherwise(0.0)
+    ses = (
+        o.join(
+            h,
+            (F.col("h.event_type") == F.col("o.event_type"))
+            & (F.col("h.i") <= F.col("o.i")),
+        )
+        .filter((F.col("o.i") >= 7) & (F.col("o.i") < F.col("o.n")))
+        .groupBy(
+            F.col("o.event_type").alias("event_type"),
+            F.col("o.i").alias("t"),
+        )
+        .agg((F.sum(w_term) + F.sum(init_term)).alias("yhat"))
+    )
+    naive = indexed.select(
+        "event_type",
+        F.col("i").alias("t"),
+        F.lag("rev", 6).over(wtype.orderBy("i")).alias("yhat_naive"),
+    )
+    a = indexed.alias("a")
+    errs = (
+        ses.join(
+            a,
+            (F.col("a.event_type") == ses["event_type"])
+            & (F.col("a.i") == ses["t"] + 1),
+        )
+        .join(
+            naive.alias("nv"),
+            (F.col("nv.event_type") == ses["event_type"])
+            & (F.col("nv.t") == ses["t"] + 1),
+        )
+        .filter(F.col("nv.yhat_naive").isNotNull())
+        .select(
+            ses["event_type"].alias("event_type"),
+            F.round(
+                F.abs(F.col("a.rev") - F.col("yhat").cast("double")), 6
+            ).alias("e_ses"),
+            F.round(
+                F.abs(F.col("a.rev") - F.col("nv.yhat_naive")), 6
+            ).alias("e_naive"),
+        )
+    )
+    dec = "decimal(28,10)"
+    mae_s = F.sum(F.col("e_ses").cast(dec)).cast("double") / F.count(
+        F.lit(1)
+    )
+    sum_s = F.sum(F.col("e_ses").cast(dec)).cast("double")
+    sum_n = F.sum(F.col("e_naive").cast(dec)).cast("double")
+    return (
+        errs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_forecasts"),
+            mae_s.alias("mae_ses"),
+            (
+                F.sum(F.col("e_naive").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mae_seasonal_naive"),
+            (F.lit(1.0) - sum_s / sum_n).alias("skill_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "t86_watermark_lateness_tradeoff",
+    """
+    WITH arr AS (
+      SELECT event_id, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM events
+    ),
+    lateness AS (
+      -- elapsed FULL hours (micros // 3600e6), not clock-boundary
+      -- crossings: matches Spark's duration semantics exactly
+      SELECT (epoch_us(high_water) - epoch_us(ts)) // 3600000000
+               AS late_hours
+      FROM arr
+    ),
+    grid AS (SELECT unnest([0, 1, 6, 24, 72]) AS delay_hours)
+    SELECT CAST(g.delay_hours AS INT) AS watermark_delay_hours,
+           CAST(SUM(CASE WHEN l.late_hours > g.delay_hours
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_events,
+           CAST(SUM(CASE WHEN l.late_hours > g.delay_hours
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dropped_share
+    FROM grid g CROSS JOIN lateness l
+    GROUP BY g.delay_hours
+    ORDER BY watermark_delay_hours
+    """,
+    tags=("events", "streaming", "design-audit"),
+    doc=(
+        "Watermark-lateness tradeoff: replay the corpus in ARRIVAL "
+        "order (event_id as the arrival proxy), track the running "
+        "max event time (exactly Spark's watermark high-water mark), "
+        "and for candidate delays {0, 1, 6, 24, 72} hours count the "
+        "events whose event time trails the high-water mark by more "
+        "- i.e. the rows a streaming job with that watermark WOULD "
+        "DROP. This is the data-driven way to set the withWatermark "
+        "delay every streaming entry (q80-96, s91, r84) hard-codes: "
+        "pick the knee where dropped_share is acceptable vs the "
+        "state each extra hour retains. The arrival-order scan is "
+        "inherently sequential (the audit's nature); at scale it "
+        "runs per arrival segment (hour/file) with segment-boundary "
+        "high-water carryover - stated here, same pattern as s73."
+    ),
+)
+def t86_watermark_lateness_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_id",
+        "ts",
+        F.max("ts")
+        .over(W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0))
+        .alias("high_water"),
+    )
+    lateness = arr.select(
+        (
+            (F.unix_micros("high_water") - F.unix_micros("ts"))
+            / F.lit(3600000000)
+        )
+        .cast("bigint")
+        .alias("late_hours")
+    )
+    grid = spark.createDataFrame(
+        [(0,), (1,), (6,), (24,), (72,)], ["delay_hours"]
+    )
+    dropped = F.sum(
+        F.when(F.col("late_hours") > F.col("delay_hours"), 1).otherwise(0)
+    )
+    return (
+        F.broadcast(grid)
+        .crossJoin(lateness)
+        .groupBy("delay_hours")
+        .agg(
+            dropped.cast("bigint").alias("n_dropped_events"),
+            (dropped.cast("double") / F.count(F.lit(1))).alias(
+                "dropped_share"
+            ),
+        )
+        .select(
+            F.col("delay_hours").cast("int").alias(
+                "watermark_delay_hours"
+            ),
+            "n_dropped_events",
+            "dropped_share",
+        )
+        .orderBy("watermark_delay_hours")
+    )
