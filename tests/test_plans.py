@@ -315,6 +315,10 @@ _BNLJ_INTENDED = {
     "corpus-start date)",
     "t86_watermark_lateness_tradeoff": "scalar-broadcast (the "
     "constant 5-row delay grid against the lateness stream)",
+    "t87_ljung_box_whiteness": "scalar-broadcast (the constant "
+    "3-row lag grid and 1-row moment rows over the daily collapse)",
+    "t89_fold_balance_audit": "scalar-broadcast (the 1-row global "
+    "rate)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}
@@ -425,6 +429,8 @@ _GLOBAL_WINDOW_INTENDED = {
     "scan — the audit is inherently sequential (it replays the "
     "watermark); at scale it runs per arrival segment with "
     "boundary carryover (stated in the op)",
+    "t87_ljung_box_whiteness": "day indexing over the daily "
+    "collapse (bounded by calendar days)",
     "t58_wilcoxon_signed_rank": "rank cumsum over the per-distinct-"
     "|difference| collapse (s70/s71's bounded shape)",
     "t61_bootstrap_delta_ci": "rank over the 100 replicate deltas "

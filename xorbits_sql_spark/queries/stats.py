@@ -7188,3 +7188,219 @@ def t86_watermark_lateness_tradeoff(
         )
         .orderBy("watermark_delay_hours")
     )
+
+
+@register(
+    "t87_ljung_box_whiteness",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM idx
+    ),
+    lags AS (
+      SELECT l.k,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+             CAST(SUM(a.x) AS BIGINT) AS sa,
+             CAST(SUM(b.x) AS BIGINT) AS sb,
+             COUNT(*) AS m
+      FROM (SELECT unnest([1, 2, 3]) AS k) l
+      JOIN idx a ON TRUE
+      JOIN idx b ON b.i = a.i + l.k
+      GROUP BY l.k
+    ),
+    -- r_k with the standard denominator: total centered sum of squares
+    rk AS (
+      SELECT l.k,
+             (CAST(l.sxy AS DOUBLE)
+              - CAST(l.sa AS DOUBLE) * CAST(m0.s AS DOUBLE)
+                / CAST(m0.n AS DOUBLE)
+              - CAST(l.sb AS DOUBLE) * CAST(m0.s AS DOUBLE)
+                / CAST(m0.n AS DOUBLE)
+              + CAST(l.m AS DOUBLE)
+                * (CAST(m0.s AS DOUBLE) / CAST(m0.n AS DOUBLE))
+                * (CAST(m0.s AS DOUBLE) / CAST(m0.n AS DOUBLE)))
+             / (CAST(m0.ss AS DOUBLE)
+                - CAST(m0.s AS DOUBLE) * CAST(m0.s AS DOUBLE)
+                  / CAST(m0.n AS DOUBLE)) AS r,
+             m0.n AS n
+      FROM lags l CROSS JOIN mom m0
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           round(MIN(CASE WHEN k = 1 THEN r END), 9) AS acf_lag1,
+           round(MIN(CASE WHEN k = 2 THEN r END), 9) AS acf_lag2,
+           round(MIN(CASE WHEN k = 3 THEN r END), 9) AS acf_lag3,
+           round(CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) + 2.0)
+                 * SUM(r * r / CAST(n - k AS DOUBLE)), 9)
+             AS ljung_box_q3
+    FROM rk
+    """,
+    tags=("events", "time-series", "hypothesis-test"),
+    doc=(
+        "Ljung-Box whiteness check on the daily count series: "
+        "autocorrelations at lags 1-3 and the portmanteau statistic "
+        "Q = n(n+2) * sum(r_k^2/(n-k)) - the residual-diagnostic that "
+        "closes the forecasting loop (t85 says whether SES beats "
+        "naive; this says whether any structure REMAINS to model - "
+        "Q near chi2(3)'s tail means yes). ACF numerators and "
+        "denominators come from exact integer sums over the lagged "
+        "equi-joins (k = 1..3 against the daily collapse); r_k and "
+        "Q are identically-spelled IEEE expressions rounded to 9. "
+        "O(days) work after the collapse."
+    ),
+)
+def t87_ljung_box_whiteness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    idx = daily.select(
+        "x", F.row_number().over(W.orderBy("day")).alias("i")
+    )
+    mom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    lag_grid = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    a, b = idx.alias("a"), idx.alias("b")
+    lags = (
+        F.broadcast(lag_grid)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("a.x") * F.col("b.x")).cast("bigint").alias("sxy"),
+            F.sum(F.col("a.x")).cast("bigint").alias("sa"),
+            F.sum(F.col("b.x")).cast("bigint").alias("sb"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mu = d("s") / d("n")
+    r = (
+        d("sxy") - d("sa") * mu - d("sb") * mu + d("m") * mu * mu
+    ) / (d("ss") - d("s") * d("s") / d("n"))
+    rk = lags.crossJoin(F.broadcast(mom)).select(
+        "k", r.alias("r"), F.col("n")
+    )
+    nd = F.max("n").cast("double")
+    return rk.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.round(F.min(F.when(F.col("k") == 1, F.col("r"))), 9).alias(
+            "acf_lag1"
+        ),
+        F.round(F.min(F.when(F.col("k") == 2, F.col("r"))), 9).alias(
+            "acf_lag2"
+        ),
+        F.round(F.min(F.when(F.col("k") == 3, F.col("r"))), 9).alias(
+            "acf_lag3"
+        ),
+        F.round(
+            nd
+            * (nd + 2.0)
+            * F.sum(
+                F.col("r")
+                * F.col("r")
+                / (F.col("n") - F.col("k")).cast("double")
+            ),
+            9,
+        ).alias("ljung_box_q3"),
+    )
+
+
+@register(
+    "t89_fold_balance_audit",
+    """
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT % 5
+               AS fold,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_all, CAST(SUM(conv) AS BIGINT) AS c_all
+      FROM u
+    )
+    SELECT CAST(u.fold AS INT) AS fold,
+           COUNT(*) AS n_users,
+           CAST(SUM(u.conv) AS BIGINT) AS n_converters,
+           CAST(SUM(u.conv) AS DOUBLE) / COUNT(*) AS fold_rate,
+           (CAST(SUM(u.conv) AS DOUBLE) / COUNT(*))
+           - (CAST(t.c_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+             AS rate_deviation
+    FROM u CROSS JOIN tot t
+    GROUP BY u.fold, t.c_all, t.n_all
+    ORDER BY fold
+    """,
+    tags=("events", "ml", "cross-validation"),
+    doc=(
+        "k-fold assignment balance audit: hash users into 5 CV folds "
+        "(the q77 deterministic-split discipline) and report each "
+        "fold's size and positive-class rate against the global rate "
+        "- unbalanced folds inflate cross-validation variance and, "
+        "with rare positives, can leave a fold class-empty; this "
+        "census is the pre-flight check (and the evidence for "
+        "switching to stratified assignment when deviations are "
+        "material). One user-level collapse, exact integer counts, "
+        "IEEE rates against a 1-row total broadcast."
+    ),
+)
+def t89_fold_balance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+        "conv",
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("conv").cast("bigint").alias("c_all"),
+    )
+    rate = F.sum("conv").cast("double") / F.count(F.lit(1))
+    overall = F.col("c_all").cast("double") / F.col("n_all").cast("double")
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .groupBy("fold", "c_all", "n_all")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("conv").cast("bigint").alias("n_converters"),
+            rate.alias("fold_rate"),
+            (rate - overall).alias("rate_deviation"),
+        )
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "n_users",
+            "n_converters",
+            "fold_rate",
+            "rate_deviation",
+        )
+        .orderBy("fold")
+    )
