@@ -73,7 +73,8 @@ from xorbits_sql_spark.queries import load_all
 # lift, sole-source risk, nzv screen); t80..t82 (sketch error,
 # novelty share, higher moments); t83..t84 (decision stump,
 # temporal leakage); t85..t86 (forecast skill, watermark
-# lateness tradeoff); t87, t89 (Ljung-Box, fold balance).
+# lateness tradeoff); t87..t89 (Ljung-Box, state capacity plan,
+# fold balance).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

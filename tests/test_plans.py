@@ -319,6 +319,8 @@ _BNLJ_INTENDED = {
     "3-row lag grid and 1-row moment rows over the daily collapse)",
     "t89_fold_balance_audit": "scalar-broadcast (the 1-row global "
     "rate)",
+    "t88_state_capacity_planning": "scalar-broadcast (5-row delay "
+    "grid x 1-row key census — pure constant-size arithmetic)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

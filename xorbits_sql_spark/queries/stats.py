@@ -7404,3 +7404,66 @@ def t89_fold_balance_audit(
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "t88_state_capacity_planning",
+    """
+    WITH keys AS (
+      SELECT COUNT(DISTINCT event_type) AS n_keys,
+             COUNT(*) AS n_events FROM events
+    ),
+    grid AS (SELECT unnest([0, 1, 6, 24, 72]) AS delay_hours)
+    SELECT CAST(g.delay_hours AS INT) AS watermark_delay_hours,
+           CAST(k.n_keys * (g.delay_hours + 1) AS BIGINT)
+             AS est_state_rows,
+           CAST(k.n_keys * (g.delay_hours + 1) * 64 AS BIGINT)
+             AS est_state_bytes,
+           CAST(k.n_keys * (g.delay_hours + 1) AS DOUBLE)
+             / CAST(k.n_events AS DOUBLE) AS state_to_input_ratio
+    FROM grid g CROSS JOIN keys k
+    ORDER BY watermark_delay_hours
+    """,
+    tags=("events", "streaming", "design-audit"),
+    doc=(
+        "Streaming state capacity plan for the 1-hour tumbling "
+        "aggregation (q80's shape): retained state rows = distinct "
+        "keys x (watermark delay in hours + 1 open window), priced "
+        "at a stated 64 bytes/row (key + window + count + decimal "
+        "sum) - the other half of t86's tradeoff: t86 prices a "
+        "delay in DROPPED EVENTS, this prices it in STATE-STORE "
+        "bytes, and together they bracket the withWatermark choice "
+        "analytically before a single micro-batch runs. The "
+        "state_to_input ratio makes the headline point: windowed "
+        "state is bounded by keys x windows, never by event volume "
+        "- the property that lets q80 run on 100 TB/day. Pure "
+        "arithmetic over a 1-row key census and the 5-row grid."
+    ),
+)
+def t88_state_capacity_planning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    keys = ev.agg(
+        F.countDistinct("event_type").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    grid = spark.createDataFrame(
+        [(0,), (1,), (6,), (24,), (72,)], ["delay_hours"]
+    )
+    rows = F.col("n_keys") * (F.col("delay_hours") + 1)
+    return (
+        F.broadcast(grid)
+        .crossJoin(F.broadcast(keys))
+        .select(
+            F.col("delay_hours").cast("int").alias(
+                "watermark_delay_hours"
+            ),
+            rows.cast("bigint").alias("est_state_rows"),
+            (rows * 64).cast("bigint").alias("est_state_bytes"),
+            (rows.cast("double") / F.col("n_events").cast("double")).alias(
+                "state_to_input_ratio"
+            ),
+        )
+        .orderBy("watermark_delay_hours")
+    )
