@@ -2931,3 +2931,98 @@ def t72_entry_type_bounce(
         )
         .orderBy("entry_type")
     )
+
+
+@register(
+    "t91_event_order_violations",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               AS first_signup,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               AS first_view
+      FROM events GROUP BY user_id
+    )
+    SELECT 'purchase_before_signup' AS violation,
+           CAST(SUM(CASE WHEN first_purchase IS NOT NULL
+                          AND first_signup IS NOT NULL
+                          AND first_purchase < first_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+    FROM firsts
+    UNION ALL
+    SELECT 'purchase_before_view',
+           CAST(SUM(CASE WHEN first_purchase IS NOT NULL
+                          AND first_view IS NOT NULL
+                          AND first_purchase < first_view
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM firsts
+    UNION ALL
+    SELECT 'purchase_without_signup',
+           CAST(SUM(CASE WHEN first_purchase IS NOT NULL
+                          AND first_signup IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM firsts
+    ORDER BY violation
+    """,
+    tags=("events", "data-quality", "audit"),
+    doc=(
+        "Event-order violation audit: users whose first purchase "
+        "precedes their first signup or first view, or who purchase "
+        "without ever signing up - impossible under the product's "
+        "nominal funnel, so nonzero counts indicate instrumentation "
+        "bugs (missing events, clock skew, backfilled ids) that "
+        "silently corrupt every funnel/attribution metric downstream "
+        "(q99, s02, s18, t65). The causal-ordering member of the DQ "
+        "family (r48 column rules, t64 referential integrity). One "
+        "user-level collapse of conditional firsts; exact timestamp "
+        "comparisons."
+    ),
+)
+def t91_event_order_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+    )
+
+    def row(name, cond):
+        return firsts.agg(
+            F.lit(name).alias("violation"),
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_users"),
+        )
+
+    fp, fs, fv = (
+        F.col("first_purchase"),
+        F.col("first_signup"),
+        F.col("first_view"),
+    )
+    return (
+        row(
+            "purchase_before_signup",
+            fp.isNotNull() & fs.isNotNull() & (fp < fs),
+        )
+        .unionAll(
+            row(
+                "purchase_before_view",
+                fp.isNotNull() & fv.isNotNull() & (fp < fv),
+            )
+        )
+        .unionAll(
+            row("purchase_without_signup", fp.isNotNull() & fs.isNull())
+        )
+        .orderBy("violation")
+    )

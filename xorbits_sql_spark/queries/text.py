@@ -3970,3 +3970,123 @@ def t81_source_novelty_share(
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t90_dedup_review_queue",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM shingled
+      ) WHERE df <= 50
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ss FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT s.ia, s.ib,
+             CAST(s.sh AS DOUBLE) / (sa.ss + sb.ss - s.sh) AS j
+      FROM (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS sh
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) s
+      JOIN sizes sa ON sa.doc_id = s.ia
+      JOIN sizes sb ON sb.doc_id = s.ib
+      WHERE CAST(s.sh AS DOUBLE) / (sa.ss + sb.ss - s.sh) > 0.05
+    ),
+    sampled AS (
+      SELECT ia, ib, j,
+             ('0x' || substring(md5(ia::VARCHAR || '-' || ib::VARCHAR),
+                                1, 8))::BIGINT % 100 AS bucket
+      FROM pairs
+    )
+    SELECT s.ia AS doc_a, s.ib AS doc_b,
+           round(s.j, 6) AS jaccard,
+           substring(da.text, 1, 40) AS snippet_a,
+           substring(db.text, 1, 40) AS snippet_b
+    FROM sampled s
+    JOIN documents da ON da.doc_id = s.ia
+    JOIN documents db ON db.doc_id = s.ib
+    WHERE s.bucket < 40
+    ORDER BY s.ia, s.ib
+    LIMIT 10
+    """,
+    tags=("text", "dedup", "review"),
+    doc=(
+        "Human-review queue for near-duplicate decisions: a "
+        "DETERMINISTIC hash sample of candidate pairs above the "
+        "Jaccard threshold, each carrying its score and a 40-char "
+        "snippet of both documents - the QA artifact every "
+        "production dedup run ships alongside its deletions, so a "
+        "reviewer can spot-check borderline merges before the drop "
+        "is irreversible. Sampling hashes the PAIR key (md5 of "
+        "'ia-ib', the q77 discipline), so the same pairs surface on "
+        "every engine and every rerun - reviewable, reproducible, "
+        "auditable; snippets come from two dimension joins after "
+        "sampling (never before). Jaccard rounds to 6 for the "
+        "report."
+    ),
+)
+def t90_dedup_review_queue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.05,
+        partition_col=None,
+        max_df=50,
+    )
+    sampled = pairs.withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("id_a").cast("string"),
+                        F.lit("-"),
+                        F.col("id_b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100,
+    ).filter(F.col("bucket") < 40)
+    da = docs.select(
+        F.col("doc_id").alias("ia2"),
+        F.substring("text", 1, 40).alias("snippet_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("ib2"),
+        F.substring("text", 1, 40).alias("snippet_b"),
+    )
+    return (
+        sampled.join(da, F.col("id_a") == F.col("ia2"))
+        .join(db, F.col("id_b") == F.col("ib2"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+            "snippet_a",
+            "snippet_b",
+        )
+        .orderBy("doc_a", "doc_b")
+        .limit(10)
+    )
