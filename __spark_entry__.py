@@ -74,7 +74,8 @@ from xorbits_sql_spark.queries import load_all
 # novelty share, higher moments); t83..t84 (decision stump,
 # temporal leakage); t85..t86 (forecast skill, watermark
 # lateness tradeoff); t87..t89 (Ljung-Box, state capacity plan,
-# fold balance); t90..t91 (review queue, order violations).
+# fold balance); t90..t93 (review queue, order violations, Chao1,
+# dedup idempotence).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
 _DRIVER_GREEN = frozenset(

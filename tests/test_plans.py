@@ -321,6 +321,8 @@ _BNLJ_INTENDED = {
     "rate)",
     "t88_state_capacity_planning": "scalar-broadcast (5-row delay "
     "grid x 1-row key census — pure constant-size arithmetic)",
+    "t93_dedup_idempotence_audit": "scalar-broadcast (1-row "
+    "survivor/residual counts)",
 }
 
 _PLAN_SWEEP_SKIP_TAGS = {"streaming", "stateful"}

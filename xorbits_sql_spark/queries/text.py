@@ -4090,3 +4090,180 @@ def t90_dedup_review_queue(
         .orderBy("doc_a", "doc_b")
         .limit(10)
     )
+
+
+@register(
+    "t92_chao1_vocabulary_richness",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower({_NORM}), ' ')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> ''
+      GROUP BY tok
+    ),
+    f AS (
+      SELECT COUNT(*) AS v,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+      FROM counts
+    )
+    SELECT CAST(v AS BIGINT) AS observed_vocab,
+           CAST(f1 AS BIGINT) AS hapax_count,
+           CAST(f2 AS BIGINT) AS doubleton_count,
+           CAST(v AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+               / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1_estimate,
+           (CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+            / (2.0 * CAST(f2 + 1 AS DOUBLE)))
+           / (CAST(v AS DOUBLE)
+              + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+                / (2.0 * CAST(f2 + 1 AS DOUBLE))) AS unseen_share
+    FROM f
+    """,
+    tags=("text", "corpus-statistics", "estimation"),
+    doc=(
+        "Chao1 vocabulary richness estimate (bias-corrected form): "
+        "observed vocabulary plus F1*(F1-1)/(2*(F2+1)) from the hapax "
+        "and doubleton counts - defined even when doubletons are "
+        "absent (this synthetic corpus's tiny closed vocabulary) "
+        "- the nonparametric lower bound on TRUE vocabulary size "
+        "(Chao 1984, the ecology species-richness estimator), "
+        "answering 'how much vocabulary has this corpus NOT yet "
+        "shown us' - the abundance-based companion to t26's Heaps "
+        "growth fit and t07's capture-recapture (same inferential "
+        "move: unseen mass from overlap structure). Frequency-of-"
+        "frequency counts are exact integers from two token-stream "
+        "aggregations; the estimator is one IEEE expression."
+    ),
+)
+def t92_chao1_vocabulary_richness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(norm_ws(F.col("text"))), " ")).alias(
+            "tok"
+        )
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    f = counts.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    extra = (
+        d("f1") * (F.col("f1") - 1).cast("double")
+        / (2.0 * (F.col("f2") + 1).cast("double"))
+    )
+    return f.select(
+        F.col("v").cast("bigint").alias("observed_vocab"),
+        F.col("f1").cast("bigint").alias("hapax_count"),
+        F.col("f2").cast("bigint").alias("doubleton_count"),
+        (d("v") + extra).alias("chao1_estimate"),
+        (extra / (d("v") + extra)).alias("unseen_share"),
+    )
+
+
+@register(
+    "t93_dedup_idempotence_audit",
+    f"""
+    {_DUCK_CLUSTERS},
+    survivors AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN comp c ON c.id = d.doc_id
+      WHERE c.id IS NULL OR c.id = c.component
+    ),
+    s_shingled AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM (
+        SELECT doc_id, source, shingle FROM kept
+      ) sh JOIN survivors s ON s.doc_id = sh.doc_id
+    ),
+    s_sizes AS (
+      SELECT doc_id, COUNT(*) AS ss FROM s_shingled GROUP BY doc_id
+    ),
+    residual AS (
+      SELECT p.ia, p.ib,
+             CAST(p.sh AS DOUBLE) / (sa.ss + sb.ss - p.sh) AS j
+      FROM (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS sh
+        FROM s_shingled a JOIN s_shingled b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN s_sizes sa ON sa.doc_id = p.ia
+      JOIN s_sizes sb ON sb.doc_id = p.ib
+      WHERE CAST(p.sh AS DOUBLE) / (sa.ss + sb.ss - p.sh) > 0.05
+    )
+    SELECT CAST((SELECT COUNT(*) FROM survivors) AS BIGINT)
+             AS n_survivors,
+           CAST((SELECT COUNT(*) FROM residual) AS BIGINT)
+             AS residual_pairs_over_threshold
+    """,
+    tags=("text", "dedup-clusters", "idempotence"),
+    doc=(
+        "Dedup idempotence audit: after keep-one-per-cluster "
+        "(r63/t74's policy), re-run the SAME pair generation over "
+        "the survivors and count pairs still above the threshold - "
+        "a converged dedup finds few or none (note: not strictly "
+        "zero by construction, because connected components merge "
+        "via transitivity, so two kept representatives of once-"
+        "linked chains can themselves exceed the threshold; the "
+        "residual count IS the measure of that effect, and a large "
+        "one argues for a second pass). NOTE the cross-source "
+        "subtlety: pair generation here is global while the cluster "
+        "pass was source-partitioned, so residuals also expose "
+        "cross-source pairs the partitioned pass never saw. All "
+        "counts exact; the residual join reuses the bounded "
+        "inverted-index shape with the same max_df guard."
+    ),
+)
+def t93_dedup_idempotence_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.05,
+        partition_col="source",
+        max_df=50,
+    )
+    comps = connected_components(pairs)
+    dropped = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("drop_id")
+    )
+    survivors = docs.join(
+        dropped, docs["doc_id"] == dropped["drop_id"], "left_anti"
+    )
+    residual = ngram_jaccard_pairs(
+        survivors,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.05,
+        partition_col=None,
+        max_df=50,
+    )
+    n_surv = survivors.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors")
+    )
+    n_res = residual.agg(
+        F.count(F.lit(1))
+        .cast("bigint")
+        .alias("residual_pairs_over_threshold")
+    )
+    return n_surv.crossJoin(F.broadcast(n_res))
