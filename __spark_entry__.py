@@ -78,10 +78,21 @@ from xorbits_sql_spark.queries import load_all
 # dedup idempotence).
 # Keep adding new query names that sort before ``z`` so every round
 # verifies fresh work.
+#
+# Round 4: CORRECTNESS_r03 verified q57..q99 + r46..r50 + r55..r56
+# (45 green + 5 legitimate no_oracle rows, zero failures), so those
+# names join the rotated set. Additionally (round-3 verdict task #2)
+# entries WITHOUT a DuckDB oracle sort after all oracle-bearing ones,
+# so driver window slots go to hash-verifiable names first — the
+# window becomes the first 50 never-driver-verified oracle-bearing
+# names (r57.. + s-series), and rows-only entries queue behind the
+# full oracle-paired inventory.
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 23)]
-    + [f"q{i}" for i in range(30, 57)]
+    + [f"q{i}" for i in range(30, 100)]
     + ["q100"]
+    + [f"r{i}" for i in range(46, 51)]
+    + ["r55", "r56"]
 )
 
 
@@ -90,13 +101,16 @@ def _rotated(name: str) -> str:
 
 
 def _exposed(items):
-    """Registry items sorted by the exposed (rotated) key.
+    """Registry items sorted by (has-no-oracle, exposed rotated key).
 
     The driver consumes the first 50 entries in dict insertion order, so
     insertion order must equal rotated-lexical order for the z-rotation
     to actually advance the verification window (see comment above).
+    Oracle-bearing entries sort first so window slots are spent on
+    hash-verifiable names (round-3 verdict: 5/50 slots went to
+    ``no_oracle`` rows-only checks).
     """
-    return sorted(items, key=lambda kv: _rotated(kv[0]))
+    return sorted(items, key=lambda kv: (kv[1].oracle is None, _rotated(kv[0])))
 
 
 def entry(spark: SparkSession) -> DataFrame:

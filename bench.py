@@ -109,9 +109,51 @@ def main() -> None:
     }
     out.update(_vs_baseline(timings, total, sf_dir, streaming))
     _persist_snapshot(out)
-    print(json.dumps(out))
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the JSON from that tail — BENCH_r01..r03 all recorded "parsed":
+    # null because the full 334-query map overflows the capture. Print a
+    # compact headline line (fits the tail) and keep the complete
+    # per-query maps in the committed BENCH_LOCAL.json snapshot.
+    print(json.dumps(_compact(out), separators=(",", ":")))
     if failures:
         sys.exit(1)
+
+
+def _compact(out: dict) -> dict:
+    """Headline view of the bench result, sized to fit the driver's
+    2000-char stdout tail capture: totals, failures, baseline diff, the
+    TPC-H q01..q22 headline subset, and the 5 slowest queries. The full
+    per-query warm/cold maps live in BENCH_LOCAL.json."""
+    timings: dict[str, float] = out["queries"]
+    headline = {n: s for n, s in timings.items() if n[0] == "q" and n[1:3].isdigit() and int(n[1:3]) <= 22}
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    base = out.get("baseline", {})
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": out["n_queries"],
+        "value_cold": out["value_cold"],
+        "failures": dict(list(out["failures"].items())[:5]),
+        "n_failures": len(out["failures"]),
+        "queries": headline,
+        "slowest": slowest,
+        "full_results": "BENCH_LOCAL.json",
+    }
+    if base:
+        regs = base.get("regressions", {})
+        compact["baseline"] = {
+            "ratio": base.get("ratio"),
+            "shared_queries_sec": base.get("shared_queries_sec"),
+            "shared_baseline_sec": base.get("shared_baseline_sec"),
+            "n_new": len(base.get("new_queries", [])),
+            "regressions": dict(
+                sorted(regs.items(), key=lambda kv: -kv[1]["ratio"])[:5]
+            ),
+            "n_regressions": len(regs),
+        }
+    return compact
 
 
 def _timed(fn, spark, sf_dir: str, release_caches) -> float:

@@ -4,8 +4,10 @@ The driver verifies the FIRST 50 entries of ``queries()`` in dict
 insertion order (proven by CORRECTNESS_r02.json).  Round 2's rotation
 built the dict in canonical-name order, so 43 of 50 slots re-verified
 already-green queries.  These tests pin the fixed behavior: insertion
-order equals rotated-lexical order, and the round-3 window is exactly
-the 50 never-driver-verified names.
+order equals (has-no-oracle, rotated-lexical) order, and the round-4
+window is exactly the first 50 never-driver-verified oracle-bearing
+names (r57.. + s01..; rows-only entries queue behind the oracle-paired
+inventory per the round-3 verdict).
 """
 
 from __future__ import annotations
@@ -14,56 +16,76 @@ import importlib
 
 entry_mod = importlib.import_module("__spark_entry__")
 
-# Names with a green driver CORRECTNESS row in r01 or r02.
+# Names with a green driver CORRECTNESS row in r01, r02, or r03.
 _VERIFIED_PREFIXES = (
     {f"q{i:02d}" for i in range(1, 23)}
-    | {f"q{i}" for i in range(30, 57)}
+    | {f"q{i}" for i in range(30, 100)}
     | {"q100"}
-)
-
-_ROUND3_WINDOW_PREFIXES = (
-    [f"q{i}" for i in range(57, 100)]
-    + ["r46", "r47", "r48", "r49", "r50", "r55", "r56"]
+    | {f"r{i}" for i in range(46, 51)}
+    | {"r55", "r56"}
 )
 
 
 def test_first_50_insertion_order_are_never_verified():
     keys = list(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
     window = keys[:50]
     prefixes = [k.split("_", 1)[0] for k in window]
-    assert prefixes == _ROUND3_WINDOW_PREFIXES
+    # Round-4 window: first 50 oracle-bearing never-driver-verified
+    # names in lexical order (r57.. then s01..).
+    registry_fresh = sorted(k for k in keys if not k.startswith("z") and k in oracles)
+    assert window == registry_fresh[:50]
+    assert prefixes[0] == "r57"
     # None of the window entries is a rotated (already-green) name.
     assert not any(k.startswith("z") for k in window)
+    # Every window entry carries a full DuckDB value oracle (round-3
+    # verdict task #2: stop spending driver slots on rows-only checks).
+    assert all(k in oracles for k in window)
 
 
 def test_rotated_names_cover_all_driver_green():
     keys = list(entry_mod.queries())
     z_prefixes = {
-        "q" + k.split("_", 1)[0][1:] for k in keys if k.startswith("z")
+        k.split("_", 1)[0].replace("z", "", 1) for k in keys if k.startswith("z")
     }
-    assert z_prefixes == _VERIFIED_PREFIXES
+    # z-names come from both q- and r-prefixed originals; reconstruct
+    # which original each z-name maps to via _DRIVER_GREEN membership.
+    reconstructed = set()
+    for suffix in z_prefixes:
+        for pref in ("q", "r"):
+            if pref + suffix in entry_mod._DRIVER_GREEN:
+                reconstructed.add(pref + suffix)
+    assert reconstructed == _VERIFIED_PREFIXES == set(entry_mod._DRIVER_GREEN)
 
 
-def test_insertion_order_is_rotated_lexical():
+def test_insertion_order_is_no_oracle_last_then_lexical():
     keys = list(entry_mod.queries())
-    assert keys == sorted(keys)
+    oracles = set(entry_mod.oracle_sql())
+    expected = sorted(keys, key=lambda k: (k not in oracles, k))
+    assert keys == expected
+    # Within each oracle-group the order is lexical, so the rotation
+    # window advances deterministically round to round.
+    with_oracle = [k for k in keys if k in oracles]
+    assert with_oracle == sorted(with_oracle)
 
 
 def test_oracle_keys_subset_of_query_keys():
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert o <= q
-    # Window entries should overwhelmingly carry full value oracles.
-    window = list(entry_mod.queries())[:50]
-    missing = {k for k in window if k not in o}
-    # Only genuinely non-SQL-expressible ops may be rows-only: q82's
-    # custom float state accumulates in arrival order (not cross-engine
-    # bit-stable), q89/q93 are approximate sketches, q90/q91 decode
-    # binary media payloads.
-    assert missing == {
-        "q82_stream_running_totals",
-        "q89_distinct_sketch",
-        "q90_multimodal_features",
-        "q91_multimodal_frames",
-        "q93_approx_ntile",
-    }, missing
+    # Rows-only entries are the genuinely non-SQL-expressible ops only:
+    # custom stateful streaming (arrival-order float state), approximate
+    # sketches, BPE's iterative merge learning, and binary media
+    # decoding.  Pinned exactly so a new query can't silently ship
+    # without an oracle.
+    assert q - o == {
+        "s47_bpe_learn_merges",
+        "s68_stream_welford_anomalies",
+        "s81_hll_sketch_rollup",
+        "t52_stream_window_percentiles",
+        "z82_stream_running_totals",
+        "z89_distinct_sketch",
+        "z90_multimodal_features",
+        "z91_multimodal_frames",
+        "z93_approx_ntile",
+    }
