@@ -775,3 +775,41 @@ def test_hll_rollup_merge_equals_direct(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_capped_group_rows_bounds_hot_key_wedge(spark):
+    """Synthetic hot-order bound (round-3 verdict #6): one power-law key
+    with 500 lines must contribute at most cap rows to the basket (so
+    the wedge self-join is bounded at cap^2 per key), while small
+    groups pass through untouched and the kept rows are the
+    deterministic (order) prefix."""
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.queries._util import capped_group_rows
+
+    rows = [(1, p, p) for p in range(500)]  # hot order: 500 lines
+    rows += [(2, p, p) for p in range(5)]  # normal basket
+    df = spark.createDataFrame(
+        rows, "l_orderkey int, l_partkey int, l_linenumber int"
+    )
+    capped = capped_group_rows(
+        df, key="l_orderkey", order=("l_partkey", "l_linenumber"), cap=64
+    )
+    per_key = {
+        r["l_orderkey"]: r["n"]
+        for r in capped.groupBy("l_orderkey").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_key == {1: 64, 2: 5}
+    # Deterministic prefix: the 64 smallest partkeys survive.
+    kept = sorted(
+        r["l_partkey"] for r in capped.filter("l_orderkey = 1").collect()
+    )
+    assert kept == list(range(64))
+    # Wedge join on the capped basket is bounded at C(cap,2) per key.
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).count()
+    assert pairs == 64 * 63 // 2 + 5 * 4 // 2

@@ -78,3 +78,29 @@ def disc_price() -> Column:
 
 
 SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def capped_group_rows(
+    df: DataFrame, key: str | list[str], order: tuple[str, ...], cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key`` group, deterministically.
+
+    The guard that makes group-local self-joins (wedge joins, per-basket
+    pair generation) safe on power-law keys: each group contributes at
+    most cap² join rows regardless of its true size. ``order`` must be a
+    total order within the group (include a unique tie-breaker column)
+    so Spark and a SQL oracle keep the *same* rows — mirror with
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order) <= cap``.
+
+    Cost at scale: one window shuffle on ``key`` — the same partitioning
+    the downstream self-join needs, so Catalyst reuses the exchange.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
