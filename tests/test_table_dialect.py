@@ -157,7 +157,32 @@ def test_tsql_top_unsupported_forms_raise():
     with pytest.raises(UnsupportedError):
         transpile("SELECT TOP 10 PERCENT x FROM t", "tsql")
     with pytest.raises(UnsupportedError):
-        transpile("SELECT * FROM (SELECT TOP 5 x FROM t) s", "tsql")
+        transpile("SELECT TOP 5 WITH TIES x FROM t ORDER BY x", "tsql")
+    with pytest.raises(UnsupportedError):
+        # two TOPs in the SAME scope is malformed
+        transpile("SELECT TOP 5 TOP 3 x FROM t", "tsql")
+
+
+@pytestmark_fallback
+def test_tsql_top_in_subquery_rewrites(spark):
+    """Round-3 verdict #4: TOP inside a subquery now rewrites in its own
+    scope (the LIMIT lands at the subquery's end), and independent TOPs
+    in different scopes coexist."""
+    pdf = pd.DataFrame({"x": list(range(10))})
+    got = execute(
+        "SELECT x FROM (SELECT TOP 4 x FROM t ORDER BY x DESC) s WHERE x > 6",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted(r["x"] for r in got) == [7, 8, 9]
+    got2 = execute(
+        "SELECT TOP 2 x FROM (SELECT TOP 5 x FROM t ORDER BY x) s ORDER BY x DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert [r["x"] for r in got2] == [4, 3]
 
 
 @pytestmark_fallback
@@ -249,19 +274,60 @@ def test_qualify_matches_duckdb(spark, q):
 
 
 @pytest.mark.skipif(has_sqlglot(), reason="fallback-only guards")
-@pytest.mark.parametrize(
-    "q",
-    [
-        "SELECT * FROM (SELECT k, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1)",
-        "SELECT DISTINCT k, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1",
-        "SELECT *, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1",
-        "SELECT k, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1 "
-        "UNION ALL SELECT k, 1 FROM t",
-    ],
-)
-def test_qualify_unsupported_forms_raise(q):
+def test_qualify_unsupported_forms_raise():
+    # QUALIFY feeding a set operation still raises (the wrapper would
+    # change which branch the ORDER BY/LIMIT tail binds to).
     with pytest.raises(UnsupportedError):
-        transpile(q, "duckdb")
+        transpile(
+            "SELECT k, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1 "
+            "UNION ALL SELECT k, 1 FROM t",
+            "duckdb",
+        )
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_qualify_nested_and_distinct_and_star(spark):
+    """Round-3 verdict #4: QUALIFY in a subquery/CTE rewrites in its own
+    scope; DISTINCT hoists to the outer select (QUALIFY evaluates before
+    DISTINCT in duckdb/snowflake); a bare * is safe because the helper
+    column is excluded from the outer projection."""
+    pdf = pd.DataFrame({"k": [0, 0, 1, 1, 2], "b": [1, 2, 3, 4, 5]})
+    # subquery placement
+    got = execute(
+        "SELECT s.k, s.b FROM (SELECT k, b FROM t QUALIFY ROW_NUMBER() "
+        "OVER (PARTITION BY k ORDER BY b) = 1) s ORDER BY s.k",
+        tables={"t": pdf},
+        dialect="duckdb",
+        spark=spark,
+    ).collect()
+    assert [(r["k"], r["b"]) for r in got] == [(0, 1), (1, 3), (2, 5)]
+    # CTE placement
+    got = execute(
+        "WITH w AS (SELECT k, b FROM t QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY b DESC) = 1) SELECT k, b FROM w ORDER BY k",
+        tables={"t": pdf},
+        dialect="snowflake",
+        spark=spark,
+    ).collect()
+    assert [(r["k"], r["b"]) for r in got] == [(0, 2), (1, 4), (2, 5)]
+    # DISTINCT: dedup happens AFTER the qualify filter, over original cols
+    got = execute(
+        "SELECT DISTINCT k FROM t QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY b) <= 2 ORDER BY k",
+        tables={"t": pdf},
+        dialect="duckdb",
+        spark=spark,
+    ).collect()
+    assert [r["k"] for r in got] == [0, 1, 2]
+    # bare * select list: __qualify must not leak
+    got = execute(
+        "SELECT * FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY b DESC) <= 2",
+        tables={"t": pdf},
+        dialect="duckdb",
+        spark=spark,
+    )
+    assert sorted(got.columns) == ["b", "k"]
+    assert sorted(r["b"] for r in got.collect()) == [4, 5]
 
 
 @pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")

@@ -193,11 +193,50 @@ def _rewrite_words(
     ]
 
 
+def _for_each_scope(
+    tokens: list[tuple[str, str]],
+    fn: Callable[[list[tuple[str, str]]], list[tuple[str, str]]],
+) -> list[tuple[str, str]]:
+    """Apply a single-scope structural rewrite to every parenthesized
+    scope (innermost first), then to the top level.
+
+    This is what makes the TOP / QUALIFY rewrites compose into nested
+    placements (TOP in a subquery, QUALIFY in a CTE body): each scope's
+    ``fn`` invocation sees its own clause at depth 0 and treats deeper
+    tokens as opaque — by the time an outer scope runs, its subqueries
+    have already been rewritten. Unbalanced parens pass through
+    untouched; Spark's parser reports those."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if tokens[i] == ("op", "("):
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if tokens[j] == ("op", "("):
+                    depth += 1
+                elif tokens[j] == ("op", ")"):
+                    depth -= 1
+                j += 1
+            if depth:
+                return out + tokens[i:]
+            out.append(("op", "("))
+            out += _for_each_scope(tokens[i + 1 : j - 1], fn)
+            out.append(("op", ")"))
+            i = j
+        else:
+            out.append(tokens[i])
+            i += 1
+    return fn(out)
+
+
 def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """tsql ``SELECT TOP n ...`` → ``SELECT ... LIMIT n`` (outermost query
-    only). Anything the rewrite can't carry faithfully — TOP in a
-    subquery, TOP PERCENT, WITH TIES, an existing LIMIT — raises rather
-    than silently changing the row set."""
+    """tsql ``SELECT TOP n ...`` → ``SELECT ... LIMIT n`` within ONE
+    query scope. Applied through ``_for_each_scope`` so TOP inside a
+    subquery / CTE body rewrites in its own scope (the LIMIT lands at
+    that scope's end, where it is semantically equivalent). Anything the
+    rewrite can't carry faithfully — TOP PERCENT, WITH TIES, TOP and
+    LIMIT in the same scope — raises rather than silently changing the
+    row set."""
     depth = 0
     top_at: int | None = None
     n_tokens: list[tuple[str, str]] = []
@@ -212,11 +251,11 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             if j is None or tokens[j][0] not in ("number", "op"):
                 continue  # TOP used as an identifier with no count
             if depth > 0:
-                raise UnsupportedError(
-                    "TOP inside a subquery is not supported without sqlglot"
-                )
+                continue  # inner scope: _for_each_scope already ran there
             if top_at is not None:
-                raise UnsupportedError("multiple TOP clauses without sqlglot")
+                raise UnsupportedError(
+                    "multiple TOP clauses in one query scope"
+                )
             if tokens[j][1] == "(":  # TOP (n)
                 k = _next_code(tokens, j)
                 close = _next_code(tokens, k) if k is not None else None
@@ -264,18 +303,21 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
 
 def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """``SELECT cols FROM ... QUALIFY pred [tail]`` →
-    ``SELECT * FROM (SELECT cols, (pred) AS __qualify FROM ...) WHERE
-    __qualify [tail]`` (duckdb/snowflake/bigquery/clickhouse post-window
-    filter; Spark has no QUALIFY clause).
+    ``SELECT * EXCEPT (__qualify) FROM (SELECT cols, (pred) AS
+    __qualify FROM ...) WHERE __qualify [tail]`` (duckdb/snowflake/
+    bigquery/clickhouse post-window filter; Spark has no QUALIFY
+    clause), applied per query scope through ``_for_each_scope`` so
+    QUALIFY inside a subquery or CTE body rewrites in place.
 
     Window functions cannot appear in WHERE, so the predicate is hoisted
     into the projection and filtered one level up; ORDER BY / LIMIT
     after QUALIFY move outside the wrapper, where they logically apply.
-    Only the faithful cases rewrite — QUALIFY in a subquery, with
-    SELECT DISTINCT (the rewrite would dedup before filtering and over
-    the helper column), with a depth-0 ``*`` in the select list (the
-    wrapper would leak ``__qualify``), or feeding a set operation —
-    all raise instead of silently changing semantics.
+    ``SELECT DISTINCT`` hoists the DISTINCT to the OUTER select (the
+    source dialects evaluate QUALIFY before DISTINCT, and the helper
+    column is excluded from the outer projection so dedup sees exactly
+    the original columns); a bare ``*`` select list is fine for the same
+    reason. QUALIFY feeding a set operation still raises instead of
+    silently changing semantics.
     """
     depth = 0
     q_at: int | None = None
@@ -286,17 +328,18 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             depth -= 1
         elif kind == "word" and text.upper() == "QUALIFY":
             if depth > 0:
-                raise UnsupportedError(
-                    "QUALIFY inside a subquery is not supported without sqlglot"
-                )
+                continue  # inner scope: _for_each_scope already ran there
             if q_at is not None:
-                raise UnsupportedError("multiple QUALIFY clauses without sqlglot")
+                raise UnsupportedError(
+                    "multiple QUALIFY clauses in one query scope"
+                )
             q_at = i
     if q_at is None:
         return tokens
 
     select_at: int | None = None
     from_at: int | None = None
+    distinct_at: int | None = None
     depth = 0
     for i, (kind, text) in enumerate(tokens[:q_at]):
         if kind == "op" and text == "(":
@@ -309,17 +352,9 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
                 select_at = i
                 j = _next_code(tokens, i)
                 if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() == "DISTINCT":
-                    raise UnsupportedError(
-                        "QUALIFY with SELECT DISTINCT is not supported without sqlglot"
-                    )
+                    distinct_at = j
             elif up == "FROM" and select_at is not None and from_at is None:
                 from_at = i
-        elif kind == "op" and text == "*" and depth == 0 and select_at is not None and from_at is None:
-            prev = [k for k in _iter_code(tokens[:i])]
-            if not prev or tokens[prev[-1]][1] != ".":
-                raise UnsupportedError(
-                    "QUALIFY with * in the select list is not supported without sqlglot"
-                )
     if select_at is None or from_at is None:
         raise UnsupportedError("could not locate SELECT ... FROM for QUALIFY rewrite")
 
@@ -347,9 +382,13 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
 
     out: list[tuple[str, str]] = []
     out += tokens[:select_at]
+    out += [("word", "SELECT"), ("ws", " ")]
+    if distinct_at is not None:
+        # QUALIFY is evaluated BEFORE DISTINCT in the source dialects:
+        # filter inside the wrapper, dedup outside it (over the original
+        # columns only — __qualify is excluded from the projection).
+        out += [("word", "DISTINCT"), ("ws", " ")]
     out += [
-        ("word", "SELECT"),
-        ("ws", " "),
         ("op", "*"),
         ("ws", " "),
         ("word", "EXCEPT"),
@@ -362,7 +401,11 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
         ("ws", " "),
         ("op", "("),
     ]
-    out += tokens[select_at:from_at]
+    out += [
+        tok
+        for idx, tok in enumerate(tokens[select_at:from_at], start=select_at)
+        if idx != distinct_at
+    ]
     out += [("op", ","), ("ws", " "), ("op", "(")] + pred + [("op", ")"), ("ws", " "), ("word", "AS"), ("ws", " "), ("word", "__qualify"), ("ws", " ")]
     out += tokens[from_at:q_at]
     out += [("op", ")"), ("ws", " "), ("word", "WHERE"), ("ws", " "), ("word", "__qualify"), ("ws", " ")]
@@ -1138,7 +1181,7 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
             tokens,
             {"GETDATE": "CURRENT_TIMESTAMP", "ISNULL": "COALESCE", "LEN": "LENGTH"},
         )
-        tokens = _rewrite_top(tokens)
+        tokens = _for_each_scope(tokens, _rewrite_top)
     if dialect == "mysql":
         tokens = _rewrite_mysql_limit(tokens)
     if dialect in ("oracle", "snowflake"):
@@ -1176,7 +1219,7 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
         tokens = _rewrite_strftime(tokens)
         tokens = _rewrite_cast_funcs(tokens, {"DATETIME": "TIMESTAMP"})
     if dialect == "teradata":
-        tokens = _rewrite_top(tokens)
+        tokens = _for_each_scope(tokens, _rewrite_top)
     if dialect in ("snowflake", "tsql"):
         tokens = _rewrite_dateadd_datediff(tokens)
     if dialect == "snowflake":
@@ -1204,7 +1247,7 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
             },
         )
     if dialect in ("duckdb", "snowflake", "bigquery", "clickhouse", "teradata"):
-        tokens = _rewrite_qualify(tokens)
+        tokens = _for_each_scope(tokens, _rewrite_qualify)
     # `expr::type` cast shorthand (postgres/duckdb) parses natively in
     # Spark 4 — no rewrite needed.
     return "".join(t for _, t in tokens)

@@ -19,6 +19,130 @@ from ..core import execute
 
 
 @register(
+    "q23_execute_top_nested",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal
+    FROM (SELECT c_mktsegment, c_acctbal FROM customer
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 50) s
+    GROUP BY c_mktsegment
+    ORDER BY n DESC, c_mktsegment
+    LIMIT 5
+    """,
+    tags=("execute-api", "dialect", "tsql"),
+    doc=(
+        "Nested TOP (round-3 verdict #4): tsql TOP in a subquery AND the "
+        "outer query, through execute(dialect='tsql'). The fallback "
+        "transpiler (dialect.py _for_each_scope + _rewrite_top) rewrites "
+        "each TOP within its own paren scope to a scope-final LIMIT — "
+        "the placement the reference gets from sqlglot "
+        "(reference core.py:102). Deterministic inner order via the "
+        "(acctbal DESC, custkey) tiebreak."
+    ),
+)
+def q23_execute_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT TOP 5 [c_mktsegment],
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS bal
+    FROM (SELECT TOP 50 c_mktsegment, c_acctbal FROM customer
+          ORDER BY c_acctbal DESC, c_custkey) s
+    GROUP BY c_mktsegment
+    ORDER BY n DESC, c_mktsegment
+    """
+    return execute(
+        sql,
+        dialect="tsql",
+        tables={"customer": t(spark, sf_dir, "customer")},
+        spark=spark,
+    )
+
+
+@register(
+    "q24_execute_qualify_cte",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS top_order_value
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("execute-api", "dialect", "snowflake", "window"),
+    doc=(
+        "QUALIFY inside a CTE body (round-3 verdict #4): snowflake's "
+        "top-order-per-customer idiom through "
+        "execute(dialect='snowflake'). The scoped QUALIFY rewrite "
+        "(dialect.py _for_each_scope + _rewrite_qualify) hoists the "
+        "window predicate into a wrapped projection inside the CTE's own "
+        "scope — the most common remaining UnsupportedError a snowflake "
+        "user hit per the round-3 verdict."
+    ),
+)
+def q24_execute_qualify_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS top_order_value
+    FROM ranked
+    """
+    return execute(
+        sql,
+        dialect="snowflake",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "q25_execute_qualify_distinct",
+    """
+    SELECT DISTINCT o_orderstatus FROM (
+      SELECT o_orderstatus,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) f
+    WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("execute-api", "dialect", "duckdb", "window"),
+    doc=(
+        "QUALIFY with SELECT DISTINCT (round-3 verdict #4): the distinct "
+        "statuses of each customer's FIRST order, through "
+        "execute(dialect='duckdb'). QUALIFY evaluates before DISTINCT in "
+        "the source dialects, so the rewrite filters inside the wrapper "
+        "and hoists DISTINCT to the outer select over the original "
+        "columns only (the __qualify helper column is excluded)."
+    ),
+)
+def q25_execute_qualify_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT DISTINCT o_orderstatus
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    ORDER BY o_orderstatus
+    """
+    return execute(
+        sql,
+        dialect="duckdb",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
     "q30_distinct",
     "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
     tags=("distinct",),
