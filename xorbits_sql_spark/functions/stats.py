@@ -1,0 +1,129 @@
+"""Shared statistical expression helpers for the query inventory.
+
+Hoisted from the query registry modules (round-3 verdict #7) where the
+same three patterns had been re-implemented per query: the fixed-point
+integer-ln guard, positional (exact) medians, and fixed-point OLS/
+Pearson moment aggregation.  Each helper preserves the exact arithmetic
+spelling the DuckDB oracles mirror, so adopting one at a call site
+cannot perturb a hash-grade comparison.
+
+Cross-engine determinism contract (see queries/__init__.py): libm
+functions (ln) differ across engines in the last ulp, so transcendental
+results are pinned to 1e-6 fixed point BEFORE any summation; sums run
+over exact integers/decimals; the final statistic is one
+identically-spelled IEEE-double expression on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_DEC38 = "decimal(38,0)"
+
+
+def iln6(col: Column) -> Column:
+    """ln of a positive integer expression, pinned to 1e-6 fixed point.
+
+    ``round(ln(x) * 1e6)`` as BIGINT: the one safe way to aggregate
+    logarithms across engines — Spark's and DuckDB's libm agree on well
+    over the first 6 decimal places, so the rounded integer is
+    bit-identical on both sides and the downstream SUM is exact.
+    SQL mirror: ``sql_iln6``.
+    """
+    return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+
+def sql_iln6(expr: str) -> str:
+    """DuckDB spelling of ``iln6`` for oracle strings."""
+    return f"CAST(round(ln(CAST({expr} AS DOUBLE)) * 1e6) AS BIGINT)"
+
+
+def positional_median(
+    df: DataFrame,
+    value: str,
+    part_cols: tuple[str, ...] = (),
+    alias: str = "median",
+    tiebreak: tuple[str, ...] = (),
+    n_alias: str | None = None,
+) -> DataFrame:
+    """EXACT (per-group) median via positional selection.
+
+    Ranks rows within each group by ``(value, *tiebreak)`` — pass a
+    unique tiebreak for a deterministic total order — and averages the
+    one/two middle elements: rows ``floor((n+1)/2)`` and
+    ``floor(n/2)+1`` (equal when n is odd).  SQL mirror::
+
+        ROW_NUMBER() OVER (... ORDER BY value) AS rn,
+        COUNT(*) OVER (...) AS n
+        ... WHERE rn IN ((n+1)//2, (n+2)//2) → AVG / (MIN+MIN)/2
+
+    (sum-of-middles / count is IEEE-identical to ``(a+b)/2`` — division
+    by 2 is exact — so either oracle spelling matches.)
+
+    Scale shape: one window shuffle on ``part_cols`` + per-group sort —
+    the unavoidable cost of an exact median; no driver-side collection.
+    A global median (``part_cols=()``) moves all rows through a single
+    partition: fine for already-collapsed series (daily aggregates,
+    bootstrap replicates), wrong for raw event volumes — pre-aggregate
+    first, as every adopter in the inventory does.
+    """
+    w = W.partitionBy(*part_cols)
+    order = [value, *tiebreak]
+    ranked = df.select(
+        *part_cols,
+        value,
+        F.row_number().over(w.orderBy(*order)).alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    lo = F.floor((F.col("__n") + 1) / 2.0).cast("bigint")
+    hi = F.floor(F.col("__n") / 2.0).cast("bigint") + 1
+    mid = ranked.filter((F.col("__rn") == lo) | (F.col("__rn") == hi))
+    aggs = []
+    if n_alias:
+        aggs.append(F.max("__n").cast("bigint").alias(n_alias))
+    aggs.append((F.sum(value) / F.count(F.lit(1))).alias(alias))
+    return mid.groupBy(*part_cols).agg(*aggs) if part_cols else mid.agg(*aggs)
+
+
+def moments_xy(
+    df: DataFrame,
+    part_cols: tuple[str, ...] = (),
+    with_syy: bool = False,
+) -> DataFrame:
+    """Exact fixed-point moment sums for OLS / Pearson statistics.
+
+    Aggregates integer columns ``x``/``y`` into ``k, sx, sy, sxy, sxx``
+    (plus ``syy`` when requested) accumulated in DECIMAL(38,0) — exact
+    and order-independent at any cluster size.  Combine with
+    ``ols_slope`` / ``pearson_r`` for the final IEEE expression.  SQL
+    mirror: ``SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy`` etc.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(_DEC38)).alias("sx"),
+        F.sum(F.col("y").cast(_DEC38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC38)).alias("sxx"),
+    ]
+    if with_syy:
+        aggs.append(F.sum((F.col("y") * F.col("y")).cast(_DEC38)).alias("syy"))
+    return df.groupBy(*part_cols).agg(*aggs) if part_cols else df.agg(*aggs)
+
+
+def ols_slope(kd: Column, sx: Column, sy: Column, sxy: Column, sxx: Column) -> Column:
+    """OLS slope from (already-scaled) moment columns:
+    ``(k*Sxy - Sx*Sy) / (k*Sxx - Sx^2)`` — the exact spelling every
+    oracle mirrors; pass pre-divided Columns to keep scaling identical."""
+    return (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+
+
+def pearson_r(
+    kd: Column, sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column
+) -> Column:
+    """Pearson correlation from moment columns:
+    ``(k*Sxy - Sx*Sy) / (sqrt(k*Sxx - Sx^2) * sqrt(k*Syy - Sy^2))``."""
+    return (kd * sxy - sx * sy) / (
+        F.sqrt(kd * sxx - sx * sx) * F.sqrt(kd * syy - sy * sy)
+    )

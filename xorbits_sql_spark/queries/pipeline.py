@@ -10,6 +10,7 @@ from pyspark.sql.window import Window as W
 from . import register
 from ._util import t
 from .text import _DUCK_CLUSTERS, _NORM, _NTOK
+from ..functions.stats import iln6
 from ..functions.text import quality_score
 from ..multimodal import attach_fake_media, extract_media_features
 from ..operators.dedup import simhash_pairs
@@ -2194,8 +2195,7 @@ def s94_dsir_importance_resample(
     )
     tots = hist.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
 
-    def fxln(col):
-        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+    fxln = iln6  # shared fixed-point ln guard (functions/stats.py)
 
     w = hist.crossJoin(F.broadcast(tots)).select(
         "b",

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window as W
 
 from . import register
 from ._util import t
+from ..functions.stats import iln6, moments_xy, ols_slope, pearson_r, positional_median
 from ..functions.text import norm_ws, token_count
 
 # DuckDB fragments mirroring functions/text.py (same as queries/text.py)
@@ -682,23 +683,16 @@ def s76_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy(F.desc("n"), "tok")).alias("r"), "n"
     )
     ints = ranked.select(
-        F.round(F.log(F.col("r").cast("double")) * 1e6).cast("bigint").alias("x"),
-        F.round(F.log(F.col("n").cast("double")) * 1e6).cast("bigint").alias("y"),
+        iln6(F.col("r")).alias("x"),
+        iln6(F.col("n")).alias("y"),
     )
-    dec = "decimal(38,0)"
-    m = ints.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-    )
+    m = moments_xy(ints)
     kd = F.col("k").cast("double")
     sx = F.col("sx").cast("double") / 1e6
     sy = F.col("sy").cast("double") / 1e6
     sxy = F.col("sxy").cast("double") / 1e12
     sxx = F.col("sxx").cast("double") / 1e12
-    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    slope = ols_slope(kd, sx, sy, sxy, sxx)
     intercept = (sy - slope * sx) / kd
     return m.select(
         F.col("k").cast("bigint").alias("n_ranks"),
@@ -954,24 +948,13 @@ def s79_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def s80_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wtype = W.partitionBy("event_type")
-    ranked = t(spark, sf_dir, "events").select(
-        "event_type",
+    return positional_median(
+        t(spark, sf_dir, "events").select("event_type", "value"),
         "value",
-        F.row_number().over(wtype.orderBy("value")).alias("rn"),
-        F.count(F.lit(1)).over(wtype).alias("n"),
-    )
-    lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
-    hi = F.floor(F.col("n") / 2.0).cast("bigint") + 1
-    return (
-        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
-        .groupBy("event_type")
-        .agg(
-            F.max("n").cast("bigint").alias("n"),
-            (F.sum("value") / F.count(F.lit(1))).alias("median"),
-        )
-        .orderBy("event_type")
-    )
+        part_cols=("event_type",),
+        alias="median",
+        n_alias="n",
+    ).orderBy("event_type")
 
 
 @register(
@@ -1514,8 +1497,7 @@ def s90_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = train.agg(F.countDistinct("tok").alias("v"))
     n_train = train.agg(F.countDistinct("doc_id").alias("n"))
 
-    def fxln(col) -> "F.Column":
-        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+    fxln = iln6  # shared fixed-point ln guard (functions/stats.py)
 
     grid = (
         test.crossJoin(F.broadcast(totals))
@@ -1715,22 +1697,12 @@ def s93_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lag", F.col("views").alias("x"), F.col("purchases").alias("y"))
     )
-    dec = "decimal(38,0)"
-    m = pairs.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
-    )
+    m = moments_xy(pairs, part_cols=("lag",), with_syy=True)
     kd = F.col("k").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    r = (kd * sxy - sx * sy) / (
-        F.sqrt(kd * sxx - sx * sx) * F.sqrt(kd * syy - sy * sy)
-    )
+    r = pearson_r(kd, sx, sy, sxy, sxx, syy)
     return m.select(
         F.col("lag").cast("int").alias("lag"),
         F.col("k").cast("bigint").alias("n_days"),
@@ -1918,8 +1890,7 @@ def s98_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dur", "d", F.sum("c_all").over(wdesc).alias("n_risk")
     )
 
-    def fxln(col):
-        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+    fxln = iln6  # shared fixed-point ln guard (functions/stats.py)
 
     km = risk.filter(F.col("d") > 0).select(
         "dur",
@@ -2604,30 +2575,12 @@ def t10_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.i") - F.col("a.i")).cast("double")
         ).alias("m"),
     )
-    ranked = slopes.select(
+    return positional_median(
+        slopes,
         "m",
-        F.row_number().over(W.orderBy("m", "i", "j")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("k"),
-    )
-    return ranked.agg(
-        F.max("k").cast("bigint").alias("n_pairs"),
-        (
-            (
-                F.min(
-                    F.when(
-                        F.col("rn") == F.floor((F.col("k") + 1) / 2),
-                        F.col("m"),
-                    )
-                )
-                + F.min(
-                    F.when(
-                        F.col("rn") == F.floor((F.col("k") + 2) / 2),
-                        F.col("m"),
-                    )
-                )
-            )
-            / 2.0
-        ).alias("theil_sen_slope"),
+        alias="theil_sen_slope",
+        tiebreak=("i", "j"),
+        n_alias="n_pairs",
     )
 
 
@@ -3111,8 +3064,10 @@ def t17_degree_assortativity(
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
     )
     k, sx = F.col("k").cast("double"), F.col("sx").cast("double")
-    r = (k * F.col("sxy").cast("double") - sx * sx) / (
-        k * F.col("sxx").cast("double") - sx * sx
+    # symmetric stub list: the y marginal coincides with x, so the
+    # assortativity is ols_slope with sy = sx
+    r = ols_slope(
+        k, sx, sx, F.col("sxy").cast("double"), F.col("sxx").cast("double")
     )
     return m.select(
         (F.col("k") / 2).cast("bigint").alias("n_edges"),
@@ -4053,20 +4008,7 @@ def t29_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    ranked = daily.select(
-        "x",
-        F.row_number().over(W.orderBy("x", "day")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
-    lo = F.floor((F.col("n") + 1) / 2)
-    hi = F.floor((F.col("n") + 2) / 2)
-    is_mid = (F.col("rn") == lo) | (F.col("rn") == hi)
-    med = ranked.agg(
-        (
-            F.sum(F.when(is_mid, F.col("x")).otherwise(0)).cast("double")
-            / F.sum(F.when(is_mid, 1).otherwise(0)).cast("double")
-        ).alias("m")
-    )
+    med = positional_median(daily, "x", alias="m", tiebreak=("day",))
     signs = (
         daily.crossJoin(F.broadcast(med))
         .filter(F.col("x").cast("double") != F.col("m"))
@@ -5254,8 +5196,7 @@ def t44_geometric_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prev_x"),
     )
 
-    def fxln(col):
-        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+    fxln = iln6  # shared fixed-point ln guard (functions/stats.py)
 
     terms = lagged.filter(F.col("prev_x").isNotNull()).select(
         "event_type",

@@ -14,6 +14,7 @@ from pyspark.sql.window import Window as W
 
 from . import register
 from ._util import t
+from ..functions.stats import iln6
 from ..functions.text import add_lang_guess, fingerprint, norm_ws, token_count
 from ..operators.dedup import (
     exact_dedup_groups,
@@ -2897,8 +2898,7 @@ def t26_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def fxln(col):
-        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+    fxln = iln6  # shared fixed-point ln guard (functions/stats.py)
 
     pts = grid.select(
         fxln(F.col("cum_tok")).alias("lx"),
@@ -3013,8 +3013,7 @@ def t32_log_odds_distinguishing_terms(
         F.count(F.lit(1)).alias("v"),
     )
 
-    def fxln(col):
-        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+    fxln = iln6  # shared fixed-point ln guard (functions/stats.py)
 
     scored = counts.crossJoin(F.broadcast(tot)).select(
         "tok",
@@ -3201,8 +3200,7 @@ def t47_bigram_pmi_collocations(
         .filter(F.col("c12") >= 5)
     )
 
-    def fxln(col):
-        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+    fxln = iln6  # shared fixed-point ln guard (functions/stats.py)
 
     scored = (
         bi.join(
@@ -3515,8 +3513,7 @@ def t69_js_divergence_matrix(
         .filter(F.col("ca") + F.col("cb") > 0)
     )
 
-    def fxln(col):
-        return F.round(F.log(col.cast("double")) * 1e6).cast("bigint")
+    fxln = iln6  # shared fixed-point ln guard (functions/stats.py)
 
     m_num = F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")
     terms = pairs.groupBy("src_a", "src_b", "na", "nb").agg(
