@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+"""N-times scale rehearsal for the heavy dedup/CC/ANN operator tier.
+
+Round-3 verdict task #5: the 10x rehearsal showed fixed-overhead
+dominance; at 100x (sf1-equivalent: 500k documents, 200k embeddings)
+the shuffle tiers should start to bind and validate — or falsify — the
+"orders-of-magnitude headroom" claim, especially connected-components
+round count on a dup graph with ~100-member duplicate cliques and the
+MinHash band-index build.
+
+Corpus construction (deterministic, no RNG): every base document from
+$BASE_SF_DIR spawns ``mult`` near-dup variants (variant v replaces the
+(v mod n)-th word with a marker token, keeping shingle overlap high so
+the dup graph is DENSER per doc than production, not just bigger);
+embeddings get a small deterministic per-variant perturbation on one
+coordinate. Written once to parquet under --out so every pipeline reads
+real files, like production.
+
+Measured per pipeline (cold then warm pass, operator caches released
+between): wall seconds + executed-plan SQLMetrics (plans/metrics.py —
+shuffle records/MB, spill, scan rows) of the warm pass, plus CC round
+counts. Output: a markdown table (append to BASELINE.md) and one JSON
+line.
+
+Usage:
+    python scripts/scale_rehearsal.py --mult 100          # ~sf1
+    python scripts/scale_rehearsal.py --mult 10           # round-3 repro
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_corpus(spark, base_dir: str, mult: int, out: str) -> None:
+    """Write documents/embeddings parquet at mult x the base tables."""
+    # The base tables are single parquet files (one scan partition);
+    # spread them BEFORE the crossJoin so the expensive per-variant
+    # projection runs on all cores, not one task.
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet").repartition(64)
+    variants = spark.range(mult).select(F.col("id").alias("v"))
+    words = F.split(F.col("text"), " ")
+    nw = F.greatest(F.size(words), F.lit(1))
+    # variant v: replace word (v mod n_words) with a low-cardinality
+    # marker so ~1 word differs -> Jaccard stays high -> every variant
+    # family forms a dense near-dup clique (the adversarial case for
+    # pair generators; production graphs are sparser).
+    perturbed = F.concat_ws(
+        " ",
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                (F.col("v") > 0) & (i == F.col("v") % nw),
+                F.concat(F.lit("VAR"), (F.col("v") % 7).cast("string")),
+            ).otherwise(w),
+        ),
+    )
+    # id = v * stride + base_id keeps the v=0 originals at LOW ids, so
+    # id-ordered seeding (kmeans initial centroids, min-id keepers)
+    # selects real distinct items instead of one doc's variant family.
+    (
+        docs.crossJoin(variants)
+        .select(
+            (F.col("v") * 10_000_000 + F.col("doc_id")).alias("doc_id"),
+            perturbed.alias("text"),
+            "lang",
+            "source",
+            F.length(perturbed).alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet").repartition(32)
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            i == F.col("v") % F.size(F.col("embedding")),
+            x + (F.col("v") % 13).cast("float") * F.lit(0.01).cast("float"),
+        ).otherwise(x),
+    )
+    (
+        emb.crossJoin(variants)
+        .select(
+            (F.col("v") * 1_000_000 + F.col("vec_id")).alias("vec_id"),
+            shifted.alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=100)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+    out = args.out or f"/tmp/scale_{args.mult}x"
+
+    from xorbits_sql_spark.session import get_spark
+    from xorbits_sql_spark.operators import dedup
+    from xorbits_sql_spark.operators.dedup import (
+        connected_components,
+        exact_dedup_groups,
+        incremental_dedup_decisions,
+        minhash_band_index,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+    from xorbits_sql_spark.operators.similarity import (
+        brute_topk,
+        brute_topk_arrow,
+        ivf_topk,
+        ivf_topk_arrow,
+        kmeans_lloyd,
+    )
+    from xorbits_sql_spark.plans.metrics import collect_metrics
+
+    spark = get_spark("scale-rehearsal")
+    if not args.skip_build:
+        t0 = time.perf_counter()
+        build_corpus(spark, args.base, args.mult, out)
+        print(f"# corpus build: {time.perf_counter() - t0:.1f}s -> {out}")
+
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    n_docs, n_emb = docs.count(), emb.count()
+    print(f"# documents={n_docs:,} embeddings={n_emb:,}")
+
+    results: dict[str, dict] = {}
+
+    def run(name: str, make, note: str = "") -> None:
+        """Cold + warm execution; metrics from the warm pass.
+
+        The count action rides the SAME QueryExecution that
+        collect_metrics walks (a 1-row agg layered on the pipeline's
+        plan), so SQLMetrics reflect the timed run — an independent
+        ``.count()`` would execute a separate QueryExecution and leave
+        the inspected tree's metrics at zero.
+        """
+        release_caches()
+        t0 = time.perf_counter()
+        make().agg(F.count(F.lit(1))).collect()
+        cold = time.perf_counter() - t0
+        release_caches()
+        t0 = time.perf_counter()
+        summary = make().agg(F.count(F.lit(1)).alias("n"))
+        rows = summary.collect()[0]["n"]
+        warm = time.perf_counter() - t0
+        m = collect_metrics(summary)
+        release_caches()
+        results[name] = {
+            "cold_s": round(cold, 1),
+            "warm_s": round(warm, 1),
+            "rows": rows,
+            "shuffle_records": m.get("shuffle_records_written", 0),
+            "shuffle_mb": round(m.get("shuffle_bytes_written", 0) / 1e6, 1),
+            "spill_bytes": m.get("spill_bytes", 0),
+            "cc_rounds": dedup.last_cc_rounds,
+            "note": note,
+        }
+        print(f"# {name}: cold {cold:.1f}s warm {warm:.1f}s rows={rows:,} "
+              f"shuffle={m.get('shuffle_records_written', 0):,}rec/"
+              f"{m.get('shuffle_bytes_written', 0) / 1e6:.1f}MB "
+              f"spill={m.get('spill_bytes', 0)} cc_rounds={dedup.last_cc_rounds}")
+
+    run("exact_dedup_groups", lambda: exact_dedup_groups(docs, "text", "doc_id"))
+
+    run(
+        "band_index_build_write",
+        lambda: _write_and_read(
+            minhash_band_index(docs, "text", "doc_id"), f"{out}/band_index.parquet"
+        ),
+        note="persisted-index write path",
+    )
+
+    # The dense-clique pair generator + CC, with the production bucket
+    # cap (star pairs) vs uncapped cliques: the knob that bounds pair
+    # count on adversarially dense graphs.
+    run(
+        "lsh_pairs_capped50_cc",
+        lambda: connected_components(
+            minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=50)
+        ),
+        note="star caps active (bucket>50)",
+    )
+    run(
+        "lsh_pairs_default_cc",
+        lambda: connected_components(minhash_lsh_pairs(docs, "text", "doc_id")),
+        note="full cliques (cap 100k never hit)",
+    )
+
+    batch = docs.filter(F.col("doc_id") < 10_000_000).limit(5000)
+    base_index = spark.read.parquet(f"{out}/band_index.parquet")
+    run(
+        "incremental_dedup_5k_batch",
+        lambda: incremental_dedup_decisions(batch, base_index, "text", "doc_id"),
+        note="batch screened vs persisted index",
+    )
+
+    run(
+        "ngram_jaccard_pairs",
+        lambda: ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_df=1000),
+        note="inverted index, max_df=1000",
+    )
+
+    # IVF probe cost per query is nprobe * N/k dots — at FIXED k it
+    # scales linearly with corpus size (the superlinear trap this
+    # rehearsal exists to catch). The scale-correct setting grows the
+    # cell count with sqrt(N) so per-cell candidate lists stay bounded;
+    # both configs run so the contrast is measured, not asserted.
+    queries = emb.filter(F.col("vec_id") < 1_000_000)
+    k_scaled = max(8, int(n_emb ** 0.5) // 4)
+    run(
+        "kmeans2_ivf_naive_k8",
+        lambda: ivf_topk(
+            queries.limit(100), emb, kmeans_lloyd(emb, k=8, n_iter=2),
+            k=5, nprobe=2,
+        ),
+        note="FIXED k=8: per-query dots scale with N (100 queries)",
+    )
+    run(
+        "kmeans2_ivf_scaled_k",
+        lambda: ivf_topk(
+            queries.limit(1000), emb,
+            kmeans_lloyd(emb, k=k_scaled, n_iter=2),
+            k=5, nprobe=4,
+        ),
+        note=f"k=sqrt-scaled ({k_scaled}), nprobe=4, 1k queries",
+    )
+    run(
+        "kmeans2_ivf_scaled_k_arrow",
+        lambda: ivf_topk_arrow(
+            queries.limit(1000), emb,
+            kmeans_lloyd(emb, k=k_scaled, n_iter=2),
+            k=5, nprobe=4,
+        ),
+        note=f"same index, cogrouped-GEMM probe (k={k_scaled})",
+    )
+    # HOF vs Arrow exact scoring on the full corpus: the measured gap
+    # behind the "UDFs are the slow path EXCEPT Arrow-batched GEMM"
+    # guidance.
+    run(
+        "brute_topk_hof_100q",
+        lambda: brute_topk(queries.limit(100), emb, k=5),
+        note="interpreted zip_with/aggregate dots",
+    )
+    run(
+        "brute_topk_arrow_100q",
+        lambda: brute_topk_arrow(queries.limit(100), emb, k=5),
+        note="mapInPandas GEMM, same ranks",
+    )
+
+    print()
+    print("| pipeline | cold s | warm s | rows | shuffle rec | shuffle MB | spill | CC rounds | note |")
+    print("| --- | --- | --- | --- | --- | --- | --- | --- | --- |")
+    for name, r in results.items():
+        cc = r["cc_rounds"] if "cc" in name else ""
+        print(
+            f"| {name} | {r['cold_s']} | {r['warm_s']} | {r['rows']:,} "
+            f"| {r['shuffle_records']:,} | {r['shuffle_mb']} "
+            f"| {r['spill_bytes']} | {cc} | {r['note']} |"
+        )
+    print()
+    print(json.dumps({"mult": args.mult, "n_docs": n_docs, "n_emb": n_emb,
+                      "results": results}))
+
+
+def _write_and_read(df, path: str):
+    df.write.mode("overwrite").parquet(path)
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession().read.parquet(path)
+
+
+if __name__ == "__main__":
+    main()

@@ -813,3 +813,79 @@ def test_capped_group_rows_bounds_hot_key_wedge(spark):
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).count()
     assert pairs == 64 * 63 // 2 + 5 * 4 // 2
+
+
+def test_brute_topk_arrow_matches_hof(spark):
+    """The Arrow/numpy scorer must return the SAME ranked neighbor ids
+    as the HOF brute_topk (ties broken by cid on both paths), with
+    cosines agreeing to float tolerance — the guarantee that lets a
+    production pipeline swap the GEMM path in for the oracle-checked
+    HOF spelling."""
+    from xorbits_sql_spark.operators.similarity import brute_topk, brute_topk_arrow
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.limit(20)
+    hof = {
+        (r["qid"], r["rank"]): (r["cid"], r["cosine"])
+        for r in brute_topk(q, emb, k=5, exclude_self=True).collect()
+    }
+    arrow = {
+        (r["qid"], r["rank"]): (r["cid"], r["cosine"])
+        for r in brute_topk_arrow(q, emb, k=5, exclude_self=True).collect()
+    }
+    assert hof.keys() == arrow.keys()
+    for key, (cid_h, cos_h) in hof.items():
+        cid_a, cos_a = arrow[key]
+        assert cid_h == cid_a, (key, cid_h, cid_a)
+        assert abs(cos_h - cos_a) < 1e-9, (key, cos_h, cos_a)
+
+
+def test_ivf_topk_arrow_matches_hof(spark):
+    """The cogrouped-GEMM IVF probe must return the same ranked
+    neighbors as the HOF ivf_topk for the same trained index."""
+    from xorbits_sql_spark.operators.dedup import release_caches
+    from xorbits_sql_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_arrow,
+        kmeans_lloyd,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = kmeans_lloyd(emb, k=8, n_iter=2)
+    q = emb.limit(20)
+    hof = {
+        (r["qid"], r["rank"]): (r["cid"], r["cosine"])
+        for r in ivf_topk(q, emb, cents, k=5, nprobe=2).collect()
+    }
+    arrow = {
+        (r["qid"], r["rank"]): (r["cid"], r["cosine"])
+        for r in ivf_topk_arrow(q, emb, cents, k=5, nprobe=2).collect()
+    }
+    release_caches()
+    assert hof.keys() == arrow.keys()
+    for key, (cid_h, cos_h) in hof.items():
+        cid_a, cos_a = arrow[key]
+        assert cid_h == cid_a, (key, cid_h, cid_a)
+        assert abs(cos_h - cos_a) < 1e-9, (key, cos_h, cos_a)
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 1,000-node path graph (diameter 999) must converge in
+    O(log diameter) rounds via the pointer-jumping shortcut — plain
+    min-label propagation would need ~999 rounds and previously hit
+    the max_iter ceiling on the 100x rehearsal's chained LSH graphs."""
+    from xorbits_sql_spark.operators import dedup
+    from xorbits_sql_spark.operators.dedup import connected_components, release_caches
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comps = connected_components(pairs)
+    rows = comps.collect()
+    release_caches()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+    assert dedup.last_cc_rounds <= 14, dedup.last_cc_rounds

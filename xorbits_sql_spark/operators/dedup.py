@@ -39,6 +39,11 @@ from ..functions.text import fingerprint, norm_ws, word_shingles
 # session should call release_caches() between passes.
 _LIVE_CACHES: list[DataFrame] = []
 
+# Rounds executed by the most recent connected_components() call —
+# observability for scale rehearsals (CC cost = rounds x (join+agg);
+# the star-pair caps are what keep rounds ~2-3 on dense dup graphs).
+last_cc_rounds: int = 0
+
 
 def _persist(df: DataFrame) -> DataFrame:
     df = df.persist()
@@ -537,6 +542,7 @@ def connected_components(
     Each round's labels are persisted and the previous round released,
     so lineage stays one round deep and re-reads hit memory.
     """
+    global last_cc_rounds
     edges = pairs.select(
         F.col(id_a).cast("bigint").alias("src"), F.col(id_b).cast("bigint").alias("dst")
     )
@@ -563,15 +569,34 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    last_cc_rounds = 0
     for _ in range(max_iter):
         msgs = (
             bidir.join(labels, bidir["src"] == labels["id"])
             .select(F.col("dst").alias("id"), "component")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # Pointer-jumping shortcut (Shiloach-Vishkin style): replace
+        # each node's label with its LABEL'S label. Propagation alone
+        # converges in O(graph diameter) rounds — the 100x scale
+        # rehearsal (scripts/scale_rehearsal.py) measured star-capped
+        # LSH graphs whose cross-band chains exceeded 25 rounds; with
+        # the shortcut each round roughly halves every chain, so
+        # convergence is O(log diameter) (4-6 rounds on the same
+        # graphs). Every label is itself a node id, so the jump is one
+        # self-join of the label table on the label key — shuffled on
+        # the same id key as the propagation aggregate, and far smaller
+        # than the edge join it replaces 20 rounds of.
+        parent = propagated.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
+        )
+        new_labels = (
+            propagated.join(parent, propagated["component"] == parent["__pid"])
+            .select("id", F.least("component", "__pcomp").alias("component"))
             .localCheckpoint()
         )
         # Labels only ever decrease, so "no row changed" == converged.
@@ -582,6 +607,7 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        last_cc_rounds += 1
         if changed == 0:
             break
     return labels

@@ -74,6 +74,82 @@ def brute_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def brute_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid: str = "vec_id",
+    cid: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy scoring — the 100 TB
+    hot path for :func:`brute_topk`.
+
+    Spark evaluates higher-order array lambdas interpretively (measured
+    ~40k dot/s/core at dim 64 in the 100x scale rehearsal,
+    scripts/scale_rehearsal.py), so pair-heavy exact scoring burns CPU
+    two orders of magnitude over BLAS. This variant broadcasts the
+    (small-by-contract) query matrix into a ``mapInPandas`` over the
+    corpus: each Arrow batch computes one ``C @ Q.T`` GEMM and emits
+    only its per-query top-(k+8) candidates, so the post-UDF window
+    ranks partitions*queries*(k+8) rows, never the full pair set. The
+    corpus is scanned once and never shuffled — identical shuffle
+    economy to :func:`brute_topk`.
+
+    Ranks match :func:`brute_topk` (ties broken by ascending cid on
+    both paths; the +8 per-batch slack keeps ulp-level reorderings at
+    the cut from dropping a true top-k member). Cosine VALUES may
+    differ from the HOF path in the last ulps because BLAS accumulates
+    in a different order than a sequential fold — which is why the
+    DuckDB-oracle-checked inventory entries (q70/r73) keep the HOF
+    spelling and this is the documented production swap-in.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = queries.select(F.col(qid).alias("q"), F.col(vec).alias("v")).collect()
+    qids = np.array([r["q"] for r in rows], dtype=np.int64)
+    qmat = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    take = k + (1 if exclude_self else 0) + 8
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.array(pdf["cvec"].tolist(), dtype=np.float64)
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            cn = np.sqrt((cmat * cmat).sum(axis=1))
+            sims = (cmat @ qmat.T) / np.outer(cn, qn)  # (batch, m)
+            top = min(take, sims.shape[0])
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, m)
+            out = []
+            for j in range(sims.shape[1]):
+                sel = part[:, j]
+                # deterministic (cosine desc, cid asc) within the batch
+                order = np.lexsort((cids[sel], -sims[sel, j]))
+                sel = sel[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.full(len(sel), qids[j]),
+                            "cid": cids[sel],
+                            "cosine": sims[sel, j],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = corpus.select(F.col(cid).alias("cid"), F.col(vec).alias("cvec")).mapInPandas(
+        score, schema="qid long, cid long, cosine double"
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -180,6 +256,107 @@ def ivf_topk(
     scored = scored.select("qid", "cid", _pair_cosine().alias("cosine"))
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    qid: str = "vec_id",
+    cid: str = "vec_id",
+    vec: str = "embedding",
+    cell_id: str = "cell",
+    cell_vec: str = "cvec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF top-k with per-cell GEMM scoring — the 100 TB probe path.
+
+    Same index and probe-selection plan as :func:`ivf_topk` (broadcast
+    centroids pick each query's ``nprobe`` cells), but the candidate
+    scoring runs as a cogrouped ``applyInPandas`` on the cell key: each
+    cell's member matrix meets its probing queries in one numpy GEMM
+    instead of per-pair interpreted array lambdas (measured ~40k
+    dots/s/core for the HOF path at dim 64 — scripts/scale_rehearsal.py
+    — vs BLAS throughput here). Each cell task emits only per-query
+    top-(k+8) candidates, so the final window ranks
+    queries*nprobe*(k+8) rows.
+
+    Shuffle economy: probes (queries*nprobe short rows) and the cell
+    members shuffle once on the cell key — at scale the corpus index is
+    stored partitioned by cell, making the right side shuffle-free.
+    Rank-identical to :func:`ivf_topk` (ties by ascending cid); cosine
+    values may differ in the last ulps (BLAS accumulation order), which
+    is why the oracle-checked entries keep the HOF spelling.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cells = ivf_assign(
+        corpus, centroids, cid=cid, vec=vec, cell_id=cell_id, cell_vec=cell_vec
+    )
+    q = _side(queries, qid, vec, "qid", "qvec", "qn")
+    cents = centroids.select(
+        F.col(cell_id).alias("cell"),
+        F.col(cell_vec).alias("kvec"),
+        norm(F.col(cell_vec)).alias("kn"),
+    )
+    qscore = dot(F.col("qvec"), F.col("kvec")) / (F.col("qn") * F.col("kn"))
+    wprobe = W.partitionBy("qid").orderBy(F.desc("probe_score"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qvec", "cell", qscore.alias("probe_score"))
+        .withColumn("probe_rank", F.row_number().over(wprobe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("qid", "qvec", "cell")
+    )
+    take = k + (1 if exclude_self else 0) + 8
+    empty = pd.DataFrame(
+        {
+            "qid": pd.Series(dtype="int64"),
+            "cid": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def score_cell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return empty
+        qmat = np.array(left["qvec"].tolist(), dtype=np.float64)
+        qn_ = np.sqrt((qmat * qmat).sum(axis=1))
+        qids = left["qid"].to_numpy(dtype=np.int64)
+        cmat = np.array(right["cvec"].tolist(), dtype=np.float64)
+        cn_ = right["cn"].to_numpy(dtype=np.float64)
+        cids = right["cid"].to_numpy(dtype=np.int64)
+        sims = (cmat @ qmat.T) / np.outer(cn_, qn_)  # (members, queries)
+        top = min(take, sims.shape[0])
+        part = np.argpartition(-sims, top - 1, axis=0)[:top]
+        out = []
+        for j in range(sims.shape[1]):
+            sel = part[:, j]
+            order = np.lexsort((cids[sel], -sims[sel, j]))
+            sel = sel[order]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "qid": np.full(len(sel), qids[j]),
+                        "cid": cids[sel],
+                        "cosine": sims[sel, j],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        probes.groupBy("cell")
+        .cogroup(cells.groupBy("cell"))
+        .applyInPandas(score_cell, schema="qid long, cid long, cosine double")
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("cid"))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def embedding_dup_pairs(
