@@ -155,12 +155,57 @@ def test_tsql_top_unsupported_forms_raise():
     from xorbits_sql_spark.errors import UnsupportedError
 
     with pytest.raises(UnsupportedError):
+        # PERCENT without ORDER BY selects an arbitrary subset in tsql
         transpile("SELECT TOP 10 PERCENT x FROM t", "tsql")
     with pytest.raises(UnsupportedError):
-        transpile("SELECT TOP 5 WITH TIES x FROM t ORDER BY x", "tsql")
+        # WITH <anything but TIES>
+        transpile("SELECT TOP 5 WITH ROWS x FROM t ORDER BY x", "tsql")
+    with pytest.raises(UnsupportedError):
+        # positional sort keys change meaning inside OVER (ORDER BY ...)
+        transpile("SELECT TOP 5 WITH TIES x FROM t ORDER BY 1", "tsql")
     with pytest.raises(UnsupportedError):
         # two TOPs in the SAME scope is malformed
         transpile("SELECT TOP 5 TOP 3 x FROM t", "tsql")
+
+
+@pytestmark_fallback
+def test_tsql_top_with_ties_and_percent(spark):
+    """TOP n WITH TIES / TOP n PERCENT rewrite onto the QUALIFY
+    machinery (RANK/ROW_NUMBER window predicate) instead of raising."""
+    pdf = pd.DataFrame({"x": [10, 10, 9, 9, 5, 4, 3, 2, 1, 0]})
+    ties = execute(
+        "SELECT TOP 3 WITH TIES x FROM t ORDER BY x DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    # first 3 rows are 10,10,9 — the tied second 9 must be included
+    assert sorted((r["x"] for r in ties), reverse=True) == [10, 10, 9, 9]
+    pct = execute(
+        "SELECT TOP 25 PERCENT x FROM t ORDER BY x DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    # ceil(10 * 25 / 100) = 3 rows, ties NOT extended without WITH TIES
+    assert sorted((r["x"] for r in pct), reverse=True) == [10, 10, 9]
+    both = execute(
+        "SELECT TOP (11) PERCENT WITH TIES x FROM t ORDER BY x DESC;",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    # ceil(10 * 11 / 100) = 2 rows (both 10s); no further ties
+    assert sorted((r["x"] for r in both), reverse=True) == [10, 10]
+    # inside a subquery: rewrite happens in the inner scope
+    sub = execute(
+        "SELECT COUNT(*) AS n FROM "
+        "(SELECT TOP 3 WITH TIES x FROM t ORDER BY x DESC) s",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sub[0]["n"] == 4
 
 
 @pytestmark_fallback

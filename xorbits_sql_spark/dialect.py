@@ -233,14 +233,25 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """tsql ``SELECT TOP n ...`` → ``SELECT ... LIMIT n`` within ONE
     query scope. Applied through ``_for_each_scope`` so TOP inside a
     subquery / CTE body rewrites in its own scope (the LIMIT lands at
-    that scope's end, where it is semantically equivalent). Anything the
-    rewrite can't carry faithfully — TOP PERCENT, WITH TIES, TOP and
-    LIMIT in the same scope — raises rather than silently changing the
-    row set."""
+    that scope's end, where it is semantically equivalent).
+
+    ``TOP n WITH TIES`` and ``TOP n PERCENT`` (tsql/teradata) rewrite
+    onto the QUALIFY machinery instead of LIMIT: ``RANK() OVER (ORDER
+    BY <sort>) <= n`` is provably the same set as "first n rows plus
+    ties of row n" (every row tied with row n shares its rank ≤ n; the
+    first untied later row's tie-group starts past n, so its rank > n),
+    and ``TOP n PERCENT`` takes ``CEILING(COUNT(*) OVER () * n / 100.0)``
+    rows via ROW_NUMBER (RANK when combined WITH TIES), matching tsql's
+    ceil-of-percent row count. Both need the scope's ORDER BY — without
+    one tsql returns arbitrary rows, so that form still raises. TOP and
+    LIMIT in the same scope also raises rather than silently changing
+    the row set."""
     depth = 0
     top_at: int | None = None
     n_tokens: list[tuple[str, str]] = []
     end: int | None = None
+    percent = False
+    ties = False
     for i, (kind, text) in enumerate(tokens):
         if kind == "op" and text == "(":
             depth += 1
@@ -274,12 +285,24 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             else:
                 continue
             after = _next_code(tokens, end)
-            if after is not None and tokens[after][0] == "word" and tokens[
-                after
-            ][1].upper() in ("PERCENT", "WITH"):
-                raise UnsupportedError(
-                    "TOP PERCENT / WITH TIES is not supported without sqlglot"
-                )
+            if (
+                after is not None
+                and tokens[after][0] == "word"
+                and tokens[after][1].upper() == "PERCENT"
+            ):
+                percent = True
+                end = after
+                after = _next_code(tokens, end)
+            if (
+                after is not None
+                and tokens[after][0] == "word"
+                and tokens[after][1].upper() == "WITH"
+            ):
+                j2 = _next_code(tokens, after)
+                if j2 is None or tokens[j2][0] != "word" or tokens[j2][1].upper() != "TIES":
+                    raise UnsupportedError("TOP n WITH <...> other than TIES")
+                ties = True
+                end = j2
             top_at = i
         elif kind == "word" and text.upper() == "LIMIT" and depth == 0:
             if top_at is not None:
@@ -287,6 +310,8 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     if top_at is None:
         return tokens
     assert end is not None
+    if percent or ties:
+        return _top_variant_to_qualify(tokens, top_at, end, n_tokens, percent, ties)
     out = tokens[:top_at] + tokens[end + 1 :]
     # strip one trailing semicolon (re-appended after LIMIT)
     tail = ""
@@ -299,6 +324,142 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     if tail:
         out.append(("op", tail))
     return out
+
+
+def _top_variant_to_qualify(
+    tokens: list[tuple[str, str]],
+    top_at: int,
+    end: int,
+    n_tokens: list[tuple[str, str]],
+    percent: bool,
+    ties: bool,
+) -> list[tuple[str, str]]:
+    """``TOP n [PERCENT] [WITH TIES]`` → a wrapped subquery that
+    computes the rank as a helper column and filters one level up::
+
+        SELECT * EXCEPT (__topk[, __tot]) FROM (
+          SELECT <list>, RANK() OVER (ORDER BY <sort>) AS __topk
+                       [, COUNT(*) OVER () AS __tot]
+          FROM <rest-of-scope>
+        ) WHERE __topk <= <bound> ORDER BY __topk
+
+    The window runs inside the wrapper, where every FROM column is
+    visible — so ORDER BY on a non-projected column (legal in tsql)
+    works — and the outer ORDER BY on the helper reproduces the
+    scope's sort. See ``_rewrite_top`` for the set-equivalence
+    argument."""
+    select_at: int | None = None
+    from_at: int | None = None
+    depth = 0
+    for i, (kind, text) in enumerate(tokens[:top_at]):
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "word" and text.upper() == "SELECT":
+            select_at = i
+            j = _next_code(tokens, i)
+            if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() == "DISTINCT":
+                # tsql applies TOP AFTER DISTINCT; the window-rank
+                # rewrite would filter before it and change the row set.
+                raise UnsupportedError(
+                    "TOP PERCENT / WITH TIES with DISTINCT is not supported"
+                )
+    if select_at is None:
+        raise UnsupportedError("could not locate SELECT for TOP rewrite")
+    depth = 0
+    order_at: int | None = None
+    order_start: int | None = None
+    order_end = len(tokens)
+    for i in range(end + 1, len(tokens)):
+        kind, text = tokens[i]
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "word":
+            up = text.upper()
+            if up == "FROM" and from_at is None:
+                from_at = i
+            elif up == "ORDER":
+                j = _next_code(tokens, i)
+                if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() == "BY":
+                    order_at = i
+                    order_start = j + 1
+            elif up in ("LIMIT", "OFFSET", "FETCH") and order_at is not None:
+                raise UnsupportedError(
+                    "TOP PERCENT / WITH TIES combined with LIMIT/OFFSET/FETCH"
+                )
+        elif depth == 0 and (kind, text) == ("op", ";") and order_at is not None:
+            order_end = i
+            break
+    if order_at is None or order_start is None:
+        # Without ORDER BY the tsql result is an arbitrary subset —
+        # refuse instead of inventing an order.
+        raise UnsupportedError("TOP PERCENT / WITH TIES requires ORDER BY")
+    if from_at is None:
+        raise UnsupportedError("could not locate FROM for TOP rewrite")
+    order_exprs = tokens[order_start:order_end]
+    for kind, text in order_exprs:
+        if kind == "number" and "." not in text:
+            # positional sort keys are select-list ordinals in the
+            # scope's ORDER BY but constants inside OVER (ORDER BY ...)
+            raise UnsupportedError(
+                "TOP PERCENT / WITH TIES with positional ORDER BY"
+            )
+    rank_fn = "RANK" if ties else "ROW_NUMBER"
+    helpers: list[tuple[str, str]] = [
+        ("op", ","), ("ws", " "),
+        ("word", rank_fn), ("op", "("), ("op", ")"), ("ws", " "),
+        ("word", "OVER"), ("ws", " "), ("op", "("),
+        ("word", "ORDER"), ("ws", " "), ("word", "BY"), ("ws", " "),
+    ] + list(order_exprs) + [
+        ("op", ")"), ("ws", " "), ("word", "AS"), ("ws", " "),
+        ("word", "__topk"), ("ws", " "),
+    ]
+    except_cols: list[tuple[str, str]] = [("word", "__topk")]
+    if percent:
+        helpers += [
+            ("op", ","), ("ws", " "),
+            ("word", "COUNT"), ("op", "("), ("op", "*"), ("op", ")"),
+            ("ws", " "), ("word", "OVER"), ("ws", " "), ("op", "("), ("op", ")"),
+            ("ws", " "), ("word", "AS"), ("ws", " "), ("word", "__tot"),
+            ("ws", " "),
+        ]
+        except_cols += [("op", ","), ("ws", " "), ("word", "__tot")]
+        bound: list[tuple[str, str]] = [
+            ("word", "CEILING"), ("op", "("),
+            ("word", "__tot"), ("ws", " "), ("op", "*"), ("ws", " "),
+        ] + n_tokens + [
+            ("ws", " "), ("op", "/"), ("ws", " "), ("number", "100.0"),
+            ("op", ")"),
+        ]
+    else:
+        bound = n_tokens
+    return (
+        tokens[:select_at]
+        + [
+            ("word", "SELECT"), ("ws", " "), ("op", "*"), ("ws", " "),
+            ("word", "EXCEPT"), ("ws", " "), ("op", "("),
+        ]
+        + except_cols
+        + [("op", ")"), ("ws", " "), ("word", "FROM"), ("ws", " "), ("op", "(")]
+        + tokens[select_at:top_at]       # SELECT + any pre-TOP tokens
+        + tokens[end + 1 : from_at]      # the select list
+        + helpers
+        + tokens[from_at:order_at]       # FROM ... WHERE ... GROUP BY ...
+        + [
+            ("op", ")"), ("ws", " "),
+            ("word", "WHERE"), ("ws", " "), ("word", "__topk"),
+            ("ws", " "), ("op", "<="), ("ws", " "),
+        ]
+        + bound
+        + [
+            ("ws", " "), ("word", "ORDER"), ("ws", " "), ("word", "BY"),
+            ("ws", " "), ("word", "__topk"),
+        ]
+        + tokens[order_end:]             # trailing ";" if present
+    )
 
 
 def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:

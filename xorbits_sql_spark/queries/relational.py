@@ -143,6 +143,64 @@ def q25_execute_qualify_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q26_execute_top_ties_percent",
+    """
+    WITH top_q AS (
+      SELECT l_quantity FROM lineitem
+      QUALIFY RANK() OVER (ORDER BY l_quantity DESC) <= 20
+    ),
+    top_p AS (
+      SELECT o_totalprice FROM orders
+      QUALIFY ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                <= CEIL(COUNT(*) OVER () * 2 / 100.0)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM top_q) AS n_ties,
+      (SELECT CAST(MIN(l_quantity) AS DOUBLE) FROM top_q) AS min_qty,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM top_p) AS n_pct,
+      (SELECT CAST(MIN(o_totalprice) AS DOUBLE) FROM top_p) AS min_price
+    """,
+    tags=("execute-api", "dialect", "tsql", "window"),
+    doc=(
+        "tsql TOP n WITH TIES and TOP n PERCENT through "
+        "execute(dialect='tsql'). Both rewrite onto the QUALIFY "
+        "machinery (dialect.py _top_variant_to_qualify): WITH TIES is "
+        "RANK() <= n (provably the same set as first-n-plus-ties), "
+        "PERCENT is ROW_NUMBER() <= CEILING(COUNT(*) OVER () * n / "
+        "100.0) — tsql's ceil-of-percent row count. The reference gets "
+        "these through sqlglot (reference core.py:102); l_quantity's "
+        "~50 distinct values make the TIES extension load-bearing "
+        "(hundreds of rows beyond the nominal 20)."
+    ),
+)
+def q26_execute_top_ties_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    WITH top_q AS (
+      SELECT TOP 20 WITH TIES l_quantity
+      FROM lineitem ORDER BY l_quantity DESC
+    ),
+    top_p AS (
+      SELECT TOP 2 PERCENT o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM top_q) AS n_ties,
+      (SELECT CAST(MIN(l_quantity) AS DOUBLE) FROM top_q) AS min_qty,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM top_p) AS n_pct,
+      (SELECT CAST(MIN(o_totalprice) AS DOUBLE) FROM top_p) AS min_price
+    """
+    return execute(
+        sql,
+        dialect="tsql",
+        tables={
+            "lineitem": t(spark, sf_dir, "lineitem"),
+            "orders": t(spark, sf_dir, "orders"),
+        },
+        spark=spark,
+    )
+
+
+@register(
     "q30_distinct",
     "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
     tags=("distinct",),
