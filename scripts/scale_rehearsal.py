@@ -107,6 +107,13 @@ def main() -> None:
     args = ap.parse_args()
     out = args.out or f"/tmp/scale_{args.mult}x"
 
+    # Production-shaped heap: local[32]'s 8g default is 0.25 GB per
+    # task thread, 16-24x leaner than any real executor — the first
+    # 100x run OOM'd the whole JVM in ngram_jaccard under it (GCLocker
+    # retry storm; see BASELINE.md "100x scale rehearsal" finding #1).
+    # 48g = 1.5 GB/core, the low end of production executor sizing.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     from xorbits_sql_spark.session import get_spark
     from xorbits_sql_spark.operators import dedup
     from xorbits_sql_spark.operators.dedup import (

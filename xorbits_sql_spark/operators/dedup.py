@@ -399,6 +399,16 @@ def ngram_jaccard_pairs(
     practice in MinHash/Jaccard dedup pipelines), so the default keeps
     the join bounded at ``max_df²`` rows per shingle while leaving
     small-corpus results untouched. ``None`` disables the guard.
+
+    Scale contract: the pair volume is Σ df² over surviving shingles —
+    bounded per shingle by ``max_df`` but NOT bounded in clique
+    density. On a corpus of large near-identical families the 100x
+    rehearsal (BASELINE.md) measured ~850 GB of spill for 500k docs in
+    100-member cliques; ``minhash_lsh_pairs`` covered the same corpus
+    with zero spill. Use this operator for exact scores on sparse-ish
+    graphs or within ``partition_col`` shards; use MinHash-LSH as the
+    candidate generator when duplicate families may be large, and size
+    ``spark.sql.shuffle.partitions`` with the expected pair count.
     """
     shared = _shingle_pair_stats(
         df, text_col, id_col, shingle_k, partition_col, max_df
@@ -431,6 +441,13 @@ def _shingle_pair_stats(
     shingled = shingles_relational(
         df, text_col, id_col, k=shingle_k, distinct=True, carry_cols=parts
     )
+    # Join/shuffle on a 64-bit shingle hash, not the shingle STRING:
+    # the inverted-index self-join and both window counts shuffle on
+    # this key, and a word trigram averages 20-30 bytes vs 8 for the
+    # hash — a 3x+ shuffle-byte cut with identical results (a cross-doc
+    # xxhash64 collision merging two distinct shingles has probability
+    # ~n²/2⁶⁴ — negligible at any corpus size this engine targets).
+    shingled = shingled.withColumn("shingle", F.xxhash64("shingle"))
     if max_df is not None:
         # Window over the join key (shingle [+ group]): the DF count
         # shuffles on the same key as the inverted-index join and is the
