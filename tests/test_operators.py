@@ -888,4 +888,5 @@ def test_connected_components_long_chain_log_rounds(spark):
     release_caches()
     assert len(rows) == n
     assert all(r["component"] == 0 for r in rows)
-    assert dedup.last_cc_rounds <= 14, dedup.last_cc_rounds
+    # two pointer jumps per round -> depth shrinks ~4x/round
+    assert dedup.last_cc_rounds <= 9, dedup.last_cc_rounds
