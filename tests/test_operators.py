@@ -313,6 +313,49 @@ def test_connected_components_chain_star_singleton(spark):
     assert kept == [1, 10, 20, 99]
 
 
+def test_connected_components_stars_equals_propagation(spark):
+    """The alternating-star contraction must label every node exactly
+    like the reference propagation loop on adversarial shapes: a long
+    chain, overlapping cliques, a binary-tree star-cap topology, a
+    deterministic pseudo-random graph, and self-loop-only nodes."""
+    from pyspark.sql import functions as F
+    from xorbits_sql_spark.operators import dedup
+    from xorbits_sql_spark.operators.dedup import connected_components, release_caches
+
+    edges = (
+        # chain 0..60
+        [(i, i + 1) for i in range(60)]
+        # two overlapping cliques on 100..104 and 103..107
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        + [(a, b) for a in range(103, 108) for b in range(a + 1, 108)]
+        # binary tree rooted at 200 (star-cap-ish topology)
+        + [(200 + i, 200 + 2 * i + 1) for i in range(15)]
+        + [(200 + i, 200 + 2 * i + 2) for i in range(15)]
+        # self-loop-only node
+        + [(500, 500)]
+        # deterministic pseudo-random graph on 300..399
+        + [
+            (300 + (i * 37) % 100, 300 + (i * i * 13 + 7) % 100)
+            for i in range(80)
+        ]
+    )
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    stars = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="stars").collect()
+    }
+    stars_rounds = dedup.last_cc_rounds
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="propagation").collect()
+    }
+    release_caches()
+    assert stars == prop
+    assert stars[500] == 500
+    # contraction converges fast even on the 60-hop chain
+    assert stars_rounds <= 8, stars_rounds
+
+
 def test_pack_sequences_assignment(spark):
     from xorbits_sql_spark.operators.packing import pack_sequences
 
@@ -883,10 +926,15 @@ def test_connected_components_long_chain_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    comps = connected_components(pairs)
-    rows = comps.collect()
-    release_caches()
-    assert len(rows) == n
-    assert all(r["component"] == 0 for r in rows)
-    # two pointer jumps per round -> depth shrinks ~4x/round
-    assert dedup.last_cc_rounds <= 9, dedup.last_cc_rounds
+    for algorithm, bound in [
+        # star contraction: ~log2(diameter) + 1 confirm round
+        ("stars", 12),
+        # propagation with two pointer jumps: depth shrinks ~4x/round
+        ("propagation", 9),
+    ]:
+        comps = connected_components(pairs, algorithm=algorithm)
+        rows = comps.collect()
+        release_caches()
+        assert len(rows) == n, algorithm
+        assert all(r["component"] == 0 for r in rows), algorithm
+        assert dedup.last_cc_rounds <= bound, (algorithm, dedup.last_cc_rounds)
