@@ -365,6 +365,10 @@ def test_inventory_wide_join_shapes(spark):
 # semantic is inherently global AND a distributed approximate twin
 # exists in the inventory.
 _GLOBAL_WINDOW_INTENDED = {
+    "q26_execute_top_ties_percent": "tsql TOP n WITH TIES / PERCENT is "
+    "by definition a rank over ONE global ORDER BY — the same global "
+    "sort any dialect's TOP/LIMIT implies; the wrapper filter caps the "
+    "output at n (+ties) rows",
     "q47_ntile_spend": "exact global NTILE over per-customer aggregates; "
     "q93_approx_ntile is the distributed scale twin",
     "r79_bpe_merge_stats": "rank over the vocabulary-bounded pair table",
