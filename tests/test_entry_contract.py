@@ -35,10 +35,10 @@ def test_first_50_insertion_order_are_never_verified():
     # names in lexical order (r57.. then s01..).
     registry_fresh = sorted(k for k in keys if not k.startswith("z") and k in oracles)
     assert window == registry_fresh[:50]
-    # q23..q26 are the round-4 dialect-gap additions (nested TOP /
-    # QUALIFY scopes, TOP PERCENT / WITH TIES); they sort ahead of the
-    # r57.. backlog.
-    assert prefixes[:5] == ["q23", "q24", "q25", "q26", "r57"]
+    # q23..q27 are the round-4 dialect-gap additions (nested TOP /
+    # QUALIFY scopes, TOP PERCENT / WITH TIES, QUALIFY feeding set
+    # ops); they sort ahead of the r57.. backlog.
+    assert prefixes[:6] == ["q23", "q24", "q25", "q26", "q27", "r57"]
     # None of the window entries is a rotated (already-green) name.
     assert not any(k.startswith("z") for k in window)
     # Every window entry carries a full DuckDB value oracle (round-3

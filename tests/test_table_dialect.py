@@ -320,12 +320,11 @@ def test_qualify_matches_duckdb(spark, q):
 
 @pytest.mark.skipif(has_sqlglot(), reason="fallback-only guards")
 def test_qualify_unsupported_forms_raise():
-    # QUALIFY feeding a set operation still raises (the wrapper would
-    # change which branch the ORDER BY/LIMIT tail binds to).
+    # two QUALIFY clauses in ONE arm of one scope is malformed
     with pytest.raises(UnsupportedError):
         transpile(
-            "SELECT k, RANK() OVER (ORDER BY k) AS r FROM t QUALIFY r = 1 "
-            "UNION ALL SELECT k, 1 FROM t",
+            "SELECT k FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY k) = 1 "
+            "QUALIFY RANK() OVER (ORDER BY k) = 1",
             "duckdb",
         )
 
@@ -372,7 +371,52 @@ def test_qualify_nested_and_distinct_and_star(spark):
         spark=spark,
     )
     assert sorted(got.columns) == ["b", "k"]
-    assert sorted(r["b"] for r in got.collect()) == [4, 5]
+
+
+@pytestmark_fallback
+def test_qualify_feeding_set_operations(spark):
+    """QUALIFY binds per set-op arm; the rewrite splits the scope at
+    depth-0 UNION/INTERSECT/EXCEPT and rewrites each arm, leaving a
+    trailing ORDER BY bound to the whole set operation."""
+    pdf = pd.DataFrame({"k": [0, 0, 1, 1, 2], "b": [1, 2, 3, 4, 5]})
+    other = pd.DataFrame({"k": [7, 8], "b": [9, 9]})
+    got = execute(
+        "SELECT k FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY k "
+        "ORDER BY b) = 1 UNION ALL SELECT k FROM u ORDER BY k",
+        tables={"t": pdf, "u": other},
+        dialect="snowflake",
+        spark=spark,
+    ).collect()
+    assert [r["k"] for r in got] == [0, 1, 2, 7, 8]
+    # QUALIFY in BOTH arms
+    got = execute(
+        "SELECT k, b FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY b) = 1 "
+        "UNION SELECT k, b FROM t QUALIFY ROW_NUMBER() OVER "
+        "(ORDER BY b DESC) = 1 ORDER BY b",
+        tables={"t": pdf},
+        dialect="duckdb",
+        spark=spark,
+    ).collect()
+    assert [(r["k"], r["b"]) for r in got] == [(0, 1), (2, 5)]
+    # select-list * EXCEPT is NOT mistaken for the set operator
+    got = execute(
+        "SELECT * EXCEPT (b) FROM t QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY k ORDER BY b) = 1 ORDER BY k",
+        tables={"t": pdf},
+        dialect="bigquery",
+        spark=spark,
+    )
+    assert got.columns == ["k"]
+    assert [r["k"] for r in got.collect()] == [0, 1, 2]
+    # set-op EXCEPT with a parenthesized right arm
+    got = execute(
+        "SELECT k FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY k "
+        "ORDER BY b) = 1 EXCEPT (SELECT k FROM u) ORDER BY k",
+        tables={"t": pdf, "u": other},
+        dialect="snowflake",
+        spark=spark,
+    ).collect()
+    assert [r["k"] for r in got] == [0, 1, 2]
 
 
 @pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")

@@ -462,13 +462,87 @@ def _top_variant_to_qualify(
     )
 
 
+def _is_set_op_keyword(tokens: list[tuple[str, str]], i: int) -> bool:
+    """True when the UNION/INTERSECT/EXCEPT/MINUS word at ``i`` is a
+    set operator — i.e. followed by [ALL|DISTINCT] SELECT or by a
+    parenthesized SELECT/WITH — rather than BigQuery/Spark's
+    select-list ``* EXCEPT (col, ...)``, whose parens hold
+    identifiers."""
+    j = _next_code(tokens, i)
+    if j is None:
+        return False
+    if tokens[j][0] == "word" and tokens[j][1].upper() in ("ALL", "DISTINCT"):
+        j = _next_code(tokens, j)
+        if j is None:
+            return False
+    if tokens[j][0] == "word" and tokens[j][1].upper() == "SELECT":
+        return True
+    if tokens[j] == ("op", "("):
+        k = _next_code(tokens, j)
+        return (
+            k is not None
+            and tokens[k][0] == "word"
+            and tokens[k][1].upper() in ("SELECT", "WITH")
+        )
+    return False
+
+
 def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """QUALIFY rewrite for one paren scope, set-operation aware: the
+    scope is split into its set-op arms at depth-0 UNION / INTERSECT /
+    EXCEPT / MINUS keywords (distinguished from select-list ``*
+    EXCEPT (col)`` by lookahead), and the single-arm rewrite runs on
+    each arm independently — QUALIFY binds per SELECT block in every
+    source dialect, and a trailing ORDER BY / LIMIT stays at the very
+    end where it binds the whole set operation, unchanged."""
+    segs: list[list[tuple[str, str]]] = []
+    seps: list[list[tuple[str, str]]] = []
+    depth = 0
+    last = 0
+    i = 0
+    while i < len(tokens):
+        kind, text = tokens[i]
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and kind == "word"
+            and text.upper() in ("UNION", "INTERSECT", "EXCEPT", "MINUS")
+            and _is_set_op_keyword(tokens, i)
+        ):
+            segs.append(tokens[last:i])
+            sep_end = i
+            j = _next_code(tokens, i)
+            if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() in (
+                "ALL",
+                "DISTINCT",
+            ):
+                sep_end = j
+            seps.append(tokens[i : sep_end + 1])
+            last = i = sep_end + 1
+            continue
+        i += 1
+    segs.append(tokens[last:])
+    if len(segs) == 1:
+        return _rewrite_qualify_one(tokens)
+    out: list[tuple[str, str]] = []
+    for idx, seg in enumerate(segs):
+        out += _rewrite_qualify_one(seg)
+        if idx < len(seps):
+            out += seps[idx]
+    return out
+
+
+def _rewrite_qualify_one(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """``SELECT cols FROM ... QUALIFY pred [tail]`` →
     ``SELECT * EXCEPT (__qualify) FROM (SELECT cols, (pred) AS
     __qualify FROM ...) WHERE __qualify [tail]`` (duckdb/snowflake/
     bigquery/clickhouse post-window filter; Spark has no QUALIFY
     clause), applied per query scope through ``_for_each_scope`` so
-    QUALIFY inside a subquery or CTE body rewrites in place.
+    QUALIFY inside a subquery or CTE body rewrites in place, and per
+    set-op arm through ``_rewrite_qualify``.
 
     Window functions cannot appear in WHERE, so the predicate is hoisted
     into the projection and filtered one level up; ORDER BY / LIMIT
@@ -477,8 +551,7 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     source dialects evaluate QUALIFY before DISTINCT, and the helper
     column is excluded from the outer projection so dedup sees exactly
     the original columns); a bare ``*`` select list is fine for the same
-    reason. QUALIFY feeding a set operation still raises instead of
-    silently changing semantics.
+    reason.
     """
     depth = 0
     q_at: int | None = None

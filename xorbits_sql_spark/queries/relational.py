@@ -201,6 +201,57 @@ def q26_execute_top_ties_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q27_execute_qualify_set_op",
+    """
+    SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    INTERSECT
+    SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    ORDER BY o_custkey
+    LIMIT 50
+    """,
+    tags=("execute-api", "dialect", "snowflake", "window", "set-op"),
+    doc=(
+        "QUALIFY feeding a set operation (the last form the round-3 "
+        "verdict listed as raising): customers whose highest-value "
+        "order is also their first order, via INTERSECT of two "
+        "per-arm QUALIFY filters through execute(dialect='snowflake'). "
+        "The rewrite (dialect.py _rewrite_qualify) splits each scope "
+        "into set-op arms at depth-0 UNION/INTERSECT/EXCEPT — "
+        "distinguished from select-list `* EXCEPT (col)` by lookahead "
+        "— and rewrites each arm's QUALIFY independently; the trailing "
+        "ORDER BY/LIMIT stays bound to the whole set operation. DuckDB "
+        "runs the identical QUALIFY + INTERSECT natively as the oracle."
+    ),
+)
+def q27_execute_qualify_set_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    INTERSECT
+    SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    ORDER BY o_custkey
+    LIMIT 50
+    """
+    return execute(
+        sql,
+        dialect="snowflake",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
     "q30_distinct",
     "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
     tags=("distinct",),
