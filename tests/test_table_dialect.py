@@ -206,6 +206,14 @@ def test_tsql_top_with_ties_and_percent(spark):
         spark=spark,
     ).collect()
     assert sub[0]["n"] == 4
+    # teradata rides the same rewrite path
+    td = execute(
+        "SELECT TOP 3 WITH TIES x FROM t ORDER BY x DESC",
+        tables={"t": pdf},
+        dialect="teradata",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in td), reverse=True) == [10, 10, 9, 9]
 
 
 @pytestmark_fallback
