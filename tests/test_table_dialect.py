@@ -214,6 +214,18 @@ def test_tsql_top_with_ties_and_percent(spark):
         spark=spark,
     ).collect()
     assert sorted((r["x"] for r in td), reverse=True) == [10, 10, 9, 9]
+    # ORDER BY over a select-list alias (tsql resolves aliases; Spark
+    # rejects lateral aliases in window exprs, so the rewrite
+    # substitutes the defining expression into the OVER clause)
+    grp = pd.DataFrame({"k": ["a", "a", "b", "b", "c"], "x": [1, 2, 3, 4, 5]})
+    ga = execute(
+        "SELECT TOP 2 WITH TIES k, COUNT(*) AS n FROM t "
+        "GROUP BY k ORDER BY n DESC, k",
+        tables={"t": grp},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["k"], r["n"]) for r in ga) == [("a", 2), ("b", 2)]
 
 
 @pytestmark_fallback

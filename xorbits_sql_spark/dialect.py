@@ -326,6 +326,49 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
+def _select_list_aliases(
+    items: list[tuple[str, str]]
+) -> dict[str, list[tuple[str, str]]]:
+    """Map UPPER(alias) → defining-expression tokens for every
+    ``expr AS alias`` item in a select list (top-level commas only;
+    implicit aliases are not resolved — a bare trailing word is part
+    of the expression more often than an alias in the forms this
+    serves)."""
+    out: dict[str, list[tuple[str, str]]] = {}
+    depth = 0
+    item: list[tuple[str, str]] = []
+    items_split: list[list[tuple[str, str]]] = []
+    for kind, text in items:
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        if depth == 0 and (kind, text) == ("op", ","):
+            items_split.append(item)
+            item = []
+            continue
+        item.append((kind, text))
+    items_split.append(item)
+    for item in items_split:
+        code = [
+            (p, tok) for p, tok in enumerate(item)
+            if tok[0] not in ("ws", "comment")
+        ]
+        if len(code) < 3:
+            continue
+        (p_as, as_tok), (_, alias_tok) = code[-2], code[-1]
+        if (
+            as_tok[0] == "word"
+            and as_tok[1].upper() == "AS"
+            and alias_tok[0] in ("word", "backtick", "dquoted", "bracket")
+        ):
+            alias = alias_tok[1]
+            if alias_tok[0] != "word":
+                alias = alias[1:-1]
+            out[alias.upper()] = item[: p_as]
+    return out
+
+
 def _top_variant_to_qualify(
     tokens: list[tuple[str, str]],
     top_at: int,
@@ -407,6 +450,30 @@ def _top_variant_to_qualify(
             raise UnsupportedError(
                 "TOP PERCENT / WITH TIES with positional ORDER BY"
             )
+    # ORDER BY may reference select-list aliases (tsql resolves them);
+    # the injected window runs IN the same projection, where Spark
+    # rejects lateral alias references inside window expressions —
+    # substitute each referenced alias with its defining expression.
+    aliases = _select_list_aliases(tokens[end + 1 : from_at])
+    if aliases:
+        substituted: list[tuple[str, str]] = []
+        for pos, (kind, text) in enumerate(order_exprs):
+            prev_c = next(
+                (order_exprs[p] for p in range(pos - 1, -1, -1)
+                 if order_exprs[p][0] not in ("ws", "comment")), None
+            )
+            nxt_c = next(
+                (order_exprs[p] for p in range(pos + 1, len(order_exprs))
+                 if order_exprs[p][0] not in ("ws", "comment")), None
+            )
+            qualified = prev_c == ("op", ".") or nxt_c == ("op", ".")
+            if kind == "word" and not qualified and text.upper() in aliases:
+                substituted += (
+                    [("op", "(")] + aliases[text.upper()] + [("op", ")")]
+                )
+            else:
+                substituted.append((kind, text))
+        order_exprs = substituted
     rank_fn = "RANK" if ties else "ROW_NUMBER"
     helpers: list[tuple[str, str]] = [
         ("op", ","), ("ws", " "),
