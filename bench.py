@@ -125,7 +125,12 @@ def _compact(out: dict) -> dict:
     TPC-H q01..q22 headline subset, and the 5 slowest queries. The full
     per-query warm/cold maps live in BENCH_LOCAL.json."""
     timings: dict[str, float] = out["queries"]
-    headline = {n: s for n, s in timings.items() if n[0] == "q" and n[1:3].isdigit() and int(n[1:3]) <= 22}
+    headline = {
+        n: s
+        for n, s in timings.items()
+        # exactly qNN_... with NN in 01..22 (q100_histogram must not match)
+        if n[0] == "q" and n[1:3].isdigit() and n[3] == "_" and int(n[1:3]) <= 22
+    }
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     base = out.get("baseline", {})
     compact = {

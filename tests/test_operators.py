@@ -884,6 +884,26 @@ def test_brute_topk_arrow_matches_hof(spark):
         assert abs(cos_h - cos_a) < 1e-9, (key, cos_h, cos_a)
 
 
+def test_brute_topk_arrow_tie_storm(spark):
+    """A clique family far larger than the per-batch cut, all at
+    cosine exactly 1.0 to the query: the Arrow path must still return
+    the globally smallest cids (review finding: an argpartition on
+    cosine alone kept an arbitrary tied subset before the cid sort)."""
+    from xorbits_sql_spark.operators.similarity import brute_topk_arrow
+
+    vec = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, vec) for i in range(100, 200)]  # 100 identical vectors
+    rows += [(i, [0.0, 1.0, 0.0, 0.0]) for i in range(50)]  # orthogonal
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1)  # one Arrow batch => the whole family ties at the cut
+    q = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    got = brute_topk_arrow(q, emb, k=5).collect()
+    assert [r["cid"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        100, 101, 102, 103, 104
+    ]
+
+
 def test_ivf_topk_arrow_matches_hof(spark):
     """The cogrouped-GEMM IVF probe must return the same ranked
     neighbors as the HOF ivf_topk for the same trained index."""

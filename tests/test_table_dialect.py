@@ -226,6 +226,54 @@ def test_tsql_top_with_ties_and_percent(spark):
         spark=spark,
     ).collect()
     assert sorted((r["k"], r["n"]) for r in ga) == [("a", 2), ("b", 2)]
+    # integers inside ORDER BY expressions are not positional ordinals
+    rd = execute(
+        "SELECT TOP 2 WITH TIES x FROM t ORDER BY x % 100 DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in rd), reverse=True) == [10, 10]
+
+
+@pytestmark_fallback
+def test_tsql_top_in_set_operation_binds_per_arm(spark):
+    """TOP binds to its own SELECT arm in tsql — the rewrite must not
+    let the appended LIMIT (or rank wrapper) rebind to the whole set
+    operation (review finding: previously produced a union-wide
+    LIMIT)."""
+    a = pd.DataFrame({"x": [1, 2, 3, 4, 5]})
+    b = pd.DataFrame({"x": [100, 101]})
+    got = execute(
+        "SELECT TOP 2 x FROM t ORDER BY x UNION ALL SELECT x FROM u",
+        tables={"t": a, "u": b},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    # 2 rows from the first arm PLUS all of u (4 total), not 2 overall
+    assert sorted(r["x"] for r in got) == [1, 2, 100, 101]
+    ties = execute(
+        "SELECT TOP 1 WITH TIES y FROM v ORDER BY y DESC "
+        "UNION ALL SELECT x FROM u",
+        tables={"v": pd.DataFrame({"y": [7, 7, 3]}), "u": b},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted(r["y"] for r in ties) == [7, 7, 100, 101]
+
+
+@pytestmark_fallback
+def test_tsql_top_trailing_comment_keeps_limit(spark):
+    """A trailing line comment must not swallow the appended LIMIT
+    (review finding: LIMIT landed inside the comment text)."""
+    pdf = pd.DataFrame({"x": list(range(10))})
+    got = execute(
+        "SELECT TOP 3 x FROM t ORDER BY x -- top three\n",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert [r["x"] for r in got] == [0, 1, 2]
 
 
 @pytestmark_fallback

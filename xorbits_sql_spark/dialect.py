@@ -245,7 +245,23 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     ceil-of-percent row count. Both need the scope's ORDER BY — without
     one tsql returns arbitrary rows, so that form still raises. TOP and
     LIMIT in the same scope also raises rather than silently changing
-    the row set."""
+    the row set.
+
+    Set-operation scopes split into arms first (TOP binds per SELECT
+    block in tsql/teradata); an arm whose rewrite appended a LIMIT or
+    a rank wrapper is parenthesized so its trailing clause cannot
+    rebind to the whole set operation."""
+    segs, seps = _split_set_op_arms(tokens)
+    if len(segs) > 1:
+        out: list[tuple[str, str]] = []
+        for idx, seg in enumerate(segs):
+            new = _rewrite_top(seg)
+            if new != seg:
+                new = _parenthesize_arm(new)
+            out += new
+            if idx < len(seps):
+                out += seps[idx]
+        return out
     depth = 0
     top_at: int | None = None
     n_tokens: list[tuple[str, str]] = []
@@ -313,9 +329,11 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     if percent or ties:
         return _top_variant_to_qualify(tokens, top_at, end, n_tokens, percent, ties)
     out = tokens[:top_at] + tokens[end + 1 :]
-    # strip one trailing semicolon (re-appended after LIMIT)
+    # strip one trailing semicolon (re-appended after LIMIT); trailing
+    # comments must go too — a `-- note` left in last position would
+    # swallow the appended LIMIT into the comment text
     tail = ""
-    while out and out[-1][0] == "ws":
+    while out and out[-1][0] in ("ws", "comment"):
         out.pop()
     if out and out[-1] == ("op", ";"):
         out.pop()
@@ -324,6 +342,51 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     if tail:
         out.append(("op", tail))
     return out
+
+
+def _split_top_level_commas(
+    tokens: list[tuple[str, str]]
+) -> list[list[tuple[str, str]]]:
+    """Split a token run at depth-0 commas (select lists, ORDER BY
+    item lists)."""
+    items: list[list[tuple[str, str]]] = [[]]
+    depth = 0
+    for kind, text in tokens:
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        if depth == 0 and (kind, text) == ("op", ","):
+            items.append([])
+            continue
+        items[-1].append((kind, text))
+    return items
+
+
+def _parenthesize_arm(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Wrap a set-op arm in parentheses, from its first depth-0 SELECT
+    (a CTE prefix cannot sit inside the parens) to its end, keeping a
+    trailing semicolon outside."""
+    sel_at = None
+    depth = 0
+    for i, (kind, text) in enumerate(tokens):
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "word" and text.upper() == "SELECT":
+            sel_at = i
+            break
+    if sel_at is None:
+        return tokens
+    body = list(tokens[sel_at:])
+    tail: list[tuple[str, str]] = []
+    while body and body[-1][0] in ("ws", "comment"):
+        body.pop()
+    if body and body[-1] == ("op", ";"):
+        body.pop()
+        tail = [("op", ";")]
+    return tokens[:sel_at] + [("op", "(")] + body + [("op", ")"), ("ws", " ")] + tail
 
 
 def _select_list_aliases(
@@ -442,11 +505,31 @@ def _top_variant_to_qualify(
         raise UnsupportedError("TOP PERCENT / WITH TIES requires ORDER BY")
     if from_at is None:
         raise UnsupportedError("could not locate FROM for TOP rewrite")
+    depth = 0
+    for i in range(end + 1, order_at):
+        kind, text = tokens[i]
+        if kind == "op" and text == "(":
+            depth += 1
+        elif kind == "op" and text == ")":
+            depth -= 1
+        elif depth == 0 and kind == "word" and text.upper() == "QUALIFY":
+            # teradata applies QUALIFY before TOP; copying the QUALIFY
+            # clause into the rank wrapper would rank pre-filter rows
+            raise UnsupportedError(
+                "TOP PERCENT / WITH TIES combined with QUALIFY"
+            )
     order_exprs = tokens[order_start:order_end]
-    for kind, text in order_exprs:
-        if kind == "number" and "." not in text:
-            # positional sort keys are select-list ordinals in the
-            # scope's ORDER BY but constants inside OVER (ORDER BY ...)
+    # positional sort keys are select-list ordinals in the scope's
+    # ORDER BY but constants inside OVER (ORDER BY ...) — flag only a
+    # BARE top-level integer item (integers inside expressions like
+    # ROUND(x, 2) or price % 100 are fine)
+    for item in _split_top_level_commas(order_exprs):
+        code = [tok for tok in item if tok[0] not in ("ws", "comment")]
+        while code and code[-1][0] == "word" and code[-1][1].upper() in (
+            "ASC", "DESC", "NULLS", "FIRST", "LAST",
+        ):
+            code.pop()
+        if len(code) == 1 and code[0][0] == "number" and "." not in code[0][1]:
             raise UnsupportedError(
                 "TOP PERCENT / WITH TIES with positional ORDER BY"
             )
@@ -467,7 +550,10 @@ def _top_variant_to_qualify(
                  if order_exprs[p][0] not in ("ws", "comment")), None
             )
             qualified = prev_c == ("op", ".") or nxt_c == ("op", ".")
-            if kind == "word" and not qualified and text.upper() in aliases:
+            # a word followed by "(" is a function CALL whose name
+            # happens to match the alias, not an alias reference
+            is_call = nxt_c == ("op", "(")
+            if kind == "word" and not qualified and not is_call and text.upper() in aliases:
                 substituted += (
                     [("op", "(")] + aliases[text.upper()] + [("op", ")")]
                 )
@@ -554,14 +640,14 @@ def _is_set_op_keyword(tokens: list[tuple[str, str]], i: int) -> bool:
     return False
 
 
-def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """QUALIFY rewrite for one paren scope, set-operation aware: the
-    scope is split into its set-op arms at depth-0 UNION / INTERSECT /
-    EXCEPT / MINUS keywords (distinguished from select-list ``*
-    EXCEPT (col)`` by lookahead), and the single-arm rewrite runs on
-    each arm independently — QUALIFY binds per SELECT block in every
-    source dialect, and a trailing ORDER BY / LIMIT stays at the very
-    end where it binds the whole set operation, unchanged."""
+def _split_set_op_arms(
+    tokens: list[tuple[str, str]]
+) -> tuple[list[list[tuple[str, str]]], list[list[tuple[str, str]]]]:
+    """Split one paren scope into its set-operation arms at depth-0
+    UNION / INTERSECT / EXCEPT / MINUS keywords (set-op vs select-list
+    ``* EXCEPT (col)`` disambiguated by ``_is_set_op_keyword``).
+    Returns (segments, separators); a scope with no set op returns
+    ([tokens], [])."""
     segs: list[list[tuple[str, str]]] = []
     seps: list[list[tuple[str, str]]] = []
     depth = 0
@@ -592,6 +678,16 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             continue
         i += 1
     segs.append(tokens[last:])
+    return segs, seps
+
+
+def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """QUALIFY rewrite for one paren scope, set-operation aware: the
+    scope is split into its set-op arms and the single-arm rewrite
+    runs on each arm independently — QUALIFY binds per SELECT block in
+    every source dialect, and a trailing ORDER BY / LIMIT stays at the
+    very end where it binds the whole set operation, unchanged."""
+    segs, seps = _split_set_op_arms(tokens)
     if len(segs) == 1:
         return _rewrite_qualify_one(tokens)
     out: list[tuple[str, str]] = []

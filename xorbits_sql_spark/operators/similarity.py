@@ -123,13 +123,17 @@ def brute_topk_arrow(
             cn = np.sqrt((cmat * cmat).sum(axis=1))
             sims = (cmat @ qmat.T) / np.outer(cn, qn)  # (batch, m)
             top = min(take, sims.shape[0])
-            part = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, m)
             out = []
             for j in range(sims.shape[1]):
-                sel = part[:, j]
-                # deterministic (cosine desc, cid asc) within the batch
-                order = np.lexsort((cids[sel], -sims[sel, j]))
-                sel = sel[order]
+                # full composite (cosine desc, cid asc) sort BEFORE the
+                # per-batch cut: an argpartition on cosine alone keeps
+                # an arbitrary subset of rows tied at the cut score, so
+                # with more than `take` ties (dedup corpora: whole
+                # clique families at cosine 1.0) the globally-smallest
+                # cids could be dropped and rank-identity with
+                # brute_topk would break.
+                order = np.lexsort((cids, -sims[:, j]))[:top]
+                sel = order
                 out.append(
                     pd.DataFrame(
                         {
@@ -331,12 +335,12 @@ def ivf_topk_arrow(
         cids = right["cid"].to_numpy(dtype=np.int64)
         sims = (cmat @ qmat.T) / np.outer(cn_, qn_)  # (members, queries)
         top = min(take, sims.shape[0])
-        part = np.argpartition(-sims, top - 1, axis=0)[:top]
         out = []
         for j in range(sims.shape[1]):
-            sel = part[:, j]
-            order = np.lexsort((cids[sel], -sims[sel, j]))
-            sel = sel[order]
+            # composite sort before the cut — see brute_topk_arrow's
+            # score(): tie families larger than `take` would otherwise
+            # lose their smallest cids to an arbitrary argpartition.
+            sel = np.lexsort((cids, -sims[:, j]))[:top]
             out.append(
                 pd.DataFrame(
                     {
