@@ -87,12 +87,20 @@ from xorbits_sql_spark.queries import load_all
 # window becomes the first 50 never-driver-verified oracle-bearing
 # names (r57.. + s-series), and rows-only entries queue behind the
 # full oracle-paired inventory.
+#
+# Round 5: CORRECTNESS_r04 verified q23..q27 + r57..r99 + s01..s03
+# (50/50 rows+schema+hash green, zero failures — r69 does not exist
+# in the numbering), so those join the rotated set and the window
+# advances to the next 50 never-driver-verified oracle-bearing names
+# (s04 onward, ~s04..s53).
 _DRIVER_GREEN = frozenset(
-    [f"q{i:02d}" for i in range(1, 23)]
+    [f"q{i:02d}" for i in range(1, 28)]
     + [f"q{i}" for i in range(30, 100)]
     + ["q100"]
     + [f"r{i}" for i in range(46, 51)]
     + ["r55", "r56"]
+    + [f"r{i}" for i in range(57, 100)]
+    + ["s01", "s02", "s03"]
 )
 
 

@@ -129,7 +129,7 @@ def _compact(out: dict) -> dict:
         n: s
         for n, s in timings.items()
         # exactly qNN_... with NN in 01..22 (q100_histogram must not match)
-        if n[0] == "q" and n[1:3].isdigit() and n[3] == "_" and int(n[1:3]) <= 22
+        if n[0] == "q" and n[1:3].isdigit() and n[3:4] == "_" and int(n[1:3]) <= 22
     }
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     base = out.get("baseline", {})

@@ -216,10 +216,30 @@ def main() -> None:
         note="batch screened vs persisted index",
     )
 
+    # The pre-flight pair-budget guard must REFUSE this corpus (dense
+    # 100-member cliques → Σ df·(df-1)/2 far over the default budget —
+    # the 848 GB-spill boundary the round-4 rehearsal measured); the
+    # timed run then overrides the budget to measure the boundary and
+    # exercise the pair-volume-scaled shuffle partitioning.
+    from xorbits_sql_spark.errors import PairBudgetExceededError
+
+    try:
+        ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_df=1000)
+    except PairBudgetExceededError as exc:
+        print(f"[rehearsal] pair-budget guard fired as designed: {exc}")
+    else:
+        raise AssertionError(
+            "pair-budget guard did NOT fire on the dense-clique corpus"
+        )
     run(
         "ngram_jaccard_pairs",
-        lambda: ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_df=1000),
-        note="inverted index, max_df=1000",
+        lambda: ngram_jaccard_pairs(
+            # budget raised (not None) so the Σdf² estimate still runs
+            # and drives the pair-volume-scaled shuffle partitioning
+            docs, "text", "doc_id", threshold=0.5, max_df=1000,
+            pair_budget=10**15,
+        ),
+        note="inverted index, max_df=1000, budget raised (boundary probe, scaled partitions)",
     )
 
     # IVF probe cost per query is nprobe * N/k dots — at FIXED k it

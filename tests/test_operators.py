@@ -139,6 +139,76 @@ def test_ngram_jaccard(spark):
     assert not any(4 in p for p in out)
 
 
+def test_ngram_jaccard_pair_budget_guard(spark):
+    """Round-4 verdict #2: a dense clique must be REFUSED by the
+    pre-flight Σ df·(df-1)/2 estimate before any pair joins run, with
+    the error naming the bounded alternatives; a generous budget leaves
+    results identical to budget-off."""
+    import pytest as _pytest
+
+    from xorbits_sql_spark.errors import PairBudgetExceededError
+
+    # 40-doc clique of identical texts → C(40,2) = 780 exact pairs
+    clique = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(PairBudgetExceededError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(clique, "text", "doc_id", pair_budget=500)
+    ok = ngram_jaccard_pairs(clique, "text", "doc_id", pair_budget=10_000)
+    assert ok.count() == 40 * 39 // 2
+    # budget respected on the docs fixture: tiny corpus, no refusal,
+    # identical output with the default budget vs disabled
+    base = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.0, pair_budget=None
+        ).collect()
+    }
+    budgeted = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.0
+        ).collect()
+    }
+    assert base == budgeted
+
+
+def test_pair_volume_scaled_partitions_equivalence(spark, monkeypatch):
+    """Round-4 verdict #4: when the Σdf² estimate exceeds the session
+    shuffle-partition budget, the pair join/agg repartition to the
+    scaled count — same rows, more partitions. Forced here by shrinking
+    the rows-per-partition target below the fixture's pair volume."""
+    from xorbits_sql_spark.operators import dedup as D
+
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "text", "doc_id", threshold=0.0, pair_budget=None
+        ).collect()
+    }
+    monkeypatch.setattr(D, "_PAIR_ROWS_PER_PARTITION", 1)
+    df = ngram_jaccard_pairs(_docs(spark), "text", "doc_id", threshold=0.0)
+    scaled = {(r["id_a"], r["id_b"]): r["jaccard"] for r in df.collect()}
+    assert scaled == plain
+    assert "RoundRobin" not in df._jdf.queryExecution().executedPlan().toString()
+    # LSH capped path rides the same scaling
+    lsh_plain = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            _docs(spark), "text", "doc_id", seeds=8, band_size=1, max_bucket=2
+        ).collect()
+    }
+    monkeypatch.setattr(D, "_PAIR_ROWS_PER_PARTITION", 4_000_000)
+    lsh_base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            _docs(spark), "text", "doc_id", seeds=8, band_size=1, max_bucket=2
+        ).collect()
+    }
+    assert lsh_plain == lsh_base
+
+
 def test_simhash_pairs(spark):
     out = {
         (r["id_a"], r["id_b"]): r["hamming"]
@@ -902,6 +972,31 @@ def test_brute_topk_arrow_tie_storm(spark):
     assert [r["cid"] for r in sorted(got, key=lambda r: r["rank"])] == [
         100, 101, 102, 103, 104
     ]
+
+
+def test_tie_safe_topk_unit():
+    """_tie_safe_topk == full composite lexsort on every shape that
+    matters: boundary mid-tie-family, whole-array tie, top >= n, and
+    the NaN fallback (fewer finite scores than the cut)."""
+    import numpy as np
+
+    from xorbits_sql_spark.operators.similarity import _tie_safe_topk
+
+    def ref(s, cids, top):
+        return np.lexsort((cids, -s))[:top]
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n = int(rng.integers(1, 40))
+        s = rng.choice([0.1, 0.5, 0.5, 0.9, 1.0], size=n).astype(float)
+        cids = rng.permutation(n).astype(np.int64)
+        top = int(rng.integers(1, n + 5))
+        got = _tie_safe_topk(s, cids, top)
+        assert list(got) == list(ref(s, cids, top)), (s, cids, top)
+    # NaN boundary: only 2 finite scores but top=4 → fallback path
+    s = np.array([np.nan, 0.9, np.nan, 0.5, np.nan])
+    cids = np.arange(5, dtype=np.int64)
+    assert list(_tie_safe_topk(s, cids, 4)) == list(ref(s, cids, 4))
 
 
 def test_ivf_topk_arrow_matches_hof(spark):

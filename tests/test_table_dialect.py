@@ -277,6 +277,73 @@ def test_tsql_top_trailing_comment_keeps_limit(spark):
 
 
 @pytestmark_fallback
+def test_tsql_top_ties_trailing_comment(spark):
+    """A trailing line comment on a TIES/PERCENT query must not land
+    inside the generated OVER (ORDER BY ...) and swallow the rest of
+    the rewritten SQL (advisor finding: the plain-TOP LIMIT path
+    stripped comments but the rank-wrapper path did not)."""
+    pdf = pd.DataFrame({"x": [10, 10, 9, 9, 5, 4, 3, 2, 1, 0]})
+    got = execute(
+        "SELECT TOP 3 WITH TIES x FROM t ORDER BY x DESC -- note",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in got), reverse=True) == [10, 10, 9, 9]
+    pct = execute(
+        "SELECT TOP 25 PERCENT x FROM t ORDER BY x DESC -- note",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in pct), reverse=True) == [10, 10, 9]
+    # comment BETWEEN sort items must also be inert
+    mid = execute(
+        "SELECT TOP 2 WITH TIES x FROM t ORDER BY x DESC, -- tiebreak\n x",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in mid), reverse=True) == [10, 10]
+
+
+@pytestmark_fallback
+def test_tsql_top_alias_binds_bare_items_only(spark):
+    """tsql resolves a select-list alias in ORDER BY only when it is a
+    BARE item; a name inside an expression binds to the FROM column
+    (advisor finding: the rewrite substituted aliases anywhere,
+    silently re-sorting when the alias shadows a real column)."""
+    pdf = pd.DataFrame({"x": [1, 2, 3], "n": [30, 20, 10]})
+    got = execute(
+        "SELECT TOP 1 WITH TIES x AS n FROM t ORDER BY ABS(n) DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    # ABS(n) binds to source column n → row n=30 → x=1 (alias
+    # substitution would instead pick ABS(x) DESC → x=3)
+    assert [r["n"] for r in got] == [1]
+    # a bare alias item still substitutes (Spark rejects lateral
+    # aliases inside window expressions)
+    bare = execute(
+        "SELECT TOP 1 WITH TIES x + 0 AS y FROM t ORDER BY y DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert [r["y"] for r in bare] == [3]
+    # alias inside an expression with NO matching source column is an
+    # error in tsql — the rewrite must surface it, not silently accept
+    with pytest.raises(Exception):
+        execute(
+            "SELECT TOP 1 WITH TIES x AS y FROM t ORDER BY ABS(y) DESC",
+            tables={"t": pdf},
+            dialect="tsql",
+            spark=spark,
+        ).collect()
+
+
+@pytestmark_fallback
 def test_tsql_top_in_subquery_rewrites(spark):
     """Round-3 verdict #4: TOP inside a subquery now rewrites in its own
     scope (the LIMIT lands at the subquery's end), and independent TOPs

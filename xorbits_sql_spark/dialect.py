@@ -533,33 +533,54 @@ def _top_variant_to_qualify(
             raise UnsupportedError(
                 "TOP PERCENT / WITH TIES with positional ORDER BY"
             )
-    # ORDER BY may reference select-list aliases (tsql resolves them);
-    # the injected window runs IN the same projection, where Spark
-    # rejects lateral alias references inside window expressions —
-    # substitute each referenced alias with its defining expression.
+    # ORDER BY may reference select-list aliases; tsql resolves ONLY a
+    # BARE top-level item as an alias (names inside expressions bind to
+    # FROM columns), and the injected window runs IN the same
+    # projection, where Spark rejects lateral alias references inside
+    # window expressions — so substitute the defining expression for
+    # exactly those bare items and leave expression-interior words to
+    # resolve against FROM columns, as tsql does.
     aliases = _select_list_aliases(tokens[end + 1 : from_at])
     if aliases:
-        substituted: list[tuple[str, str]] = []
-        for pos, (kind, text) in enumerate(order_exprs):
-            prev_c = next(
-                (order_exprs[p] for p in range(pos - 1, -1, -1)
-                 if order_exprs[p][0] not in ("ws", "comment")), None
-            )
-            nxt_c = next(
-                (order_exprs[p] for p in range(pos + 1, len(order_exprs))
-                 if order_exprs[p][0] not in ("ws", "comment")), None
-            )
-            qualified = prev_c == ("op", ".") or nxt_c == ("op", ".")
-            # a word followed by "(" is a function CALL whose name
-            # happens to match the alias, not an alias reference
-            is_call = nxt_c == ("op", "(")
-            if kind == "word" and not qualified and not is_call and text.upper() in aliases:
-                substituted += (
-                    [("op", "(")] + aliases[text.upper()] + [("op", ")")]
+        rebuilt: list[list[tuple[str, str]]] = []
+        for item in _split_top_level_commas(order_exprs):
+            code_at = [
+                i for i, tok in enumerate(item)
+                if tok[0] not in ("ws", "comment")
+            ]
+            k = len(code_at)
+            while k and item[code_at[k - 1]][0] == "word" and item[
+                code_at[k - 1]
+            ][1].upper() in ("ASC", "DESC", "NULLS", "FIRST", "LAST"):
+                k -= 1
+            expr_at = code_at[:k]
+            if (
+                len(expr_at) == 1
+                and item[expr_at[0]][0] == "word"
+                and item[expr_at[0]][1].upper() in aliases
+            ):
+                i = expr_at[0]
+                item = (
+                    item[:i]
+                    + [("op", "(")]
+                    + aliases[item[i][1].upper()]
+                    + [("op", ")")]
+                    + item[i + 1 :]
                 )
-            else:
-                substituted.append((kind, text))
-        order_exprs = substituted
+            rebuilt.append(item)
+        order_exprs = [
+            tok
+            for i, item in enumerate(rebuilt)
+            for tok in ([("op", ",")] if i else []) + item
+        ]
+    # a line comment among the sort tokens would land inside the
+    # generated OVER (ORDER BY ...) and swallow `) AS __topk FROM ...`
+    # into the comment text (the plain-TOP LIMIT path strips these the
+    # same way) — comments are whitespace-equivalent, so blank them
+    order_exprs = [
+        ("ws", " ") if kind == "comment" else (kind, text)
+        for kind, text in order_exprs
+    ]
     rank_fn = "RANK" if ties else "ROW_NUMBER"
     helpers: list[tuple[str, str]] = [
         ("op", ","), ("ws", " "),

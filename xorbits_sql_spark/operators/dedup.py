@@ -26,11 +26,14 @@ the pipeline-extension surface from BASELINE.json.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark.sql.window import Window as W
 
+from ..errors import PairBudgetExceededError
 from ..functions.text import fingerprint, norm_ws, word_shingles
 
 # Intermediate signature/index tables persisted by the pair generators.
@@ -334,6 +337,26 @@ def incremental_dedup_decisions(
     )
 
 
+# Sizing target for pair-volume-scaled shuffles: ~4M (id_a, id_b[, stat])
+# rows per partition keeps a partition's in-memory footprint in the
+# low hundreds of MB — at the 100x rehearsal's measured pair volumes the
+# session default of 32 partitions left ~26 GB/partition (BASELINE.md),
+# which is the spill cliff this scaling removes.
+_PAIR_ROWS_PER_PARTITION = 4_000_000
+_PAIR_PARTITION_CAP = 8_192
+
+
+def _scaled_pair_partitions(df: DataFrame, est_pairs: float) -> int | None:
+    """Shuffle-partition count for an estimated pair volume, or None
+    when the session default already suffices (small corpora: never add
+    exchanges or tiny-partition overhead below the default)."""
+    base = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = int(math.ceil(est_pairs / _PAIR_ROWS_PER_PARTITION))
+    if n <= base:
+        return None
+    return min(n, _PAIR_PARTITION_CAP)
+
+
 def _capped_pair_join(
     bucketed: DataFrame, bucket_col: str, max_bucket: int | None
 ) -> DataFrame:
@@ -342,7 +365,12 @@ def _capped_pair_join(
     ``bucketed`` has one (doc, bucket) row per membership. The bucket
     size/representative aggregation shuffles on the same key as the
     self-join, so the extra guard costs one co-partitioned aggregation,
-    no additional exchange of the membership table.
+    no additional exchange of the membership table. When ``max_bucket``
+    is set the exact pair volume (Σ bn·(bn-1)/2 over small buckets +
+    bn-1 stars over capped ones) is known from the same size table, and
+    the pair join + distinct are repartitioned to hold ~4M pair rows
+    per task — the knob the 100x rehearsal showed must scale with pair
+    count, not sit at the session default.
     """
     if max_bucket is None:
         other = bucketed.select(F.col("doc").alias("doc_b"), F.col(bucket_col))
@@ -352,12 +380,26 @@ def _capped_pair_join(
             .select(F.col("doc").alias("id_a"), F.col("doc_b").alias("id_b"))
             .distinct()
         )
-    sizes = bucketed.groupBy(bucket_col).agg(
-        F.count(F.lit(1)).alias("__bn"), F.min("doc").alias("__rep")
+    sizes = _persist(
+        bucketed.groupBy(bucket_col).agg(
+            F.count(F.lit(1)).alias("__bn"), F.min("doc").alias("__rep")
+        )
     )
+    est = sizes.select(
+        F.sum(
+            F.when(
+                F.col("__bn") <= max_bucket,
+                F.col("__bn") * (F.col("__bn") - F.lit(1)) / F.lit(2.0),
+            ).otherwise(F.col("__bn") - F.lit(1))
+        ).alias("__pairs")
+    ).collect()[0]["__pairs"]
+    n_part = _scaled_pair_partitions(bucketed, float(est or 0.0))
     sized = bucketed.join(sizes, bucket_col)
     small = sized.filter(F.col("__bn") <= max_bucket).select("doc", bucket_col)
     other = small.select(F.col("doc").alias("doc_b"), F.col(bucket_col))
+    if n_part:
+        small = small.repartition(n_part, bucket_col)
+        other = other.repartition(n_part, bucket_col)
     small_pairs = (
         small.join(other, bucket_col)
         .filter(F.col("doc") < F.col("doc_b"))
@@ -367,7 +409,14 @@ def _capped_pair_join(
         sized.filter((F.col("__bn") > max_bucket) & (F.col("doc") != F.col("__rep")))
         .select(F.col("__rep").alias("id_a"), F.col("doc").alias("id_b"))
     )
-    return small_pairs.unionByName(star_pairs).distinct()
+    out = small_pairs.unionByName(star_pairs)
+    if n_part:
+        # the distinct's exchange moves the full pair volume too — give
+        # it the same scaled partitioning (repartition on the distinct
+        # keys satisfies its required distribution: no extra exchange,
+        # just the scaled count instead of the session default)
+        out = out.repartition(n_part, "id_a", "id_b")
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -378,6 +427,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
     partition_col: str | None = None,
     max_df: int | None = 10_000,
+    pair_budget: int | None = 100_000_000,
 ) -> DataFrame:
     """Exact Jaccard similarity on word-shingle sets for candidate pairs.
 
@@ -407,11 +457,19 @@ def ngram_jaccard_pairs(
     100-member cliques; ``minhash_lsh_pairs`` covered the same corpus
     with zero spill. Use this operator for exact scores on sparse-ish
     graphs or within ``partition_col`` shards; use MinHash-LSH as the
-    candidate generator when duplicate families may be large, and size
-    ``spark.sql.shuffle.partitions`` with the expected pair count.
+    candidate generator when duplicate families may be large.
+
+    ``pair_budget`` enforces that contract at submit time: the exact
+    pair count Σ df·(df-1)/2 is pre-computed from the shingle-DF
+    histogram (one aggregation over the already-persisted inverted
+    index — seconds, not the join) and
+    :class:`~..errors.PairBudgetExceededError` is raised above the
+    budget, BEFORE any pair is materialized. Below the budget the same
+    estimate sizes the join/agg shuffle partitioning (~4M pair rows
+    per task) instead of the session default. ``None`` disables both.
     """
     shared = _shingle_pair_stats(
-        df, text_col, id_col, shingle_k, partition_col, max_df
+        df, text_col, id_col, shingle_k, partition_col, max_df, pair_budget
     )
     return (
         shared.select(
@@ -433,10 +491,13 @@ def _shingle_pair_stats(
     shingle_k: int,
     partition_col: str | None,
     max_df: int | None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Inverted-index pair statistics: (doc, doc_b, shared, size_a,
     size_b) for every doc < doc_b pair sharing >= 1 (DF-capped) shingle.
-    Shared core of Jaccard and containment scoring."""
+    Shared core of Jaccard and containment scoring. ``pair_budget``:
+    see :func:`ngram_jaccard_pairs` — pre-flight Σ df·(df-1)/2 refusal
+    plus pair-volume-scaled shuffle partitioning."""
     parts = [partition_col] if partition_col else []
     shingled = shingles_relational(
         df, text_col, id_col, k=shingle_k, distinct=True, carry_cols=parts
@@ -471,21 +532,62 @@ def _shingle_pair_stats(
         shingled.withColumn("set_size", F.count(F.lit(1)).over(W.partitionBy("doc")))
     )
     on = ["shingle"] + [p for p in parts]
+    n_part = None
+    if pair_budget is not None:
+        # Exact join-output volume from the DF histogram of the (cached)
+        # inverted index: Σ df·(df-1)/2 over (shingle [+ group]). One
+        # aggregation over a table the query materializes anyway — the
+        # pre-flight that stops an over-budget 100 TB submission in
+        # seconds instead of after terabytes of spill.
+        est = float(
+            sized.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__dfreq"))
+            .select(
+                F.sum(
+                    F.col("__dfreq") * (F.col("__dfreq") - F.lit(1)) / F.lit(2.0)
+                ).alias("__pairs")
+            )
+            .collect()[0]["__pairs"]
+            or 0.0
+        )
+        if est > pair_budget:
+            sized.unpersist()
+            raise PairBudgetExceededError(
+                f"exact shingle-pair volume ≈ {est:.3g} exceeds "
+                f"pair_budget={pair_budget:,}. Exact pairwise Jaccard is "
+                "pair-volume-bound (Σ df·(df-1)/2 over shingles — see the "
+                "operator's scale contract); for dense duplicate families "
+                "use minhash_lsh_pairs as the candidate generator, shard "
+                "with partition_col, tighten max_df, or pass "
+                "pair_budget=None to run anyway."
+            )
+        n_part = _scaled_pair_partitions(sized, est)
     right = sized.select(
         F.col("doc").alias("doc_b"),
         *[F.col(p) for p in parts],
         F.col("shingle"),
         F.col("set_size").alias("size_b"),
     )
-    return (
-        sized.join(right, on)
-        .filter(F.col("doc") < F.col("doc_b"))
-        .groupBy("doc", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.min("set_size").alias("size_a"),
-            F.min("size_b").alias("size_b"),
-        )
+    left = sized
+    if n_part:
+        # co-partition both join sides on the join key at the scaled
+        # count — the join then runs on this distribution (no extra
+        # exchange vs the default-sized one it would have planned) and
+        # each task holds ~4M pair rows instead of pairs/32.
+        left = left.repartition(n_part, *on)
+        right = right.repartition(n_part, *on)
+    joined = left.join(right, on).filter(F.col("doc") < F.col("doc_b"))
+    if n_part:
+        # the shared-count exchange also moves ~the full pair volume
+        # (a pair's shingle rows are scattered across shingle
+        # partitions, so map-side combine barely reduces it) — give it
+        # the scaled count too; repartition on the grouping keys
+        # satisfies the agg's distribution, so no second exchange.
+        joined = joined.repartition(n_part, "doc", "doc_b")
+    return joined.groupBy("doc", "doc_b").agg(
+        F.count(F.lit(1)).alias("shared"),
+        F.min("set_size").alias("size_a"),
+        F.min("size_b").alias("size_b"),
     )
 
 
@@ -497,6 +599,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     partition_col: str | None = None,
     max_df: int | None = 10_000,
+    pair_budget: int | None = 100_000_000,
 ) -> DataFrame:
     """ASYMMETRIC shingle containment: |A ∩ B| / |A| per ordered pair.
 
@@ -510,10 +613,11 @@ def ngram_containment_pairs(
     the denominator), for pairs over ``threshold``. Same inverted-index
     plan and ``max_df`` hot-shingle guard as
     :func:`ngram_jaccard_pairs` — containment is computed over the
-    DF-capped sets on both sides.
+    DF-capped sets on both sides, and the same ``pair_budget``
+    pre-flight refusal / shuffle scaling applies.
     """
     shared = _shingle_pair_stats(
-        df, text_col, id_col, shingle_k, partition_col, max_df
+        df, text_col, id_col, shingle_k, partition_col, max_df, pair_budget
     )
     a_in_b = shared.select(
         F.col("doc").alias("id_small"),

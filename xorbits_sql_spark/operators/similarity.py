@@ -51,6 +51,30 @@ def _pair_cosine() -> F.Column:
     return dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
 
 
+def _tie_safe_topk(s, cids, top):
+    """Indices of the ``top`` best rows of ``s`` by (score desc, cid asc).
+
+    O(n) argpartition first, then the cut is EXTENDED to every row tied
+    with the boundary score before the small composite lexsort — so a
+    tie family larger than ``top`` (dedup corpora: whole cliques at
+    cosine 1.0) cannot lose its globally-smallest cids to an arbitrary
+    partition, at near-argpartition cost instead of a full per-batch
+    O(n log n) lexsort. Falls back to the full lexsort when the
+    boundary score is NaN (fewer than ``top`` finite scores, e.g.
+    zero-norm vectors), preserving NaN-last ordering.
+    """
+    import numpy as np
+
+    if top >= s.shape[0]:
+        return np.lexsort((cids, -s))[:top]
+    part = np.argpartition(-s, top - 1)
+    kth = s[part[top - 1]]
+    if not np.isfinite(kth):
+        return np.lexsort((cids, -s))[:top]
+    cut = np.flatnonzero(s >= kth)
+    return cut[np.lexsort((cids[cut], -s[cut]))][:top]
+
+
 def brute_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -125,15 +149,10 @@ def brute_topk_arrow(
             top = min(take, sims.shape[0])
             out = []
             for j in range(sims.shape[1]):
-                # full composite (cosine desc, cid asc) sort BEFORE the
-                # per-batch cut: an argpartition on cosine alone keeps
-                # an arbitrary subset of rows tied at the cut score, so
-                # with more than `take` ties (dedup corpora: whole
-                # clique families at cosine 1.0) the globally-smallest
-                # cids could be dropped and rank-identity with
-                # brute_topk would break.
-                order = np.lexsort((cids, -sims[:, j]))[:top]
-                sel = order
+                # tie-safe cut (see _tie_safe_topk): rows tied at the
+                # boundary score join the composite sort so rank
+                # identity with brute_topk holds on clique-sized ties.
+                sel = _tie_safe_topk(sims[:, j], cids, top)
                 out.append(
                     pd.DataFrame(
                         {
@@ -337,10 +356,10 @@ def ivf_topk_arrow(
         top = min(take, sims.shape[0])
         out = []
         for j in range(sims.shape[1]):
-            # composite sort before the cut — see brute_topk_arrow's
-            # score(): tie families larger than `take` would otherwise
-            # lose their smallest cids to an arbitrary argpartition.
-            sel = np.lexsort((cids, -sims[:, j]))[:top]
+            # tie-safe cut — see _tie_safe_topk: boundary-tied rows
+            # join the composite sort, so clique-sized tie families
+            # keep their smallest cids at near-argpartition cost.
+            sel = _tie_safe_topk(sims[:, j], cids, top)
             out.append(
                 pd.DataFrame(
                     {
