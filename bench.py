@@ -207,6 +207,7 @@ def _vs_baseline(
         and sec > (8.0 if name in streaming else 0.3)
         and sec / base_q[name] > 1.5
     }
+    regressions = _adjudicate_regressions(regressions, sf_dir)
     shared = [n for n in timings if n in base_q]
     base_total = round(sum(base_q[n] for n in shared), 4)
     shared_total = round(sum(timings[n] for n in shared), 4)
@@ -220,6 +221,143 @@ def _vs_baseline(
             "regressions": regressions,
         }
     }
+
+
+# Re-timer run inside throwaway subprocesses for A/B adjudication: one
+# cold warm-up, then median of 3 warm passes per query — same protocol
+# as the main loop, in a FRESH JVM so HEAD and baseline-code runs see
+# identical session conditions.
+_RETIME_SRC = """
+import json, sys, time
+names = json.loads(sys.argv[1]); sf = sys.argv[2]
+from xorbits_sql_spark.queries import load_all
+from xorbits_sql_spark.session import get_spark
+from xorbits_sql_spark.operators.dedup import release_caches
+spark = get_spark("bench-ab-retime")
+specs = load_all()
+out = {}
+for n in names:
+    spec = specs.get(n)
+    if spec is None:
+        continue
+    try:
+        spec.fn(spark, sf).count()
+        release_caches()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf).count()
+            ts.append(time.perf_counter() - t0)
+            release_caches()
+        out[n] = round(sorted(ts)[1], 4)
+    except Exception:
+        pass
+print("__AB__" + json.dumps(out))
+"""
+
+
+def _retime_subprocess(cwd: str, names: list[str], sf_dir: str) -> dict[str, float]:
+    """Median-of-3 warm re-times for ``names`` using the code tree at
+    ``cwd`` (the working tree or a baseline-commit worktree)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = cwd
+    p = subprocess.run(
+        [sys.executable, "-c", _RETIME_SRC, json.dumps(names), sf_dir],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in reversed(p.stdout.splitlines()):
+        if line.startswith("__AB__"):
+            return json.loads(line[len("__AB__"):])
+    return {}
+
+
+def _adjudicate_regressions(
+    regressions: dict, sf_dir: str, limit: int = 8
+) -> dict:
+    """Worktree A/B drift adjudication (round-4 verdict #5).
+
+    This rig demonstrably drifts: three same-code runs measured
+    suite ratios 1.347 -> 1.172 -> 1.102 in one evening, and two
+    round-4 bench runs had to be hand-adjudicated. The manual method
+    that worked is automated here: every flagged query is re-timed
+    NOW, back-to-back, on the working tree AND on the commit that last
+    touched BENCH_BASELINE.json (in a throwaway ``git worktree``), each
+    in a fresh JVM with the same median-of-3 warm protocol. If the two
+    code versions time alike (ratio <= 1.25), the flag is machine drift
+    relative to when the baseline numbers were recorded — verdict
+    ``drift``; a real slowdown shows up as HEAD slower than the
+    baseline CODE under identical current conditions — verdict
+    ``confirmed``. The verdict and both re-times are recorded inside
+    each regression entry, so a flagged regression in BENCH_r{N}.json
+    means "confirmed on A/B re-time", not "one noisy pass".
+    """
+    if not regressions:
+        return regressions
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    names = [
+        n
+        for n, _ in sorted(
+            regressions.items(), key=lambda kv: -kv[1]["ratio"]
+        )[:limit]
+    ]
+    wt = None
+    try:
+        sha = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", "BENCH_BASELINE.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout.strip()
+        if not sha:
+            raise RuntimeError("no commit found for BENCH_BASELINE.json")
+        wt = tempfile.mkdtemp(prefix="bench_ab_")
+        shutil.rmtree(wt)  # git worktree add requires a fresh path
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, sha],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=120,
+            check=True,
+        )
+        head_t = _retime_subprocess(repo, names, sf_dir)
+        base_t = _retime_subprocess(wt, names, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - adjudication is best-effort
+        for n in names:
+            regressions[n]["adjudication"] = {
+                "verdict": "unadjudicated",
+                "error": f"{type(exc).__name__}: {exc}"[:200],
+            }
+        return regressions
+    finally:
+        if wt is not None:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=repo,
+                capture_output=True,
+                timeout=60,
+            )
+    for n in names:
+        h, b = head_t.get(n), base_t.get(n)
+        adj: dict = {"head_sec": h, "baseline_code_sec": b}
+        if h is None or b is None or b <= 0:
+            adj["verdict"] = "unadjudicated"
+        else:
+            adj["ab_ratio"] = round(h / b, 2)
+            adj["verdict"] = "drift" if h / b <= 1.25 else "confirmed"
+        regressions[n]["adjudication"] = adj
+    return regressions
 
 
 def _persist_snapshot(out: dict) -> None:

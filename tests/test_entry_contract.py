@@ -16,13 +16,15 @@ import importlib
 
 entry_mod = importlib.import_module("__spark_entry__")
 
-# Names with a green driver CORRECTNESS row in r01, r02, or r03.
+# Names with a green driver CORRECTNESS row in r01..r04.
 _VERIFIED_PREFIXES = (
-    {f"q{i:02d}" for i in range(1, 23)}
+    {f"q{i:02d}" for i in range(1, 28)}
     | {f"q{i}" for i in range(30, 100)}
     | {"q100"}
     | {f"r{i}" for i in range(46, 51)}
     | {"r55", "r56"}
+    | {f"r{i}" for i in range(57, 100)}
+    | {"s01", "s02", "s03"}
 )
 
 
@@ -31,14 +33,13 @@ def test_first_50_insertion_order_are_never_verified():
     oracles = set(entry_mod.oracle_sql())
     window = keys[:50]
     prefixes = [k.split("_", 1)[0] for k in window]
-    # Round-4 window: first 50 oracle-bearing never-driver-verified
-    # names in lexical order (r57.. then s01..).
+    # Round-5 window: first 50 oracle-bearing never-driver-verified
+    # names in lexical order (s04 onward; s47 is rows-only and queues
+    # behind the oracle-paired inventory, so the window runs s04..s54).
     registry_fresh = sorted(k for k in keys if not k.startswith("z") and k in oracles)
     assert window == registry_fresh[:50]
-    # q23..q27 are the round-4 dialect-gap additions (nested TOP /
-    # QUALIFY scopes, TOP PERCENT / WITH TIES, QUALIFY feeding set
-    # ops); they sort ahead of the r57.. backlog.
-    assert prefixes[:6] == ["q23", "q24", "q25", "q26", "q27", "r57"]
+    assert prefixes[:3] == ["s04", "s05", "s06"]
+    assert prefixes[-1] == "s54" and "s47" not in prefixes
     # None of the window entries is a rotated (already-green) name.
     assert not any(k.startswith("z") for k in window)
     # Every window entry carries a full DuckDB value oracle (round-3
@@ -51,11 +52,11 @@ def test_rotated_names_cover_all_driver_green():
     z_prefixes = {
         k.split("_", 1)[0].replace("z", "", 1) for k in keys if k.startswith("z")
     }
-    # z-names come from both q- and r-prefixed originals; reconstruct
+    # z-names come from q-, r-, and s-prefixed originals; reconstruct
     # which original each z-name maps to via _DRIVER_GREEN membership.
     reconstructed = set()
     for suffix in z_prefixes:
-        for pref in ("q", "r"):
+        for pref in ("q", "r", "s"):
             if pref + suffix in entry_mod._DRIVER_GREEN:
                 reconstructed.add(pref + suffix)
     assert reconstructed == _VERIFIED_PREFIXES == set(entry_mod._DRIVER_GREEN)

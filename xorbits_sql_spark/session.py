@@ -61,7 +61,30 @@ def get_spark(app_name: str = "xorbits_sql_spark", **conf: str) -> SparkSession:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_expected_warnings(spark)
     return spark
+
+
+def _silence_expected_warnings(spark: SparkSession) -> None:
+    """Raise the log level of loggers whose WARNs are expected noise.
+
+    WindowExec warns "No Partition Defined ... moving all data to a
+    single partition" on every bounded-input global window. The plan
+    gates in tests/test_plans.py already classify every global window
+    in the inventory as bounded-input-only, so the warning carries no
+    information here — but it spammed the driver's 2000-char bench
+    tail capture, where it could mask a genuinely new warning. Scoped
+    to the one logger (not a global ERROR level) so unexpected WARNs
+    elsewhere still surface; best-effort across log4j2 API shapes.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 - logging tweak must never break startup
+        pass
 
 
 def stop_spark() -> None:
