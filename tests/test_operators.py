@@ -1075,3 +1075,49 @@ def test_connected_components_long_chain_log_rounds(spark):
         assert len(rows) == n, algorithm
         assert all(r["component"] == 0 for r in rows), algorithm
         assert dedup.last_cc_rounds <= bound, (algorithm, dedup.last_cc_rounds)
+
+
+def test_midrank_helpers_match_scipy_style_ranks(spark):
+    """with_cum_before + midrank_twice reproduce tie-averaged rank sums
+    exactly (all-integer): values [3,1,4,1,5,9,2,6] group A vs
+    [2,7,1,8,2,8] group B — hand-checked midranks."""
+    from xorbits_sql_spark.functions.stats import midrank_twice, with_cum_before
+
+    a = [3, 1, 4, 1, 5, 9, 2, 6]
+    b = [2, 7, 1, 8, 2, 8]
+    rows = [(v, 1, 0) for v in a] + [(v, 0, 1) for v in b]
+    df = spark.createDataFrame(rows, "value long, c1 long, c2 long")
+    per_v = df.groupBy("value").agg(
+        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+    )
+    both = F.col("c1") + F.col("c2")
+    ranked = with_cum_before(per_v, "value", both)
+    got = ranked.agg(
+        F.sum(midrank_twice(F.col("c1"), both)).alias("r1_twice")
+    ).collect()[0]["r1_twice"]
+    # Python-side oracle: average ranks over the pooled sample.
+    pooled = sorted(a + b)
+    def avg_rank(v):
+        idxs = [i + 1 for i, x in enumerate(pooled) if x == v]
+        return sum(idxs) / len(idxs)
+    expect_twice = round(2 * sum(avg_rank(v) for v in a))
+    assert got == expect_twice
+
+
+def test_exp9_matches_inline_spelling(spark):
+    """exp9(col, shift) is IEEE-identical to round(exp(col)+shift, 9)
+    and exp(col)-1 spelling for shift=-1."""
+    import math
+
+    from xorbits_sql_spark.functions.stats import exp9
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.5,), (-2.25,), (13.9,)], "x double"
+    )
+    rows = df.select(
+        exp9(F.col("x")).alias("e"),
+        exp9(F.col("x"), shift=-1.0).alias("em1"),
+    ).collect()
+    for r, x in zip(rows, [0.0, 1.5, -2.25, 13.9]):
+        assert r["e"] == round(math.exp(x), 9)
+        assert r["em1"] == round(math.exp(x) - 1, 9)

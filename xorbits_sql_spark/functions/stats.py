@@ -40,6 +40,53 @@ def sql_iln6(expr: str) -> str:
     return f"CAST(round(ln(CAST({expr} AS DOUBLE)) * 1e6) AS BIGINT)"
 
 
+def exp9(col: Column, shift: float = 0.0) -> Column:
+    """``round(exp(col) + shift, 9)`` — re-pin after exponentiation.
+
+    The inverse guard to ``iln6``: once fixed-point log terms have been
+    summed exactly, the final ``exp`` re-amplifies the 1e-6 pin, so the
+    result is rounded to 9 decimal places to land on the same IEEE
+    double in every engine.  ``shift`` folds an additive constant inside
+    the rounding (e.g. ``-1`` for growth rates: ``exp(x) - 1`` and
+    ``exp(x) + (-1)`` are the same IEEE operation).
+    SQL mirror: ``round(exp(...) [+ shift], 9)``.
+    """
+    e = F.exp(col)
+    return F.round(e + shift if shift else e, 9)
+
+
+def with_cum_before(
+    df: DataFrame, order_col: str, count: Column, alias: str = "cum_before"
+) -> DataFrame:
+    """Running count of items strictly below each distinct value.
+
+    Input is a per-distinct-value collapse (one row per value with an
+    integer multiplicity ``count``); output appends ``alias`` =
+    ``SUM(count) OVER (ORDER BY order_col ROWS UNBOUNDED PRECEDING) -
+    count``.  This is the shared first step of every tie-averaged rank
+    statistic in the inventory (Mann-Whitney s71, Wilcoxon t58): with it,
+    ``2 * avg_rank`` of a tie block is the INTEGER ``2*cum_before +
+    count + 1``, so rank sums accumulate exactly (see
+    ``midrank_twice``).
+
+    Scale shape: the global ORDER BY window runs on the collapsed
+    distinct-value table (bounded by the value domain, not the row
+    count) — the same single-partition-on-purpose shape as the KS test.
+    """
+    wv = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn(alias, F.sum(count).over(wv) - count)
+
+
+def midrank_twice(weight: Column, count: Column) -> Column:
+    """Doubled tie-averaged rank-sum term: ``weight * (2*cum_before +
+    count + 1)`` — all-integer, so ``SUM`` of it is exact and
+    order-independent; divide by 2 only in the final double expression.
+    Expects the ``cum_before`` column from ``with_cum_before``.
+    SQL mirror: ``SUM(w * (2 * cum_before + c + 1))``.
+    """
+    return weight * (2 * F.col("cum_before") + count + 1)
+
+
 def positional_median(
     df: DataFrame,
     value: str,

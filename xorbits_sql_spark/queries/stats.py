@@ -25,7 +25,16 @@ from pyspark.sql.window import Window as W
 
 from . import register
 from ._util import t
-from ..functions.stats import iln6, moments_xy, ols_slope, pearson_r, positional_median
+from ..functions.stats import (
+    exp9,
+    iln6,
+    midrank_twice,
+    moments_xy,
+    ols_slope,
+    pearson_r,
+    positional_median,
+    with_cum_before,
+)
 from ..functions.text import norm_ws, token_count
 
 # DuckDB fragments mirroring functions/text.py (same as queries/text.py)
@@ -291,21 +300,12 @@ def s71_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "view", 1)).alias("c1"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
     )
-    wo = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = per_v.select(
-        "c1",
-        "c2",
-        (F.sum(F.col("c1") + F.col("c2")).over(wo) - (F.col("c1") + F.col("c2"))).alias(
-            "cum_before"
-        ),
-    )
+    both = F.col("c1") + F.col("c2")
+    ranked = with_cum_before(per_v, "value", both)
     m = ranked.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
-        F.sum(
-            F.col("c1")
-            * (2 * F.col("cum_before") + F.col("c1") + F.col("c2") + 1)
-        ).alias("r1_twice"),
+        F.sum(midrank_twice(F.col("c1"), both)).alias("r1_twice"),
     )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
@@ -1911,7 +1911,7 @@ def s98_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("n_events"),
         F.when(F.col("n_risk") == F.col("d"), F.lit(0.0))
         .otherwise(
-            F.round(F.exp(F.col("lnsum").cast("double") / F.lit(1e6)), 9)
+            exp9(F.col("lnsum").cast("double") / F.lit(1e6))
         )
         .alias("survival"),
     ).orderBy("t_days")
@@ -4769,7 +4769,7 @@ def t38_effective_diversity(
             F.col("s").cast("bigint").alias("n_sources"),
             F.col("n").cast("bigint").alias("n_tokens"),
             F.round(h, 9).alias("shannon_entropy"),
-            F.round(F.exp(h), 9).alias("effective_sources"),
+            exp9(h).alias("effective_sources"),
         )
     )
 
@@ -5206,14 +5206,11 @@ def t44_geometric_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_ratios"),
-            F.round(
-                F.exp(
-                    F.sum("lr").cast("double")
-                    / F.count(F.lit(1))
-                    / F.lit(1e6)
-                )
-                - 1,
-                9,
+            exp9(
+                F.sum("lr").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6),
+                shift=-1.0,
             ).alias("geo_daily_growth"),
         )
         .orderBy("event_type")
@@ -5776,17 +5773,10 @@ def t58_wilcoxon_signed_rank(
     per_v = diffs.groupBy("ad").agg(
         F.sum("pos").alias("c_pos"), F.count(F.lit(1)).alias("c")
     )
-    wv = W.orderBy("ad").rowsBetween(W.unboundedPreceding, 0)
-    ranked = per_v.select(
-        "c_pos",
-        "c",
-        (F.sum("c").over(wv) - F.col("c")).alias("cum_before"),
-    )
+    ranked = with_cum_before(per_v, "ad", F.col("c"))
     m = ranked.agg(
         F.sum("c").alias("n"),
-        F.sum(
-            F.col("c_pos") * (2 * F.col("cum_before") + F.col("c") + 1)
-        ).alias("w_twice"),
+        F.sum(midrank_twice(F.col("c_pos"), F.col("c"))).alias("w_twice"),
     )
     nd = F.col("n").cast("double")
     w_plus = F.col("w_twice").cast("double") / 2.0

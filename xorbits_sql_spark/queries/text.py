@@ -14,7 +14,7 @@ from pyspark.sql.window import Window as W
 
 from . import register
 from ._util import t
-from ..functions.stats import iln6
+from ..functions.stats import exp9, iln6
 from ..functions.text import add_lang_guess, fingerprint, norm_ws, token_count
 from ..operators.dedup import (
     exact_dedup_groups,
@@ -2925,9 +2925,9 @@ def t26_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
             F.col("n_vocab").cast("bigint").alias("n_vocab"),
             beta.alias("heaps_beta"),
-            F.round(
-                F.exp((d("sy") - beta * d("sx")) / d("k") / F.lit(1e6)), 9
-            ).alias("heaps_k"),
+            exp9((d("sy") - beta * d("sx")) / d("k") / F.lit(1e6)).alias(
+                "heaps_k"
+            ),
         )
     )
 
