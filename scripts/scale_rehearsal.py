@@ -231,15 +231,25 @@ def main() -> None:
         raise AssertionError(
             "pair-budget guard did NOT fire on the dense-clique corpus"
         )
+    # Boundary probe volume: max_df=700 → ~1.2e9 pairs on this corpus
+    # (measured from the shingle-DF histogram). The full max_df=1000
+    # volume (4.73e9 pairs, the guard's own estimate above) no longer
+    # fits this rig's ~80 GB scratch: the scaled plan trades the old
+    # transient per-task agg spill (848 GB cumulative, round 4) for
+    # shuffle files that persist for the whole stage — the correct
+    # residency at cluster scale (spread over N executor disks, each
+    # task bounded at ~4M pair rows) but single-disk-bound locally.
+    # 1.2e9 pairs ≈ 30 GB of shuffle exercises the same scaled-partition
+    # code path (est >> 32 * 4M) within local scratch.
     run(
         "ngram_jaccard_pairs",
         lambda: ngram_jaccard_pairs(
             # budget raised (not None) so the Σdf² estimate still runs
             # and drives the pair-volume-scaled shuffle partitioning
-            docs, "text", "doc_id", threshold=0.5, max_df=1000,
+            docs, "text", "doc_id", threshold=0.5, max_df=700,
             pair_budget=10**15,
         ),
-        note="inverted index, max_df=1000, budget raised (boundary probe, scaled partitions)",
+        note="inverted index, max_df=700 (~1.2e9 pairs), budget raised (boundary probe, scaled partitions)",
     )
 
     # IVF probe cost per query is nprobe * N/k dots — at FIXED k it
