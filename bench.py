@@ -331,8 +331,25 @@ def _adjudicate_regressions(
             timeout=120,
             check=True,
         )
-        head_t = _retime_subprocess(repo, names, sf_dir)
-        base_t = _retime_subprocess(wt, names, sf_dir)
+        # Interleave head/base passes (H,B,H,B) so a machine-wide trend
+        # during adjudication cancels instead of biasing one side: a
+        # round-5 deep re-time showed a single H,B pair labeling pure
+        # jitter "confirmed" at ab 1.26 when the interleaved pooled
+        # median was 0.97.
+        head_runs = [_retime_subprocess(repo, names, sf_dir)]
+        base_runs = [_retime_subprocess(wt, names, sf_dir)]
+        head_runs.append(_retime_subprocess(repo, names, sf_dir))
+        base_runs.append(_retime_subprocess(wt, names, sf_dir))
+        head_t = {
+            n: round(min(r[n] for r in head_runs if n in r), 4)
+            for n in names
+            if any(n in r for r in head_runs)
+        }
+        base_t = {
+            n: round(min(r[n] for r in base_runs if n in r), 4)
+            for n in names
+            if any(n in r for r in base_runs)
+        }
     except Exception as exc:  # noqa: BLE001 - adjudication is best-effort
         for n in names:
             regressions[n]["adjudication"] = {
@@ -355,9 +372,21 @@ def _adjudicate_regressions(
             adj["verdict"] = "unadjudicated"
         else:
             adj["ab_ratio"] = round(h / b, 2)
-            adj["verdict"] = "drift" if h / b <= 1.25 else "confirmed"
+            adj["verdict"] = _ab_verdict(h, b)
         regressions[n]["adjudication"] = adj
     return regressions
+
+
+def _ab_verdict(head_sec: float, base_sec: float) -> str:
+    """confirmed needs BOTH a relative and an absolute gap: on
+    sub-second queries this rig's identical-code spread is ~2x (q52
+    measured 0.26-0.55 s on the same commit), so a 0.1 s delta at
+    ratio 1.26 is jitter, not a regression worth a human's time."""
+    return (
+        "confirmed"
+        if head_sec / base_sec > 1.25 and head_sec - base_sec > 0.15
+        else "drift"
+    )
 
 
 def _persist_snapshot(out: dict) -> None:

@@ -31,7 +31,7 @@ def test_adjudicate_regressions_worktree_ab(tmp_path):
     """Same code on both sides of the A/B (HEAD vs the baseline-commit
     worktree, re-timed back-to-back in fresh JVMs) must adjudicate a
     fake flagged regression as machine drift — and clean up its
-    worktree. ~2 JVM startups, the price of trusting BENCH regression
+    worktree. ~4 JVM startups (interleaved H,B,H,B), the price of trusting BENCH regression
     flags."""
     import subprocess
 
@@ -44,3 +44,13 @@ def test_adjudicate_regressions_worktree_ab(tmp_path):
         ["git", "worktree", "list"], capture_output=True, text=True, cwd="/root/repo"
     ).stdout
     assert "bench_ab_" not in wt
+
+
+def test_ab_verdict_needs_relative_and_absolute_gap():
+    # jitter shapes: big ratio on a tiny absolute delta, or big delta
+    # at a small ratio — both drift
+    assert bench._ab_verdict(0.5, 0.39) == "drift"      # ratio 1.28, delta 0.11
+    assert bench._ab_verdict(10.0, 8.5) == "drift"      # ratio 1.18
+    # a real regression clears both bars
+    assert bench._ab_verdict(2.0, 1.0) == "confirmed"
+    assert bench._ab_verdict(0.8, 0.5) == "confirmed"   # ratio 1.6, delta 0.3
