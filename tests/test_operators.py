@@ -1121,3 +1121,37 @@ def test_exp9_matches_inline_spelling(spark):
     for r, x in zip(rows, [0.0, 1.5, -2.25, 13.9]):
         assert r["e"] == round(math.exp(x), 9)
         assert r["em1"] == round(math.exp(x) - 1, 9)
+
+
+def test_cc_auto_uses_generator_edge_hint(spark):
+    """Pair generators attach their pre-computed pair-volume estimate;
+    connected_components("auto") must pick its algorithm from that hint
+    without a count job, and labels must match the counted path."""
+    from xorbits_sql_spark.operators import dedup
+    from xorbits_sql_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        release_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id")
+    hint = getattr(pairs, "_xss_edge_estimate", None)
+    assert isinstance(hint, float) and hint >= 0
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert dedup.last_cc_algorithm == "propagation"  # tiny graph -> hint < 1M
+    # a transformed DataFrame drops the hint -> counted fallback, same labels
+    dropped = pairs.filter(F.lit(True))
+    assert getattr(dropped, "_xss_edge_estimate", None) is None
+    counted = {
+        (r["id"], r["component"])
+        for r in connected_components(dropped).collect()
+    }
+    release_caches()
+    assert got == counted

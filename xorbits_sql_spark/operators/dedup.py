@@ -421,7 +421,15 @@ def _capped_pair_join(
         # keys satisfies its required distribution: no extra exchange,
         # just the scaled count instead of the session default)
         out = out.repartition(n_part, "id_a", "id_b")
-    return out.distinct()
+    result = out.distinct()
+    # Python-side hint: the pre-distinct pair count is a free upper
+    # bound on the edge count, so connected_components(algorithm="auto")
+    # can pick its algorithm without running its own count job (the
+    # hint only survives when the caller passes this exact DataFrame
+    # on — any further transformation drops it and auto falls back to
+    # counting, which is always correct).
+    result._xss_edge_estimate = float(est or 0.0)
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -476,17 +484,19 @@ def ngram_jaccard_pairs(
     shared = _shingle_pair_stats(
         df, text_col, id_col, shingle_k, partition_col, max_df, pair_budget
     )
-    return (
-        shared.select(
-            F.col("doc").alias("id_a"),
-            F.col("doc_b").alias("id_b"),
-            (
-                F.col("shared").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") > threshold)
-    )
+    out = shared.select(
+        F.col("doc").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        (
+            F.col("shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") > threshold)
+    hint = getattr(shared, "_xss_edge_estimate", None)
+    if hint is not None:
+        # upper bound survives the threshold filter (see _capped_pair_join)
+        out._xss_edge_estimate = hint
+    return out
 
 
 def _shingle_pair_stats(
@@ -589,11 +599,16 @@ def _shingle_pair_stats(
         # the scaled count too; repartition on the grouping keys
         # satisfies the agg's distribution, so no second exchange.
         joined = joined.repartition(n_part, "doc", "doc_b")
-    return joined.groupBy("doc", "doc_b").agg(
+    stats = joined.groupBy("doc", "doc_b").agg(
         F.count(F.lit(1)).alias("shared"),
         F.min("set_size").alias("size_a"),
         F.min("size_b").alias("size_b"),
     )
+    if pair_budget is not None:
+        # free edge-count upper bound for connected_components("auto")
+        # (see _capped_pair_join) — Σ df·(df-1)/2 ≥ distinct pairs
+        stats._xss_edge_estimate = est
+    return stats
 
 
 def ngram_containment_pairs(
@@ -638,7 +653,12 @@ def ngram_containment_pairs(
             "containment"
         ),
     )
-    return a_in_b.unionByName(b_in_a).filter(F.col("containment") > threshold)
+    out = a_in_b.unionByName(b_in_a).filter(F.col("containment") > threshold)
+    hint = getattr(shared, "_xss_edge_estimate", None)
+    if hint is not None:
+        # each unordered pair appears at most twice (both directions)
+        out._xss_edge_estimate = 2.0 * hint
+    return out
 
 
 def connected_components(
@@ -674,34 +694,45 @@ def connected_components(
       (fewer Spark jobs per round), kept for A/B measurement and as
       the reference implementation the equivalence tests pin "stars"
       against.
-    - ``"auto"`` (default): one edge count on the (checkpointed) pair
-      set picks ``propagation`` below ``stars_threshold`` edges and
-      ``stars`` at or above it — the contraction's O(log n)-rounds win
-      only exists at scale, while its per-round constant costs real
-      time on sf0.1-sized graphs (round-4 measurement: r63 4.59s vs
-      3.05s). The checkpoint is reused by the chosen algorithm, so the
-      upstream pair pipeline runs once either way.
+    - ``"auto"`` (default): picks ``propagation`` below
+      ``stars_threshold`` edges and ``stars`` at or above it — the
+      contraction's O(log n)-rounds win only exists at scale, while its
+      per-round constant costs real time on sf0.1-sized graphs
+      (round-4 measurement: r63 4.59s vs 3.05s). The edge count comes
+      free when the pair generator attached its pre-computed volume
+      estimate (``_xss_edge_estimate``, an upper bound — see
+      ``_capped_pair_join`` / ``_shingle_pair_stats``); otherwise one
+      count runs on a checkpointed pair set that the chosen algorithm
+      then reuses, so the upstream pipeline runs once either way.
 
     ``max_iter`` is a pathological backstop; rounds actually executed
     are exposed via ``last_cc_rounds``, the algorithm chosen via
     ``last_cc_algorithm``.
     """
     global last_cc_algorithm
+    # Materialize the normalized pair set ONCE before dispatch: both
+    # algorithms fan the edge set into self-unions (bidirectional
+    # neighborhood views), which would otherwise embed the upstream
+    # pair pipeline in the plan twice and compute it twice in one job
+    # (measured: ~1s/query extra on sf0.1 LSH pipelines). The
+    # checkpoint also truncates lineage before the iterative loop.
+    raw = pairs.select(
+        F.col(id_a).cast("bigint").alias("u"),
+        F.col(id_b).cast("bigint").alias("v"),
+    ).localCheckpoint()
     if algorithm == "auto":
-        raw = pairs.select(
-            F.col(id_a).cast("bigint").alias("u"),
-            F.col(id_b).cast("bigint").alias("v"),
-        ).localCheckpoint()
-        pairs, id_a, id_b = raw, "u", "v"
-        algorithm = (
-            "propagation" if raw.count() < stars_threshold else "stars"
-        )
+        hint = getattr(pairs, "_xss_edge_estimate", None)
+        # the generator's pre-computed pair-volume estimate (an upper
+        # bound on distinct edges — conservative toward "stars", which
+        # stays correct, just costlier per round) saves the count job
+        n_edges = hint if hint is not None else raw.count()
+        algorithm = "propagation" if n_edges < stars_threshold else "stars"
     last_cc_algorithm = algorithm
     if algorithm == "stars":
-        return _cc_alternating_stars(pairs, id_a, id_b, max_iter)
+        return _cc_alternating_stars(raw, "u", "v", max_iter)
     if algorithm != "propagation":
         raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
-    return _cc_propagation(pairs, id_a, id_b, max_iter)
+    return _cc_propagation(raw, "u", "v", max_iter)
 
 
 def _cc_alternating_stars(
