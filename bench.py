@@ -378,13 +378,18 @@ def _adjudicate_regressions(
 
 
 def _ab_verdict(head_sec: float, base_sec: float) -> str:
-    """confirmed needs BOTH a relative and an absolute gap: on
-    sub-second queries this rig's identical-code spread is ~2x (q52
-    measured 0.26-0.55 s on the same commit), so a 0.1 s delta at
-    ratio 1.26 is jitter, not a regression worth a human's time."""
+    """confirmed needs BOTH a relative and an absolute gap; the
+    absolute bar scales with the query. On sub-second queries this
+    rig's identical-code spread is ~2x (q52 measured 0.26-0.55 s, s09
+    0.56-1.09 s on the same commit; both initially flagged at ab
+    1.26-1.29, both 1.0x on interleaved 20-sample re-times), so the
+    delta must clear 35% of the baseline before it outvotes jitter —
+    capped at 0.5 s so a genuine 1.3x on a 10 s query still
+    confirms."""
+    bar = max(0.15, min(0.5, 0.35 * base_sec))
     return (
         "confirmed"
-        if head_sec / base_sec > 1.25 and head_sec - base_sec > 0.15
+        if head_sec / base_sec > 1.25 and head_sec - base_sec > bar
         else "drift"
     )
 

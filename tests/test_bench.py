@@ -46,11 +46,13 @@ def test_adjudicate_regressions_worktree_ab(tmp_path):
     assert "bench_ab_" not in wt
 
 
-def test_ab_verdict_needs_relative_and_absolute_gap():
-    # jitter shapes: big ratio on a tiny absolute delta, or big delta
+def test_ab_verdict_needs_relative_and_scaled_absolute_gap():
+    # jitter shapes: big ratio on a small absolute delta, or big delta
     # at a small ratio — both drift
-    assert bench._ab_verdict(0.5, 0.39) == "drift"      # ratio 1.28, delta 0.11
+    assert bench._ab_verdict(0.5, 0.39) == "drift"      # q52 shape: delta 0.11
+    assert bench._ab_verdict(0.72, 0.56) == "drift"     # s09 shape: delta 0.16 < 0.35*base
     assert bench._ab_verdict(10.0, 8.5) == "drift"      # ratio 1.18
     # a real regression clears both bars
     assert bench._ab_verdict(2.0, 1.0) == "confirmed"
-    assert bench._ab_verdict(0.8, 0.5) == "confirmed"   # ratio 1.6, delta 0.3
+    assert bench._ab_verdict(0.9, 0.5) == "confirmed"   # delta 0.4 > 0.35*base
+    assert bench._ab_verdict(13.0, 10.0) == "confirmed" # big query: bar capped at 0.5
