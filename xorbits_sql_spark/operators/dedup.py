@@ -1036,7 +1036,11 @@ def simhash_pairs(
     ``max_bucket`` bounds degenerate buckets the same way as
     :func:`minhash_lsh_pairs`: oversized buckets emit star pairs against
     the bucket's min doc (Hamming still computed exactly against that
-    representative), so worst-case work is linear per bucket.
+    representative), so worst-case work is linear per bucket. As in
+    ``_capped_pair_join``, the bucket-size table also yields the exact
+    pair volume for free, which scales the pair-join shuffle (~4M pair
+    rows/task) and rides along as the edge-count hint for
+    ``connected_components("auto")``.
     """
     # One 16-byte row per doc; persisting makes the bucket self-join read
     # the signatures instead of recomputing the 60-vote aggregate for
@@ -1046,20 +1050,39 @@ def simhash_pairs(
             "bucket", F.shiftright(F.col("sh"), 60 - prefix_bits)
         )
     )
+    est = None
+    n_part = None
+    right = hashed.select(
+        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("bucket")
+    )
     if max_bucket is not None:
-        sizes = hashed.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("__bn"), F.min("doc").alias("__rep")
+        sizes = _persist(
+            hashed.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("__bn"), F.min("doc").alias("__rep")
+            )
         )
+        est = float(
+            sizes.select(
+                F.sum(
+                    F.when(
+                        F.col("__bn") <= max_bucket,
+                        F.col("__bn") * (F.col("__bn") - F.lit(1)) / F.lit(2.0),
+                    ).otherwise(F.col("__bn") - F.lit(1))
+                ).alias("__pairs")
+            ).collect()[0]["__pairs"]
+            or 0.0
+        )
+        n_part = _scaled_pair_partitions(hashed, est)
         sized = hashed.join(sizes, "bucket")
         left = sized.filter(
             (F.col("__bn") <= max_bucket) | (F.col("doc") == F.col("__rep"))
         ).select("doc", "sh", "bucket")
     else:
         left = hashed
-    right = hashed.select(
-        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("bucket")
-    )
-    return (
+    if n_part:
+        left = left.repartition(n_part, "bucket")
+        right = right.repartition(n_part, "bucket")
+    out = (
         left.join(right, "bucket")
         .filter(F.col("doc") < F.col("doc_b"))
         .select(
@@ -1069,6 +1092,9 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    if est is not None:
+        out._xss_edge_estimate = est
+    return out
 
 
 def edit_distance_pairs(df: DataFrame, token_col: str, id_is_token: bool = True) -> DataFrame:
