@@ -161,8 +161,15 @@ def test_tsql_top_unsupported_forms_raise():
         # WITH <anything but TIES>
         transpile("SELECT TOP 5 WITH ROWS x FROM t ORDER BY x", "tsql")
     with pytest.raises(UnsupportedError):
-        # positional sort keys change meaning inside OVER (ORDER BY ...)
-        transpile("SELECT TOP 5 WITH TIES x FROM t ORDER BY 1", "tsql")
+        # positional ordinal beyond the select list
+        transpile("SELECT TOP 5 WITH TIES x FROM t ORDER BY 3", "tsql")
+    with pytest.raises(UnsupportedError):
+        # ordinal names an item whose expression can't be separated
+        # (implicit alias — ``COUNT(*) cnt`` vs ``a + b`` is ambiguous
+        # at token level)
+        transpile(
+            "SELECT TOP 5 WITH TIES x + 1 FROM t ORDER BY 1", "tsql"
+        )
     with pytest.raises(UnsupportedError):
         # two TOPs in the SAME scope is malformed
         transpile("SELECT TOP 5 TOP 3 x FROM t", "tsql")
@@ -234,6 +241,39 @@ def test_tsql_top_with_ties_and_percent(spark):
         spark=spark,
     ).collect()
     assert sorted((r["x"] for r in rd), reverse=True) == [10, 10]
+
+
+@pytestmark_fallback
+def test_tsql_top_ties_positional_order_by(spark):
+    """A bare top-level integer ORDER BY item is a select-list ordinal
+    in tsql; the rank rewrite resolves it to that item's defining
+    expression before injecting OVER (ORDER BY ...) — ordinals pointing
+    at a bare column, a qualified column, and an AS-aliased aggregate
+    all work; constants inside expressions stay constants."""
+    pdf = pd.DataFrame({"x": [10, 10, 9, 9, 5, 4, 3, 2, 1, 0]})
+    ties = execute(
+        "SELECT TOP 3 WITH TIES x FROM t ORDER BY 1 DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in ties), reverse=True) == [10, 10, 9, 9]
+    pct = execute(
+        "SELECT TOP 25 PERCENT t.x FROM t ORDER BY 1 DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in pct), reverse=True) == [10, 10, 9]
+    grp = pd.DataFrame({"k": ["a", "a", "b", "b", "c"], "x": [1, 2, 3, 4, 5]})
+    ga = execute(
+        "SELECT TOP 2 WITH TIES k, COUNT(*) AS n FROM t "
+        "GROUP BY k ORDER BY 2 DESC, 1",
+        tables={"t": grp},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["k"], r["n"]) for r in ga) == [("a", 2), ("b", 2)]
 
 
 @pytestmark_fallback

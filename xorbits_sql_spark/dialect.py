@@ -432,6 +432,57 @@ def _select_list_aliases(
     return out
 
 
+def _strip_sort_suffix(item: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Code tokens of an ORDER BY item with trailing ASC/DESC/NULLS
+    FIRST|LAST removed — the bare sort expression."""
+    code = [tok for tok in item if tok[0] not in ("ws", "comment")]
+    while code and code[-1][0] == "word" and code[-1][1].upper() in (
+        "ASC", "DESC", "NULLS", "FIRST", "LAST",
+    ):
+        code.pop()
+    return code
+
+
+def _item_expression(
+    item: list[tuple[str, str]],
+) -> list[tuple[str, str]] | None:
+    """Defining expression of a select-list item, or None when it
+    cannot be cleanly separated at token level.
+
+    Handles ``expr AS alias`` (alias stripped, mirroring
+    ``_select_list_aliases``) and single-code-token items (a bare
+    column). Multi-token items WITHOUT an AS alias are ambiguous
+    (``COUNT(*) cnt`` carries an implicit alias, ``a + b`` does not —
+    both end in a word), and ``*`` cannot be an ordinal target."""
+    code = [
+        (p, tok) for p, tok in enumerate(item)
+        if tok[0] not in ("ws", "comment")
+    ]
+    if not code:
+        return None
+    if len(code) >= 3:
+        (p_as, as_tok), (_, alias_tok) = code[-2], code[-1]
+        if (
+            as_tok[0] == "word"
+            and as_tok[1].upper() == "AS"
+            and alias_tok[0] in ("word", "backtick", "dquoted", "bracket")
+        ):
+            return item[: p_as]
+    # bare or qualified name: (word|quoted) (. (word|quoted))* exactly —
+    # an implicit alias breaks the alternation (``t.price p`` has two
+    # consecutive name tokens), so the pattern is unambiguous
+    name_kinds = ("word", "backtick", "dquoted", "bracket")
+    ok = True
+    for i, (_, tok) in enumerate(code):
+        if i % 2 == 0:
+            ok = ok and tok[0] in name_kinds
+        else:
+            ok = ok and tok == ("op", ".")
+    if ok and len(code) % 2 == 1:
+        return [tok for _, tok in code]
+    return None
+
+
 def _top_variant_to_qualify(
     tokens: list[tuple[str, str]],
     top_at: int,
@@ -520,19 +571,65 @@ def _top_variant_to_qualify(
             )
     order_exprs = tokens[order_start:order_end]
     # positional sort keys are select-list ordinals in the scope's
-    # ORDER BY but constants inside OVER (ORDER BY ...) — flag only a
+    # ORDER BY but constants inside OVER (ORDER BY ...) — resolve a
     # BARE top-level integer item (integers inside expressions like
-    # ROUND(x, 2) or price % 100 are fine)
-    for item in _split_top_level_commas(order_exprs):
-        code = [tok for tok in item if tok[0] not in ("ws", "comment")]
-        while code and code[-1][0] == "word" and code[-1][1].upper() in (
-            "ASC", "DESC", "NULLS", "FIRST", "LAST",
-        ):
-            code.pop()
-        if len(code) == 1 and code[0][0] == "number" and "." not in code[0][1]:
-            raise UnsupportedError(
-                "TOP PERCENT / WITH TIES with positional ORDER BY"
-            )
+    # ROUND(x, 2) or price % 100 are fine) to the ordinal's select-list
+    # expression before injecting into the window. Only cleanly
+    # separable items resolve: ``expr AS alias`` (alias stripped) or a
+    # single-token item; anything else (implicit aliases, ``*``) is
+    # ambiguous at token level and refuses loudly.
+    positional = any(
+        len(code) == 1 and code[0][0] == "number" and "." not in code[0][1]
+        for item in _split_top_level_commas(order_exprs)
+        for code in [_strip_sort_suffix(item)]
+    )
+    if positional:
+        select_items = _split_top_level_commas(tokens[end + 1 : from_at])
+        rebuilt_pos: list[list[tuple[str, str]]] = []
+        for item in _split_top_level_commas(order_exprs):
+            code_at = [
+                i for i, tok in enumerate(item)
+                if tok[0] not in ("ws", "comment")
+            ]
+            k = len(code_at)
+            while k and item[code_at[k - 1]][0] == "word" and item[
+                code_at[k - 1]
+            ][1].upper() in ("ASC", "DESC", "NULLS", "FIRST", "LAST"):
+                k -= 1
+            expr_at = code_at[:k]
+            if (
+                len(expr_at) == 1
+                and item[expr_at[0]][0] == "number"
+                and "." not in item[expr_at[0]][1]
+            ):
+                ordinal = int(item[expr_at[0]][1])
+                if not 1 <= ordinal <= len(select_items):
+                    raise UnsupportedError(
+                        f"ORDER BY ordinal {ordinal} is out of range "
+                        f"for the {len(select_items)}-item select list"
+                    )
+                target = _item_expression(select_items[ordinal - 1])
+                if target is None:
+                    raise UnsupportedError(
+                        f"ORDER BY ordinal {ordinal} names a select "
+                        "item whose expression cannot be separated at "
+                        "token level (implicit alias or *) — add an "
+                        "explicit AS alias"
+                    )
+                i = expr_at[0]
+                item = (
+                    item[:i]
+                    + [("op", "(")]
+                    + target
+                    + [("op", ")")]
+                    + item[i + 1 :]
+                )
+            rebuilt_pos.append(item)
+        order_exprs = [
+            tok
+            for i, item in enumerate(rebuilt_pos)
+            for tok in ([("op", ",")] if i else []) + item
+        ]
     # ORDER BY may reference select-list aliases; tsql resolves ONLY a
     # BARE top-level item as an alias (names inside expressions bind to
     # FROM columns), and the injected window runs IN the same
