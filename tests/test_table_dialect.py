@@ -277,6 +277,49 @@ def test_tsql_top_ties_positional_order_by(spark):
 
 
 @pytestmark_fallback
+def test_tsql_distinct_top_ties_percent(spark):
+    """tsql applies TOP after DISTINCT: the rewrite wraps the DISTINCT
+    scope in a subquery and ranks its output. Ranking before DISTINCT
+    (the naive rewrite) returns provably different rows on both the
+    TIES and the PERCENT form below."""
+    pdf = pd.DataFrame({"x": [10, 10, 9, 9, 9, 8, 7, 6]})
+    ties = execute(
+        "SELECT DISTINCT TOP 2 WITH TIES x FROM t ORDER BY x DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    # distinct first -> [10,9,8,7,6]; top-2-with-ties -> [10,9]
+    # (rank-before-distinct would return the two raw 10s -> just [10])
+    assert sorted((r["x"] for r in ties), reverse=True) == [10, 9]
+    pct = pd.DataFrame({"x": [5, 5, 5, 5, 4, 3, 2, 1]})
+    got = execute(
+        "SELECT DISTINCT TOP 40 PERCENT x FROM t ORDER BY x DESC",
+        tables={"t": pct},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    # 40% of the 5 DISTINCT values = ceil(2) -> [5,4]
+    # (40% of the 8 raw rows = 4 rows, all 5s -> distinct [5])
+    assert sorted((r["x"] for r in got), reverse=True) == [5, 4]
+    # ordinals and aliases bind to the DISTINCT output columns
+    ord_ = execute(
+        "SELECT DISTINCT TOP 2 WITH TIES x AS v FROM t ORDER BY 1 DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["v"] for r in ord_), reverse=True) == [10, 9]
+    ali = execute(
+        "SELECT DISTINCT TOP 2 WITH TIES x AS v FROM t ORDER BY v DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["v"] for r in ali), reverse=True) == [10, 9]
+
+
+@pytestmark_fallback
 def test_tsql_top_in_set_operation_binds_per_arm(spark):
     """TOP binds to its own SELECT arm in tsql — the rewrite must not
     let the appended LIMIT (or rank wrapper) rebind to the whole set

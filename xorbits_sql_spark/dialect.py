@@ -483,6 +483,29 @@ def _item_expression(
     return None
 
 
+def _item_output_name(
+    item: list[tuple[str, str]],
+) -> tuple[str, str] | None:
+    """Output-column name token of a select-list item, or None when it
+    has no token-recoverable name: the AS alias when present, else the
+    last segment of a bare/qualified column reference (same
+    separability rules as ``_item_expression``)."""
+    code = [tok for tok in item if tok[0] not in ("ws", "comment")]
+    if not code:
+        return None
+    if len(code) >= 3 and code[-2][0] == "word" and code[-2][1].upper() == "AS":
+        if code[-1][0] in ("word", "backtick", "dquoted", "bracket"):
+            return code[-1]
+    name_kinds = ("word", "backtick", "dquoted", "bracket")
+    ok = len(code) % 2 == 1
+    for i, tok in enumerate(code):
+        if i % 2 == 0:
+            ok = ok and tok[0] in name_kinds
+        else:
+            ok = ok and tok == ("op", ".")
+    return code[-1] if ok else None
+
+
 def _top_variant_to_qualify(
     tokens: list[tuple[str, str]],
     top_at: int,
@@ -507,6 +530,7 @@ def _top_variant_to_qualify(
     argument."""
     select_at: int | None = None
     from_at: int | None = None
+    distinct = False
     depth = 0
     for i, (kind, text) in enumerate(tokens[:top_at]):
         if kind == "op" and text == "(":
@@ -517,11 +541,12 @@ def _top_variant_to_qualify(
             select_at = i
             j = _next_code(tokens, i)
             if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() == "DISTINCT":
-                # tsql applies TOP AFTER DISTINCT; the window-rank
-                # rewrite would filter before it and change the row set.
-                raise UnsupportedError(
-                    "TOP PERCENT / WITH TIES with DISTINCT is not supported"
-                )
+                # tsql applies TOP AFTER DISTINCT, so the rank must run
+                # OUTSIDE the distinct scope: wrap the whole
+                # SELECT DISTINCT ... FROM ... in a subquery and rank
+                # over its output columns (where select-list aliases
+                # are real columns and ordinals map to output names).
+                distinct = True
     if select_at is None:
         raise UnsupportedError("could not locate SELECT for TOP rewrite")
     depth = 0
@@ -608,7 +633,14 @@ def _top_variant_to_qualify(
                         f"ORDER BY ordinal {ordinal} is out of range "
                         f"for the {len(select_items)}-item select list"
                     )
-                target = _item_expression(select_items[ordinal - 1])
+                if distinct:
+                    # the rank runs over the wrapped DISTINCT scope's
+                    # OUTPUT columns, so an ordinal maps to the item's
+                    # output NAME, not its defining expression
+                    name = _item_output_name(select_items[ordinal - 1])
+                    target = [name] if name is not None else None
+                else:
+                    target = _item_expression(select_items[ordinal - 1])
                 if target is None:
                     raise UnsupportedError(
                         f"ORDER BY ordinal {ordinal} names a select "
@@ -637,7 +669,10 @@ def _top_variant_to_qualify(
     # window expressions — so substitute the defining expression for
     # exactly those bare items and leave expression-interior words to
     # resolve against FROM columns, as tsql does.
-    aliases = _select_list_aliases(tokens[end + 1 : from_at])
+    # (in the DISTINCT form the window ranks the wrapped subquery's
+    # output, where every select-list alias IS a real column — no
+    # substitution needed or wanted)
+    aliases = {} if distinct else _select_list_aliases(tokens[end + 1 : from_at])
     if aliases:
         rebuilt: list[list[tuple[str, str]]] = []
         for item in _split_top_level_commas(order_exprs):
@@ -707,6 +742,27 @@ def _top_variant_to_qualify(
         ]
     else:
         bound = n_tokens
+    if distinct:
+        # rank OUTSIDE the distinct scope: DISTINCT collapses first
+        # (tsql applies TOP after DISTINCT), then the helper window
+        # ranks the collapsed rows by their output columns
+        inner = (
+            [("word", "SELECT"), ("ws", " "), ("op", "*")]
+            + helpers
+            + [("word", "FROM"), ("ws", " "), ("op", "(")]
+            + tokens[select_at:top_at]   # SELECT DISTINCT
+            + tokens[end + 1 : from_at]  # the select list
+            + tokens[from_at:order_at]   # FROM ... WHERE ... GROUP BY ...
+            + [("op", ")"), ("ws", " "), ("word", "AS"), ("ws", " "),
+               ("word", "__xss_dt"), ("ws", " ")]
+        )
+    else:
+        inner = (
+            tokens[select_at:top_at]     # SELECT + any pre-TOP tokens
+            + tokens[end + 1 : from_at]  # the select list
+            + helpers
+            + tokens[from_at:order_at]   # FROM ... WHERE ... GROUP BY ...
+        )
     return (
         tokens[:select_at]
         + [
@@ -715,10 +771,7 @@ def _top_variant_to_qualify(
         ]
         + except_cols
         + [("op", ")"), ("ws", " "), ("word", "FROM"), ("ws", " "), ("op", "(")]
-        + tokens[select_at:top_at]       # SELECT + any pre-TOP tokens
-        + tokens[end + 1 : from_at]      # the select list
-        + helpers
-        + tokens[from_at:order_at]       # FROM ... WHERE ... GROUP BY ...
+        + inner
         + [
             ("op", ")"), ("ws", " "),
             ("word", "WHERE"), ("ws", " "), ("word", "__topk"),
