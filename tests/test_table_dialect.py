@@ -320,6 +320,27 @@ def test_tsql_distinct_top_ties_percent(spark):
 
 
 @pytestmark_fallback
+def test_teradata_top_ties_with_qualify(spark):
+    """teradata applies QUALIFY before TOP: the rewrite wraps the
+    QUALIFY scope in a subquery (processed by the later QUALIFY pass)
+    and ranks its post-filter output."""
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "b", "b", "c"], "x": [5, 1, 5, 2, 3]}
+    )
+    got = execute(
+        "SELECT TOP 1 WITH TIES k, x FROM t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY x DESC) = 1 "
+        "ORDER BY x DESC",
+        tables={"t": pdf},
+        dialect="teradata",
+        spark=spark,
+    ).collect()
+    # per-k maxima are (a,5),(b,5),(c,3); TOP 1 WITH TIES by x keeps
+    # both 5s — ranking before QUALIFY would instead see raw rows
+    assert sorted((r["k"], r["x"]) for r in got) == [("a", 5), ("b", 5)]
+
+
+@pytestmark_fallback
 def test_tsql_top_in_set_operation_binds_per_arm(spark):
     """TOP binds to its own SELECT arm in tsql — the rewrite must not
     let the appended LIMIT (or rank wrapper) rebind to the whole set

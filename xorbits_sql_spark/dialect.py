@@ -530,7 +530,7 @@ def _top_variant_to_qualify(
     argument."""
     select_at: int | None = None
     from_at: int | None = None
-    distinct = False
+    wrap_scope = False
     depth = 0
     for i, (kind, text) in enumerate(tokens[:top_at]):
         if kind == "op" and text == "(":
@@ -546,7 +546,7 @@ def _top_variant_to_qualify(
                 # SELECT DISTINCT ... FROM ... in a subquery and rank
                 # over its output columns (where select-list aliases
                 # are real columns and ordinals map to output names).
-                distinct = True
+                wrap_scope = True
     if select_at is None:
         raise UnsupportedError("could not locate SELECT for TOP rewrite")
     depth = 0
@@ -589,11 +589,12 @@ def _top_variant_to_qualify(
         elif kind == "op" and text == ")":
             depth -= 1
         elif depth == 0 and kind == "word" and text.upper() == "QUALIFY":
-            # teradata applies QUALIFY before TOP; copying the QUALIFY
-            # clause into the rank wrapper would rank pre-filter rows
-            raise UnsupportedError(
-                "TOP PERCENT / WITH TIES combined with QUALIFY"
-            )
+            # teradata applies QUALIFY before TOP, so rank OUTSIDE the
+            # QUALIFY scope: the same subquery wrap as DISTINCT keeps
+            # the QUALIFY inside the wrapper (where the later
+            # _rewrite_qualify pass processes that inner scope) and the
+            # TOP rank filters its post-QUALIFY output.
+            wrap_scope = True
     order_exprs = tokens[order_start:order_end]
     # positional sort keys are select-list ordinals in the scope's
     # ORDER BY but constants inside OVER (ORDER BY ...) — resolve a
@@ -633,7 +634,7 @@ def _top_variant_to_qualify(
                         f"ORDER BY ordinal {ordinal} is out of range "
                         f"for the {len(select_items)}-item select list"
                     )
-                if distinct:
+                if wrap_scope:
                     # the rank runs over the wrapped DISTINCT scope's
                     # OUTPUT columns, so an ordinal maps to the item's
                     # output NAME, not its defining expression
@@ -672,7 +673,7 @@ def _top_variant_to_qualify(
     # (in the DISTINCT form the window ranks the wrapped subquery's
     # output, where every select-list alias IS a real column — no
     # substitution needed or wanted)
-    aliases = {} if distinct else _select_list_aliases(tokens[end + 1 : from_at])
+    aliases = {} if wrap_scope else _select_list_aliases(tokens[end + 1 : from_at])
     if aliases:
         rebuilt: list[list[tuple[str, str]]] = []
         for item in _split_top_level_commas(order_exprs):
@@ -742,7 +743,7 @@ def _top_variant_to_qualify(
         ]
     else:
         bound = n_tokens
-    if distinct:
+    if wrap_scope:
         # rank OUTSIDE the distinct scope: DISTINCT collapses first
         # (tsql applies TOP after DISTINCT), then the helper window
         # ranks the collapsed rows by their output columns
