@@ -387,9 +387,13 @@ def _ab_verdict(head_sec: float, base_sec: float) -> str:
     capped at 0.5 s so a genuine 1.3x on a 10 s query still
     confirms."""
     bar = max(0.15, min(0.5, 0.35 * base_sec))
+    # sub-second timings spread up to ~2x on identical code, so below
+    # 1 s the ratio itself must clear 1.5 — a genuine regression that
+    # small is invisible in this noise regardless
+    ratio_bar = 1.5 if head_sec < 1.0 else 1.25
     return (
         "confirmed"
-        if head_sec / base_sec > 1.25 and head_sec - base_sec > bar
+        if head_sec / base_sec > ratio_bar and head_sec - base_sec > bar
         else "drift"
     )
 

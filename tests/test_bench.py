@@ -52,7 +52,9 @@ def test_ab_verdict_needs_relative_and_scaled_absolute_gap():
     assert bench._ab_verdict(0.5, 0.39) == "drift"      # q52 shape: delta 0.11
     assert bench._ab_verdict(0.72, 0.56) == "drift"     # s09 shape: delta 0.16 < 0.35*base
     assert bench._ab_verdict(10.0, 8.5) == "drift"      # ratio 1.18
+    # sub-second: ratio must clear 1.5, not just 1.25
+    assert bench._ab_verdict(0.7, 0.5) == "drift"       # ratio 1.4 < 1.5 at <1s
     # a real regression clears both bars
     assert bench._ab_verdict(2.0, 1.0) == "confirmed"
-    assert bench._ab_verdict(0.9, 0.5) == "confirmed"   # delta 0.4 > 0.35*base
+    assert bench._ab_verdict(0.9, 0.5) == "confirmed"   # ratio 1.8, delta 0.4
     assert bench._ab_verdict(13.0, 10.0) == "confirmed" # big query: bar capped at 0.5

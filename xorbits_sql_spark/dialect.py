@@ -103,6 +103,12 @@ _DQUOTE_IDENT_DIALECTS = {
     "ansi",
     "clickhouse",
     "teradata",
+    # tsql: double-quoted identifiers are the QUOTED_IDENTIFIER ON
+    # default (the legacy OFF mode reads them as strings; that mode is
+    # not modeled). Without this, a dquoted alias injected into a
+    # generated OVER (ORDER BY ...) parses as a Spark string literal
+    # and silently ranks every row equal.
+    "tsql",
 }
 
 # ---------------------------------------------------------------------------
@@ -432,6 +438,19 @@ def _select_list_aliases(
     return out
 
 
+def _ident_key(tok: tuple[str, str]) -> str:
+    """Case-insensitive comparison key of an identifier token,
+    unwrapping backtick/double-quote/bracket quoting."""
+    kind, text = tok
+    if kind == "backtick":
+        return _unquote(text, "`").upper()
+    if kind == "dquoted":
+        return _unquote(text, '"').upper()
+    if kind == "bracket":
+        return text[1:-1].upper()
+    return text.upper()
+
+
 def _strip_sort_suffix(item: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Code tokens of an ORDER BY item with trailing ASC/DESC/NULLS
     FIRST|LAST removed — the bare sort expression."""
@@ -604,8 +623,21 @@ def _top_variant_to_qualify(
     # separable items resolve: ``expr AS alias`` (alias stripped) or a
     # single-token item; anything else (implicit aliases, ``*``) is
     # ambiguous at token level and refuses loudly.
+    for item in _split_top_level_commas(order_exprs):
+        code = _strip_sort_suffix(item)
+        if (
+            len(code) == 1
+            and code[0][0] == "number"
+            and not code[0][1].isdigit()
+        ):
+            # bare non-integer numeric item (1.5, 1e3): a constant,
+            # which tsql rejects in TOP's ORDER BY — refuse rather
+            # than crash on int() or silently rank all rows equal
+            raise UnsupportedError(
+                f"constant ORDER BY item {code[0][1]!r} in TOP rewrite"
+            )
     positional = any(
-        len(code) == 1 and code[0][0] == "number" and "." not in code[0][1]
+        len(code) == 1 and code[0][0] == "number" and code[0][1].isdigit()
         for item in _split_top_level_commas(order_exprs)
         for code in [_strip_sort_suffix(item)]
     )
@@ -626,7 +658,7 @@ def _top_variant_to_qualify(
             if (
                 len(expr_at) == 1
                 and item[expr_at[0]][0] == "number"
-                and "." not in item[expr_at[0]][1]
+                and item[expr_at[0]][1].isdigit()
             ):
                 ordinal = int(item[expr_at[0]][1])
                 if not 1 <= ordinal <= len(select_items):
@@ -706,6 +738,46 @@ def _top_variant_to_qualify(
             for i, item in enumerate(rebuilt)
             for tok in ([("op", ",")] if i else []) + item
         ]
+    if wrap_scope:
+        # the window ranks the wrapped subquery's OUTPUT — an ORDER BY
+        # item referencing a non-projected source column (legal in
+        # teradata, and in tsql only pre-DISTINCT) cannot resolve
+        # there, and letting it through would surface as a runtime
+        # AnalysisException instead of a transpile-time refusal.
+        # Validate: every item must be an output column name (ordinals
+        # were already rewritten to one above). A star select item
+        # projects every source column, so validation is skipped.
+        select_items = _split_top_level_commas(tokens[end + 1 : from_at])
+        has_star = any(
+            ("op", "*") in [
+                tok for tok in it if tok[0] not in ("ws", "comment")
+            ]
+            for it in select_items
+        )
+        if not has_star:
+            out_names = set()
+            for it in select_items:
+                name = _item_output_name(it)
+                if name is not None:
+                    out_names.add(_ident_key(name))
+            for item in _split_top_level_commas(order_exprs):
+                code = _strip_sort_suffix(item)
+                # parenthesized single-name items come from the ordinal
+                # rewrite: ( name )
+                if (
+                    len(code) == 3
+                    and code[0] == ("op", "(")
+                    and code[2] == ("op", ")")
+                ):
+                    code = [code[1]]
+                if len(code) != 1 or _ident_key(code[0]) not in out_names:
+                    raise UnsupportedError(
+                        "ORDER BY under a DISTINCT/QUALIFY TOP rewrite "
+                        "must be a select-output column name or "
+                        "ordinal (the rank runs over the wrapped "
+                        "scope's output, where other expressions may "
+                        "not resolve)"
+                    )
     # a line comment among the sort tokens would land inside the
     # generated OVER (ORDER BY ...) and swallow `) AS __topk FROM ...`
     # into the comment text (the plain-TOP LIMIT path strips these the

@@ -77,14 +77,17 @@ def with_cum_before(
     return df.withColumn(alias, F.sum(count).over(wv) - count)
 
 
-def midrank_twice(weight: Column, count: Column) -> Column:
+def midrank_twice(
+    weight: Column, count: Column, cum_before: str = "cum_before"
+) -> Column:
     """Doubled tie-averaged rank-sum term: ``weight * (2*cum_before +
     count + 1)`` — all-integer, so ``SUM`` of it is exact and
     order-independent; divide by 2 only in the final double expression.
-    Expects the ``cum_before`` column from ``with_cum_before``.
+    ``cum_before`` names the column from ``with_cum_before`` (pass the
+    same value as that helper's ``alias``).
     SQL mirror: ``SUM(w * (2 * cum_before + c + 1))``.
     """
-    return weight * (2 * F.col("cum_before") + count + 1)
+    return weight * (2 * F.col(cum_before) + count + 1)
 
 
 def positional_median(

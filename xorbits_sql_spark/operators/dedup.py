@@ -722,11 +722,20 @@ def connected_components(
     ).localCheckpoint()
     if algorithm == "auto":
         hint = getattr(pairs, "_xss_edge_estimate", None)
-        # the generator's pre-computed pair-volume estimate (an upper
-        # bound on distinct edges — conservative toward "stars", which
-        # stays correct, just costlier per round) saves the count job
-        n_edges = hint if hint is not None else raw.count()
-        algorithm = "propagation" if n_edges < stars_threshold else "stars"
+        # The generator's pre-computed pair-volume estimate is an UPPER
+        # bound on distinct edges — and a loose one (it counts a pair
+        # once per shared shingle/band/bucket, before any similarity
+        # filter), so it is only DECISIVE below the threshold: bound <
+        # threshold ⟹ edges < threshold, skip the count job. Above it
+        # the true edge count may still be tiny (a dense shingle
+        # overlap collapses to few distinct pairs), so measure — the
+        # count runs on the already-checkpointed set, one cheap scan.
+        if hint is not None and hint < stars_threshold:
+            algorithm = "propagation"
+        else:
+            algorithm = (
+                "propagation" if raw.count() < stars_threshold else "stars"
+            )
     last_cc_algorithm = algorithm
     if algorithm == "stars":
         return _cc_alternating_stars(raw, "u", "v", max_iter)
