@@ -173,6 +173,7 @@ def _timed(fn, spark, sf_dir: str, release_caches) -> float:
 
 _BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 _SNAPSHOT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+_HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
 
 
 def _vs_baseline(
@@ -269,7 +270,11 @@ def _retime_subprocess(cwd: str, names: list[str], sf_dir: str) -> dict[str, flo
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        # 4 executions per name (1 cold + 3 warm) plus one JVM startup;
+        # scale so a full 16+-flag batch (round-5 verdict #3: adjudicate
+        # EVERY flag, amortized into one subprocess per side) can't
+        # time out just for being thorough.
+        timeout=max(1800, 90 * len(names)),
     )
     for line in reversed(p.stdout.splitlines()):
         if line.startswith("__AB__"):
@@ -278,7 +283,7 @@ def _retime_subprocess(cwd: str, names: list[str], sf_dir: str) -> dict[str, flo
 
 
 def _adjudicate_regressions(
-    regressions: dict, sf_dir: str, limit: int = 8
+    regressions: dict, sf_dir: str, limit: int = 64
 ) -> dict:
     """Worktree A/B drift adjudication (round-4 verdict #5).
 
@@ -373,6 +378,13 @@ def _adjudicate_regressions(
         else:
             adj["ab_ratio"] = round(h / b, 2)
             adj["verdict"] = _ab_verdict(h, b)
+            # Sub-second drifts below the confirm bars are structurally
+            # unconfirmable in this rig's ~2x identical-code spread; mark
+            # the near-misses (ab > 1.3 but not confirmed) so a query
+            # that drifts round after round is visible in the committed
+            # BENCH history and can be escalated by hand.
+            if adj["verdict"] == "drift" and h / b > 1.3:
+                adj["near_miss"] = True
         regressions[n]["adjudication"] = adj
     return regressions
 
@@ -399,11 +411,41 @@ def _ab_verdict(head_sec: float, base_sec: float) -> str:
 
 
 def _persist_snapshot(out: dict) -> None:
-    """Write the full result to a stable path for the next round's diff."""
+    """Write the full result to a stable path for the next round's diff,
+    and append it to BENCH_HISTORY.jsonl keyed by git SHA so
+    ``scripts/accept_baseline.py`` can enforce the typical-rig anchor
+    rule (round-5 verdict #4): a new baseline is accepted only when its
+    total is within 1.05x of the median of the last 3 same-code runs —
+    the 198.3 s round-4 anchor was the fast tail of a +/-25% rig and
+    generated 16 phantom flags in round 5."""
     try:
         with open(_SNAPSHOT_PATH, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     except OSError:
+        pass
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=15,
+        ).stdout.strip()
+        rec = {
+            "sha": sha,
+            "sf": out.get("sf"),
+            "value": out.get("value"),
+            "value_cold": out.get("value_cold"),
+            "n_queries": out.get("n_queries"),
+            "n_failures": len(out.get("failures", {})),
+            "ts": time.time(),
+            "queries": out.get("queries", {}),
+        }
+        with open(_HISTORY_PATH, "a") as f:
+            f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+    except Exception:  # noqa: BLE001 - history is best-effort
         pass
 
 

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Guarded BENCH_BASELINE acceptance (round-5 verdict #4).
+
+The round-4 baseline (198.3 s) was captured at the fast tail of a rig
+that demonstrably swings +/-25% within a day, so every subsequent honest
+run flagged a dozen phantom regressions for the A/B adjudicator to
+dismiss. This script replaces the bare ``cp BENCH_LOCAL.json
+BENCH_BASELINE.json`` with a typical-rig anchor rule:
+
+  A candidate run is accepted only when its warm total is within 1.05x
+  (two-sided) of the MEDIAN of the last 3 bench runs recorded for the
+  SAME git SHA and sf dir in BENCH_HISTORY.jsonl (bench.py appends one
+  record per run). A lucky-fast or unlucky-slow outlier is refused with
+  the numbers printed — re-run bench.py and try again.
+
+Usage:
+    python scripts/accept_baseline.py            # candidate = latest run
+    python scripts/accept_baseline.py --median   # candidate = the median
+                                                 # run itself (preferred:
+                                                 # anchors on typical)
+    python scripts/accept_baseline.py --dry-run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HISTORY = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+LOCAL = os.path.join(REPO, "BENCH_LOCAL.json")
+BASELINE = os.path.join(REPO, "BENCH_BASELINE.json")
+TOLERANCE = 1.05
+
+
+def main() -> int:
+    use_median = "--median" in sys.argv
+    dry = "--dry-run" in sys.argv
+    sha = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+    try:
+        with open(HISTORY) as f:
+            runs = [json.loads(line) for line in f if line.strip()]
+    except OSError:
+        print(f"REFUSED: no {HISTORY}; run bench.py at least 3 times first")
+        return 1
+    with open(LOCAL) as f:
+        cand = json.load(f)
+    same = [r for r in runs if r.get("sha") == sha and r.get("sf") == cand.get("sf")]
+    if len(same) < 3:
+        print(
+            f"REFUSED: only {len(same)} recorded run(s) for HEAD {sha[:8]} at "
+            f"sf={cand.get('sf')}; need 3 same-code runs for a median anchor"
+        )
+        return 1
+    last3 = same[-3:]
+    totals = sorted(r["value"] for r in last3)
+    median_total = totals[1]
+    median_run = next(r for r in last3 if r["value"] == median_total)
+    cand_total = cand["value"]
+    ratio = cand_total / median_total
+    print(
+        f"last-3 same-code totals: {totals} -> median {median_total}; "
+        f"candidate {cand_total} (ratio {ratio:.3f}, bar {1/TOLERANCE:.3f}..{TOLERANCE})"
+    )
+    if use_median:
+        # Anchor directly on the median run's per-query map: by
+        # construction a typical-rig run, so the ratio check is moot.
+        accepted = {
+            "metric": "query_suite_wall_seconds",
+            "value": median_run["value"],
+            "unit": "sec",
+            "sf": median_run["sf"],
+            "n_queries": median_run["n_queries"],
+            "value_cold": median_run.get("value_cold"),
+            "queries": median_run["queries"],
+            "accepted_rule": (
+                f"median of last 3 same-code runs {totals} at {sha[:8]} "
+                "(scripts/accept_baseline.py --median)"
+            ),
+        }
+        if dry:
+            print(f"DRY RUN: would write median run ({median_total} s) to BENCH_BASELINE.json")
+            return 0
+        with open(BASELINE, "w") as f:
+            json.dump(accepted, f, indent=1, sort_keys=True)
+        print(f"ACCEPTED: median run ({median_total} s) -> BENCH_BASELINE.json")
+        return 0
+    if not (1 / TOLERANCE <= ratio <= TOLERANCE):
+        print(
+            "REFUSED: candidate is an outlier vs the same-code median "
+            "(the round-4 198.3 s anchor failure mode); re-run bench.py or "
+            "use --median to anchor on the typical run"
+        )
+        return 1
+    if dry:
+        print("DRY RUN: would copy BENCH_LOCAL.json -> BENCH_BASELINE.json")
+        return 0
+    cand["accepted_rule"] = (
+        f"within {TOLERANCE}x of median {median_total} over last 3 same-code "
+        f"runs {totals} at {sha[:8]} (scripts/accept_baseline.py)"
+    )
+    with open(LOCAL, "w") as f:
+        json.dump(cand, f, indent=1, sort_keys=True)
+    shutil.copyfile(LOCAL, BASELINE)
+    print(f"ACCEPTED: {cand_total} s -> BENCH_BASELINE.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

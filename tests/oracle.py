@@ -8,6 +8,7 @@ so the tolerance is a safety net, not a crutch)."""
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 from decimal import Decimal
 
@@ -15,16 +16,36 @@ import pandas as pd
 
 
 def _canon_cell(v):
+    """Canonical, *type-strict* cell representation.
+
+    Numeric cells carry their numeric class ("i" int, "f" float, "b"
+    bool) so an int64 on one side and a float64 on the other is a
+    MISMATCH even when the values are numerically equal — this mirrors
+    the driver's value hash, which stringifies 376237 and 376237.0
+    differently (the s39 round-5 red cell). Decimals collapse to
+    ("f", float) on both sides, so decimal-exact sums still compare
+    with tolerance via _cells_equal.
+    """
     if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, Decimal):
-        return float(v)
+        return ("f", float(v))
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime().replace(tzinfo=None)
+        v = v.to_pydatetime().replace(tzinfo=None)
     if hasattr(v, "tolist"):  # numpy scalars/arrays
         v = v.tolist()
     if isinstance(v, list):
         return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, _dt.datetime):
+        return ("dt", v)
+    if isinstance(v, _dt.date):
+        return ("d", v)
     return v
 
 

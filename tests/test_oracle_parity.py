@@ -27,9 +27,38 @@ def test_oracle_parity(name, spark, duck):
     assert exact_match(sdf, ddf), f"{name}: values differ below tolerance (hash would mismatch)"
 
 
+# Rows-only entries have no DuckDB value oracle, so the driver's
+# schema/hash gates can't catch dtype drift there. Each pins the exact
+# output schema it promises the driver (round-5 verdict #7); changing
+# one of these queries' types is a deliberate act that must update the
+# pin in the same commit.
+ROWS_ONLY_SCHEMAS = {
+    "q82_stream_running_totals": "struct<user_id:bigint,n_events:bigint,total_value:double>",
+    "q89_distinct_sketch": "struct<event_type:string,approx_users:bigint,hll_users:bigint,exact_users:bigint>",
+    "q90_multimodal_features": "struct<id:bigint,n_bytes:bigint,mean_byte:double,hash_hi:bigint>",
+    "q91_multimodal_frames": "struct<id:bigint,n_frames:bigint,frame_bytes:bigint>",
+    "q93_approx_ntile": "struct<tile:int,n:bigint,tile_total:double>",
+    "s47_bpe_learn_merges": "struct<rank:bigint,left:string,right:string,merged:string,pair_count:bigint>",
+    "s68_stream_welford_anomalies": "struct<user_id:bigint,n:bigint,mean:double,m2:double,n_alerts:bigint>",
+    "s81_hll_sketch_rollup": "struct<event_type:string,n_daily_sketches:bigint,merged_distinct_users:bigint>",
+    "t52_stream_window_percentiles": "struct<hour:timestamp,event_type:string,p50:double,p90:double,p99:double,n:bigint>",
+}
+
+
+def test_rows_only_schema_pins_complete():
+    """Every rows-only entry must have a schema pin (and no stale pins)."""
+    assert sorted(ROWS_ONLY_SCHEMAS) == ROWS_ONLY_CASES
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
 def test_rows_only(name, spark):
     spec = SPECS[name]
     df = spec.fn(spark, SF_ORACLE)
     assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+    pinned = ROWS_ONLY_SCHEMAS.get(name)
+    assert pinned is not None, f"{name}: rows-only entry missing a schema pin"
+    assert df.schema.simpleString() == pinned, (
+        f"{name}: output schema drifted from its pin\n"
+        f"  got:    {df.schema.simpleString()}\n"
+        f"  pinned: {pinned}"
+    )

@@ -2044,7 +2044,7 @@ def s38_execute_oracle_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag AS flag,
            COUNT(DISTINCT l_orderkey) AS orders,
            COUNT(*) FILTER (WHERE l_quantity > 25) AS big_n,
-           SUM(CASE WHEN l_quantity > 25 THEN CAST(l_quantity AS BIGINT) END) AS big_qty,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS big_qty,
            CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS first_ship
     FROM lineitem
     GROUP BY l_returnflag
