@@ -176,6 +176,52 @@ def test_tsql_top_unsupported_forms_raise():
 
 
 @pytestmark_fallback
+def test_tsql_top_constant_order_by_items_raise():
+    """tsql rejects constants in TOP's ORDER BY; letting one into the
+    generated OVER (ORDER BY ...) would silently rank every row equal.
+    Bare integers are positional ordinals (resolved), not constants."""
+    from xorbits_sql_spark.errors import UnsupportedError
+
+    for const in ("1.5", "1e3", "'a'", "NULL", "-1", "+2"):
+        with pytest.raises(UnsupportedError, match="constant ORDER BY"):
+            transpile(
+                f"SELECT TOP 5 WITH TIES x FROM t ORDER BY {const}", "tsql"
+            )
+
+
+@pytestmark_fallback
+def test_tsql_distinct_top_star_detection(spark):
+    """COUNT(*) in the select list is NOT a star projection: the wrap
+    path must still validate ORDER BY output names, refusing at
+    transpile time instead of surfacing a runtime AnalysisException."""
+    from xorbits_sql_spark.errors import UnsupportedError
+
+    with pytest.raises(UnsupportedError, match="output column"):
+        transpile(
+            "SELECT DISTINCT TOP 2 WITH TIES COUNT(*) AS n "
+            "FROM t GROUP BY k ORDER BY bogus",
+            "tsql",
+        )
+    # a REAL star (bare or qualified) projects every source column, so
+    # ORDER BY on any source column remains valid through the wrap
+    pdf = pd.DataFrame({"x": [10, 10, 9, 8]})
+    got = execute(
+        "SELECT DISTINCT TOP 2 WITH TIES * FROM t ORDER BY x DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in got), reverse=True) == [10, 9]
+    got_q = execute(
+        "SELECT DISTINCT TOP 2 WITH TIES t.* FROM t ORDER BY x DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in got_q), reverse=True) == [10, 9]
+
+
+@pytestmark_fallback
 def test_tsql_top_with_ties_and_percent(spark):
     """TOP n WITH TIES / TOP n PERCENT rewrite onto the QUALIFY
     machinery (RANK/ROW_NUMBER window predicate) instead of raising."""

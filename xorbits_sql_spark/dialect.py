@@ -625,16 +625,28 @@ def _top_variant_to_qualify(
     # ambiguous at token level and refuses loudly.
     for item in _split_top_level_commas(order_exprs):
         code = _strip_sort_suffix(item)
-        if (
+        # bare constant items (1.5, 1e3, 'a', NULL, -1): tsql rejects
+        # constants in TOP's ORDER BY — refuse rather than crash on
+        # int() or silently rank all rows equal inside the generated
+        # OVER (ORDER BY ...). Bare INTEGERS are positional ordinals
+        # (resolved below), not constants; a signed number tokenizes
+        # as two tokens (op sign + number) and IS a constant.
+        is_constant = (
             len(code) == 1
-            and code[0][0] == "number"
-            and not code[0][1].isdigit()
-        ):
-            # bare non-integer numeric item (1.5, 1e3): a constant,
-            # which tsql rejects in TOP's ORDER BY — refuse rather
-            # than crash on int() or silently rank all rows equal
+            and (
+                (code[0][0] == "number" and not code[0][1].isdigit())
+                or code[0][0] == "string"
+                or (code[0][0] == "word" and code[0][1].upper() == "NULL")
+            )
+        ) or (
+            len(code) == 2
+            and code[0] in (("op", "+"), ("op", "-"))
+            and code[1][0] == "number"
+        )
+        if is_constant:
             raise UnsupportedError(
-                f"constant ORDER BY item {code[0][1]!r} in TOP rewrite"
+                "constant ORDER BY item "
+                f"{''.join(t for _, t in code)!r} in TOP rewrite"
             )
     positional = any(
         len(code) == 1 and code[0][0] == "number" and code[0][1].isdigit()
@@ -748,12 +760,24 @@ def _top_variant_to_qualify(
         # were already rewritten to one above). A star select item
         # projects every source column, so validation is skipped.
         select_items = _split_top_level_commas(tokens[end + 1 : from_at])
-        has_star = any(
-            ("op", "*") in [
-                tok for tok in it if tok[0] not in ("ws", "comment")
-            ]
-            for it in select_items
-        )
+
+        def _is_star_item(it: list[tuple[str, str]]) -> bool:
+            # only a bare top-level `*` or a qualified `name.*` projects
+            # source columns; a `*` inside a function call (COUNT(*)) or
+            # a multiplication does NOT, and treating it as one skipped
+            # this validation entirely — SELECT DISTINCT TOP .. COUNT(*)
+            # AS n .. ORDER BY bogus then surfaced as a runtime
+            # AnalysisException instead of a transpile-time refusal.
+            code = [tok for tok in it if tok[0] not in ("ws", "comment")]
+            if code == [("op", "*")]:
+                return True
+            return (
+                len(code) >= 3
+                and code[-1] == ("op", "*")
+                and code[-2] == ("op", ".")
+            )
+
+        has_star = any(_is_star_item(it) for it in select_items)
         if not has_star:
             out_names = set()
             for it in select_items:
