@@ -16,7 +16,7 @@ import importlib
 
 entry_mod = importlib.import_module("__spark_entry__")
 
-# Names with a green driver CORRECTNESS row in r01..r04.
+# Names with a green driver CORRECTNESS row in r01..r05.
 _VERIFIED_PREFIXES = (
     {f"q{i:02d}" for i in range(1, 28)}
     | {f"q{i}" for i in range(30, 100)}
@@ -25,6 +25,7 @@ _VERIFIED_PREFIXES = (
     | {"r55", "r56"}
     | {f"r{i}" for i in range(57, 100)}
     | {"s01", "s02", "s03"}
+    | {f"s{i:02d}" for i in range(4, 55) if i not in (39, 47)}
 )
 
 
@@ -33,13 +34,16 @@ def test_first_50_insertion_order_are_never_verified():
     oracles = set(entry_mod.oracle_sql())
     window = keys[:50]
     prefixes = [k.split("_", 1)[0] for k in window]
-    # Round-5 window: first 50 oracle-bearing never-driver-verified
-    # names in lexical order (s04 onward; s47 is rows-only and queues
-    # behind the oracle-paired inventory, so the window runs s04..s54).
+    # Round-6 window: s39 re-enters first (its r05 hash mismatch was an
+    # oracle-typing bug, now fixed — it must earn a green row before
+    # rotating), then the next 49 oracle-bearing never-driver-verified
+    # names in lexical order (s55 onward; s47/s68/s81/t52 are rows-only
+    # and queue behind the oracle-paired inventory).
     registry_fresh = sorted(k for k in keys if not k.startswith("z") and k in oracles)
     assert window == registry_fresh[:50]
-    assert prefixes[:3] == ["s04", "s05", "s06"]
-    assert prefixes[-1] == "s54" and "s47" not in prefixes
+    assert prefixes[:3] == ["s39", "s55", "s56"]
+    assert prefixes[-1] == "t06"
+    assert all(p not in prefixes for p in ("s47", "s68", "s81", "t52"))
     # None of the window entries is a rotated (already-green) name.
     assert not any(k.startswith("z") for k in window)
     # Every window entry carries a full DuckDB value oracle (round-3
