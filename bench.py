@@ -380,10 +380,11 @@ def _adjudicate_regressions(
             adj["verdict"] = _ab_verdict(h, b)
             # Sub-second drifts below the confirm bars are structurally
             # unconfirmable in this rig's ~2x identical-code spread; mark
-            # the near-misses (ab > 1.3 but not confirmed) so a query
-            # that drifts round after round is visible in the committed
-            # BENCH history and can be escalated by hand.
-            if adj["verdict"] == "drift" and h / b > 1.3:
+            # the near-misses (recorded ab_ratio > 1.3, so the flag is
+            # consistent with the committed number) so a query that
+            # drifts round after round is visible in the BENCH history
+            # and can be escalated by hand.
+            if adj["verdict"] == "drift" and adj["ab_ratio"] > 1.3:
                 adj["near_miss"] = True
         regressions[n]["adjudication"] = adj
     return regressions
@@ -426,15 +427,30 @@ def _persist_snapshot(out: dict) -> None:
     try:
         import subprocess
 
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
         sha = subprocess.run(
             ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=repo_dir,
             capture_output=True,
             text=True,
             timeout=15,
         ).stdout.strip()
+        # uncommitted changes make "same sha" lie about "same code" —
+        # record dirtiness so accept_baseline can exclude such runs
+        # from the median anchor (tracked files only: untracked files
+        # can't change timings)
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                cwd=repo_dir,
+                capture_output=True,
+                text=True,
+                timeout=15,
+            ).stdout.strip()
+        )
         rec = {
             "sha": sha,
+            "dirty": dirty,
             "sf": out.get("sf"),
             "value": out.get("value"),
             "value_cold": out.get("value_cold"),

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import subprocess
 import sys
 
@@ -50,11 +49,26 @@ def main() -> int:
         return 1
     with open(LOCAL) as f:
         cand = json.load(f)
-    same = [r for r in runs if r.get("sha") == sha and r.get("sf") == cand.get("sf")]
+    if cand.get("failures"):
+        print(f"REFUSED: candidate run has {len(cand['failures'])} failure(s)")
+        return 1
+    # "same code" means same committed sha AND a clean tree: a dirty-tree
+    # run may time different code under the same sha, and a run with
+    # failures has a deflated total plus a truncated query map (its
+    # missing queries would become permanently unflagged "new queries").
+    same = [
+        r
+        for r in runs
+        if r.get("sha") == sha
+        and r.get("sf") == cand.get("sf")
+        and not r.get("dirty")
+        and r.get("n_failures", 0) == 0
+    ]
     if len(same) < 3:
         print(
-            f"REFUSED: only {len(same)} recorded run(s) for HEAD {sha[:8]} at "
-            f"sf={cand.get('sf')}; need 3 same-code runs for a median anchor"
+            f"REFUSED: only {len(same)} clean same-code run(s) for HEAD "
+            f"{sha[:8]} at sf={cand.get('sf')}; need 3 (zero-failure, "
+            "clean-tree) runs for a median anchor"
         )
         return 1
     last3 = same[-3:]
@@ -67,22 +81,31 @@ def main() -> int:
         f"last-3 same-code totals: {totals} -> median {median_total}; "
         f"candidate {cand_total} (ratio {ratio:.3f}, bar {1/TOLERANCE:.3f}..{TOLERANCE})"
     )
+    # Both paths write the same clean minimal shape: a baseline must
+    # not carry the previous run's embedded regression/adjudication
+    # report (computed against the PREVIOUS baseline) or cold maps —
+    # a judge reading the accepted file would see a frozen report
+    # about an anchor that no longer applies.
+    def _accepted(run: dict, rule: str) -> dict:
+        return {
+            "metric": "query_suite_wall_seconds",
+            "value": run["value"],
+            "unit": "sec",
+            "sf": run["sf"],
+            "n_queries": run["n_queries"],
+            "value_cold": run.get("value_cold"),
+            "queries": run["queries"],
+            "accepted_rule": rule,
+        }
+
     if use_median:
         # Anchor directly on the median run's per-query map: by
         # construction a typical-rig run, so the ratio check is moot.
-        accepted = {
-            "metric": "query_suite_wall_seconds",
-            "value": median_run["value"],
-            "unit": "sec",
-            "sf": median_run["sf"],
-            "n_queries": median_run["n_queries"],
-            "value_cold": median_run.get("value_cold"),
-            "queries": median_run["queries"],
-            "accepted_rule": (
-                f"median of last 3 same-code runs {totals} at {sha[:8]} "
-                "(scripts/accept_baseline.py --median)"
-            ),
-        }
+        accepted = _accepted(
+            median_run,
+            f"median of last 3 same-code runs {totals} at {sha[:8]} "
+            "(scripts/accept_baseline.py --median)",
+        )
         if dry:
             print(f"DRY RUN: would write median run ({median_total} s) to BENCH_BASELINE.json")
             return 0
@@ -98,15 +121,15 @@ def main() -> int:
         )
         return 1
     if dry:
-        print("DRY RUN: would copy BENCH_LOCAL.json -> BENCH_BASELINE.json")
+        print("DRY RUN: would accept BENCH_LOCAL.json into BENCH_BASELINE.json")
         return 0
-    cand["accepted_rule"] = (
+    accepted = _accepted(
+        cand,
         f"within {TOLERANCE}x of median {median_total} over last 3 same-code "
-        f"runs {totals} at {sha[:8]} (scripts/accept_baseline.py)"
+        f"runs {totals} at {sha[:8]} (scripts/accept_baseline.py)",
     )
-    with open(LOCAL, "w") as f:
-        json.dump(cand, f, indent=1, sort_keys=True)
-    shutil.copyfile(LOCAL, BASELINE)
+    with open(BASELINE, "w") as f:
+        json.dump(accepted, f, indent=1, sort_keys=True)
     print(f"ACCEPTED: {cand_total} s -> BENCH_BASELINE.json")
     return 0
 

@@ -182,7 +182,13 @@ def test_tsql_top_constant_order_by_items_raise():
     Bare integers are positional ordinals (resolved), not constants."""
     from xorbits_sql_spark.errors import UnsupportedError
 
-    for const in ("1.5", "1e3", "'a'", "NULL", "-1", "+2"):
+    for const in (
+        "1.5", "1e3", "'a'", "NULL", "-1", "+2",
+        # compound/parenthesized constants rank every row equal just
+        # the same (T-SQL Msg 408 refuses them all), incl. the N'...'
+        # Unicode literal which lexes as word N + string
+        "1+1", "(1)", "N'abc'", "1.5 DESC",
+    ):
         with pytest.raises(UnsupportedError, match="constant ORDER BY"):
             transpile(
                 f"SELECT TOP 5 WITH TIES x FROM t ORDER BY {const}", "tsql"
@@ -219,6 +225,44 @@ def test_tsql_distinct_top_star_detection(spark):
         spark=spark,
     ).collect()
     assert sorted((r["x"] for r in got_q), reverse=True) == [10, 9]
+
+
+@pytestmark_fallback
+def test_tsql_distinct_top_order_by_expression_over_output(spark):
+    """An ORDER BY expression built only from select-OUTPUT columns
+    resolves in the wrapped scope and must not refuse; one referencing
+    a non-projected source column (or a dotted ref) must refuse at
+    transpile time."""
+    from xorbits_sql_spark.errors import UnsupportedError
+
+    pdf = pd.DataFrame({"a": [5, 5, 3, 2], "b": [2, 2, 4, 1]})
+    got = execute(
+        "SELECT DISTINCT TOP 2 WITH TIES a * b AS y FROM t ORDER BY y + 1 DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    # distinct y values: [10, 12, 2] -> top 2 by y+1 desc = [12, 10]
+    assert sorted((r["y"] for r in got), reverse=True) == [12, 10]
+    fn = execute(
+        "SELECT DISTINCT TOP 2 WITH TIES a * b AS y FROM t ORDER BY ABS(y) DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["y"] for r in fn), reverse=True) == [12, 10]
+    # a source column that is NOT projected cannot resolve in the wrap
+    with pytest.raises(UnsupportedError, match="select-output"):
+        transpile(
+            "SELECT DISTINCT TOP 2 WITH TIES a * b AS y FROM t ORDER BY a + 1",
+            "tsql",
+        )
+    # dotted references never name the wrapper's output
+    with pytest.raises(UnsupportedError, match="select-output"):
+        transpile(
+            "SELECT DISTINCT TOP 2 WITH TIES a * b AS y FROM t ORDER BY t.y",
+            "tsql",
+        )
 
 
 @pytestmark_fallback

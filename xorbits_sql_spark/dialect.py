@@ -451,6 +451,93 @@ def _ident_key(tok: tuple[str, str]) -> str:
     return text.upper()
 
 
+_CONSTANT_WORDS = frozenset({"NULL", "TRUE", "FALSE"})
+
+
+def _is_constant_sort_item(code: list[tuple[str, str]]) -> bool:
+    """True when an ORDER BY item (sort suffix already stripped) cannot
+    reference any column: every token is a literal, a number, or an
+    operator/paren. tsql rejects constants in TOP's ORDER BY, and
+    letting one into the generated ``OVER (ORDER BY ...)`` silently
+    ranks every row equal — so compound forms (``1+1``, ``(1)``,
+    ``N'abc'``) must refuse just like bare literals. A SINGLE bare
+    integer is a positional ordinal (resolved by the caller), not a
+    constant. Anything containing an identifier-ish token (word outside
+    NULL/TRUE/FALSE, quoted identifier) is left alone — it may resolve.
+    """
+    if not code:
+        return False
+    if len(code) == 1 and code[0][0] == "number" and code[0][1].isdigit():
+        return False  # positional ordinal
+    i = 0
+    while i < len(code):
+        kind, text = code[i]
+        if kind in ("number", "string"):
+            i += 1
+            continue
+        if kind == "op":  # arithmetic/sign/paren/concat — no column ref
+            i += 1
+            continue
+        if kind == "word":
+            up = text.upper()
+            if up in _CONSTANT_WORDS:
+                i += 1
+                continue
+            # N'abc' (tsql Unicode literal) lexes as word N + string
+            if up == "N" and i + 1 < len(code) and code[i + 1][0] == "string":
+                i += 2
+                continue
+            return False
+        return False  # quoted identifier / anything else
+    return True
+
+
+# Words that may appear inside an ORDER BY expression without naming a
+# column: literals and the common expression keywords. Function names
+# are recognized positionally (word followed by an open paren).
+_EXPR_KEYWORDS = frozenset(
+    {
+        "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END",
+        "AND", "OR", "NOT", "IS", "IN", "LIKE", "BETWEEN", "AS",
+        "COLLATE", "N",
+    }
+)
+
+
+def _resolves_in_output(
+    code: list[tuple[str, str]], out_names: set[str]
+) -> bool:
+    """True when an ORDER BY item can resolve against the wrapped
+    subquery's OUTPUT columns: every bare identifier in it (word or
+    quoted identifier that is not a function call, an expression
+    keyword, or a CAST type name) is a select-output name. This admits
+    expressions over output columns (``y + 1``, ``ABS(y)``) — legal in
+    teradata and resolvable in the wrapper — while still refusing
+    references to non-projected source columns, which would otherwise
+    surface as a runtime AnalysisException instead of a transpile-time
+    refusal. A dotted reference (``t.x``) can never name the wrapper's
+    output, so it refuses."""
+    if not code:
+        return False
+    for i, (kind, text) in enumerate(code):
+        if kind in ("number", "string", "op"):
+            continue
+        is_ident = kind in ("word", "dquoted", "backtick", "bracket")
+        if not is_ident:
+            return False
+        if kind == "word" and text.upper() in _EXPR_KEYWORDS:
+            continue
+        nxt = code[i + 1] if i + 1 < len(code) else None
+        prv = code[i - 1] if i > 0 else None
+        if nxt == ("op", "("):  # function name
+            continue
+        if prv == ("op", ".") or nxt == ("op", "."):  # qualified ref
+            return False
+        if _ident_key((kind, text)) not in out_names:
+            return False
+    return True
+
+
 def _strip_sort_suffix(item: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Code tokens of an ORDER BY item with trailing ASC/DESC/NULLS
     FIRST|LAST removed — the bare sort expression."""
@@ -625,25 +712,7 @@ def _top_variant_to_qualify(
     # ambiguous at token level and refuses loudly.
     for item in _split_top_level_commas(order_exprs):
         code = _strip_sort_suffix(item)
-        # bare constant items (1.5, 1e3, 'a', NULL, -1): tsql rejects
-        # constants in TOP's ORDER BY — refuse rather than crash on
-        # int() or silently rank all rows equal inside the generated
-        # OVER (ORDER BY ...). Bare INTEGERS are positional ordinals
-        # (resolved below), not constants; a signed number tokenizes
-        # as two tokens (op sign + number) and IS a constant.
-        is_constant = (
-            len(code) == 1
-            and (
-                (code[0][0] == "number" and not code[0][1].isdigit())
-                or code[0][0] == "string"
-                or (code[0][0] == "word" and code[0][1].upper() == "NULL")
-            )
-        ) or (
-            len(code) == 2
-            and code[0] in (("op", "+"), ("op", "-"))
-            and code[1][0] == "number"
-        )
-        if is_constant:
+        if _is_constant_sort_item(code):
             raise UnsupportedError(
                 "constant ORDER BY item "
                 f"{''.join(t for _, t in code)!r} in TOP rewrite"
@@ -794,13 +863,13 @@ def _top_variant_to_qualify(
                     and code[2] == ("op", ")")
                 ):
                     code = [code[1]]
-                if len(code) != 1 or _ident_key(code[0]) not in out_names:
+                if not _resolves_in_output(code, out_names):
                     raise UnsupportedError(
                         "ORDER BY under a DISTINCT/QUALIFY TOP rewrite "
-                        "must be a select-output column name or "
-                        "ordinal (the rank runs over the wrapped "
-                        "scope's output, where other expressions may "
-                        "not resolve)"
+                        "must reference only select-output column "
+                        "names or ordinals (the rank runs over the "
+                        "wrapped scope's output, where other "
+                        "expressions may not resolve)"
                     )
     # a line comment among the sort tokens would land inside the
     # generated OVER (ORDER BY ...) and swallow `) AS __topk FROM ...`
