@@ -935,9 +935,32 @@ def test_oracle_unsupported_forms_raise():
         "SELECT ROWNUM, x FROM t",
         "SELECT TO_CHAR(n, '999.99') FROM t",
         "SELECT TO_DATE(s) FROM t",
+        # non-default NLS languages / non-date NLS params still refuse
+        "SELECT TO_DATE(s, 'DD-MON-YYYY', 'NLS_DATE_LANGUAGE = FRENCH') FROM t",
+        "SELECT TO_CHAR(n, '999.99', 'NLS_NUMERIC_CHARACTERS = '',.''') FROM t",
     ):
         with pytest.raises(UnsupportedError):
             transpile(bad, "oracle")
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_oracle_nls_default_english_folds(spark):
+    """The nlsparam is a no-op when it pins NLS_DATE_LANGUAGE to
+    AMERICAN/ENGLISH — Spark's own en-US formatting locale — so the
+    3-arg forms fold to their 2-arg translation."""
+    import datetime
+
+    row = spark.sql(
+        transpile(
+            "SELECT TO_DATE('02-MAR-2020', 'DD-MON-YYYY', "
+            "'NLS_DATE_LANGUAGE = AMERICAN') AS d, "
+            "TO_CHAR(TIMESTAMP'2020-03-04 05:06:07', 'MON DY', "
+            "'nls_date_language = english') AS m FROM dual",
+            "oracle",
+        )
+    ).collect()[0]
+    assert row["d"] == datetime.date(2020, 3, 2)
+    assert row["m"] == "Mar Wed"
 
 
 @pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")

@@ -1661,12 +1661,36 @@ def _ora_datefmt(fmt: str) -> str:
     return "".join(outp)
 
 
+_NLS_DEFAULT_ENGLISH = re.compile(
+    r"^\s*NLS_DATE_LANGUAGE\s*=\s*['\"]?(AMERICAN|ENGLISH)['\"]?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _nls_default_english(arg: list[tuple[str, str]]) -> bool:
+    """True when an nlsparam argument is a string literal pinning
+    NLS_DATE_LANGUAGE to AMERICAN or ENGLISH — exactly the locale
+    (en-US) Spark's datetime patterns format with, so the parameter is
+    a no-op and the call folds to its two-arg form. Any other
+    nlsparam (other languages, NLS_NUMERIC_CHARACTERS, ...) would
+    change month/day names or separators and still refuses."""
+    code = [(k, t) for k, t in arg if k not in ("ws", "comment")]
+    return (
+        len(code) == 1
+        and code[0][0] == "string"
+        and bool(_NLS_DEFAULT_ENGLISH.match(_unquote(code[0][1], "'")))
+    )
+
+
 def _rewrite_oracle_fmt(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """oracle ``TO_DATE(x, fmt)`` / ``TO_TIMESTAMP(x, fmt)`` → the same
     Spark function with the format model translated; ``TO_CHAR(x, fmt)``
     → ``DATE_FORMAT(x, fmt')`` when fmt is a date model (number models
     raise); one-arg ``TO_CHAR(x)`` → ``CAST(x AS STRING)``. One-arg
-    TO_DATE depends on NLS session defaults and raises."""
+    TO_DATE depends on NLS session defaults and raises. A third
+    nlsparam argument folds away when it pins NLS_DATE_LANGUAGE to
+    AMERICAN/ENGLISH (Spark's own formatting locale); other NLS
+    parameters refuse."""
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -1692,7 +1716,9 @@ def _rewrite_oracle_fmt(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
                     f"one-arg {up} depends on NLS defaults; pass a format "
                     "model or use sqlglot"
                 )
-        elif len(args) == 2:
+        elif len(args) == 2 or (
+            len(args) == 3 and _nls_default_english(args[2])
+        ):
             fcode = [(k, t) for k, t in args[1] if k not in ("ws", "comment")]
             if len(fcode) != 1 or fcode[0][0] != "string":
                 raise UnsupportedError(
