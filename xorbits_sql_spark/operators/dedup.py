@@ -260,6 +260,13 @@ def minhash_band_index(
     # aggregates reusing the same doc partitioning. A single giant nested
     # array expression here fell back to interpreted evaluation and was
     # ~25x slower at sf0.1.
+    if seeds % band_size:
+        raise ValueError(
+            f"seeds ({seeds}) must be divisible by band_size ({band_size}): "
+            f"the trailing {seeds % band_size} hash(es) would be computed "
+            "but never banded, silently lowering recall below the "
+            "(seeds, band_size) curve the caller tuned against"
+        )
     shingled = shingles_relational(df, text_col, id_col, k=shingle_k)
     # Downstream self-joins would otherwise plan the whole shingle +
     # min-agg pipeline once per side; the signature table is one short
@@ -710,6 +717,20 @@ def connected_components(
     ``last_cc_algorithm``.
     """
     global last_cc_algorithm
+    # Ids must already be integral: a silent cast of string/UUID ids
+    # would NULL them (non-ANSI) or die mid-job (ANSI), and NULL edges
+    # drop on every u != v comparison — the whole dedup would "succeed"
+    # while removing nothing. Refuse at submit time with the remedy.
+    _INTEGRAL = ("byte", "short", "int", "integer", "bigint", "long")
+    for col_name in (id_a, id_b):
+        dt = pairs.schema[col_name].dataType.simpleString()
+        if dt not in _INTEGRAL:
+            raise TypeError(
+                f"connected_components requires integral ids; {col_name!r} "
+                f"is {dt}. Map string/UUID ids to dense longs first (e.g. "
+                "xxhash64 is NOT safe for dedup — use a row_number over "
+                "distinct ids and join the mapping back)."
+            )
     # Materialize the normalized pair set ONCE before dispatch: both
     # algorithms fan the edge set into self-unions (bidirectional
     # neighborhood views), which would otherwise embed the upstream

@@ -36,20 +36,44 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (id, pr).
 
-    Feed symmetric edges for an undirected graph. Every node must
-    appear as a source (true for symmetric input), so there are no
-    dangling-mass corrections. The node count enters the formula via a
-    one-row broadcast aggregate, never a driver-side ``count()``.
+    The node universe is src ∪ dst: a node with no in-edges keeps its
+    (1-d)/N floor every iteration instead of silently vanishing from
+    the rank table (which also lost its outgoing mass in later
+    rounds), and a dangling node (no out-edges) redistributes its mass
+    evenly — the standard correction, so ranks sum to 1 on any
+    directed input. On symmetric input (every node both a source and a
+    destination) the dangling set is empty and the extra machinery is
+    skipped entirely, producing bit-identical values to the
+    no-correction form. The node count enters the formula via a
+    one-row broadcast aggregate; the only driver-side read is one
+    scalar count of the (persisted, k-row) dangling-node table.
     """
     # The caller's edge lineage is often expensive (a join + distinct);
     # without this persist both `deg` and `ed` below would re-derive it.
     edges = _persist(edges)
     deg = _persist(edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg")))
-    n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
+    nodes = _persist(
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).alias("__n"))
     ranks = _persist(
-        deg.crossJoin(F.broadcast(n1)).select(
-            F.col(src).alias("id"), (F.lit(1.0) / F.col("__n")).alias("pr")
+        nodes.crossJoin(F.broadcast(n1)).select(
+            "id", (F.lit(1.0) / F.col("__n")).alias("pr")
         )
+    )
+    # dangling nodes are rank-independent: compute the set once; when
+    # it is empty (symmetric input) skip the per-iteration mass agg
+    dang_nodes = _persist(
+        nodes.join(deg, nodes["id"] == deg[src], "left_anti")
+    )
+    has_dangling = bool(dang_nodes.head(1))
+    _dsum = (
+        F.sum(
+            F.floor(F.col("pr") * F.lit(1e18)).cast("decimal(38,0)")
+        ).cast("double")
+        / F.lit(1e18)
     )
     ed = _persist(edges.join(deg, src).select(src, dst, "deg"))
     for _ in range(n_iter):
@@ -64,10 +88,26 @@ def pagerank(
                 ).alias("s")
             )
         )
-        ranks = _persist(
-            contribs.crossJoin(F.broadcast(n1)).select(
-                "id",
-                ((1.0 - damping) / F.col("__n") + damping * F.col("s")).alias("pr"),
-            )
+        base = nodes.join(contribs, "id", "left").select(
+            "id", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
         )
+        if has_dangling:
+            dmass = dang_nodes.join(ranks, "id").agg(
+                F.coalesce(_dsum, F.lit(0.0)).alias("__dang")
+            )
+            pr_expr = (1.0 - damping) / F.col("__n") + damping * (
+                F.col("s") + F.col("__dang") / F.col("__n")
+            )
+            ranks = _persist(
+                base.crossJoin(F.broadcast(n1))
+                .crossJoin(F.broadcast(dmass))
+                .select("id", pr_expr.alias("pr"))
+            )
+        else:
+            ranks = _persist(
+                base.crossJoin(F.broadcast(n1)).select(
+                    "id",
+                    ((1.0 - damping) / F.col("__n") + damping * F.col("s")).alias("pr"),
+                )
+            )
     return ranks

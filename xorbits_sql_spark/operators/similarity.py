@@ -48,7 +48,19 @@ def _side(df: DataFrame, id_col: str, vec: str, id_alias: str, vec_alias: str,
 
 
 def _pair_cosine() -> F.Column:
-    return dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    """Cosine of a (qvec, cvec) pair; NULL when either norm is zero.
+
+    ``try_divide`` instead of ``/``: a zero-norm vector has no defined
+    cosine, and under ANSI mode (this engine's default session) a plain
+    division would raise DIVIDE_BY_ZERO at runtime on the first
+    degenerate embedding. NULL cosines sort last under the rank
+    windows' ``desc`` (Spark default NULLS LAST), and the top-k
+    entrypoints filter them out entirely so a garbage vector can never
+    occupy a result slot — matching the Arrow GEMM paths, which mask
+    non-finite scores before their cut."""
+    return F.try_divide(
+        dot(F.col("qvec"), F.col("cvec")), F.col("qn") * F.col("cn")
+    )
 
 
 def _tie_safe_topk(s, cids, top):
@@ -91,7 +103,12 @@ def brute_topk(
     """
     q = _side(queries, qid, vec, "qid", "qvec", "qn")
     c = _side(corpus, cid, vec, "cid", "cvec", "cn")
-    scored = F.broadcast(q).crossJoin(c).select("qid", "cid", _pair_cosine().alias("cosine"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("qid", "cid", _pair_cosine().alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
+    )
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
@@ -145,7 +162,15 @@ def brute_topk_arrow(
             cmat = np.array(pdf["cvec"].tolist(), dtype=np.float64)
             cids = pdf["cid"].to_numpy(dtype=np.int64)
             cn = np.sqrt((cmat * cmat).sum(axis=1))
-            sims = (cmat @ qmat.T) / np.outer(cn, qn)  # (batch, m)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (cmat @ qmat.T) / np.outer(cn, qn)  # (batch, m)
+            # a zero-norm vector has no defined cosine: mask to -inf so
+            # it sorts LAST in the cut and is dropped before emission —
+            # unmasked NaN would instead rank FIRST in the post-UDF
+            # desc window (Spark orders NaN above all doubles), putting
+            # a garbage vector at rank 1. Matches the HOF paths, which
+            # NULL it via try_divide and filter.
+            sims[~np.isfinite(sims)] = -np.inf
             top = min(take, sims.shape[0])
             out = []
             for j in range(sims.shape[1]):
@@ -153,6 +178,7 @@ def brute_topk_arrow(
                 # boundary score join the composite sort so rank
                 # identity with brute_topk holds on clique-sized ties.
                 sel = _tie_safe_topk(sims[:, j], cids, top)
+                sel = sel[np.isfinite(sims[sel, j])]
                 out.append(
                     pd.DataFrame(
                         {
@@ -195,7 +221,9 @@ def lsh_topk(
     scored = q.join(c, "bucket")
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
-    scored = scored.select("qid", "cid", _pair_cosine().alias("cosine"))
+    scored = scored.select(
+        "qid", "cid", _pair_cosine().alias("cosine")
+    ).filter(F.col("cosine").isNotNull())
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -224,7 +252,11 @@ def ivf_assign(
         F.col(cell_vec).alias("kvec"),
         norm(F.col(cell_vec)).alias("kn"),
     )
-    score = dot(F.col("cvec"), F.col("kvec")) / (F.col("cn") * F.col("kn"))
+    # try_divide — zero-norm vectors/centroids score NULL (sorts last
+    # under desc) instead of raising DIVIDE_BY_ZERO under ANSI
+    score = F.try_divide(
+        dot(F.col("cvec"), F.col("kvec")), F.col("cn") * F.col("kn")
+    )
     scored = c.crossJoin(F.broadcast(cents)).select(
         "cid", "cvec", "cn", "cell", score.alias("score")
     )
@@ -264,7 +296,11 @@ def ivf_topk(
         F.col(cell_vec).alias("kvec"),
         norm(F.col(cell_vec)).alias("kn"),
     )
-    qscore = dot(F.col("qvec"), F.col("kvec")) / (F.col("qn") * F.col("kn"))
+    # try_divide: a zero-norm query/centroid has no cosine — NULL probe
+    # scores sort last (never probed) instead of raising under ANSI
+    qscore = F.try_divide(
+        dot(F.col("qvec"), F.col("kvec")), F.col("qn") * F.col("kn")
+    )
     wprobe = W.partitionBy("qid").orderBy(F.desc("probe_score"), F.asc("cell"))
     probes = (
         q.crossJoin(F.broadcast(cents))
@@ -276,7 +312,9 @@ def ivf_topk(
     scored = probes.join(cells, "cell")
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
-    scored = scored.select("qid", "cid", _pair_cosine().alias("cosine"))
+    scored = scored.select(
+        "qid", "cid", _pair_cosine().alias("cosine")
+    ).filter(F.col("cosine").isNotNull())
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -325,7 +363,11 @@ def ivf_topk_arrow(
         F.col(cell_vec).alias("kvec"),
         norm(F.col(cell_vec)).alias("kn"),
     )
-    qscore = dot(F.col("qvec"), F.col("kvec")) / (F.col("qn") * F.col("kn"))
+    # try_divide: a zero-norm query/centroid has no cosine — NULL probe
+    # scores sort last (never probed) instead of raising under ANSI
+    qscore = F.try_divide(
+        dot(F.col("qvec"), F.col("kvec")), F.col("qn") * F.col("kn")
+    )
     wprobe = W.partitionBy("qid").orderBy(F.desc("probe_score"), F.asc("cell"))
     probes = (
         q.crossJoin(F.broadcast(cents))
@@ -352,7 +394,11 @@ def ivf_topk_arrow(
         cmat = np.array(right["cvec"].tolist(), dtype=np.float64)
         cn_ = right["cn"].to_numpy(dtype=np.float64)
         cids = right["cid"].to_numpy(dtype=np.int64)
-        sims = (cmat @ qmat.T) / np.outer(cn_, qn_)  # (members, queries)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (cmat @ qmat.T) / np.outer(cn_, qn_)  # (members, queries)
+        # zero-norm mask — see brute_topk_arrow: NaN would rank FIRST
+        # in the post-UDF desc window
+        sims[~np.isfinite(sims)] = -np.inf
         top = min(take, sims.shape[0])
         out = []
         for j in range(sims.shape[1]):
@@ -360,6 +406,7 @@ def ivf_topk_arrow(
             # join the composite sort, so clique-sized tie families
             # keep their smallest cids at near-argpartition cost.
             sel = _tie_safe_topk(sims[:, j], cids, top)
+            sel = sel[np.isfinite(sims[sel, j])]
             out.append(
                 pd.DataFrame(
                     {
@@ -468,7 +515,11 @@ def kmeans_lloyd(
     n_iter scans into 3*n_iter (measured 4.1s -> 1.5s on the r73 bench
     entry). Release with :func:`xorbits_sql_spark.operators.dedup.release_caches`.
     """
-    cents = corpus.filter(F.col(id_col) < k).select(
+    # the k lowest-id vectors, as documented — NOT filter(id < k),
+    # which assumes a 0-based contiguous id space and silently seeds
+    # fewer (or zero) centroids when ids start elsewhere. TakeOrdered
+    # at k rows; identical output on 0-based contiguous ids.
+    cents = corpus.orderBy(id_col).limit(k).select(
         F.col(id_col).cast("bigint").alias("cell"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("cvec"),
     )
@@ -539,7 +590,11 @@ def assign_with_score(
     cents = centroids.select(
         F.col("cell"), F.col("cvec").alias("kvec"), norm(F.col("cvec")).alias("kn")
     )
-    score = dot(F.col("cvec"), F.col("kvec")) / (F.col("cn") * F.col("kn"))
+    # try_divide — zero-norm vectors/centroids score NULL (sorts last
+    # under desc) instead of raising DIVIDE_BY_ZERO under ANSI
+    score = F.try_divide(
+        dot(F.col("cvec"), F.col("kvec")), F.col("cn") * F.col("kn")
+    )
     scored = c.crossJoin(F.broadcast(cents)).select("cid", "cell", score.alias("score"))
     best = F.max(F.struct(F.col("score"), (-F.col("cell")).alias("neg_cell")))
     return scored.groupBy("cid").agg(best.alias("b")).select(

@@ -53,20 +53,26 @@ def countmin_lookup(
 ) -> DataFrame:
     """Estimate each probe item's frequency: probes + an ``est`` column.
 
-    The sketch (<= depth*width rows) is broadcast; each probe joins its
-    depth buckets and takes the row-wise MIN. A bucket missing from the
-    sketch means zero occupancy, i.e. estimate 0 (coalesce).
+    Strictly row-preserving: one broadcast left-join per depth row (the
+    per-depth sketch slice is <= width rows) and a LEAST across the
+    depth estimates — no explode/groupBy, so duplicate probe rows stay
+    duplicated (the earlier groupBy-on-all-probe-columns silently
+    collapsed them). A bucket missing from the sketch means zero
+    occupancy, i.e. estimate 0 (coalesce).
     """
-    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
-    keyed = probes.withColumn("__d", d).withColumn(
-        "bucket", _bucket(F.col(item_col), F.col("__d"), width)
-    )
-    joined = keyed.join(
-        F.broadcast(sketch), (keyed["__d"] == sketch["d"]) & (keyed["bucket"] == sketch["bucket"]), "left"
-    )
-    return (
-        joined.groupBy(*[probes[c] for c in probes.columns])
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est"))
+    out_df = probes
+    est_cols = []
+    for i in range(depth):
+        sk_i = sketch.filter(F.col("d") == i).select(
+            F.col("bucket").alias(f"__b{i}"), F.col("cnt").alias(f"__c{i}")
+        )
+        out_df = out_df.withColumn(
+            f"__b{i}", _bucket(F.col(item_col), F.lit(i), width)
+        ).join(F.broadcast(sk_i), f"__b{i}", "left")
+        est_cols.append(F.coalesce(F.col(f"__c{i}"), F.lit(0)))
+    est = F.least(*est_cols) if depth > 1 else est_cols[0]
+    return out_df.select(
+        *[probes[c] for c in probes.columns], est.cast("bigint").alias("est")
     )
 
 

@@ -72,14 +72,20 @@ def approx_tiles(
 
     Ties land in one tile (exact NTILE splits equal values across tile
     boundaries by row position), which is usually the *preferred*
-    semantics for cohorting.
+    semantics for cohorting. A NULL measurement gets a NULL tile: the
+    sketch never saw it (percentile_approx skips NULLs), and without
+    the explicit guard the WHEN chain's NULL comparisons would fall
+    through to ``otherwise(n)`` — silently cohorting no-data rows into
+    the TOP tile.
     """
     if n < 2:
         raise ValueError("n must be >= 2")
     cuts = df.select(
         F.percentile_approx(col, [i / n for i in range(1, n)], accuracy).alias("c")
     ).first()["c"]
-    tile = F.when(F.col(col) <= cuts[0], 1)
+    tile = F.when(F.col(col).isNull(), F.lit(None)).when(
+        F.col(col) <= cuts[0], 1
+    )
     for i in range(1, n - 1):
         tile = tile.when(F.col(col) <= cuts[i], i + 1)
     return df.withColumn(out, tile.otherwise(n))

@@ -45,6 +45,8 @@ def upsert_latest_to_parquet(
     """
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         latest_new = _latest(batch_df, key_cols, ts_col, tiebreak)
         try:
@@ -52,7 +54,14 @@ def upsert_latest_to_parquet(
             merged = _latest(
                 existing.unionByName(latest_new), key_cols, ts_col, tiebreak
             )
-        except Exception:  # first batch: no snapshot yet
+        except AnalysisException as exc:
+            # ONLY a missing snapshot means "first batch". Any other
+            # read failure (corrupt footer, transient storage error,
+            # schema mismatch) must abort the batch: swallowing it
+            # would overwrite the snapshot with just this micro-batch,
+            # silently deleting every key not present in it.
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             merged = latest_new
         # materialize fully before overwriting the directory we read from
         merged = merged.persist()

@@ -125,7 +125,15 @@ def welford_anomalies(
     length — the constant-memory property that makes this shape safe
     on an unbounded 100 TB/day stream, vs. the batch r56 z-score that
     windows over stored history.
+
+    ``min_history`` must be >= 2: the z-score needs a sample variance,
+    and ``m2 / (n - 1)`` is undefined at n = 1.
     """
+    if min_history < 2:
+        raise ValueError(
+            "min_history must be >= 2 (sample variance is undefined "
+            f"before the second observation); got {min_history}"
+        )
 
     def update(
         key: tuple[Any, ...],
@@ -137,8 +145,14 @@ def welford_anomalies(
         )
         for pdf in pdfs:
             # event-time order within the batch: state transitions must
-            # not depend on shuffle arrival order
-            pdf = pdf.sort_values([time_col, "event_id"])
+            # not depend on shuffle arrival order. A stable sort keeps
+            # arrival order among equal timestamps; event_id joins the
+            # key only when the stream carries one (other schemas are
+            # legal — this operator is parameterized on its columns).
+            sort_cols = [time_col] + (
+                ["event_id"] if "event_id" in pdf.columns else []
+            )
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
             for v in pdf[value_col].astype(float):
                 if n >= min_history:
                     var = m2 / (n - 1)
