@@ -124,10 +124,18 @@ def test_pagerank_symmetric_values_unchanged(spark):
     )
     got = pagerank(edges, n_iter=2).toPandas().set_index("id")["pr"]
     release_caches()
+    fast = (
+        pagerank(edges, n_iter=2, symmetric=True)
+        .toPandas()
+        .set_index("id")["pr"]
+    )
+    release_caches()
     # complete symmetric triangle: uniform stationary distribution,
     # and the formula is exactly (1-d)/3 + d*(1/3) at every iteration
     for node in (1, 2, 3):
         assert got[node] == 0.15 / 3 + 0.85 * (1.0 / 3)
+        # the symmetric fast path is bit-identical to the corrected one
+        assert fast[node] == got[node]
 
 
 def test_approx_tiles_null_value_gets_null_tile(spark):

@@ -1397,7 +1397,7 @@ def r74_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id") % 2 == 0, F.concat(F.lit("c"), (F.col("id") / 2).cast("bigint"))
     ).otherwise(F.concat(F.lit("s"), ((F.col("id") - 1) / 2).cast("bigint")))
     return (
-        pagerank(edges, n_iter=2, damping=0.85)
+        pagerank(edges, n_iter=2, damping=0.85, symmetric=True)
         .select(name.alias("id"), "pr")
         .orderBy(F.desc("pr"), "id")
         .limit(20)
