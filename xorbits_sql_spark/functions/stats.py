@@ -149,16 +149,22 @@ def moments_xy(
     and order-independent at any cluster size.  Combine with
     ``ols_slope`` / ``pearson_r`` for the final IEEE expression.  SQL
     mirror: ``SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy`` etc.
+
+    Operands are cast to DECIMAL *before* the product: ``x * y`` in
+    the source BIGINT can exceed 2^63 (ANSI: ARITHMETIC_OVERFLOW
+    mid-job) long before the post-product cast would have protected
+    it; the decimal-first product is identical for in-range values.
     """
+    xd, yd = F.col("x").cast(_DEC38), F.col("y").cast(_DEC38)
     aggs = [
         F.count(F.lit(1)).alias("k"),
-        F.sum(F.col("x").cast(_DEC38)).alias("sx"),
-        F.sum(F.col("y").cast(_DEC38)).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(_DEC38)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(_DEC38)).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum((xd * yd).cast(_DEC38)).alias("sxy"),
+        F.sum((xd * xd).cast(_DEC38)).alias("sxx"),
     ]
     if with_syy:
-        aggs.append(F.sum((F.col("y") * F.col("y")).cast(_DEC38)).alias("syy"))
+        aggs.append(F.sum((yd * yd).cast(_DEC38)).alias("syy"))
     return df.groupBy(*part_cols).agg(*aggs) if part_cols else df.agg(*aggs)
 
 

@@ -76,7 +76,15 @@ def quality_score(col: Column) -> Column:
     mean_word = F.when(toks == 0, F.lit(0.0)).otherwise(
         F.length(F.replace(n, F.lit(" "), F.lit(""))).cast("double") / toks.cast("double")
     )
-    stop_hits = sum((occurrences(F.concat(F.lit(" "), n, F.lit(" ")), m) for m in LANG_MARKERS["en"]), F.lit(0))
+    # case-insensitive like gopher_rules/lang_scores in this module: an
+    # all-caps English document must not lose the full stopword weight
+    stop_hits = sum(
+        (
+            occurrences(F.concat(F.lit(" "), F.lower(n), F.lit(" ")), m)
+            for m in LANG_MARKERS["en"]
+        ),
+        F.lit(0),
+    )
     len_score = F.least(toks.cast("double") / 50.0, F.lit(1.0))
     word_score = F.when((mean_word >= 3.0) & (mean_word <= 10.0), 1.0).otherwise(0.5)
     stop_score = F.least(stop_hits.cast("double") / 3.0, F.lit(1.0))

@@ -217,7 +217,9 @@ def transform_media(
             T.StructField("media_meta", MEDIA_SCHEMA),
         ]
     )
-    mime = "application/x-fake" if fake else "image/unknown"
+    # the real path re-encodes via encode_png, so the stamped mime must
+    # say so — a mime-dispatching loader cannot decode "image/unknown"
+    mime = "application/x-fake" if fake else "image/png"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -59,6 +59,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise PngError("truncated chunk")
+        if pos + 12 + length > len(data):
+            # a slice ending inside the 4-byte CRC would feed
+            # struct.unpack a short buffer — struct.error escapes the
+            # PngError contract quarantine pipelines catch
+            raise PngError("truncated chunk CRC")
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise PngError(f"CRC mismatch in {ctype!r}")

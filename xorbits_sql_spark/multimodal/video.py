@@ -31,11 +31,17 @@ def decode_pngv(data: bytes) -> list[bytes]:
     """Unpack a PNGV payload back into its PNG frames."""
     if data[:4] != MAGIC:
         raise ValueError("not a PNGV payload")
+    if len(data) < 8:
+        raise ValueError("truncated PNGV payload (header)")
     (n,) = struct.unpack(">I", data[4:8])
     frames, off = [], 8
     for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated PNGV payload (frame length prefix)")
         (ln,) = struct.unpack(">I", data[off : off + 4])
         off += 4
+        if off + ln > len(data):
+            raise ValueError("truncated PNGV payload (frame body)")
         frames.append(data[off : off + ln])
         off += ln
     if off != len(data):
@@ -48,10 +54,15 @@ def sample_indices(n_frames: int, k: int) -> list[int]:
 
     ``idx_j = j*(n-1) // (k-1)`` — pure integer arithmetic so an SQL
     oracle can predict the exact sampled set; duplicates appear when
-    k > n (deterministic, callers may dedupe).
+    k > n (deterministic, callers may dedupe). Degenerate shapes:
+    zero requested samples or a zero-frame container yield [] (the
+    old [0]-padding made sample_pngv IndexError on valid empty videos
+    and return one frame when none were requested).
     """
-    if k <= 1 or n_frames <= 1:
-        return [0] * max(k, 1)
+    if k <= 0 or n_frames <= 0:
+        return []
+    if k == 1 or n_frames == 1:
+        return [0] * k
     return [j * (n_frames - 1) // (k - 1) for j in range(k)]
 
 

@@ -16,7 +16,7 @@ from ..multimodal import attach_fake_media, extract_media_features
 from ..operators.dedup import simhash_pairs
 from ..operators.similarity import embedding_dup_pairs
 
-_PAD = f"concat(' ', {_NORM}, ' ')"
+_PAD = f"concat(' ', lower({_NORM}), ' ')"
 _STOP_HITS = " + ".join(
     f"CAST((length({_PAD}) - length(replace({_PAD}, '{m}', ''))) / {len(m)} AS BIGINT)"
     for m in (" the ", " and ", " of ")

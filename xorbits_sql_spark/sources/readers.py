@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..errors import UnsupportedError
 
 _READ_CSV = re.compile(
-    r"READ_CSV\s*\(\s*(?P<args>'[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
+    r"READ_CSV\s*\(\s*(?P<args>'[^']*'(?:\s*,\s*'[^']*')*)\s*\)"
+    r"(?P<alias>\s+AS\s+(?P<alias_name>[A-Za-z_]\w*))?",
     re.IGNORECASE,
 )
 
@@ -84,14 +85,22 @@ def register_csv_reads(
         path, opts = _parse_args(m.group("args"))
         delimiter = opts.pop("delimiter", opts.pop("sep", ","))
         stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        alias = m.group("alias_name")
+        # alias takes precedence over the file stem — the documented
+        # (and reference executor.py:303-306) lookup order; previously
+        # only the stem was consulted, so an aliased scan fell back to
+        # inferSchema and silently dropped the declared types
         table_schema = None
-        if schema and isinstance(schema.get(stem), Mapping):
-            table_schema = schema[stem]
+        for key in (alias, stem):
+            if key and schema and isinstance(schema.get(key), Mapping):
+                table_schema = schema[key]
+                break
         name = _view_name_for(path, counter)
         counter += 1
         df = read_csv(spark, path, delimiter=delimiter, schema_dict=table_schema, **opts)
         df.createOrReplaceTempView(name)
-        return name
+        # re-emit the alias the regex consumed so `t.col` refs resolve
+        return name + (m.group("alias") or "")
 
     return _READ_CSV.sub(replace, sql)
 
@@ -126,15 +135,23 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP(MICROS)
     without UTC adjustment (read as TIMESTAMP_NTZ). Downstream
     operators use ``unix_micros``/watermarks, which require TIMESTAMP
-    (ltz), so both forms fold to it here: nanos floor-divide to micros
-    exactly as DuckDB truncates, and NTZ casts value-preserving under
-    the UTC session zone the loaders pin.
+    (ltz), so both forms fold to it here: nanos FLOOR-divide to micros
+    (measured: DuckDB's TIMESTAMP_NS→TIMESTAMP floors, -1500 ns → -2 µs,
+    while Spark's ``div`` truncates to -1 — a 1 µs cross-engine drift on
+    pre-epoch rows that the hash-grade oracles would flag; pmod makes
+    the division floored for either sign), and NTZ casts
+    value-preserving under the UTC session zone the loaders pin.
     """
     from pyspark.sql import functions as F
 
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(f"(({col} - pmod({col}, 1000)) div 1000)")
+            ),
+        )
     if dt == "timestamp_ntz":
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df

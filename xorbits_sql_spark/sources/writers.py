@@ -88,39 +88,57 @@ def compact_table(
     are regenerated); the row count comes from the scan Spark performs
     anyway, and the rewrite goes through a temp suffix so a failed
     compaction never destroys the source.
+
+    The swap and the file count go through the Hadoop FileSystem API
+    (resolved from the path's own scheme), so the same call works on
+    hdfs:// and s3a:// table dirs, not just the driver's local disk —
+    the deployment where small files actually hurt. A failed rewrite
+    or verification deletes the temp copy instead of leaking a
+    full-size duplicate of the table.
     """
     import math
-    import os
-    import shutil
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(hconf)
 
     df = spark.read.format(fmt).load(path)
     n = df.count()
     files = max(1, math.ceil(n / target_records_per_file))
     tmp = path.rstrip("/") + "__compact_tmp"
-    write_table(
-        df.repartition(files),
-        tmp,
-        fmt=fmt,
-        partition_by=partition_by,
-        max_records_per_file=target_records_per_file,
-    )
-    # Verify the compacted copy BEFORE touching the source: a lost-rows
-    # rewrite must leave the original directory intact.
-    if spark.read.format(fmt).load(tmp).count() != n:
-        shutil.rmtree(tmp)
-        raise RuntimeError(
-            f"compaction of {path} lost rows; source left untouched"
+    try:
+        write_table(
+            df.repartition(files),
+            tmp,
+            fmt=fmt,
+            partition_by=partition_by,
+            max_records_per_file=target_records_per_file,
         )
+        # Verify the compacted copy BEFORE touching the source: a
+        # lost-rows rewrite must leave the original directory intact.
+        if spark.read.format(fmt).load(tmp).count() != n:
+            raise RuntimeError(
+                f"compaction of {path} lost rows; source left untouched"
+            )
+    except BaseException:
+        fs.delete(HPath(tmp), True)
+        raise
     # Swap: move the source aside, point the final path at the compacted
     # copy, and only then drop the old data — a crash mid-swap leaves
     # either the original or both copies on disk, never neither.
     old = path.rstrip("/") + "__compact_old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
-    return sum(
-        1
-        for _dir, _sub, names in os.walk(path)
-        for f in names
-        if f.endswith("." + fmt)
-    )
+    if not fs.rename(HPath(path), HPath(old)):
+        fs.delete(HPath(tmp), True)
+        raise RuntimeError(f"could not move {path} aside for the swap")
+    if not fs.rename(HPath(tmp), HPath(path)):
+        fs.rename(HPath(old), HPath(path))  # roll back
+        fs.delete(HPath(tmp), True)
+        raise RuntimeError(f"swap into {path} failed; source restored")
+    fs.delete(HPath(old), True)
+    it = fs.listFiles(HPath(path), True)
+    count = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith("." + fmt):
+            count += 1
+    return count
