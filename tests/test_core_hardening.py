@@ -1,0 +1,89 @@
+"""Regression tests for the round-6 core/table/plans review fixes:
+plan-gate regexes that matched nothing, non-injective view flattening,
+alias shadowing in the qualified-name rewrite, empty-table schemas, and
+the output_rows metric pick."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xorbits_sql_spark import execute
+from xorbits_sql_spark.errors import UnsupportedError
+
+
+def test_exchange_count_actually_counts(spark):
+    """The old single-line regex could never match formatted explain
+    output (node name and Arguments print on separate lines), so every
+    ==0 gate passed vacuously."""
+    from xorbits_sql_spark.plans.explain import exchange_count
+
+    df = spark.range(0, 1000).groupBy((F.col("id") % 7).alias("k")).count()
+    assert exchange_count(df) >= 1
+    assert exchange_count(spark.range(0, 10)) == 0
+    # broadcast exchange is not a shuffle
+    small = spark.range(0, 5).withColumnRenamed("id", "k")
+    j = spark.range(0, 100).withColumn("k", F.col("id") % 5).join(
+        F.broadcast(small), "k"
+    )
+    assert exchange_count(j) == 0
+
+
+def test_pushed_filters_survive_nested_brackets(spark, tmp_path):
+    from xorbits_sql_spark.plans.explain import pushed_filters
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 100).write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("id").isin(1, 2, 3))
+    entries = pushed_filters(df)
+    joined = ";".join(entries)
+    assert "In(id, [1,2,3])" in joined  # previously truncated at '[1,2,3'
+
+
+def test_view_name_flattening_is_injective(spark):
+    """('a','b__c') and ('a__b','c') previously flattened to the same
+    view name and the second registration silently clobbered the first."""
+    got = execute(
+        "SELECT * FROM a.b__c",
+        tables={"a": {"b__c": [{"v": 1}]}, "a__b": {"c": [{"v": 999}]}},
+        spark=spark,
+    ).collect()
+    assert [r["v"] for r in got] == [1]
+
+
+def test_alias_shadows_registered_qualified_name(spark):
+    """SELECT db.t FROM orders AS db references the alias's column, not
+    the table registered as ('db','t') — the rewrite must not corrupt it."""
+    tables = {"db": {"t": [{"v": 1}]}, "orders": [{"t": 7, "c": 2}]}
+    got = execute("SELECT db.t AS t FROM orders AS db", tables=tables, spark=spark)
+    assert got.collect()[0]["t"] == 7
+    bare = execute("SELECT db.t AS t FROM orders db", tables=tables, spark=spark)
+    assert bare.collect()[0]["t"] == 7
+    # ...and an unshadowed qualified reference still rewrites
+    q = execute("SELECT SUM(v) AS s FROM db.t", tables=tables, spark=spark)
+    assert q.collect()[0]["s"] == 1
+
+
+def test_empty_list_table_with_declared_schema(spark):
+    df = execute(
+        "SELECT * FROM t", schema={"t": {"a": "int"}}, tables={"t": []}, spark=spark
+    )
+    assert df.count() == 0
+    assert dict(df.dtypes) == {"a": "int"}
+    with pytest.raises(UnsupportedError, match="empty table"):
+        execute("SELECT * FROM t", tables={"t": []}, spark=spark)
+
+
+def test_output_rows_prefers_real_operators(spark, tmp_path):
+    from xorbits_sql_spark.plans import collect_metrics
+
+    p = str(tmp_path / "m.parquet")
+    spark.range(0, 100).write.parquet(p)
+    agg = spark.read.parquet(p).groupBy((F.col("id") % 3).alias("k")).count()
+    agg.collect()
+    m = collect_metrics(agg)
+    # the topmost real operator (final aggregate) emits 3 rows; the old
+    # pick could land on scan-side decode plumbing
+    assert m["output_rows"] == 3
+    assert m["scan_rows"] == 100

@@ -28,6 +28,87 @@ from .session import get_spark
 from .sources.readers import register_csv_reads
 from .table import register_tables
 
+# words that may legally follow a table primary without being an alias
+_NON_ALIAS_WORDS = frozenset(
+    {
+        "ON", "USING", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+        "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT",
+        "FULL", "CROSS", "NATURAL", "SEMI", "ANTI", "QUALIFY", "WINDOW",
+        "OFFSET", "FETCH", "TABLESAMPLE", "LATERAL", "PIVOT", "UNPIVOT",
+        "FOR", "SET", "AS",
+    }
+)
+
+
+def _ident_lower(tok: tuple[str, str]) -> str:
+    kind, text = tok
+    if kind == "backtick":
+        return text[1:-1].replace("``", "`").lower()
+    return text.lower()
+
+
+def _table_aliases(tokens: list[tuple[str, str]]) -> set[str]:
+    """Lower-cased table aliases bound by FROM/JOIN clauses (explicit
+    ``AS x`` and bare ``FROM t x`` forms, including subquery aliases).
+    These shadow registered qualified names in column references."""
+    code = [j for j, (k, _) in enumerate(tokens) if k not in ("ws", "comment")]
+    n = len(code)
+
+    def tok(p: int) -> tuple[str, str]:
+        return tokens[code[p]]
+
+    aliases: set[str] = set()
+    pos = 0
+    while pos < n:
+        k, t = tok(pos)
+        pos += 1
+        if k != "word" or t.upper() not in ("FROM", "JOIN"):
+            continue
+        if pos < n and tok(pos) == ("op", "("):
+            depth, pos = 1, pos + 1
+            while pos < n and depth:
+                if tok(pos) == ("op", "("):
+                    depth += 1
+                elif tok(pos) == ("op", ")"):
+                    depth -= 1
+                pos += 1
+        elif pos < n and tok(pos)[0] in ("word", "backtick"):
+            pos += 1
+            # consume the dotted tail and any table-function call args
+            while pos < n:
+                if (
+                    tok(pos) == ("op", ".")
+                    and pos + 1 < n
+                    and tok(pos + 1)[0] in ("word", "backtick")
+                ):
+                    pos += 2
+                elif tok(pos) == ("op", "("):
+                    depth, pos = 1, pos + 1
+                    while pos < n and depth:
+                        if tok(pos) == ("op", "("):
+                            depth += 1
+                        elif tok(pos) == ("op", ")"):
+                            depth -= 1
+                        pos += 1
+                else:
+                    break
+        else:
+            continue
+        if pos < n and tok(pos)[0] == "word" and tok(pos)[1].upper() == "AS":
+            pos += 1
+            if pos < n and tok(pos)[0] in ("word", "backtick"):
+                aliases.add(_ident_lower(tok(pos)))
+                pos += 1
+        elif pos < n and tok(pos)[0] in ("word", "backtick"):
+            if (
+                tok(pos)[0] == "backtick"
+                or tok(pos)[1].upper() not in _NON_ALIAS_WORDS
+            ):
+                aliases.add(_ident_lower(tok(pos)))
+                pos += 1
+    return aliases
+
+
 def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]) -> str:
     """Rewrite ``catalog.db.table`` / ``db.table`` refs to flat view names.
 
@@ -48,6 +129,12 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
     if not multi:
         return sql
     tokens = _dialect.tokenize(sql)
+    # Table aliases declared in the query SHADOW registered names:
+    # ``SELECT db.t FROM orders AS db`` references the alias's column t,
+    # not a table registered as ('db','t') — rewriting it would corrupt
+    # the column ref into the flattened view name. Collect FROM/JOIN
+    # aliases and skip any dotted match whose head is one of them.
+    shadowed = _table_aliases(tokens)
 
     def part_matches(idx: int, part: str) -> bool:
         kind, text = tokens[idx]
@@ -84,6 +171,8 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
         # tail of an outer qualification, e.g. `other_db.` + our name)
         if kind in ("word", "backtick") and prev_code != ("op", "."):
             for qualified in by_len:
+                if qualified[0].lower() in shadowed:
+                    continue
                 end = match_at(i, qualified)
                 if end is not None:
                     hit = (qualified, end)

@@ -16,9 +16,14 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries found in the plan's scan nodes."""
+    """All PushedFilters entries found in the plan's scan nodes.
+
+    The block is captured to the LAST ``]`` on the line: a filter that
+    itself contains brackets (``In(id, [1,2,3])``) would otherwise be
+    cut at its first ``]``, truncating the entry and dropping every
+    filter listed after it."""
     plan = formatted_plan(df)
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    return re.findall(r"PushedFilters: \[(.*)\]", plan)
 
 
 def read_schemas(df: DataFrame) -> list[str]:
@@ -39,5 +44,15 @@ def partition_filters(df: DataFrame) -> list[str]:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchange nodes in the physical plan."""
-    return len(re.findall(r"\bExchange hashpartitioning", formatted_plan(df)))
+    """Number of shuffle Exchange nodes in the physical plan.
+
+    Formatted explain output puts the node name (``(4) Exchange``) and
+    its ``Arguments: hashpartitioning(...)`` on SEPARATE lines, so the
+    old single-line ``Exchange hashpartitioning`` regex matched nothing
+    and every ==0 gate passed vacuously. Count node-header lines
+    instead; BroadcastExchange is excluded (broadcast is not a
+    shuffle)."""
+    plan = formatted_plan(df)
+    return len(
+        re.findall(r"^\s*\(\d+\)\s+Exchange\b", plan, flags=re.MULTILINE)
+    )

@@ -30,18 +30,22 @@ from collections import defaultdict
 
 from pyspark.sql import DataFrame
 
-def _walk(node, visit) -> None:
+def _walk(node, visit, depth: int = 0) -> None:
+    """Pre-order traversal of the executed plan, descending through AQE
+    wrappers; ``visit(node, name, depth)``. The single traversal both
+    collect_metrics and metrics_tree share — descend-rule fixes apply
+    to both."""
     name = node.getClass().getSimpleName()
-    visit(node, name)
+    visit(node, name, depth)
     if name == "AdaptiveSparkPlanExec":
-        _walk(node.executedPlan(), visit)
+        _walk(node.executedPlan(), visit, depth + 1)
         return
     if name.endswith("QueryStageExec"):
-        _walk(node.plan(), visit)
+        _walk(node.plan(), visit, depth + 1)
         return
     children = node.children().iterator()
     while children.hasNext():
-        _walk(children.next(), visit)
+        _walk(children.next(), visit, depth + 1)
 
 
 def _node_metrics(node) -> dict[str, int]:
@@ -59,15 +63,23 @@ def collect_metrics(df: DataFrame) -> dict[str, int]:
     Returns a dict with the scale-relevant totals::
 
         shuffle_records_written, shuffle_bytes_written, spill_bytes,
-        scan_rows, scan_files, output_rows (root operator)
+        scan_rows, scan_files, output_rows
 
     plus ``nodes`` (physical operator count). All zeros until an action
     has run on this DataFrame.
+
+    ``output_rows`` is BEST-EFFORT: the topmost (pre-order first)
+    operator that reports ``numOutputRows``, preferring real operators
+    over scan-side decode/exchange plumbing (ColumnarToRow, Scan,
+    Exchange). Plan roots like CollectLimit carry no row metric at all,
+    so when nothing above the plumbing reports one, the plumbing count
+    is returned — rows decoded, not rows returned.
     """
     totals: dict[str, int] = defaultdict(int)
     root_rows: list[int] = []
+    plumbing_rows: list[int] = []
 
-    def visit(node, name: str) -> None:
+    def visit(node, name: str, depth: int) -> None:
         totals["nodes"] += 1
         m = _node_metrics(node)
         totals["shuffle_records_written"] += max(0, m.get("shuffleRecordsWritten", 0))
@@ -76,13 +88,18 @@ def collect_metrics(df: DataFrame) -> dict[str, int]:
         if name.endswith("ScanExec"):
             totals["scan_rows"] += max(0, m.get("numOutputRows", 0))
             totals["scan_files"] += max(0, m.get("numFiles", 0))
-        if not root_rows and "numOutputRows" in m and not name.endswith(
-            ("ScanExec", "ExchangeExec")
-        ):
-            root_rows.append(max(0, m["numOutputRows"]))
+        if "numOutputRows" in m:
+            is_plumbing = name.endswith(
+                ("ScanExec", "ExchangeExec", "ColumnarToRowExec", "InputAdapter")
+            )
+            bucket = plumbing_rows if is_plumbing else root_rows
+            if not bucket:
+                bucket.append(max(0, m["numOutputRows"]))
 
     _walk(df._jdf.queryExecution().executedPlan(), visit)
-    totals["output_rows"] = root_rows[0] if root_rows else 0
+    totals["output_rows"] = (
+        root_rows[0] if root_rows else (plumbing_rows[0] if plumbing_rows else 0)
+    )
     return dict(totals)
 
 
@@ -90,21 +107,11 @@ def metrics_tree(df: DataFrame) -> str:
     """Indented per-operator report of non-zero metrics (UI-style)."""
     lines: list[str] = []
 
-    def walk(node, depth: int) -> None:
-        name = node.getClass().getSimpleName()
+    def visit(node, name: str, depth: int) -> None:
         interesting = {
             k: v for k, v in _node_metrics(node).items() if v not in (0, -1)
         }
         lines.append("  " * depth + name + (f"  {interesting}" if interesting else ""))
-        if name == "AdaptiveSparkPlanExec":
-            walk(node.executedPlan(), depth + 1)
-            return
-        if name.endswith("QueryStageExec"):
-            walk(node.plan(), depth + 1)
-            return
-        children = node.children().iterator()
-        while children.hasNext():
-            walk(children.next(), depth + 1)
 
-    walk(df._jdf.queryExecution().executedPlan(), 0)
+    _walk(df._jdf.queryExecution().executedPlan(), visit)
     return "\n".join(lines)

@@ -88,7 +88,16 @@ def _silence_expected_warnings(spark: SparkSession) -> None:
 
 
 def stop_spark() -> None:
-    """Stop the active session (test teardown helper)."""
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
+    """Stop the session (test teardown helper).
+
+    ``getActiveSession`` is thread-local — a session built on another
+    thread would leak past it — so the process-wide instantiated
+    session is checked too (PySpark exposes no public
+    getDefaultSession; _instantiatedSession is its backing slot)."""
+    for s in (
+        SparkSession.getActiveSession(),
+        getattr(SparkSession, "_instantiatedSession", None),
+    ):
+        if s is not None:
+            s.stop()
+            return

@@ -166,10 +166,21 @@ def view_name(qualified: tuple[str, ...]) -> str:
     """Flatten a qualified name to a legal temp-view identifier.
 
     Spark temp views live in a single namespace, so ``catalog.db.table``
-    becomes ``catalog__db__table``; :func:`qualified_replacements` rewrites
-    the dotted references in the SQL text to match.
+    becomes ``catalog__db__table``; ``core._rewrite_qualified_names``
+    rewrites the dotted references in the SQL text to match.
+
+    Injective for multi-part names: a bare ``__``.join would collide
+    ``('a', 'b__c')`` with ``('a__b', 'c')`` (both → ``a__b__c``) and
+    the second registration would silently clobber the first view —
+    wrong data, no error. Each component escapes ``_`` to ``_u`` before
+    joining, so an escaped part can never contain two consecutive
+    underscores and the ``__`` separator cannot be forged. Single-part
+    names pass through untouched (they need no rewrite and users
+    reference them verbatim).
     """
-    return "__".join(qualified)
+    if len(qualified) == 1:
+        return qualified[0]
+    return "__".join(p.replace("_", "_u") for p in qualified)
 
 
 def _apply_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -198,7 +209,18 @@ def to_spark_df(spark: SparkSession, value: Any, schema: T.StructType | None) ->
                 f"cannot register table of type {type(value).__name__}"
             )
     # Reference table.py:91-103: list-of-row-dicts tables; pandas frames
-    # go through Arrow. Infer first, then coerce to any declared schema.
+    # go through Arrow. Infer first, then coerce to any declared schema —
+    # EXCEPT when there is nothing to infer from: an empty list with a
+    # declared schema builds directly on that schema (inference raises
+    # CANNOT_INFER_EMPTY_SCHEMA), and without one the failure surfaces
+    # as this package's error, not a raw PySparkValueError.
+    if isinstance(value, list) and not value:
+        if schema is None:
+            raise UnsupportedError(
+                "cannot infer a schema for an empty table; declare one "
+                "via the schema dict"
+            )
+        return spark.createDataFrame([], schema)
     df = spark.createDataFrame(value)
     return df if schema is None else _apply_schema(df, schema)
 
