@@ -116,3 +116,50 @@ def test_transform_media_real_path_stamps_png_mime(spark):
     # the real path re-encodes through encode_png, so the stamped mime
     # must be decodable by a mime-dispatching loader — not image/unknown
     assert all(r["media_meta"]["mime"] == "image/png" for r in out)
+
+def test_cosine_zero_norm_yields_null_not_crash(spark):
+    from xorbits_sql_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [[1.0, 2.0], [0.0, 0.0]], "b": [[1.0, 2.0], [3.0, 4.0]]})
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert got[0]["c"] == pytest.approx(1.0)
+    assert got[1]["c"] is None  # ANSI would previously abort the job
+
+
+def test_cosine_fused_matches_unfused_bitwise(spark):
+    """The fused (dot, |a|^2, |b|^2) accumulator must stay bit-equal to
+    the dot/norm spelling the oracles were validated against."""
+    from xorbits_sql_spark.functions.vectors import cosine, dot, norm
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(rng.standard_normal(16).tolist(), rng.standard_normal(16).tolist()) for _ in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["a", "b"]))
+    both = df.select(
+        cosine(F.col("a"), F.col("b")).alias("fused"),
+        (dot(F.col("a"), F.col("b")) / (norm(F.col("a")) * norm(F.col("b")))).alias("unfused"),
+    ).collect()
+    assert all(r["fused"] == r["unfused"] for r in both)
+
+
+def test_sign_bucket_short_array_pads_instead_of_crashing(spark):
+    from xorbits_sql_spark.functions.vectors import sign_bucket
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [[1.0, -1.0, 2.0]]}))
+    got = df.select(sign_bucket(F.col("a"), 8).alias("k")).collect()
+    assert got[0]["k"] == "10100000"  # documented pad-with-'0' fallback
+
+
+def test_davg_matches_avg_on_nullable_column(spark):
+    from xorbits_sql_spark.queries._util import davg
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [2.0, None, 4.0]}))
+    got = df.agg(
+        davg("v", "d"), F.avg("v").alias("a")
+    ).collect()[0]
+    assert got["d"] == got["a"] == pytest.approx(3.0)  # was 2.0 (sum/3)
+    allnull = spark.createDataFrame(pd.DataFrame({"v": pd.array([None], dtype="float64")}))
+    assert allnull.agg(davg("v", "d")).collect()[0]["d"] is None

@@ -48,6 +48,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def clear_table_cache() -> None:
+    """Drop every memoized table plan.
+
+    The memo caches the resolved logical plan (file listing + schema)
+    per (session, dir, table) for the life of the process — the right
+    trade for a bench/driver loop over immutable parquet, but STALE if
+    a table directory is rewritten in place (Spark then throws
+    'underlying files have been updated' or reads old files). Call this
+    after regenerating or compacting any {sf_dir} table.
+    """
+    _TABLES.clear()
+
+
 def dsum(expr: Column | str, alias: str) -> Column:
     """Order-independent exact sum of a double expression, as DOUBLE.
 
@@ -60,9 +73,18 @@ def dsum(expr: Column | str, alias: str) -> Column:
 
 
 def davg(expr: Column | str, alias: str) -> Column:
-    """Exact-sum-based average as DOUBLE (see dsum)."""
+    """Exact-sum-based average as DOUBLE (see dsum).
+
+    Divides by COUNT(expr) — non-NULL values, matching SQL AVG — not
+    COUNT(*): on a nullable column the old row-count divisor silently
+    deflated the average (sum skips NULLs, the divisor did not).
+    try_divide so an all-NULL group yields NULL (as AVG and the DuckDB
+    mirror do) instead of an ANSI divide-by-zero abort.
+    """
     c = F.col(expr) if isinstance(expr, str) else expr
-    return (F.sum(c.cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
+    return F.try_divide(
+        F.sum(c.cast(_DEC)).cast("double"), F.count(c)
+    ).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
@@ -70,7 +92,10 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return f"(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS {alias}"
+    return (
+        f"(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) "
+        f"/ COUNT({expr})) AS {alias}"
+    )
 
 
 def disc_price() -> Column:
