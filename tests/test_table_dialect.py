@@ -917,7 +917,7 @@ def test_oracle_rewrites(spark):
     import datetime
 
     assert row["d"] == datetime.date(2020, 1, 2)
-    assert row["m"] == "Mar Wed"
+    assert row["m"] == "MAR WED"  # Oracle renders in the element's case
     # ROWNUM < n is off-by-one-exact
     assert transpile("SELECT x FROM t WHERE ROWNUM < 6", "oracle").rstrip().endswith(
         "LIMIT 5"
@@ -960,7 +960,7 @@ def test_oracle_nls_default_english_folds(spark):
         )
     ).collect()[0]
     assert row["d"] == datetime.date(2020, 3, 2)
-    assert row["m"] == "Mar Wed"
+    assert row["m"] == "MAR WED"  # Oracle renders in the element's case
 
 
 @pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
@@ -1044,3 +1044,125 @@ def test_unknown_dialect_raises():
         transpile("SELECT 1", "postgre")
     with pytest.raises(UnsupportedError, match="supported"):
         transpile("SELECT 1", "prql")
+
+
+@pytestmark_fallback
+def test_oracle_rownum_limit_survives_trailing_comment(spark):
+    """LIMIT appended after a trailing line comment lands INSIDE the
+    comment — the row cap was silently lost (all rows returned)."""
+    pdf = pd.DataFrame({"x": list(range(10))})
+    got = execute(
+        "SELECT x FROM t WHERE ROWNUM <= 5 -- top five",
+        tables={"t": pdf},
+        dialect="oracle",
+        spark=spark,
+    ).collect()
+    assert len(got) == 5
+
+
+@pytestmark_fallback
+def test_tsql_union_wide_order_by_survives_arm_top(spark):
+    """A trailing ORDER BY after a union belongs to the WHOLE set
+    operation; a TOP in the last arm must not consume it."""
+    out = transpile(
+        "SELECT x FROM a UNION ALL SELECT TOP 2 y AS x FROM b ORDER BY x",
+        "tsql",
+    )
+    # the ORDER BY ends the statement, outside the parenthesized arm
+    assert out.rstrip().endswith("ORDER BY x")
+    assert "LIMIT 2)" in out  # the arm's TOP became an in-paren LIMIT
+    a = pd.DataFrame({"x": [5, 1]})
+    b = pd.DataFrame({"y": [9, 9, 9]})
+    got = execute(
+        "SELECT x FROM a UNION ALL SELECT TOP 2 y AS x FROM b ORDER BY x",
+        tables={"a": a, "b": b},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert [r["x"] for r in got] == [1, 5, 9, 9]  # union-wide ordering kept
+
+
+@pytestmark_fallback
+def test_mysql_backslash_strings_and_hash_comments(spark):
+    """MySQL's default sql_mode escapes quotes with backslash, so the
+    lexer must not split the literal (later rewrites corrupted its
+    contents); '#' comments re-emit as '--' for Spark."""
+    sql = r"SELECT c, '\' LIMIT 1, 2 junk' AS s FROM t"
+    out = transpile(sql, "mysql")
+    assert r"'\' LIMIT 1, 2 junk'" in out  # literal untouched
+    pdf = pd.DataFrame({"c": [1]})
+    row = execute(sql, tables={"t": pdf}, dialect="mysql", spark=spark).collect()[0]
+    assert row["s"] == "' LIMIT 1, 2 junk"
+    out2 = transpile("SELECT 1 AS a # trailing note", "mysql")
+    assert "#" not in out2 and "-- trailing note" in out2
+
+
+@pytestmark_fallback
+def test_mysql_limit_rewrites_every_occurrence(spark):
+    out = transpile(
+        "SELECT * FROM (SELECT * FROM t LIMIT 1, 2) s LIMIT 3, 4", "mysql"
+    )
+    assert "LIMIT 2 OFFSET 1" in out and "LIMIT 4 OFFSET 3" in out
+
+
+@pytestmark_fallback
+def test_datediff_week_boundary_anchors(spark):
+    """T-SQL DATEDIFF(week) counts SUNDAY boundaries (DATEFIRST-
+    independent); Snowflake and postgres-derived Redshift count Monday
+    weeks. 2026-08-15 (Sat) -> 2026-08-16 (Sun) crosses a Sunday
+    boundary but not a Monday one."""
+    q = "SELECT DATEDIFF(week, DATE'2026-08-15', DATE'2026-08-16') AS w"
+    # redshift stays Monday-anchored (postgres-derived DATE_TRUNC)
+    for d, want in (("tsql", 1), ("redshift", 0), ("snowflake", 0)):
+        got = spark.sql(transpile(q, d)).collect()[0]["w"]
+        assert got == want, d
+    # and a Monday boundary without a Sunday one: Sun -> Mon
+    q2 = "SELECT DATEDIFF(week, DATE'2026-08-16', DATE'2026-08-17') AS w"
+    for d, want in (("tsql", 0), ("snowflake", 1)):
+        assert spark.sql(transpile(q2, d)).collect()[0]["w"] == want, d
+
+
+@pytestmark_fallback
+def test_tsql_len_isnull_are_call_sites_only(spark):
+    """Columns NAMED len/isnull must survive (the old bare-word rewrite
+    renamed them), and LEN ignores trailing spaces like T-SQL."""
+    out = transpile("SELECT len, isnull FROM t", "tsql")
+    assert "len" in out and "isnull" in out
+    assert "LENGTH" not in out and "COALESCE" not in out
+    row = spark.sql(transpile("SELECT LEN('abc ') AS n", "tsql")).collect()[0]
+    assert row["n"] == 3  # Spark LENGTH('abc ') would be 4
+
+
+@pytestmark_fallback
+def test_top_wrap_order_by_cast_type_name_allowed(spark):
+    pdf = pd.DataFrame({"x": [3.9, 3.1, 1.0, 9.5]})
+    got = execute(
+        "SELECT DISTINCT TOP 2 WITH TIES x FROM t ORDER BY CAST(x AS INT) DESC",
+        tables={"t": pdf},
+        dialect="tsql",
+        spark=spark,
+    ).collect()
+    assert sorted((r["x"] for r in got), reverse=True) == [9.5, 3.9, 3.1]
+
+
+@pytestmark_fallback
+def test_oracle_to_char_case_fidelity(spark):
+    """Oracle renders name elements in the element's case: 'MON'->'MAR',
+    'mon'->'mar', 'Mon'->'Mar'; unpadded full names need FM; bare MONTH
+    (blank-padded to 9 in Oracle) refuses."""
+    row = spark.sql(
+        transpile(
+            "SELECT TO_CHAR(DATE'2020-03-04', 'MON') AS u, "
+            "TO_CHAR(DATE'2020-03-04', 'mon') AS l, "
+            "TO_CHAR(DATE'2020-03-04', 'Mon') AS t, "
+            "TO_CHAR(DATE'2020-03-04', 'FMMONTH') AS fm FROM dual",
+            "oracle",
+        )
+    ).collect()[0]
+    assert (row["u"], row["l"], row["t"], row["fm"]) == (
+        "MAR", "mar", "Mar", "MARCH"
+    )
+    with pytest.raises(UnsupportedError, match="blank-pads"):
+        transpile("SELECT TO_CHAR(d, 'MONTH') FROM t", "oracle")
+    with pytest.raises(UnsupportedError, match="mixes case"):
+        transpile("SELECT TO_CHAR(d, 'MON Dy') FROM t", "oracle")

@@ -129,39 +129,40 @@ _TOKEN = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
+# MySQL-family lexing (mysql + doris/starrocks wire dialects): the
+# default sql_mode treats backslash as a string escape, so ``'\''`` is
+# one quote INSIDE a string, not a terminator — lexing it with the ANSI
+# rule splits the literal and later rewrites corrupt its contents.
+# ``#`` also opens a line comment. Only the string/comment groups
+# differ from _TOKEN.
+_TOKEN_MYSQL = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>--[^\n]*|\#[^\n]*|/\*.*?\*/)
+    | (?P<string>[xX]?'(?:[^'\\]|''|\\.)*')
+    | (?P<dquoted>"(?:[^"\\]|""|\\.)*")
+    | (?P<backtick>`(?:[^`]|``)*`)
+    | (?P<bracket>\[[^\]\[]*\])
+    | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<word>[A-Za-z_][\w$]*)
+    | (?P<op>::|<=>|<=|>=|<>|!=|\|\||->>|->|.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
 _LITERAL_KINDS = frozenset({"string", "dquoted", "backtick", "bracket", "comment"})
 
 
-def tokenize(sql: str) -> list[tuple[str, str]]:
+def tokenize(sql: str, mysql: bool = False) -> list[tuple[str, str]]:
     """Lex ``sql`` into (kind, text) tokens. Lossless: ``''.join(texts)``
     reproduces the input exactly (unterminated quotes degrade to ``op``
-    single chars, never an exception — Spark's parser reports those)."""
+    single chars, never an exception — Spark's parser reports those).
+    ``mysql=True`` lexes with backslash string escapes and ``#``
+    comments (the mysql/doris/starrocks default)."""
     out: list[tuple[str, str]] = []
-    for m in _TOKEN.finditer(sql):
+    for m in (_TOKEN_MYSQL if mysql else _TOKEN).finditer(sql):
         out.append((m.lastgroup or "op", m.group()))
     return out
-
-
-def sub_outside_literals(
-    pattern: str | re.Pattern[str], repl: str | Callable, sql: str, flags: int = 0
-) -> str:
-    """re.sub that never touches string literals, quoted identifiers, or
-    comments. Contiguous non-literal tokens are joined into one segment
-    first, so multi-token patterns (``db . table``) still match."""
-    rx = re.compile(pattern, flags) if isinstance(pattern, str) else pattern
-    pieces: list[str] = []
-    buf: list[str] = []
-    for kind, text in tokenize(sql):
-        if kind in _LITERAL_KINDS:
-            if buf:
-                pieces.append(rx.sub(repl, "".join(buf)))
-                buf = []
-            pieces.append(text)
-        else:
-            buf.append(text)
-    if buf:
-        pieces.append(rx.sub(repl, "".join(buf)))
-    return "".join(pieces)
 
 
 def _unquote(text: str, q: str) -> str:
@@ -259,6 +260,27 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     rebind to the whole set operation."""
     segs, seps = _split_set_op_arms(tokens)
     if len(segs) > 1:
+        # a trailing depth-0 ORDER BY in the LAST arm belongs to the
+        # WHOLE set operation (tsql allows ORDER BY only at the end of
+        # a union) — peel it off before per-arm rewriting, else a TOP
+        # in that arm consumes it: the union result silently loses its
+        # ordering and the ORDER BY instead changes which rows TOP
+        # picks. Plain TOP without ORDER BY stays the documented
+        # arbitrary subset; PERCENT/WITH TIES still refuse without one.
+        last = segs[-1]
+        tail: list[tuple[str, str]] = []
+        depth = 0
+        for i, (kind, text) in enumerate(last):
+            if kind == "op" and text == "(":
+                depth += 1
+            elif kind == "op" and text == ")":
+                depth -= 1
+            elif depth == 0 and kind == "word" and text.upper() == "ORDER":
+                j = _next_code(last, i)
+                if j is not None and last[j][0] == "word" and last[j][1].upper() == "BY":
+                    tail = last[i:]
+                    segs[-1] = last[:i]
+                    break
         out: list[tuple[str, str]] = []
         for idx, seg in enumerate(segs):
             new = _rewrite_top(seg)
@@ -267,7 +289,7 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             out += new
             if idx < len(seps):
                 out += seps[idx]
-        return out
+        return out + tail
     depth = 0
     top_at: int | None = None
     n_tokens: list[tuple[str, str]] = []
@@ -531,6 +553,8 @@ def _resolves_in_output(
         prv = code[i - 1] if i > 0 else None
         if nxt == ("op", "("):  # function name
             continue
+        if prv is not None and prv[0] == "word" and prv[1].upper() == "AS":
+            continue  # CAST(x AS INT): a type name, not a column
         if prv == ("op", ".") or nxt == ("op", "."):  # qualified ref
             return False
         if _ident_key((kind, text)) not in out_names:
@@ -1227,7 +1251,7 @@ def _date_part(arg: list[tuple[str, str]]) -> str:
 
 
 def _rewrite_dateadd_datediff(
-    tokens: list[tuple[str, str]]
+    tokens: list[tuple[str, str]], week_start: str = "monday"
 ) -> list[tuple[str, str]]:
     """Snowflake / T-SQL ``DATEADD(part, n, expr)`` and
     ``DATEDIFF(part, a, b)`` → Spark equivalents with the source
@@ -1242,6 +1266,12 @@ def _rewrite_dateadd_datediff(
     boundary arithmetic (calendar-index differences for YEAR/QUARTER/
     MONTH, truncated-date day counts for WEEK/DAY, truncated-epoch
     division for HOUR/MINUTE/SECOND).
+
+    ``week_start``: T-SQL's DATEDIFF(week) counts SUNDAY boundaries
+    regardless of DATEFIRST (redshift follows suit), while Snowflake's
+    default weeks start Monday — Spark's DATE_TRUNC('WEEK') is Monday,
+    so the Sunday dialects truncate via the shift-by-one-day identity
+    (Sunday-of-week(x) = Monday-of-week(x + 1 day) - 1 day).
     """
     out = list(tokens)
     i = 0
@@ -1295,11 +1325,25 @@ def _rewrite_dateadd_datediff(
                 tokenize("(") + _idx(b) + tokenize(" - ") + _idx(a) + tokenize(")")
             )
         elif unit in ("DAY", "WEEK"):
-            trunc = (
-                (lambda e: tokenize("CAST(DATE_TRUNC('WEEK', ") + e + tokenize(") AS DATE)"))
-                if unit == "WEEK"
-                else (lambda e: tokenize("CAST(") + e + tokenize(" AS DATE)"))
-            )
+            if unit == "WEEK" and week_start == "sunday":
+                def trunc(e: list[tuple[str, str]]) -> list[tuple[str, str]]:
+                    return (
+                        tokenize(
+                            "DATE_ADD(CAST(DATE_TRUNC('WEEK', DATE_ADD(CAST("
+                        )
+                        + e
+                        + tokenize(" AS DATE), 1)) AS DATE), -1)")
+                    )
+            elif unit == "WEEK":
+                def trunc(e: list[tuple[str, str]]) -> list[tuple[str, str]]:
+                    return (
+                        tokenize("CAST(DATE_TRUNC('WEEK', ")
+                        + e
+                        + tokenize(") AS DATE)")
+                    )
+            else:
+                def trunc(e: list[tuple[str, str]]) -> list[tuple[str, str]]:
+                    return tokenize("CAST(") + e + tokenize(" AS DATE)")
             core = (
                 tokenize("DATEDIFF(")
                 + trunc(b)
@@ -1610,7 +1654,10 @@ def _rewrite_oracle_rownum(tokens: list[tuple[str, str]]) -> list[tuple[str, str
     assert end is not None and count is not None
     out = out[:rownum_at] + out[end + 1 :]
     tail = ""
-    while out and out[-1][0] == "ws":
+    # pop trailing comments too, not just whitespace: LIMIT appended
+    # after `-- note` lands INSIDE the comment and the row cap is
+    # silently lost (all rows returned) — same guard _rewrite_top uses
+    while out and out[-1][0] in ("ws", "comment"):
         out.pop()
     if out and out[-1] == ("op", ";"):
         out.pop()
@@ -1636,11 +1683,30 @@ _ORA_FMT = [
 _ORA_FMT_SEP = " -/,.:;"
 
 
-def _ora_datefmt(fmt: str) -> str:
+# Name-producing format elements whose rendered CASE follows the case
+# of the element itself in Oracle ('MON' -> 'JAN', 'Mon' -> 'Jan',
+# 'mon' -> 'jan'), while Spark always renders title-case names and
+# uppercase AM/PM. "title" = Spark's native rendering.
+_ORA_CASED = {"MONTH", "MON", "DAY", "DY"}
+
+
+def _ora_datefmt(fmt: str) -> tuple[str, str | None]:
     """Translate an Oracle date format model to a Spark pattern; raises
     on elements without a faithful Spark equivalent (FF fractions,
-    quoted literals, number-format models like '999.99')."""
+    quoted literals, number-format models like '999.99').
+
+    Returns ``(spark_pattern, case_wrap)`` where case_wrap is None,
+    'UPPER', or 'LOWER' — the function the FORMATTING caller must wrap
+    around DATE_FORMAT so 'MON' renders 'JAN' like Oracle, not Spark's
+    'Jan' (parsing callers ignore it: Spark parses names
+    case-insensitively). Full-name MONTH/DAY blank-pad to 9 chars in
+    Oracle, which Spark patterns cannot express, so they refuse unless
+    preceded by FM (fill mode = no padding). Conflicting case demands
+    in one model (e.g. 'MON' + 'Dy') also refuse — a single wrap cannot
+    satisfy both."""
     outp: list[str] = []
+    demands: set[str] = set()
+    fill_mode = False
     i = 0
     up = fmt.upper()
     while i < len(fmt):
@@ -1648,8 +1714,29 @@ def _ora_datefmt(fmt: str) -> str:
             outp.append(fmt[i])
             i += 1
             continue
+        if up.startswith("FM", i):
+            fill_mode = not fill_mode  # Oracle FM is a toggle
+            i += 2
+            continue
         for pat, spark in _ORA_FMT:
             if up.startswith(pat, i):
+                raw = fmt[i : i + len(pat)]
+                if pat in ("MONTH", "DAY") and not fill_mode:
+                    raise UnsupportedError(
+                        f"oracle {pat} blank-pads to 9 chars, which a "
+                        "Spark pattern cannot express; use FM"
+                        f"{pat} (no padding) or sqlglot"
+                    )
+                if pat in _ORA_CASED:
+                    if raw.isupper():
+                        demands.add("upper")
+                    elif raw.islower():
+                        demands.add("lower")
+                    else:
+                        demands.add("title")
+                elif pat in ("AM", "PM"):
+                    # Spark's 'a' renders uppercase already
+                    demands.add("lower" if raw.islower() else "am_upper")
                 outp.append(spark)
                 i += len(pat)
                 break
@@ -1658,7 +1745,20 @@ def _ora_datefmt(fmt: str) -> str:
                 f"oracle format element at {fmt[i:]!r} is not supported "
                 "without sqlglot"
             )
-    return "".join(outp)
+    # pick the single wrap every case-sensitive element tolerates:
+    # UPPER is harmless to AM/PM (already upper); title names tolerate
+    # only None; lowercase demands only LOWER.
+    for wrap, ok in (
+        (None, {"title", "am_upper"}),
+        ("UPPER", {"upper", "am_upper"}),
+        ("LOWER", {"lower"}),
+    ):
+        if demands <= ok:
+            return "".join(outp), wrap
+    raise UnsupportedError(
+        f"oracle format {fmt!r} mixes case styles a single Spark "
+        "expression cannot reproduce"
+    )
 
 
 _NLS_DEFAULT_ENGLISH = re.compile(
@@ -1724,7 +1824,7 @@ def _rewrite_oracle_fmt(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
                 raise UnsupportedError(
                     f"{up} format must be a string literal without sqlglot"
                 )
-            spark_fmt = _ora_datefmt(_unquote(fcode[0][1], "'"))
+            spark_fmt, case_wrap = _ora_datefmt(_unquote(fcode[0][1], "'"))
             fn = "DATE_FORMAT" if up == "TO_CHAR" else up
             if fn == "DATE_FORMAT":
                 repl = (
@@ -1732,7 +1832,14 @@ def _rewrite_oracle_fmt(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
                     + args[0]
                     + tokenize(f", '{spark_fmt}')")
                 )
+                # Oracle renders name elements in the CASE of the format
+                # element ('MON' -> 'JAN'); Spark always title-cases, so
+                # the formatting direction wraps the whole result (case
+                # transforms are no-ops on the digits/separators)
+                if case_wrap:
+                    repl = tokenize(f"{case_wrap}(") + repl + tokenize(")")
             else:
+                # parsing direction: Spark parses names case-insensitively
                 repl = (
                     tokenize(f"{fn}(")
                     + args[0]
@@ -1813,34 +1920,73 @@ def _rewrite_strftime(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
-def _rewrite_mysql_limit(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """mysql ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``."""
+def _rewrite_tsql_len(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """tsql ``LEN(x)`` → ``LENGTH(RTRIM(x))``.
+
+    T-SQL's LEN excludes trailing spaces (LEN('abc ') = 3); a bare
+    LENGTH rename silently over-counts padded CHAR data. Only call
+    sites rewrite — a column named ``len`` survives."""
     out = list(tokens)
-    for i in _iter_code(out):
-        if out[i][0] == "word" and out[i][1].upper() == "LIMIT":
-            j = _next_code(out, i)
-            if j is None or out[j][0] != "number":
-                continue
-            k = _next_code(out, j)
-            if k is None or out[k] != ("op", ","):
-                continue
-            m = _next_code(out, k)
-            if m is None or out[m][0] != "number":
-                continue
-            offset, count = out[j][1], out[m][1]
-            return (
-                out[:i]
-                + [
-                    ("word", "LIMIT"),
-                    ("ws", " "),
-                    ("number", count),
-                    ("ws", " "),
-                    ("word", "OFFSET"),
-                    ("ws", " "),
-                    ("number", offset),
-                ]
-                + out[m + 1 :]
-            )
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "LEN":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) != 1:
+            i += 1
+            continue
+        repl = tokenize("LENGTH(RTRIM(") + args[0] + tokenize("))")
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    return out
+
+
+def _rewrite_mysql_limit(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """mysql ``LIMIT offset, count`` → ``LIMIT count OFFSET offset``.
+
+    Every occurrence rewrites, not just the first — a subquery AND its
+    outer query can each carry one, and leaving the second untranslated
+    hands Spark an unparseable ``LIMIT n, m``."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        if out[i][0] != "word" or out[i][1].upper() != "LIMIT":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j][0] != "number":
+            i += 1
+            continue
+        k = _next_code(out, j)
+        if k is None or out[k] != ("op", ","):
+            i += 1
+            continue
+        m = _next_code(out, k)
+        if m is None or out[m][0] != "number":
+            i += 1
+            continue
+        offset, count = out[j][1], out[m][1]
+        repl = [
+            ("word", "LIMIT"),
+            ("ws", " "),
+            ("number", count),
+            ("ws", " "),
+            ("word", "OFFSET"),
+            ("ws", " "),
+            ("number", offset),
+        ]
+        out = out[:i] + repl + out[m + 1 :]
+        i += len(repl)
     return out
 
 
@@ -1918,13 +2064,19 @@ def transpile(sql: str, dialect: str | None = None) -> str:
     if d in {"spark", "spark2", "databricks", "hive", None}:
         return sql
     if _HAS_SQLGLOT:
-        return sqlglot.transpile(sql, read=d, write="spark")[0]
+        # sqlglot registers no 'ansi'/'postgresql'/'materialize' etc. —
+        # map through the same family aliases the fallback uses, with
+        # ansi reading as the (ANSI-ish) postgres dialect. Multiple
+        # statements re-join with ';': [0] silently dropped the rest.
+        sg = _DIALECT_FAMILY.get(d, d)
+        sg = {"ansi": "postgres"}.get(sg, sg)
+        return ";\n".join(sqlglot.transpile(sql, read=sg, write="spark"))
     return _fallback_normalize(sql, d)
 
 
 def _fallback_normalize(sql: str, dialect: str | None) -> str:
     dialect = _DIALECT_FAMILY.get(dialect, dialect)
-    tokens = tokenize(sql)
+    tokens = tokenize(sql, mysql=dialect == "mysql")
     if dialect in _DQUOTE_IDENT_DIALECTS:
         tokens = [
             ("backtick", _to_backtick(_unquote(t, '"'))) if k == "dquoted" else (k, t)
@@ -1937,12 +2089,24 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
             ("backtick", _to_backtick(_unquote(t, "]"))) if k == "bracket" else (k, t)
             for k, t in tokens
         ]
-        tokens = _rewrite_words(
-            tokens,
-            {"GETDATE": "CURRENT_TIMESTAMP", "ISNULL": "COALESCE", "LEN": "LENGTH"},
+        # func-name rewrites only (word followed by '('): a COLUMN named
+        # len or isnull must survive — _rewrite_words renamed those bare
+        # identifiers too, silently corrupting the projection. GETDATE()
+        # is also always a call. LEN gets its own transform because
+        # T-SQL LEN ignores trailing spaces (LEN('abc ') = 3) while
+        # Spark LENGTH counts them.
+        tokens = _rewrite_func_names(
+            tokens, {"GETDATE": "CURRENT_TIMESTAMP", "ISNULL": "COALESCE"}
         )
+        tokens = _rewrite_tsql_len(tokens)
         tokens = _for_each_scope(tokens, _rewrite_top)
     if dialect == "mysql":
+        # '#' line comments lex correctly but Spark's parser does not
+        # understand them — re-emit as '--' comments
+        tokens = [
+            ("comment", "--" + t[1:]) if k == "comment" and t.startswith("#") else (k, t)
+            for k, t in tokens
+        ]
         tokens = _rewrite_mysql_limit(tokens)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
@@ -1961,7 +2125,10 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
         )
         tokens = _rewrite_unit_first_dates(tokens)
     if dialect == "redshift":
-        tokens = _rewrite_words(tokens, {"GETDATE": "CURRENT_TIMESTAMP"})
+        tokens = _rewrite_func_names(tokens, {"GETDATE": "CURRENT_TIMESTAMP"})
+        # Monday weeks: redshift is postgres-derived and its own
+        # DATE_TRUNC('week') is Monday-anchored (unlike T-SQL, whose
+        # DATEDIFF(week) provably counts Sunday boundaries)
         tokens = _rewrite_dateadd_datediff(tokens)
     if dialect == "clickhouse":
         tokens = _rewrite_func_names(
@@ -1980,8 +2147,12 @@ def _fallback_normalize(sql: str, dialect: str | None) -> str:
         tokens = _rewrite_cast_funcs(tokens, {"DATETIME": "TIMESTAMP"})
     if dialect == "teradata":
         tokens = _for_each_scope(tokens, _rewrite_top)
-    if dialect in ("snowflake", "tsql"):
-        tokens = _rewrite_dateadd_datediff(tokens)
+    if dialect == "snowflake":
+        tokens = _rewrite_dateadd_datediff(tokens)  # Monday weeks
+    if dialect == "tsql":
+        # T-SQL DATEDIFF(week) counts Sunday boundaries regardless of
+        # DATEFIRST
+        tokens = _rewrite_dateadd_datediff(tokens, week_start="sunday")
     if dialect == "snowflake":
         # IFF(c,a,b) → IF; NVL/NVL2/IFNULL/COALESCE parse natively.
         tokens = _rewrite_func_names(tokens, {"IFF": "IF"})

@@ -2000,7 +2000,7 @@ def s37_execute_trino_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus AS status,
            COUNT(*) AS n,
            strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
-           strftime(MAX(o_orderdate), '%b') AS last_mon,
+           upper(strftime(MAX(o_orderdate), '%b')) AS last_mon,
            COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT'
                              THEN o_totalprice END), 0) AS max_urgent
     FROM orders
