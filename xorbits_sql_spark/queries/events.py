@@ -1134,15 +1134,22 @@ def r50_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "r85_ohlc_bars",
     """
-    SELECT date_trunc('hour', ts) AS hour,
+    WITH numbered AS (
+      SELECT date_trunc('hour', ts) AS hour, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT hour,
            COUNT(*) AS n,
-           arg_min(value, ts) AS open,
+           MIN(CASE WHEN rn_open = 1 THEN value END) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, ts) AS close,
+           MIN(CASE WHEN rn_close = 1 THEN value END) AS close,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
-    FROM events
-    WHERE event_type = 'purchase'
+    FROM numbered
     GROUP BY hour
     ORDER BY hour
     """,
@@ -1150,8 +1157,9 @@ def r50_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "OHLC bar downsampling (financial/IoT resample): one hash "
         "aggregation keyed on the hour bucket — open/close are "
-        "min_by/max_by on the event time (deterministic: timestamps are "
-        "unique), high/low/volume plain aggregates with the decimal-"
+        "min_by/max_by over a (ts, event_id) struct (deterministic even "
+        "under duplicate timestamps — the t81 tie discipline; the oracle "
+        "takes the rn=1 rows per hour), high/low/volume plain aggregates with the decimal-"
         "exact sum. Entirely map-side partial-aggregated; the classic "
         "time-series rollup TimescaleDB/kdb users expect, and the "
         "complement of r50's time-weighted average."
@@ -1163,10 +1171,10 @@ def r85_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min_by("value", "ts").alias("open"),
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("volume"),
         )
         .orderBy("hour")
@@ -1430,7 +1438,7 @@ def s02_sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s05_recent_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     # sort_array on struct(ts, event_id, event_type) orders by ts then
-    # event_id; desc=False + reverse gives newest-first deterministically.
+    # event_id; asc=False sorts descending, newest-first deterministically.
     collected = F.sort_array(
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))),
         asc=False,

@@ -3789,8 +3789,8 @@ def t25_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev
     ),
     classed AS (
-      SELECT CASE WHEN cum <= 0.80 * total THEN 'A'
-                  WHEN cum <= 0.95 * total THEN 'B'
+      SELECT CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                  WHEN 20 * cum <= 19 * total THEN 'B'
                   ELSE 'C' END AS abc_class,
              revenue, total
       FROM walk
@@ -3834,9 +3834,14 @@ def t27_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("revenue").over(wwalk).alias("cum"),
         F.sum("revenue").over(W.partitionBy()).alias("total"),
     )
+    # integer-scaled boundaries: a Python float literal (0.80 * total)
+    # coerces the DECIMAL to DOUBLE on the Spark side while DuckDB keeps
+    # exact DECIMAL, so a part within one double ulp of the boundary
+    # could classify differently across engines; 5*cum <= 4*total is the
+    # same predicate in exact decimal arithmetic on both
     abc = (
-        F.when(F.col("cum") <= 0.80 * F.col("total"), "A")
-        .when(F.col("cum") <= 0.95 * F.col("total"), "B")
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
         .otherwise("C")
     )
     return (
@@ -5982,18 +5987,10 @@ def t60_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Poisson(1) inverse-CDF thresholds on a 32-bit hash (see t01)
-_POIS1_T2 = (
-    1580030168,
-    3160060337,
-    3950075421,
-    4213413783,
-    4279248373,
-    4292415291,
-    4294609777,
-    4294923276,
-    4294962463,
-)
+# t61 shares t01's Poisson(1) inverse-CDF thresholds (one constant: a
+# re-derivation applied to one copy only would silently put the two
+# bootstrap queries on different replicate-weight distributions)
+_POIS1_T2 = _POIS1_T
 
 
 @register(
@@ -6447,9 +6444,16 @@ def t66_forecast_reconciliation(
     ),
 )
 def t67_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _persist
+
     ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("x")
+    # `daily` fans into ~8 plan branches (three detectors, their
+    # summary aggregates, and the final vote join); without the persist
+    # each branch re-scans and re-aggregates the raw events fact table
+    daily = _persist(
+        ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("x")
+        )
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     g = daily.agg(
