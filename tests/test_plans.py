@@ -137,8 +137,10 @@ def test_r85_purchase_filter_pushed(spark):
     pushed = pushed_filters(df)
     assert any("event_type" in p for p in pushed), pushed
     schemas = read_schemas(df)
-    # only (ts, event_type, value) are read from the events scan
-    assert schemas and all(s.count(":") <= 3 for s in schemas), schemas
+    # only (event_id, ts, event_type, value) are read from the events
+    # scan — event_id joined the projection for the deterministic
+    # (ts, event_id) open/close tie-break
+    assert schemas and all(s.count(":") <= 4 for s in schemas), schemas
 
 
 def test_r97_bloom_bits_broadcast(spark):
