@@ -100,6 +100,15 @@ from xorbits_sql_spark.queries import load_all
 # vs Spark BIGINT typing, values identical; fixed by CASTing the
 # oracle SUM to BIGINT) and per the round-5 verdict it must re-enter
 # the round-6 window and earn a green row before rotating.
+# Round 7: CORRECTNESS_r06 verified s39 (re-entry, green after the
+# BIGINT oracle cast) + s55..t06 (s68/s81 are rows-only and queued
+# behind oracle-bearing names): 49/50 green join the rotated set.
+# s63 stays OUT — its r06 row errored in the driver's canonicalizer
+# (ARRAY<STRING> output column, `TypeError: unhashable type: 'list'`;
+# values were right, representation wasn't). Per the round-6 verdict
+# it re-enters the round-7 window with the seq column serialized via
+# array_join on both sides (the s79/s05 pattern) and must earn a
+# rows+schema+hash green row before rotating.
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
     + [f"q{i}" for i in range(30, 100)]
@@ -108,7 +117,9 @@ _DRIVER_GREEN = frozenset(
     + ["r55", "r56"]
     + [f"r{i}" for i in range(57, 100)]
     + ["s01", "s02", "s03"]
-    + [f"s{i:02d}" for i in range(4, 55) if i not in (39, 47)]
+    + [f"s{i:02d}" for i in range(4, 55) if i != 47]
+    + [f"s{i:02d}" for i in range(55, 100) if i not in (63, 68, 81)]
+    + [f"t{i:02d}" for i in range(1, 7)]
 )
 
 

@@ -2430,23 +2430,26 @@ def s62_state_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           (list(event_type ORDER BY ts, event_id))[1:10] AS seq
+           array_to_string((list(event_type ORDER BY ts, event_id))[1:10], '|') AS seq
     FROM events
     GROUP BY user_id
     ORDER BY user_id
     """,
     tags=("events", "sequence", "feature-assembly"),
     doc=(
-        "Ordered per-user event sequences as array columns — the "
-        "feature-assembly shape for sequence models (each user's "
-        "behavioral history as one training example). Spark: "
+        "Ordered per-user event sequences — the feature-assembly shape "
+        "for sequence models (each user's behavioral history as one "
+        "training example). Spark: "
         "sort_array(collect_list(struct(ts, event_id, type))) then a "
         "projection lambda; the struct sort key makes the assembled "
         "order deterministic regardless of shuffle arrival order, "
         "which is the property that matters at 1000 executors "
         "(collect_list alone is arrival-ordered = nondeterministic). "
         "Truncated to the first 10 events to bound row width; the "
-        "full-history variant pairs with r64's packing."
+        "full-history variant pairs with r64's packing. The sequence "
+        "is emitted as a canonical '|'-joined string (the s79/s05 "
+        "pattern): array-typed output columns are not canonicalizable "
+        "by the driver's hash gate (round-6 verdict #1)."
     ),
 )
 def s63_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2465,7 +2468,7 @@ def s63_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            seq.alias("seq"),
+            F.array_join(seq, "|").alias("seq"),
         )
         .orderBy("user_id")
     )
