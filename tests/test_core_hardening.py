@@ -52,6 +52,26 @@ def test_view_name_flattening_is_injective(spark):
     assert [r["v"] for r in got] == [1]
 
 
+def test_single_part_name_colliding_with_flattened_multi_part_refuses(spark):
+    """Escaping only covers multi-part names: a single-part table
+    literally named 'a__b' still flattens to the same view as ('a','b').
+    Registration must refuse the collision instead of silently
+    clobbering one of the views (round-6 ADVICE)."""
+    with pytest.raises(UnsupportedError, match="flatten to temp view"):
+        execute(
+            "SELECT * FROM a__b",
+            tables={"a": {"b": [{"v": 1}]}, "a__b": [{"v": 2}]},
+            spark=spark,
+        )
+    # reverse registration order hits the same guard
+    with pytest.raises(UnsupportedError, match="flatten to temp view"):
+        execute(
+            "SELECT * FROM a__b",
+            tables={"a__b": [{"v": 2}], "a": {"b": [{"v": 1}]}},
+            spark=spark,
+        )
+
+
 def test_alias_shadows_registered_qualified_name(spark):
     """SELECT db.t FROM orders AS db references the alias's column, not
     the table registered as ('db','t') — the rewrite must not corrupt it."""
@@ -63,6 +83,48 @@ def test_alias_shadows_registered_qualified_name(spark):
     # ...and an unshadowed qualified reference still rewrites
     q = execute("SELECT SUM(v) AS s FROM db.t", tables=tables, spark=spark)
     assert q.collect()[0]["s"] == 1
+
+
+def test_alias_shadowing_is_scoped_to_its_query_block(spark):
+    """An alias bound inside a subquery must not suppress rewriting of a
+    registered db.t in an unrelated outer scope (round-6 ADVICE: global
+    alias collection made the outer reference fail with
+    TABLE_OR_VIEW_NOT_FOUND)."""
+    tables = {"db": {"t": [{"v": 5}]}, "orders": [{"t": 7}]}
+    # the derived table binds alias `db` INSIDE its own scope only;
+    # the outer FROM db.t must still rewrite to the flattened view
+    got = execute(
+        "SELECT v, (SELECT MAX(db.t) FROM orders AS db) AS mx FROM db.t",
+        tables=tables,
+        spark=spark,
+    ).collect()
+    assert (got[0]["v"], got[0]["mx"]) == (5, 7)
+    # and an outer-bound alias still shadows inside nested subqueries
+    # (correlation): no rewrite of db.t within the inner block
+    corr = execute(
+        "SELECT t FROM orders AS db "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.t = db.t)",
+        tables=tables,
+        spark=spark,
+    ).collect()
+    assert [r["t"] for r in corr] == [7]
+
+
+def test_qualified_rewrite_lexes_backslash_escapes_like_spark(spark):
+    """Post-transpile text is Spark SQL, where backslash escapes a quote
+    inside a string literal; mysql-fallback output legally contains
+    ``'it\\'s'``. Lexing the rewrite stage with the ANSI rule split such
+    literals at the escape, letting a registered db.tbl pattern inside
+    the literal get rewritten — silent string corruption (round-6
+    ADVICE, medium)."""
+    pdf = pd.DataFrame({"note": ["see db.tbl's data", "other"]})
+    got = execute(
+        r"SELECT note FROM db.tbl WHERE note = 'see db.tbl\'s data'",
+        tables={"db": {"tbl": pdf}},
+        dialect="mysql",
+        spark=spark,
+    ).collect()
+    assert [r["note"] for r in got] == ["see db.tbl's data"]
 
 
 def test_empty_list_table_with_declared_schema(spark):

@@ -170,6 +170,25 @@ def test_countmin_lookup_preserves_duplicate_probe_rows(spark):
     assert ests["a"] >= 2 and ests["c"] >= 3  # count-min never undercounts
 
 
+def test_countmin_lookup_null_probe_estimates_zero(spark):
+    """A NULL probe item is an unseen item: est must be 0, not NULL —
+    the join-back's plain equi-join silently dropped the match for
+    NULL items (round-6 ADVICE)."""
+    from xorbits_sql_spark.operators.sketches import (
+        countmin_lookup,
+        countmin_sketch,
+    )
+
+    items = spark.createDataFrame(pd.DataFrame({"tok": ["a", "a", "b"]}))
+    sketch = countmin_sketch(items, "tok", depth=4, width=32)
+    probes = spark.createDataFrame(pd.DataFrame({"tok": ["a", None, None]}))
+    got = countmin_lookup(sketch, probes, "tok", depth=4, width=32).toPandas()
+    assert len(got) == 3  # NULL probe rows preserved (both of them)
+    nulls = got[got["tok"].isna()]["est"]
+    assert len(nulls) == 2 and (nulls == 0).all()
+    assert (got[got["tok"] == "a"]["est"] >= 2).all()
+
+
 def test_welford_min_history_validation():
     from xorbits_sql_spark.streaming.stateful import welford_anomalies
 

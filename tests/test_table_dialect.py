@@ -538,6 +538,30 @@ def test_tsql_top_alias_binds_bare_items_only(spark):
 
 
 @pytestmark_fallback
+def test_wrapped_top_order_by_bare_n_refuses_at_transpile():
+    """`ORDER BY N` with no output column n must refuse at transpile
+    time, not surface as a runtime AnalysisException: N is an
+    expression keyword only as the nvarchar literal prefix N'...'
+    (round-6 ADVICE)."""
+    with pytest.raises(UnsupportedError, match="select-output"):
+        transpile("SELECT DISTINCT TOP 10 PERCENT x FROM t ORDER BY N", "tsql")
+    # the literal-prefix form is still recognized (and then refused by
+    # the constant-sort gate, also at transpile time — never a silent
+    # pass-through)
+    with pytest.raises(UnsupportedError, match="constant ORDER BY"):
+        transpile(
+            "SELECT DISTINCT TOP 10 PERCENT x FROM t ORDER BY N'abc'", "tsql"
+        )
+    # N inside an expression next to a string literal still accepts
+    out = transpile(
+        "SELECT DISTINCT TOP 10 PERCENT x FROM t "
+        "ORDER BY COALESCE(x, N'z') DESC",
+        "tsql",
+    )
+    assert "ROW_NUMBER()" in out
+
+
+@pytestmark_fallback
 def test_tsql_top_in_subquery_rewrites(spark):
     """Round-3 verdict #4: TOP inside a subquery now rewrites in its own
     scope (the LIMIT lands at the subquery's end), and independent TOPs

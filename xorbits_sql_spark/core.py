@@ -47,17 +47,55 @@ def _ident_lower(tok: tuple[str, str]) -> str:
     return text.lower()
 
 
-def _table_aliases(tokens: list[tuple[str, str]]) -> set[str]:
+def _scope_paths(tokens: list[tuple[str, str]]) -> list[tuple[int, ...]]:
+    """Per-token scope path: the stack of enclosing paren-group ids.
+
+    Each ``(`` opens a new uniquely-numbered scope; a binding made at
+    path P is visible at token i iff P is a prefix of i's path (SQL
+    scoping: an alias bound in an outer block shadows inside nested
+    subqueries, but an alias bound inside a derived table is invisible
+    to sibling and outer blocks). The open/close parens themselves
+    carry the OUTER path, so ``FROM (`` and its alias after ``)`` sit
+    in the scope that binds the alias.
+    """
+    paths: list[tuple[int, ...]] = []
+    stack: list[int] = []
+    counter = 0
+    for k, t in tokens:
+        if (k, t) == ("op", "("):
+            paths.append(tuple(stack))
+            counter += 1
+            stack.append(counter)
+        elif (k, t) == ("op", ")"):
+            if stack:
+                stack.pop()
+            paths.append(tuple(stack))
+        else:
+            paths.append(tuple(stack))
+    return paths
+
+
+def _table_aliases(
+    tokens: list[tuple[str, str]], paths: list[tuple[int, ...]]
+) -> dict[str, list[tuple[int, ...]]]:
     """Lower-cased table aliases bound by FROM/JOIN clauses (explicit
-    ``AS x`` and bare ``FROM t x`` forms, including subquery aliases).
-    These shadow registered qualified names in column references."""
+    ``AS x`` and bare ``FROM t x`` forms, including subquery aliases),
+    each with the scope path of its binding site. These shadow
+    registered qualified names only within the query block that binds
+    them (and its nested subqueries) — a derived table aliased ``db``
+    inside one subquery must not suppress rewriting of a registered
+    ``db.t`` in an unrelated outer or sibling scope."""
     code = [j for j, (k, _) in enumerate(tokens) if k not in ("ws", "comment")]
     n = len(code)
 
     def tok(p: int) -> tuple[str, str]:
         return tokens[code[p]]
 
-    aliases: set[str] = set()
+    aliases: dict[str, list[tuple[int, ...]]] = {}
+
+    def bind(p: int) -> None:
+        aliases.setdefault(_ident_lower(tok(p)), []).append(paths[code[p]])
+
     pos = 0
     while pos < n:
         k, t = tok(pos)
@@ -65,13 +103,20 @@ def _table_aliases(tokens: list[tuple[str, str]]) -> set[str]:
         if k != "word" or t.upper() not in ("FROM", "JOIN"):
             continue
         if pos < n and tok(pos) == ("op", "("):
-            depth, pos = 1, pos + 1
-            while pos < n and depth:
-                if tok(pos) == ("op", "("):
+            # Derived table / lateral subquery: scan ahead to the
+            # matching ')' to find the alias that follows, but resume
+            # the main scan INSIDE the group so FROM/JOIN aliases bound
+            # within the subquery are collected too (in their own
+            # scope) rather than skipped.
+            depth, ahead = 1, pos + 1
+            while ahead < n and depth:
+                if tok(ahead) == ("op", "("):
                     depth += 1
-                elif tok(pos) == ("op", ")"):
+                elif tok(ahead) == ("op", ")"):
                     depth -= 1
-                pos += 1
+                ahead += 1
+            pos += 1  # continue scanning inside the group
+            alias_pos = ahead
         elif pos < n and tok(pos)[0] in ("word", "backtick"):
             pos += 1
             # consume the dotted tail and any table-function call args
@@ -92,20 +137,23 @@ def _table_aliases(tokens: list[tuple[str, str]]) -> set[str]:
                         pos += 1
                 else:
                     break
+            alias_pos = pos
         else:
             continue
-        if pos < n and tok(pos)[0] == "word" and tok(pos)[1].upper() == "AS":
-            pos += 1
-            if pos < n and tok(pos)[0] in ("word", "backtick"):
-                aliases.add(_ident_lower(tok(pos)))
-                pos += 1
-        elif pos < n and tok(pos)[0] in ("word", "backtick"):
+        if (
+            alias_pos < n
+            and tok(alias_pos)[0] == "word"
+            and tok(alias_pos)[1].upper() == "AS"
+        ):
+            alias_pos += 1
+            if alias_pos < n and tok(alias_pos)[0] in ("word", "backtick"):
+                bind(alias_pos)
+        elif alias_pos < n and tok(alias_pos)[0] in ("word", "backtick"):
             if (
-                tok(pos)[0] == "backtick"
-                or tok(pos)[1].upper() not in _NON_ALIAS_WORDS
+                tok(alias_pos)[0] == "backtick"
+                or tok(alias_pos)[1].upper() not in _NON_ALIAS_WORDS
             ):
-                aliases.add(_ident_lower(tok(pos)))
-                pos += 1
+                bind(alias_pos)
     return aliases
 
 
@@ -117,7 +165,12 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
     text updated to match. Plain single-part names need no rewrite.
 
     Runs AFTER transpile, so identifier quoting is already Spark's
-    backticks regardless of input dialect. The rewrite walks the token
+    backticks regardless of input dialect, and the text is lexed the
+    way Spark's parser lexes it (tokenize_spark: backslash is a string
+    escape) — lexing with the ANSI rule here would split a literal like
+    ``'it\\'s'`` (legal post-mysql-fallback output) at the escaped
+    quote and let a registered db.table pattern inside the literal be
+    rewritten, corrupting the string. The rewrite walks the token
     stream: each part of a registered qualified name matches a bare word
     or a backtick-quoted identifier, case-insensitively (Spark view
     resolution is case-insensitive, and registration keys were already
@@ -128,13 +181,23 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
     multi = {q: v for q, v in registered.items() if len(q) > 1}
     if not multi:
         return sql
-    tokens = _dialect.tokenize(sql)
+    tokens = _dialect.tokenize_spark(sql)
+    paths = _scope_paths(tokens)
     # Table aliases declared in the query SHADOW registered names:
     # ``SELECT db.t FROM orders AS db`` references the alias's column t,
     # not a table registered as ('db','t') — rewriting it would corrupt
-    # the column ref into the flattened view name. Collect FROM/JOIN
-    # aliases and skip any dotted match whose head is one of them.
-    shadowed = _table_aliases(tokens)
+    # the column ref into the flattened view name. Shadowing is scoped:
+    # an alias suppresses matches only inside the query block that binds
+    # it (binding path is a prefix of the match's path), so an alias
+    # ``db`` inside one subquery no longer disables rewriting of
+    # registered db.t references in unrelated scopes.
+    shadowed = _table_aliases(tokens, paths)
+
+    def _is_shadowed(head: str, at: int) -> bool:
+        here = paths[at]
+        return any(
+            here[: len(bound)] == bound for bound in shadowed.get(head, ())
+        )
 
     def part_matches(idx: int, part: str) -> bool:
         kind, text = tokens[idx]
@@ -171,7 +234,7 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
         # tail of an outer qualification, e.g. `other_db.` + our name)
         if kind in ("word", "backtick") and prev_code != ("op", "."):
             for qualified in by_len:
-                if qualified[0].lower() in shadowed:
+                if _is_shadowed(qualified[0].lower(), i):
                     continue
                 end = match_at(i, qualified)
                 if end is not None:

@@ -150,6 +150,29 @@ _TOKEN_MYSQL = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
+# Spark-SQL lexing (for text that is ALREADY Spark SQL, i.e.
+# post-transpile): Spark's own parser treats backslash as a string
+# escape — ``'it\'s'`` is one literal — so post-transpile rewrites must
+# lex the way Spark will, or a registered db.table pattern appearing
+# after a ``\'`` inside a literal gets rewritten, silently corrupting
+# the string (mysql-family fallback output legally contains such
+# escapes). Identical to _TOKEN_MYSQL minus the ``#`` line comment,
+# which Spark does not recognize.
+_TOKEN_SPARK = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>--[^\n]*|/\*.*?\*/)
+    | (?P<string>[xX]?'(?:[^'\\]|''|\\.)*')
+    | (?P<dquoted>"(?:[^"\\]|""|\\.)*")
+    | (?P<backtick>`(?:[^`]|``)*`)
+    | (?P<bracket>\[[^\]\[]*\])
+    | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<word>[A-Za-z_][\w$]*)
+    | (?P<op>::|<=>|<=|>=|<>|!=|\|\||->>|->|.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
 _LITERAL_KINDS = frozenset({"string", "dquoted", "backtick", "bracket", "comment"})
 
 
@@ -163,6 +186,13 @@ def tokenize(sql: str, mysql: bool = False) -> list[tuple[str, str]]:
     for m in (_TOKEN_MYSQL if mysql else _TOKEN).finditer(sql):
         out.append((m.lastgroup or "op", m.group()))
     return out
+
+
+def tokenize_spark(sql: str) -> list[tuple[str, str]]:
+    """Lex ``sql`` the way Spark's parser will (backslash string
+    escapes, no ``#`` comments). Use for text that is already Spark SQL
+    — i.e. any rewrite that runs after :func:`transpile`."""
+    return [(m.lastgroup or "op", m.group()) for m in _TOKEN_SPARK.finditer(sql)]
 
 
 def _unquote(text: str, q: str) -> str:
@@ -521,7 +551,7 @@ _EXPR_KEYWORDS = frozenset(
     {
         "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END",
         "AND", "OR", "NOT", "IS", "IN", "LIKE", "BETWEEN", "AS",
-        "COLLATE", "N",
+        "COLLATE",
     }
 )
 
@@ -548,6 +578,19 @@ def _resolves_in_output(
         if not is_ident:
             return False
         if kind == "word" and text.upper() in _EXPR_KEYWORDS:
+            continue
+        # N is a keyword only as the nvarchar literal prefix (N'...');
+        # a bare N is a column reference and must resolve like any
+        # other identifier — keyword-listing it unconditionally let
+        # ``ORDER BY N`` (no output column n) through to a runtime
+        # AnalysisException instead of the transpile-time refusal this
+        # validation exists to give (round-6 ADVICE).
+        if (
+            kind == "word"
+            and text.upper() == "N"
+            and i + 1 < len(code)
+            and code[i + 1][0] == "string"
+        ):
             continue
         nxt = code[i + 1] if i + 1 < len(code) else None
         prv = code[i - 1] if i > 0 else None

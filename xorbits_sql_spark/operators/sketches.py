@@ -69,6 +69,11 @@ def countmin_lookup(
     skips the join-back and groups the exploded rows by the probe
     columns directly, saving one join on small-query paths (measured
     ~2x on the r68 bench entry).
+
+    NULL-item probes get ``est = 0`` on both paths: a NULL item hashes
+    to a NULL bucket (concat/md5 are null-rejecting) and misses every
+    sketch cell, and the join-back matches NULL items null-safely so
+    the 0 survives instead of degrading to a NULL est.
     """
     d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
     if assume_distinct:
@@ -97,8 +102,13 @@ def countmin_lookup(
     est_by_item = joined.groupBy("__probe_item").agg(
         F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est")
     )
+    # Null-safe join-back: a NULL probe item hashes to a NULL bucket and
+    # misses every sketch cell, so its estimate is 0 like any unseen
+    # item — a plain equi-join would drop the match and leave est NULL
+    # for NULL-item rows, breaking the row-preserving contract's "est is
+    # always populated" reading (round-6 ADVICE).
     return probes.join(
-        est_by_item, probes[item_col] == est_by_item["__probe_item"], "left"
+        est_by_item, probes[item_col].eqNullSafe(est_by_item["__probe_item"]), "left"
     ).select(*[probes[c] for c in probes.columns], "est")
 
 

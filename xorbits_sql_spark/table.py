@@ -176,7 +176,9 @@ def view_name(qualified: tuple[str, ...]) -> str:
     joining, so an escaped part can never contain two consecutive
     underscores and the ``__`` separator cannot be forged. Single-part
     names pass through untouched (they need no rewrite and users
-    reference them verbatim).
+    reference them verbatim) — which means a single-part table
+    literally named ``a__b`` CAN collide with a flattened ('a','b');
+    ``register_tables`` detects that at registration time and refuses.
     """
     if len(qualified) == 1:
         return qualified[0]
@@ -251,8 +253,22 @@ def register_tables(
             flat_schema[norm(qualified)] = schema_to_struct(tbl_schema)
 
     registered: dict[tuple[str, ...], str] = {}
+    # view_name escaping makes multi-part flattening injective among
+    # multi-part names, but a SINGLE-part table literally named
+    # ``a__b`` passes through unescaped and can still collide with a
+    # flattened ('a','b'). Detect every collision at registration time
+    # (Spark view resolution is case-insensitive, so compare folded)
+    # and refuse loudly instead of silently clobbering one view.
+    seen: dict[str, tuple[str, ...]] = {}
     for qualified, leaf in flat.items():
         name = view_name(qualified)
+        prior = seen.get(name.lower())
+        if prior is not None:
+            raise UnsupportedError(
+                f"table names {'.'.join(prior)!r} and {'.'.join(qualified)!r} "
+                f"both flatten to temp view {name!r}; rename one"
+            )
+        seen[name.lower()] = qualified
         df = to_spark_df(spark, leaf, flat_schema.get(qualified))
         df.createOrReplaceTempView(name)
         registered[qualified] = name
