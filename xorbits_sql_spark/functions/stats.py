@@ -175,6 +175,68 @@ def ols_slope(kd: Column, sx: Column, sy: Column, sxy: Column, sxx: Column) -> C
     return (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
 
 
+def hash_cohort(col: Column, buckets: int = 2) -> Column:
+    """Deterministic hash-split cohort assignment: md5-prefix of the
+    (string-cast) id modulo ``buckets`` — the workhorse randomization
+    unit of every experimentation query (A/B arms, CV folds). Engine-
+    portable: DuckDB mirrors it as
+    ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::UBIGINT
+    AS BIGINT) % buckets`` (same '0x'||substr(md5..) == conv(..,16,10)
+    equivalence used repo-wide).
+
+    Hoisted from 9 experimentation queries that respelled it inline
+    (round-6 registry review, deferred cleanup #1).
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def ses_terms(
+    origin: Column,
+    hist_i: Column,
+    value: Column,
+    alpha: float = 0.3,
+    beta: float = 0.7,
+    ndigits: int = 9,
+) -> tuple[Column, Column]:
+    """Closed-form simple-exponential-smoothing summands.
+
+    The serial recurrence ``l_t = a*x_t + (1-a)*l_(t-1)`` (seeded with
+    the first observation) unrolls to ``l_n = sum_i a*(1-a)^(n-i)*x_i
+    + (1-a)^n * x_1`` — the re-expression that turns an inherently
+    sequential update into ONE parallel aggregate. Returns the pair
+    ``(w_term, init_term)``; the forecast is ``SUM(w_term) +
+    SUM(init_term)`` grouped by series (cast the summands to DECIMAL
+    first when the oracle does).
+
+    ``origin`` is the forecast origin's index (the series length ``n``
+    for a terminal forecast, or the outer row's ``o.i`` in a
+    rolling-origin pair join) and ``hist_i`` the history row's index.
+    Terms round to ``ndigits``=9, not 12: terms reach ~1e4, so a 1-ulp
+    pow divergence (~1e-12 absolute) could flip a 12th-digit rounding;
+    at 9 digits the margin is 500x the error. ``beta`` is passed
+    explicitly (not computed as 1-alpha) so the decay base is the
+    exact IEEE literal the oracles spell.
+
+    Hoisted from the 4 forecasting queries that unrolled it inline
+    (round-6 registry review, deferred cleanup #2). SQL mirror:
+    ``round(a * pow(b, CAST(origin - i AS BIGINT)) * x, 9)`` /
+    ``CASE WHEN i = 1 THEN round(pow(b, CAST(origin AS BIGINT)) * x, 9)
+    ELSE 0 END``.
+    """
+    w_term = F.round(
+        alpha * F.pow(F.lit(beta), (origin - hist_i).cast("bigint")) * value,
+        ndigits,
+    )
+    init_term = F.when(
+        hist_i == 1,
+        F.round(F.pow(F.lit(beta), origin.cast("bigint")) * value, ndigits),
+    ).otherwise(0.0)
+    return w_term, init_term
+
+
 def pearson_r(
     kd: Column, sx: Column, sy: Column, sxy: Column, sxx: Column, syy: Column
 ) -> Column:

@@ -27,12 +27,14 @@ from . import register
 from ._util import t
 from ..functions.stats import (
     exp9,
+    hash_cohort,
     iln6,
     midrank_twice,
     moments_xy,
     ols_slope,
     pearson_r,
     positional_median,
+    ses_terms,
     with_cum_before,
 )
 from ..functions.text import norm_ws, token_count
@@ -1599,15 +1601,7 @@ def s92_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wtype.orderBy("day")).alias("i"),
         F.count(F.lit(1)).over(wtype).alias("n"),
     )
-    w_term = F.round(
-        0.3 * F.pow(F.lit(0.7), (F.col("n") - F.col("i")).cast("bigint"))
-        * F.col("revenue"),
-        9,
-    )
-    init_term = F.when(
-        F.col("i") == 1,
-        F.round(F.pow(F.lit(0.7), F.col("n").cast("bigint")) * F.col("revenue"), 9),
-    ).otherwise(0.0)
+    w_term, init_term = ses_terms(F.col("n"), F.col("i"), F.col("revenue"))
     dec = "decimal(28,12)"
     return (
         indexed.select(
@@ -2235,14 +2229,7 @@ def t05_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("conv")
     ).select(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 2
-        ).alias("grp"),
+        hash_cohort(F.col("user_id")).alias("grp"),
         "conv",
     )
     g = u.agg(
@@ -3284,16 +3271,7 @@ def t20_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.col("user_id").cast("string")), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-            ).alias("grp"),
+            hash_cohort(F.col("user_id")).alias("grp"),
             "pre",
             "post",
         )
@@ -3404,16 +3382,7 @@ def t21_difference_in_differences(
     cells = (
         ev.crossJoin(F.broadcast(b))
         .groupBy(
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.col("user_id").cast("string")), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-            ).alias("grp"),
+            hash_cohort(F.col("user_id")).alias("grp"),
             F.when(dd < 15, 0).otherwise(1).alias("period"),
         )
         .agg(
@@ -3731,14 +3700,7 @@ def t25_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("conv")
     ).select(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 2
-        ).alias("grp"),
+        hash_cohort(F.col("user_id")).alias("grp"),
         "conv",
     )
     g = u.agg(
@@ -4374,20 +4336,7 @@ def t33_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = indexed.alias("o")
     h = indexed.alias("h")
-    w_term = F.round(
-        0.3
-        * F.pow(F.lit(0.7), (F.col("o.i") - F.col("h.i")).cast("bigint"))
-        * F.col("h.rev"),
-        9,
-    )
-    init_term = F.when(
-        F.col("h.i") == 1,
-        F.round(
-            F.pow(F.lit(0.7), F.col("o.i").cast("bigint"))
-            * F.col("h.rev"),
-            9,
-        ),
-    ).otherwise(0.0)
+    w_term, init_term = ses_terms(F.col("o.i"), F.col("h.i"), F.col("h.rev"))
     fcst = (
         o.join(
             h,
@@ -4645,14 +4594,7 @@ def t37_simpson_paradox_detector(
             ).otherwise(0)
         ).alias("conv"),
     ).select(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 2
-        ).alias("grp"),
+        hash_cohort(F.col("user_id")).alias("grp"),
         "conv",
         "activity",
         "user_id",
@@ -5292,14 +5234,7 @@ def t45_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     ).select(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 2
-        ).alias("grp"),
+        hash_cohort(F.col("user_id")).alias("grp"),
         "cents",
     )
     mom = u.groupBy("grp").agg(
@@ -5635,16 +5570,7 @@ def t55_covariate_balance(
             F.sum(F.when(dd < 15, 1).otherwise(0)).alias("pre_events"),
         )
         .select(
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.col("user_id").cast("string")), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-            ).alias("grp"),
+            hash_cohort(F.col("user_id")).alias("grp"),
             "pre",
             "pre_events",
         )
@@ -6067,14 +5993,7 @@ def t61_bootstrap_delta_ci(
         ).alias("conv")
     ).select(
         "user_id",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 2
-        ).alias("grp"),
+        hash_cohort(F.col("user_id")).alias("grp"),
         "conv",
     )
     reps = u.select(
@@ -6310,20 +6229,7 @@ def t66_forecast_reconciliation(
             F.row_number().over(part.orderBy("day")).alias("i"),
             F.count(F.lit(1)).over(part).alias("n"),
         )
-        w_term = F.round(
-            0.3
-            * F.pow(F.lit(0.7), (F.col("n") - F.col("i")).cast("bigint"))
-            * F.col("rev"),
-            9,
-        )
-        init_term = F.when(
-            F.col("i") == 1,
-            F.round(
-                F.pow(F.lit(0.7), F.col("n").cast("bigint"))
-                * F.col("rev"),
-                9,
-            ),
-        ).otherwise(0.0)
+        w_term, init_term = ses_terms(F.col("n"), F.col("i"), F.col("rev"))
         grouped = (
             indexed.groupBy(*part_cols)
             if part_cols
@@ -6981,20 +6887,7 @@ def t85_forecast_skill_score(
         F.count(F.lit(1)).over(wtype).alias("n"),
     )
     o, h = indexed.alias("o"), indexed.alias("h")
-    w_term = F.round(
-        0.3
-        * F.pow(F.lit(0.7), (F.col("o.i") - F.col("h.i")).cast("bigint"))
-        * F.col("h.rev"),
-        9,
-    )
-    init_term = F.when(
-        F.col("h.i") == 1,
-        F.round(
-            F.pow(F.lit(0.7), F.col("o.i").cast("bigint"))
-            * F.col("h.rev"),
-            9,
-        ),
-    ).otherwise(0.0)
+    w_term, init_term = ses_terms(F.col("o.i"), F.col("h.i"), F.col("h.rev"))
     ses = (
         o.join(
             h,
@@ -7328,14 +7221,7 @@ def t89_fold_balance_audit(
             ).otherwise(0)
         ).alias("conv")
     ).select(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % 5
-        ).alias("fold"),
+        hash_cohort(F.col("user_id"), buckets=5).alias("fold"),
         "conv",
     )
     tot = u.agg(
