@@ -58,3 +58,56 @@ def test_ab_verdict_needs_relative_and_scaled_absolute_gap():
     assert bench._ab_verdict(2.0, 1.0) == "confirmed"
     assert bench._ab_verdict(0.9, 0.5) == "confirmed"   # ratio 1.8, delta 0.4
     assert bench._ab_verdict(13.0, 10.0) == "confirmed" # big query: bar capped at 0.5
+
+
+def test_near_miss_drift_tracker_units():
+    """scripts/check_near_miss_drift.py: the consecutive-repeat logic
+    (round-6 verdict #6) — a query near-missing in >=2 consecutive
+    evaluated rounds is a repeat; gaps and non-adjacent rounds are not."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_near_miss_drift",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "check_near_miss_drift.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # adjacent rounds, same name -> repeat spanning both
+    reps = mod.consecutive_repeats([(5, {"qa"}), (6, {"qa", "qb"}), (7, {"qa"})])
+    assert reps == {"qa": [5, 6, 7]}
+    # non-adjacent (round gap) -> no repeat
+    assert mod.consecutive_repeats([(5, {"qa"}), (7, {"qa"})]) == {}
+    # a no-data round (None) breaks the streak conservatively
+    assert mod.consecutive_repeats([(5, {"qa"}), (6, None), (7, {"qa"})]) == {}
+    # different names never repeat
+    assert mod.consecutive_repeats([(5, {"qa"}), (6, {"qb"})]) == {}
+
+
+def test_near_miss_repeats_are_escalated_in_baseline_md():
+    """Run the tracker over the repo's real BENCH_r*.json files: any
+    repeated near-miss must have an isolated re-time entry in
+    BASELINE.md (the round-6 verdict's escalation discipline) — slow
+    creep on sub-second queries must not accumulate silently."""
+    import importlib.util
+    import os
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "check_near_miss_drift",
+        os.path.join(repo, "scripts", "check_near_miss_drift.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rounds = [(rnd, mod.near_misses(path)) for rnd, path in mod.round_files()]
+    repeats = mod.consecutive_repeats(rounds)
+    if not repeats:
+        return
+    baseline_md = open(os.path.join(repo, "BASELINE.md")).read()
+    unescalated = [name for name in repeats if name not in baseline_md]
+    assert not unescalated, (
+        f"near-miss repeats {unescalated} lack a BASELINE.md re-time entry "
+        f"(full repeat map: {repeats})"
+    )
