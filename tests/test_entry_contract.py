@@ -16,7 +16,7 @@ import importlib
 
 entry_mod = importlib.import_module("__spark_entry__")
 
-# Names with a green driver CORRECTNESS row in r01..r05.
+# Names with a green driver CORRECTNESS row in r01..r06.
 _VERIFIED_PREFIXES = (
     {f"q{i:02d}" for i in range(1, 28)}
     | {f"q{i}" for i in range(30, 100)}
@@ -25,7 +25,9 @@ _VERIFIED_PREFIXES = (
     | {"r55", "r56"}
     | {f"r{i}" for i in range(57, 100)}
     | {"s01", "s02", "s03"}
-    | {f"s{i:02d}" for i in range(4, 55) if i not in (39, 47)}
+    | {f"s{i:02d}" for i in range(4, 55) if i != 47}
+    | {f"s{i:02d}" for i in range(55, 100) if i not in (63, 68, 81)}
+    | {f"t{i:02d}" for i in range(1, 7)}
 )
 
 
@@ -34,15 +36,16 @@ def test_first_50_insertion_order_are_never_verified():
     oracles = set(entry_mod.oracle_sql())
     window = keys[:50]
     prefixes = [k.split("_", 1)[0] for k in window]
-    # Round-6 window: s39 re-enters first (its r05 hash mismatch was an
-    # oracle-typing bug, now fixed — it must earn a green row before
-    # rotating), then the next 49 oracle-bearing never-driver-verified
-    # names in lexical order (s55 onward; s47/s68/s81/t52 are rows-only
-    # and queue behind the oracle-paired inventory).
+    # Round-7 window: s63 re-enters first (its r06 driver row errored
+    # on the array-typed seq column, now serialized via array_join —
+    # it must earn a green row before rotating), then the next 49
+    # oracle-bearing never-driver-verified names in lexical order
+    # (t07 onward; s47/s68/s81/t52 are rows-only and queue behind the
+    # oracle-paired inventory).
     registry_fresh = sorted(k for k in keys if not k.startswith("z") and k in oracles)
     assert window == registry_fresh[:50]
-    assert prefixes[:3] == ["s39", "s55", "s56"]
-    assert prefixes[-1] == "t06"
+    assert prefixes[:3] == ["s63", "t07", "t08"]
+    assert prefixes[-1] == "t56"
     assert all(p not in prefixes for p in ("s47", "s68", "s81", "t52"))
     # None of the window entries is a rotated (already-green) name.
     assert not any(k.startswith("z") for k in window)
@@ -56,11 +59,12 @@ def test_rotated_names_cover_all_driver_green():
     z_prefixes = {
         k.split("_", 1)[0].replace("z", "", 1) for k in keys if k.startswith("z")
     }
-    # z-names come from q-, r-, and s-prefixed originals; reconstruct
-    # which original each z-name maps to via _DRIVER_GREEN membership.
+    # z-names come from q-, r-, s-, and t-prefixed originals;
+    # reconstruct which original each z-name maps to via _DRIVER_GREEN
+    # membership.
     reconstructed = set()
     for suffix in z_prefixes:
-        for pref in ("q", "r", "s"):
+        for pref in ("q", "r", "s", "t"):
             if pref + suffix in entry_mod._DRIVER_GREEN:
                 reconstructed.add(pref + suffix)
     assert reconstructed == _VERIFIED_PREFIXES == set(entry_mod._DRIVER_GREEN)

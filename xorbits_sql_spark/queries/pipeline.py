@@ -2730,9 +2730,19 @@ def t57_budgeted_selection(
     sel = walk.crossJoin(F.broadcast(tot)).filter(
         10 * F.col("cum") <= 3 * F.col("total_tok")
     )
-    return sel.agg(
+    # corpus_tokens comes from the independent total, NOT an aggregate
+    # over the selected rows: when nothing is admitted (one document
+    # holds >30% of all tokens), MAX over the empty selection would be
+    # NULL while the oracle's scalar subquery still reports the true
+    # corpus total.
+    agg = sel.agg(
         F.count(F.lit(1)).alias("n_selected"),
         F.sum("n_tok").cast("bigint").alias("tokens_used"),
-        F.max("total_tok").alias("corpus_tokens"),
         F.min("q").alias("min_quality_admitted"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n_selected",
+        "tokens_used",
+        F.col("total_tok").alias("corpus_tokens"),
+        "min_quality_admitted",
     )

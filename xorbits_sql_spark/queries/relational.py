@@ -588,8 +588,17 @@ def q59_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.datediff("l_shipdate", "o_orderdate").cast("bigint"))
             .cast("bigint")
             .alias("total_wait_days"),
+            # timestamp-preserving +60 days (not F.date_add, which
+            # truncates the TIMESTAMP to DATE first): the oracle's
+            # `+ INTERVAL 60 DAY` keeps the time-of-day component, and
+            # the columns are timestamp[us] — equal only by accident of
+            # midnight-aligned testdata otherwise.
             F.sum(
-                F.when(F.col("l_shipdate") <= F.date_add("o_orderdate", 60), 1).otherwise(0)
+                F.when(
+                    F.col("l_shipdate")
+                    <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
             )
             .cast("bigint")
             .alias("shipped_fast"),
@@ -2979,8 +2988,8 @@ def t75_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     abc AS (
       SELECT l_partkey,
-             CASE WHEN cum <= 0.80 * total THEN 'A'
-                  WHEN cum <= 0.95 * total THEN 'B'
+             CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                  WHEN 20 * cum <= 19 * total THEN 'B'
                   ELSE 'C' END AS abc_class
       FROM walk
     )
@@ -3048,10 +3057,14 @@ def t76_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("revenue").over(wwalk).alias("cum"),
         F.sum("revenue").over(W.partitionBy()).alias("total"),
     )
+    # integer-scaled boundaries (the t27 form): a Python float literal
+    # (0.80 * total) coerces the DECIMAL to DOUBLE on the Spark side
+    # while DuckDB keeps exact DECIMAL, so a part within one double ulp
+    # of the boundary could classify differently across engines.
     abc = walk.select(
         "l_partkey",
-        F.when(F.col("cum") <= 0.80 * F.col("total"), "A")
-        .when(F.col("cum") <= 0.95 * F.col("total"), "B")
+        F.when(5 * F.col("cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("total"), "B")
         .otherwise("C")
         .alias("abc_class"),
     )

@@ -4184,11 +4184,18 @@ def t92_chao1_vocabulary_richness(
       LEFT JOIN comp c ON c.id = d.doc_id
       WHERE c.id IS NULL OR c.id = c.component
     ),
+    -- The residual pass RE-RUNS pair generation over the survivors
+    -- (partition_col=None, max_df=50): the hot-shingle guard is
+    -- recomputed GLOBALLY over the survivor set, not inherited from
+    -- the cluster pass's per-(shingle, source) full-corpus guard —
+    -- the two bases diverge whenever a shingle's survivor DF crosses
+    -- 50 in either direction (round-7 review finding).
     s_shingled AS (
-      SELECT sh.doc_id, sh.shingle
-      FROM (
-        SELECT doc_id, source, shingle FROM kept
-      ) sh JOIN survivors s ON s.doc_id = sh.doc_id
+      SELECT doc_id, shingle FROM (
+        SELECT sh.doc_id, sh.shingle,
+               COUNT(*) OVER (PARTITION BY sh.shingle) AS df
+        FROM shingled sh JOIN survivors s ON s.doc_id = sh.doc_id
+      ) WHERE df <= 50
     ),
     s_sizes AS (
       SELECT doc_id, COUNT(*) AS ss FROM s_shingled GROUP BY doc_id
