@@ -148,16 +148,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + extensions."""
-    return {
-        _rotated(name): spec.fn for name, spec in _exposed(load_all().items())
-    }
+    specs = load_all()
+    out = {_rotated(name): spec.fn for name, spec in _exposed(specs.items())}
+    # The z-rotation folds four name families (q/r/s/t) into one shared
+    # namespace: two green queries sharing digits+suffix would silently
+    # merge into one dict key and a verified query would vanish from
+    # the exposed registry. Refuse instead.
+    if len(out) != len(specs):
+        raise RuntimeError(
+            f"rotated-name collision: {len(specs)} registry entries "
+            f"exposed as {len(out)} keys"
+        )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
     streaming ops — driver records a rows-only check for those)."""
-    return {
+    specs = load_all()
+    out = {
         _rotated(name): spec.oracle
-        for name, spec in _exposed(load_all().items())
+        for name, spec in _exposed(specs.items())
         if spec.oracle is not None
     }
+    n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    if len(out) != n_oracle:  # see queries(): rotated-namespace collision
+        raise RuntimeError(
+            f"rotated-name collision: {n_oracle} oracle entries "
+            f"exposed as {len(out)} keys"
+        )
+    return out

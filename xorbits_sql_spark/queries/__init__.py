@@ -46,6 +46,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        # A reused name would silently REPLACE the earlier query — it
+        # would vanish from queries()/oracle_sql(), the driver window,
+        # and the parity tests with nothing flagging the shrink. With
+        # 339 hand-numbered names across 8 modules, make it loud.
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
         return fn
 

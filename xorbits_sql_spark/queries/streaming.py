@@ -1,10 +1,14 @@
-"""Streaming query inventory entries (rows-only correctness checks).
+"""Streaming query inventory entries.
 
-Structured Streaming results can't be expressed as DuckDB SQL, so these
-entries omit oracles — the driver records a rows-only check. Full
-correctness is still verified: tests/test_streaming.py asserts the
-streaming tumbling aggregation equals the batch q50_events_hourly
-result on the same data.
+Most entries here carry FULL DuckDB value oracles: a bounded file
+stream driven to completion produces a deterministic final result
+(finalized windows, converged CDC snapshots), which plain batch SQL can
+mirror — so hash-grade verification applies. Only operators whose
+output depends on arrival order or per-batch float accumulation
+(s68's Welford state) genuinely can't be expressed as DuckDB SQL and
+register ``oracle=None`` (the driver records a rows-only check; their
+output schemas are pinned in tests/test_oracle_parity.py). Multi-batch
+behavior is additionally pinned by tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -306,12 +310,24 @@ def r84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def s51_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     from ..streaming.sinks import upsert_latest_to_parquet
 
-    base = tempfile.mkdtemp(prefix="xss_upsert_")
+    # Deterministic per-sf_dir work dir, wiped before each run (fresh
+    # CDC state, no stale merge): mkdtemp leaked one snapshot +
+    # checkpoint per invocation, and the bench protocol re-runs the
+    # suite indefinitely (median-of-3 anchors, A/B adjudication) — the
+    # same bounded-reuse pattern as read_parquet_stream's stage dir.
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "xss_upsert_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
     snap = os.path.join(base, "snapshot")
     stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     upsert_latest_to_parquet(

@@ -16,11 +16,18 @@ from ._util import t
 from ..functions.vectors import norm
 from ..operators.similarity import brute_topk, ivf_topk, lsh_topk
 
-_COS = (
-    "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
-    " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
-)
+def _cos(a: str, b: str, av: str = "embedding", bv: str = "embedding") -> str:
+    """DuckDB cosine between ``a.av`` and ``b.bv`` (sequential double dots)."""
+    da, db = f"CAST({a}.{av} AS DOUBLE[])", f"CAST({b}.{bv} AS DOUBLE[])"
+    return (
+        f"list_dot_product({da}, {db})"
+        f" / (sqrt(list_dot_product({da}, {da})) * sqrt(list_dot_product({db}, {db})))"
+    )
+
+
+# The one cosine spelling, instantiated for the two alias conventions —
+# previously three hand-expanded copies that had to be kept in lockstep.
+_COS = _cos("q", "c")
 
 
 @register(
@@ -81,15 +88,6 @@ def q71_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_topk(queries, emb, k=3, bits=4, exclude_self=True)
         .select("qid", "cid", "cosine", F.col("rank").cast("int").alias("rank"))
         .orderBy("qid", "rank")
-    )
-
-
-def _cos(a: str, b: str, av: str = "embedding", bv: str = "embedding") -> str:
-    """DuckDB cosine between ``a.av`` and ``b.bv`` (sequential double dots)."""
-    da, db = f"CAST({a}.{av} AS DOUBLE[])", f"CAST({b}.{bv} AS DOUBLE[])"
-    return (
-        f"list_dot_product({da}, {db})"
-        f" / (sqrt(list_dot_product({da}, {da})) * sqrt(list_dot_product({db}, {db})))"
     )
 
 
@@ -396,11 +394,7 @@ def r70_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, cents, threshold=0.35).orderBy("vec_id")
 
 
-_COS_P = (
-    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
-    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
-)
+_COS_P = _cos("a", "b")
 
 
 _AUDIT_THRESHOLDS = (0.25, 0.3, 0.35)
@@ -467,11 +461,17 @@ def r87_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.vectors import dot
 
+    # try_divide, not `/`: ANSI mode aborts the whole job with
+    # DIVIDE_BY_ZERO on the first zero-norm embedding, while DuckDB's
+    # `/` yields NULL — try_divide's NULL matches, and NULL cosines
+    # fall out of every `cosine > th` count identically on both sides.
     pairs = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            F.try_divide(
+                dot(F.col("qvec"), F.col("cvec")), F.col("qn") * F.col("cn")
+            ).alias("cosine"),
             (F.col("ba") == F.col("bb")).alias("same_bucket"),
         )
     )
@@ -487,7 +487,11 @@ def r87_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(th).alias("threshold"),
             F.col(f"t{i}").cast("bigint").alias("n_true"),
             F.col(f"f{i}").cast("bigint").alias("n_found"),
-            (F.col(f"f{i}").cast("double") / F.col(f"t{i}")).alias("recall"),
+            # try_divide: zero true pairs at a threshold must yield a
+            # NULL recall (DuckDB's x/0), not an ANSI DIVIDE_BY_ZERO
+            F.try_divide(F.col(f"f{i}").cast("double"), F.col(f"t{i}")).alias(
+                "recall"
+            ),
         )
         for i, th in enumerate(_AUDIT_THRESHOLDS)
     ]
@@ -795,18 +799,32 @@ def t04_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT q.vec_id AS qid, c.vec_id AS cid,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY {_COS} DESC, c.vec_id) AS rank
-        FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+        FROM embeddings q JOIN embeddings c
+          ON c.vec_id >= 10
+         AND list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                              CAST(c.embedding AS DOUBLE[])) > 0
         WHERE q.vec_id < 10
+          AND list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])) > 0
       ) ranked WHERE rank <= 5
     ),
     pre AS (SELECT vec_id, embedding[1:8] AS embedding FROM embeddings),
+    -- zero-norm vectors are EXCLUDED on both sides, mirroring
+    -- brute_topk's _drop_zero_norm contract (an undefined cosine must
+    -- not rank, let alone rank first): a vector whose 8-dim PREFIX is
+    -- all zero is possible even when the full vector is not.
     pre_nn AS (
       SELECT qid, cid FROM (
         SELECT q.vec_id AS qid, c.vec_id AS cid,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY {_COS} DESC, c.vec_id) AS rank
-        FROM pre q JOIN pre c ON c.vec_id >= 10
+        FROM pre q JOIN pre c
+          ON c.vec_id >= 10
+         AND list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                              CAST(c.embedding AS DOUBLE[])) > 0
         WHERE q.vec_id < 10
+          AND list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])) > 0
       ) ranked WHERE rank <= 5
     )
     SELECT f.qid,
@@ -918,9 +936,12 @@ def t36_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("cid") == F.col("target"))
         .filter(F.col("cid") != F.col("qid"))
         .select(
-            (
-                dot(F.col("qvec"), F.col("cvec"))
-                / (F.col("qn") * F.col("cn"))
+            # try_divide: a zero-norm embedding must yield NULL like
+            # DuckDB's `/`, not an ANSI DIVIDE_BY_ZERO abort; NULL
+            # cosines drop out of SUM and stay in COUNT identically.
+            F.try_divide(
+                dot(F.col("qvec"), F.col("cvec")),
+                F.col("qn") * F.col("cn"),
             ).alias("cosine")
         )
     )
