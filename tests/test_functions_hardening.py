@@ -64,6 +64,25 @@ def test_read_csv_alias_schema_lookup(spark, tmp_path):
     assert [r["a"] for r in rows] == [1, 3]
 
 
+def test_read_csv_pattern_inside_literal_untouched(spark, tmp_path):
+    """A READ_CSV(...) pattern inside a string literal or comment must
+    NOT be rewritten into a view (the eager spark.read.csv would fail
+    the query loudly on the nonexistent path, and the literal would be
+    corrupted)."""
+    from xorbits_sql_spark import execute
+
+    p = tmp_path / "real.csv"
+    p.write_text("a\n1\n")
+    df = execute(
+        f"SELECT 'docs: READ_CSV(''fake.csv'')' AS note, a "
+        f"FROM READ_CSV('{p}') AS t -- READ_CSV('also_fake.csv')",
+        spark=spark,
+    )
+    rows = df.collect()
+    assert [r["a"] for r in rows] == [1]
+    assert rows[0]["note"] == "docs: READ_CSV('fake.csv')"
+
+
 def test_normalize_event_ts_floors_negative_nanos(spark):
     """DuckDB floors TIMESTAMP_NS -> TIMESTAMP (-1500 ns -> -2 us);
     Spark's `div` truncates to -1 — the loader must floor."""

@@ -80,8 +80,25 @@ def register_csv_reads(
     """
     counter = 0
 
+    # Literal/comment spans: the regex must never fire inside a string
+    # literal or comment ("SELECT 'docs: READ_CSV(''a.csv'')'" is a
+    # legal query whose literal must survive — and the eager
+    # spark.read.csv a match triggers would fail it loudly on the
+    # nonexistent path). Spans come from the same lexer transpile uses.
+    from .. import dialect as _dialect
+
+    literal_spans: list[tuple[int, int]] = []
+    pos = 0
+    for kind, text in _dialect.tokenize(sql):
+        end = pos + len(text)
+        if kind in ("string", "dquoted", "comment", "backtick", "bracket"):
+            literal_spans.append((pos, end))
+        pos = end
+
     def replace(m: re.Match[str]) -> str:
         nonlocal counter
+        if any(a <= m.start() < b for a, b in literal_spans):
+            return m.group(0)
         path, opts = _parse_args(m.group("args"))
         delimiter = opts.pop("delimiter", opts.pop("sep", ","))
         stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
