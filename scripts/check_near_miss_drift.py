@@ -71,23 +71,29 @@ def near_misses(path: str) -> set[str] | None:
 def consecutive_repeats(
     rounds: list[tuple[int, set[str] | None]],
 ) -> dict[str, list[int]]:
-    """{query: [rounds...]} for queries near-missed in >= 2 consecutive
-    evaluated rounds. Rounds with no adjudication data (None) break a
-    streak conservatively — absence of evidence is not a repeat."""
-    repeats: dict[str, list[int]] = {}
+    """{query: sorted rounds belonging to any >=2-round consecutive
+    near-miss streak}. Rounds with no adjudication data (None) break a
+    streak conservatively — absence of evidence is not a repeat. A
+    query with two disjoint streaks reports BOTH in full (e.g. rounds
+    [5,6] and [8,9] -> [5,6,8,9])."""
+    streaks: dict[str, list[int]] = {}  # current live streak per name
+    repeats: dict[str, set[int]] = {}
     prev_round: int | None = None
-    prev_set: set[str] = set()
     for rnd, names in rounds:
         if names is None:
-            prev_round, prev_set = None, set()
+            prev_round = None
+            streaks.clear()
             continue
-        if prev_round is not None and rnd == prev_round + 1:
-            for name in names & prev_set:
-                runs = repeats.setdefault(name, [prev_round])
-                if runs[-1] != rnd:
-                    runs.append(rnd)
-        prev_round, prev_set = rnd, names
-    return repeats
+        contiguous = prev_round is not None and rnd == prev_round + 1
+        streaks = {
+            name: (streaks.get(name, []) if contiguous else []) + [rnd]
+            for name in names
+        }
+        for name, runs in streaks.items():
+            if len(runs) >= 2:
+                repeats.setdefault(name, set()).update(runs)
+        prev_round = rnd
+    return {name: sorted(runs) for name, runs in repeats.items()}
 
 
 def main() -> int:

@@ -83,6 +83,15 @@ def test_near_miss_drift_tracker_units():
     assert mod.consecutive_repeats([(5, {"qa"}), (6, None), (7, {"qa"})]) == {}
     # different names never repeat
     assert mod.consecutive_repeats([(5, {"qa"}), (6, {"qb"})]) == {}
+    # two DISJOINT streaks both report in full (round-7 review finding:
+    # the second streak's starting round was dropped)
+    assert mod.consecutive_repeats(
+        [(5, {"qa"}), (6, {"qa"}), (7, set()), (8, {"qa"}), (9, {"qa"})]
+    ) == {"qa": [5, 6, 8, 9]}
+    # a 1-round reappearance after a gap is not a repeat
+    assert mod.consecutive_repeats(
+        [(5, {"qa"}), (6, {"qa"}), (7, set()), (8, {"qa"})]
+    ) == {"qa": [5, 6]}
 
 
 def test_near_miss_repeats_are_escalated_in_baseline_md():

@@ -110,6 +110,44 @@ def test_alias_shadowing_is_scoped_to_its_query_block(spark):
     assert [r["t"] for r in corr] == [7]
 
 
+def test_derived_table_alias_does_not_shadow_its_own_body(spark):
+    """FROM (SELECT .. FROM db.t) AS db: the alias is not in scope
+    inside the subquery that defines it, so the inner db.t must still
+    rewrite to the flattened view (round-7 review finding — the scoped
+    shadowing bound the alias at the outer path, which is a prefix of
+    the subquery body's path too)."""
+    tables = {"db": {"t": [{"v": 5}]}}
+    got = execute(
+        "SELECT v FROM (SELECT v FROM db.t WHERE v > 0) AS db",
+        tables=tables,
+        spark=spark,
+    ).collect()
+    assert [r["v"] for r in got] == [5]
+    # ...and the alias still shadows where it IS in scope (outside)
+    got2 = execute(
+        "SELECT db.v FROM (SELECT v FROM db.t) AS db",
+        tables=tables,
+        spark=spark,
+    ).collect()
+    assert [r["v"] for r in got2] == [5]
+
+
+def test_read_csv_guard_lexes_mysql_escapes(spark, tmp_path):
+    """READ_CSV rewriting runs pre-transpile on raw dialect text: for
+    mysql input the literal-span guard must lex backslash escapes, or
+    the phantom string opened at \\' swallows a REAL READ_CSV call
+    (round-7 review finding)."""
+    p = tmp_path / "m.csv"
+    p.write_text("a\n1\n")
+    got = execute(
+        rf"SELECT 'it\'s' AS x, a FROM READ_CSV('{p}') AS t",
+        dialect="mysql",
+        spark=spark,
+    ).collect()
+    assert [r["a"] for r in got] == [1]
+    assert got[0]["x"] == "it's"
+
+
 def test_qualified_rewrite_lexes_backslash_escapes_like_spark(spark):
     """Post-transpile text is Spark SQL, where backslash escapes a quote
     inside a string literal; mysql-fallback output legally contains

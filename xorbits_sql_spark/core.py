@@ -47,7 +47,9 @@ def _ident_lower(tok: tuple[str, str]) -> str:
     return text.lower()
 
 
-def _scope_paths(tokens: list[tuple[str, str]]) -> list[tuple[int, ...]]:
+def _scope_paths(
+    tokens: list[tuple[str, str]],
+) -> tuple[list[tuple[int, ...]], dict[int, int]]:
     """Per-token scope path: the stack of enclosing paren-group ids.
 
     Each ``(`` opens a new uniquely-numbered scope; a binding made at
@@ -57,14 +59,21 @@ def _scope_paths(tokens: list[tuple[str, str]]) -> list[tuple[int, ...]]:
     to sibling and outer blocks). The open/close parens themselves
     carry the OUTER path, so ``FROM (`` and its alias after ``)`` sit
     in the scope that binds the alias.
+
+    Also returns {token index of '(' : group id it opens} so a
+    derived-table alias can exclude the group it NAMES from its own
+    shadow (``FROM (SELECT .. FROM db.t) AS db``: the alias is not in
+    scope inside the subquery that defines it).
     """
     paths: list[tuple[int, ...]] = []
+    opened: dict[int, int] = {}
     stack: list[int] = []
     counter = 0
-    for k, t in tokens:
+    for j, (k, t) in enumerate(tokens):
         if (k, t) == ("op", "("):
             paths.append(tuple(stack))
             counter += 1
+            opened[j] = counter
             stack.append(counter)
         elif (k, t) == ("op", ")"):
             if stack:
@@ -72,29 +81,37 @@ def _scope_paths(tokens: list[tuple[str, str]]) -> list[tuple[int, ...]]:
             paths.append(tuple(stack))
         else:
             paths.append(tuple(stack))
-    return paths
+    return paths, opened
 
 
 def _table_aliases(
-    tokens: list[tuple[str, str]], paths: list[tuple[int, ...]]
-) -> dict[str, list[tuple[int, ...]]]:
+    tokens: list[tuple[str, str]],
+    paths: list[tuple[int, ...]],
+    opened: dict[int, int],
+) -> dict[str, list[tuple[tuple[int, ...], int | None]]]:
     """Lower-cased table aliases bound by FROM/JOIN clauses (explicit
     ``AS x`` and bare ``FROM t x`` forms, including subquery aliases),
-    each with the scope path of its binding site. These shadow
-    registered qualified names only within the query block that binds
-    them (and its nested subqueries) — a derived table aliased ``db``
-    inside one subquery must not suppress rewriting of a registered
-    ``db.t`` in an unrelated outer or sibling scope."""
+    each with (scope path of its binding site, excluded group id or
+    None). These shadow registered qualified names only within the
+    query block that binds them (and its nested subqueries) — a
+    derived table aliased ``db`` inside one subquery must not suppress
+    rewriting of a registered ``db.t`` in an unrelated outer or
+    sibling scope. The excluded group is the derived table's own paren
+    group: ``FROM (SELECT .. FROM db.t) AS db`` must still rewrite the
+    INNER db.t, because the alias is not in scope inside the subquery
+    that defines it."""
     code = [j for j, (k, _) in enumerate(tokens) if k not in ("ws", "comment")]
     n = len(code)
 
     def tok(p: int) -> tuple[str, str]:
         return tokens[code[p]]
 
-    aliases: dict[str, list[tuple[int, ...]]] = {}
+    aliases: dict[str, list[tuple[tuple[int, ...], int | None]]] = {}
 
-    def bind(p: int) -> None:
-        aliases.setdefault(_ident_lower(tok(p)), []).append(paths[code[p]])
+    def bind(p: int, excluded: int | None = None) -> None:
+        aliases.setdefault(_ident_lower(tok(p)), []).append(
+            (paths[code[p]], excluded)
+        )
 
     pos = 0
     while pos < n:
@@ -102,12 +119,14 @@ def _table_aliases(
         pos += 1
         if k != "word" or t.upper() not in ("FROM", "JOIN"):
             continue
+        excluded: int | None = None
         if pos < n and tok(pos) == ("op", "("):
             # Derived table / lateral subquery: scan ahead to the
             # matching ')' to find the alias that follows, but resume
             # the main scan INSIDE the group so FROM/JOIN aliases bound
             # within the subquery are collected too (in their own
             # scope) rather than skipped.
+            excluded = opened.get(code[pos])
             depth, ahead = 1, pos + 1
             while ahead < n and depth:
                 if tok(ahead) == ("op", "("):
@@ -147,13 +166,13 @@ def _table_aliases(
         ):
             alias_pos += 1
             if alias_pos < n and tok(alias_pos)[0] in ("word", "backtick"):
-                bind(alias_pos)
+                bind(alias_pos, excluded)
         elif alias_pos < n and tok(alias_pos)[0] in ("word", "backtick"):
             if (
                 tok(alias_pos)[0] == "backtick"
                 or tok(alias_pos)[1].upper() not in _NON_ALIAS_WORDS
             ):
-                bind(alias_pos)
+                bind(alias_pos, excluded)
     return aliases
 
 
@@ -182,7 +201,7 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
     if not multi:
         return sql
     tokens = _dialect.tokenize_spark(sql)
-    paths = _scope_paths(tokens)
+    paths, opened = _scope_paths(tokens)
     # Table aliases declared in the query SHADOW registered names:
     # ``SELECT db.t FROM orders AS db`` references the alias's column t,
     # not a table registered as ('db','t') — rewriting it would corrupt
@@ -191,13 +210,21 @@ def _rewrite_qualified_names(sql: str, registered: Mapping[tuple[str, ...], str]
     # it (binding path is a prefix of the match's path), so an alias
     # ``db`` inside one subquery no longer disables rewriting of
     # registered db.t references in unrelated scopes.
-    shadowed = _table_aliases(tokens, paths)
+    shadowed = _table_aliases(tokens, paths, opened)
 
     def _is_shadowed(head: str, at: int) -> bool:
         here = paths[at]
-        return any(
-            here[: len(bound)] == bound for bound in shadowed.get(head, ())
-        )
+        for bound, excluded in shadowed.get(head, ()):
+            if here[: len(bound)] != bound:
+                continue  # binding scope does not enclose this token
+            if (
+                excluded is not None
+                and len(here) > len(bound)
+                and here[len(bound)] == excluded
+            ):
+                continue  # inside the derived table the alias names
+            return True
+        return False
 
     def part_matches(idx: int, part: str) -> bool:
         kind, text = tokens[idx]
@@ -296,7 +323,14 @@ def execute(
 
     # Transpile first: qualified-name rewriting then sees Spark quoting
     # (backticks) regardless of the input dialect's identifier style.
-    text = register_csv_reads(spark, sql, schema)
+    # READ_CSV rewriting runs on the RAW dialect text, so its
+    # literal-span guard must lex the way the source dialect does
+    # (mysql-family: backslash escapes + '#' comments).
+    mysql_family = (
+        _dialect._DIALECT_FAMILY.get((dialect or "").lower(), (dialect or "").lower())
+        == "mysql"
+    )
+    text = register_csv_reads(spark, sql, schema, mysql=mysql_family)
     text = _dialect.transpile(text, dialect)
     text = _rewrite_qualified_names(text, registered)
 

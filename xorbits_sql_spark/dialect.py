@@ -114,40 +114,43 @@ _DQUOTE_IDENT_DIALECTS = {
 # ---------------------------------------------------------------------------
 # Lexer
 
-_TOKEN = re.compile(
-    r"""
+# One lexer template, three comment/string-escape instantiations —
+# keeping the shared branches (identifiers, numbers, operators) in ONE
+# place so a future fix cannot silently desynchronize pre- and
+# post-transpile lexing.
+def _lexer(comment: str, string: str, dquoted: str) -> re.Pattern[str]:
+    return re.compile(
+        rf"""
       (?P<ws>\s+)
-    | (?P<comment>--[^\n]*|/\*.*?\*/)
-    | (?P<string>[xX]?'(?:[^']|'')*')
-    | (?P<dquoted>"(?:[^"]|"")*")
+    | (?P<comment>{comment})
+    | (?P<string>{string})
+    | (?P<dquoted>{dquoted})
     | (?P<backtick>`(?:[^`]|``)*`)
     | (?P<bracket>\[[^\]\[]*\])
     | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
     | (?P<word>[A-Za-z_][\w$]*)
     | (?P<op>::|<=>|<=|>=|<>|!=|\|\||->>|->|.)
     """,
-    re.VERBOSE | re.DOTALL,
+        re.VERBOSE | re.DOTALL,
+    )
+
+
+# ANSI: '' doubles a quote inside a string; backslash is literal.
+_TOKEN = _lexer(
+    r"--[^\n]*|/\*.*?\*/",
+    r"[xX]?'(?:[^']|'')*'",
+    r'"(?:[^"]|"")*"',
 )
 
 # MySQL-family lexing (mysql + doris/starrocks wire dialects): the
 # default sql_mode treats backslash as a string escape, so ``'\''`` is
 # one quote INSIDE a string, not a terminator — lexing it with the ANSI
 # rule splits the literal and later rewrites corrupt its contents.
-# ``#`` also opens a line comment. Only the string/comment groups
-# differ from _TOKEN.
-_TOKEN_MYSQL = re.compile(
-    r"""
-      (?P<ws>\s+)
-    | (?P<comment>--[^\n]*|\#[^\n]*|/\*.*?\*/)
-    | (?P<string>[xX]?'(?:[^'\\]|''|\\.)*')
-    | (?P<dquoted>"(?:[^"\\]|""|\\.)*")
-    | (?P<backtick>`(?:[^`]|``)*`)
-    | (?P<bracket>\[[^\]\[]*\])
-    | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
-    | (?P<word>[A-Za-z_][\w$]*)
-    | (?P<op>::|<=>|<=|>=|<>|!=|\|\||->>|->|.)
-    """,
-    re.VERBOSE | re.DOTALL,
+# ``#`` also opens a line comment.
+_TOKEN_MYSQL = _lexer(
+    r"--[^\n]*|\#[^\n]*|/\*.*?\*/",
+    r"[xX]?'(?:[^'\\]|''|\\.)*'",
+    r'"(?:[^"\\]|""|\\.)*"',
 )
 
 # Spark-SQL lexing (for text that is ALREADY Spark SQL, i.e.
@@ -156,21 +159,12 @@ _TOKEN_MYSQL = re.compile(
 # lex the way Spark will, or a registered db.table pattern appearing
 # after a ``\'`` inside a literal gets rewritten, silently corrupting
 # the string (mysql-family fallback output legally contains such
-# escapes). Identical to _TOKEN_MYSQL minus the ``#`` line comment,
-# which Spark does not recognize.
-_TOKEN_SPARK = re.compile(
-    r"""
-      (?P<ws>\s+)
-    | (?P<comment>--[^\n]*|/\*.*?\*/)
-    | (?P<string>[xX]?'(?:[^'\\]|''|\\.)*')
-    | (?P<dquoted>"(?:[^"\\]|""|\\.)*")
-    | (?P<backtick>`(?:[^`]|``)*`)
-    | (?P<bracket>\[[^\]\[]*\])
-    | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
-    | (?P<word>[A-Za-z_][\w$]*)
-    | (?P<op>::|<=>|<=|>=|<>|!=|\|\||->>|->|.)
-    """,
-    re.VERBOSE | re.DOTALL,
+# escapes). MySQL escapes minus the ``#`` line comment, which Spark
+# does not recognize.
+_TOKEN_SPARK = _lexer(
+    r"--[^\n]*|/\*.*?\*/",
+    r"[xX]?'(?:[^'\\]|''|\\.)*'",
+    r'"(?:[^"\\]|""|\\.)*"',
 )
 
 _LITERAL_KINDS = frozenset({"string", "dquoted", "backtick", "bracket", "comment"})

@@ -317,17 +317,20 @@ def s51_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.sinks import upsert_latest_to_parquet
 
-    # Deterministic per-sf_dir work dir, wiped before each run (fresh
-    # CDC state, no stale merge): mkdtemp leaked one snapshot +
-    # checkpoint per invocation, and the bench protocol re-runs the
-    # suite indefinitely (median-of-3 anchors, A/B adjudication) — the
-    # same bounded-reuse pattern as read_parquet_stream's stage dir.
+    # Deterministic per-(sf_dir, process) work dir, wiped before each
+    # run (fresh CDC state, no stale merge): mkdtemp leaked one
+    # snapshot + checkpoint per INVOCATION, and the bench protocol
+    # re-runs the suite indefinitely (median-of-3 anchors, A/B
+    # adjudication) — now bounded at one dir per process. The pid
+    # component keeps concurrent sessions (bench overlapping a test
+    # run) from rmtree'ing each other's live checkpoint mid-stream.
     base = os.path.join(
         tempfile.gettempdir(),
-        "xss_upsert_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "xss_upsert_%s_%d"
+        % (hashlib.md5(sf_dir.encode()).hexdigest()[:12], os.getpid()),
     )
     shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
+    os.makedirs(base, exist_ok=True)
     snap = os.path.join(base, "snapshot")
     stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     upsert_latest_to_parquet(

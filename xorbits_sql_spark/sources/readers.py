@@ -71,13 +71,22 @@ def register_csv_reads(
     spark: SparkSession,
     sql: str,
     schema: Mapping[str, Any] | None = None,
+    mysql: bool = False,
 ) -> str:
     """Replace READ_CSV(...) table functions with temp views; return new SQL.
 
     When the READ_CSV call is aliased (``FROM READ_CSV(...) AS t``) and the
     schema dict has an entry for the alias or the file stem, that schema
     types the scan (reference executor.py:303-306 behavior).
+
+    ``mysql`` selects backslash-escape + '#'-comment lexing for the
+    literal-span guard below — this rewrite runs PRE-transpile on raw
+    dialect text, so the caller must say how that dialect lexes strings
+    (the same pre/post-lexing discipline as core's qualified-name
+    rewrite).
     """
+    if not _READ_CSV.search(sql):
+        return sql  # hot path: no READ_CSV — skip the lexing entirely
     counter = 0
 
     # Literal/comment spans: the regex must never fire inside a string
@@ -89,7 +98,7 @@ def register_csv_reads(
 
     literal_spans: list[tuple[int, int]] = []
     pos = 0
-    for kind, text in _dialect.tokenize(sql):
+    for kind, text in _dialect.tokenize(sql, mysql=mysql):
         end = pos + len(text)
         if kind in ("string", "dquoted", "comment", "backtick", "bracket"):
             literal_spans.append((pos, end))
