@@ -105,6 +105,50 @@ def disc_price() -> Column:
 SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
 
 
+def copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = 2, cap: int = 64
+) -> DataFrame:
+    """Support-thresholded part co-purchase edges (p1 < p2).
+
+    The one edge construction the graph-query family (s49 triangles,
+    s77 k-core, t11 Adamic-Adar, t17 assortativity, t54 giant
+    component) shares — previously respelled per query, with the
+    power-law per-key cap present only in t54 (round-7 review).
+
+    Per-key cap: only the ``cap`` first (partkey, linenumber) lines of
+    each order feed the wedge self-join, bounding it at cap² rows per
+    order key even on power-law data (TPC-H baskets are <= 13, so
+    results here are unchanged). Deterministic tie-break mirrored in
+    every oracle's ``basket`` CTE::
+
+        SELECT l_orderkey, l_partkey FROM (
+          SELECT l_orderkey, l_partkey,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_partkey, l_linenumber) AS rn
+          FROM lineitem) WHERE rn <= 64
+    """
+    li = capped_group_rows(
+        t(spark, sf_dir, "lineitem"),
+        key="l_orderkey",
+        order=("l_partkey", "l_linenumber"),
+        cap=cap,
+    ).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_support)
+        .select("p1", "p2")
+    )
+
+
 def capped_group_rows(
     df: DataFrame, key: str | list[str], order: tuple[str, ...], cap: int
 ) -> DataFrame:

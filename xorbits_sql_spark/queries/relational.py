@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from . import register
-from ._util import dsum, sql_dsum, t
+from ._util import copurchase_edges, dsum, sql_dsum, t
 from ..core import execute
 
 
@@ -2262,9 +2262,20 @@ def s48_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s49_triangle_count",
     """
-    WITH edges AS (
+    WITH basket AS (
+      -- per-key cap mirroring copurchase_edges(cap=64): bounds the
+      -- wedge self-join at 64^2 rows/order on power-law data (TPC-H
+      -- baskets <= 13, results unchanged)
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_partkey, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 64
+    ),
+    edges AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2
-      FROM lineitem a JOIN lineitem b
+      FROM basket a JOIN basket b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       HAVING COUNT(*) >= 2
@@ -2308,22 +2319,7 @@ def s48_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s49_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _persist
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
-    edges = _persist(edges)  # released via release_caches(), same contract
+    edges = _persist(copurchase_edges(spark, sf_dir))  # released via release_caches(), same contract
     # as the dedup pair generators (README "operator caches")
     deg = (
         edges.select(F.col("p1").alias("p"))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from . import register
-from ._util import t
+from ._util import copurchase_edges, t
 from ..functions.stats import (
     exp9,
     hash_cohort,
@@ -706,9 +706,20 @@ def s76_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s77_kcore_peel",
     """
-    WITH edges0 AS (
+    WITH basket AS (
+      -- per-key cap mirroring copurchase_edges(cap=64): bounds the
+      -- wedge self-join at 64^2 rows/order on power-law data (TPC-H
+      -- baskets <= 13, results unchanged)
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_partkey, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 64
+    ),
+    edges0 AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2
-      FROM lineitem a JOIN lineitem b
+      FROM basket a JOIN basket b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       HAVING COUNT(*) >= 2
@@ -758,19 +769,7 @@ def s76_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s77_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _persist
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges0 = _persist(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
+    edges0 = _persist(copurchase_edges(spark, sf_dir))
 
     def degrees(edges: DataFrame) -> DataFrame:
         return (
@@ -2463,9 +2462,16 @@ def t07_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def t09_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _persist
+
     ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("x")
+    # persisted: feeds 4 plan branches (both self-join sides, n, ties)
+    # — without it each branch re-scans and re-aggregates the events
+    # fact (the t67 fan-out lesson, stats.py round-6 review)
+    daily = _persist(
+        ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("x")
+        )
     )
     a, b = daily.alias("a"), daily.alias("b")
     sgn = (
@@ -2574,9 +2580,20 @@ def t10_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t11_adamic_adar_linkpred",
     """
-    WITH pairs_raw AS (
+    WITH basket AS (
+      -- per-key cap mirroring copurchase_edges(cap=64): bounds the
+      -- wedge self-join at 64^2 rows/order on power-law data (TPC-H
+      -- baskets <= 13, results unchanged)
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_partkey, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 64
+    ),
+    pairs_raw AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2
-      FROM lineitem a JOIN lineitem b
+      FROM basket a JOIN basket b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       HAVING COUNT(*) >= 2
@@ -2630,23 +2647,7 @@ def t10_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t11_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _persist
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
-    edges = _persist(edges)
+    edges = _persist(copurchase_edges(spark, sf_dir))
     adj = edges.select(
         F.col("p1").alias("u"), F.col("p2").alias("z")
     ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("z")))
@@ -2964,9 +2965,20 @@ def t16_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t17_degree_assortativity",
     """
-    WITH edges AS (
+    WITH basket AS (
+      -- per-key cap mirroring copurchase_edges(cap=64): bounds the
+      -- wedge self-join at 64^2 rows/order on power-law data (TPC-H
+      -- baskets <= 13, results unchanged)
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_partkey, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 64
+    ),
+    edges AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2
-      FROM lineitem a JOIN lineitem b
+      FROM basket a JOIN basket b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       HAVING COUNT(*) >= 2
@@ -3016,23 +3028,7 @@ def t17_degree_assortativity(
 ) -> DataFrame:
     from ..operators.dedup import _persist
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("b.l_partkey").alias("p2"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
-    edges = _persist(edges)
+    edges = _persist(copurchase_edges(spark, sf_dir))
     adj = edges.select(
         F.col("p1").alias("u"), F.col("p2").alias("v")
     ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
@@ -4327,12 +4323,19 @@ def t33_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev")
     )
+    from ..operators.dedup import _persist
+
     wtype = W.partitionBy("event_type")
-    indexed = daily.select(
-        "event_type",
-        "rev",
-        F.row_number().over(wtype.orderBy("day")).alias("i"),
-        F.count(F.lit(1)).over(wtype).alias("n"),
+    # persisted: feeds 3-4 plan branches (both pair-join sides, the
+    # actuals join, the naive lag) — each would otherwise re-scan and
+    # re-aggregate the events fact (the t67 fan-out lesson)
+    indexed = _persist(
+        daily.select(
+            "event_type",
+            "rev",
+            F.row_number().over(wtype.orderBy("day")).alias("i"),
+            F.count(F.lit(1)).over(wtype).alias("n"),
+        )
     )
     o = indexed.alias("o")
     h = indexed.alias("h")
@@ -4560,7 +4563,11 @@ def t35_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(c.stratum AS INT) AS activity_quartile,
            CAST(c.c_a AS DOUBLE) / CAST(c.n_a AS DOUBLE) AS p_a,
            CAST(c.c_b AS DOUBLE) / CAST(c.n_b AS DOUBLE) AS p_b,
-           CASE WHEN (c.c_a * c.n_b - c.c_b * c.n_a) * o.num < 0
+           -- sign comparison, never the PRODUCT of the two cross
+           -- terms: each is O(n_users^2/16), so their product blows
+           -- through int64 at ~10M users and ANSI/DuckDB abort
+           CASE WHEN ((c.c_a * c.n_b - c.c_b * c.n_a) < 0 AND o.num > 0)
+                  OR ((c.c_a * c.n_b - c.c_b * c.n_a) > 0 AND o.num < 0)
                 THEN 1 ELSE 0 END AS sign_flips_vs_overall
     FROM cells c CROSS JOIN overall o
     ORDER BY activity_quartile
@@ -4630,7 +4637,14 @@ def t37_simpson_paradox_detector(
             (F.col("c_b").cast("double") / F.col("n_b").cast("double")).alias(
                 "p_b"
             ),
-            F.when(strat_num * F.col("num") < 0, 1)
+            # sign comparison, never the product (each cross term is
+            # O(n_users^2/16); the product overflows int64 at ~10M
+            # users and ANSI aborts the job)
+            F.when(
+                ((strat_num < 0) & (F.col("num") > 0))
+                | ((strat_num > 0) & (F.col("num") < 0)),
+                1,
+            )
             .otherwise(0)
             .alias("sign_flips_vs_overall"),
         )
@@ -5435,35 +5449,12 @@ def t54_giant_component_share(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..operators.dedup import _persist, connected_components
-    from ._util import capped_group_rows
 
-    # Per-key cap (round-3 verdict "what's wrong" #3): bound each
-    # order's contribution to the wedge self-join at 64 lines so the
-    # operator stays safe on power-law keys, not just TPC-H baskets
-    # (max 13 lines/order here — results unchanged). Deterministic
-    # tie-break on (l_partkey, l_linenumber), mirrored in the oracle.
-    li = capped_group_rows(
-        t(spark, sf_dir, "lineitem"),
-        key="l_orderkey",
-        order=("l_partkey", "l_linenumber"),
-        cap=64,
-    ).select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    edges = _persist(
+        copurchase_edges(spark, sf_dir).select(
+            F.col("p1").alias("id_a"), F.col("p2").alias("id_b")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"),
-            F.col("b.l_partkey").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("id_a", "id_b")
     )
-    edges = _persist(edges)
     comp = connected_components(edges)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("k"))
     return sizes.agg(
@@ -6239,7 +6230,7 @@ def t66_forecast_reconciliation(
             (F.sum(w_term) + F.sum(init_term)).alias("f")
         )
 
-    bu = ses(daily.withColumn("day", F.col("day")), ["event_type"])
+    bu = ses(daily, ["event_type"])
     total_daily = daily.groupBy("day").agg(
         F.sum(F.col("rev").cast("decimal(28,12)"))
         .cast("double")
@@ -6527,12 +6518,19 @@ def t73_mean_margin_planning(
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     m AS (
+      -- 128-bit-first products (HUGEINT here, DECIMAL(38,0) chain on
+      -- the Spark side): cents*cents*cents in BIGINT overflows at
+      -- per-user spend >= ~$21k, far inside the documented 7-digit
+      -- cent envelope — ANSI Spark / DuckDB would abort mid-job.
       SELECT COUNT(*) AS n,
              SUM(CAST(cents AS DECIMAL(38,0))) AS s1,
-             SUM(CAST(cents * cents AS DECIMAL(38,0))) AS s2,
-             SUM(CAST(cents * cents * cents AS DECIMAL(38,0))) AS s3,
-             SUM(CAST(cents * cents AS DECIMAL(38,0))
-                 * CAST(cents * cents AS DECIMAL(38,0))) AS s4
+             SUM(CAST(CAST(cents AS HUGEINT) * cents
+                      AS DECIMAL(38,0))) AS s2,
+             SUM(CAST(CAST(cents AS HUGEINT) * cents * cents
+                      AS DECIMAL(38,0))) AS s3,
+             SUM(CAST((CAST(cents AS HUGEINT) * cents)
+                      * (CAST(cents AS HUGEINT) * cents)
+                      AS DECIMAL(38,0))) AS s4
       FROM u
     ),
     c AS (
@@ -6587,13 +6585,17 @@ def t82_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     dec = "decimal(38,0)"
-    c2 = F.col("cents") * F.col("cents")
+    # Decimal-first products (the moments_xy rule): cents*cents*cents
+    # in BIGINT overflows at per-user spend >= ~$21k — ANSI aborts the
+    # job. The decimal chain mirrors the oracle's HUGEINT arithmetic.
+    cd = F.col("cents").cast(dec)
+    c2 = (cd * F.col("cents")).cast(dec)
     m = u.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("cents").cast(dec)).alias("s1"),
-        F.sum(c2.cast(dec)).alias("s2"),
+        F.sum(cd).alias("s1"),
+        F.sum(c2).alias("s2"),
         F.sum((c2 * F.col("cents")).cast(dec)).alias("s3"),
-        F.sum(c2.cast(dec) * c2.cast(dec)).alias("s4"),
+        F.sum((c2 * c2).cast(dec)).alias("s4"),
     )
     dn = F.col("n").cast("double")
     d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
@@ -6828,7 +6830,7 @@ def t84_temporal_leakage_audit(
     ),
     naive AS (
       SELECT event_type, i AS t,
-             LAG(rev, 6) OVER (PARTITION BY event_type ORDER BY i)
+             LAG(rev, 7) OVER (PARTITION BY event_type ORDER BY i)
                AS yhat_naive
       FROM indexed
     ),
@@ -6859,7 +6861,7 @@ def t84_temporal_leakage_audit(
         "(predict what happened one week earlier) - forecasting's "
         "governance rule: a model that cannot beat the naive "
         "baseline (skill <= 0) should not ship, however "
-        "sophisticated. The naive forecast for day t+1 is the lag-6 "
+        "sophisticated. The naive forecast for day t+1 is the lag-7 "
         "value at index t+1 (same weekday one week prior); both "
         "error streams round to 6 and sum in DECIMAL over the same "
         "origins, so the skill ratio is exact-over-exact. Bounded "
@@ -6879,12 +6881,19 @@ def t85_forecast_skill_score(
         .cast("double")
         .alias("rev")
     )
+    from ..operators.dedup import _persist
+
     wtype = W.partitionBy("event_type")
-    indexed = daily.select(
-        "event_type",
-        "rev",
-        F.row_number().over(wtype.orderBy("day")).alias("i"),
-        F.count(F.lit(1)).over(wtype).alias("n"),
+    # persisted: feeds 3-4 plan branches (both pair-join sides, the
+    # actuals join, the naive lag) — each would otherwise re-scan and
+    # re-aggregate the events fact (the t67 fan-out lesson)
+    indexed = _persist(
+        daily.select(
+            "event_type",
+            "rev",
+            F.row_number().over(wtype.orderBy("day")).alias("i"),
+            F.count(F.lit(1)).over(wtype).alias("n"),
+        )
     )
     o, h = indexed.alias("o"), indexed.alias("h")
     w_term, init_term = ses_terms(F.col("o.i"), F.col("h.i"), F.col("h.rev"))
@@ -6904,7 +6913,7 @@ def t85_forecast_skill_score(
     naive = indexed.select(
         "event_type",
         F.col("i").alias("t"),
-        F.lag("rev", 6).over(wtype.orderBy("i")).alias("yhat_naive"),
+        F.lag("rev", 7).over(wtype.orderBy("i")).alias("yhat_naive"),
     )
     a = indexed.alias("a")
     errs = (
@@ -7110,12 +7119,15 @@ def t86_watermark_lateness_tradeoff(
 def t87_ljung_box_whiteness(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..operators.dedup import _persist
+
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    idx = daily.select(
-        "x", F.row_number().over(W.orderBy("day")).alias("i")
+    # persisted: feeds 3 plan branches (moments + both lag-join sides)
+    idx = _persist(
+        daily.select("x", F.row_number().over(W.orderBy("day")).alias("i"))
     )
     mom = idx.agg(
         F.count(F.lit(1)).alias("n"),
