@@ -20,6 +20,47 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def sessionize(
+    df: DataFrame,
+    gap_us: int = 1_800_000_000,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    tiebreak: str = "event_id",
+    flag_col: str = "new_session",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Append a lag-gap new-session flag (and optionally a running-sum
+    session id) to an event stream.
+
+    The canonical sessionization rule: a row opens a new session when
+    the microsecond gap to the user's previous event exceeds ``gap_us``
+    (default 30 min) or there is no previous event. ``tiebreak`` makes
+    the per-user order total so the flags (and therefore session ids)
+    are byte-identical across engines and shuffle orders. SQL mirror::
+
+        CASE WHEN ts - LAG(ts) OVER w > INTERVAL .. OR LAG(ts) OVER w
+             IS NULL THEN 1 ELSE 0 END  -- w = (PARTITION BY user
+                                        --      ORDER BY ts, tiebreak)
+
+    Previously respelled in q51/s22/t72 (round-7 review); one window
+    shuffle on the user key, and the optional session-id running sum
+    reuses the same window, so Catalyst plans a single Exchange.
+    """
+    w = W.partitionBy(user_col).orderBy(time_col, tiebreak)
+    gap = F.unix_micros(F.col(time_col)) - F.unix_micros(
+        F.lag(time_col).over(w)
+    )
+    out = df.withColumn(
+        flag_col, F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    )
+    if id_col is not None:
+        out = out.withColumn(
+            id_col,
+            F.sum(flag_col).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    return out
+
+
 def changes_only(
     df: DataFrame,
     key_cols: list[str],

@@ -105,6 +105,44 @@ def disc_price() -> Column:
 SQL_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
 
 
+def rank_median(
+    df: DataFrame,
+    keys: str | list[str],
+    col: str,
+    out: str,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Discrete rank-based per-group median: the value at rank
+    ceil(n/2) under a (col, tiebreak) total order — interpolation-free,
+    so it is engine-identical on integers and exact doubles alike.
+    Returns one row per key group with columns (*keys, out, n). SQL
+    mirror::
+
+        ROW_NUMBER() OVER (PARTITION BY keys ORDER BY col, tiebreak)
+          = CAST(ceil(0.5 * COUNT(*) OVER (PARTITION BY keys)) AS BIGINT)
+
+    Previously respelled in s21 (per event_type) and s30 (per user) —
+    round-7 review. One window shuffle on the keys; the count window
+    reuses the same partitioning.
+    """
+    from pyspark.sql.window import Window as W
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    ranked = df.select(
+        *key_list,
+        col,
+        F.row_number()
+        .over(W.partitionBy(*key_list).orderBy(col, tiebreak))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy(*key_list)).alias("n"),
+    )
+    at = F.ceil(F.lit(0.5) * F.col("n")).cast("bigint")
+    return ranked.groupBy(*key_list).agg(
+        F.max(F.when(F.col("rnk") == at, F.col(col))).alias(out),
+        F.max("n").alias("n"),
+    )
+
+
 def copurchase_edges(
     spark: SparkSession, sf_dir: str, min_support: int = 2, cap: int = 64
 ) -> DataFrame:

@@ -60,14 +60,11 @@ def q50_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sessionization via lag-gap > 30min; microsecond-exact integer math both engines.",
 )
 def q51_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    new_session = F.when(
-        gap_us.isNull() | (gap_us > 1_800_000_000), 1
-    ).otherwise(0)
+    from ..operators.temporal import sessionize
+
     return (
-        t(spark, sf_dir, "events")
-        .select("user_id", "event_id", new_session.alias("new_session"))
+        sessionize(t(spark, sf_dir, "events"))
+        .select("user_id", "event_id", "new_session")
         .groupBy("user_id")
         .agg(
             F.sum("new_session").cast("bigint").alias("n_sessions"),
@@ -862,7 +859,9 @@ def r57_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy("event_type")
         .agg(
             n.alias("n_days"),
-            ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope"),
+            # try_divide: a type active on a single day has zero x-variance
+            # — ANSI aborts on the 0 denominator where DuckDB yields NULL
+            F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx).alias("slope"),
         )
         .orderBy("event_type")
     )
@@ -957,7 +956,7 @@ def r58_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_cells,
            CAST(SUM(o) AS BIGINT) AS n_obs,
-           CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(28,12))) AS DOUBLE) AS chi2_contrib
+           CAST(SUM(CAST(round((o - e) * (o - e) / e, 12) AS DECIMAL(28,12))) AS DOUBLE) AS chi2_contrib
     FROM cells
     GROUP BY event_type
     ORDER BY event_type
@@ -999,7 +998,13 @@ def r59_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
             F.sum("o").cast("bigint").alias("n_obs"),
-            F.sum(contrib.cast("decimal(28,12)")).cast("double").alias("chi2_contrib"),
+            # round(x,12) BEFORE the decimal cast (repo determinism
+            # rule): a raw double->DECIMAL(28,12) cast rounds HALF_UP
+            # in Spark but HALF_EVEN in DuckDB, so a contribution whose
+            # 13th digit is a tie could hash-diverge
+            F.sum(F.round(contrib, 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("chi2_contrib"),
         )
         .orderBy("event_type")
     )
@@ -1402,10 +1407,14 @@ def s02_sequential_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click_after",
             "n_purchase_after",
-            (F.col("n_click_after").cast("double") / F.col("n_view")).alias("click_rate"),
-            (F.col("n_purchase_after").cast("double") / F.col("n_click_after")).alias(
-                "purchase_rate"
-            ),
+            # try_divide: an empty funnel stage must yield NULL rates
+            # (DuckDB x/0), not an ANSI DIVIDE_BY_ZERO abort
+            F.try_divide(
+                F.col("n_click_after").cast("double"), F.col("n_view")
+            ).alias("click_rate"),
+            F.try_divide(
+                F.col("n_purchase_after").cast("double"), F.col("n_click_after")
+            ).alias("purchase_rate"),
         )
     )
 
@@ -1750,28 +1759,16 @@ def s20_dod_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def s21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import rank_median
+
     ev = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
-
-    def rank_stat(df: DataFrame, col: str, out: str) -> DataFrame:
-        ranked = df.select(
-            "event_type",
-            col,
-            F.row_number()
-            .over(W.partitionBy("event_type").orderBy(col, "event_id"))
-            .alias("rnk"),
-            F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
-        )
-        at = F.ceil(F.lit(0.5) * F.col("n")).cast("bigint")
-        return ranked.groupBy("event_type").agg(
-            F.max(F.when(F.col("rnk") == at, F.col(col))).alias(out),
-            F.max("n").alias("n"),
-        )
-
-    med = rank_stat(ev, "value", "median").select("event_type", "median", "n")
+    med = rank_median(ev, "event_type", "value", "median").select(
+        "event_type", "median", "n"
+    )
     devs = ev.join(F.broadcast(med.select("event_type", "median")), "event_type").select(
         "event_type", "event_id", F.abs(F.col("value") - F.col("median")).alias("dev")
     )
-    mad = rank_stat(devs, "dev", "mad").select("event_type", "mad")
+    mad = rank_median(devs, "event_type", "dev", "mad").select("event_type", "mad")
     return (
         ev.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
@@ -1830,18 +1827,13 @@ def s21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def s22_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "ts",
-        "event_type",
-        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0).alias("new_session"),
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    from ..operators.temporal import sessionize
+
+    sess = sessionize(
+        t(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "event_type"
+        ),
+        id_col="session_id",
     )
     ordered = F.sort_array(
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
@@ -2174,26 +2166,13 @@ def s30_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tus") - F.lag("tus").over(wseq)).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
 
-    def rank_stat(df: DataFrame, col: str, out: str) -> DataFrame:
-        ranked = df.select(
-            "user_id",
-            col,
-            F.row_number()
-            .over(W.partitionBy("user_id").orderBy(col, "event_id"))
-            .alias("rnk"),
-            F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
-        )
-        at = F.ceil(F.lit(0.5) * F.col("n")).cast("bigint")
-        return ranked.groupBy("user_id").agg(
-            F.max(F.when(F.col("rnk") == at, F.col(col))).alias(out),
-            F.max("n").alias("n"),
-        )
+    from ._util import rank_median
 
-    med = rank_stat(g, "gap_us", "med")
+    med = rank_median(g, "user_id", "gap_us", "med")
     dev = g.join(med.select("user_id", "med"), "user_id").select(
         "user_id", "event_id", F.abs(F.col("gap_us") - F.col("med")).alias("d")
     )
-    mad = rank_stat(dev, "d", "mad").select("user_id", "mad")
+    mad = rank_median(dev, "user_id", "d", "mad").select("user_id", "mad")
     return (
         med.join(mad, "user_id")
         .filter(F.col("n") >= 20)
@@ -2202,9 +2181,15 @@ def s30_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_gaps"),
             F.col("med").cast("bigint").alias("median_gap_us"),
             F.col("mad").cast("bigint").alias("mad_gap_us"),
-            (F.col("mad").cast("double") / F.col("med")).alias("regularity"),
+            # try_divide: a metronomic user with majority-duplicate
+            # timestamps has median gap 0 — NULL regularity (DuckDB
+            # x/0), not an ANSI abort; nulls sort LAST on both engines
+            # (asc_nulls_last mirrors DuckDB's ASC default)
+            F.try_divide(F.col("mad").cast("double"), F.col("med")).alias(
+                "regularity"
+            ),
         )
-        .orderBy("regularity", "user_id")
+        .orderBy(F.asc_nulls_last("regularity"), "user_id")
         .limit(10)
     )
 
@@ -2713,9 +2698,11 @@ def t65_conversion_window_curve(
         joined.groupBy("k", "n_signups")
         .agg(
             hit.cast("bigint").alias("n_converted"),
-            (hit.cast("double") / F.col("n_signups").cast("double")).alias(
-                "conversion_rate"
-            ),
+            # try_divide: zero signups must yield NULL rates (DuckDB
+            # x/0), not an ANSI DIVIDE_BY_ZERO abort
+            F.try_divide(
+                hit.cast("double"), F.col("n_signups").cast("double")
+            ).alias("conversion_rate"),
         )
         .select(
             F.col("k").cast("int").alias("within_days"),
@@ -2894,33 +2881,12 @@ def t68_interval_union_coverage(
 def t72_entry_type_bounce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..operators.temporal import sessionize
+
     ev = t(spark, sf_dir, "events")
-    wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        F.when(
-            (
-                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wuser)
-                > 1800000000
-            )
-            | F.lag("ts").over(wuser).isNull(),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sessions = gaps.select(
-        "user_id",
-        "event_type",
-        "ts",
-        "event_id",
-        F.sum("new_session")
-        .over(wuser.rowsBetween(W.unboundedPreceding, 0))
-        .alias("sid"),
-    )
+    sessions = sessionize(
+        ev.select("user_id", "event_id", "event_type", "ts"), id_col="sid"
+    ).select("user_id", "event_type", "ts", "event_id", "sid")
     per_session = sessions.groupBy("user_id", "sid").agg(
         F.min_by(
             "event_type", F.struct("ts", "event_id")
