@@ -1190,3 +1190,84 @@ def test_oracle_to_char_case_fidelity(spark):
         transpile("SELECT TO_CHAR(d, 'MONTH') FROM t", "oracle")
     with pytest.raises(UnsupportedError, match="mixes case"):
         transpile("SELECT TO_CHAR(d, 'MON Dy') FROM t", "oracle")
+
+
+@pytestmark_fallback
+def test_backslash_escape_dialects_never_corrupt_literals(spark):
+    """clickhouse/bigquery/snowflake/redshift string literals escape
+    quotes with backslash; lexing them with the ANSI rule split the
+    literal and let rewrites corrupt its contents (round-7 review,
+    reproduced)."""
+    out = transpile(
+        r"SELECT toInt32(c) FROM t WHERE note = 'don\'t call toInt32(x) twice'",
+        "clickhouse",
+    )
+    assert "'don\\'t call toInt32(x) twice'" in out
+    assert out.startswith("SELECT CAST(c AS INT)")
+    out2 = transpile(r"SELECT IFF(b,1,2) AS z, 'it\'s IFF(b,1,2) ok' AS s FROM t", "snowflake")
+    assert "'it\\'s IFF(b,1,2) ok'" in out2 and "IF(b,1,2) AS z" in out2
+    # a literal containing QUALIFY must not trigger the wrap
+    out3 = transpile(r"SELECT a FROM t WHERE s = 'x\' QUALIFY y'", "bigquery")
+    assert "__qualify" not in out3
+
+
+@pytestmark_fallback
+def test_multi_statement_structural_rewrites_stay_per_statement():
+    """A trailing LIMIT from a TOP rewrite must land on ITS statement,
+    not the last one (round-7 review, reproduced)."""
+    out = transpile("SELECT TOP 5 a FROM t1; SELECT b FROM t2", "tsql")
+    first, second = out.split(";")
+    assert "LIMIT 5" in first and "LIMIT" not in second
+    # oracle ROWNUM: same per-statement discipline
+    out2 = transpile(
+        "SELECT a FROM t1 WHERE ROWNUM <= 3; SELECT b FROM t2", "oracle"
+    )
+    f2, s2 = out2.split(";")
+    assert "LIMIT 3" in f2 and "LIMIT" not in s2
+
+
+def test_qualify_with_window_clause_stays_in_scope(spark):
+    """BigQuery places WINDOW after QUALIFY; the named-window
+    definitions must move INSIDE the wrapper where the hoisted
+    predicate references them (round-7 review: they landed outside ->
+    AnalysisException)."""
+    pdf = pd.DataFrame(
+        {"x": [1, 2, 3, 4], "y": ["a", "a", "b", "b"], "z": [2.0, 1.0, 4.0, 3.0]}
+    )
+    got = execute(
+        "SELECT x FROM t QUALIFY ROW_NUMBER() OVER w = 1 "
+        "WINDOW w AS (PARTITION BY y ORDER BY z)",
+        tables={"t": pdf},
+        dialect="bigquery",
+        spark=spark,
+    ).collect()
+    assert sorted(r["x"] for r in got) == [2, 4]
+
+
+@pytestmark_fallback
+def test_tsql_bracket_identifier_close_escape():
+    """]] escapes a ']' inside a T-SQL bracket identifier."""
+    assert transpile("SELECT [a]]b] FROM t", "tsql") == "SELECT `a]b` FROM t"
+    assert transpile("SELECT [a], [b] FROM t", "tsql") == "SELECT `a`, `b` FROM t"
+
+
+@pytestmark_fallback
+def test_top_with_column_named_limit():
+    """LIMIT is not reserved in tsql: a column named limit in a TOP
+    query must transpile, not refuse (round-7 review, reproduced)."""
+    out = transpile("SELECT TOP 5 limit FROM t", "tsql")
+    assert out.strip().endswith("LIMIT 5") and " limit " in out
+    # an actual LIMIT clause alongside TOP still refuses
+    with pytest.raises(UnsupportedError, match="both TOP and LIMIT"):
+        transpile("SELECT TOP 5 a FROM t LIMIT 3", "tsql")
+
+
+@pytestmark_fallback
+def test_oracle_to_date_parsing_ignores_case_conflicts():
+    """TO_DATE/TO_TIMESTAMP parse names case-insensitively, so a format
+    mixing case styles is fine in the parsing direction; TO_CHAR still
+    refuses (a single wrap cannot render 'Dy' title and 'MON' upper)."""
+    out = transpile("SELECT TO_DATE(x, 'Dy, DD MON YYYY') FROM t", "oracle")
+    assert "'EEE, dd MMM yyyy'" in out
+    with pytest.raises(UnsupportedError, match="mixes case styles"):
+        transpile("SELECT TO_CHAR(x, 'Dy, DD MON YYYY') FROM t", "oracle")

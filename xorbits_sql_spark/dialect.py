@@ -126,7 +126,7 @@ def _lexer(comment: str, string: str, dquoted: str) -> re.Pattern[str]:
     | (?P<string>{string})
     | (?P<dquoted>{dquoted})
     | (?P<backtick>`(?:[^`]|``)*`)
-    | (?P<bracket>\[[^\]\[]*\])
+    | (?P<bracket>\[(?:[^\]]|\]\])*\])
     | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
     | (?P<word>[A-Za-z_][\w$]*)
     | (?P<op>::|<=>|<=|>=|<>|!=|\|\||->>|->|.)
@@ -187,6 +187,29 @@ def tokenize_spark(sql: str) -> list[tuple[str, str]]:
     escapes, no ``#`` comments). Use for text that is already Spark SQL
     — i.e. any rewrite that runs after :func:`transpile`."""
     return [(m.lastgroup or "op", m.group()) for m in _TOKEN_SPARK.finditer(sql)]
+
+
+# Dialects whose string literals treat backslash as an ESCAPE by
+# default. Lexing these with the ANSI rule splits a literal at ``\'``
+# and later rewrites corrupt its contents — the never-corrupt-literals
+# guarantee this module is built on. (postgres proper is NOT here:
+# standard_conforming_strings is on by default; redshift, its fork,
+# kept the old escaping.)
+_BACKSLASH_STRING_DIALECTS = frozenset(
+    {"mysql", "clickhouse", "bigquery", "snowflake", "redshift"}
+)
+
+
+def tokenize_dialect(sql: str, dialect: str | None) -> list[tuple[str, str]]:
+    """Lex ``sql`` the way ``dialect`` (family-resolved) lexes it:
+    backslash-escape-aware for the dialects that escape, plus ``#``
+    line comments for the mysql family."""
+    d = _DIALECT_FAMILY.get((dialect or "").lower(), (dialect or "").lower())
+    if d == "mysql":
+        return tokenize(sql, mysql=True)
+    if d in _BACKSLASH_STRING_DIALECTS:
+        return tokenize_spark(sql)
+    return tokenize(sql)
 
 
 def _unquote(text: str, q: str) -> str:
@@ -373,7 +396,12 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
                 end = j2
             top_at = i
         elif kind == "word" and text.upper() == "LIMIT" and depth == 0:
-            if top_at is not None:
+            # LIMIT is not reserved in tsql/teradata: a COLUMN named
+            # limit must survive. It is a clause only when followed by
+            # a number (the only form the appended rewrite could clash
+            # with).
+            nxt = _next_code(tokens, i)
+            if top_at is not None and nxt is not None and tokens[nxt][0] == "number":
                 raise UnsupportedError("both TOP and LIMIT present")
     if top_at is None:
         return tokens
@@ -450,21 +478,7 @@ def _select_list_aliases(
     of the expression more often than an alias in the forms this
     serves)."""
     out: dict[str, list[tuple[str, str]]] = {}
-    depth = 0
-    item: list[tuple[str, str]] = []
-    items_split: list[list[tuple[str, str]]] = []
-    for kind, text in items:
-        if kind == "op" and text == "(":
-            depth += 1
-        elif kind == "op" and text == ")":
-            depth -= 1
-        if depth == 0 and (kind, text) == ("op", ","):
-            items_split.append(item)
-            item = []
-            continue
-        item.append((kind, text))
-    items_split.append(item)
-    for item in items_split:
+    for item in _split_top_level_commas(items):
         code = [
             (p, tok) for p, tok in enumerate(item)
             if tok[0] not in ("ws", "comment")
@@ -736,9 +750,22 @@ def _top_variant_to_qualify(
                     order_at = i
                     order_start = j + 1
             elif up in ("LIMIT", "OFFSET", "FETCH") and order_at is not None:
-                raise UnsupportedError(
-                    "TOP PERCENT / WITH TIES combined with LIMIT/OFFSET/FETCH"
+                # clause-shaped only: LIMIT/OFFSET followed by a
+                # number, FETCH followed by FIRST/NEXT — bare words are
+                # identifiers in tsql/teradata (LIMIT is not reserved)
+                j = _next_code(tokens, i)
+                is_clause = j is not None and (
+                    (up in ("LIMIT", "OFFSET") and tokens[j][0] == "number")
+                    or (
+                        up == "FETCH"
+                        and tokens[j][0] == "word"
+                        and tokens[j][1].upper() in ("FIRST", "NEXT")
+                    )
                 )
+                if is_clause:
+                    raise UnsupportedError(
+                        "TOP PERCENT / WITH TIES combined with LIMIT/OFFSET/FETCH"
+                    )
         elif depth == 0 and (kind, text) == ("op", ";") and order_at is not None:
             order_end = i
             break
@@ -1175,6 +1202,35 @@ def _rewrite_qualify_one(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]
             break
     pred = tokens[q_at + 1 : pred_end]
 
+    # A trailing WINDOW clause defines the named windows the hoisted
+    # predicate (and the original select list) reference via OVER w —
+    # it must move INSIDE the wrapper, not into the outer tail, or the
+    # inner OVER w has no definition in scope (bigquery places WINDOW
+    # after QUALIFY). ORDER/LIMIT after it stay outside, where they
+    # logically apply.
+    window_clause: list[tuple[str, str]] = []
+    if (
+        tail_start < len(tokens)
+        and tokens[tail_start][0] == "word"
+        and tokens[tail_start][1].upper() == "WINDOW"
+    ):
+        depth = 0
+        w_end = len(tokens)
+        for i in range(tail_start + 1, len(tokens)):
+            kind, text = tokens[i]
+            if kind == "op" and text == "(":
+                depth += 1
+            elif kind == "op" and text == ")":
+                depth -= 1
+            elif depth == 0 and (
+                (kind == "word" and text.upper() in ("ORDER", "LIMIT", "OFFSET", "FETCH"))
+                or (kind == "op" and text == ";")
+            ):
+                w_end = i
+                break
+        window_clause = [("ws", " ")] + tokens[tail_start:w_end]
+        tail_start = w_end
+
     out: list[tuple[str, str]] = []
     out += tokens[:select_at]
     out += [("word", "SELECT"), ("ws", " ")]
@@ -1203,6 +1259,7 @@ def _rewrite_qualify_one(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]
     ]
     out += [("op", ","), ("ws", " "), ("op", "(")] + pred + [("op", ")"), ("ws", " "), ("word", "AS"), ("ws", " "), ("word", "__qualify"), ("ws", " ")]
     out += tokens[from_at:q_at]
+    out += window_clause
     out += [("op", ")"), ("ws", " "), ("word", "WHERE"), ("ws", " "), ("word", "__qualify"), ("ws", " ")]
     out += tokens[tail_start:]
     return out
@@ -1305,9 +1362,11 @@ def _rewrite_dateadd_datediff(
     division for HOUR/MINUTE/SECOND).
 
     ``week_start``: T-SQL's DATEDIFF(week) counts SUNDAY boundaries
-    regardless of DATEFIRST (redshift follows suit), while Snowflake's
-    default weeks start Monday — Spark's DATE_TRUNC('WEEK') is Monday,
-    so the Sunday dialects truncate via the shift-by-one-day identity
+    regardless of DATEFIRST, while Snowflake's default weeks and
+    redshift's (postgres-derived — its DATE_TRUNC('week') is
+    Monday-anchored, and DATEDIFF counts the same boundaries) start
+    Monday — Spark's DATE_TRUNC('WEEK') is Monday, so the Sunday
+    dialect truncates via the shift-by-one-day identity
     (Sunday-of-week(x) = Monday-of-week(x + 1 day) - 1 day).
     """
     out = list(tokens)
@@ -1634,6 +1693,11 @@ def _rewrite_oracle_rownum(tokens: list[tuple[str, str]]) -> list[tuple[str, str
     rownum_at: int | None = None
     end: int | None = None
     count: int | None = None
+    # precomputed once: the old per-keyword generator rescan made the
+    # pass O(n*k) on clause-heavy queries
+    _has_rownum = any(
+        k == "word" and t.upper() == "ROWNUM" for k, t in out
+    )
     for i, (kind, text) in enumerate(out):
         if (kind, text) == ("op", "("):
             depth += 1
@@ -1679,9 +1743,7 @@ def _rewrite_oracle_rownum(tokens: list[tuple[str, str]]) -> list[tuple[str, str
                 count = n if out[j][1] == "<=" else n - 1
                 rownum_at, end = prev, k
             elif up in ("DISTINCT", "GROUP", "HAVING", "ORDER") and depth == 0:
-                if rownum_at is not None or "ROWNUM" in (
-                    t.upper() for kk, t in out if kk == "word"
-                ):
+                if rownum_at is not None or _has_rownum:
                     raise UnsupportedError(
                         f"ROWNUM with {up} changes semantics; not supported "
                         "without sqlglot"
@@ -1727,7 +1789,7 @@ _ORA_FMT_SEP = " -/,.:;"
 _ORA_CASED = {"MONTH", "MON", "DAY", "DY"}
 
 
-def _ora_datefmt(fmt: str) -> tuple[str, str | None]:
+def _ora_datefmt(fmt: str, formatting: bool = True) -> tuple[str, str | None]:
     """Translate an Oracle date format model to a Spark pattern; raises
     on elements without a faithful Spark equivalent (FF fractions,
     quoted literals, number-format models like '999.99').
@@ -1735,12 +1797,14 @@ def _ora_datefmt(fmt: str) -> tuple[str, str | None]:
     Returns ``(spark_pattern, case_wrap)`` where case_wrap is None,
     'UPPER', or 'LOWER' — the function the FORMATTING caller must wrap
     around DATE_FORMAT so 'MON' renders 'JAN' like Oracle, not Spark's
-    'Jan' (parsing callers ignore it: Spark parses names
-    case-insensitively). Full-name MONTH/DAY blank-pad to 9 chars in
-    Oracle, which Spark patterns cannot express, so they refuse unless
-    preceded by FM (fill mode = no padding). Conflicting case demands
-    in one model (e.g. 'MON' + 'Dy') also refuse — a single wrap cannot
-    satisfy both."""
+    'Jan'. Full-name MONTH/DAY blank-pad to 9 chars in Oracle, which
+    Spark patterns cannot express, so they refuse unless preceded by FM
+    (fill mode = no padding). Conflicting case demands in one model
+    (e.g. 'MON' + 'Dy') also refuse — a single wrap cannot satisfy
+    both. Both refusals apply only when ``formatting``: in the PARSING
+    direction (TO_DATE/TO_TIMESTAMP) Spark parses names
+    case-insensitively and Oracle accepts unpadded names, so case
+    conflicts and padding are irrelevant and case_wrap returns None."""
     outp: list[str] = []
     demands: set[str] = set()
     fill_mode = False
@@ -1758,7 +1822,7 @@ def _ora_datefmt(fmt: str) -> tuple[str, str | None]:
         for pat, spark in _ORA_FMT:
             if up.startswith(pat, i):
                 raw = fmt[i : i + len(pat)]
-                if pat in ("MONTH", "DAY") and not fill_mode:
+                if pat in ("MONTH", "DAY") and not fill_mode and formatting:
                     raise UnsupportedError(
                         f"oracle {pat} blank-pads to 9 chars, which a "
                         "Spark pattern cannot express; use FM"
@@ -1782,6 +1846,9 @@ def _ora_datefmt(fmt: str) -> tuple[str, str | None]:
                 f"oracle format element at {fmt[i:]!r} is not supported "
                 "without sqlglot"
             )
+    if not formatting:
+        # parsing direction: Spark is case-insensitive, no wrap needed
+        return "".join(outp), None
     # pick the single wrap every case-sensitive element tolerates:
     # UPPER is harmless to AM/PM (already upper); title names tolerate
     # only None; lowercase demands only LOWER.
@@ -1861,7 +1928,9 @@ def _rewrite_oracle_fmt(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
                 raise UnsupportedError(
                     f"{up} format must be a string literal without sqlglot"
                 )
-            spark_fmt, case_wrap = _ora_datefmt(_unquote(fcode[0][1], "'"))
+            spark_fmt, case_wrap = _ora_datefmt(
+                _unquote(fcode[0][1], "'"), formatting=up == "TO_CHAR"
+            )
             fn = "DATE_FORMAT" if up == "TO_CHAR" else up
             if fn == "DATE_FORMAT":
                 repl = (
@@ -2113,7 +2182,30 @@ def transpile(sql: str, dialect: str | None = None) -> str:
 
 def _fallback_normalize(sql: str, dialect: str | None) -> str:
     dialect = _DIALECT_FAMILY.get(dialect, dialect)
-    tokens = tokenize(sql, mysql=dialect == "mysql")
+    tokens = tokenize_dialect(sql, dialect)
+    # The structural rewrites below (TOP/ROWNUM/QUALIFY/LIMIT) assume
+    # ONE statement: applied across a top-level ';' they relocate
+    # clauses between statements (a trailing LIMIT lands on the LAST
+    # statement, a QUALIFY wrap anchors to the FIRST SELECT). Split at
+    # depth-0 ';' and normalize each statement independently — the
+    # same multi-statement support the sqlglot path has.
+    stmts: list[list[tuple[str, str]]] = []
+    depth, start = 0, 0
+    for i, (k, t) in enumerate(tokens):
+        if (k, t) == ("op", "("):
+            depth += 1
+        elif (k, t) == ("op", ")"):
+            depth -= 1
+        elif (k, t) == ("op", ";") and depth == 0:
+            stmts.append(tokens[start:i])
+            start = i + 1
+    if stmts:  # at least one top-level ';' found
+        stmts.append(tokens[start:])
+        return ";".join(_normalize_stmt(s, dialect) for s in stmts)
+    return _normalize_stmt(tokens, dialect)
+
+
+def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
     if dialect in _DQUOTE_IDENT_DIALECTS:
         tokens = [
             ("backtick", _to_backtick(_unquote(t, '"'))) if k == "dquoted" else (k, t)
