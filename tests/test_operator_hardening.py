@@ -227,3 +227,89 @@ def test_upsert_corrupt_snapshot_aborts_instead_of_clobbering(spark, tmp_path):
     # the corrupt marker is still there: nothing clobbered the directory
     with open(corrupt) as f:
         assert f.read() == "this is not parquet"
+
+
+def test_asof_join_ignores_null_time_rows(spark):
+    """NULL-time rows never match and never receive a match: a NULL
+    right_time row sorts first under the asc window and previously
+    became the 'latest' match for every left row before the first real
+    right row (round-7 review — silent wrong data on defaults)."""
+    from xorbits_sql_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "a"], "t": [1, 5, None], "lv": [10, 20, 30]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "t": [None, 4], "val": [9, 7]})
+    )
+    got = {
+        r["lv"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t", right_values=["val"]
+        ).collect()
+    }
+    # t=1: no real right row at or before -> NULL (was 9 via the NULL-time row)
+    # t=5: matches the real t=4 row; NULL left time: no match
+    assert got == {10: None, 20: 7, 30: None}
+
+
+def test_asof_join_refuses_colliding_value_names(spark):
+    from xorbits_sql_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [1], "val": [0]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": ["a"], "t": [1], "val": [9]}))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_time="t", right_time="t", right_values=["val"])
+
+
+def test_connected_components_accepts_all_integral_widths(spark):
+    """simpleString() spells ByteType/ShortType as tinyint/smallint —
+    the old allowlist ('byte', 'short', ...) rejected them (round-7
+    review)."""
+    from pyspark.sql import functions as F
+    from xorbits_sql_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]}))
+    for t in ("tinyint", "smallint", "int", "bigint"):
+        cast = pairs.select(
+            F.col("id_a").cast(t).alias("id_a"), F.col("id_b").cast(t).alias("id_b")
+        )
+        comp = {r["id"]: r["component"] for r in connected_components(cast).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1}
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(
+            pairs.select(
+                F.col("id_a").cast("string").alias("id_a"), F.col("id_b").alias("id_b")
+            )
+        )
+
+
+def test_lsh_topk_bits_zero_is_full_scan(spark):
+    """bits=0 is the documented full-recall knob: it must delegate to
+    brute_topk, not crash on a missing bucket column (round-7 review)."""
+    from xorbits_sql_spark.operators.similarity import brute_topk, lsh_topk
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [0, 10, 11], "embedding": [[1.0, 0.0], [0.9, 0.1], [-1.0, 0.2]]}
+        )
+    )
+    q = emb.filter(emb.vec_id < 10)
+    c = emb.filter(emb.vec_id >= 10)
+    got = [tuple(r) for r in lsh_topk(q, c, k=2, bits=0).collect()]
+    want = [tuple(r) for r in brute_topk(q, c, k=2).collect()]
+    assert got == want and len(got) == 2
+
+
+def test_brute_topk_arrow_empty_query_set(spark):
+    """Zero queries must return an empty frame, not raise AxisError on
+    the driver (round-7 review)."""
+    from xorbits_sql_spark.operators.similarity import brute_topk_arrow
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [10, 11], "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    q = emb.filter(emb.vec_id < 0)
+    out = brute_topk_arrow(q, emb, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["qid", "cid", "cosine", "rank"]

@@ -721,7 +721,11 @@ def connected_components(
     # would NULL them (non-ANSI) or die mid-job (ANSI), and NULL edges
     # drop on every u != v comparison — the whole dedup would "succeed"
     # while removing nothing. Refuse at submit time with the remedy.
-    _INTEGRAL = ("byte", "short", "int", "integer", "bigint", "long")
+    # simpleString() names: ByteType -> 'tinyint', ShortType ->
+    # 'smallint' (never 'byte'/'short'/'integer'/'long' — four of the
+    # old allowlist entries were dead strings that rejected valid
+    # integral ids, round-7 review)
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
     for col_name in (id_a, id_b):
         dt = pairs.schema[col_name].dataType.simpleString()
         if dt not in _INTEGRAL:
@@ -961,11 +965,14 @@ def dedup_keepers(
 
 
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the whitespace tokens, as BIGINT.
+    """SimHash of the whitespace tokens, as BIGINT — 60 effective bits.
 
-    Per token: take the first 16 hex chars of md5 as a 64-bit integer;
-    each bit votes +1/-1; the sign vector of the summed votes is the
-    SimHash. Near-duplicates differ in few bits (compare via
+    Per token: take the first 15 hex chars of md5 as a 60-bit integer
+    (16 chars could overflow a signed BIGINT under ANSI, so bits 60-63
+    are always 0 — tune ``max_hamming``/``prefix_bits`` against a
+    60-bit hash, not published 64-bit thresholds); each bit votes
+    +1/-1; the sign vector of the summed votes is the SimHash.
+    Near-duplicates differ in few bits (compare via
     ``bit_count(a ^ b)``). Pure built-ins: split/explode-free — uses
     aggregate over the token array so it stays one projection.
     """
@@ -1127,7 +1134,7 @@ def simhash_pairs(
     return out
 
 
-def edit_distance_pairs(df: DataFrame, token_col: str, id_is_token: bool = True) -> DataFrame:
+def edit_distance_pairs(df: DataFrame, token_col: str) -> DataFrame:
     """All distinct token pairs within Levenshtein distance 1.
 
     SymSpell-style deletion-neighborhood blocking: every token emits

@@ -56,6 +56,20 @@ def asof_join(
     tie_breakers = tie_breakers or []
 
     lcols = [c for c in left.columns]
+    clashes = [v for v in right_values if v in lcols]
+    if clashes:
+        raise ValueError(
+            f"right_values {clashes} collide with left column names; "
+            "rename one side before the as-of join (pandas merge_asof "
+            "suffixes; here a silent duplicate column would make every "
+            "downstream reference ambiguous)"
+        )
+    # NULL-time rows never match and never receive a match (pandas
+    # merge_asof rejects NaT keys outright): a NULL right_time row
+    # sorts FIRST under the asc window (Spark asc = nulls first) and
+    # would otherwise become the "latest" match for every left row
+    # preceding the first real right row — silent wrong data.
+    right = right.filter(F.col(right_time).isNotNull())
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_time).alias("__t"),
@@ -100,7 +114,7 @@ def asof_join(
     ).over(w)
     filled = unioned.select(*lcols, F.col("__side"), F.col("__t"), matched.alias("__m"))
     out = filled.filter(F.col("__side") == 1)
-    values = [F.col("__m").getField(v).alias(v) for v in right_values]
+    stale = None
     if tolerance is not None:
         is_ts = isinstance(left.schema[left_time].dataType, T.TimestampType)
         mt = F.col("__m").getField("__rt")
@@ -112,11 +126,17 @@ def asof_join(
         if direction == "forward":  # match is ahead of the left row
             age = -age
         stale = mt.isNull() | (age > tolerance)
-        values = [
-            F.when(stale, F.lit(None)).otherwise(F.col("__m").getField(v)).alias(v)
-            for v in right_values
-        ]
-    return out.select(*lcols, *values)
+
+    def _val(v: str) -> Column:
+        base = F.col("__m").getField(v)
+        if stale is not None:
+            base = F.when(stale, F.lit(None)).otherwise(base)
+        # a NULL left_time row matches nothing (it sorts outside the
+        # time order entirely — under forward's desc it would otherwise
+        # inherit the final right row as a spurious "match")
+        return F.when(F.col("__t").isNull(), F.lit(None)).otherwise(base).alias(v)
+
+    return out.select(*lcols, *[_val(v) for v in right_values])
 
 
 def range_join(

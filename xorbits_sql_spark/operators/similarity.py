@@ -157,6 +157,12 @@ def brute_topk_arrow(
     import pandas as pd
 
     rows = queries.select(F.col(qid).alias("q"), F.col(vec).alias("v")).collect()
+    if not rows:
+        # empty query set: np.array([]) is 1-D and the axis-1 norm
+        # would raise on the driver — return the empty result
+        # brute_topk produces for the same input
+        schema = "qid long, cid long, cosine double, rank int"
+        return queries.sparkSession.createDataFrame([], schema)
     qids = np.array([r["q"] for r in rows], dtype=np.int64)
     qmat = np.array([list(r["v"]) for r in rows], dtype=np.float64)
     qn = np.sqrt((qmat * qmat).sum(axis=1))
@@ -220,9 +226,16 @@ def lsh_topk(
 
     Returns (qid, cid, cosine, rank) — rank within the bucket's
     candidates. Recall < 1; raise ``bits``→smaller buckets/faster,
-    lower ``bits``→better recall. ``exclude_self`` drops qid == cid
-    candidates before ranking (for corpus ⊇ queries self-search).
+    lower ``bits``→better recall, ``bits=0``→full scan (recall 1:
+    delegates to :func:`brute_topk`, mirroring embedding_dup_pairs'
+    bits=0 contract — previously an unresolved-column crash).
+    ``exclude_self`` drops qid == cid candidates before ranking (for
+    corpus ⊇ queries self-search).
     """
+    if bits <= 0:
+        return brute_topk(
+            queries, corpus, k=k, qid=qid, cid=cid, vec=vec, exclude_self=exclude_self
+        )
     q = _drop_zero_norm(_side(queries, qid, vec, "qid", "qvec", "qn", bits), "qn")
     c = _drop_zero_norm(_side(corpus, cid, vec, "cid", "cvec", "cn", bits), "cn")
     scored = q.join(c, "bucket")
@@ -272,6 +285,37 @@ def ivf_assign(
     )
 
 
+def _probe_cells(
+    q: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    cell_id: str,
+    cell_vec: str,
+    carry: tuple[str, ...],
+) -> DataFrame:
+    """Pick each query's ``nprobe`` nearest cells against the broadcast
+    centroid table — the probe-selection step shared by ivf_topk and
+    ivf_topk_arrow (previously copy-pasted; round-7 review). try_divide:
+    a zero-norm query/centroid has no cosine — NULL probe scores sort
+    last (never probed) instead of raising under ANSI."""
+    cents = centroids.select(
+        F.col(cell_id).alias("cell"),
+        F.col(cell_vec).alias("kvec"),
+        norm(F.col(cell_vec)).alias("kn"),
+    )
+    qscore = F.try_divide(
+        dot(F.col("qvec"), F.col("kvec")), F.col("qn") * F.col("kn")
+    )
+    wprobe = W.partitionBy("qid").orderBy(F.desc("probe_score"), F.asc("cell"))
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", *carry, "cell", qscore.alias("probe_score"))
+        .withColumn("probe_rank", F.row_number().over(wprobe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("qid", *carry, "cell")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -296,24 +340,7 @@ def ivf_topk(
     """
     cells = ivf_assign(corpus, centroids, cid=cid, vec=vec, cell_id=cell_id, cell_vec=cell_vec)
     q = _side(queries, qid, vec, "qid", "qvec", "qn")
-    cents = centroids.select(
-        F.col(cell_id).alias("cell"),
-        F.col(cell_vec).alias("kvec"),
-        norm(F.col(cell_vec)).alias("kn"),
-    )
-    # try_divide: a zero-norm query/centroid has no cosine — NULL probe
-    # scores sort last (never probed) instead of raising under ANSI
-    qscore = F.try_divide(
-        dot(F.col("qvec"), F.col("kvec")), F.col("qn") * F.col("kn")
-    )
-    wprobe = W.partitionBy("qid").orderBy(F.desc("probe_score"), F.asc("cell"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("qid", "qvec", "qn", "cell", qscore.alias("probe_score"))
-        .withColumn("probe_rank", F.row_number().over(wprobe))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("qid", "qvec", "qn", "cell")
-    )
+    probes = _probe_cells(q, centroids, nprobe, cell_id, cell_vec, ("qvec", "qn"))
     scored = probes.join(cells, "cell")
     if exclude_self:
         scored = scored.filter(F.col("qid") != F.col("cid"))
@@ -361,24 +388,7 @@ def ivf_topk_arrow(
         corpus, centroids, cid=cid, vec=vec, cell_id=cell_id, cell_vec=cell_vec
     )
     q = _side(queries, qid, vec, "qid", "qvec", "qn")
-    cents = centroids.select(
-        F.col(cell_id).alias("cell"),
-        F.col(cell_vec).alias("kvec"),
-        norm(F.col(cell_vec)).alias("kn"),
-    )
-    # try_divide: a zero-norm query/centroid has no cosine — NULL probe
-    # scores sort last (never probed) instead of raising under ANSI
-    qscore = F.try_divide(
-        dot(F.col("qvec"), F.col("kvec")), F.col("qn") * F.col("kn")
-    )
-    wprobe = W.partitionBy("qid").orderBy(F.desc("probe_score"), F.asc("cell"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("qid", "qvec", "cell", qscore.alias("probe_score"))
-        .withColumn("probe_rank", F.row_number().over(wprobe))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("qid", "qvec", "cell")
-    )
+    probes = _probe_cells(q, centroids, nprobe, cell_id, cell_vec, ("qvec",))
     take = k + (1 if exclude_self else 0) + 8
     empty = pd.DataFrame(
         {
@@ -585,13 +595,19 @@ def assign_with_score(
     centroids: DataFrame,
     cid: str = "vec_id",
     vec: str = "embedding",
+    cell_id: str = "cell",
+    cell_vec: str = "cvec",
 ) -> DataFrame:
     """Nearest-centroid assignment keeping the winning cosine:
     (cid, cell, score). Same broadcast/argmax plan as :func:`ivf_assign`
-    (ties to the smallest cell), one shuffle of one row per vector."""
+    (ties to the smallest cell), one shuffle of one row per vector.
+    ``cell_id``/``cell_vec`` name the centroid table's columns, like
+    ivf_assign (previously hardcoded; round-7 review)."""
     c = _side(corpus, cid, vec, "cid", "cvec", "cn")
     cents = centroids.select(
-        F.col("cell"), F.col("cvec").alias("kvec"), norm(F.col("cvec")).alias("kn")
+        F.col(cell_id).alias("cell"),
+        F.col(cell_vec).alias("kvec"),
+        norm(F.col(cell_vec)).alias("kn"),
     )
     # try_divide — zero-norm vectors/centroids score NULL (sorts last
     # under desc) instead of raising DIVIDE_BY_ZERO under ANSI
