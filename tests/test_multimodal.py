@@ -276,3 +276,72 @@ def test_decode_audio_routes_wav():
         decode_audio(b"\xff\xfbMP3FRAME")  # not RIFF -> explicit stub path
     fake = decode_audio(b"\xff\xfbMP3FRAME", fake=True)
     assert set(fake) >= {"sample_rate", "n_frames", "duration_ms"}
+
+
+def test_png_zlib_bomb_rejected():
+    """A tiny IDAT that decompresses to GBs must raise PngError at the
+    bounded cap, never materialize the bomb (round-7 review)."""
+    import struct
+    import zlib
+
+    from xorbits_sql_spark.multimodal.png import PngError, decode_png
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body))
+            + t
+            + body
+            + struct.pack(">I", zlib.crc32(t + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~48 KB -> 50 MB
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    import pytest
+
+    with pytest.raises(PngError, match="IDAT size mismatch"):
+        decode_png(png)
+
+
+def test_wav_zero_sample_rate_raises_value_error():
+    import struct
+
+    import pytest
+
+    from xorbits_sql_spark.multimodal.wav import decode_wav, encode_wav
+
+    wav = bytearray(encode_wav(8000, 1, [1, -1]))
+    # fmt chunk sample_rate field sits at offset 24 in the canonical
+    # RIFF layout encode_wav produces
+    assert struct.unpack_from("<I", wav, 24)[0] == 8000
+    struct.pack_into("<I", wav, 24, 0)
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(wav))
+
+
+def test_media_udfs_tolerate_null_payloads(spark):
+    """A NULL media payload yields NULL features / NULL media / zero
+    frames — never a TypeError that aborts the job (round-7 review)."""
+    import pandas as pd
+
+    from xorbits_sql_spark.multimodal.media import (
+        explode_frames,
+        extract_media_features,
+        transform_media,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "media": [b"payload", None]})
+    )
+    feats = extract_media_features(df).toPandas().set_index("id")
+    assert feats.loc[1, "n_bytes"] == 7
+    assert pd.isna(feats.loc[2, "n_bytes"])
+    tr = transform_media(df, 4, 4).toPandas().set_index("id")
+    assert tr.loc[1, "media"] is not None and tr.loc[2, "media"] is None
+    fr = explode_frames(df, 3).toPandas()
+    assert set(fr["id"]) == {1} and len(fr) == 3

@@ -282,3 +282,37 @@ def test_stream_percentiles_match_batch(spark):
         .toPandas()
     )
     assert canonical_rows(got) == canonical_rows(want)
+
+
+def test_welford_skips_null_values(spark):
+    """A NULL value must not poison a key's Welford state (NaN mean/m2
+    forever, alerts frozen — round-7 review)."""
+    import pandas as pd
+
+    from xorbits_sql_spark.streaming.stateful import welford_anomalies
+    from xorbits_sql_spark.streaming.windows import run_to_memory
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 6,
+            "event_id": list(range(6)),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:0%d" % i for i in range(6)]
+            ),
+            "value": [1.0, 2.0, None, 1.5, 2.5, 100.0],
+        }
+    )
+    path = "/tmp/xss_welford_null_test.parquet"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    from xorbits_sql_spark.streaming.windows import read_parquet_stream
+
+    stream = read_parquet_stream(spark, path)
+    out = run_to_memory(
+        welford_anomalies(stream, min_history=2, z_threshold=3.0),
+        mode="update",
+    ).toPandas()
+    row = out[out["user_id"] == 1].iloc[-1]
+    # 5 non-null values folded; the NULL skipped; the 100.0 outlier flagged
+    assert row["n"] == 5
+    assert not pd.isna(row["mean"]) and not pd.isna(row["m2"])
+    assert row["n_alerts"] >= 1

@@ -223,7 +223,11 @@ def transform_media(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            resized = [resize_image(b, width, height, fake=fake) for b in pdf[media_col]]
+            # NULL payload -> NULL media + NULL meta (not a job abort)
+            resized = [
+                resize_image(b, width, height, fake=fake) if b is not None else None
+                for b in pdf[media_col]
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
@@ -236,7 +240,9 @@ def transform_media(
                             "duration_ms": None,
                             "sample_rate": None,
                         }
-                        for _ in resized
+                        if r is not None
+                        else None
+                        for r in resized
                     ],
                 }
             )
@@ -272,6 +278,8 @@ def explode_frames(
             idxs: list[int] = []
             frames: list[bytes] = []
             for rid, data in zip(pdf[id_col].astype("int64"), pdf[media_col]):
+                if data is None:
+                    continue  # NULL payload: zero frames, not a job abort
                 for i, frame in enumerate(sample_frames(data, n_frames, fake=fake)):
                     ids.append(rid)
                     idxs.append(i)
@@ -301,13 +309,19 @@ def extract_media_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [decode_image(b, fake=fake) for b in pdf[media_col]]
+            # NULL payloads yield NULL features instead of a TypeError
+            # that aborts the whole job (round-7 review): missing blobs
+            # are a data condition, not a pipeline bug
+            feats = [
+                decode_image(b, fake=fake) if b is not None else None
+                for b in pdf[media_col]
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
-                    "n_bytes": [f["n_bytes"] for f in feats],
-                    "mean_byte": [f["mean_byte"] for f in feats],
-                    "hash_hi": [f["hash_hi"] for f in feats],
+                    "n_bytes": [f["n_bytes"] if f else None for f in feats],
+                    "mean_byte": [f["mean_byte"] if f else None for f in feats],
+                    "hash_hi": [f["hash_hi"] if f else None for f in feats],
                 }
             )
 

@@ -88,9 +88,22 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None or not seen_end:
         raise PngError("missing IHDR/IEND")
-    raw = zlib.decompress(bytes(idat))
+    if width <= 0 or height <= 0:
+        raise PngError("invalid image dimensions")
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # Bounded decompression: the expected raw size is known from IHDR,
+    # and an unbounded zlib.decompress would materialize a zlib bomb
+    # (1 KB compressing to GBs, valid CRCs) in executor memory before
+    # the size check could reject it. max_length caps the expansion;
+    # feeding the unconsumed tail back distinguishes an oversized
+    # stream (more output follows) from the exact one (only the adler
+    # trailer remains).
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected)
+    if dobj.unconsumed_tail and dobj.decompress(dobj.unconsumed_tail, 1):
+        raise PngError("IDAT size mismatch")
+    if len(raw) != expected:
         raise PngError("IDAT size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)

@@ -92,6 +92,12 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
     samples = list(struct.unpack(f"<{n}h", pcm[: n * 2]))
     if channels <= 0 or n % channels:
         raise ValueError("sample count not a multiple of channels")
+    if sample_rate <= 0:
+        # a structurally valid header can still declare rate 0; letting
+        # it through turns into ZeroDivisionError in audio_features —
+        # outside the documented ValueError contract a quarantine
+        # pipeline keys on
+        raise ValueError(f"invalid sample rate {sample_rate}")
     return sample_rate, channels, n // channels, samples
 
 

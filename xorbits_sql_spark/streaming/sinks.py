@@ -63,11 +63,14 @@ def upsert_latest_to_parquet(
             if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
                 raise
             merged = latest_new
-        # materialize fully before overwriting the directory we read from
-        merged = merged.persist()
-        merged.count()
+        # localCheckpoint (eager), NOT persist+count: a persisted
+        # partition evicted (or its executor lost) mid-overwrite would
+        # RECOMPUTE the merge plan against the directory the overwrite
+        # already deleted — FileNotFound at best, a snapshot silently
+        # missing keys at worst. Checkpointing truncates the plan to
+        # materialized blocks with no lineage back to ``path``.
+        merged = merged.localCheckpoint()
         merged.write.mode("overwrite").parquet(path)
-        merged.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(merge).trigger(availableNow=True)
     if checkpoint:

@@ -127,7 +127,10 @@ def welford_anomalies(
     windows over stored history.
 
     ``min_history`` must be >= 2: the z-score needs a sample variance,
-    and ``m2 / (n - 1)`` is undefined at n = 1.
+    and ``m2 / (n - 1)`` is undefined at n = 1. A perfectly constant
+    prior history (variance 0) has no defined z-score, so deviations
+    from it do NOT alert; NULL values are skipped (never folded into
+    the running state).
     """
     if min_history < 2:
         raise ValueError(
@@ -143,7 +146,14 @@ def welford_anomalies(
         n, mean, m2, n_alerts = (
             state.get if state.exists else (0, 0.0, 0.0, 0)
         )
-        for pdf in pdfs:
+        # Concatenate BEFORE sorting: a key whose micro-batch exceeds
+        # the Arrow chunk size arrives as multiple frames, and sorting
+        # each independently leaves the state transitions dependent on
+        # shuffle arrival order ACROSS chunks — the nondeterminism the
+        # sort exists to prevent (round-7 review).
+        chunks = [p for p in pdfs if len(p)]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        if pdf is not None:
             # event-time order within the batch: state transitions must
             # not depend on shuffle arrival order. A stable sort keeps
             # arrival order among equal timestamps; event_id joins the
@@ -153,9 +163,17 @@ def welford_anomalies(
                 ["event_id"] if "event_id" in pdf.columns else []
             )
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
-            for v in pdf[value_col].astype(float):
+            vals = pdf[value_col].astype(float)
+            # NULL/NaN values are SKIPPED, not folded into the state: a
+            # single NaN would poison mean/m2 forever (every later
+            # comparison False, alerts frozen) — mirroring how
+            # running_totals' pandas sum skips NaN.
+            for v in vals[vals.notna()]:
                 if n >= min_history:
                     var = m2 / (n - 1)
+                    # var == 0 (perfectly constant prior history) gives
+                    # no defined z-score; such deviations are not
+                    # z-anomalies and do not alert — by design.
                     if var > 0 and abs(v - mean) > z_threshold * var**0.5:
                         n_alerts += 1
                 n += 1

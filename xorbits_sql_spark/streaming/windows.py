@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_MEMORY_SINKS: list[str] = []
+
+
 def read_parquet_stream(
     spark: SparkSession, path: str, schema=None, time_col: str = "ts"
 ) -> DataFrame:
@@ -40,14 +43,19 @@ def read_parquet_stream(
     if schema is None:
         schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
-        # FileStreamSource only accepts directories; stage a symlink dir.
+        # FileStreamSource only accepts directories; stage a symlink
+        # dir. Absolute target only: a relative path would resolve
+        # against the LINK's directory (/tmp/...) and dangle; and
+        # lexists, not exists — exists follows a dead link, so a
+        # dangling symlink would raise FileExistsError on every retry.
+        path = os.path.abspath(path)
         stage = os.path.join(
             tempfile.gettempdir(),
             "xss_stream_" + hashlib.md5(path.encode()).hexdigest()[:12],
         )
         os.makedirs(stage, exist_ok=True)
         link = os.path.join(stage, os.path.basename(path))
-        if not os.path.exists(link):
+        if not os.path.lexists(link):
             os.symlink(path, link)
         path = stage
     df = spark.readStream.schema(schema).parquet(path)
@@ -149,6 +157,19 @@ def run_to_memory(
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    # Memory-sink tables hold their full result on the driver for the
+    # session's lifetime; a long-lived suite (bench re-runs the
+    # streaming queries indefinitely) would leak one per call. Keep a
+    # small FIFO: results are consumed promptly by callers, so dropping
+    # tables older than the last few bounds driver memory without
+    # invalidating a result still in flight.
+    _MEMORY_SINKS.append(name)
+    while len(_MEMORY_SINKS) > 8:
+        stale = _MEMORY_SINKS.pop(0)
+        try:
+            spark.catalog.dropTempView(stale)
+        except Exception:  # noqa: BLE001 - cleanup is best-effort
+            pass
     try:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
