@@ -182,3 +182,46 @@ def test_davg_matches_avg_on_nullable_column(spark):
     assert got["d"] == got["a"] == pytest.approx(3.0)  # was 2.0 (sum/3)
     allnull = spark.createDataFrame(pd.DataFrame({"v": pd.array([None], dtype="float64")}))
     assert allnull.agg(davg("v", "d")).collect()[0]["d"] is None
+
+
+def test_read_csv_bare_alias_schema_lookup(spark, tmp_path):
+    """The SQL-legal bare alias (FROM READ_CSV(..) t, no AS) must key
+    the schema lookup like the AS form (round-7 review) — and a clause
+    keyword after the call is NOT an alias."""
+    from xorbits_sql_spark import execute
+
+    p = tmp_path / "odd_stem2.csv"
+    p.write_text("a|b\n1|2.50\n")
+    df = execute(
+        f"SELECT part.a, part.b FROM READ_CSV('{p}', 'delimiter', '|') part",
+        schema={"part": {"a": "bigint", "b": "decimal(10,2)"}},
+    )
+    assert dict(df.dtypes) == {"a": "bigint", "b": "decimal(10,2)"}
+    # keyword after the call: not an alias, query still works
+    df2 = execute(
+        f"SELECT a FROM READ_CSV('{p}', 'delimiter', '|') WHERE a > 0",
+    )
+    assert [r["a"] for r in df2.collect()] == [1]
+
+
+def test_read_csv_guard_lexes_snowflake_escapes(spark, tmp_path):
+    """The READ_CSV literal guard must lex with the SOURCE dialect's
+    escaping for every backslash-escape dialect, not just mysql
+    (round-7 review)."""
+    from xorbits_sql_spark import execute
+
+    p = tmp_path / "sn.csv"
+    p.write_text("a\n1\n")
+    got = execute(
+        rf"SELECT 'it\'s' AS x, a FROM READ_CSV('{p}') AS t",
+        dialect="snowflake",
+        spark=spark,
+    ).collect()
+    assert [r["a"] for r in got] == [1]
+    assert got[0]["x"] == "it's"
+
+
+def test_functions_package_exposes_stats():
+    import xorbits_sql_spark.functions as fn
+
+    assert hasattr(fn.stats, "iln6") and hasattr(fn.stats, "hash_cohort")

@@ -29,15 +29,7 @@ from .sources.readers import register_csv_reads
 from .table import register_tables
 
 # words that may legally follow a table primary without being an alias
-_NON_ALIAS_WORDS = frozenset(
-    {
-        "ON", "USING", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
-        "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT",
-        "FULL", "CROSS", "NATURAL", "SEMI", "ANTI", "QUALIFY", "WINDOW",
-        "OFFSET", "FETCH", "TABLESAMPLE", "LATERAL", "PIVOT", "UNPIVOT",
-        "FOR", "SET", "AS",
-    }
-)
+_NON_ALIAS_WORDS = _dialect.NON_ALIAS_WORDS
 
 
 def _ident_lower(tok: tuple[str, str]) -> str:
@@ -325,12 +317,9 @@ def execute(
     # (backticks) regardless of the input dialect's identifier style.
     # READ_CSV rewriting runs on the RAW dialect text, so its
     # literal-span guard must lex the way the source dialect does
-    # (mysql-family: backslash escapes + '#' comments).
-    mysql_family = (
-        _dialect._DIALECT_FAMILY.get((dialect or "").lower(), (dialect or "").lower())
-        == "mysql"
-    )
-    text = register_csv_reads(spark, sql, schema, mysql=mysql_family)
+    # (backslash escapes for the mysql/clickhouse/bigquery/snowflake/
+    # redshift families, '#' comments for mysql).
+    text = register_csv_reads(spark, sql, schema, dialect=dialect)
     text = _dialect.transpile(text, dialect)
     text = _rewrite_qualified_names(text, registered)
 

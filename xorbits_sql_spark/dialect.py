@@ -167,6 +167,18 @@ _TOKEN_SPARK = _lexer(
     r'"(?:[^"\\]|""|\\.)*"',
 )
 
+# Words that may legally follow a table primary without being an alias
+# (shared by core's alias collector and readers' READ_CSV alias match).
+NON_ALIAS_WORDS = frozenset(
+    {
+        "ON", "USING", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+        "UNION", "INTERSECT", "EXCEPT", "JOIN", "INNER", "LEFT", "RIGHT",
+        "FULL", "CROSS", "NATURAL", "SEMI", "ANTI", "QUALIFY", "WINDOW",
+        "OFFSET", "FETCH", "TABLESAMPLE", "LATERAL", "PIVOT", "UNPIVOT",
+        "FOR", "SET", "AS",
+    }
+)
+
 _LITERAL_KINDS = frozenset({"string", "dquoted", "backtick", "bracket", "comment"})
 
 

@@ -22,7 +22,7 @@ from ..errors import UnsupportedError
 
 _READ_CSV = re.compile(
     r"READ_CSV\s*\(\s*(?P<args>'[^']*'(?:\s*,\s*'[^']*')*)\s*\)"
-    r"(?P<alias>\s+AS\s+(?P<alias_name>[A-Za-z_]\w*))?",
+    r"(?P<alias>\s+(?:AS\s+)?(?P<alias_name>[A-Za-z_]\w*))?",
     re.IGNORECASE,
 )
 
@@ -71,19 +71,20 @@ def register_csv_reads(
     spark: SparkSession,
     sql: str,
     schema: Mapping[str, Any] | None = None,
-    mysql: bool = False,
+    dialect: str | None = None,
 ) -> str:
     """Replace READ_CSV(...) table functions with temp views; return new SQL.
 
-    When the READ_CSV call is aliased (``FROM READ_CSV(...) AS t``) and the
-    schema dict has an entry for the alias or the file stem, that schema
-    types the scan (reference executor.py:303-306 behavior).
+    When the READ_CSV call is aliased (``FROM READ_CSV(...) AS t`` or
+    the bare ``FROM READ_CSV(...) t``) and the schema dict has an entry
+    for the alias or the file stem, that schema types the scan
+    (reference executor.py:303-306 behavior).
 
-    ``mysql`` selects backslash-escape + '#'-comment lexing for the
-    literal-span guard below — this rewrite runs PRE-transpile on raw
-    dialect text, so the caller must say how that dialect lexes strings
-    (the same pre/post-lexing discipline as core's qualified-name
-    rewrite).
+    ``dialect`` selects the lexing mode for the literal-span guard
+    below — this rewrite runs PRE-transpile on raw dialect text, so it
+    must lex strings the way the SOURCE dialect does (backslash escapes
+    for the mysql/clickhouse/bigquery/snowflake/redshift families; the
+    same pre/post-lexing discipline as core's qualified-name rewrite).
     """
     if not _READ_CSV.search(sql):
         return sql  # hot path: no READ_CSV — skip the lexing entirely
@@ -98,9 +99,9 @@ def register_csv_reads(
 
     literal_spans: list[tuple[int, int]] = []
     pos = 0
-    for kind, text in _dialect.tokenize(sql, mysql=mysql):
+    for kind, text in _dialect.tokenize_dialect(sql, dialect):
         end = pos + len(text)
-        if kind in ("string", "dquoted", "comment", "backtick", "bracket"):
+        if kind in _dialect._LITERAL_KINDS:
             literal_spans.append((pos, end))
         pos = end
 
@@ -112,6 +113,16 @@ def register_csv_reads(
         delimiter = opts.pop("delimiter", opts.pop("sep", ","))
         stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
         alias = m.group("alias_name")
+        alias_text = m.group("alias") or ""
+        if (
+            alias
+            and "AS" not in alias_text.upper().split()
+            and alias.upper() in _dialect.NON_ALIAS_WORDS
+        ):
+            # a bare word after the call that is a clause keyword
+            # (WHERE/JOIN/...) is NOT an alias — don't key the schema
+            # lookup on it (the text is re-emitted verbatim either way)
+            alias = None
         # alias takes precedence over the file stem — the documented
         # (and reference executor.py:303-306) lookup order; previously
         # only the stem was consulted, so an aliased scan fell back to

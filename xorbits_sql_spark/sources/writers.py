@@ -103,27 +103,60 @@ def compact_table(
     HPath = jvm.org.apache.hadoop.fs.Path
     fs = HPath(path).getFileSystem(hconf)
 
-    df = spark.read.format(fmt).load(path)
-    n = df.count()
-    files = max(1, math.ceil(n / target_records_per_file))
-    tmp = path.rstrip("/") + "__compact_tmp"
+    def read_back(p: str) -> DataFrame:
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            # write_table writes CSV WITH a header; reading it back
+            # bare would ingest every file's header line as data and
+            # rename columns to _c0/_c1 — and the count-based verify
+            # compares two identically mis-read frames, so the
+            # corruption would pass silently (round-7 review).
+            reader = reader.option("header", "true")
+        return reader.load(p)
+
+    # Hive partition-column values must round-trip verbatim: value
+    # TYPE re-inference would rewrite day='01' as day=1, silently
+    # changing both the column type and the directory layout.
+    prev_infer = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+    )
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     try:
-        write_table(
-            df.repartition(files),
-            tmp,
-            fmt=fmt,
-            partition_by=partition_by,
-            max_records_per_file=target_records_per_file,
+        df = read_back(path)
+        n = df.count()
+        files = max(1, math.ceil(n / target_records_per_file))
+        # Round-robin balances sizes for the unpartitioned layout; for a
+        # partitioned one it would scatter every hive partition across
+        # all tasks (files x partitions output files — MORE fragments
+        # than before). Hash-repartitioning on the partition columns
+        # sends each partition's rows to one task: one file per dir.
+        repartitioned = (
+            df.repartition(files, *partition_by)
+            if partition_by
+            else df.repartition(files)
         )
-        # Verify the compacted copy BEFORE touching the source: a
-        # lost-rows rewrite must leave the original directory intact.
-        if spark.read.format(fmt).load(tmp).count() != n:
-            raise RuntimeError(
-                f"compaction of {path} lost rows; source left untouched"
+        tmp = path.rstrip("/") + "__compact_tmp"
+        try:
+            write_table(
+                repartitioned,
+                tmp,
+                fmt=fmt,
+                partition_by=partition_by,
+                max_records_per_file=target_records_per_file,
             )
-    except BaseException:
-        fs.delete(HPath(tmp), True)
-        raise
+            # Verify the compacted copy BEFORE touching the source: a
+            # lost-rows rewrite must leave the original directory intact.
+            if read_back(tmp).count() != n:
+                raise RuntimeError(
+                    f"compaction of {path} lost rows; source left untouched"
+                )
+        except BaseException:
+            fs.delete(HPath(tmp), True)
+            raise
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", prev_infer
+        )
     # Swap: move the source aside, point the final path at the compacted
     # copy, and only then drop the old data — a crash mid-swap leaves
     # either the original or both copies on disk, never neither.
@@ -132,10 +165,23 @@ def compact_table(
         fs.delete(HPath(tmp), True)
         raise RuntimeError(f"could not move {path} aside for the swap")
     if not fs.rename(HPath(tmp), HPath(path)):
-        fs.rename(HPath(old), HPath(path))  # roll back
+        restored = fs.rename(HPath(old), HPath(path))  # roll back
         fs.delete(HPath(tmp), True)
-        raise RuntimeError(f"swap into {path} failed; source restored")
-    fs.delete(HPath(old), True)
+        # report the TRUE state: a failed rollback strands the data at
+        # the __compact_old path — claiming "restored" would send the
+        # operator looking in the wrong place (round-7 review)
+        raise RuntimeError(
+            f"swap into {path} failed; "
+            + ("source restored" if restored else f"source stranded at {old}")
+        )
+    if not fs.delete(HPath(old), True):
+        import warnings
+
+        warnings.warn(
+            f"compaction succeeded but could not delete {old}; a full-size "
+            "copy of the table remains there",
+            stacklevel=2,
+        )
     it = fs.listFiles(HPath(path), True)
     count = 0
     while it.hasNext():
