@@ -50,18 +50,23 @@ def main() -> None:
     cold: dict[str, float] = {}
     failures: dict[str, str] = {}
     # Warm up the JVM/IO path once (scan metadata, codegen) so q01 isn't
-    # charged session startup.
-    specs["q01_pricing_summary"].fn(spark, sf_dir).count()
+    # charged session startup. Guarded: a broken table/dir must surface
+    # as per-query failures entries in the JSON, not kill the whole run
+    # with no output (the driver would record parsed: null).
+    try:
+        specs["q01_pricing_summary"].fn(spark, sf_dir).count()
+    except Exception as exc:  # noqa: BLE001
+        print(f"warm-up failed (continuing): {type(exc).__name__}: {exc}")
 
     from xorbits_sql_spark.operators.dedup import release_caches
 
-    try:
-        with open(_BASELINE_PATH) as f:
-            _base = json.load(f)
-        _base_q = _base.get("queries", {}) if _base.get("sf") == sf_dir else {}
-    except (OSError, ValueError):
-        _base_q = {}
+    _base_q = _load_baseline_queries(sf_dir)
 
+    streaming = {
+        name
+        for name, spec in specs.items()
+        if "streaming" in getattr(spec, "tags", ()) or "stream" in name
+    }
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
         try:
@@ -80,7 +85,11 @@ def main() -> None:
             # Sub-second entries are jitter-dominated, and any pass that
             # would flag as a regression must survive re-measurement
             # (one-off JIT-deopt/GC pauses masquerade as 10x): median of 3.
-            suspect = name in _base_q and _base_q[name] > 0 and warm[0] > 0.3 and warm[0] / _base_q[name] > 1.5
+            # same per-query flag floor as _vs_baseline (streaming
+            # micro-batch cost can never flag below 8s): re-measuring a
+            # query that cannot flag is two wasted full executions
+            floor = 8.0 if name in streaming else 0.3
+            suspect = name in _base_q and _base_q[name] > 0 and warm[0] > floor and warm[0] / _base_q[name] > 1.5
             if warm[0] < 1.0 or suspect:
                 warm.append(_timed(spec.fn, spark, sf_dir, release_caches))
                 warm.append(_timed(spec.fn, spark, sf_dir, release_caches))
@@ -89,11 +98,6 @@ def main() -> None:
             failures[name] = f"{type(exc).__name__}: {exc}"
             release_caches()
 
-    streaming = {
-        name
-        for name, spec in specs.items()
-        if "streaming" in getattr(spec, "tags", ()) or "stream" in name
-    }
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "query_suite_wall_seconds",
@@ -107,7 +111,7 @@ def main() -> None:
         "value_cold": round(sum(cold.values()), 4),
         "queries_cold": cold,
     }
-    out.update(_vs_baseline(timings, total, sf_dir, streaming))
+    out.update(_vs_baseline(timings, sf_dir, streaming))
     _persist_snapshot(out)
     # The driver captures only the LAST ~2000 chars of stdout and parses
     # the JSON from that tail — BENCH_r01..r03 all recorded "parsed":
@@ -176,9 +180,23 @@ _SNAPSHOT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH
 _HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
 
 
+def _load_baseline_queries(sf_dir: str) -> dict[str, float]:
+    """Per-query baseline timings for ``sf_dir``, or {} when absent or
+    recorded at a different scale — the ONE loading rule shared by the
+    main loop's suspect gate and _vs_baseline's flagging, so the two
+    cannot desynchronize."""
+    try:
+        with open(_BASELINE_PATH) as f:
+            base = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if base.get("sf") != sf_dir:
+        return {}
+    return base.get("queries", {})
+
+
 def _vs_baseline(
     timings: dict[str, float],
-    total: float,
     sf_dir: str,
     streaming: set[str] | frozenset[str] = frozenset(),
 ) -> dict:
@@ -246,10 +264,16 @@ for n in names:
         release_caches()
         ts = []
         for _ in range(3):
+            # release INSIDE the timed interval, matching bench._timed:
+            # an A/B that excludes release time while the committed
+            # numbers include it would label a real cache-release
+            # slowdown "drift" forever
             t0 = time.perf_counter()
-            spec.fn(spark, sf).count()
+            try:
+                spec.fn(spark, sf).count()
+            finally:
+                release_caches()
             ts.append(time.perf_counter() - t0)
-            release_caches()
         out[n] = round(sorted(ts)[1], 4)
     except Exception:
         pass
@@ -448,6 +472,14 @@ def _persist_snapshot(out: dict) -> None:
                 timeout=15,
             ).stdout.strip()
         )
+        # stamp provenance into the snapshot as well: accept_baseline
+        # refuses candidates whose sha/dirty don't match HEAD/clean —
+        # without this a dirty-tree or stale run could be accepted as
+        # the committed baseline (round-7 harness review)
+        out["sha"] = sha
+        out["dirty"] = dirty
+        with open(_SNAPSHOT_PATH, "w") as f2:
+            json.dump(out, f2, indent=1, sort_keys=True)
         rec = {
             "sha": sha,
             "dirty": dirty,

@@ -47,11 +47,30 @@ def main() -> int:
     except OSError:
         print(f"REFUSED: no {HISTORY}; run bench.py at least 3 times first")
         return 1
-    with open(LOCAL) as f:
-        cand = json.load(f)
-    if cand.get("failures"):
-        print(f"REFUSED: candidate run has {len(cand['failures'])} failure(s)")
+    try:
+        with open(LOCAL) as f:
+            cand = json.load(f)
+    except OSError:
+        print(f"REFUSED: no {LOCAL}; run bench.py first")
         return 1
+    if not use_median:
+        # these gates apply to the CANDIDATE's own data; --median writes
+        # the median history run instead and never uses the candidate
+        # beyond locating the sha/sf context
+        if cand.get("failures"):
+            print(f"REFUSED: candidate run has {len(cand['failures'])} failure(s)")
+            return 1
+        # candidate provenance: a dirty-tree or stale-commit snapshot
+        # must not become the committed baseline under HEAD's name
+        if cand.get("sha") is not None and cand.get("sha") != sha:
+            print(
+                f"REFUSED: candidate sha {str(cand.get('sha'))[:8]} != HEAD "
+                f"{sha[:8]}; re-run bench.py at HEAD"
+            )
+            return 1
+        if cand.get("dirty"):
+            print("REFUSED: candidate was recorded on a dirty tree")
+            return 1
     # "same code" means same committed sha AND a clean tree: a dirty-tree
     # run may time different code under the same sha, and a run with
     # failures has a deflated total plus a truncated query map (its

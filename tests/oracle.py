@@ -26,7 +26,12 @@ def _canon_cell(v):
     ("f", float) on both sides, so decimal-exact sums still compare
     with tolerance via _cells_equal.
     """
-    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+    if (
+        v is None
+        or v is pd.NaT
+        or v is pd.NA  # nullable-dtype cells; bool(pd.NA) raises downstream
+        or (isinstance(v, float) and math.isnan(v))
+    ):
         return None
     if isinstance(v, Decimal):
         return ("f", float(v))
@@ -49,10 +54,24 @@ def _canon_cell(v):
     return v
 
 
+def _cell_sort_key(x):
+    """Total order over canonical cells with NUMERIC ordering for the
+    tagged numeric classes: a plain str() sort could place near-equal
+    floats (within rtol) at different positions on the two sides —
+    e.g. spark 10.0 vs duck 9.999999999999999 — mispairing rows and
+    reporting phantom mismatches. Type-strictness is unaffected (the
+    tag stays a tie-break key; equality still compares tags)."""
+    if x is None:
+        return (0, "", 0.0, "")
+    if isinstance(x, tuple) and len(x) == 2 and x[0] in ("f", "i", "b"):
+        return (1, "num", float(x[1]), x[0])
+    return (2, str(type(x)), 0.0, str(x))
+
+
 def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
-    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return sorted(rows, key=lambda r: tuple(_cell_sort_key(x) for x in r))
 
 
 def _cells_equal(a, b, rtol=1e-9) -> bool:

@@ -75,3 +75,34 @@ def test_column_order_insensitive_row_order_insensitive():
     d = pd.DataFrame({"a": ["x", "y"], "b": [1, 2]})
     assert exact_match(s, d)
     assert not compare(s, d)
+
+
+def test_near_equal_floats_pair_correctly():
+    """Row sorting must order numerics NUMERICALLY: a str() sort could
+    place near-equal floats (within rtol) at different positions on the
+    two sides, mispairing rows into phantom mismatches (round-7 harness
+    review)."""
+    import pandas as pd
+
+    from .oracle import compare
+
+    spark_df = pd.DataFrame({"v": [10.0, 9.0]})
+    duck_df = pd.DataFrame({"v": [9.999999999999999, 9.0]})
+    assert compare(spark_df, duck_df) == []  # pairwise within rtol
+
+
+def test_pd_na_cells_compare_as_null():
+    """pd.NA from nullable dtypes must normalize to None, not raise
+    'boolean value of NA is ambiguous' inside the comparator."""
+    import pandas as pd
+
+    from .oracle import compare, exact_match
+
+    a = pd.DataFrame({"v": pd.array([1, None], dtype="Int64")})
+    b = pd.DataFrame({"v": [1.0, None]})
+    # int vs float is a type-strict mismatch on the 1-row, but the NA
+    # row must compare as None == None without raising
+    problems = compare(a, b)
+    assert any("row" in p for p in problems)
+    same = pd.DataFrame({"v": pd.array([1, None], dtype="Int64")})
+    assert exact_match(a, same)
