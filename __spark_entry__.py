@@ -109,6 +109,15 @@ from xorbits_sql_spark.queries import load_all
 # it re-enters the round-7 window with the seq column serialized via
 # array_join on both sides (the s79/s05 pattern) and must earn a
 # rows+schema+hash green row before rotating.
+# Round 8: CORRECTNESS_r07 verified s63 (re-entry, green with the
+# array_join serialization) + t07..t56 minus t52 (rows-only, queued):
+# 50/50 rows+schema+hash green, all 49 fresh prefixes join the
+# rotated set. The window becomes the LAST never-driver-verified
+# names: t57..t93 (37 oracle-bearing) + the 9 new round-8
+# dialect-fidelity entries (t94..t99 + u01..u03, oracle-bearing) + the
+# 4 rows-only (s47/s68/s81/t52 — pulled forward ahead of the rotated
+# greens per the round-7 verdict, matching the r03 ``no_oracle``
+# precedent) = exactly 50, clearing the entire inventory.
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
     + [f"q{i}" for i in range(30, 100)]
@@ -120,6 +129,8 @@ _DRIVER_GREEN = frozenset(
     + [f"s{i:02d}" for i in range(4, 55) if i != 47]
     + [f"s{i:02d}" for i in range(55, 100) if i not in (63, 68, 81)]
     + [f"t{i:02d}" for i in range(1, 7)]
+    + ["s63"]
+    + [f"t{i:02d}" for i in range(7, 57) if i != 52]
 )
 
 
@@ -128,16 +139,29 @@ def _rotated(name: str) -> str:
 
 
 def _exposed(items):
-    """Registry items sorted by (has-no-oracle, exposed rotated key).
+    """Registry items sorted by (is-driver-green, has-no-oracle, key).
 
     The driver consumes the first 50 entries in dict insertion order, so
     insertion order must equal rotated-lexical order for the z-rotation
     to actually advance the verification window (see comment above).
-    Oracle-bearing entries sort first so window slots are spent on
-    hash-verifiable names (round-3 verdict: 5/50 slots went to
-    ``no_oracle`` rows-only checks).
+    Never-driver-verified entries sort first (greens are already
+    proven — re-verifying one burns a slot), and within each half
+    oracle-bearing entries sort before rows-only ones so slots go to
+    hash-verifiable names first (round-3 verdict). Rows-only names
+    sort AFTER the full never-verified oracle-paired inventory but
+    BEFORE any rotated green — round-7 verdict: once fewer than 50
+    oracle-bearing names remain unverified, the spare slots take the
+    rows-only checks (r03 ``no_oracle`` precedent) instead of
+    re-verifying greens.
     """
-    return sorted(items, key=lambda kv: (kv[1].oracle is None, _rotated(kv[0])))
+    return sorted(
+        items,
+        key=lambda kv: (
+            kv[0].split("_", 1)[0] in _DRIVER_GREEN,
+            kv[1].oracle is None,
+            _rotated(kv[0]),
+        ),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -4,10 +4,11 @@ The driver verifies the FIRST 50 entries of ``queries()`` in dict
 insertion order (proven by CORRECTNESS_r02.json).  Round 2's rotation
 built the dict in canonical-name order, so 43 of 50 slots re-verified
 already-green queries.  These tests pin the fixed behavior: insertion
-order equals (has-no-oracle, rotated-lexical) order, and the round-4
-window is exactly the first 50 never-driver-verified oracle-bearing
-names (r57.. + s01..; rows-only entries queue behind the oracle-paired
-inventory per the round-3 verdict).
+order equals (is-driver-green, has-no-oracle, rotated-lexical) order,
+and the round-8 window is the LAST never-driver-verified names —
+t57..t93 + the round-8 dialect entries (t94..u03), then the four
+rows-only entries pulled forward ahead of the rotated greens per the
+round-7 verdict (r03 ``no_oracle`` precedent).
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import importlib
 
 entry_mod = importlib.import_module("__spark_entry__")
 
-# Names with a green driver CORRECTNESS row in r01..r06.
+# Names with a green driver CORRECTNESS row in r01..r07.
 _VERIFIED_PREFIXES = (
     {f"q{i:02d}" for i in range(1, 28)}
     | {f"q{i}" for i in range(30, 100)}
@@ -28,7 +29,19 @@ _VERIFIED_PREFIXES = (
     | {f"s{i:02d}" for i in range(4, 55) if i != 47}
     | {f"s{i:02d}" for i in range(55, 100) if i not in (63, 68, 81)}
     | {f"t{i:02d}" for i in range(1, 7)}
+    | {"s63"}
+    | {f"t{i:02d}" for i in range(7, 57) if i != 52}
 )
+
+# The four rows-only entries that have never had a driver row; they
+# take the window slots after the oracle-bearing inventory is
+# exhausted (round-7 verdict task #1).
+_ROWS_ONLY_FRESH = [
+    "s47_bpe_learn_merges",
+    "s68_stream_welford_anomalies",
+    "s81_hll_sketch_rollup",
+    "t52_stream_window_percentiles",
+]
 
 
 def test_first_50_insertion_order_are_never_verified():
@@ -36,22 +49,21 @@ def test_first_50_insertion_order_are_never_verified():
     oracles = set(entry_mod.oracle_sql())
     window = keys[:50]
     prefixes = [k.split("_", 1)[0] for k in window]
-    # Round-7 window: s63 re-enters first (its r06 driver row errored
-    # on the array-typed seq column, now serialized via array_join —
-    # it must earn a green row before rotating), then the next 49
-    # oracle-bearing never-driver-verified names in lexical order
-    # (t07 onward; s47/s68/s81/t52 are rows-only and queue behind the
-    # oracle-paired inventory).
-    registry_fresh = sorted(k for k in keys if not k.startswith("z") and k in oracles)
-    assert window == registry_fresh[:50]
-    assert prefixes[:3] == ["s63", "t07", "t08"]
-    assert prefixes[-1] == "t56"
-    assert all(p not in prefixes for p in ("s47", "s68", "s81", "t52"))
+    # Round-8 window: every remaining never-driver-verified
+    # oracle-bearing name (t57..t93 + the round-8 dialect-fidelity
+    # entries t94..u03) in lexical order, then the four rows-only
+    # names — 339/339 driver-evaluated once this window lands.
+    fresh_oracle = sorted(k for k in keys if not k.startswith("z") and k in oracles)
+    fresh_rows_only = sorted(
+        k for k in keys if not k.startswith("z") and k not in oracles
+    )
+    assert fresh_rows_only == _ROWS_ONLY_FRESH
+    assert window == (fresh_oracle + fresh_rows_only)[:50]
+    assert prefixes[0] == "t57"
+    # The full never-verified inventory fits in one window.
+    assert len(fresh_oracle) + len(fresh_rows_only) <= 50
     # None of the window entries is a rotated (already-green) name.
     assert not any(k.startswith("z") for k in window)
-    # Every window entry carries a full DuckDB value oracle (round-3
-    # verdict task #2: stop spending driver slots on rows-only checks).
-    assert all(k in oracles for k in window)
 
 
 def test_rotated_names_cover_all_driver_green():
@@ -70,15 +82,15 @@ def test_rotated_names_cover_all_driver_green():
     assert reconstructed == _VERIFIED_PREFIXES == set(entry_mod._DRIVER_GREEN)
 
 
-def test_insertion_order_is_no_oracle_last_then_lexical():
+def test_insertion_order_is_green_last_then_no_oracle_then_lexical():
     keys = list(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
-    expected = sorted(keys, key=lambda k: (k not in oracles, k))
+    expected = sorted(keys, key=lambda k: (k.startswith("z"), k not in oracles, k))
     assert keys == expected
-    # Within each oracle-group the order is lexical, so the rotation
-    # window advances deterministically round to round.
-    with_oracle = [k for k in keys if k in oracles]
-    assert with_oracle == sorted(with_oracle)
+    # Within each (green, oracle) group the order is lexical, so the
+    # rotation window advances deterministically round to round.
+    fresh_oracle = [k for k in keys if not k.startswith("z") and k in oracles]
+    assert fresh_oracle == sorted(fresh_oracle)
 
 
 def test_oracle_keys_subset_of_query_keys():

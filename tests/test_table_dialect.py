@@ -1271,3 +1271,296 @@ def test_oracle_to_date_parsing_ignores_case_conflicts():
     assert "'EEE, dd MMM yyyy'" in out
     with pytest.raises(UnsupportedError, match="mixes case styles"):
         transpile("SELECT TO_CHAR(x, 'Dy, DD MON YYYY') FROM t", "oracle")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 dialect fidelity: LATERAL FLATTEN / UNNEST / DISTINCT ON /
+# GROUP_CONCAT / STRING_AGG / DECODE / DATEPART / PIVOT naming
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_snowflake_lateral_flatten(spark):
+    got = transpile(
+        "SELECT d.id, f.index, f.value FROM docs d, "
+        "LATERAL FLATTEN(input => SPLIT(d.s, ' ')) f",
+        "snowflake",
+    )
+    assert "LATERAL VIEW POSEXPLODE(" in got and "f AS index, value" in got
+    assert "," not in got.split("docs d")[1].split("LATERAL")[0]
+    spark.sql("SELECT 1 AS id, 'a b' AS s").createOrReplaceTempView("fl_docs")
+    rows = spark.sql(
+        transpile(
+            "SELECT f.index AS i, f.value AS v FROM fl_docs, "
+            "LATERAL FLATTEN(input => SPLIT(s, ' ')) f ORDER BY i",
+            "snowflake",
+        )
+    ).collect()
+    assert [(r["i"], r["v"]) for r in rows] == [(0, "a"), (1, "b")]
+    # outer => true preserves rows whose input is empty (NULL value)
+    spark.sql(
+        "SELECT 1 AS id, ARRAY('x') AS a UNION ALL SELECT 2, ARRAY()"
+    ).createOrReplaceTempView("fl_outer")
+    rows = spark.sql(
+        transpile(
+            "SELECT id, f.value AS v FROM fl_outer, "
+            "LATERAL FLATTEN(input => a, outer => TRUE) f ORDER BY id",
+            "snowflake",
+        )
+    ).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, "x"), (2, None)]
+    # without outer, the empty-array row is dropped (snowflake default)
+    rows = spark.sql(
+        transpile(
+            "SELECT id FROM fl_outer, LATERAL FLATTEN(input => a) f",
+            "snowflake",
+        )
+    ).collect()
+    assert [r["id"] for r in rows] == [1]
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only guards")
+def test_snowflake_flatten_unsupported_forms_raise():
+    for bad in [
+        # semi-structured traversal arguments
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => x, path => 'a') f",
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => x, recursive => TRUE) f",
+        # no alias to name the LATERAL VIEW
+        "SELECT 1 FROM t, LATERAL FLATTEN(input => x)",
+        # attachment other than ',' / CROSS JOIN
+        "SELECT 1 FROM t LEFT JOIN LATERAL FLATTEN(input => x) f",
+    ]:
+        with pytest.raises(UnsupportedError):
+            transpile(bad, "snowflake")
+    # FLATTEN inside a string literal is never touched
+    got = transpile("SELECT 'LATERAL FLATTEN(input => x)' AS s FROM t", "snowflake")
+    assert "'LATERAL FLATTEN(input => x)'" in got
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_bigquery_unnest_variants(spark):
+    got = transpile("SELECT w FROM t, UNNEST(arr) AS w", "bigquery")
+    assert "LATERAL VIEW EXPLODE(arr) _unnest0 AS w" in got
+    got = transpile(
+        "SELECT w, o FROM t, UNNEST(arr) AS w WITH OFFSET AS o", "bigquery"
+    )
+    assert "LATERAL VIEW POSEXPLODE(arr) _unnest0 AS o, w" in got
+    # WITH OFFSET without AS: bigquery names the column `offset`
+    got = transpile("SELECT w FROM t, UNNEST(arr) w WITH OFFSET", "bigquery")
+    assert "AS offset, w" in got
+    # no base table: subquery form
+    rows = spark.sql(
+        transpile("SELECT x FROM UNNEST(ARRAY(3, 1, 2)) AS x ORDER BY x", "bigquery")
+    ).collect()
+    assert [r["x"] for r in rows] == [1, 2, 3]
+    # two UNNESTs in one FROM get distinct generated view aliases
+    got = transpile(
+        "SELECT a, b FROM t, UNNEST(x) AS a, UNNEST(y) AS b", "bigquery"
+    )
+    assert "_unnest0 AS a" in got and "_unnest1 AS b" in got
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_trino_unnest_table_column_alias(spark):
+    got = transpile(
+        "SELECT w FROM t CROSS JOIN UNNEST(arr) AS u (w)", "trino"
+    )
+    assert "LATERAL VIEW EXPLODE(arr) u AS w" in got and "CROSS JOIN" not in got
+    spark.sql("SELECT ARRAY('b', 'a') AS arr").createOrReplaceTempView("un_t")
+    rows = spark.sql(
+        transpile(
+            "SELECT w FROM un_t CROSS JOIN UNNEST(arr) AS u (w) ORDER BY w",
+            "trino",
+        )
+    ).collect()
+    assert [r["w"] for r in rows] == ["a", "b"]
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only guards")
+def test_unnest_unsupported_forms_raise():
+    cases = [
+        ("SELECT 1 FROM t WHERE x IN UNNEST(arr)", "bigquery"),
+        ("SELECT * FROM t, UNNEST(a, b) AS x", "bigquery"),
+        ("SELECT * FROM t CROSS JOIN UNNEST(a) WITH ORDINALITY AS u (x, i)", "trino"),
+        ("SELECT * FROM t CROSS JOIN UNNEST(m) AS u (k, v)", "trino"),
+        ("SELECT * FROM t LEFT JOIN UNNEST(a) AS x ON TRUE", "bigquery"),
+    ]
+    for sql, d in cases:
+        with pytest.raises(UnsupportedError):
+            transpile(sql, d)
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_postgres_distinct_on(spark):
+    spark.sql(
+        "SELECT 1 AS k, 10 AS v, 'a' AS s UNION ALL SELECT 1, 20, 'b' "
+        "UNION ALL SELECT 2, 5, 'c'"
+    ).createOrReplaceTempView("don_t")
+    rows = spark.sql(
+        transpile(
+            "SELECT DISTINCT ON (k) k, v, s FROM don_t ORDER BY k, v DESC",
+            "postgres",
+        )
+    ).collect()
+    assert [(r["k"], r["v"], r["s"]) for r in rows] == [(1, 20, "b"), (2, 5, "c")]
+    # multi-key, with the keys case-insensitively matched in ORDER BY
+    rows = spark.sql(
+        transpile(
+            "SELECT DISTINCT ON (k, s) k, s, v FROM don_t ORDER BY K, S, v",
+            "postgres",
+        )
+    ).collect()
+    assert len(rows) == 3
+    # duckdb speaks DISTINCT ON too
+    got = transpile("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v", "duckdb")
+    assert "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v)" in " ".join(got.split())
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only guards")
+def test_postgres_distinct_on_unsupported_forms_raise():
+    # nondeterministic in postgres: no ORDER BY at all
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT DISTINCT ON (k) k, v FROM t", "postgres")
+    # nondeterministic: ORDER BY adds no tiebreak beyond the keys
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k", "postgres")
+    # postgres itself errors on this mismatch
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT DISTINCT ON (k) k, v FROM t ORDER BY v, k", "postgres")
+    # plain DISTINCT is untouched
+    got = transpile("SELECT DISTINCT k, v FROM t ORDER BY k, v", "postgres")
+    assert "DISTINCT k" in got and "ROW_NUMBER" not in got
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_mysql_group_concat(spark):
+    spark.sql(
+        "SELECT 1 AS k, 'b' AS v UNION ALL SELECT 1, 'a' UNION ALL "
+        "SELECT 1, 'a' UNION ALL SELECT 2, CAST(NULL AS STRING)"
+    ).createOrReplaceTempView("gc_t")
+    rows = spark.sql(
+        transpile(
+            "SELECT k, GROUP_CONCAT(DISTINCT v ORDER BY v SEPARATOR '|') AS s, "
+            "GROUP_CONCAT(v) AS s2, "
+            "GROUP_CONCAT(v ORDER BY v DESC) AS s3 "
+            "FROM gc_t GROUP BY k ORDER BY k",
+            "mysql",
+        )
+    ).collect()
+    # mysql semantics: NULLs skipped, NULL on empty group, ',' default sep;
+    # without ORDER BY the element order is engine-defined in mysql too,
+    # so only the multiset is asserted for s2
+    assert (rows[0]["s"], rows[0]["s3"]) == ("a|b", "b,a,a")
+    assert sorted(rows[0]["s2"].split(",")) == ["a", "a", "b"]
+    assert (rows[1]["s"], rows[1]["s2"], rows[1]["s3"]) == (None, None, None)
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT GROUP_CONCAT(a, b) FROM t", "mysql")
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT GROUP_CONCAT(a SEPARATOR sep_col) FROM t", "mysql")
+    # bare identifier named group_concat survives
+    assert "group_concat" in transpile("SELECT group_concat FROM t", "mysql")
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_postgres_string_agg_internal_order_by(spark):
+    got = transpile("SELECT STRING_AGG(v, ',' ORDER BY v DESC) FROM t", "postgres")
+    assert "LISTAGG(v, ',' ) WITHIN GROUP (ORDER BY v DESC)" in " ".join(got.split())
+    # without internal ORDER BY: untouched (parses natively in Spark 4)
+    got = transpile("SELECT STRING_AGG(v, ',') FROM t", "postgres")
+    assert "STRING_AGG(v, ',')" in got
+    spark.sql(
+        "SELECT 'b' AS v UNION ALL SELECT 'a' UNION ALL SELECT 'c'"
+    ).createOrReplaceTempView("sa_t")
+    rows = spark.sql(
+        transpile("SELECT STRING_AGG(v, '-' ORDER BY v) AS s FROM sa_t", "postgres")
+    ).collect()
+    assert rows[0]["s"] == "a-b-c"
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_oracle_decode(spark):
+    got = transpile("SELECT DECODE(x, 1, 'a', 2, 'b', 'z') FROM t", "oracle")
+    flat = " ".join(got.split())
+    assert "CASE WHEN (x) <=> ( 1) THEN 'a'" in flat and "ELSE 'z' END" in flat
+    # oracle's null-safe match: NULL search equals NULL expression
+    rows = spark.sql(
+        transpile(
+            "SELECT DECODE(NULLIF('p', 'p'), NULL, 'isnull', 'other') AS r "
+            "FROM (SELECT 1) t",
+            "oracle",
+        )
+    ).collect()
+    assert rows[0]["r"] == "isnull"
+    # no default arm -> NULL on no match
+    rows = spark.sql(
+        transpile("SELECT DECODE(5, 1, 'a') AS r FROM (SELECT 1) t", "oracle")
+    ).collect()
+    assert rows[0]["r"] is None
+    # nested DECODE rewrites on the outer loop's next pass
+    rows = spark.sql(
+        transpile(
+            "SELECT DECODE(DECODE(1, 1, 2), 2, 'two', 'no') AS r FROM (SELECT 1) t",
+            "oracle",
+        )
+    ).collect()
+    assert rows[0]["r"] == "two"
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT DECODE(a, b) FROM t", "oracle")
+    # bare identifier named decode survives
+    assert "decode" in transpile("SELECT decode FROM t", "oracle")
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_tsql_datepart_charindex_iif(spark):
+    row = spark.sql(
+        transpile(
+            "SELECT DATEPART(yy, DATE'2024-03-05') AS y, "
+            "DATEPART(qq, DATE'2024-03-05') AS q, "
+            "DATEPART(mi, TIMESTAMP'2024-03-05 10:42:00') AS mi, "
+            "CHARINDEX('b', 'abcb') AS p1, "
+            "CHARINDEX('b', 'abcb', 3) AS p2, "
+            "CHARINDEX('zz', 'abcb') AS p0, "
+            "IIF(2 > 1, 'y', 'n') AS i",
+            "tsql",
+        )
+    ).collect()[0]
+    assert (row["y"], row["q"], row["mi"]) == (2024, 1, 42)
+    # CHARINDEX/LOCATE: same argument order, 1-based, 0 on miss
+    assert (row["p1"], row["p2"], row["p0"]) == (2, 4, 0)
+    assert row["i"] == "y"
+    # DATEFIRST-dependent parts refuse rather than mistranslate
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT DATEPART(weekday, d) FROM t", "tsql")
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT DATEPART(dy, d) FROM t", "tsql")
+
+
+@pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
+def test_snowflake_pivot_column_naming(spark):
+    # un-aliased string literals get snowflake's QUOTED column names
+    got = transpile(
+        "SELECT * FROM t PIVOT (SUM(x) FOR c IN ('a', 'b'))", "snowflake"
+    )
+    assert "'a' AS `'a'`" in got and "'b' AS `'b'`" in got
+    spark.sql(
+        "SELECT 1 AS k, 'F' AS c, 10 AS x UNION ALL SELECT 1, 'O', 20"
+    ).createOrReplaceTempView("pv_t")
+    rows = spark.sql(
+        transpile(
+            # a migrating snowflake query references the quoted names
+            'SELECT k, "\'F\'" AS f, "\'O\'" AS o FROM pv_t '
+            "PIVOT (SUM(x) FOR c IN ('F', 'O')) ORDER BY k",
+            "snowflake",
+        )
+    ).collect()
+    assert [(r["k"], r["f"], r["o"]) for r in rows] == [(1, 10, 20)]
+    # explicit IN-item aliases pass through untouched
+    got = transpile(
+        "SELECT * FROM t PIVOT (SUM(x) FOR c IN ('a' AS ca, 'b' AS cb))",
+        "snowflake",
+    )
+    assert "AS ca" in got and "`'a'`" not in got
+    # Spark cannot parse a table alias on the pivoted relation: refuse
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT * FROM t PIVOT (SUM(x) FOR c IN ('a')) AS p", "snowflake")
+    with pytest.raises(UnsupportedError):
+        transpile("SELECT * FROM t PIVOT (SUM(x) FOR c IN ('a')) p", "snowflake")

@@ -2161,6 +2161,745 @@ def _rewrite_extract_epoch(tokens: list[tuple[str, str]]) -> list[tuple[str, str
     return out
 
 
+# ---------------------------------------------------------------------------
+# FROM-clause table generators (snowflake LATERAL FLATTEN, bigquery /
+# trino UNNEST) → Spark LATERAL VIEW, and related per-dialect constructs
+# (postgres DISTINCT ON, mysql GROUP_CONCAT, postgres STRING_AGG with
+# embedded ORDER BY, oracle DECODE, tsql DATEPART, snowflake PIVOT
+# column naming). Each is a faithful translation or a LOUD
+# UnsupportedError — never a silent semantic change.
+
+
+def _prev_code(tokens: list[tuple[str, str]], i: int) -> int | None:
+    for j in range(i - 1, -1, -1):
+        if tokens[j][0] not in ("ws", "comment"):
+            return j
+    return None
+
+
+def _connector_start(
+    tokens: list[tuple[str, str]], i: int
+) -> tuple[str | None, int]:
+    """How a FROM-clause table function attaches to the preceding table:
+    returns (kind, start) with kind 'comma' | 'cross' (CROSS JOIN) |
+    'join' (any other JOIN) | 'from' | 'in' | None and start = index of
+    the first connector token (to be replaced)."""
+    j = _prev_code(tokens, i)
+    if j is None:
+        return None, i
+    kind, text = tokens[j]
+    if (kind, text) == ("op", ","):
+        return "comma", j
+    if kind == "word":
+        up = text.upper()
+        if up == "JOIN":
+            k = _prev_code(tokens, j)
+            if (
+                k is not None
+                and tokens[k][0] == "word"
+                and tokens[k][1].upper() == "CROSS"
+            ):
+                return "cross", k
+            return "join", j
+        if up == "FROM":
+            return "from", j
+        if up == "IN":
+            return "in", j
+    return None, i
+
+
+def _named_flatten_args(
+    args: list[list[tuple[str, str]]],
+) -> tuple[list[tuple[str, str]], bool]:
+    """Parse FLATTEN's arguments: positional ``FLATTEN(expr)`` or named
+    ``input => expr [, outer => true|false]``. Returns (input_tokens,
+    outer). PATH/RECURSIVE/MODE (semi-structured traversal — no Spark
+    LATERAL VIEW equivalent) raise."""
+    input_toks: list[tuple[str, str]] | None = None
+    outer = False
+    for arg in args:
+        code = [(p, tok) for p, tok in enumerate(arg) if tok[0] not in ("ws", "comment")]
+        if not code:
+            raise UnsupportedError("empty FLATTEN argument")
+        is_named = (
+            len(code) >= 3
+            and code[0][1][0] == "word"
+            and code[1][1] == ("op", "=")
+            and code[2][1] == ("op", ">")
+        )
+        if not is_named:
+            if input_toks is not None or len(args) != 1:
+                raise UnsupportedError(
+                    "FLATTEN with multiple positional arguments is not "
+                    "supported without sqlglot"
+                )
+            input_toks = arg
+            continue
+        name = code[0][1][1].upper()
+        val_start = code[2][0] + 1
+        if name == "INPUT":
+            input_toks = arg[val_start:]
+        elif name == "OUTER":
+            val = [tok for tok in arg[val_start:] if tok[0] not in ("ws", "comment")]
+            if len(val) != 1 or val[0][1].upper() not in ("TRUE", "FALSE"):
+                raise UnsupportedError("FLATTEN outer => expects TRUE or FALSE")
+            outer = val[0][1].upper() == "TRUE"
+        else:
+            raise UnsupportedError(
+                f"FLATTEN argument {name!r} (semi-structured traversal) is "
+                "not supported without sqlglot"
+            )
+    if input_toks is None or not any(
+        tok[0] not in ("ws", "comment") for tok in input_toks
+    ):
+        raise UnsupportedError("FLATTEN requires an input => expression")
+    return input_toks, outer
+
+
+def _rewrite_snowflake_flatten(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Snowflake ``FROM t, LATERAL FLATTEN(input => expr) f`` →
+    ``FROM t LATERAL VIEW [OUTER] POSEXPLODE(expr) f AS index, value``.
+
+    POSEXPLODE so both flatten output columns a migrating query uses
+    (``f.value`` and the 0-based ``f.index`` — snowflake arrays are
+    0-indexed, matching posexplode's pos) resolve; ``outer => true``
+    maps to LATERAL VIEW OUTER (row preserved with NULL index/value on
+    empty/NULL input — snowflake's OUTER semantic). The other flatten
+    outputs (seq/key/path/this: semi-structured traversal state) and
+    PATH/RECURSIVE/MODE arguments have no LATERAL VIEW equivalent and
+    raise. The reference reaches snowflake only through sqlglot
+    (reference core.py:102)."""
+    out = list(tokens)
+    while True:
+        hit = None
+        for i in _iter_code(out):
+            kind, text = out[i]
+            if kind != "word" or text.upper() != "LATERAL":
+                continue
+            j = _next_code(out, i)
+            if j is None or out[j][0] != "word" or out[j][1].upper() != "FLATTEN":
+                continue
+            p = _next_code(out, j)
+            if p is None or out[p] != ("op", "("):
+                continue
+            hit = (i, p)
+            break
+        if hit is None:
+            return out
+        lat_at, open_at = hit
+        parsed = _call_args(out, open_at)
+        if parsed is None:
+            return out  # unbalanced parens: Spark's parser reports it
+        args, close = parsed
+        input_toks, outer = _named_flatten_args(args)
+        conn, conn_at = _connector_start(out, lat_at)
+        if conn not in ("comma", "cross"):
+            raise UnsupportedError(
+                "LATERAL FLATTEN is supported after ',' or CROSS JOIN only "
+                "without sqlglot"
+            )
+        # required table alias after the close paren: [AS] name
+        a = _next_code(out, close)
+        if a is not None and out[a][0] == "word" and out[a][1].upper() == "AS":
+            a = _next_code(out, a)
+        if a is None or out[a][0] not in ("word", "backtick") or (
+            out[a][0] == "word" and out[a][1].upper() in NON_ALIAS_WORDS
+        ):
+            raise UnsupportedError(
+                "LATERAL FLATTEN requires a table alias (needed to name "
+                "the LATERAL VIEW) without sqlglot"
+            )
+        alias = out[a]
+        rep: list[tuple[str, str]] = [("ws", " "), ("word", "LATERAL"), ("ws", " "), ("word", "VIEW"), ("ws", " ")]
+        if outer:
+            rep += [("word", "OUTER"), ("ws", " ")]
+        rep += [("word", "POSEXPLODE"), ("op", "(")]
+        rep += input_toks
+        rep += [("op", ")"), ("ws", " "), alias, ("ws", " "), ("word", "AS"), ("ws", " "), ("word", "index"), ("op", ","), ("ws", " "), ("word", "value")]
+        out = out[:conn_at] + rep + out[a + 1 :]
+
+
+def _rewrite_unnest(
+    tokens: list[tuple[str, str]], trino: bool
+) -> list[tuple[str, str]]:
+    """Bigquery / trino UNNEST table function → Spark LATERAL VIEW.
+
+    * bigquery ``FROM t, UNNEST(e) [AS] x [WITH OFFSET [AS] o]`` →
+      ``FROM t LATERAL VIEW [POS]EXPLODE(e) _unnestN AS [o,] x``
+      (bigquery OFFSET and posexplode pos are both 0-based);
+    * trino ``FROM t CROSS JOIN UNNEST(e) [AS] u (x)`` →
+      ``FROM t LATERAL VIEW EXPLODE(e) u AS x``;
+    * ``FROM UNNEST(e) [AS] x`` (no base table) →
+      ``FROM (SELECT EXPLODE(e) AS x)``.
+
+    Loud refusals (no faithful LATERAL VIEW form): multi-array UNNEST
+    (parallel zip semantics), trino WITH ORDINALITY (1-based — pos is
+    0-based and LATERAL VIEW cannot apply +1), ``x IN UNNEST(e)``
+    (scalar-context subexpression, not a FROM-clause source), and
+    LEFT/other JOIN attachments. The reference reaches these dialects
+    only through sqlglot (reference core.py:102)."""
+    out = list(tokens)
+    n_gen = 0
+    while True:
+        hit = None
+        for i in _iter_code(out):
+            kind, text = out[i]
+            if kind != "word" or text.upper() != "UNNEST":
+                continue
+            j = _next_code(out, i)
+            if j is not None and out[j] == ("op", "("):
+                hit = (i, j)
+                break
+        if hit is None:
+            return out
+        un_at, open_at = hit
+        parsed = _call_args(out, open_at)
+        if parsed is None:
+            return out
+        args, close = parsed
+        if len(args) != 1:
+            raise UnsupportedError(
+                "UNNEST of multiple arrays (parallel zip) is not supported "
+                "without sqlglot"
+            )
+        arr = args[0]
+        conn, conn_at = _connector_start(out, un_at)
+        if conn == "in":
+            raise UnsupportedError(
+                "scalar IN UNNEST(...) is not supported without sqlglot"
+            )
+        if conn not in ("comma", "cross", "from"):
+            raise UnsupportedError(
+                "UNNEST is supported after ',', CROSS JOIN, or FROM only "
+                "without sqlglot"
+            )
+        # WITH ORDINALITY (trino) intervenes before the alias
+        a = _next_code(out, close)
+        if (
+            a is not None
+            and out[a][0] == "word"
+            and out[a][1].upper() == "WITH"
+        ):
+            w = _next_code(out, a)
+            if w is not None and out[w][0] == "word" and out[w][1].upper() == "ORDINALITY":
+                raise UnsupportedError(
+                    "UNNEST WITH ORDINALITY (1-based) has no faithful "
+                    "LATERAL VIEW form without sqlglot"
+                )
+        if a is not None and out[a][0] == "word" and out[a][1].upper() == "AS":
+            a = _next_code(out, a)
+        if a is None or out[a][0] not in ("word", "backtick") or (
+            out[a][0] == "word" and out[a][1].upper() in NON_ALIAS_WORDS
+        ):
+            raise UnsupportedError(
+                "UNNEST requires a column (bigquery) or table(column) "
+                "(trino) alias without sqlglot"
+            )
+        alias = out[a]
+        end = a  # last consumed token index
+        col_alias: tuple[str, str] | None = None
+        table_alias: tuple[str, str] | None = None
+        # trino form: alias followed by (col)
+        nxt = _next_code(out, a)
+        if trino and nxt is not None and out[nxt] == ("op", "("):
+            cols_parsed = _call_args(out, nxt)
+            if cols_parsed is None:
+                return out
+            cols, cols_close = cols_parsed
+            col_items = [
+                [tok for tok in c if tok[0] not in ("ws", "comment")] for c in cols
+            ]
+            if len(col_items) != 1 or len(col_items[0]) != 1:
+                raise UnsupportedError(
+                    "UNNEST alias with multiple columns (map or zip "
+                    "semantics) is not supported without sqlglot"
+                )
+            table_alias, col_alias = alias, col_items[0][0]
+            end = cols_close
+        else:
+            col_alias = alias
+        # bigquery WITH OFFSET [AS o]
+        offset_alias: tuple[str, str] | None = None
+        nxt = _next_code(out, end)
+        if (
+            not trino
+            and nxt is not None
+            and out[nxt][0] == "word"
+            and out[nxt][1].upper() == "WITH"
+        ):
+            w = _next_code(out, nxt)
+            if w is not None and out[w][0] == "word" and out[w][1].upper() == "OFFSET":
+                offset_alias = ("word", "offset")
+                end = w
+                o = _next_code(out, w)
+                if o is not None and out[o][0] == "word" and out[o][1].upper() == "AS":
+                    o = _next_code(out, o)
+                    if o is None or out[o][0] not in ("word", "backtick"):
+                        raise UnsupportedError("WITH OFFSET AS expects a name")
+                    offset_alias = out[o]
+                    end = o
+        if conn == "from":
+            if offset_alias is not None:
+                raise UnsupportedError(
+                    "FROM UNNEST(...) WITH OFFSET without a base table is "
+                    "not supported without sqlglot"
+                )
+            rep = [("word", "FROM"), ("ws", " "), ("op", "("), ("word", "SELECT"), ("ws", " "), ("word", "EXPLODE"), ("op", "(")]
+            rep += arr
+            rep += [("op", ")"), ("ws", " "), ("word", "AS"), ("ws", " "), col_alias, ("op", ")")]
+            if table_alias is not None:
+                rep += [("ws", " "), table_alias]
+            out = out[:conn_at] + rep + out[end + 1 :]
+            continue
+        view_alias = table_alias or ("word", f"_unnest{n_gen}")
+        n_gen += 1
+        rep = [("ws", " "), ("word", "LATERAL"), ("ws", " "), ("word", "VIEW"), ("ws", " ")]
+        rep += [("word", "POSEXPLODE" if offset_alias is not None else "EXPLODE"), ("op", "(")]
+        rep += arr
+        rep += [("op", ")"), ("ws", " "), view_alias, ("ws", " "), ("word", "AS"), ("ws", " ")]
+        if offset_alias is not None:
+            rep += [offset_alias, ("op", ","), ("ws", " ")]
+        rep += [col_alias]
+        out = out[:conn_at] + rep + out[end + 1 :]
+
+
+def _rewrite_distinct_on(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Postgres/duckdb ``SELECT DISTINCT ON (keys) ...`` for one paren
+    scope, set-operation aware (DISTINCT ON binds per SELECT block)."""
+    segs, seps = _split_set_op_arms(tokens)
+    if len(segs) == 1:
+        return _rewrite_distinct_on_one(tokens)
+    out: list[tuple[str, str]] = []
+    for idx, seg in enumerate(segs):
+        out += _rewrite_distinct_on_one(seg)
+        if idx < len(seps):
+            out += seps[idx]
+    return out
+
+
+def _norm_expr(toks: list[tuple[str, str]]) -> tuple[tuple[str, str], ...]:
+    """Comparison key for expression token runs: code tokens with words
+    uppercased (identifier comparison is case-insensitive in both
+    source dialects; literals/operators compare verbatim)."""
+    return tuple(
+        (k, t.upper() if k == "word" else t)
+        for k, t in toks
+        if k not in ("ws", "comment")
+    )
+
+
+def _rewrite_distinct_on_one(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """``SELECT DISTINCT ON (k1, ...) cols FROM ... ORDER BY k1, ...,
+    tiebreak...`` → first-row-per-group via ``ROW_NUMBER() OVER
+    (PARTITION BY k1, ... ORDER BY tiebreak...) = 1``, reusing the
+    QUALIFY wrapper (the predicate is hoisted into the projection and
+    filtered one level up); the outer ORDER BY is kept verbatim.
+
+    Faithful to postgres: the ORDER BY must start with the DISTINCT ON
+    expressions (postgres errors otherwise — same refusal here), and a
+    query whose ORDER BY adds no tiebreak beyond the keys picks an
+    ARBITRARY row per group in postgres; that nondeterminism is
+    refused rather than silently frozen to some Spark-specific order.
+    """
+    depth = 0
+    sel = di = on = op = None
+    for i, (kind, text) in enumerate(tokens):
+        if (kind, text) == ("op", "("):
+            depth += 1
+        elif (kind, text) == ("op", ")"):
+            depth -= 1
+        elif kind == "word" and depth == 0 and text.upper() == "SELECT":
+            j = _next_code(tokens, i)
+            if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() == "DISTINCT":
+                k = _next_code(tokens, j)
+                if k is not None and tokens[k][0] == "word" and tokens[k][1].upper() == "ON":
+                    p = _next_code(tokens, k)
+                    if p is not None and tokens[p] == ("op", "("):
+                        sel, di, on, op = i, j, k, p
+            break
+    if di is None:
+        return tokens
+    parsed = _call_args(tokens, op)
+    if parsed is None:
+        return tokens
+    keys, close = parsed
+    key_code = [[tok for tok in k if tok[0] not in ("ws", "comment")] for k in keys]
+    if not key_code or any(not k for k in key_code):
+        raise UnsupportedError("empty DISTINCT ON expression")
+    # depth-0 ORDER BY after the select list
+    depth = 0
+    order_at = None
+    for i in range(close + 1, len(tokens)):
+        kind, text = tokens[i]
+        if (kind, text) == ("op", "("):
+            depth += 1
+        elif (kind, text) == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and kind == "word" and text.upper() == "ORDER":
+            j = _next_code(tokens, i)
+            if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() == "BY":
+                order_at = i
+                items_start = j + 1
+                break
+    if order_at is None:
+        raise UnsupportedError(
+            "DISTINCT ON without ORDER BY picks an arbitrary row per "
+            "group (nondeterministic); add an ORDER BY starting with the "
+            "DISTINCT ON expressions"
+        )
+    # ORDER BY items run to a depth-0 tail keyword / ; / end
+    depth = 0
+    items_end = len(tokens)
+    for i in range(items_start, len(tokens)):
+        kind, text = tokens[i]
+        if (kind, text) == ("op", "("):
+            depth += 1
+        elif (kind, text) == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and (
+            (kind == "word" and text.upper() in ("LIMIT", "OFFSET", "FETCH"))
+            or (kind, text) == ("op", ";")
+        ):
+            items_end = i
+            break
+    items = _split_top_level_commas(tokens[items_start:items_end])
+    if len(items) < len(key_code):
+        raise UnsupportedError(
+            "SELECT DISTINCT ON expressions must match initial ORDER BY "
+            "expressions"
+        )
+    for k, item in zip(key_code, items):
+        if _norm_expr(k) != _norm_expr(_strip_sort_suffix(item)):
+            raise UnsupportedError(
+                "SELECT DISTINCT ON expressions must match initial ORDER "
+                "BY expressions"
+            )
+    tiebreak = items[len(key_code):]
+    if not tiebreak:
+        raise UnsupportedError(
+            "DISTINCT ON whose ORDER BY adds no tiebreak beyond the keys "
+            "picks an arbitrary row per group (nondeterministic); extend "
+            "the ORDER BY"
+        )
+    qualify: list[tuple[str, str]] = [("ws", " "), ("word", "QUALIFY"), ("ws", " "), ("word", "ROW_NUMBER"), ("op", "("), ("op", ")"), ("ws", " "), ("word", "OVER"), ("ws", " "), ("op", "("), ("word", "PARTITION"), ("ws", " "), ("word", "BY"), ("ws", " ")]
+    for idx, k in enumerate(key_code):
+        if idx:
+            qualify += [("op", ","), ("ws", " ")]
+        qualify += k
+    qualify += [("ws", " "), ("word", "ORDER"), ("ws", " "), ("word", "BY"), ("ws", " ")]
+    for idx, item in enumerate(tiebreak):
+        if idx:
+            qualify += [("op", ","), ("ws", " ")]
+        qualify += item
+    qualify += [("op", ")"), ("ws", " "), ("op", "="), ("ws", " "), ("number", "1"), ("ws", " ")]
+    rebuilt = (
+        tokens[:di]
+        + tokens[close + 1 : order_at]
+        + qualify
+        + tokens[order_at:]
+    )
+    return _rewrite_qualify_one(rebuilt)
+
+
+def _agg_orderby_to_listagg(
+    expr: list[tuple[str, str]],
+    sep: list[tuple[str, str]],
+    order_items: list[tuple[str, str]] | None,
+) -> list[tuple[str, str]]:
+    """Assemble ``LISTAGG(expr, sep) [WITHIN GROUP (ORDER BY ...)]``."""
+    out: list[tuple[str, str]] = [("word", "LISTAGG"), ("op", "(")]
+    out += expr
+    out += [("op", ","), ("ws", " ")]
+    out += sep
+    out += [("op", ")")]
+    if order_items:
+        out += [("ws", " "), ("word", "WITHIN"), ("ws", " "), ("word", "GROUP"), ("ws", " "), ("op", "("), ("word", "ORDER"), ("ws", " "), ("word", "BY"), ("ws", " ")]
+        out += order_items
+        out += [("op", ")")]
+    return out
+
+
+def _rewrite_group_concat(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """MySQL ``GROUP_CONCAT([DISTINCT] expr [ORDER BY ...] [SEPARATOR
+    's'])`` → ``LISTAGG([DISTINCT] expr, 's') [WITHIN GROUP (ORDER BY
+    ...)]``.
+
+    Faithful on NULL semantics for free: both skip NULL inputs and
+    return NULL for an empty group. The default separator is ',' (mysql
+    default; Spark's default is ''), always emitted explicitly.
+    ``GROUP_CONCAT(a, b)`` (multi-expression concatenation) raises —
+    translating it as one expression would silently drop columns."""
+    out = list(tokens)
+    while True:
+        hit = None
+        for i in _iter_code(out):
+            kind, text = out[i]
+            if kind == "word" and text.upper() == "GROUP_CONCAT":
+                j = _next_code(out, i)
+                if j is not None and out[j] == ("op", "("):
+                    hit = (i, j)
+                    break
+        if hit is None:
+            return out
+        gc_at, open_at = hit
+        parsed = _call_args(out, open_at)
+        if parsed is None:
+            return out
+        args, close = parsed
+        if len(args) != 1:
+            raise UnsupportedError(
+                "GROUP_CONCAT of multiple expressions is not supported "
+                "without sqlglot"
+            )
+        arg = args[0]
+        # split the single argument at depth-0 ORDER / SEPARATOR words
+        depth = 0
+        order_at = sep_at = None
+        for p, (kind, text) in enumerate(arg):
+            if (kind, text) == ("op", "("):
+                depth += 1
+            elif (kind, text) == ("op", ")"):
+                depth -= 1
+            elif depth == 0 and kind == "word":
+                up = text.upper()
+                if up == "ORDER" and order_at is None:
+                    order_at = p
+                elif up == "SEPARATOR" and sep_at is None:
+                    sep_at = p
+        expr_end = min(x for x in (order_at, sep_at, len(arg)) if x is not None)
+        expr = arg[:expr_end]
+        order_items: list[tuple[str, str]] | None = None
+        if order_at is not None:
+            o_end = sep_at if sep_at is not None else len(arg)
+            by = _next_code(arg[:o_end], order_at)
+            if by is None or arg[by][0] != "word" or arg[by][1].upper() != "BY":
+                raise UnsupportedError("malformed GROUP_CONCAT ORDER BY")
+            order_items = arg[by + 1 : o_end]
+        sep: list[tuple[str, str]] = [("string", "','")]
+        if sep_at is not None:
+            sep = [tok for tok in arg[sep_at + 1 :] if tok[0] not in ("ws", "comment")]
+            if len(sep) != 1 or sep[0][0] != "string":
+                raise UnsupportedError(
+                    "GROUP_CONCAT SEPARATOR expects a string literal"
+                )
+        rep = _agg_orderby_to_listagg(expr, sep, order_items)
+        out = out[:gc_at] + rep + out[close + 1 :]
+
+
+def _rewrite_string_agg_orderby(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Postgres/duckdb ``STRING_AGG(expr, sep ORDER BY ...)`` (the
+    aggregate-internal ORDER BY) → ``LISTAGG(expr, sep) WITHIN GROUP
+    (ORDER BY ...)``. STRING_AGG without an internal ORDER BY parses
+    natively in Spark 4 (string_agg is a listagg alias) and is left
+    untouched."""
+    out = list(tokens)
+    while True:
+        hit = None
+        for i in _iter_code(out):
+            kind, text = out[i]
+            if kind == "word" and text.upper() == "STRING_AGG":
+                j = _next_code(out, i)
+                if j is not None and out[j] == ("op", "("):
+                    parsed = _call_args(out, j)
+                    if parsed is None:
+                        return out
+                    args, close = parsed
+                    if len(args) == 2:
+                        depth = 0
+                        for p, (k2, t2) in enumerate(args[1]):
+                            if (k2, t2) == ("op", "("):
+                                depth += 1
+                            elif (k2, t2) == ("op", ")"):
+                                depth -= 1
+                            elif depth == 0 and k2 == "word" and t2.upper() == "ORDER":
+                                hit = (i, close, args, p)
+                                break
+                    if hit is not None:
+                        break
+        if hit is None:
+            return out
+        sa_at, close, args, order_at = hit
+        sep = args[1][:order_at]
+        by = _next_code(args[1], order_at)
+        if by is None or args[1][by][0] != "word" or args[1][by][1].upper() != "BY":
+            raise UnsupportedError("malformed STRING_AGG ORDER BY")
+        order_items = args[1][by + 1 :]
+        rep = _agg_orderby_to_listagg(args[0], sep, order_items)
+        out = out[:sa_at] + rep + out[close + 1 :]
+
+
+def _rewrite_decode(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Oracle ``DECODE(expr, s1, r1, ..., [default])`` → ``CASE WHEN
+    (expr) <=> (s1) THEN r1 ... [ELSE default] END``.
+
+    ``<=>`` (null-safe equality) reproduces oracle's one deviation from
+    plain equality: DECODE treats NULL as EQUAL to a NULL search value.
+    The expression tokens are duplicated per WHEN arm (token-level
+    rewrite; acceptable for deterministic expressions — oracle itself
+    documents DECODE as evaluating the expression once per comparison).
+    Nested DECODEs rewrite on subsequent passes of the outer loop."""
+    out = list(tokens)
+    while True:
+        hit = None
+        for i in _iter_code(out):
+            kind, text = out[i]
+            if kind == "word" and text.upper() == "DECODE":
+                j = _next_code(out, i)
+                if j is not None and out[j] == ("op", "("):
+                    hit = (i, j)
+                    break
+        if hit is None:
+            return out
+        dc_at, open_at = hit
+        parsed = _call_args(out, open_at)
+        if parsed is None:
+            return out
+        args, close = parsed
+        if len(args) < 3:
+            raise UnsupportedError("DECODE requires expr, search, result")
+        expr, rest = args[0], args[1:]
+        default = rest.pop() if len(rest) % 2 == 1 else None
+        rep: list[tuple[str, str]] = [("word", "CASE")]
+        for p in range(0, len(rest), 2):
+            search, result = rest[p], rest[p + 1]
+            rep += [("ws", " "), ("word", "WHEN"), ("ws", " "), ("op", "(")]
+            rep += expr
+            rep += [("op", ")"), ("ws", " "), ("op", "<=>"), ("ws", " "), ("op", "(")]
+            rep += search
+            rep += [("op", ")"), ("ws", " "), ("word", "THEN"), ("ws", " ")]
+            rep += result
+        if default is not None:
+            rep += [("ws", " "), ("word", "ELSE"), ("ws", " ")]
+            rep += default
+        rep += [("ws", " "), ("word", "END")]
+        out = out[:dc_at] + rep + out[close + 1 :]
+
+
+def _rewrite_datepart(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """T-SQL ``DATEPART(part, expr)`` → ``EXTRACT(UNIT FROM (expr))``
+    via the shared ``_date_part`` spelling table (yy/qq/mm/dd/hh/mi/ss
+    abbreviations); parts outside it (dayofyear/weekday: DATEFIRST-
+    dependent) raise rather than mistranslate."""
+    out = list(tokens)
+    while True:
+        hit = None
+        for i in _iter_code(out):
+            kind, text = out[i]
+            if kind == "word" and text.upper() == "DATEPART":
+                j = _next_code(out, i)
+                if j is not None and out[j] == ("op", "("):
+                    hit = (i, j)
+                    break
+        if hit is None:
+            return out
+        dp_at, open_at = hit
+        parsed = _call_args(out, open_at)
+        if parsed is None:
+            return out
+        args, close = parsed
+        if len(args) != 2:
+            raise UnsupportedError("DATEPART expects (part, expr)")
+        unit = _date_part(args[0])
+        rep: list[tuple[str, str]] = [("word", "EXTRACT"), ("op", "("), ("word", unit), ("ws", " "), ("word", "FROM"), ("ws", " "), ("op", "(")]
+        rep += args[1]
+        rep += [("op", ")"), ("op", ")")]
+        out = out[:dp_at] + rep + out[close + 1 :]
+
+
+# Words that may legally follow ``PIVOT (...)`` without being a
+# snowflake table alias for the pivoted relation.
+_PIVOT_TAIL_WORDS = NON_ALIAS_WORDS | {"SELECT"}
+
+
+def _rewrite_snowflake_pivot_names(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Snowflake PIVOT column naming: ``PIVOT(agg FOR c IN ('a','b'))``
+    names output columns with the QUOTED literal text (``'a'`` — users
+    reference them as ``"'a'"``), while Spark names them with the bare
+    value (``a``). Alias each un-aliased string-literal IN item to the
+    snowflake name (``'a' AS `'a'```) so a migrating query's
+    ``"'a'"`` references resolve; items with an explicit alias
+    (``'a' AS col_a`` — supported by both engines) pass through.
+
+    A table alias after the pivot's closing paren (``PIVOT (...) p``)
+    has no Spark equivalent (PARSE_SYNTAX_ERROR) and raises here with a
+    clearer message."""
+    out = list(tokens)
+    for i in _iter_code(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "PIVOT":
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            continue
+        _, close = parsed
+        # refuse a trailing table alias (Spark cannot parse one)
+        a = _next_code(out, close)
+        if a is not None and (
+            (out[a][0] == "word" and out[a][1].upper() == "AS")
+            or (
+                out[a][0] in ("word", "backtick")
+                and not (out[a][0] == "word" and out[a][1].upper() in _PIVOT_TAIL_WORDS)
+            )
+        ):
+            raise UnsupportedError(
+                "a table alias on PIVOT (...) is not supported by Spark; "
+                "remove the alias and reference the pivoted columns "
+                "directly"
+            )
+        # find the IN ( ... ) list inside the pivot parens
+        in_open = None
+        depth = 0
+        for p in range(j + 1, close):
+            k2, t2 = out[p]
+            if (k2, t2) == ("op", "("):
+                depth += 1
+            elif (k2, t2) == ("op", ")"):
+                depth -= 1
+            elif depth == 0 and k2 == "word" and t2.upper() == "IN":
+                q = _next_code(out, p)
+                if q is not None and out[q] == ("op", "("):
+                    in_open = q
+                break
+        if in_open is None:
+            continue
+        in_parsed = _call_args(out, in_open)
+        if in_parsed is None:
+            continue
+        items, in_close = in_parsed
+        rebuilt: list[tuple[str, str]] = []
+        changed = False
+        for idx, item in enumerate(items):
+            if idx:
+                rebuilt += [("op", ","), ("ws", " ")]
+            rebuilt += item
+            code = [tok for tok in item if tok[0] not in ("ws", "comment")]
+            if len(code) == 1 and code[0][0] == "string":
+                # snowflake names the column with the literal INCLUDING
+                # its quotes
+                rebuilt += [("ws", " "), ("word", "AS"), ("ws", " "), ("backtick", _to_backtick(code[0][1]))]
+                changed = True
+        if changed:
+            out = out[: in_open + 1] + rebuilt + out[in_close:]
+            # indices past in_open are stale; restart the scan
+            return _rewrite_snowflake_pivot_names(out)
+    return out
+
+
 def has_sqlglot() -> bool:
     return _HAS_SQLGLOT
 
@@ -2225,6 +2964,9 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         ]
     if dialect in ("postgres", "postgresql", "duckdb", "redshift"):
         tokens = _rewrite_extract_epoch(tokens)
+    if dialect in ("postgres", "duckdb"):
+        tokens = _for_each_scope(tokens, _rewrite_distinct_on)
+        tokens = _rewrite_string_agg_orderby(tokens)
     if dialect == "tsql":
         tokens = [
             ("backtick", _to_backtick(_unquote(t, "]"))) if k == "bracket" else (k, t)
@@ -2237,9 +2979,18 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # T-SQL LEN ignores trailing spaces (LEN('abc ') = 3) while
         # Spark LENGTH counts them.
         tokens = _rewrite_func_names(
-            tokens, {"GETDATE": "CURRENT_TIMESTAMP", "ISNULL": "COALESCE"}
+            tokens,
+            {
+                "GETDATE": "CURRENT_TIMESTAMP",
+                "ISNULL": "COALESCE",
+                # CHARINDEX(find, search[, start]) and LOCATE share the
+                # same argument order and 1-based/0-on-miss contract
+                "CHARINDEX": "LOCATE",
+                "IIF": "IF",
+            },
         )
         tokens = _rewrite_tsql_len(tokens)
+        tokens = _rewrite_datepart(tokens)
         tokens = _for_each_scope(tokens, _rewrite_top)
     if dialect == "mysql":
         # '#' line comments lex correctly but Spark's parser does not
@@ -2249,12 +3000,14 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             for k, t in tokens
         ]
         tokens = _rewrite_mysql_limit(tokens)
+        tokens = _rewrite_group_concat(tokens)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
     if dialect == "oracle":
         tokens = _rewrite_oracle_fmt(tokens)
         tokens = _rewrite_from_dual(tokens)
         tokens = _rewrite_oracle_rownum(tokens)
+        tokens = _rewrite_decode(tokens)
     if dialect in ("presto", "trino"):
         tokens = _rewrite_func_names(
             tokens,
@@ -2265,6 +3018,7 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             },
         )
         tokens = _rewrite_unit_first_dates(tokens)
+        tokens = _rewrite_unnest(tokens, trino=True)
     if dialect == "redshift":
         tokens = _rewrite_func_names(tokens, {"GETDATE": "CURRENT_TIMESTAMP"})
         # Monday weeks: redshift is postgres-derived and its own
@@ -2298,6 +3052,8 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # IFF(c,a,b) → IF; NVL/NVL2/IFNULL/COALESCE parse natively.
         tokens = _rewrite_func_names(tokens, {"IFF": "IF"})
         tokens = _rewrite_to_number(tokens)
+        tokens = _rewrite_snowflake_flatten(tokens)
+        tokens = _rewrite_snowflake_pivot_names(tokens)
     if dialect == "bigquery":
         # SAFE_CAST → TRY_CAST (NULL on failure), SAFE_DIVIDE →
         # TRY_DIVIDE (NULL on /0); IFNULL/COUNTIF parse natively, and
@@ -2305,6 +3061,7 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_func_names(
             tokens, {"SAFE_CAST": "TRY_CAST", "SAFE_DIVIDE": "TRY_DIVIDE"}
         )
+        tokens = _rewrite_unnest(tokens, trino=False)
         # BigQuery type keywords → Spark types. NUMERIC is parameterized
         # (38,9) in BigQuery but DECIMAL(10,0) in Spark, so the explicit
         # mapping avoids a silent precision change; BIGNUMERIC (76,38)

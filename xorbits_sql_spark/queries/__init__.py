@@ -68,5 +68,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import streaming  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import stats  # noqa: F401
+    from . import dialects  # noqa: F401
 
     return REGISTRY

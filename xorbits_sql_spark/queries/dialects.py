@@ -1,0 +1,401 @@
+"""Dialect-fidelity round 2: the constructs a migrating user hits first.
+
+Round-7 verdict "Missing #2": the fallback transpiler (dialect.py) is a
+curated subset — these entries widen it with the highest-demand
+constructs from each source dialect, each driven end-to-end through
+``execute(dialect=...)`` with NO sqlglot installed and value-checked
+against a DuckDB oracle stating the same semantics natively. The
+reference reaches every one of these dialects only through sqlglot
+(reference core.py:102); this is the sqlglot-free parity path.
+
+Covered here: snowflake LATERAL FLATTEN and PIVOT (with snowflake's
+quoted output-column naming), bigquery UNNEST (+ WITH OFFSET), trino
+CROSS JOIN UNNEST with table(column) alias, postgres DISTINCT ON and
+STRING_AGG with aggregate-internal ORDER BY, mysql GROUP_CONCAT,
+oracle DECODE (null-safe match), and tsql DATEPART/CHARINDEX/IIF.
+The forms still out of scope raise UnsupportedError — negative tests
+in tests/test_table_dialect.py pin the refusals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import register
+from ._util import t
+from ..core import execute
+
+
+@register(
+    "t94_snowflake_lateral_flatten",
+    """
+    SELECT d.lang AS lang, w.word AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d, UNNEST(list_slice(string_split(d.text, ' '), 1, 3)) AS w(word)
+    WHERE d.doc_id % 2 = 0
+    GROUP BY d.lang, w.word
+    ORDER BY n DESC, lang, word
+    LIMIT 40
+    """,
+    tags=("execute-api", "dialect", "snowflake", "lateral"),
+    doc=(
+        "Snowflake LATERAL FLATTEN(input => ...) through "
+        "execute(dialect='snowflake') with NO sqlglot: the fallback "
+        "rewrites it to LATERAL VIEW POSEXPLODE so both f.value and the "
+        "0-based f.index resolve (dialect.py _rewrite_snowflake_flatten). "
+        "f.index < 3 keeps the first three words per document — the "
+        "DuckDB oracle states the same via list_slice(words, 1, 3). "
+        "Scale: explode is a narrow per-row transform (no shuffle until "
+        "the groupBy), so the plan is scan -> generate -> partial agg -> "
+        "exchange, linear in corpus size."
+    ),
+)
+def t94_snowflake_lateral_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT d.lang AS lang, f.value AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d, LATERAL FLATTEN(input => SPLIT(d.text, ' ')) f
+    WHERE f.index < 3 AND d.doc_id % 2 = 0
+    GROUP BY d.lang, f.value
+    ORDER BY n DESC, lang, word
+    LIMIT 40
+    """
+    return execute(
+        sql,
+        dialect="snowflake",
+        tables={"documents": t(spark, sf_dir, "documents")},
+        spark=spark,
+    )
+
+
+@register(
+    "t95_bigquery_unnest_offset",
+    """
+    SELECT d.doc_id AS doc_id,
+           CAST(g.o - 1 AS BIGINT) AS pos,
+           d.words[g.o] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS words
+          FROM documents WHERE doc_id % 25 = 7) d,
+         UNNEST(generate_series(1, least(5, len(d.words)))) AS g(o)
+    ORDER BY doc_id, pos
+    """,
+    tags=("execute-api", "dialect", "bigquery", "lateral"),
+    doc=(
+        "BigQuery UNNEST(...) WITH OFFSET through "
+        "execute(dialect='bigquery') with NO sqlglot: the fallback "
+        "rewrites the comma-joined UNNEST to LATERAL VIEW POSEXPLODE "
+        "(dialect.py _rewrite_unnest) — bigquery OFFSET and posexplode "
+        "pos are both 0-based, so the mapping is exact. MOD() instead "
+        "of % because bigquery has no % operator. The DuckDB oracle "
+        "enumerates the same (pos, word) pairs via generate_series over "
+        "the split list."
+    ),
+)
+def t95_bigquery_unnest_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT d.doc_id AS doc_id,
+           CAST(o AS INT64) AS pos,
+           w AS word
+    FROM documents d, UNNEST(SPLIT(d.text, ' ')) AS w WITH OFFSET AS o
+    WHERE MOD(d.doc_id, 25) = 7 AND o < 5
+    ORDER BY doc_id, pos
+    """
+    return execute(
+        sql,
+        dialect="bigquery",
+        tables={"documents": t(spark, sf_dir, "documents")},
+        spark=spark,
+    )
+
+
+@register(
+    "t96_postgres_distinct_on",
+    """
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) ranked
+    WHERE rn = 1
+    ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+    """,
+    tags=("execute-api", "dialect", "postgres", "window"),
+    doc=(
+        "Postgres SELECT DISTINCT ON (keys): richest customer per "
+        "nation, through execute(dialect='postgres') with NO sqlglot. "
+        "The fallback rewrites it to ROW_NUMBER() OVER (PARTITION BY "
+        "keys ORDER BY tiebreak) = 1 via the QUALIFY wrapper (dialect.py "
+        "_rewrite_distinct_on), refusing the postgres-nondeterministic "
+        "forms (no ORDER BY, or no tiebreak beyond the keys) and the "
+        "key/ORDER BY mismatch postgres itself rejects. Scale: one "
+        "hash-partitioned window over the grouping key — the same "
+        "shuffle a groupBy would need, no extra exchange."
+    ),
+)
+def t96_postgres_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+    """
+    return execute(
+        sql,
+        dialect="postgres",
+        tables={"customer": t(spark, sf_dir, "customer")},
+        spark=spark,
+    )
+
+
+@register(
+    "t97_snowflake_pivot",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS f_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS o_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS p_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("execute-api", "dialect", "snowflake", "pivot"),
+    doc=(
+        "Snowflake PIVOT syntax through execute(dialect='snowflake') "
+        "with NO sqlglot: Spark parses the PIVOT clause natively; the "
+        "fallback's contribution is column naming (snowflake names "
+        "un-aliased pivot columns with the QUOTED literal — "
+        "_rewrite_snowflake_pivot_names) and a loud refusal of the "
+        "trailing table alias Spark cannot parse. Explicit IN-item "
+        "aliases here (supported by both engines); SUM over an exact "
+        "DECIMAL accumulator so the pivoted totals are bit-identical "
+        "cross-engine (see queries/__init__ determinism rules). SUM, "
+        "not COUNT, because an empty pivot cell is NULL in both engines "
+        "under SUM while snowflake's COUNT yields 0 where Spark yields "
+        "NULL."
+    ),
+)
+def t97_snowflake_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT priority, CAST(f_total AS DOUBLE) AS f_total,
+           CAST(o_total AS DOUBLE) AS o_total,
+           CAST(p_total AS DOUBLE) AS p_total
+    FROM (SELECT o_orderpriority AS priority, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS price
+          FROM orders)
+      PIVOT (SUM(price) FOR o_orderstatus IN ('F' AS f_total, 'O' AS o_total, 'P' AS p_total))
+    ORDER BY priority
+    """
+    return execute(
+        sql,
+        dialect="snowflake",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "t98_mysql_group_concat",
+    """
+    SELECT c_nationkey AS nationkey,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+    tags=("execute-api", "dialect", "mysql", "aggregate"),
+    doc=(
+        "MySQL GROUP_CONCAT(DISTINCT ... ORDER BY ... SEPARATOR ...) "
+        "through execute(dialect='mysql') with NO sqlglot: the fallback "
+        "rewrites it to LISTAGG(DISTINCT ..., sep) WITHIN GROUP (ORDER "
+        "BY ...) (dialect.py _rewrite_group_concat) — Spark 4's native "
+        "ordered string aggregate, so NULL-skipping and NULL-on-empty-"
+        "group semantics match mysql for free. GROUP_CONCAT(a, b) "
+        "(multi-expression concatenation) is refused loudly."
+    ),
+)
+def t98_mysql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT c_nationkey AS nationkey,
+           GROUP_CONCAT(DISTINCT c_mktsegment ORDER BY c_mktsegment SEPARATOR '|') AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """
+    return execute(
+        sql,
+        dialect="mysql",
+        tables={"customer": t(spark, sf_dir, "customer")},
+        spark=spark,
+    )
+
+
+@register(
+    "t99_postgres_string_agg",
+    """
+    SELECT n_regionkey AS regionkey,
+           string_agg(n_name, ',' ORDER BY n_name DESC) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY regionkey
+    """,
+    tags=("execute-api", "dialect", "postgres", "aggregate"),
+    doc=(
+        "Postgres STRING_AGG(expr, sep ORDER BY ...) — the aggregate-"
+        "internal ORDER BY postgres allows inside any aggregate — "
+        "through execute(dialect='postgres') with NO sqlglot: the "
+        "fallback hoists the ORDER BY into WITHIN GROUP on Spark's "
+        "LISTAGG (dialect.py _rewrite_string_agg_orderby); STRING_AGG "
+        "without an internal ORDER BY parses natively in Spark 4 and "
+        "passes through untouched. DESC direction preserved."
+    ),
+)
+def t99_postgres_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT n_regionkey AS regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name DESC) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY regionkey
+    """
+    return execute(
+        sql,
+        dialect="postgres",
+        tables={"nation": t(spark, sf_dir, "nation")},
+        spark=spark,
+    )
+
+
+@register(
+    "u01_oracle_decode",
+    """
+    SELECT CASE
+             WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL THEN 'was_p'
+             WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' THEN 'fin'
+             WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O' THEN 'open'
+             ELSE 'other'
+           END AS label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("execute-api", "dialect", "oracle", "case"),
+    doc=(
+        "Oracle DECODE through execute(dialect='oracle') with NO "
+        "sqlglot: the fallback expands DECODE(expr, s1, r1, ..., def) "
+        "to CASE WHEN (expr) <=> (s1) ... (dialect.py _rewrite_decode). "
+        "The null-safe <=> reproduces oracle's one deviation from CASE "
+        "equality — DECODE matches a NULL search against a NULL "
+        "expression — exercised here via NULLIF('P') so the NULL arm "
+        "actually selects rows. The DuckDB oracle states the same with "
+        "IS NOT DISTINCT FROM."
+    ),
+)
+def u01_oracle_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT DECODE(NULLIF(o_orderstatus, 'P'),
+                  NULL, 'was_p',
+                  'F', 'fin',
+                  'O', 'open',
+                  'other') AS label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY DECODE(NULLIF(o_orderstatus, 'P'),
+                    NULL, 'was_p',
+                    'F', 'fin',
+                    'O', 'open',
+                    'other')
+    ORDER BY label
+    """
+    return execute(
+        sql,
+        dialect="oracle",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "u02_tsql_datepart_funcs",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN COUNT(*) > 100 THEN 'big' ELSE 'small' END AS bucket,
+           CAST(strpos(MAX(o_orderpriority), 'URGENT') AS BIGINT) AS upos
+    FROM orders
+    GROUP BY yr, qtr
+    ORDER BY yr, qtr
+    """,
+    tags=("execute-api", "dialect", "tsql", "datetime"),
+    doc=(
+        "T-SQL DATEPART with abbreviated part spellings (yy, qq) -> "
+        "EXTRACT(unit FROM expr) via the shared _DATE_PARTS table "
+        "(dialect.py _rewrite_datepart), CHARINDEX -> LOCATE (same "
+        "argument order and 1-based/0-on-miss contract), and IIF -> IF, "
+        "through execute(dialect='tsql') with NO sqlglot. DATEFIRST-"
+        "dependent parts (weekday, dayofyear) are refused loudly rather "
+        "than mistranslated."
+    ),
+)
+def u02_tsql_datepart_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT CAST(DATEPART(yy, o_orderdate) AS BIGINT) AS yr,
+           CAST(DATEPART(qq, o_orderdate) AS BIGINT) AS qtr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           IIF(COUNT(*) > 100, 'big', 'small') AS bucket,
+           CAST(CHARINDEX('URGENT', MAX(o_orderpriority)) AS BIGINT) AS upos
+    FROM orders
+    GROUP BY CAST(DATEPART(yy, o_orderdate) AS BIGINT),
+             CAST(DATEPART(qq, o_orderdate) AS BIGINT)
+    ORDER BY yr, qtr
+    """
+    return execute(
+        sql,
+        dialect="tsql",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "u03_trino_unnest",
+    """
+    SELECT w.word AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, UNNEST(string_split(lower(text), ' ')) AS w(word)
+    WHERE doc_id % 5 = 3 AND LENGTH(w.word) >= 4
+    GROUP BY w.word
+    ORDER BY n DESC, word
+    LIMIT 25
+    """,
+    tags=("execute-api", "dialect", "trino", "lateral"),
+    doc=(
+        "Trino CROSS JOIN UNNEST(arr) AS t (col) — the table(column) "
+        "alias form — through execute(dialect='trino') with NO sqlglot: "
+        "the fallback rewrites it to LATERAL VIEW EXPLODE keeping the "
+        "user's table alias (dialect.py _rewrite_unnest). WITH "
+        "ORDINALITY (1-based, no faithful LATERAL VIEW form) and "
+        "multi-column aliases (map/zip semantics) are refused loudly."
+    ),
+)
+def u03_trino_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents CROSS JOIN UNNEST(SPLIT(LOWER(text), ' ')) AS u (w)
+    WHERE doc_id % 5 = 3 AND LENGTH(w) >= 4
+    GROUP BY w
+    ORDER BY n DESC, word
+    LIMIT 25
+    """
+    return execute(
+        sql,
+        dialect="trino",
+        tables={"documents": t(spark, sf_dir, "documents")},
+        spark=spark,
+    )
