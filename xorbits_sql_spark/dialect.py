@@ -410,10 +410,16 @@ def _rewrite_top(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
         elif kind == "word" and text.upper() == "LIMIT" and depth == 0:
             # LIMIT is not reserved in tsql/teradata: a COLUMN named
             # limit must survive. It is a clause only when followed by
-            # a number (the only form the appended rewrite could clash
-            # with).
+            # a count operand — a number, ALL, or a ``?`` parameter
+            # placeholder (the forms the appended rewrite could clash
+            # with; skipping ALL/? here would emit two LIMIT clauses).
             nxt = _next_code(tokens, i)
-            if top_at is not None and nxt is not None and tokens[nxt][0] == "number":
+            is_clause = nxt is not None and (
+                tokens[nxt][0] == "number"
+                or (tokens[nxt][0] == "word" and tokens[nxt][1].upper() == "ALL")
+                or tokens[nxt] == ("op", "?")
+            )
+            if top_at is not None and is_clause:
                 raise UnsupportedError("both TOP and LIMIT present")
     if top_at is None:
         return tokens

@@ -105,6 +105,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise PngError("IDAT size mismatch")
     if len(raw) != expected:
         raise PngError("IDAT size mismatch")
+    # unconsumed_tail only covers unexpanded INPUT of the same stream;
+    # garbage bytes AFTER a complete zlib stream land in unused_data
+    # and would otherwise pass silently.
+    if dobj.unused_data:
+        raise PngError("trailing garbage after IDAT zlib stream")
     out = bytearray(stride * height)
     prev = bytearray(stride)
     for y in range(height):

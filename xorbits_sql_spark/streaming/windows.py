@@ -21,9 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-_MEMORY_SINKS: list[str] = []
-
-
 def read_parquet_stream(
     spark: SparkSession, path: str, schema=None, time_col: str = "ts"
 ) -> DataFrame:
@@ -157,19 +154,6 @@ def run_to_memory(
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    # Memory-sink tables hold their full result on the driver for the
-    # session's lifetime; a long-lived suite (bench re-runs the
-    # streaming queries indefinitely) would leak one per call. Keep a
-    # small FIFO: results are consumed promptly by callers, so dropping
-    # tables older than the last few bounds driver memory without
-    # invalidating a result still in flight.
-    _MEMORY_SINKS.append(name)
-    while len(_MEMORY_SINKS) > 8:
-        stale = _MEMORY_SINKS.pop(0)
-        try:
-            spark.catalog.dropTempView(stale)
-        except Exception:  # noqa: BLE001 - cleanup is best-effort
-            pass
     try:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -185,4 +169,17 @@ def run_to_memory(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # Memory-sink tables hold their full result on the driver for the
+    # session's lifetime; a long-lived suite (bench re-runs the
+    # streaming queries indefinitely) would leak one per call, and any
+    # deferred eviction scheme invalidates results a caller still holds
+    # lazily. The result is already driver-resident (memory sink), so
+    # materialize it eagerly into a fresh local DataFrame and drop the
+    # sink view immediately — no global registry, nothing to race on.
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:  # noqa: BLE001 - cleanup is best-effort
+        pass
+    return out
