@@ -270,3 +270,29 @@ def test_compact_table_partitioned_compacts_per_dir(spark, tmp_path):
         ) == ["01", "02"]
     finally:
         spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", prev)
+
+
+def test_compact_table_does_not_mutate_caller_session_conf(spark, tmp_path):
+    """compact_table disables partition-type inference for its OWN
+    reads via newSession() isolation; the caller's session conf must
+    never change, even transiently (a concurrent query on the shared
+    session would otherwise see string-typed partition columns —
+    round-7 advice)."""
+    import pandas as pd
+
+    from xorbits_sql_spark.sources.writers import compact_table, write_table
+
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key)
+    p = str(tmp_path / "conf_iso_table")
+    df = spark.createDataFrame(
+        pd.DataFrame({"day": ["01", "02"] * 10, "v": list(range(20))})
+    )
+    write_table(df.repartition(4), p, partition_by=["day"])
+    compact_table(spark, p, 1000, partition_by=["day"])
+    assert spark.conf.get(key) == prev
+    # and the isolation still preserved the verbatim layout
+    import os
+
+    dirs = sorted(d for d in os.listdir(p) if d.startswith("day="))
+    assert dirs == ["day=01", "day=02"]

@@ -103,8 +103,19 @@ def compact_table(
     HPath = jvm.org.apache.hadoop.fs.Path
     fs = HPath(path).getFileSystem(hconf)
 
+    # Hive partition-column values must round-trip verbatim: value
+    # TYPE re-inference would rewrite day='01' as day=1, silently
+    # changing both the column type and the directory layout. The
+    # inference toggle is a session conf, and mutating the CALLER's
+    # session would make every concurrent query on it transiently see
+    # string-typed partition columns — so all compaction reads/writes
+    # run in a newSession(): same SparkContext (same executors, same
+    # data), but an isolated SQLConf that nothing else observes.
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
     def read_back(p: str) -> DataFrame:
-        reader = spark.read.format(fmt)
+        reader = scoped.read.format(fmt)
         if fmt == "csv":
             # write_table writes CSV WITH a header; reading it back
             # bare would ingest every file's header line as data and
@@ -114,49 +125,37 @@ def compact_table(
             reader = reader.option("header", "true")
         return reader.load(p)
 
-    # Hive partition-column values must round-trip verbatim: value
-    # TYPE re-inference would rewrite day='01' as day=1, silently
-    # changing both the column type and the directory layout.
-    prev_infer = spark.conf.get(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+    df = read_back(path)
+    n = df.count()
+    files = max(1, math.ceil(n / target_records_per_file))
+    # Round-robin balances sizes for the unpartitioned layout; for a
+    # partitioned one it would scatter every hive partition across
+    # all tasks (files x partitions output files — MORE fragments
+    # than before). Hash-repartitioning on the partition columns
+    # sends each partition's rows to one task: one file per dir.
+    repartitioned = (
+        df.repartition(files, *partition_by)
+        if partition_by
+        else df.repartition(files)
     )
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    tmp = path.rstrip("/") + "__compact_tmp"
     try:
-        df = read_back(path)
-        n = df.count()
-        files = max(1, math.ceil(n / target_records_per_file))
-        # Round-robin balances sizes for the unpartitioned layout; for a
-        # partitioned one it would scatter every hive partition across
-        # all tasks (files x partitions output files — MORE fragments
-        # than before). Hash-repartitioning on the partition columns
-        # sends each partition's rows to one task: one file per dir.
-        repartitioned = (
-            df.repartition(files, *partition_by)
-            if partition_by
-            else df.repartition(files)
+        write_table(
+            repartitioned,
+            tmp,
+            fmt=fmt,
+            partition_by=partition_by,
+            max_records_per_file=target_records_per_file,
         )
-        tmp = path.rstrip("/") + "__compact_tmp"
-        try:
-            write_table(
-                repartitioned,
-                tmp,
-                fmt=fmt,
-                partition_by=partition_by,
-                max_records_per_file=target_records_per_file,
+        # Verify the compacted copy BEFORE touching the source: a
+        # lost-rows rewrite must leave the original directory intact.
+        if read_back(tmp).count() != n:
+            raise RuntimeError(
+                f"compaction of {path} lost rows; source left untouched"
             )
-            # Verify the compacted copy BEFORE touching the source: a
-            # lost-rows rewrite must leave the original directory intact.
-            if read_back(tmp).count() != n:
-                raise RuntimeError(
-                    f"compaction of {path} lost rows; source left untouched"
-                )
-        except BaseException:
-            fs.delete(HPath(tmp), True)
-            raise
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", prev_infer
-        )
+    except BaseException:
+        fs.delete(HPath(tmp), True)
+        raise
     # Swap: move the source aside, point the final path at the compacted
     # copy, and only then drop the old data — a crash mid-swap leaves
     # either the original or both copies on disk, never neither.
