@@ -98,12 +98,47 @@ def build_corpus(spark, base_dir: str, mult: int, out: str) -> None:
     )
 
 
+def build_lineitem(spark, base_dir: str, mult: int, out: str) -> None:
+    """Write a mult-x lineitem (co-purchase columns only) to out.
+
+    Scale model: more orders over the SAME part catalog (orderkey
+    replicated with a disjoint stride per variant, partkeys untouched)
+    — the production shape where basket volume grows but the graph's
+    node set is the catalog, so the co-purchase graph gets DENSER,
+    not wider. That stresses connected_components with a genuinely
+    giant component instead of mult disjoint copies of the base graph
+    (which would measure throughput but never depth)."""
+    li = (
+        spark.read.parquet(f"{base_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+        .repartition(32)
+    )
+    variants = spark.range(mult).select(F.col("id").alias("v"))
+    (
+        li.crossJoin(variants)
+        .select(
+            (F.col("v") * 10_000_000 + F.col("l_orderkey")).alias("l_orderkey"),
+            "l_partkey",
+            "l_linenumber",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=100)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--tier",
+        choices=["dedup", "graph", "all"],
+        default="dedup",
+        help="dedup = the round-3 heavy operator tier; graph = the "
+        "round-8 CC/audit queries (t54/t93/t56/t15 shapes) at scale",
+    )
     args = ap.parse_args()
     out = args.out or f"/tmp/scale_{args.mult}x"
 
@@ -138,6 +173,8 @@ def main() -> None:
     if not args.skip_build:
         t0 = time.perf_counter()
         build_corpus(spark, args.base, args.mult, out)
+        if args.tier in ("graph", "all"):
+            build_lineitem(spark, args.base, args.mult, out)
         print(f"# corpus build: {time.perf_counter() - t0:.1f}s -> {out}")
 
     docs = spark.read.parquet(f"{out}/documents.parquet")
@@ -161,6 +198,10 @@ def main() -> None:
         make().agg(F.count(F.lit(1))).collect()
         cold = time.perf_counter() - t0
         release_caches()
+        # last_cc_rounds is a module global reset only when a CC runs;
+        # zero it so a non-CC pipeline doesn't inherit the previous
+        # pipeline's round count in its recorded row.
+        dedup.last_cc_rounds = 0
         t0 = time.perf_counter()
         summary = make().agg(F.count(F.lit(1)).alias("n"))
         rows = summary.collect()[0]["n"]
@@ -182,128 +223,205 @@ def main() -> None:
               f"{m.get('shuffle_bytes_written', 0) / 1e6:.1f}MB "
               f"spill={m.get('spill_bytes', 0)} cc_rounds={dedup.last_cc_rounds}")
 
-    run("exact_dedup_groups", lambda: exact_dedup_groups(docs, "text", "doc_id"))
+    if args.tier in ("dedup", "all"):
+        # ---- dedup/ANN tier (round-3 task #5) ----
+        run("exact_dedup_groups", lambda: exact_dedup_groups(docs, "text", "doc_id"))
 
-    run(
-        "band_index_build_write",
-        lambda: _write_and_read(
-            minhash_band_index(docs, "text", "doc_id"), f"{out}/band_index.parquet"
-        ),
-        note="persisted-index write path",
-    )
-
-    # The dense-clique pair generator + CC, with the production bucket
-    # cap (star pairs) vs uncapped cliques: the knob that bounds pair
-    # count on adversarially dense graphs.
-    run(
-        "lsh_pairs_capped50_cc",
-        lambda: connected_components(
-            minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=50)
-        ),
-        note="star caps active (bucket>50)",
-    )
-    run(
-        "lsh_pairs_default_cc",
-        lambda: connected_components(minhash_lsh_pairs(docs, "text", "doc_id")),
-        note="full cliques (cap 100k never hit)",
-    )
-
-    batch = docs.filter(F.col("doc_id") < 10_000_000).limit(5000)
-    base_index = spark.read.parquet(f"{out}/band_index.parquet")
-    run(
-        "incremental_dedup_5k_batch",
-        lambda: incremental_dedup_decisions(batch, base_index, "text", "doc_id"),
-        note="batch screened vs persisted index",
-    )
-
-    # The pre-flight pair-budget guard must REFUSE this corpus (dense
-    # 100-member cliques → Σ df·(df-1)/2 far over the default budget —
-    # the 848 GB-spill boundary the round-4 rehearsal measured); the
-    # timed run then overrides the budget to measure the boundary and
-    # exercise the pair-volume-scaled shuffle partitioning.
-    from xorbits_sql_spark.errors import PairBudgetExceededError
-
-    try:
-        ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_df=1000)
-    except PairBudgetExceededError as exc:
-        print(f"[rehearsal] pair-budget guard fired as designed: {exc}")
-    else:
-        raise AssertionError(
-            "pair-budget guard did NOT fire on the dense-clique corpus"
+        run(
+            "band_index_build_write",
+            lambda: _write_and_read(
+                minhash_band_index(docs, "text", "doc_id"), f"{out}/band_index.parquet"
+            ),
+            note="persisted-index write path",
         )
-    # Boundary probe volume: max_df=700 → ~1.2e9 pairs on this corpus
-    # (measured from the shingle-DF histogram). The full max_df=1000
-    # volume (4.73e9 pairs, the guard's own estimate above) no longer
-    # fits this rig's ~80 GB scratch: the scaled plan trades the old
-    # transient per-task agg spill (848 GB cumulative, round 4) for
-    # shuffle files that persist for the whole stage — the correct
-    # residency at cluster scale (spread over N executor disks, each
-    # task bounded at ~4M pair rows) but single-disk-bound locally.
-    # 1.2e9 pairs ≈ 30 GB of shuffle exercises the same scaled-partition
-    # code path (est >> 32 * 4M) within local scratch.
-    run(
-        "ngram_jaccard_pairs",
-        lambda: ngram_jaccard_pairs(
-            # budget raised (not None) so the Σdf² estimate still runs
-            # and drives the pair-volume-scaled shuffle partitioning
-            docs, "text", "doc_id", threshold=0.5, max_df=700,
-            pair_budget=10**15,
-        ),
-        note="inverted index, max_df=700 (~1.2e9 pairs), budget raised (boundary probe, scaled partitions)",
-    )
 
-    # IVF probe cost per query is nprobe * N/k dots — at FIXED k it
-    # scales linearly with corpus size (the superlinear trap this
-    # rehearsal exists to catch). The scale-correct setting grows the
-    # cell count with sqrt(N) so per-cell candidate lists stay bounded;
-    # both configs run so the contrast is measured, not asserted.
-    queries = emb.filter(F.col("vec_id") < 1_000_000)
-    k_scaled = max(8, int(n_emb ** 0.5) // 4)
-    run(
-        "kmeans2_ivf_naive_k8",
-        lambda: ivf_topk(
-            queries.limit(100), emb, kmeans_lloyd(emb, k=8, n_iter=2),
-            k=5, nprobe=2,
-        ),
-        note="FIXED k=8: per-query dots scale with N (100 queries)",
-    )
-    run(
-        "kmeans2_ivf_scaled_k",
-        lambda: ivf_topk(
-            queries.limit(1000), emb,
-            kmeans_lloyd(emb, k=k_scaled, n_iter=2),
-            k=5, nprobe=4,
-        ),
-        note=f"k=sqrt-scaled ({k_scaled}), nprobe=4, 1k queries",
-    )
-    run(
-        "kmeans2_ivf_scaled_k_arrow",
-        lambda: ivf_topk_arrow(
-            queries.limit(1000), emb,
-            kmeans_lloyd(emb, k=k_scaled, n_iter=2),
-            k=5, nprobe=4,
-        ),
-        note=f"same index, cogrouped-GEMM probe (k={k_scaled})",
-    )
-    # HOF vs Arrow exact scoring on the full corpus: the measured gap
-    # behind the "UDFs are the slow path EXCEPT Arrow-batched GEMM"
-    # guidance.
-    run(
-        "brute_topk_hof_100q",
-        lambda: brute_topk(queries.limit(100), emb, k=5),
-        note="interpreted zip_with/aggregate dots",
-    )
-    run(
-        "brute_topk_arrow_100q",
-        lambda: brute_topk_arrow(queries.limit(100), emb, k=5),
-        note="mapInPandas GEMM, same ranks",
-    )
+        # The dense-clique pair generator + CC, with the production bucket
+        # cap (star pairs) vs uncapped cliques: the knob that bounds pair
+        # count on adversarially dense graphs.
+        run(
+            "lsh_pairs_capped50_cc",
+            lambda: connected_components(
+                minhash_lsh_pairs(docs, "text", "doc_id", max_bucket=50)
+            ),
+            note="star caps active (bucket>50)",
+        )
+        run(
+            "lsh_pairs_default_cc",
+            lambda: connected_components(minhash_lsh_pairs(docs, "text", "doc_id")),
+            note="full cliques (cap 100k never hit)",
+        )
+
+        batch = docs.filter(F.col("doc_id") < 10_000_000).limit(5000)
+        base_index = spark.read.parquet(f"{out}/band_index.parquet")
+        run(
+            "incremental_dedup_5k_batch",
+            lambda: incremental_dedup_decisions(batch, base_index, "text", "doc_id"),
+            note="batch screened vs persisted index",
+        )
+
+        # The pre-flight pair-budget guard must REFUSE this corpus (dense
+        # 100-member cliques → Σ df·(df-1)/2 far over the default budget —
+        # the 848 GB-spill boundary the round-4 rehearsal measured); the
+        # timed run then overrides the budget to measure the boundary and
+        # exercise the pair-volume-scaled shuffle partitioning.
+        from xorbits_sql_spark.errors import PairBudgetExceededError
+
+        try:
+            ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_df=1000)
+        except PairBudgetExceededError as exc:
+            print(f"[rehearsal] pair-budget guard fired as designed: {exc}")
+        else:
+            raise AssertionError(
+                "pair-budget guard did NOT fire on the dense-clique corpus"
+            )
+        # Boundary probe volume: max_df=700 → ~1.2e9 pairs on this corpus
+        # (measured from the shingle-DF histogram). The full max_df=1000
+        # volume (4.73e9 pairs, the guard's own estimate above) no longer
+        # fits this rig's ~80 GB scratch: the scaled plan trades the old
+        # transient per-task agg spill (848 GB cumulative, round 4) for
+        # shuffle files that persist for the whole stage — the correct
+        # residency at cluster scale (spread over N executor disks, each
+        # task bounded at ~4M pair rows) but single-disk-bound locally.
+        # 1.2e9 pairs ≈ 30 GB of shuffle exercises the same scaled-partition
+        # code path (est >> 32 * 4M) within local scratch.
+        run(
+            "ngram_jaccard_pairs",
+            lambda: ngram_jaccard_pairs(
+                # budget raised (not None) so the Σdf² estimate still runs
+                # and drives the pair-volume-scaled shuffle partitioning
+                docs, "text", "doc_id", threshold=0.5, max_df=700,
+                pair_budget=10**15,
+            ),
+            note="inverted index, max_df=700 (~1.2e9 pairs), budget raised (boundary probe, scaled partitions)",
+        )
+
+        # IVF probe cost per query is nprobe * N/k dots — at FIXED k it
+        # scales linearly with corpus size (the superlinear trap this
+        # rehearsal exists to catch). The scale-correct setting grows the
+        # cell count with sqrt(N) so per-cell candidate lists stay bounded;
+        # both configs run so the contrast is measured, not asserted.
+        queries = emb.filter(F.col("vec_id") < 1_000_000)
+        k_scaled = max(8, int(n_emb ** 0.5) // 4)
+        run(
+            "kmeans2_ivf_naive_k8",
+            lambda: ivf_topk(
+                queries.limit(100), emb, kmeans_lloyd(emb, k=8, n_iter=2),
+                k=5, nprobe=2,
+            ),
+            note="FIXED k=8: per-query dots scale with N (100 queries)",
+        )
+        run(
+            "kmeans2_ivf_scaled_k",
+            lambda: ivf_topk(
+                queries.limit(1000), emb,
+                kmeans_lloyd(emb, k=k_scaled, n_iter=2),
+                k=5, nprobe=4,
+            ),
+            note=f"k=sqrt-scaled ({k_scaled}), nprobe=4, 1k queries",
+        )
+        run(
+            "kmeans2_ivf_scaled_k_arrow",
+            lambda: ivf_topk_arrow(
+                queries.limit(1000), emb,
+                kmeans_lloyd(emb, k=k_scaled, n_iter=2),
+                k=5, nprobe=4,
+            ),
+            note=f"same index, cogrouped-GEMM probe (k={k_scaled})",
+        )
+        # HOF vs Arrow exact scoring on the full corpus: the measured gap
+        # behind the "UDFs are the slow path EXCEPT Arrow-batched GEMM"
+        # guidance.
+        run(
+            "brute_topk_hof_100q",
+            lambda: brute_topk(queries.limit(100), emb, k=5),
+            note="interpreted zip_with/aggregate dots",
+        )
+        run(
+            "brute_topk_arrow_100q",
+            lambda: brute_topk_arrow(queries.limit(100), emb, k=5),
+            note="mapInPandas GEMM, same ranks",
+        )
+
+    if args.tier in ("graph", "all"):
+        # ---- graph/audit tier (round-7 verdict #4): the 4 most
+        # expensive registry queries, run EXACTLY as registered (same
+        # functions the driver calls), against the scaled corpus dir.
+        from xorbits_sql_spark.errors import PairBudgetExceededError
+        from xorbits_sql_spark.queries import load_all
+
+        specs = load_all()
+
+        run(
+            "t54_giant_component_share",
+            lambda: specs["t54_giant_component_share"].fn(spark, out),
+            note=f"co-purchase CC, {args.mult}x orders over the fixed "
+            "part catalog (graph gets denser, not wider)",
+        )
+        run(
+            "t93_dedup_idempotence_audit",
+            lambda: specs["t93_dedup_idempotence_audit"].fn(spark, out),
+            note="full dedup run twice by definition (max_df=50 "
+            "inverted index + CC, then residual scan on survivors)",
+        )
+        run(
+            "t15_blocking_quality_audit",
+            lambda: specs["t15_blocking_quality_audit"].fn(spark, out),
+            note="minhash candidates vs max_df=50 jaccard truth + "
+            "pair-set join",
+        )
+        # t56 fixes prefix_bits=4, so its within-bucket pair volume is
+        # N²/16 — quadratic in corpus size. The simhash_pairs pair
+        # budget (added this round after this rehearsal measured
+        # ~7.7e9 pairs at 100x) must REFUSE it at submit time beyond
+        # ~10x; when it does, measure the scale-correct variant
+        # (prefix_bits grown with log2(N) so expected bucket size
+        # stays ~256) instead, plus the registered query at whatever
+        # scale admits it.
+        try:
+            run(
+                "t56_detector_agreement",
+                lambda: specs["t56_detector_agreement"].fn(spark, out),
+                note="as registered (prefix_bits=4)",
+            )
+        except PairBudgetExceededError as exc:
+            print(f"[rehearsal] t56 refused as designed: {exc}")
+            results["t56_detector_agreement"] = {
+                "cold_s": 0.0, "warm_s": 0.0, "rows": 0,
+                "shuffle_records": 0, "shuffle_mb": 0.0, "spill_bytes": 0,
+                "cc_rounds": None,
+                "note": "REFUSED by simhash pair budget (N^2/16 volume) "
+                "— the designed submit-time failure; scaled variant below",
+            }
+        import math as _math
+
+        pb = max(4, int(_math.log2(max(n_docs, 2) / 256.0)))
+        from xorbits_sql_spark.operators.dedup import simhash_pairs
+
+        def _t56_scaled():
+            mh = minhash_lsh_pairs(
+                docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+            ).select("id_a", "id_b")
+            sh = simhash_pairs(
+                docs, "text", "doc_id", max_hamming=14, prefix_bits=pb
+            ).select("id_a", "id_b")
+            return mh.join(sh, ["id_a", "id_b"])
+
+        run(
+            "t56_scaled_prefix_bits",
+            _t56_scaled,
+            note=f"same detector-agreement shape, prefix_bits="
+            f"{pb} (log2-scaled, ~256/bucket) — the setting a 100 TB "
+            "submission would use",
+        )
 
     print()
     print("| pipeline | cold s | warm s | rows | shuffle rec | shuffle MB | spill | CC rounds | note |")
     print("| --- | --- | --- | --- | --- | --- | --- | --- | --- |")
     for name, r in results.items():
-        cc = r["cc_rounds"] if "cc" in name else ""
+        # CC round count is meaningful wherever a CC ran inside the
+        # pipeline (lsh_*_cc, t54, t93) — last_cc_rounds is None
+        # otherwise, so truthiness is the right filter.
+        cc = r["cc_rounds"] if ("cc" in name or r.get("cc_rounds")) else ""
         print(
             f"| {name} | {r['cold_s']} | {r['warm_s']} | {r['rows']:,} "
             f"| {r['shuffle_records']:,} | {r['shuffle_mb']} "

@@ -218,6 +218,50 @@ def test_simhash_pairs(spark):
     assert out[(1, 3)] <= 12  # near dup → small hamming distance
 
 
+def test_simhash_pair_budget_guard(spark):
+    """Round-8 graph-tier rehearsal: within-bucket volume is
+    N²/2^prefix_bits at fixed prefix_bits, so simhash_pairs gets the
+    same submit-time refusal contract as ngram_jaccard_pairs. A
+    one-bucket clique over budget must be REFUSED before the pair join
+    runs; a generous budget leaves results identical to budget-off."""
+    import pytest as _pytest
+
+    from xorbits_sql_spark.errors import PairBudgetExceededError
+
+    # prefix_bits=0 → ONE bucket of 40 docs → C(40,2) = 780 pairs
+    clique = spark.createDataFrame(
+        [(i, f"common shared text body variant {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(PairBudgetExceededError, match="prefix_bits"):
+        simhash_pairs(clique, "text", "doc_id", prefix_bits=0, pair_budget=500)
+    ok = simhash_pairs(
+        clique, "text", "doc_id", max_hamming=64, prefix_bits=0, pair_budget=10_000
+    )
+    assert ok.count() == 40 * 39 // 2
+    # the guard estimates even with bucket capping OFF (max_bucket=None)
+    with _pytest.raises(PairBudgetExceededError, match="prefix_bits"):
+        simhash_pairs(
+            clique, "text", "doc_id", prefix_bits=0,
+            max_bucket=None, pair_budget=500,
+        )
+    # tiny corpus: default budget never fires, output identical to off
+    base = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            _docs(spark), "text", "doc_id", max_hamming=64, prefix_bits=0,
+            pair_budget=None,
+        ).collect()
+    }
+    budgeted = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            _docs(spark), "text", "doc_id", max_hamming=64, prefix_bits=0
+        ).collect()
+    }
+    assert base == budgeted
+
+
 def test_salted_join_equals_plain_join(spark):
     # heavily skewed left: 900 of 1000 rows share key 'hot'
     left = spark.range(1000).select(

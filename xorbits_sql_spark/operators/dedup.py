@@ -1065,6 +1065,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     prefix_bits: int = 16,
     max_bucket: int | None = 100_000,
+    pair_budget: int | None = 100_000_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
     (near-dups almost always share the prefix), then exact Hamming
@@ -1078,6 +1079,18 @@ def simhash_pairs(
     pair volume for free, which scales the pair-join shuffle (~4M pair
     rows/task) and rides along as the edge-count hint for
     ``connected_components("auto")``.
+
+    ``pair_budget``: within-bucket pair volume is Σ bn·(bn-1)/2 over
+    buckets — at FIXED ``prefix_bits`` it grows as N²/2^prefix_bits,
+    so a setting tuned at test scale silently turns quadratic at 100×
+    (the round-8 graph-tier rehearsal measured 7.7e9 pairs for the
+    t56 shape at 500k docs, prefix_bits=4). The same submit-time
+    refusal contract as :func:`ngram_jaccard_pairs`: the exact volume
+    comes from the bucket-size table the cap logic builds anyway, and
+    an over-budget submission raises
+    :class:`~..errors.PairBudgetExceededError` in seconds. Fix by
+    growing ``prefix_bits`` with log2(N) (constant expected bucket
+    size), tightening ``max_bucket``, or pass ``pair_budget=None``.
     """
     # One 16-byte row per doc; persisting makes the bucket self-join read
     # the signatures instead of recomputing the 60-vote aggregate for
@@ -1092,24 +1105,37 @@ def simhash_pairs(
     right = hashed.select(
         F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("bucket")
     )
-    if max_bucket is not None:
+    if max_bucket is not None or pair_budget is not None:
         sizes = _persist(
             hashed.groupBy("bucket").agg(
                 F.count(F.lit(1)).alias("__bn"), F.min("doc").alias("__rep")
             )
         )
+        cap = max_bucket if max_bucket is not None else 1 << 62
         est = float(
             sizes.select(
                 F.sum(
                     F.when(
-                        F.col("__bn") <= max_bucket,
+                        F.col("__bn") <= cap,
                         F.col("__bn") * (F.col("__bn") - F.lit(1)) / F.lit(2.0),
                     ).otherwise(F.col("__bn") - F.lit(1))
                 ).alias("__pairs")
             ).collect()[0]["__pairs"]
             or 0.0
         )
+        if pair_budget is not None and est > pair_budget:
+            sizes.unpersist()
+            hashed.unpersist()
+            raise PairBudgetExceededError(
+                f"exact within-bucket pair volume ≈ {est:.3g} exceeds "
+                f"pair_budget={pair_budget:,}. SimHash prefix blocking is "
+                "Σ bn·(bn-1)/2-bound — N²/2^prefix_bits at fixed "
+                f"prefix_bits={prefix_bits}; grow prefix_bits with log2(N) "
+                "(constant expected bucket size), tighten max_bucket, or "
+                "pass pair_budget=None to run anyway."
+            )
         n_part = _scaled_pair_partitions(hashed, est)
+    if max_bucket is not None:
         sized = hashed.join(sizes, "bucket")
         left = sized.filter(
             (F.col("__bn") <= max_bucket) | (F.col("doc") == F.col("__rep"))
