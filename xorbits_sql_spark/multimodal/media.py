@@ -80,21 +80,30 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
 
     PNG payloads decode for REAL via the built-in pure-stdlib codec
     (multimodal/png.py): actual de-filtered pixels out of actual zlib
-    bytes, no image library needed. Other formats (JPEG etc.) raise
-    ``NotImplementedError`` — swap PIL/cv2 into this function for real
-    deployments. With ``fake=True`` returns deterministic byte
-    statistics with the same output contract, so the surrounding Spark
-    plumbing stays testable for non-PNG media.
+    bytes. Baseline JPEG payloads decode for REAL too, via the
+    pure-numpy codec (multimodal/jpeg.py): Huffman + dequant + IDCT +
+    chroma upsample, grayscale and YCbCr up to 2x2 subsampling, restart
+    intervals. Progressive JPEG, other formats (WebP, GIF, ...), and
+    SIMD-speed decoding still want the PIL/cv2 swap-in here. With
+    ``fake=True`` returns deterministic byte statistics with the same
+    output contract, so the surrounding Spark plumbing stays testable
+    for undecodable media.
     """
     if not fake:
         from .png import _SIGNATURE, decode_png
 
-        if not data.startswith(_SIGNATURE):
+        if data.startswith(_SIGNATURE):
+            width, height, channels, pixels = decode_png(data)
+        elif data[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            width, height, channels, pixels = decode_jpeg(data)
+        else:
             raise NotImplementedError(
-                "only PNG decodes without an image library; "
-                "swap in PIL/cv2 here (decode_image) for real deployments"
+                "only PNG and baseline JPEG decode without an image "
+                "library; swap in PIL/cv2 here (decode_image) for real "
+                "deployments"
             )
-        width, height, channels, pixels = decode_png(data)
         n = max(len(pixels), 1)
         return {
             "n_bytes": len(pixels),
@@ -149,23 +158,34 @@ def decode_audio(data: bytes, fake: bool = False) -> dict:
 def resize_image(data: bytes, width: int, height: int, fake: bool = False) -> bytes:
     """Resize an image payload to ``width``x``height``.
 
-    PNG payloads resize for REAL: decode → nearest-neighbor resample →
-    re-encode, all via the stdlib codec in multimodal/png.py. Other
-    formats raise; with ``fake=True`` produces a deterministic payload
-    of exactly ``width*height`` bytes (md5-keyed byte stretch) so
-    downstream size/metadata contracts are exercised for non-PNG media.
-    Swap PIL's ``Image.resize`` in here for real deployments.
+    PNG and baseline JPEG payloads resize for REAL: decode →
+    nearest-neighbor resample → re-encode in the SAME format (the
+    nearest-neighbor kernel in png.py is pixel-format-agnostic; JPEG
+    re-encodes at quality 85). Other formats raise; with ``fake=True``
+    produces a deterministic payload of exactly ``width*height`` bytes
+    (md5-keyed byte stretch) so downstream size/metadata contracts are
+    exercised for undecodable media. Swap PIL's ``Image.resize`` in
+    here for real deployments.
     """
     if not fake:
         from .png import _SIGNATURE, decode_png, encode_png, resize_nearest
 
-        if not data.startswith(_SIGNATURE):
-            raise NotImplementedError(
-                "only PNG resizes without an image library; "
-                "swap in PIL/cv2 here (resize_image) for real deployments"
+        if data.startswith(_SIGNATURE):
+            w, h, ch, pixels = decode_png(data)
+            return encode_png(
+                width, height, ch, resize_nearest(pixels, w, h, ch, width, height)
             )
-        w, h, ch, pixels = decode_png(data)
-        return encode_png(width, height, ch, resize_nearest(pixels, w, h, ch, width, height))
+        if data[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg, encode_jpeg
+
+            w, h, ch, pixels = decode_jpeg(data)
+            return encode_jpeg(
+                width, height, ch, resize_nearest(pixels, w, h, ch, width, height)
+            )
+        raise NotImplementedError(
+            "only PNG and baseline JPEG resize without an image library; "
+            "swap in PIL/cv2 here (resize_image) for real deployments"
+        )
     seed = hashlib.md5(data).digest()
     n = width * height
     return (seed * (n // len(seed) + 1))[:n]
@@ -217,9 +237,13 @@ def transform_media(
             T.StructField("media_meta", MEDIA_SCHEMA),
         ]
     )
-    # the real path re-encodes via encode_png, so the stamped mime must
-    # say so — a mime-dispatching loader cannot decode "image/unknown"
-    mime = "application/x-fake" if fake else "image/png"
+    # the real path re-encodes in the INPUT's format, so the stamped
+    # mime must track the payload — a mime-dispatching loader cannot
+    # decode "image/unknown"
+    def _mime(payload: bytes | None) -> str:
+        if fake:
+            return "application/x-fake"
+        return "image/jpeg" if payload[:2] == b"\xff\xd8" else "image/png"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -234,7 +258,7 @@ def transform_media(
                     "media": resized,
                     "media_meta": [
                         {
-                            "mime": mime,
+                            "mime": _mime(r),
                             "width": width,
                             "height": height,
                             "duration_ms": None,

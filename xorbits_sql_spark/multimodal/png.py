@@ -4,9 +4,9 @@ The container has no image libraries (PIL/cv2), but PNG itself is just
 zlib + per-scanline filters, both implementable from the public spec
 (RFC 2083). This gives the multimodal operators a *real* decode path —
 actual pixels out of actual compressed bytes — rather than a stub, for
-the dominant lossless training-data format. JPEG/video remain stubbed
-behind ``NotImplementedError`` (a DCT codec is out of scope here; swap
-in PIL/pyav in real deployments).
+the dominant lossless training-data format. Baseline JPEG decodes for
+real too since round 8 (see ``jpeg.py``); video containers beyond the
+in-repo PNGV format remain stubbed (swap in pyav in real deployments).
 
 Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
 6 (RGBA); all five scanline filters (None/Sub/Up/Average/Paeth); CRC
