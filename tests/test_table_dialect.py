@@ -1564,3 +1564,146 @@ def test_snowflake_pivot_column_naming(spark):
         transpile("SELECT * FROM t PIVOT (SUM(x) FOR c IN ('a')) AS p", "snowflake")
     with pytest.raises(UnsupportedError):
         transpile("SELECT * FROM t PIVOT (SUM(x) FOR c IN ('a')) p", "snowflake")
+
+
+# ---- round-8 second batch: gaps found by probing what a migrating
+# user's SQL does when it silently passes through the normalizer ----
+
+
+def test_pg_regex_operators(spark):
+    """postgres ~ / !~ / ~* / !~* → RLIKE forms; prefix ~ (bitwise NOT)
+    must survive untouched even in the same statement."""
+    pdf = pd.DataFrame({"s": ["apple", "Banana", "cherry"], "n": [1, 2, 3]})
+    got = execute(
+        "SELECT s FROM t WHERE s ~ '^a' ORDER BY s",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [r["s"] for r in got] == ["apple"]
+    got = execute(
+        "SELECT s FROM t WHERE s !~ '^a' AND s ~* '^b' ORDER BY s",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [r["s"] for r in got] == ["Banana"]
+    got = execute(
+        "SELECT ~n AS flipped FROM t WHERE s ~ 'pp'",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [r["flipped"] for r in got] == [-2]
+
+
+def test_pg_regex_ci_needs_literal():
+    with pytest.raises(UnsupportedError, match="string-literal"):
+        transpile("SELECT 1 FROM t WHERE a ~* b", "postgres")
+
+
+def test_pg_similar_to_refuses():
+    with pytest.raises(UnsupportedError, match="SIMILAR TO"):
+        transpile("SELECT 1 FROM t WHERE s SIMILAR TO 'a%'", "postgres")
+
+
+def test_pg_generate_series(spark):
+    got = execute(
+        "SELECT n FROM generate_series(1, 10, 3) AS g(n) ORDER BY n",
+        tables={}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [r["n"] for r in got] == [1, 4, 7, 10]  # INCLUSIVE bounds
+    got = execute(
+        "SELECT * FROM generate_series(2, 4)",
+        tables={}, dialect="duckdb", spark=spark,
+    ).collect()
+    assert [r["generate_series"] for r in got] == [2, 3, 4]
+
+
+def test_pg_generate_series_projection_refuses():
+    with pytest.raises(UnsupportedError, match="FROM/JOIN"):
+        transpile("SELECT generate_series(1, 3)", "postgres")
+
+
+def test_pg_to_char_and_epoch(spark):
+    pdf = pd.DataFrame({"d": pd.to_datetime(["2024-03-05 10:20:30"])})
+    got = execute(
+        "SELECT TO_CHAR(d, 'YYYY-MM-DD HH24:MI:SS') AS s FROM t",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert got[0]["s"] == "2024-03-05 10:20:30"
+    got = execute(
+        "SELECT CAST(TO_TIMESTAMP(86400) AS STRING) AS ts",
+        tables={}, dialect="postgres", spark=spark,
+    ).collect()
+    assert got[0]["ts"].startswith("1970-01-02")
+
+
+def test_mysql_date_format_codes(spark):
+    """The %-codes MUST translate: passed through, Spark's same-named
+    DATE_FORMAT renders them as literal text (silent corruption)."""
+    pdf = pd.DataFrame({"d": pd.to_datetime(["2024-03-05 08:09:10"])})
+    got = execute(
+        "SELECT DATE_FORMAT(d, '%Y-%m-%dT%H:%i:%s') AS s FROM t",
+        tables={"t": pdf}, dialect="mysql", spark=spark,
+    ).collect()
+    assert got[0]["s"] == "2024-03-05T08:09:10"
+    got = execute(
+        "SELECT DATE_FORMAT(d, '%d of %M') AS s FROM t",
+        tables={"t": pdf}, dialect="mysql", spark=spark,
+    ).collect()
+    assert got[0]["s"] == "05 of March"
+
+
+def test_mysql_str_to_date_type_rule(spark):
+    """mysql returns DATE for date-only formats, DATETIME when time
+    codes appear — the translation picks TO_DATE vs TO_TIMESTAMP on
+    the same rule."""
+    got = execute(
+        "SELECT STR_TO_DATE('2024-01-05', '%Y-%m-%d') AS d, "
+        "STR_TO_DATE('2024-01-05 10:11', '%Y-%m-%d %H:%i') AS ts",
+        tables={}, dialect="mysql", spark=spark,
+    )
+    types = dict(got.dtypes)
+    assert types["d"] == "date" and types["ts"] == "timestamp"
+    row = got.collect()[0]
+    assert str(row["d"]) == "2024-01-05"
+    assert str(row["ts"]).startswith("2024-01-05 10:11")
+
+
+def test_mysql_format_refusals():
+    for sql in (
+        "SELECT DATE_FORMAT(d, '%w') FROM t",      # 0=Sunday weekday num
+        "SELECT DATE_FORMAT(d, '%U') FROM t",      # mode-dependent week
+        "SELECT TIME_FORMAT(d, '%Y') FROM t",      # mysql zeroes date codes
+        "SELECT DATE_FORMAT(d, fmt_col) FROM t",   # non-literal format
+    ):
+        with pytest.raises(UnsupportedError):
+            transpile(sql, "mysql")
+
+
+def test_tsql_convert(spark):
+    pdf = pd.DataFrame({"n": [1234567], "s": ["42"]})
+    got = execute(
+        "SELECT CONVERT(VARCHAR(4), n) AS trunc4, "
+        "CONVERT(INT, s) AS i, CONVERT(MONEY, s) AS m FROM t",
+        tables={"t": pdf}, dialect="tsql", spark=spark,
+    ).collect()[0]
+    # T-SQL CONVERT(VARCHAR(4), ...) TRUNCATES silently — preserved
+    assert got["trunc4"] == "1234"
+    assert got["i"] == 42
+    assert str(got["m"]) == "42.0000"
+
+
+def test_mysql_convert(spark):
+    pdf = pd.DataFrame({"s": ["123.456"]})
+    got = execute(
+        "SELECT CONVERT(s, DECIMAL(10,2)) AS d, CONVERT(s, CHAR(3)) AS c3 "
+        "FROM t",
+        tables={"t": pdf}, dialect="mysql", spark=spark,
+    ).collect()[0]
+    assert str(got["d"]) == "123.46"
+    assert got["c3"] == "123"
+
+
+def test_convert_refusals():
+    with pytest.raises(UnsupportedError, match="style"):
+        transpile("SELECT CONVERT(VARCHAR(10), d, 120) FROM t", "tsql")
+    with pytest.raises(UnsupportedError, match="charset"):
+        transpile("SELECT CONVERT(s USING utf8) FROM t", "mysql")
+    with pytest.raises(UnsupportedError, match="not supported"):
+        transpile("SELECT CONVERT(XML, s) FROM t", "tsql")

@@ -2906,6 +2906,405 @@ def _rewrite_snowflake_pivot_names(
     return out
 
 
+_OPERAND_END_KINDS = ("word", "string", "number", "backtick", "dquoted", "bracket")
+
+# keywords that can PRECEDE a prefix operator (SELECT ~5, WHERE ~x & y,
+# AND ~..., THEN ~...): a "word" token in this set does NOT end an
+# operand, so a ~ after it is bitwise NOT, not a regex match.
+_NON_OPERAND_KEYWORDS = frozenset(
+    """SELECT FROM WHERE AND OR NOT ON WHEN THEN ELSE CASE END BY GROUP
+    ORDER HAVING LIMIT OFFSET JOIN INNER LEFT RIGHT FULL CROSS OUTER IN
+    AS DISTINCT ALL UNION INTERSECT EXCEPT SET VALUES LIKE ILIKE IS
+    BETWEEN ESCAPE RETURNING""".split()
+)
+
+
+def _rewrite_pg_regex_ops(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """postgres/redshift POSIX regex operators → Spark predicates:
+    ``a ~ p`` → ``a RLIKE p``, ``a !~ p`` → ``a NOT RLIKE p``; the
+    case-insensitive forms ``~*`` / ``!~*`` additionally require a
+    string-literal pattern (rewritten to ``'(?i)…'`` — Spark has no
+    ILIKE-for-regex). Spark would otherwise fail to parse ``~`` as an
+    infix operator, so passthrough is a loud-but-confusing error; the
+    PREFIX ``~`` (bitwise NOT — op-preceded) is native Spark and is
+    left untouched. The lexer splits ``!~*`` into single-char ops, so
+    the cluster is matched by direct adjacency (no whitespace tokens
+    between), exactly how postgres lexes it."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        if out[i] != ("op", "~"):
+            i += 1
+            continue
+        bang = i > 0 and out[i - 1] == ("op", "!")
+        start = i - 1 if bang else i
+        # infix only: the token before the operator must end an operand
+        # (and a keyword word like SELECT/WHERE/AND does not)
+        j = _prev_code(out, start)
+        ends_operand = j is not None and (
+            (
+                out[j][0] in _OPERAND_END_KINDS
+                and not (
+                    out[j][0] == "word"
+                    and out[j][1].upper() in _NON_OPERAND_KEYWORDS
+                )
+            )
+            or out[j] == ("op", ")")
+        )
+        if not ends_operand:
+            i += 1
+            continue
+        ci = i + 1 < len(out) and out[i + 1] == ("op", "*")
+        end = i + 1 if ci else i
+        repl = tokenize(" NOT RLIKE " if bang else " RLIKE ")
+        if ci:
+            p = _next_code(out, end)
+            if p is None or out[p][0] != "string":
+                raise UnsupportedError(
+                    "case-insensitive regex match (~*) needs a string-"
+                    "literal pattern without sqlglot"
+                )
+            inner = _unquote(out[p][1], "'")
+            out[p] = ("string", "'(?i)" + inner + "'")
+        out = out[:start] + repl + out[end + 1 :]
+        i = start + len(repl)
+    return out
+
+
+def _rewrite_similar_to(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """postgres ``SIMILAR TO`` mixes LIKE wildcards with regex groups;
+    no single Spark predicate reproduces it, and passthrough would be
+    a confusing Spark parse error — refuse with the alternatives."""
+    for i, (kind, text) in enumerate(tokens):
+        if kind == "word" and text.upper() == "SIMILAR":
+            j = _next_code(tokens, i)
+            if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() == "TO":
+                raise UnsupportedError(
+                    "SIMILAR TO is not supported without sqlglot; use a "
+                    "POSIX regex (~) or LIKE"
+                )
+    return tokens
+
+
+def _rewrite_generate_series(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """postgres/duckdb ``FROM generate_series(a, b[, step])`` →
+    ``(SELECT explode(sequence(a, b[, step])) AS generate_series)`` —
+    sequence() matches generate_series' INCLUSIVE bounds exactly, for
+    integers and for timestamps with interval steps. A trailing alias
+    (``g`` or ``g(n)``) is left in place; Spark accepts both after a
+    subquery. Scale note: sequence() materializes the series as one
+    in-memory array (fine for the calendar/index spines this appears
+    in); a 100M-row spine should use ``spark.range`` instead. Only the
+    FROM/JOIN table position rewrites; set-returning use in the
+    projection (or a comma join, where the lexer cannot tell a lateral
+    comma from an argument comma) refuses rather than mistranslating.
+    """
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "GENERATE_SERIES":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        prev = _prev_code(out, i)
+        prev_word = out[prev][1].upper() if prev is not None and out[prev][0] == "word" else ""
+        if prev_word not in ("FROM", "JOIN"):
+            raise UnsupportedError(
+                "generate_series outside the FROM/JOIN table position is "
+                "not supported without sqlglot"
+            )
+        parsed = _call_args(out, j)
+        if parsed is None:
+            raise UnsupportedError("unbalanced generate_series call")
+        args, close = parsed
+        if len(args) not in (2, 3):
+            raise UnsupportedError(
+                f"generate_series takes 2 or 3 arguments, got {len(args)}"
+            )
+        repl = tokenize("(SELECT explode(sequence(")
+        for k, a in enumerate(args):
+            if k:
+                repl += tokenize(", ")
+            repl += a
+        repl += tokenize(")) AS generate_series)")
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
+def _rewrite_pg_epoch_to_timestamp(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """postgres one-arg ``TO_TIMESTAMP(epoch)`` → ``TIMESTAMP_SECONDS``
+    (pg's one-arg form takes a double epoch; fractional seconds carry
+    through). Runs BEFORE the shared TO_CHAR/TO_DATE format rewrite so
+    its one-arg refusal never sees this form."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "TO_TIMESTAMP":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None or len(parsed[0]) != 1:
+            i += 1
+            continue
+        args, close = parsed
+        repl = tokenize("TIMESTAMP_SECONDS(") + args[0] + tokenize(")")
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    return out
+
+
+# MySQL DATE_FORMAT/STR_TO_DATE %-codes → Spark datetime patterns.
+# Only exact equivalents; %f (microseconds — Spark S counts fraction
+# digits differently per position), %w (0=Sunday weekday number),
+# %D (ordinal suffix), and the ISO/week-year family (%U %u %V %v %X
+# %x) raise.
+_MYSQL_FMT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "M",
+    "%d": "dd", "%e": "d", "%H": "HH", "%k": "H",
+    "%h": "hh", "%I": "hh", "%l": "h", "%i": "mm",
+    "%s": "ss", "%S": "ss", "%M": "MMMM", "%b": "MMM",
+    "%a": "EEE", "%W": "EEEE", "%j": "DDD", "%p": "a",
+    "%T": "HH:mm:ss", "%r": "hh:mm:ss a", "%%": "%",
+}
+_MYSQL_TIME_ONLY = {"%H", "%k", "%h", "%I", "%l", "%i", "%s", "%S", "%p", "%T", "%r"}
+
+
+def _mysql_datefmt(fmt: str) -> tuple[str, bool]:
+    """MySQL format string → (Spark pattern, has_time_codes). Literal
+    runs containing letters are single-quoted (Spark treats bare
+    letters as pattern chars — THE silent-corruption hazard this
+    rewrite exists to close)."""
+    out: list[str] = []
+    lit: list[str] = []
+    has_time = False
+
+    def flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        if "'" in run:
+            raise UnsupportedError(
+                "single quotes inside a date format literal are not "
+                "supported without sqlglot"
+            )
+        out.append(f"'{run}'" if any(c.isalpha() for c in run) else run)
+        lit.clear()
+
+    p = 0
+    while p < len(fmt):
+        if fmt[p] == "%":
+            code = fmt[p : p + 2]
+            spark = _MYSQL_FMT.get(code)
+            if spark is None:
+                raise UnsupportedError(
+                    f"mysql format code {code!r} is not supported without sqlglot"
+                )
+            flush()
+            out.append(spark)
+            has_time = has_time or code in _MYSQL_TIME_ONLY
+            p += 2
+        else:
+            lit.append(fmt[p])
+            p += 1
+    flush()
+    return "".join(out), has_time
+
+
+def _rewrite_mysql_datefmt(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """mysql ``DATE_FORMAT(x, '%fmt')`` → ``DATE_FORMAT(x, 'spark')``,
+    ``TIME_FORMAT`` likewise (time codes only — mysql zeroes date codes
+    there), ``STR_TO_DATE(s, '%fmt')`` → ``TO_DATE``/``TO_TIMESTAMP``
+    by whether the format carries time codes (mysql returns DATE vs
+    DATETIME on the same rule). Without this rewrite DATE_FORMAT
+    passes through to Spark's same-named function and renders the
+    %-codes as literal text — silently wrong output, the worst
+    failure mode a transpiler has. Non-literal formats refuse."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in ("DATE_FORMAT", "TIME_FORMAT", "STR_TO_DATE"):
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) != 2:
+            raise UnsupportedError(f"{up} takes exactly 2 arguments")
+        fcode = [(k, t) for k, t in args[1] if k not in ("ws", "comment")]
+        if len(fcode) != 1 or fcode[0][0] != "string":
+            raise UnsupportedError(
+                f"{up} format must be a string literal without sqlglot"
+            )
+        spark_fmt, has_time = _mysql_datefmt(_unquote(fcode[0][1], "'"))
+        if up == "TIME_FORMAT" and not has_time:
+            raise UnsupportedError(
+                "TIME_FORMAT with date codes zeroes them in mysql; not "
+                "supported without sqlglot"
+            )
+        fn = (
+            "DATE_FORMAT"
+            if up in ("DATE_FORMAT", "TIME_FORMAT")
+            else ("TO_TIMESTAMP" if has_time else "TO_DATE")
+        )
+        # the Spark pattern may itself contain quoted literals ('T');
+        # double them so the spliced SQL string literal stays balanced
+        sql_fmt = spark_fmt.replace("'", "''")
+        repl = tokenize(f"{fn}(") + args[0] + tokenize(f", '{sql_fmt}')")
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    return out
+
+
+# T-SQL CONVERT target types → Spark cast types. String types carry
+# their T-SQL silent-truncation semantics via SUBSTRING (Spark's ANSI
+# CAST to VARCHAR(n) errors on overflow instead); TINYINT is unsigned
+# 0..255 in T-SQL so it widens to SMALLINT rather than wrapping.
+_TSQL_CONVERT_TYPES = {
+    "INT": "INT", "INTEGER": "INT", "BIGINT": "BIGINT",
+    "SMALLINT": "SMALLINT", "TINYINT": "SMALLINT",
+    "FLOAT": "DOUBLE", "REAL": "FLOAT",
+    "DECIMAL": "DECIMAL", "NUMERIC": "DECIMAL",
+    "MONEY": "DECIMAL(19,4)", "SMALLMONEY": "DECIMAL(10,4)",
+    "BIT": "BOOLEAN", "DATE": "DATE",
+    "DATETIME": "TIMESTAMP", "DATETIME2": "TIMESTAMP",
+    "SMALLDATETIME": "TIMESTAMP",
+    "UNIQUEIDENTIFIER": "STRING",
+    "BINARY": "BINARY", "VARBINARY": "BINARY",
+}
+_TSQL_STRING_TYPES = ("VARCHAR", "NVARCHAR", "CHAR", "NCHAR")
+# mysql CONVERT/CAST target types (their own spellings).
+_MYSQL_CONVERT_TYPES = {
+    "SIGNED": "BIGINT", "UNSIGNED": "BIGINT",
+    "DECIMAL": "DECIMAL", "DATE": "DATE",
+    "DATETIME": "TIMESTAMP", "DOUBLE": "DOUBLE",
+    "FLOAT": "FLOAT", "BINARY": "BINARY",
+}
+
+
+def _type_spec(arg: list[tuple[str, str]]) -> tuple[str, list[str]] | None:
+    """Parse a type argument like ``VARCHAR(10)`` / ``DECIMAL(10, 2)``
+    / ``SIGNED INTEGER`` → (NAME, params) or None if not type-shaped."""
+    code = [(k, t) for k, t in arg if k not in ("ws", "comment")]
+    if not code or code[0][0] != "word":
+        return None
+    name = code[0][1].upper()
+    rest = code[1:]
+    if (
+        name in ("SIGNED", "UNSIGNED")
+        and len(rest) == 1
+        and rest[0][0] == "word"
+        and rest[0][1].upper() == "INTEGER"
+    ):
+        rest = []  # SIGNED INTEGER == SIGNED
+    if not rest:
+        return name, []
+    if (
+        rest[0] == ("op", "(")
+        and rest[-1] == ("op", ")")
+        and all(k == "number" or (k, t) == ("op", ",") for k, t in rest[1:-1])
+    ):
+        return name, [t for k, t in rest[1:-1] if k == "number"]
+    return None
+
+
+def _rewrite_convert(
+    tokens: list[tuple[str, str]], tsql: bool
+) -> list[tuple[str, str]]:
+    """``CONVERT`` → ``CAST``. T-SQL spells it ``CONVERT(type, expr
+    [, style])`` (a style argument is locale formatting — refuses);
+    mysql spells it ``CONVERT(expr, type)`` and has a ``CONVERT(expr
+    USING charset)`` form (charset transcoding — refuses). String
+    targets keep each dialect's silent truncation via SUBSTRING; an
+    unknown target type refuses rather than guessing."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "CONVERT":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if not tsql and any(
+            k == "word" and t.upper() == "USING" for a in args for k, t in a
+        ):
+            raise UnsupportedError(
+                "CONVERT(expr USING charset) is charset transcoding; not "
+                "supported without sqlglot"
+            )
+        if tsql and len(args) == 3:
+            raise UnsupportedError(
+                "CONVERT with a style argument is locale formatting; not "
+                "supported without sqlglot"
+            )
+        if len(args) != 2:
+            raise UnsupportedError("CONVERT takes 2 arguments")
+        type_arg, expr = (args[0], args[1]) if tsql else (args[1], args[0])
+        spec = _type_spec(type_arg)
+        if spec is None:
+            raise UnsupportedError(
+                "CONVERT target type is not recognized without sqlglot"
+            )
+        name, params = spec
+        if tsql and name in _TSQL_STRING_TYPES:
+            # T-SQL truncates to the declared length (default 30)
+            n = params[0] if params else "30"
+            repl = (
+                tokenize("SUBSTRING(CAST(")
+                + expr
+                + tokenize(f" AS STRING), 1, {n})")
+            )
+        elif not tsql and name in ("CHAR", "NCHAR"):
+            if params:
+                repl = (
+                    tokenize("SUBSTRING(CAST(")
+                    + expr
+                    + tokenize(f" AS STRING), 1, {params[0]})")
+                )
+            else:
+                repl = tokenize("CAST(") + expr + tokenize(" AS STRING)")
+        else:
+            table = _TSQL_CONVERT_TYPES if tsql else _MYSQL_CONVERT_TYPES
+            target = table.get(name)
+            if target is None:
+                raise UnsupportedError(
+                    f"CONVERT to {name} is not supported without sqlglot"
+                )
+            if target == "DECIMAL" and params:
+                target = f"DECIMAL({', '.join(params)})"
+            repl = tokenize("CAST(") + expr + tokenize(f" AS {target})")
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    return out
+
+
 def has_sqlglot() -> bool:
     return _HAS_SQLGLOT
 
@@ -2970,7 +3369,17 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         ]
     if dialect in ("postgres", "postgresql", "duckdb", "redshift"):
         tokens = _rewrite_extract_epoch(tokens)
+    if dialect in ("postgres", "redshift"):
+        tokens = _rewrite_pg_regex_ops(tokens)
+        tokens = _rewrite_similar_to(tokens)
+        # pg's TO_CHAR/TO_DATE/TO_TIMESTAMP format models are oracle-
+        # compatible (YYYY/MM/DD/HH24/MI/SS...); unknown pg extensions
+        # (FM, US, TZ) refuse inside _ora_datefmt. One-arg
+        # TO_TIMESTAMP(epoch) is pg-specific and must fold first.
+        tokens = _rewrite_pg_epoch_to_timestamp(tokens)
+        tokens = _rewrite_oracle_fmt(tokens)
     if dialect in ("postgres", "duckdb"):
+        tokens = _rewrite_generate_series(tokens)
         tokens = _for_each_scope(tokens, _rewrite_distinct_on)
         tokens = _rewrite_string_agg_orderby(tokens)
     if dialect == "tsql":
@@ -2997,6 +3406,7 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         )
         tokens = _rewrite_tsql_len(tokens)
         tokens = _rewrite_datepart(tokens)
+        tokens = _rewrite_convert(tokens, tsql=True)
         tokens = _for_each_scope(tokens, _rewrite_top)
     if dialect == "mysql":
         # '#' line comments lex correctly but Spark's parser does not
@@ -3007,6 +3417,8 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         ]
         tokens = _rewrite_mysql_limit(tokens)
         tokens = _rewrite_group_concat(tokens)
+        tokens = _rewrite_mysql_datefmt(tokens)
+        tokens = _rewrite_convert(tokens, tsql=False)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
     if dialect == "oracle":
