@@ -1707,3 +1707,82 @@ def test_convert_refusals():
         transpile("SELECT CONVERT(s USING utf8) FROM t", "mysql")
     with pytest.raises(UnsupportedError, match="not supported"):
         transpile("SELECT CONVERT(XML, s) FROM t", "tsql")
+
+
+def test_pg_dow_off_by_one(spark):
+    """pg numbers Sunday as DOW 0; Spark's DOW field says 1 — untreated,
+    the expression RUNS and returns off-by-one values (silent
+    corruption). 2024-03-03 is a Sunday."""
+    for sql, want in [
+        ("SELECT EXTRACT(DOW FROM DATE'2024-03-03') AS v", 0),
+        ("SELECT EXTRACT(DOW FROM DATE'2024-03-04') AS v", 1),
+        ("SELECT EXTRACT(ISODOW FROM DATE'2024-03-03') AS v", 7),
+        ("SELECT date_part('dow', DATE'2024-03-03') AS v", 0),
+        ("SELECT date_part('isodow', DATE'2024-03-04') AS v", 1),
+        ("SELECT EXTRACT(YEAR FROM DATE'2024-03-03') AS v", 2024),  # untouched
+    ]:
+        got = execute(sql, tables={}, dialect="postgres", spark=spark).collect()
+        assert got[0]["v"] == want, sql
+
+
+def test_pg_array_literal_refuses():
+    with pytest.raises(UnsupportedError, match="array"):
+        transpile("SELECT ARRAY[1,2,3]", "postgres")
+
+
+def test_tsql_square_replicate(spark):
+    got = execute(
+        "SELECT SQUARE(3.0) AS sq, REPLICATE('ab', 3) AS rep",
+        tables={}, dialect="tsql", spark=spark,
+    ).collect()[0]
+    assert got["sq"] == 9.0 and got["rep"] == "ababab"
+
+
+def test_snowflake_array_construct(spark):
+    got = execute(
+        "SELECT SIZE(ARRAY_CONSTRUCT(1,2,3)) AS n",
+        tables={}, dialect="snowflake", spark=spark,
+    ).collect()[0]
+    assert got["n"] == 3
+
+
+def test_bq_date_arithmetic(spark):
+    """bq DATE_DIFF counts unit BOUNDARIES (weeks start Sunday);
+    TIMESTAMP_DIFF counts whole elapsed units; DATE_ADD/SUB return
+    DATE. Each verified against bq's documented examples."""
+    for sql, want in [
+        # one month boundary crossed between Jan 31 and Feb 1
+        ("SELECT DATE_DIFF(DATE'2024-02-01', DATE'2024-01-31', MONTH) AS v", 1),
+        ("SELECT DATE_DIFF(DATE'2024-03-05', DATE'2024-03-01', DAY) AS v", 4),
+        # Sunday 2024-03-03 lies between the 2nd and the 4th
+        ("SELECT DATE_DIFF(DATE'2024-03-04', DATE'2024-03-02', WEEK) AS v", 1),
+        ("SELECT TIMESTAMP_DIFF(TIMESTAMP'2024-01-01 10:30:00', "
+         "TIMESTAMP'2024-01-01 08:00:00', HOUR) AS v", 2),
+        ("SELECT CAST(DATE_ADD(DATE'2024-01-31', INTERVAL 1 MONTH) AS STRING) AS v",
+         "2024-02-29"),
+        ("SELECT CAST(DATE_SUB(DATE'2024-03-05', INTERVAL 4 DAY) AS STRING) AS v",
+         "2024-03-01"),
+    ]:
+        got = execute(sql, tables={}, dialect="bigquery", spark=spark).collect()
+        assert got[0]["v"] == want, sql
+    # DATE_ADD must return a DATE, not a timestamp
+    got = execute(
+        "SELECT DATE_ADD(DATE'2024-01-01', INTERVAL 1 DAY) AS d",
+        tables={}, dialect="bigquery", spark=spark,
+    )
+    assert dict(got.dtypes)["d"] == "date"
+
+
+def test_bq_format_parse(spark):
+    """bq strftime-style codes (%M is MINUTE here, unlike mysql's month
+    name) translate; ISO-week and zone codes refuse."""
+    got = execute(
+        "SELECT FORMAT_DATE('%Y-%m', DATE'2024-03-05') AS a, "
+        "FORMAT_TIMESTAMP('%H:%M:%S', TIMESTAMP'2024-01-01 08:09:10') AS b, "
+        "CAST(PARSE_DATE('%Y-%m-%d', '2024-03-05') AS STRING) AS c",
+        tables={}, dialect="bigquery", spark=spark,
+    ).collect()[0]
+    assert (got["a"], got["b"], got["c"]) == ("2024-03", "08:09:10", "2024-03-05")
+    for bad in ("%V", "%U", "%u", "%Z", "%E4S"):
+        with pytest.raises(UnsupportedError):
+            transpile(f"SELECT FORMAT_DATE('{bad}', d) FROM t", "bigquery")

@@ -3305,6 +3305,314 @@ def _rewrite_convert(
     return out
 
 
+def _rewrite_pg_dow(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """postgres/duckdb day-of-week numbering → Spark's, exactly.
+
+    pg ``EXTRACT(DOW FROM x)`` numbers Sunday as 0 (0..6) while
+    Spark's DOW field numbers it 1 (1..7) — the expression RUNS on
+    Spark and returns off-by-one values, the silent-corruption class
+    this fallback must never allow. ``DOW`` wraps in ``( … - 1 )``;
+    ``ISODOW`` (Monday=1, identical to Spark's DOW_ISO) renames.
+    Covers both spellings: ``EXTRACT(field FROM x)`` and
+    ``date_part('field', x)``."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in ("EXTRACT", "DATE_PART"):
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        sub1 = False
+        if up == "EXTRACT" and len(args) == 1:
+            f = _next_code(args[0], -1)
+            if f is None or args[0][f][0] != "word":
+                i += 1
+                continue
+            field = args[0][f][1].upper()
+            if field == "ISODOW":
+                args[0] = list(args[0])
+                args[0][f] = ("word", "DOW_ISO")
+            elif field == "DOW":
+                sub1 = True
+            else:
+                i += 1
+                continue
+            repl = tokenize("EXTRACT(") + args[0] + tokenize(")")
+        elif up == "DATE_PART" and len(args) == 2:
+            f = _next_code(args[0], -1)
+            if f is None or args[0][f][0] != "string":
+                i += 1
+                continue
+            field = _unquote(args[0][f][1], "'").upper()
+            if field == "ISODOW":
+                lit = ("string", "'DOW_ISO'")
+            elif field == "DOW":
+                lit = ("string", "'DOW'")
+                sub1 = True
+            else:
+                i += 1
+                continue
+            repl = tokenize("DATE_PART(") + [lit] + tokenize(", ") + args[1] + tokenize(")")
+        else:
+            i += 1
+            continue
+        if sub1:
+            repl = tokenize("(") + repl + tokenize(" - 1)")
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
+def _rewrite_pg_array_literal(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """pg ``ARRAY[1,2,3]`` constructor: the lexer's bracket handling
+    (shared with T-SQL quoting) mangles nested forms, so a faithful
+    rewrite is not possible here — refuse with the exact fix instead
+    of emitting SQL Spark then fails to parse confusingly."""
+    for i, (kind, text) in enumerate(tokens):
+        if kind == "word" and text.upper() == "ARRAY":
+            nxt = i + 1 < len(tokens) and tokens[i + 1]
+            if nxt and (nxt[0] == "bracket" or nxt == ("op", "[")):
+                raise UnsupportedError(
+                    "ARRAY[...] constructor syntax is not supported without "
+                    "sqlglot; spell it array(...)"
+                )
+    return tokens
+
+
+def _rewrite_tsql_square(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """T-SQL ``SQUARE(x)`` → ``POWER(x, 2)`` (no Spark SQUARE)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "SQUARE":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None or len(parsed[0]) != 1:
+            i += 1
+            continue
+        args, close = parsed
+        repl = tokenize("POWER(") + args[0] + tokenize(", 2)")
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    return out
+
+
+# BigQuery strftime-style format elements → Spark datetime patterns
+# (NB: %M is MINUTE here — the opposite of mysql's month name).
+# %E* extensions, %u/%V/%G (ISO week fields), %U/%W (week numbers),
+# %s (epoch), and %Z/%z (zone — Spark formats zones differently per
+# position) raise.
+_BQ_FMT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%j": "DDD",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%p": "a", "%Q": "Q", "%T": "HH:mm:ss", "%R": "HH:mm",
+    "%F": "yyyy-MM-dd", "%%": "%",
+}
+
+
+def _bq_datefmt(fmt: str) -> str:
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        if "'" in run:
+            raise UnsupportedError(
+                "single quotes inside a date format literal are not "
+                "supported without sqlglot"
+            )
+        out.append(f"'{run}'" if any(c.isalpha() for c in run) else run)
+        lit.clear()
+
+    p = 0
+    while p < len(fmt):
+        if fmt[p] == "%":
+            code = fmt[p : p + 2]
+            spark = _BQ_FMT.get(code)
+            if spark is None:
+                raise UnsupportedError(
+                    f"bigquery format element {code!r} is not supported "
+                    "without sqlglot"
+                )
+            flush()
+            out.append(spark)
+            p += 2
+        else:
+            lit.append(fmt[p])
+            p += 1
+    flush()
+    return "".join(out)
+
+
+_BQ_FORMAT_FNS = {
+    "FORMAT_DATE": "DATE_FORMAT", "FORMAT_TIMESTAMP": "DATE_FORMAT",
+    "FORMAT_DATETIME": "DATE_FORMAT",
+    "PARSE_DATE": "TO_DATE", "PARSE_TIMESTAMP": "TO_TIMESTAMP",
+    "PARSE_DATETIME": "TO_TIMESTAMP",
+}
+
+
+def _rewrite_bq_format(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """bigquery FORMAT_*/PARSE_* (format FIRST, value second) → Spark
+    DATE_FORMAT/TO_DATE/TO_TIMESTAMP with the %-codes translated —
+    same silent-corruption class as mysql DATE_FORMAT."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        fn = _BQ_FORMAT_FNS.get(up)
+        if fn is None:
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) != 2:
+            raise UnsupportedError(
+                f"{up} with a time zone argument is not supported without sqlglot"
+            )
+        fcode = [(k, t) for k, t in args[0] if k not in ("ws", "comment")]
+        if len(fcode) != 1 or fcode[0][0] != "string":
+            raise UnsupportedError(
+                f"{up} format must be a string literal without sqlglot"
+            )
+        sql_fmt = _bq_datefmt(_unquote(fcode[0][1], "'")).replace("'", "''")
+        repl = tokenize(f"{fn}(") + args[1] + tokenize(f", '{sql_fmt}')")
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    return out
+
+
+_BQ_DT_ADDSUB = {
+    "DATE_ADD": ("DATE", 1), "DATE_SUB": ("DATE", -1),
+    "TIMESTAMP_ADD": ("TIMESTAMP", 1), "TIMESTAMP_SUB": ("TIMESTAMP", -1),
+    "DATETIME_ADD": ("TIMESTAMP", 1), "DATETIME_SUB": ("TIMESTAMP", -1),
+}
+
+
+def _rewrite_bq_datetime(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """bigquery date/time arithmetic → Spark:
+
+    * ``DATE_ADD(d, INTERVAL n unit)`` / ``DATE_SUB`` →
+      ``CAST(TIMESTAMPADD(unit, ±n, d) AS DATE)`` (bq returns DATE);
+      ``TIMESTAMP_ADD``/``DATETIME_ADD`` likewise without the cast.
+    * ``DATE_DIFF(a, b, unit)`` / ``DATETIME_DIFF`` count unit
+      BOUNDARIES in bq (DATE_DIFF('2024-02-01','2024-01-31', MONTH)
+      = 1) — rewritten to the shared DATEDIFF boundary machinery
+      (unit-first, swapped to (start, end)); bq weeks start SUNDAY.
+    * ``TIMESTAMP_DIFF(a, b, unit)`` counts WHOLE elapsed units —
+      exactly Spark's ``TIMESTAMPDIFF(unit, b, a)``.
+    """
+    out = list(tokens)
+    i = 0
+    changed_boundary = False
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in _BQ_DT_ADDSUB and up not in (
+            "DATE_DIFF", "DATETIME_DIFF", "TIMESTAMP_DIFF"
+        ):
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if up in _BQ_DT_ADDSUB:
+            cast_date, sign = _BQ_DT_ADDSUB[up]
+            if len(args) != 2:
+                raise UnsupportedError(f"{up} expects (value, INTERVAL n unit)")
+            iv = [(k, t) for k, t in args[1] if k not in ("ws", "comment")]
+            if (
+                len(iv) < 3
+                or iv[0][0] != "word"
+                or iv[0][1].upper() != "INTERVAL"
+                or iv[-1][0] != "word"
+            ):
+                raise UnsupportedError(
+                    f"{up} second argument must be INTERVAL <n> <unit>"
+                )
+            unit = _date_part([iv[-1]])
+            n = iv[1:-1]
+            n_toks = (
+                (tokenize("-(") + list(n) + tokenize(")")) if sign < 0 else list(n)
+            )
+            repl = (
+                tokenize(f"TIMESTAMPADD({unit}, ")
+                + n_toks
+                + tokenize(", ")
+                + args[0]
+                + tokenize(")")
+            )
+            if cast_date == "DATE":
+                repl = tokenize("CAST(") + repl + tokenize(" AS DATE)")
+        else:
+            if len(args) != 3:
+                raise UnsupportedError(f"{up} expects (end, start, unit)")
+            unit_word = [(k, t) for k, t in args[2] if k not in ("ws", "comment")]
+            if len(unit_word) != 1:
+                raise UnsupportedError(f"{up} unit must be a bare part name")
+            if up == "TIMESTAMP_DIFF":
+                unit = _date_part(unit_word)
+                repl = (
+                    tokenize(f"TIMESTAMPDIFF({unit}, ")
+                    + args[1]
+                    + tokenize(", ")
+                    + args[0]
+                    + tokenize(")")
+                )
+            else:
+                # boundary semantics: hand to the shared DATEDIFF
+                # machinery in its (part, start, end) spelling
+                repl = (
+                    tokenize("DATEDIFF(")
+                    + [unit_word[0]]
+                    + tokenize(", ")
+                    + args[1]
+                    + tokenize(", ")
+                    + args[0]
+                    + tokenize(")")
+                )
+                changed_boundary = True
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    if changed_boundary:
+        # bq weeks start Sunday (WEEK == WEEK(SUNDAY))
+        out = _rewrite_dateadd_datediff(out, week_start="sunday")
+    return out
+
+
 def has_sqlglot() -> bool:
     return _HAS_SQLGLOT
 
@@ -3369,6 +3677,8 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         ]
     if dialect in ("postgres", "postgresql", "duckdb", "redshift"):
         tokens = _rewrite_extract_epoch(tokens)
+        tokens = _rewrite_pg_dow(tokens)
+        tokens = _rewrite_pg_array_literal(tokens)
     if dialect in ("postgres", "redshift"):
         tokens = _rewrite_pg_regex_ops(tokens)
         tokens = _rewrite_similar_to(tokens)
@@ -3402,8 +3712,11 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
                 # same argument order and 1-based/0-on-miss contract
                 "CHARINDEX": "LOCATE",
                 "IIF": "IF",
+                # same contract, Spark spelling
+                "REPLICATE": "REPEAT",
             },
         )
+        tokens = _rewrite_tsql_square(tokens)
         tokens = _rewrite_tsql_len(tokens)
         tokens = _rewrite_datepart(tokens)
         tokens = _rewrite_convert(tokens, tsql=True)
@@ -3468,7 +3781,9 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_dateadd_datediff(tokens, week_start="sunday")
     if dialect == "snowflake":
         # IFF(c,a,b) → IF; NVL/NVL2/IFNULL/COALESCE parse natively.
-        tokens = _rewrite_func_names(tokens, {"IFF": "IF"})
+        tokens = _rewrite_func_names(
+            tokens, {"IFF": "IF", "ARRAY_CONSTRUCT": "ARRAY"}
+        )
         tokens = _rewrite_to_number(tokens)
         tokens = _rewrite_snowflake_flatten(tokens)
         tokens = _rewrite_snowflake_pivot_names(tokens)
@@ -3479,6 +3794,8 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_func_names(
             tokens, {"SAFE_CAST": "TRY_CAST", "SAFE_DIVIDE": "TRY_DIVIDE"}
         )
+        tokens = _rewrite_bq_datetime(tokens)
+        tokens = _rewrite_bq_format(tokens)
         tokens = _rewrite_unnest(tokens, trino=False)
         # BigQuery type keywords → Spark types. NUMERIC is parameterized
         # (38,9) in BigQuery but DECIMAL(10,0) in Spark, so the explicit
