@@ -186,3 +186,32 @@ def test_transform_media_stamps_jpeg_mime(spark):
     assert (meta["width"], meta["height"]) == (12, 8)
     W, H, C, _ = decode_jpeg(bytes(rows[0]["media"]))
     assert (W, H, C) == (12, 8, 3)
+
+
+def test_staged_jpeg_query_matches_oracle(spark, duck):
+    """Round-9 staged entry (see queries/staged.py): full parity check
+    now, registration deferred until the round-8 driver window clears.
+    Uses the same type-strict compare + exact-match harness as
+    test_oracle_parity."""
+    from xorbits_sql_spark.queries.staged import STAGED
+
+    from .oracle import compare, exact_match
+
+    assert "u04_jpeg_decode_stats" in STAGED
+    for name, spec in STAGED.items():
+        sdf = spec.fn(spark, "/root/testdata/sf0.01").toPandas()
+        assert len(sdf) == 64, name
+        ddf = duck.execute(spec.oracle).fetchdf()
+        problems = compare(sdf, ddf)
+        assert not problems, f"{name}: " + "; ".join(problems)
+        assert exact_match(sdf, ddf), name
+
+
+def test_staged_entries_not_registered():
+    """The freeze guard: staging must not leak into the driver window
+    (a new oracle-bearing name would push a rows-only name out of the
+    round-8 window)."""
+    import xorbits_sql_spark.queries.staged  # noqa: F401  (import side effects?)
+    from xorbits_sql_spark.queries import load_all
+
+    assert "u04_jpeg_decode_stats" not in load_all()

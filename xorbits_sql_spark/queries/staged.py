@@ -1,0 +1,119 @@
+"""Round-9 STAGED queries — written and parity-tested in round 8 but
+NOT yet registered: the round-8 verification window is frozen at
+exactly the 50 remaining never-driver-verified names, and a new
+oracle-bearing entry would sort ahead of the four rows-only names and
+push one out of the window (``__spark_entry__._exposed``).
+
+Round-9 TODO: move each entry to ``@register`` (names u04, u05, …) in
+``pipeline.py`` or here + add this module to ``load_all``; delete this
+docstring's freeze note.
+
+The JPEG oracle trick: DuckDB cannot decode JPEG, but a CONSTANT-color
+image round-trips the DCT exactly when the quantized DC step divides
+the level-shifted value — at quality 90 the luma DC step is 3, so any
+value ``128 + 3k`` survives encode→decode bit-exact (gray direct; for
+4:2:0 RGB, R=G=B means Y=v and Cb=Cr=128 exactly, since the BT.601
+luma weights sum to exactly 1.0). The per-doc constant, width, and
+height are pure arithmetic in ``doc_id``, so the oracle predicts the
+DECODED pixel statistics exactly — a value-exact end-to-end check of
+encoder, decoder, MCU padding (odd dims), subsampling, and the Arrow
+``mapInPandas`` plumbing, with zero fixtures."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._util import t
+from . import QuerySpec
+
+STAGED: dict[str, QuerySpec] = {}
+
+
+def _stage(name: str, oracle: str | None):
+    def wrap(fn):
+        STAGED[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return wrap
+
+
+_JPEG_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(17 + doc_id % 16 AS INT) AS width,
+       CAST(9 + doc_id % 8 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+       CAST(128 + 3 * (CAST(doc_id * 7 AS BIGINT) % 21 - 10) AS DOUBLE)
+         AS mean_byte
+FROM documents
+WHERE doc_id < 64
+ORDER BY doc_id
+"""
+
+
+@_stage("u04_jpeg_decode_stats", _JPEG_STATS_ORACLE)
+def u04_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode a per-doc constant-color baseline JPEG (gray 4:4:4 for
+    even ids, RGB 4:2:0 for odd; odd dimensions exercise MCU padding),
+    decode it with the real codec, and emit the decoded statistics.
+    The oracle predicts them arithmetically (see module docstring)."""
+    from ..multimodal.jpeg import encode_jpeg
+    from ..multimodal.media import decode_image
+
+    ids = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("mean_byte", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                v = 128 + 3 * ((doc_id * 7) % 21 - 10)
+                w = 17 + doc_id % 16
+                h = 9 + doc_id % 8
+                if doc_id % 2 == 0:
+                    data = encode_jpeg(w, h, 1, bytes([v]) * (w * h), quality=90)
+                else:
+                    data = encode_jpeg(
+                        w, h, 3, bytes([v]) * (w * h * 3), quality=90,
+                        subsample=True,
+                    )
+                stats = decode_image(data)
+                rows.append(
+                    (
+                        doc_id,
+                        stats["width"],
+                        stats["height"],
+                        stats["channels"],
+                        stats["mean_byte"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_byte"]
+            )
+
+    return (
+        ids.mapInPandas(batches, out_schema)
+        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "channels",
+            "mean_byte",
+        )
+    )
