@@ -398,21 +398,39 @@ def main() -> None:
         from xorbits_sql_spark.operators.dedup import simhash_pairs
 
         def _t56_scaled():
+            # prefix_bits alone cannot bound a clique-dominated corpus:
+            # a 100-member duplicate family shares ONE simhash and lands
+            # in one bucket at any prefix width (the 100x run measured
+            # 1.16e9 pairs at pb=10). The scale-correct setting pairs
+            # log2-scaled prefix_bits (bounds the RANDOM bucket mass)
+            # with max_bucket star caps (bounds the CLIQUE mass) — same
+            # two-knob shape as minhash_lsh_pairs.
             mh = minhash_lsh_pairs(
                 docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
             ).select("id_a", "id_b")
             sh = simhash_pairs(
-                docs, "text", "doc_id", max_hamming=14, prefix_bits=pb
+                docs, "text", "doc_id", max_hamming=14, prefix_bits=pb,
+                max_bucket=400,
             ).select("id_a", "id_b")
             return mh.join(sh, ["id_a", "id_b"])
 
-        run(
-            "t56_scaled_prefix_bits",
-            _t56_scaled,
-            note=f"same detector-agreement shape, prefix_bits="
-            f"{pb} (log2-scaled, ~256/bucket) — the setting a 100 TB "
-            "submission would use",
-        )
+        try:
+            run(
+                "t56_scaled_prefix_bits",
+                _t56_scaled,
+                note=f"same detector-agreement shape, prefix_bits="
+                f"{pb} (log2-scaled) + max_bucket=400 star caps — the "
+                "two-knob setting a 100 TB submission would use",
+            )
+        except PairBudgetExceededError as exc:
+            print(f"[rehearsal] t56_scaled ALSO refused: {exc}")
+            results["t56_scaled_prefix_bits"] = {
+                "cold_s": 0.0, "warm_s": 0.0, "rows": 0,
+                "shuffle_records": 0, "shuffle_mb": 0.0, "spill_bytes": 0,
+                "cc_rounds": None,
+                "note": "REFUSED even with scaled knobs — record and "
+                "investigate, do not raise the budget blindly",
+            }
 
     print()
     print("| pipeline | cold s | warm s | rows | shuffle rec | shuffle MB | spill | CC rounds | note |")

@@ -396,6 +396,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 (dc_tables if tc == 0 else ac_tables)[th] = tab
                 b += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-decodable)
+            if len(body) < 6:
+                raise JpegError("SOF segment too short")
             prec = body[0]
             if prec != 8:
                 raise JpegError(f"{prec}-bit precision unsupported (baseline is 8)")
@@ -410,7 +412,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError(f"dimensions {width}x{height} out of bounds")
             comps = []
             for c in range(ncomp):
-                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comp = body[6 + 3 * c : 9 + 3 * c]
+                if len(comp) != 3:
+                    raise JpegError("SOF component spec truncated")
+                cid, hv, tq = comp
                 h, v = hv >> 4, hv & 0x0F
                 if not (1 <= h <= 2 and 1 <= v <= 2):
                     raise JpegError(f"sampling factor {h}x{v} unsupported (max 2x2)")
@@ -422,17 +427,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 "arithmetic JPEGs need PIL/libjpeg (media.decode_image swap-in)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegError("DRI segment too short")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
+            if not body:
+                raise JpegError("SOS segment too short")
             ns = body[0]
             width, height, comps = frame
             if ns != len(comps):
                 raise JpegError("partial-scan JPEGs unsupported (baseline has one scan)")
             scan = []
             for c in range(ns):
-                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                cspec = body[1 + 2 * c : 3 + 2 * c]
+                if len(cspec) != 2:
+                    raise JpegError("SOS component spec truncated")
+                cs, tdta = cspec
                 td, ta = tdta >> 4, tdta & 0x0F
                 match = [cc for cc in comps if cc[0] == cs]
                 if not match:
