@@ -1786,3 +1786,32 @@ def test_bq_format_parse(spark):
     for bad in ("%V", "%U", "%u", "%Z", "%E4S"):
         with pytest.raises(UnsupportedError):
             transpile(f"SELECT FORMAT_DATE('{bad}', d) FROM t", "bigquery")
+
+
+def test_day_numbering_across_dialects(spark):
+    """Day-of-week numbering differs per dialect and Spark's same-named
+    functions RUN with the wrong anchor (silent off-by-one):
+    trino/clickhouse are ISO (Monday=1..Sunday=7), snowflake's default
+    (WEEK_START=0) is Sunday=0..Saturday=6. 2024-03-03 is a Sunday,
+    2024-03-04 a Monday."""
+    for dialect, sql, want in [
+        ("trino", "SELECT day_of_week(DATE'2024-03-03') AS v", 7),
+        ("trino", "SELECT dow(DATE'2024-03-04') AS v", 1),
+        ("trino", "SELECT day_of_year(DATE'2024-03-03') AS v", 63),
+        ("trino", "SELECT week(DATE'2024-01-01') AS v", 1),
+        ("trino", "SELECT year_of_week(DATE'2021-01-01') AS v", 2020),
+        ("clickhouse", "SELECT toDayOfWeek(toDate('2024-03-03')) AS v", 7),
+        ("snowflake", "SELECT DAYOFWEEK(DATE'2024-03-03') AS v", 0),
+        ("snowflake", "SELECT DAYOFWEEK(DATE'2024-03-04') AS v", 1),
+        ("snowflake", "SELECT DAYOFWEEKISO(DATE'2024-03-03') AS v", 7),
+    ]:
+        got = execute(sql, tables={}, dialect=dialect, spark=spark).collect()
+        assert got[0]["v"] == want, f"{dialect}: {sql}"
+
+
+def test_clickhouse_arrayjoin(spark):
+    got = execute(
+        "SELECT arrayJoin(array(10, 20)) AS v",
+        tables={}, dialect="clickhouse", spark=spark,
+    ).collect()
+    assert sorted(r["v"] for r in got) == [10, 20]

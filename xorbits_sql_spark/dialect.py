@@ -3613,6 +3613,41 @@ def _rewrite_bq_datetime(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]
     return out
 
 
+def _rewrite_fn_to_extract(
+    tokens: list[tuple[str, str]],
+    fn_to_field: dict[str, str],
+    minus_one: frozenset[str] = frozenset(),
+) -> list[tuple[str, str]]:
+    """``FN(x)`` → ``EXTRACT(field FROM x)`` for day-number functions
+    whose numbering Spark only exposes as an extract field (DOW_ISO
+    etc.). Functions in ``minus_one`` additionally wrap in ``( … - 1 )``
+    — the off-by-one shift for dialects that number Sunday as 0."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        field = fn_to_field.get(up)
+        if field is None:
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None or len(parsed[0]) != 1:
+            i += 1
+            continue
+        args, close = parsed
+        repl = tokenize(f"EXTRACT({field} FROM ") + args[0] + tokenize(")")
+        if up in minus_one:
+            repl = tokenize("(") + repl + tokenize(" - 1)")
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
 def has_sqlglot() -> bool:
     return _HAS_SQLGLOT
 
@@ -3749,6 +3784,18 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             },
         )
         tokens = _rewrite_unit_first_dates(tokens)
+        # trino day numbering is ISO (Monday=1..Sunday=7) — Spark's
+        # same-named DAYOFWEEK function says Sunday=1, so a name-only
+        # rename would be silently off; route through extract fields.
+        tokens = _rewrite_fn_to_extract(
+            tokens,
+            {
+                "DAY_OF_WEEK": "DOW_ISO", "DOW": "DOW_ISO",
+                "DAY_OF_YEAR": "DOY", "DOY": "DOY",
+                "YEAR_OF_WEEK": "YEAROFWEEK", "YOW": "YEAROFWEEK",
+                "WEEK": "WEEK", "WEEK_OF_YEAR": "WEEK",
+            },
+        )
         tokens = _rewrite_unnest(tokens, trino=True)
     if dialect == "redshift":
         tokens = _rewrite_func_names(tokens, {"GETDATE": "CURRENT_TIMESTAMP"})
@@ -3763,7 +3810,14 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
                 "UNIQ": "APPROX_COUNT_DISTINCT",
                 "ANY": "ANY_VALUE",
                 "COUNTIF": "COUNT_IF",
+                "ARRAYJOIN": "EXPLODE",
             },
+        )
+        # clickhouse toDayOfWeek is ISO (Monday=1); Spark's DAYOFWEEK
+        # function numbers Sunday=1 — extract field, not rename
+        tokens = _rewrite_fn_to_extract(
+            tokens,
+            {"TODAYOFWEEK": "DOW_ISO", "TODAYOFYEAR": "DOY"},
         )
         tokens = _rewrite_uniq_exact(tokens)
         tokens = _rewrite_agg_if(tokens)
@@ -3783,6 +3837,18 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # IFF(c,a,b) → IF; NVL/NVL2/IFNULL/COALESCE parse natively.
         tokens = _rewrite_func_names(
             tokens, {"IFF": "IF", "ARRAY_CONSTRUCT": "ARRAY"}
+        )
+        # snowflake legacy numbering (WEEK_START=0, the default):
+        # DAYOFWEEK is Sunday=0..Saturday=6 — Spark's DOW field says
+        # Sunday=1, so untranslated it RUNS and is silently off by
+        # one. DAYOFWEEKISO (Monday=1) is Spark's DOW_ISO exactly.
+        # Sessions that changed WEEK_START shift the numbering; the
+        # transpiler cannot see session parameters, so this translates
+        # the documented default.
+        tokens = _rewrite_fn_to_extract(
+            tokens,
+            {"DAYOFWEEK": "DOW", "DAYOFWEEKISO": "DOW_ISO"},
+            minus_one=frozenset({"DAYOFWEEK"}),
         )
         tokens = _rewrite_to_number(tokens)
         tokens = _rewrite_snowflake_flatten(tokens)
