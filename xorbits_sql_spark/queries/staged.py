@@ -117,3 +117,57 @@ def u04_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_byte",
         )
     )
+
+
+_JPEG_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(6 + doc_id % 5 AS INT) AS height,
+       CAST(128 + 15 * (CAST(doc_id AS BIGINT) % 5 - 2) AS DOUBLE)
+         AS mean_byte
+FROM documents
+WHERE doc_id < 64
+ORDER BY doc_id
+"""
+
+
+@_stage("u05_jpeg_resize_roundtrip", _JPEG_RESIZE_ORACLE)
+def u05_jpeg_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode a constant-color gray JPEG, resize it through the real
+    ``media.resize_image`` JPEG path (decode → nearest-neighbor →
+    re-encode as JPEG), decode the result, and emit its statistics.
+
+    Exactness needs the constant to survive BOTH encodes: the first at
+    quality 90 (luma DC step 3) and the resize re-encode at the
+    default quality 85 (DC step 5) — so the per-doc constant is
+    128 + 15k, divisible by both steps. The oracle then predicts the
+    twice-round-tripped mean and the resized dimensions exactly."""
+    from ..multimodal.jpeg import encode_jpeg
+    from ..multimodal.media import decode_image, resize_image
+
+    ids = t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_byte", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                v = 128 + 15 * (doc_id % 5 - 2)
+                data = encode_jpeg(24, 16, 1, bytes([v]) * (24 * 16), quality=90)
+                w2, h2 = 8 + doc_id % 9, 6 + doc_id % 5
+                small = resize_image(data, w2, h2)
+                stats = decode_image(small)
+                rows.append((doc_id, stats["width"], stats["height"], stats["mean_byte"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_byte"])
+
+    return ids.mapInPandas(batches, out_schema).orderBy("doc_id")
