@@ -1815,3 +1815,38 @@ def test_clickhouse_arrayjoin(spark):
         tables={}, dialect="clickhouse", spark=spark,
     ).collect()
     assert sorted(r["v"] for r in got) == [10, 20]
+
+
+def test_tsql_stuff(spark):
+    """tsql STUFF with its exact NULL contract (start < 1, start past
+    the string, negative length)."""
+    for sql, want in [
+        ("SELECT STUFF('abcdef', 2, 3, 'XY') AS v", "aXYef"),
+        ("SELECT STUFF('abcdef', 0, 3, 'XY') AS v", None),
+        ("SELECT STUFF('abcdef', 7, 1, 'XY') AS v", None),
+        ("SELECT STUFF('abcdef', 2, -1, 'XY') AS v", None),
+        ("SELECT STUFF('abcdef', 1, 6, 'Z') AS v", "Z"),
+    ]:
+        got = execute(sql, tables={}, dialect="tsql", spark=spark).collect()
+        assert got[0]["v"] == want, sql
+
+
+def test_bq_string_array_fns(spark):
+    pdf = pd.DataFrame({"s": ["Apple", "banana"], "arr": [[1, 2, 3], [4, 5, 6]]})
+    got = execute(
+        "SELECT STARTS_WITH(s, 'App') AS a, ENDS_WITH(s, 'na') AS b, "
+        "ARRAY_LENGTH(arr) AS n FROM t ORDER BY s",
+        tables={"t": pdf}, dialect="bigquery", spark=spark,
+    ).collect()
+    assert [(r["a"], r["b"], r["n"]) for r in got] == [
+        (True, False, 3), (False, True, 3),
+    ]
+
+
+def test_duckdb_list_contains(spark):
+    pdf = pd.DataFrame({"arr": [[1, 2, 3]]})
+    got = execute(
+        "SELECT list_contains(arr, 2) AS y, list_contains(arr, 9) AS n FROM t",
+        tables={"t": pdf}, dialect="duckdb", spark=spark,
+    ).collect()[0]
+    assert (got["y"], got["n"]) == (True, False)

@@ -3613,6 +3613,60 @@ def _rewrite_bq_datetime(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]
     return out
 
 
+def _rewrite_tsql_stuff(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """T-SQL ``STUFF(s, start, length, repl)`` → splice via SUBSTRING,
+    keeping tsql's NULL contract (start < 1, start past the string, or
+    negative length → NULL). Argument expressions are duplicated into
+    the CASE guard — fine for the column/literal arguments STUFF takes
+    in practice (Spark would re-evaluate a nondeterministic argument,
+    but so would tsql's own scalar-UDF inlining)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "STUFF":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) != 4:
+            raise UnsupportedError("STUFF takes exactly 4 arguments")
+        s, start, ln, repl = args
+        repl_toks = (
+            tokenize("CASE WHEN (")
+            + start
+            + tokenize(") < 1 OR (")
+            + start
+            + tokenize(") > LENGTH(")
+            + s
+            + tokenize(") OR (")
+            + ln
+            + tokenize(") < 0 THEN NULL ELSE CONCAT(SUBSTRING(")
+            + s
+            + tokenize(", 1, (")
+            + start
+            + tokenize(") - 1), ")
+            + repl
+            + tokenize(", SUBSTRING(")
+            + s
+            + tokenize(", (")
+            + start
+            + tokenize(") + (")
+            + ln
+            + tokenize("))) END")
+        )
+        out = out[:i] + repl_toks + out[close + 1 :]
+        i += 1
+    return out
+
+
 def _rewrite_fn_to_extract(
     tokens: list[tuple[str, str]],
     fn_to_field: dict[str, str],
@@ -3752,6 +3806,7 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             },
         )
         tokens = _rewrite_tsql_square(tokens)
+        tokens = _rewrite_tsql_stuff(tokens)
         tokens = _rewrite_tsql_len(tokens)
         tokens = _rewrite_datepart(tokens)
         tokens = _rewrite_convert(tokens, tsql=True)
@@ -3822,6 +3877,12 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_uniq_exact(tokens)
         tokens = _rewrite_agg_if(tokens)
         tokens = _rewrite_cast_funcs(tokens, _CLICKHOUSE_CASTS)
+    if dialect == "duckdb":
+        # same (list, element) order and NULL contract
+        tokens = _rewrite_func_names(
+            tokens,
+            {"LIST_CONTAINS": "ARRAY_CONTAINS", "LIST_HAS": "ARRAY_CONTAINS"},
+        )
     if dialect == "sqlite":
         tokens = _rewrite_strftime(tokens)
         tokens = _rewrite_cast_funcs(tokens, {"DATETIME": "TIMESTAMP"})
@@ -3858,7 +3919,16 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # TRY_DIVIDE (NULL on /0); IFNULL/COUNTIF parse natively, and
         # BigQuery's `SELECT * EXCEPT (col)` is native Spark 4 syntax.
         tokens = _rewrite_func_names(
-            tokens, {"SAFE_CAST": "TRY_CAST", "SAFE_DIVIDE": "TRY_DIVIDE"}
+            tokens,
+            {
+                "SAFE_CAST": "TRY_CAST",
+                "SAFE_DIVIDE": "TRY_DIVIDE",
+                # same contracts: NULL-in → NULL-out (Spark's size()
+                # returns NULL for NULL input since 3.0 defaults)
+                "STARTS_WITH": "STARTSWITH",
+                "ENDS_WITH": "ENDSWITH",
+                "ARRAY_LENGTH": "SIZE",
+            },
         )
         tokens = _rewrite_bq_datetime(tokens)
         tokens = _rewrite_bq_format(tokens)
