@@ -1850,3 +1850,52 @@ def test_duckdb_list_contains(spark):
         tables={"t": pdf}, dialect="duckdb", spark=spark,
     ).collect()[0]
     assert (got["y"], got["n"]) == (True, False)
+
+
+def test_duckdb_arg_max_min(spark):
+    pdf = pd.DataFrame({"g": ["a", "b", "c"], "x": [1.0, 5.0, 3.0]})
+    got = execute(
+        "SELECT arg_max(g, x) AS hi, arg_min(g, x) AS lo FROM t",
+        tables={"t": pdf}, dialect="duckdb", spark=spark,
+    ).collect()[0]
+    assert (got["hi"], got["lo"]) == ("b", "a")
+
+
+def test_format_translators_match_duckdb_strftime(spark, duck):
+    """Property-style cross-engine oracle: DuckDB's strftime speaks the
+    same %-code family as mysql DATE_FORMAT and bigquery FORMAT_*, so
+    for every supported code the translated Spark pattern must render
+    the SAME text DuckDB renders, over dates that exercise 1-vs-2
+    digit fields, noon/midnight, and year boundaries."""
+    dates = [
+        "2024-03-05 08:09:10",
+        "2024-12-31 23:59:59",
+        "2021-01-01 00:00:00",
+        "1999-07-04 12:00:00",
+        "2024-02-29 11:59:59",
+    ]
+    # codes DuckDB strftime shares with the bigquery map (same meaning)
+    bq_codes = ["%Y", "%y", "%m", "%d", "%H", "%I", "%M", "%S", "%j", "%p", "%a", "%A", "%b", "%B"]
+    # ... and with the mysql map (NB %M/%i/%s differ from bq's meanings)
+    my_pairs = [("%Y", "%Y"), ("%m", "%m"), ("%d", "%d"), ("%H", "%H"),
+                ("%i", "%M"), ("%s", "%S"), ("%p", "%p"), ("%b", "%b"),
+                ("%W", "%A"), ("%a", "%a"), ("%j", "%j")]
+    for d in dates:
+        for code in bq_codes:
+            want = duck.execute(
+                f"SELECT strftime(TIMESTAMP '{d}', '{code}')"
+            ).fetchone()[0]
+            got = execute(
+                f"SELECT FORMAT_TIMESTAMP('{code}', TIMESTAMP'{d}') AS v",
+                tables={}, dialect="bigquery", spark=spark,
+            ).collect()[0]["v"]
+            assert got == want, f"bq {code} on {d}: spark={got!r} duck={want!r}"
+        for my_code, duck_code in my_pairs:
+            want = duck.execute(
+                f"SELECT strftime(TIMESTAMP '{d}', '{duck_code}')"
+            ).fetchone()[0]
+            got = execute(
+                f"SELECT DATE_FORMAT(TIMESTAMP'{d}', '{my_code}') AS v",
+                tables={}, dialect="mysql", spark=spark,
+            ).collect()[0]["v"]
+            assert got == want, f"mysql {my_code} on {d}: spark={got!r} duck={want!r}"

@@ -3878,10 +3878,17 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_agg_if(tokens)
         tokens = _rewrite_cast_funcs(tokens, _CLICKHOUSE_CASTS)
     if dialect == "duckdb":
-        # same (list, element) order and NULL contract
+        # same (list, element) / (value, ordering) contracts
         tokens = _rewrite_func_names(
             tokens,
-            {"LIST_CONTAINS": "ARRAY_CONTAINS", "LIST_HAS": "ARRAY_CONTAINS"},
+            {
+                "LIST_CONTAINS": "ARRAY_CONTAINS",
+                "LIST_HAS": "ARRAY_CONTAINS",
+                "ARG_MAX": "MAX_BY",
+                "ARGMAX": "MAX_BY",
+                "ARG_MIN": "MIN_BY",
+                "ARGMIN": "MIN_BY",
+            },
         )
     if dialect == "sqlite":
         tokens = _rewrite_strftime(tokens)
