@@ -262,3 +262,42 @@ def test_decoder_never_fails_uncontrolled():
             d = bytearray(base)
             d[m + 2 : m + 4] = struct.pack(">H", L)
             attempt(bytes(d))
+
+
+def test_roundtrip_property():
+    """Property-style sweep: random dimensions (incl. MCU-edge sizes),
+    channels, subsampling, and quality — decode(encode(img)) must
+    return the declared shape and track the source within a
+    quality-dependent PSNR floor."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        channels=st.sampled_from([1, 3]),
+        quality=st.integers(55, 98),
+        subsample=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def prop(w, h, channels, quality, subsample, seed):
+        rng = np.random.default_rng(seed)
+        # smooth-ish content (random blocks) so PSNR floors are meaningful
+        img = rng.integers(
+            40, 216, ((h + 3) // 4, (w + 3) // 4, channels), dtype=np.uint8
+        )
+        img = np.repeat(np.repeat(img, 4, axis=0), 4, axis=1)[:h, :w, :]
+        data = encode_jpeg(
+            w, h, channels, img.tobytes(), quality=quality,
+            subsample=subsample and channels == 3,
+        )
+        W, H, C, px = decode_jpeg(data)
+        assert (W, H, C) == (w, h, channels)
+        assert len(px) == w * h * channels
+        # calibrated: q55 + sharp chroma edges + 4:2:0 on tiny images
+        # legitimately dips to ~16 dB; a transposed plane or a wrong
+        # color transform lands below 10. Precise per-quality floors
+        # live in the directed tests above.
+        assert _psnr(img.tobytes(), px) > 13.0, (w, h, channels, quality)
+
+    prop()
