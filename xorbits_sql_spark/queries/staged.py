@@ -171,3 +171,46 @@ def u05_jpeg_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_byte"])
 
     return ids.mapInPandas(batches, out_schema).orderBy("doc_id")
+
+
+_PG_DIALECT_ORACLE = """
+SELECT CAST(EXTRACT(DOW FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+WHERE regexp_matches(o_orderpriority, '^[12]-')
+  AND o_orderdate < DATE'1995-07-01'
+GROUP BY 1, 2
+HAVING COUNT(*) > 2
+ORDER BY ym, dow
+"""
+
+
+@_stage("u06_pg_dialect_weekday_rollup", _PG_DIALECT_ORACLE)
+def u06_pg_dialect_weekday_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 postgres-dialect rewrites driven through execute()
+    over the real tables: POSIX regex match (~ → RLIKE), EXTRACT(DOW)
+    with pg's Sunday=0 numbering (the off-by-one silent-corruption fix),
+    and TO_CHAR through the oracle format-model translator. DuckDB
+    speaks postgres natively, so the oracle is near-identical SQL —
+    driver-grade value verification of the transpile path itself."""
+    from ..core import execute
+
+    sql = """
+SELECT CAST(EXTRACT(DOW FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+       TO_CHAR(CAST(o_orderdate AS DATE), 'YYYY-MM') AS ym,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderpriority ~ '^[12]-' AND o_orderdate < DATE'1995-07-01'
+GROUP BY 1, 2
+HAVING COUNT(*) > 2
+ORDER BY ym, dow
+"""
+    return execute(
+        sql,
+        tables={"orders": t(spark, sf_dir, "orders")},
+        dialect="postgres",
+        spark=spark,
+    )
