@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -105,9 +106,12 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
                 "deployments"
             )
         n = max(len(pixels), 1)
+        # numpy sum: a 12 MP decode is tens of MB of samples, and a
+        # pure-Python byte loop here would dominate the whole batch
+        total = int(np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.int64))
         return {
             "n_bytes": len(pixels),
-            "mean_byte": float(sum(pixels) / n),
+            "mean_byte": float(total / n),
             "hash_hi": int.from_bytes(hashlib.md5(pixels).digest()[:4], "big"),
             "width": width,
             "height": height,
@@ -115,9 +119,10 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
         }
     digest = hashlib.md5(data).digest()
     n = max(len(data), 1)
+    total = int(np.frombuffer(data, dtype=np.uint8).sum(dtype=np.int64))
     return {
         "n_bytes": len(data),
-        "mean_byte": float(sum(data) / n),
+        "mean_byte": float(total / n),
         "hash_hi": int.from_bytes(digest[:4], "big"),
     }
 
@@ -149,8 +154,11 @@ def decode_audio(data: bytes, fake: bool = False) -> dict:
         "channels": 1,
         "n_frames": len(data) // 2,
         "duration_ms": (len(data) // 2) * 1000 // 8000,
-        "sample_sum": sum(data) - 127 * n,
-        "abs_sum": sum(abs(b - 127) for b in data),
+        "sample_sum": int(np.frombuffer(data, dtype=np.uint8).sum(dtype=np.int64))
+        - 127 * n,
+        "abs_sum": int(
+            np.abs(np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 127).sum()
+        ),
         "peak": int.from_bytes(digest[:1], "big"),
     }
 
