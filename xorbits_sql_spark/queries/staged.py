@@ -214,3 +214,48 @@ ORDER BY ym, dow
         dialect="postgres",
         spark=spark,
     )
+
+
+_BQ_DIALECT_ORACLE = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+       COUNT(*) AS n,
+       CAST(SUM(date_diff('month', CAST(o_orderdate AS DATE),
+                          DATE '1996-01-01')) AS BIGINT)
+         AS sum_months_to_96,
+       CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '1996-01-01')) AS BIGINT)
+         AS sum_days_to_96
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-05-01 00:00:00'
+GROUP BY ym
+ORDER BY ym
+"""
+
+
+@_stage("u07_bq_dialect_boundary_datediff", _BQ_DIALECT_ORACLE)
+def u07_bq_dialect_boundary_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 bigquery rewrites through execute(): FORMAT_DATE
+    %-codes and DATE_DIFF's unit-BOUNDARY semantics (bq counts
+    boundaries crossed, not whole elapsed units). DuckDB's date_diff
+    is also boundary-based, so it oracles MONTH/DAY exactly (weeks are
+    excluded: duckdb anchors Monday, bq Sunday)."""
+    from ..core import execute
+
+    sql = """
+SELECT FORMAT_DATE('%Y-%m', DATE(o_orderdate)) AS ym,
+       COUNT(*) AS n,
+       SUM(DATE_DIFF(DATE '1996-01-01', DATE(o_orderdate), MONTH))
+         AS sum_months_to_96,
+       SUM(DATE_DIFF(DATE '1996-01-01', DATE(o_orderdate), DAY))
+         AS sum_days_to_96
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-05-01 00:00:00'
+GROUP BY ym
+ORDER BY ym
+"""
+    return execute(
+        sql,
+        tables={"orders": t(spark, sf_dir, "orders")},
+        dialect="bigquery",
+        spark=spark,
+    )
