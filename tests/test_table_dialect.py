@@ -1899,3 +1899,31 @@ def test_format_translators_match_duckdb_strftime(spark, duck):
                 tables={}, dialect="mysql", spark=spark,
             ).collect()[0]["v"]
             assert got == want, f"mysql {my_code} on {d}: spark={got!r} duck={want!r}"
+
+
+def test_temp_table_as_and_multi_statement(spark):
+    """pg/mysql/duckdb CREATE TEMP TABLE ... AS SELECT maps to a Spark
+    TEMPORARY VIEW, and execute() runs multi-statement scripts
+    sequentially returning the LAST statement's result. Literal
+    semicolons never split."""
+    pdf = pd.DataFrame({"x": [1, 2]})
+    got = execute(
+        "CREATE TEMP TABLE tta_x AS SELECT x * 10 AS y FROM t; "
+        "SELECT SUM(y) AS s FROM tta_x",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert got[0]["s"] == 30
+    got = execute(
+        "CREATE OR REPLACE TEMPORARY TABLE tta_y AS SELECT COUNT(*) AS n "
+        "FROM t; SELECT n FROM tta_y",
+        tables={"t": pdf}, dialect="mysql", spark=spark,
+    ).collect()
+    assert got[0]["n"] == 2
+    with pytest.raises(UnsupportedError, match="column list"):
+        transpile("CREATE TEMP TABLE t4 (a INT, b STRING)", "postgres")
+    # plain CTAS stays a real table statement
+    assert "VIEW" not in transpile("CREATE TABLE rt AS SELECT 1", "postgres")
+    got = execute(
+        "SELECT 'a;b' AS v", tables={}, dialect="postgres", spark=spark
+    ).collect()
+    assert got[0]["v"] == "a;b"

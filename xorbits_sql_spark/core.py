@@ -323,10 +323,44 @@ def execute(
     text = _dialect.transpile(text, dialect)
     text = _rewrite_qualified_names(text, registered)
 
+    # Multi-statement scripts (CREATE TEMP VIEW …; SELECT …) run
+    # sequentially — Spark's sql() takes ONE statement — and the LAST
+    # statement's DataFrame is the result, matching every source
+    # engine's script semantics. The split is on depth-0 semicolons of
+    # the TRANSPILED text (Spark lexing), so literals/comments
+    # containing ';' are safe.
     try:
-        return spark.sql(text)
+        result = None
+        for stmt in _split_statements(text):
+            result = spark.sql(stmt)
+        if result is None:
+            raise ExecuteError("empty SQL (no statements)")
+        return result
     except Exception as exc:
         msg = str(exc)
         if "TABLE_OR_VIEW_NOT_FOUND" in msg or "Table or view not found" in msg:
             raise TableNotFoundError(msg) from exc
+        if isinstance(exc, ExecuteError):
+            raise
         raise ExecuteError(f"failed to execute query: {msg}") from exc
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split Spark SQL text on top-level ``;`` (paren-depth 0, outside
+    literals/comments — the tokenizer guarantees the latter)."""
+    tokens = _dialect.tokenize_spark(text)
+    stmts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for k, t in tokens:
+        if (k, t) == ("op", "("):
+            depth += 1
+        elif (k, t) == ("op", ")"):
+            depth -= 1
+        if (k, t) == ("op", ";") and depth == 0:
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(t)
+    stmts.append("".join(buf))
+    return [s for s in stmts if s.strip()]

@@ -3667,6 +3667,62 @@ def _rewrite_tsql_stuff(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
+def _rewrite_temp_table_as(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """``CREATE [OR REPLACE] TEMP|TEMPORARY TABLE name AS SELECT …`` →
+    ``CREATE [OR REPLACE] TEMPORARY VIEW name AS SELECT …``.
+
+    Spark has no session-scoped TEMP TABLE; the session-scoped object
+    is the temporary view, and for the SELECT-materialization idiom the
+    view is the documented migration target. Divergence carried by the
+    object kind: a view re-evaluates its query (a nondeterministic or
+    source-mutating SELECT would differ from pg's materialized temp
+    table). The column-definition form (no AS) has no data to carry and
+    refuses."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "CREATE":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        # optional OR REPLACE
+        if j is not None and out[j][0] == "word" and out[j][1].upper() == "OR":
+            k = _next_code(out, j)
+            if k is not None and out[k][0] == "word" and out[k][1].upper() == "REPLACE":
+                j = _next_code(out, k)
+        if j is None or out[j][0] != "word" or out[j][1].upper() not in (
+            "TEMP",
+            "TEMPORARY",
+        ):
+            i += 1
+            continue
+        temp_at = j
+        k = _next_code(out, j)
+        if k is None or out[k][0] != "word" or out[k][1].upper() != "TABLE":
+            i += 1
+            continue
+        table_at = k
+        # require an AS before the next statement boundary
+        has_as = False
+        for p in range(table_at + 1, len(out)):
+            if out[p] == ("op", ";"):
+                break
+            if out[p][0] == "word" and out[p][1].upper() == "AS":
+                has_as = True
+                break
+        if not has_as:
+            raise UnsupportedError(
+                "CREATE TEMP TABLE with a column list (no AS SELECT) has "
+                "no Spark equivalent without sqlglot; temp-table-as-select "
+                "maps to a TEMPORARY VIEW"
+            )
+        out[temp_at] = ("word", "TEMPORARY")
+        out[table_at] = ("word", "VIEW")
+        i = table_at + 1
+    return out
+
+
 def _rewrite_fn_to_extract(
     tokens: list[tuple[str, str]],
     fn_to_field: dict[str, str],
@@ -3764,6 +3820,8 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             ("backtick", _to_backtick(_unquote(t, '"'))) if k == "dquoted" else (k, t)
             for k, t in tokens
         ]
+    if dialect in ("postgres", "postgresql", "duckdb", "redshift", "mysql"):
+        tokens = _rewrite_temp_table_as(tokens)
     if dialect in ("postgres", "postgresql", "duckdb", "redshift"):
         tokens = _rewrite_extract_epoch(tokens)
         tokens = _rewrite_pg_dow(tokens)
