@@ -139,6 +139,14 @@ def main() -> None:
         help="dedup = the round-3 heavy operator tier; graph = the "
         "round-8 CC/audit queries (t54/t93/t56/t15 shapes) at scale",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated substring filter on pipeline names — for "
+        "extreme multipliers where the pair-volume tiers exceed local "
+        "disk (their refusal is already proven at 100x), run just the "
+        "linear tiers",
+    )
     args = ap.parse_args()
     out = args.out or f"/tmp/scale_{args.mult}x"
 
@@ -184,6 +192,8 @@ def main() -> None:
 
     results: dict[str, dict] = {}
 
+    only = [s.strip() for s in args.only.split(",")] if args.only else None
+
     def run(name: str, make, note: str = "") -> None:
         """Cold + warm execution; metrics from the warm pass.
 
@@ -193,6 +203,9 @@ def main() -> None:
         ``.count()`` would execute a separate QueryExecution and leave
         the inspected tree's metrics at zero.
         """
+        if only is not None and not any(f in name for f in only):
+            print(f"# {name}: skipped (--only)")
+            return
         release_caches()
         t0 = time.perf_counter()
         make().agg(F.count(F.lit(1))).collect()

@@ -1412,7 +1412,11 @@ def test_postgres_distinct_on(spark):
     assert len(rows) == 3
     # duckdb speaks DISTINCT ON too
     got = transpile("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v", "duckdb")
-    assert "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v)" in " ".join(got.split())
+    # round 8: pg/duckdb NULL sort defaults are made explicit, so the
+    # generated ranking carries NULLS LAST
+    assert "ROW_NUMBER() OVER (PARTITION BY k ORDER BY v NULLS LAST )" in " ".join(
+        got.split()
+    )
 
 
 @pytest.mark.skipif(has_sqlglot(), reason="fallback-only guards")
@@ -1463,7 +1467,11 @@ def test_mysql_group_concat(spark):
 @pytest.mark.skipif(has_sqlglot(), reason="fallback-only behavior")
 def test_postgres_string_agg_internal_order_by(spark):
     got = transpile("SELECT STRING_AGG(v, ',' ORDER BY v DESC) FROM t", "postgres")
-    assert "LISTAGG(v, ',' ) WITHIN GROUP (ORDER BY v DESC)" in " ".join(got.split())
+    # round 8: explicit pg NULL placement (aggregates skip NULLs, so
+    # it's inert here, but the WITHIN GROUP ordering carries it)
+    assert "LISTAGG(v, ',' ) WITHIN GROUP (ORDER BY v DESC NULLS FIRST )" in " ".join(
+        got.split()
+    )
     # without internal ORDER BY: untouched (parses natively in Spark 4)
     got = transpile("SELECT STRING_AGG(v, ',') FROM t", "postgres")
     assert "STRING_AGG(v, ',')" in got
@@ -1927,3 +1935,34 @@ def test_temp_table_as_and_multi_statement(spark):
         "SELECT 'a;b' AS v", tables={}, dialect="postgres", spark=spark
     ).collect()
     assert got[0]["v"] == "a;b"
+
+
+def test_pg_null_sort_position(spark):
+    """pg/redshift/oracle treat NULL as LARGEST (LAST on ASC, FIRST on
+    DESC); duckdb defaults NULLS LAST both ways; Spark is FIRST-on-ASC.
+    Untranslated, ORDER BY ... LIMIT over a nullable key RETURNS
+    DIFFERENT ROWS — the silent-corruption class."""
+    pdf = pd.DataFrame({"x": [3.0, None, 1.0, 2.0]})
+    rows = [r["x"] for r in execute(
+        "SELECT x FROM t ORDER BY x LIMIT 2",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()]
+    assert rows == [1.0, 2.0]
+    rows = [r["x"] for r in execute(
+        "SELECT x FROM t ORDER BY x DESC LIMIT 1",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()]
+    assert rows == [None]
+    rows = [r["x"] for r in execute(
+        "SELECT x FROM t ORDER BY x DESC LIMIT 1",
+        tables={"t": pdf}, dialect="duckdb", spark=spark,
+    ).collect()]
+    assert rows == [3.0]
+    # explicit NULLS spec wins; mysql (FIRST-on-ASC, like Spark) untouched
+    assert "NULLS LAST" in transpile("SELECT 1 FROM t ORDER BY x", "oracle")
+    assert transpile("SELECT x FROM t ORDER BY x", "mysql").count("NULLS") == 0
+    out = transpile("SELECT 1 FROM t ORDER BY x DESC NULLS LAST", "postgres")
+    assert out.count("NULLS") == 1
+    # window ORDER BY gets the same default (ranking semantics)
+    out = transpile("SELECT RANK() OVER (ORDER BY x) FROM t", "postgres")
+    assert "NULLS LAST" in out

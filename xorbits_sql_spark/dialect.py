@@ -3723,6 +3723,87 @@ def _rewrite_temp_table_as(tokens: list[tuple[str, str]]) -> list[tuple[str, str
     return out
 
 
+_ORDER_CLAUSE_ENDERS = frozenset(
+    "LIMIT OFFSET FETCH WINDOW FOR ROWS RANGE GROUPS UNION INTERSECT EXCEPT MINUS".split()
+)
+
+
+def _rewrite_order_by_nulls(
+    tokens: list[tuple[str, str]], asc: str, desc: str
+) -> list[tuple[str, str]]:
+    """Append explicit NULLS FIRST/LAST to every ORDER BY key that
+    lacks one, using the SOURCE dialect's defaults.
+
+    Spark defaults to NULLS FIRST on ASC / LAST on DESC; postgres,
+    redshift, and oracle treat NULL as LARGEST (LAST on ASC, FIRST on
+    DESC) and duckdb defaults to NULLS LAST in both directions — so an
+    untranslated ORDER BY over a nullable key RUNS and returns rows in
+    a different order, and with LIMIT returns DIFFERENT ROWS (silent
+    corruption). Applies to every ORDER BY, including inside OVER()
+    windows and rewrite-generated ones (DISTINCT ON's ROW_NUMBER),
+    where the same default governs ranking. Keys already carrying
+    NULLS FIRST/LAST, or a pg ``USING <op>`` key, are left alone."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        if out[i][0] != "word" or out[i][1].upper() != "ORDER":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j][0] != "word" or out[j][1].upper() != "BY":
+            i += 1
+            continue
+        # walk the sort keys
+        p = j + 1
+        depth = 0
+        key_code: list[int] = []  # indices of code tokens in current key
+
+        def _close_key(end: int) -> int:
+            """Insert NULLS … before ``end`` if the key needs it;
+            returns how many tokens were inserted."""
+            if not key_code:
+                return 0
+            words = [
+                out[q][1].upper() for q in key_code if out[q][0] == "word"
+            ]
+            if "NULLS" in words or "USING" in words:
+                return 0
+            direction = "DESC" if (words and words[-1] == "DESC") else "ASC"
+            ins = tokenize(
+                f" NULLS {desc if direction == 'DESC' else asc} "
+            )
+            out[end:end] = ins
+            return len(ins)
+
+        while p < len(out):
+            k, t = out[p]
+            if (k, t) == ("op", "("):
+                depth += 1
+            elif (k, t) == ("op", ")"):
+                if depth == 0:
+                    p += _close_key(p)
+                    break
+                depth -= 1
+            elif depth == 0 and (k, t) == ("op", ","):
+                p += _close_key(p)
+                key_code = []
+                p += 1
+                continue
+            elif depth == 0 and (
+                (k, t) == ("op", ";")
+                or (k == "word" and t.upper() in _ORDER_CLAUSE_ENDERS)
+            ):
+                p += _close_key(p)
+                break
+            if k not in ("ws", "comment"):
+                key_code.append(p)
+            p += 1
+        else:
+            _close_key(len(out))
+        i = j + 1
+    return out
+
+
 def _rewrite_fn_to_extract(
     tokens: list[tuple[str, str]],
     fn_to_field: dict[str, str],
@@ -3839,6 +3920,14 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_generate_series(tokens)
         tokens = _for_each_scope(tokens, _rewrite_distinct_on)
         tokens = _rewrite_string_agg_orderby(tokens)
+    # NULL sort position: Spark is FIRST-on-ASC/LAST-on-DESC; these
+    # dialects differ, so every bare ORDER BY key gets its source
+    # default made explicit (after DISTINCT ON so its generated
+    # ROW_NUMBER ordering is covered too).
+    if dialect in ("postgres", "redshift", "oracle"):
+        tokens = _rewrite_order_by_nulls(tokens, asc="LAST", desc="FIRST")
+    elif dialect == "duckdb":
+        tokens = _rewrite_order_by_nulls(tokens, asc="LAST", desc="LAST")
     if dialect == "tsql":
         tokens = [
             ("backtick", _to_backtick(_unquote(t, "]"))) if k == "bracket" else (k, t)
