@@ -2604,11 +2604,26 @@ def _rewrite_distinct_on_one(
             qualify += [("op", ","), ("ws", " ")]
         qualify += item
     qualify += [("op", ")"), ("ws", " "), ("op", "="), ("ws", " "), ("number", "1"), ("ws", " ")]
+    # Outer ORDER BY keeps ONLY the key items: after first-row-per-group
+    # dedup the key tuples are unique, so the tiebreak suffix cannot
+    # reorder anything — and dropping it lets a tiebreak column that is
+    # NOT in the select list (ORDER BY the dedup timestamp without
+    # projecting it, the canonical pg use) live purely inside the
+    # window, where the QUALIFY subquery wrap can still resolve it.
+    outer_order: list[tuple[str, str]] = [
+        ("word", "ORDER"), ("ws", " "), ("word", "BY"), ("ws", " "),
+    ]
+    for idx, item in enumerate(items[: len(key_code)]):
+        if idx:
+            outer_order += [("op", ","), ("ws", " ")]
+        outer_order += item
+    outer_order += [("ws", " ")]
     rebuilt = (
         tokens[:di]
         + tokens[close + 1 : order_at]
         + qualify
-        + tokens[order_at:]
+        + outer_order
+        + tokens[items_end:]
     )
     return _rewrite_qualify_one(rebuilt)
 
