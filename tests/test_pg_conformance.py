@@ -140,3 +140,46 @@ def test_pg_conformance(name, spark, duck):
     problems = compare(sdf, ddf)
     assert not problems, f"{name}: " + "; ".join(problems)
     assert exact_match(sdf, ddf), f"{name}: values differ below tolerance"
+
+
+# duckdb dialect: DuckDB is its own perfect oracle. Exercises the
+# duckdb-specific spellings (list functions, arg_max/min) plus the
+# duckdb NULL default (NULLS LAST in BOTH directions — unlike pg).
+DUCKDB_CASES = {
+    "list_functions": """
+        SELECT n_regionkey,
+               list_contains(array_agg(n_nationkey), 3) AS has_3,
+               arg_max(n_name, n_nationkey) AS max_key_name,
+               arg_min(n_name, n_nationkey) AS min_key_name
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+    "duckdb_nulls_last_desc_limit": """
+        SELECT n_name, NULLIF(n_regionkey, 4) AS r
+        FROM nation
+        ORDER BY r DESC, n_name
+        LIMIT 6
+    """,
+    "duckdb_distinct_on": """
+        SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey
+        FROM orders
+        WHERE o_orderkey < 1000
+        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+    """,
+}
+
+
+@pytest.mark.parametrize("name", sorted(DUCKDB_CASES))
+def test_duckdb_conformance(name, spark, duck):
+    sql = DUCKDB_CASES[name]
+    tables = {
+        t: spark.read.parquet(f"{SF_ORACLE}/{t}.parquet")
+        for t in ("orders", "nation")
+    }
+    sdf = execute(sql, tables=tables, dialect="duckdb", spark=spark).toPandas()
+    ddf = duck.execute(sql).fetchdf()
+    assert len(sdf) > 0, name
+    problems = compare(sdf, ddf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+    assert exact_match(sdf, ddf), name
