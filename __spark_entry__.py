@@ -118,6 +118,15 @@ from xorbits_sql_spark.queries import load_all
 # 4 rows-only (s47/s68/s81/t52 — pulled forward ahead of the rotated
 # greens per the round-7 verdict, matching the r03 ``no_oracle``
 # precedent) = exactly 50, clearing the entire inventory.
+# Round 9 (PLAYBOOK — written at round-8 close): if CORRECTNESS_r08 is
+# green on the window above, every registry name is driver-evaluated.
+# Then: (1) add all 50 r08 names to _DRIVER_GREEN (rows-only names
+# join on their ``no_oracle`` rows-only checks, the r03 precedent);
+# any red re-enters the r09 window first, per the standing re-entry
+# rule. (2) UNFREEZE: register the staged entries u04–u07
+# (queries/staged.py — move to @register, import the module in
+# load_all, drop the freeze note); they become the front of the r09
+# window with ~46 slots behind them for rotated-green re-verification.
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
     + [f"q{i}" for i in range(30, 100)]
