@@ -124,6 +124,54 @@ CASES = {
         ORDER BY nullable_region, n_name
         LIMIT 8
     """,
+    "correlated_exists": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        ) AND c_custkey < 200
+        ORDER BY c_custkey
+    """,
+    "cte_chain": """
+        WITH big AS (
+            SELECT o_custkey, COUNT(*) AS n
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
+        ),
+        named AS (
+            SELECT b.o_custkey, b.n, c.c_name
+            FROM big b JOIN customer c ON c.c_custkey = b.o_custkey
+        )
+        SELECT * FROM named ORDER BY n DESC, o_custkey LIMIT 10
+    """,
+    "grouping_sets": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               COUNT(*) AS n
+        FROM orders
+        WHERE o_orderkey < 5000
+        GROUP BY GROUPING SETS ((o_orderstatus,
+                                 EXTRACT(YEAR FROM o_orderdate)), ())
+        ORDER BY status, yr NULLS FIRST
+    """,
+    "set_ops": """
+        SELECT n_name FROM nation WHERE n_regionkey = 0
+        UNION
+        SELECT n_name FROM nation WHERE n_name ~ '^A'
+        EXCEPT
+        SELECT n_name FROM nation WHERE n_name ILIKE '%algeria%'
+        ORDER BY n_name
+    """,
+    "left_join_coalesce": """
+        SELECT r_name,
+               COALESCE(x.cnt, 0) AS n_nations
+        FROM region
+        LEFT JOIN (
+            SELECT n_regionkey, COUNT(*) AS cnt
+            FROM nation WHERE n_nationkey > 10 GROUP BY n_regionkey
+        ) x ON x.n_regionkey = r_regionkey
+        ORDER BY r_name
+    """,
 }
 
 
