@@ -3774,8 +3774,10 @@ def _rewrite_order_by_nulls(
         key_code: list[int] = []  # indices of code tokens in current key
 
         def _close_key(end: int) -> int:
-            """Insert NULLS … before ``end`` if the key needs it;
-            returns how many tokens were inserted."""
+            """Insert NULLS … at the end of the key (right after its
+            last CODE token — not after trailing ws/comments, where a
+            line comment would swallow the insertion); returns how many
+            tokens were inserted."""
             if not key_code:
                 return 0
             words = [
@@ -3787,7 +3789,8 @@ def _rewrite_order_by_nulls(
             ins = tokenize(
                 f" NULLS {desc if direction == 'DESC' else asc} "
             )
-            out[end:end] = ins
+            at = min(key_code[-1] + 1, end)
+            out[at:at] = ins
             return len(ins)
 
         while p < len(out):
