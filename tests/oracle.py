@@ -15,6 +15,17 @@ from decimal import Decimal
 import pandas as pd
 
 
+def _canon_float(v: float):
+    """Canonical float cell. Negative zero gets its own tag: IEEE says
+    -0.0 == 0.0, so a plain float compare cannot see the divergence,
+    but the driver's stringifying value hash renders "-0.0" != "0.0"
+    (the t66 round-8 red cell — determinism class #4). Tagging makes
+    local parity fail exactly where the driver fails."""
+    if v == 0.0 and math.copysign(1.0, v) < 0:
+        return ("f-0",)
+    return ("f", v)
+
+
 def _canon_cell(v):
     """Canonical, *type-strict* cell representation.
 
@@ -34,7 +45,7 @@ def _canon_cell(v):
     ):
         return None
     if isinstance(v, Decimal):
-        return ("f", float(v))
+        return _canon_float(float(v))
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime().replace(tzinfo=None)
     if hasattr(v, "tolist"):  # numpy scalars/arrays
@@ -46,7 +57,7 @@ def _canon_cell(v):
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, float):
-        return ("f", v)
+        return _canon_float(v)
     if isinstance(v, _dt.datetime):
         return ("dt", v)
     if isinstance(v, _dt.date):

@@ -106,3 +106,22 @@ def test_pd_na_cells_compare_as_null():
     assert any("row" in p for p in problems)
     same = pd.DataFrame({"v": pd.array([1, None], dtype="Int64")})
     assert exact_match(a, same)
+
+
+def test_signed_zero_is_a_mismatch():
+    # the exact t66 shape (round-8 red cell, determinism class #4):
+    # Spark rounds a -epsilon residual to 0.0, DuckDB to -0.0; Python
+    # == says equal, the driver's stringifying hash says "-0.0" !=
+    # "0.0". Local parity must fail exactly where the driver fails.
+    spark = _df(gap=[0.0])
+    duck = _df(gap=[-0.0])
+    assert not exact_match(spark, duck)
+    assert compare(spark, duck)  # compare() is driver-grade too
+    # matched signs on both sides stay green, either sign
+    assert exact_match(_df(gap=[-0.0]), _df(gap=[-0.0]))
+    assert exact_match(_df(gap=[0.0]), _df(gap=[0.0]))
+    # Decimal(-0) routes through the same canonicalization as float
+    assert exact_match(_df(gap=[Decimal("-0")]), _df(gap=[-0.0]))
+    assert not exact_match(_df(gap=[Decimal("-0")]), _df(gap=[0.0]))
+    # signed zero inside arrays recurses
+    assert not exact_match(_df(a=[[0.0, 1.0]]), _df(a=[[-0.0, 1.0]]))

@@ -6177,7 +6177,7 @@ def t62_uchart_error_monitor(
     SELECT round(CAST(td.f_total AS DOUBLE), 6) AS top_down_forecast,
            round(CAST(bu_sum.f_bu AS DOUBLE), 6) AS bottom_up_forecast,
            round(CAST(td.f_total AS DOUBLE)
-                 - CAST(bu_sum.f_bu AS DOUBLE), 6)
+                 - CAST(bu_sum.f_bu AS DOUBLE), 6) + 0.0
              AS reconciliation_gap
     FROM td CROSS JOIN bu_sum
     """,
@@ -6192,8 +6192,9 @@ def t62_uchart_error_monitor(
         "because aggregation and exponential smoothing do not "
         "commute when series lengths or profiles differ. Both paths "
         "reuse s92's closed-form unrolling with round-9 decay terms; "
-        "cross-level sums are DECIMAL; outputs round to 6 so the "
-        "reported gap is bit-stable."
+        "cross-level sums are DECIMAL; outputs round to 6 and the gap "
+        "adds +0.0 to collapse IEEE signed zero (determinism class "
+        "#4) so the reported gap is bit-stable."
     ),
 )
 def t66_forecast_reconciliation(
@@ -6249,10 +6250,17 @@ def t66_forecast_reconciliation(
         F.round(F.col("f_bu").cast("double"), 6).alias(
             "bottom_up_forecast"
         ),
-        F.round(
-            F.col("f_total").cast("double")
-            - F.col("f_bu").cast("double"),
-            6,
+        # ``+ 0.0`` collapses IEEE signed zero: a gap of -epsilon rounds
+        # to -0.0 on one engine and 0.0 on the other (rows compare
+        # equal under ==, but the driver's stringifying value hash
+        # sees "-0.0" != "0.0" — determinism class #4, see BASELINE.md).
+        (
+            F.round(
+                F.col("f_total").cast("double")
+                - F.col("f_bu").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("reconciliation_gap"),
     )
 

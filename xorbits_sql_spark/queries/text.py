@@ -4123,7 +4123,8 @@ def t90_dedup_review_queue(
             / (2.0 * CAST(f2 + 1 AS DOUBLE)))
            / (CAST(v AS DOUBLE)
               + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
-                / (2.0 * CAST(f2 + 1 AS DOUBLE))) AS unseen_share
+                / (2.0 * CAST(f2 + 1 AS DOUBLE))) + 0.0
+             AS unseen_share
     FROM f
     """,
     tags=("text", "corpus-statistics", "estimation"),
@@ -4171,7 +4172,9 @@ def t92_chao1_vocabulary_richness(
         F.col("f1").cast("bigint").alias("hapax_count"),
         F.col("f2").cast("bigint").alias("doubleton_count"),
         (d("v") + extra).alias("chao1_estimate"),
-        (extra / (d("v") + extra)).alias("unseen_share"),
+        # +0.0 collapses IEEE signed zero: f1=0 makes extra equal to
+        # 0.0 * -1.0 = -0.0 (determinism class #4, see BASELINE.md)
+        (extra / (d("v") + extra) + F.lit(0.0)).alias("unseen_share"),
     )
 
 
