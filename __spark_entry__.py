@@ -127,6 +127,18 @@ from xorbits_sql_spark.queries import load_all
 # (queries/staged.py — move to @register, import the module in
 # load_all, drop the freeze note); they become the front of the r09
 # window with ~46 slots behind them for rotated-green re-verification.
+# Round 9 (EXECUTED): CORRECTNESS_r08 verified the full window —
+# 45/46 oracle-bearing green + the 4 rows-only recorded (s47/s68/s81/
+# t52, ``no_oracle`` as expected). All 49 join the rotated set below.
+# The one red, t66_forecast_reconciliation, was a SIGNED-ZERO
+# divergence (Spark 0.0 vs DuckDB -0.0 out of round(f_total - f_bu, 6)
+# — IEEE-equal, hash-different; determinism class #4, see README +
+# BASELINE.md): fixed by ``+ 0.0`` normalization on both sides, with
+# the local canonicalizer now signed-zero-strict (tests/oracle.py) so
+# the class can't ship again. Per the standing re-entry rule t66 stays
+# OUT of _DRIVER_GREEN and re-enters the round-9 window, followed by
+# the four unfrozen u04..u07 entries; the remaining ~45 slots
+# re-verify rotated greens.
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
     + [f"q{i}" for i in range(30, 100)]
@@ -134,12 +146,14 @@ _DRIVER_GREEN = frozenset(
     + [f"r{i}" for i in range(46, 51)]
     + ["r55", "r56"]
     + [f"r{i}" for i in range(57, 100)]
-    + ["s01", "s02", "s03"]
-    + [f"s{i:02d}" for i in range(4, 55) if i != 47]
-    + [f"s{i:02d}" for i in range(55, 100) if i not in (63, 68, 81)]
-    + [f"t{i:02d}" for i in range(1, 7)]
-    + ["s63"]
-    + [f"t{i:02d}" for i in range(7, 57) if i != 52]
+    # s01..s99 complete: s47/s68/s81 joined on their r08 rows-only
+    # records (r03 ``no_oracle`` precedent), s63 green since r07
+    + [f"s{i:02d}" for i in range(1, 100)]
+    # t01..t99 complete except t66 (r08 red — re-enters the r09 window)
+    + [f"t{i:02d}" for i in range(1, 100) if i != 66]
+    # r08 dialect-fidelity batch; u04+ (the round-9 unfreeze and later
+    # additions) are NOT green until a driver row says so
+    + ["u01", "u02", "u03"]
 )
 
 

@@ -4,11 +4,11 @@ The driver verifies the FIRST 50 entries of ``queries()`` in dict
 insertion order (proven by CORRECTNESS_r02.json).  Round 2's rotation
 built the dict in canonical-name order, so 43 of 50 slots re-verified
 already-green queries.  These tests pin the fixed behavior: insertion
-order equals (is-driver-green, has-no-oracle, rotated-lexical) order,
-and the round-8 window is the LAST never-driver-verified names —
-t57..t93 + the round-8 dialect entries (t94..u03), then the four
-rows-only entries pulled forward ahead of the rotated greens per the
-round-7 verdict (r03 ``no_oracle`` precedent).
+order equals (is-driver-green, has-no-oracle, rotated-lexical) order.
+The round-9 window is the t66 re-entry (its r08 red was the
+signed-zero class, fixed this round) + the four unfrozen u04..u07
+entries, then rotated-green re-verifications — every other registry
+name already has a driver row (r01..r08 cumulative ledger).
 """
 
 from __future__ import annotations
@@ -17,7 +17,9 @@ import importlib
 
 entry_mod = importlib.import_module("__spark_entry__")
 
-# Names with a green driver CORRECTNESS row in r01..r07.
+# Names with a green (or, for the four rows-only entries, recorded
+# ``no_oracle``) driver CORRECTNESS row in r01..r08.  t66 is excluded:
+# its r08 row was red (signed zero) and it re-enters the r09 window.
 _VERIFIED_PREFIXES = (
     {f"q{i:02d}" for i in range(1, 28)}
     | {f"q{i}" for i in range(30, 100)}
@@ -25,23 +27,14 @@ _VERIFIED_PREFIXES = (
     | {f"r{i}" for i in range(46, 51)}
     | {"r55", "r56"}
     | {f"r{i}" for i in range(57, 100)}
-    | {"s01", "s02", "s03"}
-    | {f"s{i:02d}" for i in range(4, 55) if i != 47}
-    | {f"s{i:02d}" for i in range(55, 100) if i not in (63, 68, 81)}
-    | {f"t{i:02d}" for i in range(1, 7)}
-    | {"s63"}
-    | {f"t{i:02d}" for i in range(7, 57) if i != 52}
+    | {f"s{i:02d}" for i in range(1, 100)}
+    | {f"t{i:02d}" for i in range(1, 100) if i != 66}
+    | {"u01", "u02", "u03"}
 )
 
-# The four rows-only entries that have never had a driver row; they
-# take the window slots after the oracle-bearing inventory is
-# exhausted (round-7 verdict task #1).
-_ROWS_ONLY_FRESH = [
-    "s47_bpe_learn_merges",
-    "s68_stream_welford_anomalies",
-    "s81_hll_sketch_rollup",
-    "t52_stream_window_percentiles",
-]
+# Round 9: every rows-only entry has its driver record (r08), so the
+# never-verified set is oracle-bearing only.
+_ROWS_ONLY_FRESH: list[str] = []
 
 
 def test_first_50_insertion_order_are_never_verified():
@@ -49,37 +42,47 @@ def test_first_50_insertion_order_are_never_verified():
     oracles = set(entry_mod.oracle_sql())
     window = keys[:50]
     prefixes = [k.split("_", 1)[0] for k in window]
-    # Round-8 window: every remaining never-driver-verified
-    # oracle-bearing name (t57..t93 + the round-8 dialect-fidelity
-    # entries t94..u03) in lexical order, then the four rows-only
-    # names — 339/339 driver-evaluated once this window lands.
     fresh_oracle = sorted(k for k in keys if not k.startswith("z") and k in oracles)
     fresh_rows_only = sorted(
         k for k in keys if not k.startswith("z") and k not in oracles
     )
     assert fresh_rows_only == _ROWS_ONLY_FRESH
-    assert window == (fresh_oracle + fresh_rows_only)[:50]
-    assert prefixes[0] == "t57"
-    # The full never-verified inventory fits in one window.
-    assert len(fresh_oracle) + len(fresh_rows_only) <= 50
-    # None of the window entries is a rotated (already-green) name.
-    assert not any(k.startswith("z") for k in window)
+    # Round-9 window: the t66 re-entry + the unfrozen u04..u07 lead;
+    # the remaining slots re-verify rotated greens.
+    assert fresh_oracle == [
+        "t66_forecast_reconciliation",
+        "u04_jpeg_decode_stats",
+        "u05_jpeg_resize_roundtrip",
+        "u06_pg_dialect_weekday_rollup",
+        "u07_bq_dialect_boundary_datediff",
+    ]
+    assert window[: len(fresh_oracle)] == fresh_oracle
+    assert prefixes[0] == "t66"
+    # ...and the spare slots go to rotated (already-green) names.
+    assert all(k.startswith("z") for k in window[len(fresh_oracle):])
 
 
 def test_rotated_names_cover_all_driver_green():
-    keys = list(entry_mod.queries())
-    z_prefixes = {
-        k.split("_", 1)[0].replace("z", "", 1) for k in keys if k.startswith("z")
+    registered = set(entry_mod.load_all())
+    keys = set(entry_mod.queries())
+    green = {
+        n for n in registered
+        if n.split("_", 1)[0] in entry_mod._DRIVER_GREEN
     }
-    # z-names come from q-, r-, s-, and t-prefixed originals;
-    # reconstruct which original each z-name maps to via _DRIVER_GREEN
-    # membership.
-    reconstructed = set()
-    for suffix in z_prefixes:
-        for pref in ("q", "r", "s", "t"):
-            if pref + suffix in entry_mod._DRIVER_GREEN:
-                reconstructed.add(pref + suffix)
-    assert reconstructed == _VERIFIED_PREFIXES == set(entry_mod._DRIVER_GREEN)
+    # Every registered green name is exposed under its z-rotation (and
+    # never under its own name); every non-green name is exposed as-is.
+    for n in green:
+        assert "z" + n[1:] in keys and n not in keys, n
+    for n in registered - green:
+        assert n in keys and "z" + n[1:] not in keys, n
+    # The pinned ledger matches the live one for registered prefixes
+    # (_DRIVER_GREEN is range-built, so it may hold prefixes with no
+    # registered query — e.g. r69 — which are inert).
+    reg_prefixes = {n.split("_", 1)[0] for n in registered}
+    assert (
+        set(entry_mod._DRIVER_GREEN) & reg_prefixes
+        == _VERIFIED_PREFIXES & reg_prefixes
+    )
 
 
 def test_insertion_order_is_green_last_then_no_oracle_then_lexical():
@@ -103,10 +106,10 @@ def test_oracle_keys_subset_of_query_keys():
     # decoding.  Pinned exactly so a new query can't silently ship
     # without an oracle.
     assert q - o == {
-        "s47_bpe_learn_merges",
-        "s68_stream_welford_anomalies",
-        "s81_hll_sketch_rollup",
-        "t52_stream_window_percentiles",
+        "z47_bpe_learn_merges",
+        "z68_stream_welford_anomalies",
+        "z81_hll_sketch_rollup",
+        "z52_stream_window_percentiles",
         "z82_stream_running_totals",
         "z89_distinct_sketch",
         "z90_multimodal_features",

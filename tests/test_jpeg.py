@@ -189,10 +189,9 @@ def test_transform_media_stamps_jpeg_mime(spark):
 
 
 def test_staged_jpeg_query_matches_oracle(spark, duck):
-    """Round-9 staged entry (see queries/staged.py): full parity check
-    now, registration deferred until the round-8 driver window clears.
-    Uses the same type-strict compare + exact-match harness as
-    test_oracle_parity."""
+    """u04–u07 (see queries/staged.py — registered since round 9): full
+    parity check with the same type-strict compare + exact-match
+    harness as test_oracle_parity."""
     from xorbits_sql_spark.queries.staged import STAGED
 
     from .oracle import compare, exact_match
@@ -207,14 +206,19 @@ def test_staged_jpeg_query_matches_oracle(spark, duck):
         assert exact_match(sdf, ddf), name
 
 
-def test_staged_entries_not_registered():
-    """The freeze guard: staging must not leak into the driver window
-    (a new oracle-bearing name would push a rows-only name out of the
-    round-8 window)."""
-    import xorbits_sql_spark.queries.staged  # noqa: F401  (import side effects?)
+def test_staged_entries_registered():
+    """Round-9 unfreeze (round-8 playbook): the staged entries are live
+    registry names now — in the driver window, oracle-paired."""
     from xorbits_sql_spark.queries import load_all
 
-    assert "u04_jpeg_decode_stats" not in load_all()
+    reg = load_all()
+    for name in (
+        "u04_jpeg_decode_stats",
+        "u05_jpeg_resize_roundtrip",
+        "u06_pg_dialect_weekday_rollup",
+        "u07_bq_dialect_boundary_datediff",
+    ):
+        assert name in reg and reg[name].oracle
 
 
 def test_decoder_never_fails_uncontrolled():

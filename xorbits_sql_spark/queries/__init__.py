@@ -69,5 +69,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import pipeline  # noqa: F401
     from . import stats  # noqa: F401
     from . import dialects  # noqa: F401
+    from . import staged  # noqa: F401
 
     return REGISTRY

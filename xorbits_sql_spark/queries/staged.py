@@ -1,12 +1,13 @@
-"""Round-9 STAGED queries — written and parity-tested in round 8 but
-NOT yet registered: the round-8 verification window is frozen at
-exactly the 50 remaining never-driver-verified names, and a new
-oracle-bearing entry would sort ahead of the four rows-only names and
-push one out of the window (``__spark_entry__._exposed``).
+"""JPEG-codec and round-8 dialect-rewrite queries (u04–u07).
 
-Round-9 TODO: move each entry to ``@register`` (names u04, u05, …) in
-``pipeline.py`` or here + add this module to ``load_all``; delete this
-docstring's freeze note.
+Written and parity-tested in round 8 but held unregistered until
+round 9: the round-8 verification window was frozen at exactly the 50
+remaining never-driver-verified names, and a new oracle-bearing entry
+would have sorted ahead of the four rows-only names and pushed one out
+of the window (``__spark_entry__._exposed``). UNFROZEN in round 9 per
+the playbook written at round-8 close: these four entries now
+``register`` into the live registry (this module is imported by
+``load_all``) and lead the round-9 window behind the t66 re-entry.
 
 The JPEG oracle trick: DuckDB cannot decode JPEG, but a CONSTANT-color
 image round-trips the DCT exactly when the quantized DC step divides
@@ -27,16 +28,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ._util import t
-from . import QuerySpec
+from . import REGISTRY, QuerySpec, register
 
+# Kept as an alias view of the registered specs so round-8 parity
+# tests (tests/test_jpeg.py) keep their import surface.
 STAGED: dict[str, QuerySpec] = {}
 
 
-def _stage(name: str, oracle: str | None):
+def _stage(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def wrap(fn):
-        STAGED[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or ""
-        )
+        fn = register(name, oracle, tags=tags)(fn)
+        STAGED[name] = REGISTRY[name]
         return fn
 
     return wrap
@@ -55,7 +57,11 @@ ORDER BY doc_id
 """
 
 
-@_stage("u04_jpeg_decode_stats", _JPEG_STATS_ORACLE)
+@_stage(
+    "u04_jpeg_decode_stats",
+    _JPEG_STATS_ORACLE,
+    tags=("multimodal", "jpeg", "codec"),
+)
 def u04_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode a per-doc constant-color baseline JPEG (gray 4:4:4 for
     even ids, RGB 4:2:0 for odd; odd dimensions exercise MCU padding),
@@ -131,7 +137,11 @@ ORDER BY doc_id
 """
 
 
-@_stage("u05_jpeg_resize_roundtrip", _JPEG_RESIZE_ORACLE)
+@_stage(
+    "u05_jpeg_resize_roundtrip",
+    _JPEG_RESIZE_ORACLE,
+    tags=("multimodal", "jpeg", "resize"),
+)
 def u05_jpeg_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode a constant-color gray JPEG, resize it through the real
     ``media.resize_image`` JPEG path (decode → nearest-neighbor →
@@ -187,7 +197,11 @@ ORDER BY ym, dow
 """
 
 
-@_stage("u06_pg_dialect_weekday_rollup", _PG_DIALECT_ORACLE)
+@_stage(
+    "u06_pg_dialect_weekday_rollup",
+    _PG_DIALECT_ORACLE,
+    tags=("dialect", "postgres"),
+)
 def u06_pg_dialect_weekday_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-8 postgres-dialect rewrites driven through execute()
     over the real tables: POSIX regex match (~ → RLIKE), EXTRACT(DOW)
@@ -232,7 +246,11 @@ ORDER BY ym
 """
 
 
-@_stage("u07_bq_dialect_boundary_datediff", _BQ_DIALECT_ORACLE)
+@_stage(
+    "u07_bq_dialect_boundary_datediff",
+    _BQ_DIALECT_ORACLE,
+    tags=("dialect", "bigquery"),
+)
 def u07_bq_dialect_boundary_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-8 bigquery rewrites through execute(): FORMAT_DATE
     %-codes and DATE_DIFF's unit-BOUNDARY semantics (bq counts
