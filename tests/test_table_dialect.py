@@ -1966,3 +1966,114 @@ def test_pg_null_sort_position(spark):
     # window ORDER BY gets the same default (ranking semantics)
     out = transpile("SELECT RANK() OVER (ORDER BY x) FROM t", "postgres")
     assert "NULLS LAST" in out
+
+
+def test_pg_like_operator_spellings(spark):
+    """pg lexes LIKE into ~~, NOT LIKE into !~~, ILIKE into ~~*, NOT
+    ILIKE into !~~* — the single-~ regex branch must not consume half
+    the cluster (it used to emit ``RLIKE RLIKE``, an unparseable
+    statement). Round-9 advisor fix."""
+    pdf = pd.DataFrame({"a": ["xray", "Xmas", "yak"]})
+    got = execute(
+        "SELECT a FROM t WHERE a ~~ 'x%' ORDER BY a",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [r["a"] for r in got] == ["xray"]
+    got = execute(
+        "SELECT a FROM t WHERE a ~~* 'x%' ORDER BY a",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [r["a"] for r in got] == ["Xmas", "xray"]
+    got = execute(
+        "SELECT a FROM t WHERE a !~~ 'x%' ORDER BY a",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [r["a"] for r in got] == ["Xmas", "yak"]
+    got = execute(
+        "SELECT a FROM t WHERE a !~~* 'x%' ORDER BY a",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [r["a"] for r in got] == ["yak"]
+    # regex ops still translate beside the LIKE spellings
+    got = execute(
+        "SELECT a FROM t WHERE a ~ '^x' AND a !~ 'k$' ORDER BY a",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [r["a"] for r in got] == ["xray"]
+
+
+def test_snowflake_extract_dayofweek(spark):
+    """snowflake EXTRACT/DATE_PART dayofweek spellings carry the same
+    Sunday=0 hazard the DAYOFWEEK() rewrite closes — all spellings must
+    subtract one, exactly once (the fn rewrite emits EXTRACT(DOW ...),
+    which the EXTRACT rewrite must not re-adjust). 2024-03-03 is a
+    Sunday. Round-9 advisor fix."""
+    for sql, want in [
+        ("SELECT EXTRACT(DAYOFWEEK FROM DATE'2024-03-03') AS v", 0),
+        ("SELECT EXTRACT(DAYOFWEEK FROM DATE'2024-03-04') AS v", 1),
+        ("SELECT DATE_PART('dayofweek', DATE'2024-03-03') AS v", 0),
+        ("SELECT DATE_PART(dayofweek, DATE'2024-03-04') AS v", 1),
+        ("SELECT DATE_PART(dow, DATE'2024-03-03') AS v", 0),
+        ("SELECT EXTRACT(DAYOFWEEKISO FROM DATE'2024-03-03') AS v", 7),
+        ("SELECT DATE_PART('weekday_iso', DATE'2024-03-04') AS v", 1),
+        ("SELECT DAYOFWEEK(DATE'2024-03-03') AS v", 0),  # single adjust
+        ("SELECT EXTRACT(YEAR FROM DATE'2024-03-03') AS v", 2024),
+    ]:
+        got = execute(sql, tables={}, dialect="snowflake", spark=spark).collect()
+        assert got[0]["v"] == want, sql
+
+
+def test_mysql_time_format_mixed_codes_refuse(spark):
+    """mysql TIME_FORMAT zeroes/NULLs DATE specifiers; a mixed format
+    like '%Y %H:%i' must refuse (DATE_FORMAT would render the real
+    year — silent divergence), while pure time formats translate.
+    Round-9 advisor fix."""
+    got = execute(
+        "SELECT TIME_FORMAT(TIMESTAMP'2024-03-03 14:05:09', '%H:%i') AS v",
+        tables={}, dialect="mysql", spark=spark,
+    ).collect()
+    assert got[0]["v"] == "14:05"
+    for fmt in ("%Y %H:%i", "%Y-%m-%d", "%H:%i (%M)"):
+        with pytest.raises(UnsupportedError, match="TIME_FORMAT"):
+            transpile(f"SELECT TIME_FORMAT(t, '{fmt}') FROM x", "mysql")
+
+
+def test_tsql_stuff_null_replacement(spark):
+    """tsql STUFF(s, start, len, NULL) deletes the range WITHOUT
+    inserting (returns 'aef') — a bare NULL in CONCAT would NULL the
+    whole expression. Round-9 advisor fix."""
+    got = execute(
+        "SELECT STUFF('abcdef', 2, 3, NULL) AS v",
+        tables={}, dialect="tsql", spark=spark,
+    ).collect()
+    assert got[0]["v"] == "aef"
+
+
+def test_pg_distinct_on_key_not_in_select(spark):
+    """pg evaluates DISTINCT ON in the FROM scope, so the key need not
+    be projected (SELECT DISTINCT ON (k) v ... ORDER BY k, ts is
+    legal); the rewrite carries keys through the QUALIFY wrap as
+    EXCEPTed __don helpers so the outer ORDER BY resolves. Round-9
+    advisor fix."""
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "b", "b"], "v": [1, 2, 3, 4], "ts": [10, 20, 30, 5]}
+    )
+    out = execute(
+        "SELECT DISTINCT ON (k) v FROM t ORDER BY k, ts DESC",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    )
+    assert out.columns == ["v"]
+    assert [r["v"] for r in out.collect()] == [2, 3]
+    # key aliased away in the projection
+    out = execute(
+        "SELECT DISTINCT ON (k) k AS kk, v FROM t ORDER BY k, ts",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    )
+    assert out.columns == ["kk", "v"]
+    assert [tuple(r) for r in out.collect()] == [("a", 1), ("b", 4)]
+    # expression key, not projected, DESC kept on the outer sort
+    out = execute(
+        "SELECT DISTINCT ON (upper(k)) v FROM t ORDER BY upper(k) DESC, ts",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    )
+    assert [r["v"] for r in out.collect()] == [4, 1]

@@ -1141,7 +1141,10 @@ def _rewrite_qualify(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return out
 
 
-def _rewrite_qualify_one(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+def _rewrite_qualify_one(
+    tokens: list[tuple[str, str]],
+    extra_except: tuple[str, ...] = (),
+) -> list[tuple[str, str]]:
     """``SELECT cols FROM ... QUALIFY pred [tail]`` →
     ``SELECT * EXCEPT (__qualify) FROM (SELECT cols, (pred) AS
     __qualify FROM ...) WHERE __qualify [tail]`` (duckdb/snowflake/
@@ -1157,7 +1160,9 @@ def _rewrite_qualify_one(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]
     source dialects evaluate QUALIFY before DISTINCT, and the helper
     column is excluded from the outer projection so dedup sees exactly
     the original columns); a bare ``*`` select list is fine for the same
-    reason.
+    reason. ``extra_except`` names additional helper columns the caller
+    planted in the select list (the DISTINCT ON key carriers) that must
+    be excluded from the outer projection alongside ``__qualify``.
     """
     depth = 0
     q_at: int | None = None
@@ -1264,6 +1269,10 @@ def _rewrite_qualify_one(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]
         ("ws", " "),
         ("op", "("),
         ("word", "__qualify"),
+    ]
+    for name in extra_except:
+        out += [("op", ","), ("ws", " "), ("word", name)]
+    out += [
         ("op", ")"),
         ("ws", " "),
         ("word", "FROM"),
@@ -2606,26 +2615,56 @@ def _rewrite_distinct_on_one(
     qualify += [("op", ")"), ("ws", " "), ("op", "="), ("ws", " "), ("number", "1"), ("ws", " ")]
     # Outer ORDER BY keeps ONLY the key items: after first-row-per-group
     # dedup the key tuples are unique, so the tiebreak suffix cannot
-    # reorder anything — and dropping it lets a tiebreak column that is
-    # NOT in the select list (ORDER BY the dedup timestamp without
-    # projecting it, the canonical pg use) live purely inside the
-    # window, where the QUALIFY subquery wrap can still resolve it.
+    # reorder anything. pg evaluates DISTINCT ON and its ORDER BY in
+    # the FROM scope, so a key (like a tiebreak) need not be in the
+    # select list — but the outer ORDER BY sits ABOVE the projection,
+    # where a non-projected (or aliased-away) key is unresolvable. The
+    # keys are therefore carried through the wrap as __don{i} helper
+    # columns, the outer ORDER BY points at the helpers (keeping each
+    # item's ASC/DESC/NULLS suffix), and the helpers are EXCEPTed out
+    # of the outer projection alongside __qualify.
+    sel_seg = list(tokens[close + 1 : order_at])
+    depth = 0
+    from_rel = None
+    for i, (kind, text) in enumerate(sel_seg):
+        if (kind, text) == ("op", "("):
+            depth += 1
+        elif (kind, text) == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and kind == "word" and text.upper() == "FROM":
+            from_rel = i
+            break
+    if from_rel is None:
+        raise UnsupportedError("could not locate FROM for DISTINCT ON rewrite")
+    helper_names: list[str] = []
+    helper_toks: list[tuple[str, str]] = []
+    for idx, k in enumerate(key_code):
+        name = f"__don{idx}"
+        helper_names.append(name)
+        helper_toks += [("op", ","), ("ws", " "), ("op", "(")]
+        helper_toks += k
+        helper_toks += [("op", ")"), ("ws", " "), ("word", "AS"), ("ws", " "), ("word", name), ("ws", " ")]
+    sel_seg = sel_seg[:from_rel] + helper_toks + sel_seg[from_rel:]
     outer_order: list[tuple[str, str]] = [
         ("word", "ORDER"), ("ws", " "), ("word", "BY"), ("ws", " "),
     ]
     for idx, item in enumerate(items[: len(key_code)]):
         if idx:
             outer_order += [("op", ","), ("ws", " ")]
-        outer_order += item
+        code = [tok for tok in item if tok[0] not in ("ws", "comment")]
+        suffix = code[len(_strip_sort_suffix(item)):]
+        outer_order += [("word", helper_names[idx])]
+        for tok in suffix:
+            outer_order += [("ws", " "), tok]
     outer_order += [("ws", " ")]
     rebuilt = (
         tokens[:di]
-        + tokens[close + 1 : order_at]
+        + sel_seg
         + qualify
         + outer_order
         + tokens[items_end:]
     )
-    return _rewrite_qualify_one(rebuilt)
+    return _rewrite_qualify_one(rebuilt, extra_except=tuple(helper_names))
 
 
 def _agg_orderby_to_listagg(
@@ -2939,10 +2978,15 @@ def _rewrite_pg_regex_ops(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
     ``a ~ p`` → ``a RLIKE p``, ``a !~ p`` → ``a NOT RLIKE p``; the
     case-insensitive forms ``~*`` / ``!~*`` additionally require a
     string-literal pattern (rewritten to ``'(?i)…'`` — Spark has no
-    ILIKE-for-regex). Spark would otherwise fail to parse ``~`` as an
+    ILIKE-for-regex). The LIKE-operator spellings (pg lexes ``LIKE``
+    into ``~~``, ``NOT LIKE`` into ``!~~``, ``ILIKE`` into ``~~*``,
+    ``NOT ILIKE`` into ``!~~*``) map to Spark's native LIKE/ILIKE
+    predicates — a second adjacent ``~`` is checked FIRST, or the
+    single-``~`` regex branch would consume half the cluster and emit
+    ``RLIKE RLIKE``. Spark would otherwise fail to parse ``~`` as an
     infix operator, so passthrough is a loud-but-confusing error; the
     PREFIX ``~`` (bitwise NOT — op-preceded) is native Spark and is
-    left untouched. The lexer splits ``!~*`` into single-char ops, so
+    left untouched. The lexer splits ``!~~*`` into single-char ops, so
     the cluster is matched by direct adjacency (no whitespace tokens
     between), exactly how postgres lexes it."""
     out = list(tokens)
@@ -2968,6 +3012,15 @@ def _rewrite_pg_regex_ops(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
         )
         if not ends_operand:
             i += 1
+            continue
+        if i + 1 < len(out) and out[i + 1] == ("op", "~"):
+            # LIKE-operator spellings: ~~ / !~~ / ~~* / !~~*
+            ci = i + 2 < len(out) and out[i + 2] == ("op", "*")
+            end = i + 2 if ci else i + 1
+            kw = "ILIKE" if ci else "LIKE"
+            repl = tokenize(f" NOT {kw} " if bang else f" {kw} ")
+            out = out[:start] + repl + out[end + 1 :]
+            i = start + len(repl)
             continue
         ci = i + 1 < len(out) and out[i + 1] == ("op", "*")
         end = i + 1 if ci else i
@@ -3096,14 +3149,15 @@ _MYSQL_FMT = {
 _MYSQL_TIME_ONLY = {"%H", "%k", "%h", "%I", "%l", "%i", "%s", "%S", "%p", "%T", "%r"}
 
 
-def _mysql_datefmt(fmt: str) -> tuple[str, bool]:
-    """MySQL format string → (Spark pattern, has_time_codes). Literal
-    runs containing letters are single-quoted (Spark treats bare
-    letters as pattern chars — THE silent-corruption hazard this
-    rewrite exists to close)."""
+def _mysql_datefmt(fmt: str) -> tuple[str, bool, bool]:
+    """MySQL format string → (Spark pattern, has_time_codes,
+    has_date_codes). Literal runs containing letters are single-quoted
+    (Spark treats bare letters as pattern chars — THE silent-corruption
+    hazard this rewrite exists to close)."""
     out: list[str] = []
     lit: list[str] = []
     has_time = False
+    has_date = False
 
     def flush() -> None:
         if not lit:
@@ -3129,12 +3183,15 @@ def _mysql_datefmt(fmt: str) -> tuple[str, bool]:
             flush()
             out.append(spark)
             has_time = has_time or code in _MYSQL_TIME_ONLY
+            has_date = has_date or (
+                code not in _MYSQL_TIME_ONLY and code != "%%"
+            )
             p += 2
         else:
             lit.append(fmt[p])
             p += 1
     flush()
-    return "".join(out), has_time
+    return "".join(out), has_time, has_date
 
 
 def _rewrite_mysql_datefmt(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -3170,8 +3227,14 @@ def _rewrite_mysql_datefmt(tokens: list[tuple[str, str]]) -> list[tuple[str, str
             raise UnsupportedError(
                 f"{up} format must be a string literal without sqlglot"
             )
-        spark_fmt, has_time = _mysql_datefmt(_unquote(fcode[0][1], "'"))
-        if up == "TIME_FORMAT" and not has_time:
+        spark_fmt, has_time, has_date = _mysql_datefmt(
+            _unquote(fcode[0][1], "'")
+        )
+        # mysql TIME_FORMAT zeroes/NULLs DATE specifiers; Spark's
+        # DATE_FORMAT would render them for real — refuse on ANY date
+        # code (a mixed '%Y %H:%i' diverges silently), not just on
+        # all-date formats.
+        if up == "TIME_FORMAT" and has_date:
             raise UnsupportedError(
                 "TIME_FORMAT with date codes zeroes them in mysql; not "
                 "supported without sqlglot"
@@ -3320,16 +3383,40 @@ def _rewrite_convert(
     return out
 
 
-def _rewrite_pg_dow(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """postgres/duckdb day-of-week numbering → Spark's, exactly.
+# source field → (Spark EXTRACT field, subtract-one?). Used by the
+# pg/duckdb and snowflake day-numbering rewrites below.
+_PG_DOW_FIELDS = {"DOW": ("DOW", True), "ISODOW": ("DOW_ISO", False)}
+# snowflake legacy numbering (WEEK_START=0, the default): dayofweek
+# and its documented aliases are Sunday=0..6; the *_iso family is
+# Monday=1..7 = Spark's DOW_ISO exactly.
+_SNOWFLAKE_DOW_FIELDS = {
+    "DAYOFWEEK": ("DOW", True),
+    "WEEKDAY": ("DOW", True),
+    "DOW": ("DOW", True),
+    "DW": ("DOW", True),
+    "DAYOFWEEKISO": ("DOW_ISO", False),
+    "WEEKDAY_ISO": ("DOW_ISO", False),
+    "DOW_ISO": ("DOW_ISO", False),
+}
+
+
+def _rewrite_extract_dow(
+    tokens: list[tuple[str, str]],
+    fields: dict[str, tuple[str, bool]],
+    allow_word_field: bool = False,
+) -> list[tuple[str, str]]:
+    """Day-of-week numbering in EXTRACT/DATE_PART → Spark's, exactly.
 
     pg ``EXTRACT(DOW FROM x)`` numbers Sunday as 0 (0..6) while
     Spark's DOW field numbers it 1 (1..7) — the expression RUNS on
     Spark and returns off-by-one values, the silent-corruption class
-    this fallback must never allow. ``DOW`` wraps in ``( … - 1 )``;
-    ``ISODOW`` (Monday=1, identical to Spark's DOW_ISO) renames.
-    Covers both spellings: ``EXTRACT(field FROM x)`` and
-    ``date_part('field', x)``."""
+    this fallback must never allow. Snowflake's DAYOFWEEK family has
+    the same hazard (Sunday=0 under the default WEEK_START=0). Fields
+    mapping to ``(spark_field, True)`` wrap in ``( … - 1 )``; ISO
+    variants (Monday=1, identical to Spark's DOW_ISO) rename. Covers
+    both spellings: ``EXTRACT(field FROM x)`` and
+    ``date_part('field', x)`` (plus snowflake's unquoted
+    ``date_part(field, x)`` when ``allow_word_field``)."""
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -3347,36 +3434,36 @@ def _rewrite_pg_dow(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             i += 1
             continue
         args, close = parsed
-        sub1 = False
         if up == "EXTRACT" and len(args) == 1:
             f = _next_code(args[0], -1)
             if f is None or args[0][f][0] != "word":
                 i += 1
                 continue
             field = args[0][f][1].upper()
-            if field == "ISODOW":
-                args[0] = list(args[0])
-                args[0][f] = ("word", "DOW_ISO")
-            elif field == "DOW":
-                sub1 = True
-            else:
+            if field not in fields:
                 i += 1
                 continue
+            spark_field, sub1 = fields[field]
+            args[0] = list(args[0])
+            args[0][f] = ("word", spark_field)
             repl = tokenize("EXTRACT(") + args[0] + tokenize(")")
         elif up == "DATE_PART" and len(args) == 2:
             f = _next_code(args[0], -1)
-            if f is None or args[0][f][0] != "string":
+            if f is None:
                 i += 1
                 continue
-            field = _unquote(args[0][f][1], "'").upper()
-            if field == "ISODOW":
-                lit = ("string", "'DOW_ISO'")
-            elif field == "DOW":
-                lit = ("string", "'DOW'")
-                sub1 = True
+            if args[0][f][0] == "string":
+                field = _unquote(args[0][f][1], "'").upper()
+            elif allow_word_field and args[0][f][0] == "word":
+                field = args[0][f][1].upper()
             else:
                 i += 1
                 continue
+            if field not in fields:
+                i += 1
+                continue
+            spark_field, sub1 = fields[field]
+            lit = ("string", f"'{spark_field}'")
             repl = tokenize("DATE_PART(") + [lit] + tokenize(", ") + args[1] + tokenize(")")
         else:
             i += 1
@@ -3386,6 +3473,11 @@ def _rewrite_pg_dow(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
         out = out[:i] + repl + out[close + 1 :]
         i += len(repl)
     return out
+
+
+def _rewrite_pg_dow(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """postgres/duckdb DOW/ISODOW numbering (see _rewrite_extract_dow)."""
+    return _rewrite_extract_dow(tokens, _PG_DOW_FIELDS)
 
 
 def _rewrite_pg_array_literal(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -3663,13 +3755,17 @@ def _rewrite_tsql_stuff(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
             + s
             + tokenize(") OR (")
             + ln
+            # COALESCE keeps tsql's delete-without-insert contract:
+            # STUFF(s, 2, 3, NULL) removes the range and returns the
+            # splice, while a bare NULL in CONCAT would NULL the whole
+            # expression
             + tokenize(") < 0 THEN NULL ELSE CONCAT(SUBSTRING(")
             + s
             + tokenize(", 1, (")
             + start
-            + tokenize(") - 1), ")
+            + tokenize(") - 1), COALESCE(")
             + repl
-            + tokenize(", SUBSTRING(")
+            + tokenize(", ''), SUBSTRING(")
             + s
             + tokenize(", (")
             + start
@@ -4078,6 +4174,16 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # Sessions that changed WEEK_START shift the numbering; the
         # transpiler cannot see session parameters, so this translates
         # the documented default.
+        # The EXTRACT/DATE_PART spellings of the same fields
+        # (EXTRACT(DAYOFWEEK FROM d), DATE_PART('dayofweek', d), and
+        # snowflake's unquoted DATE_PART(dayofweek, d)) — without this
+        # they pass through and run silently off by one. MUST run
+        # before _rewrite_fn_to_extract: that rewrite emits
+        # EXTRACT(DOW ...) terms which this pass would then re-adjust
+        # (double subtraction).
+        tokens = _rewrite_extract_dow(
+            tokens, _SNOWFLAKE_DOW_FIELDS, allow_word_field=True
+        )
         tokens = _rewrite_fn_to_extract(
             tokens,
             {"DAYOFWEEK": "DOW", "DAYOFWEEKISO": "DOW_ISO"},
