@@ -90,7 +90,11 @@ def main() -> None:
             # query that cannot flag is two wasted full executions
             floor = 8.0 if name in streaming else 0.3
             suspect = name in _base_q and _base_q[name] > 0 and warm[0] > floor and warm[0] / _base_q[name] > 1.5
-            if warm[0] < 1.0 or suspect:
+            # Streaming entries are ALWAYS median-of-3 (round-8 verdict
+            # task #7): micro-batch scheduler variance has dominated
+            # every round's raw >1.5x diff list since round 2, and a
+            # single sample feeds that list even when it can't flag.
+            if warm[0] < 1.0 or suspect or name in streaming:
                 warm.append(_timed(spec.fn, spark, sf_dir, release_caches))
                 warm.append(_timed(spec.fn, spark, sf_dir, release_caches))
             timings[name] = round(sorted(warm)[len(warm) // 2], 4)

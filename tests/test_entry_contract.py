@@ -7,7 +7,8 @@ already-green queries.  These tests pin the fixed behavior: insertion
 order equals (is-driver-green, has-no-oracle, rotated-lexical) order.
 The round-9 window is the t66 re-entry (its r08 red was the
 signed-zero class, fixed this round) + the four unfrozen u04..u07
-entries, then rotated-green re-verifications — every other registry
+entries + the round-9 widening batch (u08..u10), then rotated-green
+re-verifications — every other registry
 name already has a driver row (r01..r08 cumulative ledger).
 """
 
@@ -55,6 +56,9 @@ def test_first_50_insertion_order_are_never_verified():
         "u05_jpeg_resize_roundtrip",
         "u06_pg_dialect_weekday_rollup",
         "u07_bq_dialect_boundary_datediff",
+        "u08_snowflake_variant_paths",
+        "u09_pg_lateral_topn",
+        "u10_bq_struct_literals",
     ]
     assert window[: len(fresh_oracle)] == fresh_oracle
     assert prefixes[0] == "t66"

@@ -305,3 +305,79 @@ def test_roundtrip_property():
         assert _psnr(img.tobytes(), px) > 13.0, (w, h, channels, quality)
 
     prop()
+
+
+def test_exif_orientation_parse_and_absent():
+    """Round-9 hardening: tag 0x0112 from a spliced APP1 (both TIFF
+    endiannesses), None when untagged, None on malformed blobs —
+    orientation is advisory, pixels still decode."""
+    from xorbits_sql_spark.multimodal.jpeg import (
+        exif_orientation, make_exif_app1,
+    )
+
+    img = _gradient_rgb(16, 8)
+    base = encode_jpeg(16, 8, 3, img.tobytes(), quality=90)
+    assert exif_orientation(base) is None
+    for o in range(1, 9):
+        tagged = base[:2] + make_exif_app1(o) + base[2:]
+        assert exif_orientation(tagged) == o
+        # the tagged stream still decodes to the same pixels
+        assert decode_jpeg(tagged) == decode_jpeg(base)
+    # little-endian TIFF variant
+    import struct as _s
+    tiff = (b"II\x2a\x00\x08\x00\x00\x00" + b"\x01\x00"
+            + _s.pack("<HHI", 0x0112, 3, 1) + _s.pack("<HH", 6, 0)
+            + b"\x00\x00\x00\x00")
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + _s.pack(">H", len(payload) + 2) + payload
+    assert exif_orientation(base[:2] + app1 + base[2:]) == 6
+    # malformed: truncated TIFF, wrong byte order mark, value out of range
+    bad_tiff = b"Exif\x00\x00" + b"XX\x00\x2a"
+    app1_bad = b"\xff\xe1" + _s.pack(">H", len(bad_tiff) + 2) + bad_tiff
+    assert exif_orientation(base[:2] + app1_bad + base[2:]) is None
+    assert exif_orientation(b"\x00\x01") is None
+    tagged9 = base[:2] + make_exif_app1(8) + base[2:]
+    assert exif_orientation(tagged9) == 8
+    with pytest.raises(JpegError):
+        make_exif_app1(9)
+
+
+def test_exif_apply_orientation_exact():
+    """The 8 upright transforms, pinned on an asymmetric 2x3 array so
+    every rotation/mirror is distinguishable."""
+    from xorbits_sql_spark.multimodal.jpeg import apply_orientation
+
+    a = np.array([[1, 2, 3], [4, 5, 6]])
+    want = {
+        1: [[1, 2, 3], [4, 5, 6]],
+        2: [[3, 2, 1], [6, 5, 4]],
+        3: [[6, 5, 4], [3, 2, 1]],
+        4: [[4, 5, 6], [1, 2, 3]],
+        5: [[1, 4], [2, 5], [3, 6]],          # transpose
+        6: [[4, 1], [5, 2], [6, 3]],          # rotate 90 CW
+        7: [[6, 3], [5, 2], [4, 1]],          # transverse
+        8: [[3, 6], [2, 5], [1, 4]],          # rotate 270 CW
+    }
+    for o, w in want.items():
+        got = apply_orientation(a, o)
+        assert got.tolist() == w, o
+        assert got.flags["C_CONTIGUOUS"]
+    assert apply_orientation(a, None) is a
+    with pytest.raises(JpegError):
+        apply_orientation(a, 0)
+    # 3-channel arrays transform per-plane identically
+    rgb = np.dstack([a, a * 10, a * 100])
+    assert apply_orientation(rgb, 6).shape == (3, 2, 3)
+
+
+def test_decode_image_surfaces_orientation():
+    from xorbits_sql_spark.multimodal.jpeg import make_exif_app1
+    from xorbits_sql_spark.multimodal.media import decode_image
+
+    img = _gradient_rgb(16, 8)
+    base = encode_jpeg(16, 8, 3, img.tobytes(), quality=90)
+    assert decode_image(base)["orientation"] is None
+    tagged = base[:2] + make_exif_app1(6) + base[2:]
+    stats = decode_image(tagged)
+    assert stats["orientation"] == 6
+    assert stats["width"] == 16 and stats["height"] == 8

@@ -2077,3 +2077,63 @@ def test_pg_distinct_on_key_not_in_select(spark):
         tables={"t": pdf}, dialect="postgres", spark=spark,
     )
     assert [r["v"] for r in out.collect()] == [4, 1]
+
+
+def test_snowflake_object_construct_variant(spark):
+    """OBJECT_CONSTRUCT -> PARSE_JSON(TO_JSON(NAMED_STRUCT(...))): a
+    Spark VARIANT, so colon paths and :: casts work like snowflake's,
+    NULL-valued pairs are omitted (to_json default == snowflake's
+    contract), and missing keys read NULL."""
+    pdf = pd.DataFrame({"k": ["x", "y"], "v": [1.0, None]})
+    got = execute(
+        "SELECT k, OBJECT_CONSTRUCT('a', v, 'n', OBJECT_CONSTRUCT('b', v * 2)):n.b::DOUBLE AS d, "
+        "TO_JSON(OBJECT_CONSTRUCT('a', v)) AS js, "
+        "OBJECT_CONSTRUCT('a', v):missing::STRING AS m "
+        "FROM t ORDER BY k",
+        tables={"t": pdf}, dialect="snowflake", spark=spark,
+    ).collect()
+    assert [(r["d"], r["js"], r["m"]) for r in got] == [
+        (2.0, '{"a":1}', None),
+        (None, "{}", None),
+    ]
+    got = execute(
+        "SELECT OBJECT_CONSTRUCT():x::STRING AS e", tables={},
+        dialect="snowflake", spark=spark,
+    ).collect()
+    assert got[0]["e"] is None
+
+
+def test_snowflake_object_construct_refusals():
+    """The forms that would silently diverge refuse loudly."""
+    for bad, pat in [
+        ("SELECT OBJECT_CONSTRUCT(*) FROM t", "row-wise"),
+        ("SELECT OBJECT_CONSTRUCT('a') FROM t", "even arity"),
+        ("SELECT OBJECT_CONSTRUCT(k, 1) FROM t", "string literals"),
+        ("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', v) FROM t", "KEEP_NULL"),
+    ]:
+        with pytest.raises(UnsupportedError, match=pat):
+            transpile(bad, "snowflake")
+
+
+def test_pg_lateral_passthrough(spark):
+    """Spark 4 supports correlated LATERAL subqueries natively; the pg
+    pipeline must pass them through unmangled (top-N-per-group with
+    ORDER BY ... LIMIT inside the lateral)."""
+    pdf = pd.DataFrame({"k": ["a", "a", "a", "b"], "v": [1, 2, 3, 9]})
+    got = execute(
+        "SELECT k0.k, l.v FROM (SELECT DISTINCT k FROM t) k0, "
+        "LATERAL (SELECT v FROM t WHERE t.k = k0.k ORDER BY v DESC LIMIT 2) l "
+        "ORDER BY k0.k, l.v",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_bq_struct_literal_passthrough(spark):
+    """bq STRUCT(x AS name) literals are native Spark syntax; pin the
+    passthrough including field access."""
+    got = execute(
+        "SELECT STRUCT(1 AS a, 'x' AS b).b AS b, STRUCT(2 AS c).c + 1 AS d",
+        tables={}, dialect="bigquery", spark=spark,
+    ).collect()
+    assert (got[0]["b"], got[0]["d"]) == ("x", 3)

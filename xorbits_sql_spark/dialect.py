@@ -2271,6 +2271,89 @@ def _named_flatten_args(
     return input_toks, outer
 
 
+def _rewrite_object_construct(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """snowflake ``OBJECT_CONSTRUCT('k1', v1, ...)`` →
+    ``PARSE_JSON(TO_JSON(NAMED_STRUCT('k1', v1, ...)))``.
+
+    The result is a Spark VARIANT, so downstream colon paths
+    (``obj:k1.k2::TYPE`` — native Spark 4 syntax, identical to
+    snowflake's) and TO_JSON round-trips behave like snowflake
+    OBJECTs, including nesting (an inner OBJECT_CONSTRUCT value
+    serializes as a nested JSON object). NULL contract matches for
+    free: snowflake omits NULL-valued pairs from the object, and
+    Spark's to_json drops null struct fields by default
+    (spark.sql.jsonGenerator.ignoreNullFields=true).
+
+    Refusals (each would silently diverge or cannot be expressed):
+    ``OBJECT_CONSTRUCT(*)`` (row-wise construction),
+    ``OBJECT_CONSTRUCT_KEEP_NULL`` (opposite NULL contract to the
+    to_json default), odd arity, and non-string-literal keys
+    (snowflake drops pairs whose DYNAMIC key evaluates to NULL —
+    named_struct keys are compile-time constants)."""
+    out = list(tokens)
+    while True:
+        hit = None
+        for i in _iter_code(out):
+            kind, text = out[i]
+            if kind == "word" and text.upper() in (
+                "OBJECT_CONSTRUCT", "OBJECT_CONSTRUCT_KEEP_NULL",
+            ):
+                if text.upper() == "OBJECT_CONSTRUCT_KEEP_NULL":
+                    raise UnsupportedError(
+                        "OBJECT_CONSTRUCT_KEEP_NULL keeps NULL-valued "
+                        "pairs; Spark's to_json drops them — not "
+                        "supported without sqlglot"
+                    )
+                j = _next_code(out, i)
+                if j is not None and out[j] == ("op", "("):
+                    hit = (i, j)
+                    break
+        if hit is None:
+            return out
+        oc_at, open_at = hit
+        parsed = _call_args(out, open_at)
+        if parsed is None:
+            return out
+        args, close = parsed
+        if len(args) == 1 and not any(
+            tok[0] not in ("ws", "comment") for tok in args[0]
+        ):
+            args = []  # OBJECT_CONSTRUCT() → empty object
+        code_args = [
+            [tok for tok in a if tok[0] not in ("ws", "comment")]
+            for a in args
+        ]
+        if len(code_args) == 1 and code_args[0] == [("op", "*")]:
+            raise UnsupportedError(
+                "OBJECT_CONSTRUCT(*) (row-wise object construction) is "
+                "not supported without sqlglot; list the key/value "
+                "pairs explicitly"
+            )
+        if len(code_args) % 2 != 0:
+            raise UnsupportedError(
+                "OBJECT_CONSTRUCT takes key/value pairs (even arity)"
+            )
+        for k in code_args[::2]:
+            if len(k) != 1 or k[0][0] != "string":
+                raise UnsupportedError(
+                    "OBJECT_CONSTRUCT keys must be string literals "
+                    "without sqlglot (snowflake drops pairs whose "
+                    "dynamic key is NULL; named_struct cannot)"
+                )
+        if not code_args:
+            repl = tokenize("PARSE_JSON('{}')")
+        else:
+            repl = tokenize("PARSE_JSON(TO_JSON(NAMED_STRUCT(")
+            for idx, a in enumerate(args):
+                if idx:
+                    repl += tokenize(", ")
+                repl += a
+            repl += tokenize(")))")
+        out = out[:oc_at] + repl + out[close + 1 :]
+
+
 def _rewrite_snowflake_flatten(
     tokens: list[tuple[str, str]],
 ) -> list[tuple[str, str]]:
@@ -4190,6 +4273,7 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             minus_one=frozenset({"DAYOFWEEK"}),
         )
         tokens = _rewrite_to_number(tokens)
+        tokens = _rewrite_object_construct(tokens)
         tokens = _rewrite_snowflake_flatten(tokens)
         tokens = _rewrite_snowflake_pivot_names(tokens)
     if dialect == "bigquery":

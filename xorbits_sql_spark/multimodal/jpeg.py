@@ -13,10 +13,17 @@ same way ``png.py`` does for PNG.
 Decoder supports: baseline sequential (SOF0), 8-bit, grayscale and
 3-component YCbCr, chroma subsampling up to 2x2 (4:4:4 / 4:2:2 /
 4:2:0), multiple DQT/DHT segments, restart intervals (DRI + RSTn),
-APPn/COM skipping. Rejected with ``JpegError``: progressive (SOF2)
+APPn/COM skipping, and EXIF orientation (tag 0x0112 parsed from APP1
+via ``exif_orientation``; ``apply_orientation`` uprights decoded
+pixels — web corpora carry camera rotation as metadata, not rotated
+pixels). Rejected with ``JpegError``: progressive (SOF2)
 and every other non-baseline frame type, arithmetic coding, 12-bit
 precision, 4-component CMYK — real deployments swap PIL/libjpeg-turbo
 into ``media.decode_image`` for those (and for SIMD speed).
+Round-9 decision (per the round-8 verdict): the JPEG story is
+finished in preference to starting MP4 — a real container parser is
+large, the PNGV video path already proves the pipeline shape, and
+EXIF orientation closes the last correctness gap real corpora hit.
 
 Encoder emits baseline sequential with the Annex K quantization and
 Huffman tables (quality-scaled via the public libjpeg formula),
@@ -728,3 +735,114 @@ def encode_jpeg(
     bw.flush()
     out += bw.out + b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (round-9 JPEG-story hardening). Web corpora carry
+# camera rotation as metadata, not rotated pixels: a decode pipeline
+# that ignores tag 0x0112 trains on sideways images. Only the
+# orientation tag is parsed — full EXIF is a library's job.
+
+
+def make_exif_app1(orientation: int) -> bytes:
+    """Minimal APP1 Exif segment carrying only the orientation tag
+    (TIFF 6.0 big-endian, one IFD0 entry: tag 0x0112, SHORT, count 1).
+    Splice after SOI to tag encoder output — this repo generates its
+    own fixtures (no JPEGs ship in the container)."""
+    if not 1 <= orientation <= 8:
+        raise JpegError(f"EXIF orientation must be 1..8, got {orientation}")
+    tiff = (
+        b"MM\x00\x2a\x00\x00\x00\x08"  # big-endian, magic 42, IFD0 @8
+        + b"\x00\x01"  # 1 entry
+        + struct.pack(">HHI", 0x0112, 3, 1)  # tag, SHORT, count
+        + struct.pack(">HH", orientation, 0)  # value, pad
+        + b"\x00\x00\x00\x00"  # next-IFD offset: none
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def exif_orientation(data: bytes) -> int | None:
+    """EXIF orientation (1..8) from the first APP1 Exif segment of a
+    JPEG stream, or None when absent or malformed.
+
+    Orientation is ADVISORY metadata — a malformed EXIF blob returns
+    None rather than raising (the pixels still decode); only values
+    1..8 are meaningful per TIFF 6.0 / EXIF 2.3 tag 0x0112."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no EXIF past here
+            return None
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            return None
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return _parse_tiff_orientation(
+                data[pos + 10 : pos + 2 + seg_len]
+            )
+        pos += 2 + seg_len
+    return None
+
+
+def _parse_tiff_orientation(tiff: bytes) -> int | None:
+    if len(tiff) < 8:
+        return None
+    if tiff[:2] == b"II":
+        endian = "<"
+    elif tiff[:2] == b"MM":
+        endian = ">"
+    else:
+        return None
+    try:
+        magic, ifd0 = struct.unpack(endian + "HI", tiff[2:8])
+        if magic != 42 or ifd0 + 2 > len(tiff):
+            return None
+        (count,) = struct.unpack(endian + "H", tiff[ifd0 : ifd0 + 2])
+        for k in range(count):
+            off = ifd0 + 2 + 12 * k
+            if off + 12 > len(tiff):
+                return None
+            tag, typ, cnt = struct.unpack(endian + "HHI", tiff[off : off + 8])
+            if tag == 0x0112 and typ == 3 and cnt == 1:
+                (val,) = struct.unpack(endian + "H", tiff[off + 8 : off + 10])
+                return val if 1 <= val <= 8 else None
+    except struct.error:
+        return None
+    return None
+
+
+def apply_orientation(pixels: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Upright an HxWxC (or HxW) pixel array per EXIF orientation:
+    1 = as-is, 2 = mirror-H, 3 = rotate 180, 4 = mirror-V,
+    5 = mirror-H + rotate 270 CW, 6 = rotate 90 CW,
+    7 = mirror-H + rotate 90 CW, 8 = rotate 270 CW.
+    None and 1 return the input unchanged; the output is a copy
+    otherwise (C-contiguous, safe to .tobytes())."""
+    if orientation in (None, 1):
+        return pixels
+    if orientation == 2:
+        out = pixels[:, ::-1]
+    elif orientation == 3:
+        out = pixels[::-1, ::-1]
+    elif orientation == 4:
+        out = pixels[::-1, :]
+    elif orientation == 5:
+        out = np.rot90(pixels[:, ::-1], 1)
+    elif orientation == 6:
+        out = np.rot90(pixels, -1)
+    elif orientation == 7:
+        out = np.rot90(pixels[:, ::-1], -1)
+    elif orientation == 8:
+        out = np.rot90(pixels, 1)
+    else:
+        raise JpegError(f"EXIF orientation must be 1..8, got {orientation}")
+    return np.ascontiguousarray(out)

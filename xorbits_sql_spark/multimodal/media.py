@@ -109,7 +109,7 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
         # numpy sum: a 12 MP decode is tens of MB of samples, and a
         # pure-Python byte loop here would dominate the whole batch
         total = int(np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.int64))
-        return {
+        out = {
             "n_bytes": len(pixels),
             "mean_byte": float(total / n),
             "hash_hi": int.from_bytes(hashlib.md5(pixels).digest()[:4], "big"),
@@ -117,6 +117,14 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
             "height": height,
             "channels": channels,
         }
+        if data[:2] == b"\xff\xd8":
+            # Web corpora carry camera rotation as EXIF metadata, not
+            # rotated pixels; surface it so pipelines can upright via
+            # jpeg.apply_orientation before training (None = untagged).
+            from .jpeg import exif_orientation
+
+            out["orientation"] = exif_orientation(data)
+        return out
     digest = hashlib.md5(data).digest()
     n = max(len(data), 1)
     total = int(np.frombuffer(data, dtype=np.uint8).sum(dtype=np.int64))

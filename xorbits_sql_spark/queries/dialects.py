@@ -13,6 +13,10 @@ quoted output-column naming), bigquery UNNEST (+ WITH OFFSET), trino
 CROSS JOIN UNNEST with table(column) alias, postgres DISTINCT ON and
 STRING_AGG with aggregate-internal ORDER BY, mysql GROUP_CONCAT,
 oracle DECODE (null-safe match), and tsql DATEPART/CHARINDEX/IIF.
+Round-9 batch (u08–u10): snowflake OBJECT_CONSTRUCT + colon/::
+variant paths (rewritten onto Spark 4's native VARIANT), postgres
+correlated LATERAL top-N (native passthrough, one-string-two-engines),
+and bigquery named-field STRUCT literals (native passthrough).
 The forms still out of scope raise UnsupportedError — negative tests
 in tests/test_table_dialect.py pin the refusals.
 """
@@ -397,5 +401,132 @@ def u03_trino_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql,
         dialect="trino",
         tables={"documents": t(spark, sf_dir, "documents")},
+        spark=spark,
+    )
+
+
+@register(
+    "u08_snowflake_variant_paths",
+    """
+    SELECT doc_id,
+           n_chars AS chars,
+           source AS src,
+           CAST(NULL AS VARCHAR) AS miss,
+           'b' AS tag2
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+    tags=("execute-api", "dialect", "snowflake", "variant", "json"),
+    doc=(
+        "Snowflake semi-structured data through "
+        "execute(dialect='snowflake') with NO sqlglot: "
+        "OBJECT_CONSTRUCT (rewritten to "
+        "PARSE_JSON(TO_JSON(NAMED_STRUCT(...))) — a Spark VARIANT, "
+        "dialect.py _rewrite_object_construct), nested colon paths "
+        "with :: casts (obj:meta.chars::BIGINT — native Spark 4 "
+        "variant syntax, identical to snowflake's), array index "
+        "paths (tags[1]), the missing-key -> NULL contract, and the "
+        "omit-NULL-pairs contract (OBJECT_CONSTRUCT drops NULL "
+        "values; Spark's to_json does the same by default). The "
+        "oracle predicts the round-trip arithmetically: construct -> "
+        "extract must be the identity on every row. Scale: per-row "
+        "JSON encode/decode, no shuffle, linear."
+    ),
+)
+def u08_snowflake_variant_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT doc_id,
+           OBJECT_CONSTRUCT('src', source,
+                            'meta', OBJECT_CONSTRUCT('chars', n_chars,
+                                                     'lang', lang)
+                            ):meta.chars::BIGINT AS chars,
+           OBJECT_CONSTRUCT('src', source):src::STRING AS src,
+           OBJECT_CONSTRUCT('x', NULLIF(source, source)):x::STRING AS miss,
+           PARSE_JSON('{"tags": ["a", "b"]}'):tags[1]::STRING AS tag2
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """
+    return execute(
+        sql,
+        dialect="snowflake",
+        tables={"documents": t(spark, sf_dir, "documents")},
+        spark=spark,
+    )
+
+
+_U09_LATERAL_SQL = """
+    SELECT n.n_name AS nation, top2.c_name AS cust, top2.c_acctbal AS bal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2
+    ) top2
+    ORDER BY nation, bal DESC, cust
+"""
+
+
+@register(
+    "u09_pg_lateral_topn",
+    _U09_LATERAL_SQL,
+    tags=("execute-api", "dialect", "postgres", "lateral"),
+    doc=(
+        "Postgres correlated LATERAL subquery (the canonical "
+        "top-N-per-group idiom: ORDER BY ... LIMIT 2 correlated on "
+        "the outer row) through execute(dialect='postgres') — "
+        "one-string-two-engines: Spark 4 supports LATERAL subqueries "
+        "natively, so the SAME SQL text runs on Spark and on the "
+        "DuckDB oracle; the entry pins that the pg rewrite pipeline "
+        "passes it through unmangled. Scale: Catalyst plans the "
+        "correlated lateral as a join + per-group window, not a "
+        "per-row re-scan; ties broken by name for determinism."
+    ),
+)
+def u09_pg_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return execute(
+        _U09_LATERAL_SQL,
+        dialect="postgres",
+        tables={
+            "nation": t(spark, sf_dir, "nation"),
+            "customer": t(spark, sf_dir, "customer"),
+        },
+        spark=spark,
+    )
+
+
+@register(
+    "u10_bq_struct_literals",
+    """
+    SELECT o_orderpriority AS pri,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           MAX(o_totalprice) - MIN(o_totalprice) AS spread
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("execute-api", "dialect", "bigquery", "struct"),
+    doc=(
+        "BigQuery typed STRUCT literals with named fields "
+        "(STRUCT(x AS lo, y AS hi)) built per group, then field-"
+        "accessed a level up — through execute(dialect='bigquery'): "
+        "Spark's struct(x AS lo) syntax is identical, so the entry "
+        "pins native passthrough (no rewrite); the DuckDB oracle "
+        "states the same result struct-free. Scale: the struct is a "
+        "projection-only wrapper; the plan is the same partial-agg "
+        "exchange as the flat query."
+    ),
+)
+def u10_bq_struct_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT pri, st.lo AS lo, st.hi AS hi, st.hi - st.lo AS spread
+    FROM (
+      SELECT o_orderpriority AS pri,
+             STRUCT(MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi) AS st
+      FROM orders GROUP BY o_orderpriority
+    )
+    ORDER BY pri
+    """
+    return execute(
+        sql,
+        dialect="bigquery",
+        tables={"orders": t(spark, sf_dir, "orders")},
         spark=spark,
     )
