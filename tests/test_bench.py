@@ -120,3 +120,38 @@ def test_near_miss_repeats_are_escalated_in_baseline_md():
         f"near-miss repeats {unescalated} lack a BASELINE.md re-time entry "
         f"(full repeat map: {repeats})"
     )
+
+
+def test_git_provenance_excludes_bench_artifacts(tmp_path):
+    """Round-9 protocol fix: BENCH_HISTORY/BENCH_LOCAL became tracked
+    in round 8, after which every bench run dirtied the tree for the
+    NEXT run and the 3-clean-run median anchor could never be
+    satisfied. bench's own output artifacts must not count as
+    dirtiness; any other tracked modification must."""
+    import subprocess
+
+    import bench
+
+    def git(*args):
+        subprocess.run(["git", *args], cwd=tmp_path, check=True,
+                       capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    for name in ("BENCH_HISTORY.jsonl", "BENCH_LOCAL.json", "code.py"):
+        (tmp_path / name).write_text("x\n")
+    git("add", "-A")
+    git("commit", "-q", "-m", "init")
+    sha, dirty = bench._git_provenance(str(tmp_path))
+    assert len(sha) == 40 and not dirty
+    # bench artifacts modified -> still clean
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text("y\n")
+    (tmp_path / "BENCH_LOCAL.json").write_text("y\n")
+    assert bench._git_provenance(str(tmp_path)) == (sha, False)
+    # untracked file -> still clean (can't change timings)
+    (tmp_path / "scratch.txt").write_text("z\n")
+    assert bench._git_provenance(str(tmp_path)) == (sha, False)
+    # real code modification -> dirty
+    (tmp_path / "code.py").write_text("changed\n")
+    assert bench._git_provenance(str(tmp_path)) == (sha, True)
