@@ -137,8 +137,12 @@ from xorbits_sql_spark.queries import load_all
 # the local canonicalizer now signed-zero-strict (tests/oracle.py) so
 # the class can't ship again. Per the standing re-entry rule t66 stays
 # OUT of _DRIVER_GREEN and re-enters the round-9 window, followed by
-# the four unfrozen u04..u07 entries; the remaining ~45 slots
-# re-verify rotated greens.
+# the four unfrozen u04..u07 entries and the round-9 dialect-widening
+# batch u08..u10 (snowflake OBJECT_CONSTRUCT/variant paths, pg
+# LATERAL top-N, bq STRUCT literals); the remaining ~42 slots
+# re-verify rotated greens. Round-10 playbook: if CORRECTNESS_r09 is
+# green on t66 + u04..u10, add them to _DRIVER_GREEN (extend the u
+# range to u10); any red re-enters the r10 window first, as always.
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
     + [f"q{i}" for i in range(30, 100)]
