@@ -352,3 +352,32 @@ def test_media_udfs_tolerate_null_payloads(spark):
     assert tr.loc[1, "media"] is not None and tr.loc[2, "media"] is None
     fr = explode_frames(df, 3).toPandas()
     assert set(fr["id"]) == {1} and len(fr) == 3
+
+
+def test_decode_image_orientation_key_schema_stable(spark):
+    """decode_image returns 'orientation' on EVERY path (None outside
+    JPEG) so pd.DataFrame over a mixed-codec batch gets a stable column
+    set, and extract_media_features surfaces it as a typed column."""
+    import pandas as pd
+
+    from xorbits_sql_spark.multimodal.jpeg import encode_jpeg, make_exif_app1
+    from xorbits_sql_spark.multimodal.png import encode_png
+
+    png = encode_png(2, 2, 1, bytes(4))
+    jpg = encode_jpeg(8, 8, 1, bytes([128]) * 64, quality=90)
+    jpg_rot = jpg[:2] + make_exif_app1(6) + jpg[2:]
+    assert decode_image(png)["orientation"] is None
+    assert decode_image(jpg)["orientation"] is None  # untagged
+    assert decode_image(jpg_rot)["orientation"] == 6
+    assert decode_image(b"whatever", fake=True)["orientation"] is None
+    # frame-building consumers: one column set across a mixed batch
+    cols = {frozenset(decode_image(p).keys()) for p in (png, jpg, jpg_rot)}
+    assert len(cols) == 1
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "media": [png, jpg_rot, None]})
+    )
+    feats = extract_media_features(df, fake=False).toPandas().set_index("id")
+    assert "orientation" in feats.columns
+    assert pd.isna(feats.loc[1, "orientation"])
+    assert feats.loc[2, "orientation"] == 6
+    assert pd.isna(feats.loc[3, "orientation"])

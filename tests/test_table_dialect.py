@@ -2110,9 +2110,41 @@ def test_snowflake_object_construct_refusals():
         ("SELECT OBJECT_CONSTRUCT('a') FROM t", "even arity"),
         ("SELECT OBJECT_CONSTRUCT(k, 1) FROM t", "string literals"),
         ("SELECT OBJECT_CONSTRUCT_KEEP_NULL('a', v) FROM t", "KEEP_NULL"),
+        # snowflake keeps a last-wins single key; NAMED_STRUCT→TO_JSON
+        # would emit duplicate JSON keys (engine-dependent extraction)
+        ("SELECT OBJECT_CONSTRUCT('a', 1, 'a', 2) FROM t", "duplicate"),
+        ("SELECT OBJECT_CONSTRUCT('a', 1, 'b', 2, 'a', 3) FROM t", "duplicate"),
     ]:
         with pytest.raises(UnsupportedError, match=pat):
             transpile(bad, "snowflake")
+    # case-SENSITIVE comparison: 'a' and 'A' are distinct snowflake keys
+    out = transpile("SELECT OBJECT_CONSTRUCT('a', 1, 'A', 2) FROM t", "snowflake")
+    assert "NAMED_STRUCT" in out.upper()
+
+
+def test_snowflake_object_construct_null_conf_pinned(spark):
+    """The OBJECT_CONSTRUCT rewrite's omit-NULL-pairs parity depends on
+    spark.sql.jsonGenerator.ignoreNullFields=true (the Spark default).
+    execute() must refuse under a session that set it false — the
+    alternative is TO_JSON keeping null struct fields and the result
+    silently diverging from snowflake."""
+    pdf = pd.DataFrame({"v": [1.0, None]})
+    sql = "SELECT TO_JSON(OBJECT_CONSTRUCT('a', v)) AS js FROM t ORDER BY js"
+    spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", "false")
+    try:
+        with pytest.raises(UnsupportedError, match="ignoreNullFields"):
+            execute(sql, tables={"t": pdf}, dialect="snowflake", spark=spark)
+        # scoped: native Spark SQL with the same shape honors the
+        # user's conf (that IS the requested semantics), no refusal
+        got = execute(
+            "SELECT TO_JSON(NAMED_STRUCT('a', CAST(NULL AS DOUBLE))) AS js",
+            tables={}, spark=spark,
+        ).collect()
+        assert got[0]["js"] == '{"a":null}'
+    finally:
+        spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", "true")
+    got = execute(sql, tables={"t": pdf}, dialect="snowflake", spark=spark).collect()
+    assert sorted(r["js"] for r in got) == ['{"a":1}', "{}"]
 
 
 def test_pg_lateral_passthrough(spark):

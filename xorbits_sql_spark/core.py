@@ -23,7 +23,7 @@ from typing import Any, Mapping
 from pyspark.sql import DataFrame, SparkSession
 
 from . import dialect as _dialect
-from .errors import ExecuteError, TableNotFoundError
+from .errors import ExecuteError, TableNotFoundError, UnsupportedError
 from .session import get_spark
 from .sources.readers import register_csv_reads
 from .table import register_tables
@@ -322,6 +322,26 @@ def execute(
     text = register_csv_reads(spark, sql, schema, dialect=dialect)
     text = _dialect.transpile(text, dialect)
     text = _rewrite_qualified_names(text, registered)
+
+    # The snowflake OBJECT_CONSTRUCT rewrite (and any explicit
+    # TO_JSON(NAMED_STRUCT(...)) a snowflake query reaches Spark with)
+    # matches snowflake's omit-NULL-pairs OBJECT contract only under
+    # spark.sql.jsonGenerator.ignoreNullFields=true — the Spark
+    # default, but a session conf, so assert it rather than silently
+    # diverge. Scoped to the snowflake dialect: in native Spark SQL the
+    # user's conf choice IS the requested semantics.
+    if (dialect or "").lower() == "snowflake" and _dialect.emits_variant_object(text):
+        flag = str(
+            spark.conf.get("spark.sql.jsonGenerator.ignoreNullFields", "true")
+        ).lower()
+        if flag != "true":
+            raise UnsupportedError(
+                "snowflake OBJECT_CONSTRUCT requires "
+                "spark.sql.jsonGenerator.ignoreNullFields=true (the Spark "
+                "default): with it false, TO_JSON keeps NULL struct fields "
+                "and the result silently diverges from snowflake's "
+                "omit-NULL-pairs contract"
+            )
 
     # Multi-statement scripts (CREATE TEMP VIEW …; SELECT …) run
     # sequentially — Spark's sql() takes ONE statement — and the LAST

@@ -2335,6 +2335,7 @@ def _rewrite_object_construct(
             raise UnsupportedError(
                 "OBJECT_CONSTRUCT takes key/value pairs (even arity)"
             )
+        seen_keys: set[str] = set()
         for k in code_args[::2]:
             if len(k) != 1 or k[0][0] != "string":
                 raise UnsupportedError(
@@ -2342,6 +2343,18 @@ def _rewrite_object_construct(
                     "without sqlglot (snowflake drops pairs whose "
                     "dynamic key is NULL; named_struct cannot)"
                 )
+            # snowflake keeps a single last-wins entry per key;
+            # NAMED_STRUCT→TO_JSON would emit duplicate JSON keys whose
+            # variant-path extraction is engine-dependent — refuse like
+            # the other silent-divergence forms. Comparison is on the
+            # literal token text (case-sensitive, like snowflake keys).
+            if k[0][1] in seen_keys:
+                raise UnsupportedError(
+                    f"duplicate OBJECT_CONSTRUCT key {k[0][1]}: snowflake "
+                    "keeps the last pair, but NAMED_STRUCT->TO_JSON emits "
+                    "duplicate JSON keys — not supported without sqlglot"
+                )
+            seen_keys.add(k[0][1])
         if not code_args:
             repl = tokenize("PARSE_JSON('{}')")
         else:
@@ -4038,6 +4051,31 @@ def _rewrite_fn_to_extract(
 
 def has_sqlglot() -> bool:
     return _HAS_SQLGLOT
+
+
+def emits_variant_object(sql: str) -> bool:
+    """True when Spark SQL text contains ``TO_JSON(NAMED_STRUCT(`` —
+    the shape ``_rewrite_object_construct`` emits for snowflake
+    ``OBJECT_CONSTRUCT``. ``execute()`` uses this to pin the rewrite's
+    NULL contract: omit-NULL-pairs parity with snowflake depends on
+    ``spark.sql.jsonGenerator.ignoreNullFields=true`` (the Spark
+    default); a session that set it false would keep null struct
+    fields and silently diverge."""
+    tokens = tokenize_spark(sql)
+    for i in _iter_code(tokens):
+        kind, text = tokens[i]
+        if kind == "word" and text.upper() == "TO_JSON":
+            j = _next_code(tokens, i)
+            if j is None or tokens[j] != ("op", "("):
+                continue
+            k = _next_code(tokens, j)
+            if (
+                k is not None
+                and tokens[k][0] == "word"
+                and tokens[k][1].upper() == "NAMED_STRUCT"
+            ):
+                return True
+    return False
 
 
 def transpile(sql: str, dialect: str | None = None) -> str:

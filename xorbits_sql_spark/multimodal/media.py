@@ -109,6 +109,10 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
         # numpy sum: a 12 MP decode is tens of MB of samples, and a
         # pure-Python byte loop here would dominate the whole batch
         total = int(np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.int64))
+        # 'orientation' is present in EVERY return path (None when the
+        # codec has no EXIF concept) so consumers building frames from
+        # these dicts (pd.DataFrame(feats)) get a stable column set
+        # regardless of the payload mix in a batch.
         out = {
             "n_bytes": len(pixels),
             "mean_byte": float(total / n),
@@ -116,6 +120,7 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
             "width": width,
             "height": height,
             "channels": channels,
+            "orientation": None,
         }
         if data[:2] == b"\xff\xd8":
             # Web corpora carry camera rotation as EXIF metadata, not
@@ -132,6 +137,7 @@ def decode_image(data: bytes, fake: bool = False) -> dict:
         "n_bytes": len(data),
         "mean_byte": float(total / n),
         "hash_hi": int.from_bytes(digest[:4], "big"),
+        "orientation": None,
     }
 
 
@@ -334,9 +340,12 @@ def extract_media_features(
 ) -> DataFrame:
     """Per-payload feature extraction via Arrow-batched mapInPandas.
 
-    Output: (id, n_bytes, mean_byte, hash_hi). The UDF sees pandas
-    batches, not rows — the decode loop is pure Python per batch but
-    crosses the JVM/Python boundary once per Arrow batch only.
+    Output: (id, n_bytes, mean_byte, hash_hi, orientation). The UDF
+    sees pandas batches, not rows — the decode loop is pure Python per
+    batch but crosses the JVM/Python boundary once per Arrow batch
+    only. ``orientation`` is the EXIF rotation tag for JPEG payloads
+    and NULL otherwise (decode_image returns the key on every path, so
+    the column is schema-stable across mixed-codec batches).
     """
     out_schema = T.StructType(
         [
@@ -344,6 +353,7 @@ def extract_media_features(
             T.StructField("n_bytes", T.LongType()),
             T.StructField("mean_byte", T.DoubleType()),
             T.StructField("hash_hi", T.LongType()),
+            T.StructField("orientation", T.IntegerType()),
         ]
     )
 
@@ -362,6 +372,10 @@ def extract_media_features(
                     "n_bytes": [f["n_bytes"] if f else None for f in feats],
                     "mean_byte": [f["mean_byte"] if f else None for f in feats],
                     "hash_hi": [f["hash_hi"] if f else None for f in feats],
+                    "orientation": pd.array(
+                        [f["orientation"] if f else None for f in feats],
+                        dtype="Int32",
+                    ),
                 }
             )
 
