@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from _driver_ledger import LAST_GREEN_ROUND
 from xorbits_sql_spark.queries import load_all
 
 # Round-rotation of the exposed registry names.
@@ -143,9 +144,31 @@ from xorbits_sql_spark.queries import load_all
 # re-verify rotated greens. Round-10 playbook: if CORRECTNESS_r09 is
 # green on t66 + u04..u10, add them to _DRIVER_GREEN (extend the u
 # range to u10); any red re-enters the r10 window first, as always.
+# Round 10 (EXECUTED): CORRECTNESS_r09 was 50/50 green — t66 (re-entry,
+# signed-zero fix driver-verified), u04..u10, and 42 rotated greens —
+# so t66 + u04..u10 join _DRIVER_GREEN below. THREE names leave it per
+# the round-9 ADVICE re-entry rule (a green name whose result-affecting
+# definition changed rides a stale record otherwise, the t66 lesson):
+# t93 (pass-2 pair generation went source-sharded in r09, oracle
+# updated to match) and t90/t92 (the r09 signed-zero normalization can
+# change where -0.0 appears in their output). q90 also re-enters: the
+# round-10 ADVICE fix added an 'orientation' column to
+# extract_media_features, changing its (rows-only) result schema. All
+# four lead the r10 window, followed by the round-10 u11+ additions;
+# the remaining slots re-verify rotated greens — now ordered by
+# STALENESS, not rotated-lexical order (round-9 verdict task 1): each
+# green name sorts by its most recent driver-green round
+# (_driver_ledger.LAST_GREEN_ROUND, generated from the committed
+# CORRECTNESS_r*.json by scripts/gen_driver_ledger.py — re-run at round
+# open), oldest first, so re-verification pressure lands where drift
+# would hide longest (the round-2-era names, untouched since r02).
+# Round-11 playbook: if CORRECTNESS_r10 is green on t90/t92/t93/q90 +
+# the u11+ batch, add them back/in; any red re-enters the r11 window
+# first, as always. Regenerate _driver_ledger.py so the staleness
+# ordering sees the r10 rows.
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
-    + [f"q{i}" for i in range(30, 100)]
+    + [f"q{i}" for i in range(30, 100) if i != 90]
     + ["q100"]
     + [f"r{i}" for i in range(46, 51)]
     + ["r55", "r56"]
@@ -153,11 +176,14 @@ _DRIVER_GREEN = frozenset(
     # s01..s99 complete: s47/s68/s81 joined on their r08 rows-only
     # records (r03 ``no_oracle`` precedent), s63 green since r07
     + [f"s{i:02d}" for i in range(1, 100)]
-    # t01..t99 complete except t66 (r08 red — re-enters the r09 window)
-    + [f"t{i:02d}" for i in range(1, 100) if i != 66]
-    # r08 dialect-fidelity batch; u04+ (the round-9 unfreeze and later
-    # additions) are NOT green until a driver row says so
-    + ["u01", "u02", "u03"]
+    # t01..t99 complete (t66 green in r09) except t90/t92/t93 —
+    # r10 re-entries: their result-affecting definitions changed in
+    # r09 (signed-zero normalization / source-sharded pass 2)
+    + [f"t{i:02d}" for i in range(1, 100) if i not in (90, 92, 93)]
+    # dialect-fidelity batches r08 (u01..u03) + r09 (u04..u10, incl.
+    # the unfrozen JPEG entries); u11+ (round-10 additions) are NOT
+    # green until a driver row says so
+    + [f"u{i:02d}" for i in range(1, 11)]
 )
 
 
@@ -166,25 +192,32 @@ def _rotated(name: str) -> str:
 
 
 def _exposed(items):
-    """Registry items sorted by (is-driver-green, has-no-oracle, key).
+    """Registry items sorted by (is-driver-green, staleness, has-no-
+    oracle, key).
 
     The driver consumes the first 50 entries in dict insertion order, so
-    insertion order must equal rotated-lexical order for the z-rotation
-    to actually advance the verification window (see comment above).
+    insertion order must equal this sort order for the z-rotation to
+    actually advance the verification window (see comment above).
     Never-driver-verified entries sort first (greens are already
-    proven — re-verifying one burns a slot), and within each half
+    proven — re-verifying one burns a slot), and within that half
     oracle-bearing entries sort before rows-only ones so slots go to
     hash-verifiable names first (round-3 verdict). Rows-only names
     sort AFTER the full never-verified oracle-paired inventory but
     BEFORE any rotated green — round-7 verdict: once fewer than 50
     oracle-bearing names remain unverified, the spare slots take the
     rows-only checks (r03 ``no_oracle`` precedent) instead of
-    re-verifying greens.
+    re-verifying greens. The GREEN half orders by staleness — most
+    recent driver-green round, oldest first (round-9 verdict task 1) —
+    so the spare slots re-verify where drift would hide longest; ties
+    fall back to (has-no-oracle, rotated key).
     """
     return sorted(
         items,
         key=lambda kv: (
             kv[0].split("_", 1)[0] in _DRIVER_GREEN,
+            LAST_GREEN_ROUND.get(kv[0], 0)
+            if kv[0].split("_", 1)[0] in _DRIVER_GREEN
+            else 0,
             kv[1].oracle is None,
             _rotated(kv[0]),
         ),

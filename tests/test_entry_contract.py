@@ -4,12 +4,15 @@ The driver verifies the FIRST 50 entries of ``queries()`` in dict
 insertion order (proven by CORRECTNESS_r02.json).  Round 2's rotation
 built the dict in canonical-name order, so 43 of 50 slots re-verified
 already-green queries.  These tests pin the fixed behavior: insertion
-order equals (is-driver-green, has-no-oracle, rotated-lexical) order.
-The round-9 window is the t66 re-entry (its r08 red was the
-signed-zero class, fixed this round) + the four unfrozen u04..u07
-entries + the round-9 widening batch (u08..u10), then rotated-green
-re-verifications — every other registry
-name already has a driver row (r01..r08 cumulative ledger).
+order equals (is-driver-green, staleness, has-no-oracle,
+rotated-lexical) order — the green half re-verifies oldest driver-green
+round first (_driver_ledger, round-9 verdict task 1).
+The round-10 window is the t90/t92/t93 re-entries (result-affecting
+definitions changed in r09: signed-zero normalization, source-sharded
+pass 2) + the q90 rows-only re-entry (orientation column added) +
+the round-10 additions, then rotated-green re-verifications by
+staleness — every other registry name already has a driver row
+(r01..r09 cumulative ledger).
 """
 
 from __future__ import annotations
@@ -18,24 +21,24 @@ import importlib
 
 entry_mod = importlib.import_module("__spark_entry__")
 
-# Names with a green (or, for the four rows-only entries, recorded
-# ``no_oracle``) driver CORRECTNESS row in r01..r08.  t66 is excluded:
-# its r08 row was red (signed zero) and it re-enters the r09 window.
+# Names with a green (or, for rows-only entries, recorded
+# ``no_oracle``) driver CORRECTNESS row in r01..r09, minus the round-10
+# re-entries: t90/t92/t93 (definitions changed in r09) and q90 (schema
+# changed in round 10).
 _VERIFIED_PREFIXES = (
     {f"q{i:02d}" for i in range(1, 28)}
-    | {f"q{i}" for i in range(30, 100)}
+    | {f"q{i}" for i in range(30, 100) if i != 90}
     | {"q100"}
     | {f"r{i}" for i in range(46, 51)}
     | {"r55", "r56"}
     | {f"r{i}" for i in range(57, 100)}
     | {f"s{i:02d}" for i in range(1, 100)}
-    | {f"t{i:02d}" for i in range(1, 100) if i != 66}
-    | {"u01", "u02", "u03"}
+    | {f"t{i:02d}" for i in range(1, 100) if i not in (90, 92, 93)}
+    | {f"u{i:02d}" for i in range(1, 11)}
 )
 
-# Round 9: every rows-only entry has its driver record (r08), so the
-# never-verified set is oracle-bearing only.
-_ROWS_ONLY_FRESH: list[str] = []
+# Round 10: q90 re-enters on its schema change (rows-only record).
+_ROWS_ONLY_FRESH: list[str] = ["q90_multimodal_features"]
 
 
 def test_first_50_insertion_order_are_never_verified():
@@ -48,22 +51,18 @@ def test_first_50_insertion_order_are_never_verified():
         k for k in keys if not k.startswith("z") and k not in oracles
     )
     assert fresh_rows_only == _ROWS_ONLY_FRESH
-    # Round-9 window: the t66 re-entry + the unfrozen u04..u07 lead;
-    # the remaining slots re-verify rotated greens.
-    assert fresh_oracle == [
-        "t66_forecast_reconciliation",
-        "u04_jpeg_decode_stats",
-        "u05_jpeg_resize_roundtrip",
-        "u06_pg_dialect_weekday_rollup",
-        "u07_bq_dialect_boundary_datediff",
-        "u08_snowflake_variant_paths",
-        "u09_pg_lateral_topn",
-        "u10_bq_struct_literals",
+    # Round-10 window: the t90/t92/t93 re-entries lead, then the q90
+    # rows-only re-entry; the remaining slots re-verify rotated greens.
+    assert fresh_oracle[:3] == [
+        "t90_dedup_review_queue",
+        "t92_chao1_vocabulary_richness",
+        "t93_dedup_idempotence_audit",
     ]
-    assert window[: len(fresh_oracle)] == fresh_oracle
-    assert prefixes[0] == "t66"
+    n_fresh = len(fresh_oracle) + len(fresh_rows_only)
+    assert window[:n_fresh] == fresh_oracle + fresh_rows_only
+    assert prefixes[0] == "t90"
     # ...and the spare slots go to rotated (already-green) names.
-    assert all(k.startswith("z") for k in window[len(fresh_oracle):])
+    assert all(k.startswith("z") for k in window[n_fresh:])
 
 
 def test_rotated_names_cover_all_driver_green():
@@ -92,7 +91,20 @@ def test_rotated_names_cover_all_driver_green():
 def test_insertion_order_is_green_last_then_no_oracle_then_lexical():
     keys = list(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
-    expected = sorted(keys, key=lambda k: (k.startswith("z"), k not in oracles, k))
+    # inverse rotation: exposed z-name -> registry name (unique; the
+    # collision guard in queries() enforces it)
+    inv = {"z" + n[1:]: n for n in entry_mod.load_all()}
+    expected = sorted(
+        keys,
+        key=lambda k: (
+            k.startswith("z"),
+            entry_mod.LAST_GREEN_ROUND.get(inv.get(k, k), 0)
+            if k.startswith("z")
+            else 0,
+            k not in oracles,
+            k,
+        ),
+    )
     assert keys == expected
     # Within each (green, oracle) group the order is lexical, so the
     # rotation window advances deterministically round to round.
@@ -116,7 +128,7 @@ def test_oracle_keys_subset_of_query_keys():
         "z52_stream_window_percentiles",
         "z82_stream_running_totals",
         "z89_distinct_sketch",
-        "z90_multimodal_features",
+        "q90_multimodal_features",  # re-entering (round-10 schema change)
         "z91_multimodal_frames",
         "z93_approx_ntile",
     }

@@ -62,7 +62,9 @@ def test_oracle_parity(name, spark, duck):
 ROWS_ONLY_SCHEMAS = {
     "q82_stream_running_totals": "struct<user_id:bigint,n_events:bigint,total_value:double>",
     "q89_distinct_sketch": "struct<event_type:string,approx_users:bigint,hll_users:bigint,exact_users:bigint>",
-    "q90_multimodal_features": "struct<id:bigint,n_bytes:bigint,mean_byte:double,hash_hi:bigint>",
+    # orientation added round 10 (EXIF plumbing, ADVICE r09); q90
+    # re-entered the driver window for the schema change
+    "q90_multimodal_features": "struct<id:bigint,n_bytes:bigint,mean_byte:double,hash_hi:bigint,orientation:int>",
     "q91_multimodal_frames": "struct<id:bigint,n_frames:bigint,frame_bytes:bigint>",
     "q93_approx_ntile": "struct<tile:int,n:bigint,tile_total:double>",
     "s47_bpe_learn_merges": "struct<rank:bigint,left:string,right:string,merged:string,pair_count:bigint>",
