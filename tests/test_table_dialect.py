@@ -4,6 +4,8 @@ fallback normalizer (active in environments without sqlglot)."""
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 import pytest
 
@@ -1733,9 +1735,11 @@ def test_pg_dow_off_by_one(spark):
         assert got[0]["v"] == want, sql
 
 
-def test_pg_array_literal_refuses():
-    with pytest.raises(UnsupportedError, match="array"):
-        transpile("SELECT ARRAY[1,2,3]", "postgres")
+def test_pg_array_literal_transpiles():
+    # round 10: safe (non-nested, non-mangled) ARRAY[...] now rewrites
+    # to array(...); the unsafe forms still refuse — see
+    # test_pg_array_literal_rewrites_and_refusals
+    assert "array(1,2,3)" in transpile("SELECT ARRAY[1,2,3]", "postgres")
 
 
 def test_tsql_square_replicate(spark):
@@ -2169,3 +2173,125 @@ def test_bq_struct_literal_passthrough(spark):
         tables={}, dialect="bigquery", spark=spark,
     ).collect()
     assert (got[0]["b"], got[0]["d"]) == ("x", 3)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch: pg/duckdb 1-based subscripts, ARRAY literals, ANY/ALL,
+# bq SAFE. prefix, mysql upsert refusal fidelity.
+
+
+def test_pg_subscript_one_based(spark):
+    """pg/duckdb subscripts are 1-based with NULL out-of-range; a
+    passthrough would run on Spark's 0-based [] and silently read the
+    WRONG element (the silent-corruption class). get() matches pg for
+    every out-of-bounds/zero/negative/NULL index, ANSI mode included."""
+    for d in ("postgres", "duckdb"):
+        got = execute(
+            "SELECT (array(10,20,30))[1] AS e1, (array(10,20,30))[7] AS oob, "
+            "(array(10,20,30))[0] AS zero, (array(10,20,30))[-2] AS neg, "
+            "(array(10,20,30))[CAST(NULL AS INT)] AS nul",
+            tables={}, dialect=d, spark=spark,
+        ).collect()[0]
+        assert (got["e1"], got["oob"], got["zero"], got["neg"], got["nul"]) == (
+            10, None, None, None, None,
+        )
+    # qualified columns, function-call LHS, and chained subscripts
+    pdf = pd.DataFrame({"k": [1, 2]})
+    got = execute(
+        "SELECT t.arrs[2][1] AS x, sort_array(array(3*k, k))[1] AS y "
+        "FROM (SELECT k, array(array(10*k), array(20*k)) AS arrs FROM t) t "
+        "ORDER BY y",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert [(r["x"], r["y"]) for r in got] == [(20, 1), (40, 2)]
+
+
+def test_pg_array_literal_rewrites_and_refusals(spark):
+    got = execute(
+        "SELECT (ARRAY[10,20,30])[1] AS e, ARRAY [5, 6] AS arr",
+        tables={}, dialect="postgres", spark=spark,
+    ).collect()[0]
+    assert got["e"] == 10 and got["arr"] == [5, 6]
+    for bad, pat in [
+        ("SELECT ARRAY[ARRAY[1]]", "nested"),
+        ("SELECT ARRAY['a]b']", "nested, or a ']'"),
+        ("SELECT ARRAY[]", "empty ARRAY[]"),
+        ("SELECT (array(1,2,3))[1:2]", "slice"),
+    ]:
+        with pytest.raises(UnsupportedError, match=re.escape(pat)):
+            transpile(bad, "postgres")
+
+
+def test_pg_any_all_quantifiers(spark):
+    """pg quantified comparisons: exists/forall share pg's 3-valued
+    logic (probed: TRUE beats NULL beats FALSE for ANY, empty -> FALSE),
+    subquery forms fold to IN/NOT IN exactly."""
+    pdf = pd.DataFrame({"a": ["Apple", "banana", "Cherry"], "n": [1, 2, 3]})
+    cases = [
+        ("SELECT a FROM t WHERE n = ANY (ARRAY[1,3]) ORDER BY a", ["Apple", "Cherry"]),
+        ("SELECT a FROM t WHERE a ILIKE ANY (ARRAY['a%','b%']) ORDER BY a", ["Apple", "banana"]),
+        ("SELECT a FROM t WHERE a NOT LIKE ALL (ARRAY['A%','x%']) ORDER BY a", ["Cherry", "banana"]),
+        ("SELECT a FROM t WHERE n <> ALL (ARRAY[1,2]) ORDER BY a", ["Cherry"]),
+        ("SELECT a FROM t WHERE n < ANY (ARRAY[2]) ORDER BY a", ["Apple"]),
+        ("SELECT a FROM t WHERE a ~ ANY (ARRAY['^A','^b']) ORDER BY a", ["Apple", "banana"]),
+        ("SELECT a FROM t WHERE n = ANY (SELECT n FROM t WHERE n > 2) ORDER BY a", ["Cherry"]),
+        ("SELECT a FROM t WHERE n <> ALL (SELECT n FROM t WHERE n > 2) ORDER BY a", ["Apple", "banana"]),
+        ("SELECT a FROM t WHERE (n + 1) = ANY (ARRAY[2]) ORDER BY a", ["Apple"]),
+        ("SELECT ALL a FROM t WHERE n = 1", ["Apple"]),  # SELECT ALL untouched
+    ]
+    for sql, want in cases:
+        got = [r["a"] for r in execute(sql, tables={"t": pdf}, dialect="postgres", spark=spark).collect()]
+        assert got == want, (sql, got, want)
+    # three-valued logic edges, bit-exact with pg
+    got = execute(
+        "SELECT 5 = ANY (array(1, NULL)) AS no_match_null, "
+        "1 = ANY (array(1, NULL)) AS match_wins, "
+        "5 <> ALL (array(1, NULL)) AS all_null, "
+        "5 = ANY (array()) AS empty_any",
+        tables={}, dialect="postgres", spark=spark,
+    ).collect()[0]
+    assert (got["no_match_null"], got["match_wins"], got["all_null"], got["empty_any"]) == (
+        None, True, None, False,
+    )
+
+
+def test_pg_any_all_refusals():
+    for bad, pat in [
+        # inexpressible quantified subquery comparisons
+        ("SELECT 1 < ALL (SELECT n FROM t)", "no Spark"),
+        # LHS embedded in a larger expression would silently corrupt
+        ("SELECT 1 FROM t WHERE n + 1 = ANY (ARRAY[2])", "parenthesize"),
+    ]:
+        with pytest.raises(UnsupportedError, match=pat):
+            transpile(bad, "postgres")
+
+
+def test_bq_safe_prefix(spark):
+    pdf = pd.DataFrame({"n": [10, 0]})
+    got = execute(
+        "SELECT SAFE.DIVIDE(100, n) AS d, SAFE.MULTIPLY(n, 2) AS m "
+        "FROM t ORDER BY n DESC",
+        tables={"t": pdf}, dialect="bigquery", spark=spark,
+    ).collect()
+    assert [(r["d"], r["m"]) for r in got] == [(10.0, 20), (None, 0)]
+    with pytest.raises(UnsupportedError, match=re.escape("SAFE.SUBSTR")):
+        transpile("SELECT SAFE.SUBSTR(a, 1, 2) FROM t", "bigquery")
+
+
+def test_mysql_upsert_refusal_fidelity(spark):
+    """Upsert spellings refuse with the restructuring hint, not Spark's
+    bare PARSE_SYNTAX_ERROR; join conditions over columns NAMED
+    duplicate/key stay untouched."""
+    for bad, pat in [
+        ("INSERT INTO t (a) VALUES ('x') ON DUPLICATE KEY UPDATE a='y'", "DUPLICATE KEY"),
+        ("REPLACE INTO t VALUES ('x', 1)", "REPLACE INTO"),
+        ("INSERT IGNORE INTO t VALUES ('x', 1)", "INSERT IGNORE"),
+    ]:
+        with pytest.raises(UnsupportedError, match=pat):
+            transpile(bad, "mysql")
+    pdf = pd.DataFrame({"duplicate": [1, 2], "key": [1, 3]})
+    got = execute(
+        "SELECT count(*) AS c FROM t t1 JOIN t t2 ON t1.`duplicate` = t2.`key`",
+        tables={"t": pdf}, dialect="mysql", spark=spark,
+    ).collect()
+    assert got[0]["c"] == 1

@@ -3576,20 +3576,307 @@ def _rewrite_pg_dow(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     return _rewrite_extract_dow(tokens, _PG_DOW_FIELDS)
 
 
+def _bracket_inner(text: str) -> list[tuple[str, str]] | None:
+    """Re-tokenized content of a ``bracket`` token, or None when the
+    lexer may have MANGLED the span. The bracket rule (shared with
+    T-SQL quoting) is non-nesting and string-blind: ``[ARRAY[1]]``
+    stops at the inner ``]``, and ``['a]b']`` closes inside the string
+    literal. Both leave telltales — a ``[`` in the content, a stray
+    quote op after re-lexing, or a ``]]`` escape that pg never
+    produces — and every telltale means the surrounding statement was
+    cut at the wrong place, so the caller must refuse loudly."""
+    inner = text[1:-1]
+    if "[" in inner or "]]" in inner:
+        return None
+    toks = tokenize(inner)
+    if any(k == "op" and t in ("'", '"') for k, t in toks):
+        return None
+    return toks
+
+
 def _rewrite_pg_array_literal(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """pg ``ARRAY[1,2,3]`` constructor: the lexer's bracket handling
-    (shared with T-SQL quoting) mangles nested forms, so a faithful
-    rewrite is not possible here — refuse with the exact fix instead
-    of emitting SQL Spark then fails to parse confusingly."""
-    for i, (kind, text) in enumerate(tokens):
-        if kind == "word" and text.upper() == "ARRAY":
-            nxt = i + 1 < len(tokens) and tokens[i + 1]
-            if nxt and (nxt[0] == "bracket" or nxt == ("op", "[")):
+    """pg ``ARRAY[1,2,3]`` constructor → Spark ``array(1,2,3)``.
+
+    Nested (``ARRAY[ARRAY[1]]``) and string-mangled forms refuse with
+    the exact fix instead of emitting SQL Spark then fails to parse
+    confusingly (the lexer's bracket rule cannot see them — see
+    ``_bracket_inner``). An EMPTY ``ARRAY[]`` also refuses: pg requires
+    a ``::type[]`` cast on it anyway, and Spark's untyped ``array()``
+    (array<string>) would silently type-diverge."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "ARRAY":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j][0] != "bracket":
+            i += 1
+            continue
+        inner = _bracket_inner(out[j][1])
+        if inner is None:
+            raise UnsupportedError(
+                "this ARRAY[...] form (nested, or a ']' inside a string "
+                "literal) is not supported without sqlglot; spell it "
+                "array(...)"
+            )
+        if not any(k not in ("ws", "comment") for k, _ in inner):
+            raise UnsupportedError(
+                "empty ARRAY[] is not supported without sqlglot; spell a "
+                "typed empty array as e.g. CAST(array() AS ARRAY<INT>)"
+            )
+        out = out[:i] + tokenize("array(") + inner + tokenize(")") + out[j + 1 :]
+        i += 1
+    return out
+
+
+def _capture_operand(tokens: list[tuple[str, str]], end: int) -> int | None:
+    """Start index of the tightest-binding operand ENDING at ``end``:
+    a literal, a dotted identifier chain, or a balanced ``(...)``
+    (with any attached dotted function name). Returns None when the
+    span cannot be captured safely — callers must refuse loudly, never
+    guess."""
+
+    def chain_left(i: int) -> int:
+        # a.b.c — extend leftward over '.' qualifiers
+        start = i
+        while True:
+            k = _prev_code(tokens, start)
+            if k is None or tokens[k] != ("op", "."):
+                return start
+            m = _prev_code(tokens, k)
+            if m is None or tokens[m][0] not in ("word", "backtick"):
+                return start
+            start = m
+
+    kind, text = tokens[end]
+    if kind in ("string", "number"):
+        return end
+    if kind in ("word", "backtick"):
+        if kind == "word" and text.upper() in _NON_OPERAND_KEYWORDS:
+            return None
+        return chain_left(end)
+    if (kind, text) == ("op", ")"):
+        depth = 0
+        j = end
+        while j >= 0:
+            if tokens[j] == ("op", ")"):
+                depth += 1
+            elif tokens[j] == ("op", "("):
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        k = _prev_code(tokens, j)
+        if (
+            k is not None
+            and tokens[k][0] in ("word", "backtick")
+            and not (
+                tokens[k][0] == "word"
+                and tokens[k][1].upper() in _NON_OPERAND_KEYWORDS
+            )
+        ):
+            return chain_left(k)  # function call: name ( ... )
+        return j
+    return None
+
+
+def _rewrite_pg_subscript(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """pg/duckdb array subscripts are 1-BASED; Spark's ``[]`` is
+    0-based, so ``a[1]`` passes both parsers and silently reads the
+    WRONG element — the exact silent-corruption class this fallback
+    exists to prevent. Rewrite ``expr[i]`` → ``get(expr, (i) - 1)``:
+    ``get`` is 0-based and returns NULL out-of-range (ANSI-mode-proof),
+    which is pg's exact contract for any out-of-bounds, zero, or
+    negative subscript. Subscripts bind tightest, so capturing just the
+    primary operand is always the correct LHS. Slices (``a[1:2]``) and
+    forms whose operand cannot be captured refuse loudly; an EMPTY
+    ``[]`` (pg ``::int[]`` type syntax) is left untouched for the type
+    rules to handle."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        if out[i][0] != "bracket":
+            i += 1
+            continue
+        j = _prev_code(out, i)
+        if j is None:
+            i += 1
+            continue
+        prev_kind, prev_text = out[j]
+        # subscript context only: something that can END an operand.
+        # (word ARRAY never reaches here — the literal rewrite ran.)
+        is_operand_end = (
+            prev_kind in ("word", "backtick")
+            and not (
+                prev_kind == "word"
+                and prev_text.upper() in _NON_OPERAND_KEYWORDS
+            )
+        ) or (prev_kind, prev_text) == ("op", ")")
+        if not is_operand_end:
+            i += 1
+            continue
+        inner = _bracket_inner(out[i][1])
+        if inner is None:
+            raise UnsupportedError(
+                "this subscript form (nested brackets, or a ']' inside a "
+                "string literal) is not supported without sqlglot"
+            )
+        code = [t for t in inner if t[0] not in ("ws", "comment")]
+        if not code:
+            i += 1  # `::int[]` type spelling, not a subscript
+            continue
+        if ("op", ":") in code:
+            raise UnsupportedError(
+                "array slice subscripts (a[i:j]) are not supported "
+                "without sqlglot; spell it slice(a, i, j - i + 1)"
+            )
+        lstart = _capture_operand(out, j)
+        if lstart is None:
+            raise UnsupportedError(
+                "cannot safely rewrite this 1-based subscript's operand "
+                "without sqlglot; spell it get(expr, i - 1)"
+            )
+        repl = (
+            tokenize("get(")
+            + out[lstart : j + 1]
+            + tokenize(", (")
+            + inner
+            + tokenize(") - 1)")
+        )
+        out = out[:lstart] + repl + out[i + 1 :]
+        i = lstart  # re-scan from the rewritten get( for chained a[1][2]
+    return out
+
+
+# quantified-comparison operators that map onto a Spark lambda body
+_ANY_ALL_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
+_ANY_ALL_WORD_OPS = {"LIKE", "ILIKE", "RLIKE"}
+
+
+def _rewrite_pg_any_all(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """pg quantified comparisons over arrays/subqueries.
+
+    * ``lhs = ANY (SELECT ...)`` → ``lhs IN (SELECT ...)`` and
+      ``lhs <> ALL (SELECT ...)`` → ``lhs NOT IN (SELECT ...)`` —
+      identical semantics, no operand capture needed (other operators
+      over subqueries have no Spark equivalent and refuse).
+    * ``lhs OP ANY (array_expr)`` → ``exists(array_expr, v -> (lhs) OP
+      v)`` and ``ALL`` → ``forall(...)`` for OP in ``= <> != < <= > >=
+      [NOT] LIKE/ILIKE/RLIKE`` (RLIKE is what ``~ ANY`` looks like
+      after ``_rewrite_pg_regex_ops``). Spark's higher-order
+      exists/forall follow the same three-valued logic as pg's
+      quantifiers: TRUE beats NULL beats FALSE for ANY, FALSE beats
+      NULL beats TRUE for ALL, empty array → FALSE/TRUE.
+
+    Quantified comparisons bind loosest, so the LHS must be a captured
+    primary — ``x + 1 = ANY(a)`` would otherwise capture ``1`` and
+    emit ``x + exists(...)``, a silent corruption. The token BEFORE the
+    captured operand must therefore start an expression (start of
+    statement, ``(``, ``,``, ``;`` or a keyword); anything else refuses
+    loudly with the parenthesize-the-LHS fix."""
+    out = list(tokens)
+    n_rewritten = 0
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() not in ("ANY", "SOME", "ALL"):
+            i += 1
+            continue
+        quant = "ANY" if text.upper() in ("ANY", "SOME") else "ALL"
+        open_at = _next_code(out, i)
+        if open_at is None or out[open_at] != ("op", "("):
+            i += 1
+            continue
+        # the comparison operator immediately left of ANY/ALL
+        opi = _prev_code(out, i)
+        if opi is None:
+            i += 1
+            continue
+        op_tokens: list[tuple[str, str]] | None = None
+        if out[opi][0] == "op" and out[opi][1] in _ANY_ALL_OPS:
+            op_tokens = [out[opi]]
+            lhs_end_at = opi
+        elif (
+            out[opi][0] == "word"
+            and out[opi][1].upper() in _ANY_ALL_WORD_OPS
+        ):
+            op_tokens = [out[opi]]
+            lhs_end_at = opi
+            m = _prev_code(out, opi)
+            if m is not None and out[m][0] == "word" and out[m][1].upper() == "NOT":
+                op_tokens = [out[m], ("ws", " "), out[opi]]
+                lhs_end_at = m
+        if op_tokens is None:
+            i += 1  # ANY/ALL in some other role (e.g. SELECT ALL)
+            continue
+        parsed = _call_args(out, open_at)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) != 1:
+            raise UnsupportedError(f"{quant}() takes exactly one argument")
+        arg = args[0]
+        arg_code = [t for t in arg if t[0] not in ("ws", "comment")]
+        if not arg_code:
+            raise UnsupportedError(f"{quant}() requires an argument")
+        op_text = "".join(t for _, t in op_tokens).upper()
+        if arg_code[0][0] == "word" and arg_code[0][1].upper() in ("SELECT", "WITH"):
+            # subquery form: only the IN-expressible shapes are exact
+            if quant == "ANY" and op_text == "=":
+                repl = tokenize(" IN (") + arg + tokenize(")")
+            elif quant == "ALL" and op_text in ("<>", "!="):
+                repl = tokenize(" NOT IN (") + arg + tokenize(")")
+            else:
                 raise UnsupportedError(
-                    "ARRAY[...] constructor syntax is not supported without "
-                    "sqlglot; spell it array(...)"
+                    f"{op_text} {quant} (subquery) has no Spark "
+                    "equivalent without sqlglot (only = ANY -> IN and "
+                    "<> ALL -> NOT IN translate exactly)"
                 )
-    return tokens
+            out = out[:opi] + repl + out[close + 1 :]
+            i = opi
+            continue
+        # array-expression form → exists/forall lambda
+        lhs_last = _prev_code(out, lhs_end_at)
+        lstart = None if lhs_last is None else _capture_operand(out, lhs_last)
+        if lstart is None:
+            raise UnsupportedError(
+                f"cannot safely capture the left operand of {quant}() "
+                "without sqlglot; parenthesize it: (expr) "
+                f"{op_text} {quant}(...)"
+            )
+        before = _prev_code(out, lstart)
+        starts_expr = before is None or out[before] in (
+            ("op", "("), ("op", ","), ("op", ";")
+        ) or (
+            out[before][0] == "word"
+            and out[before][1].upper() in _NON_OPERAND_KEYWORDS
+        )
+        if not starts_expr:
+            raise UnsupportedError(
+                f"the left operand of {quant}() is part of a larger "
+                "expression; parenthesize it — (expr) "
+                f"{op_text} {quant}(...) — without sqlglot"
+            )
+        fn = "exists" if quant == "ANY" else "forall"
+        var = f"__pg_q{n_rewritten}"
+        n_rewritten += 1
+        repl = (
+            tokenize(f"{fn}(")
+            + arg
+            + tokenize(", {var} -> (".format(var=var))
+            + out[lstart : lhs_last + 1]
+            + tokenize(") ")
+            + op_tokens
+            + tokenize(f" {var})")
+        )
+        out = out[:lstart] + repl + out[close + 1 :]
+        i = lstart
+    return out
 
 
 def _rewrite_tsql_square(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -4053,6 +4340,89 @@ def has_sqlglot() -> bool:
     return _HAS_SQLGLOT
 
 
+# BigQuery ``SAFE.``-prefixed calls with an EXACT Spark NULL-on-error
+# equivalent. Everything else refuses: a generic SAFE.FN has no Spark
+# counterpart, and mapping it to the unprefixed FN would silently trade
+# BigQuery's NULL-on-error contract for a runtime error (or worse, a
+# value) — the silent-divergence class this module refuses throughout.
+_BQ_SAFE_FNS = {
+    "DIVIDE": "TRY_DIVIDE",
+    "ADD": "TRY_ADD",
+    "SUBTRACT": "TRY_SUBTRACT",
+    "MULTIPLY": "TRY_MULTIPLY",
+    "CAST": "TRY_CAST",
+}
+
+
+def _rewrite_bq_safe_prefix(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """BigQuery ``SAFE.FN(...)`` (NULL instead of error) → Spark
+    ``TRY_*`` where the contract is exact; any other ``SAFE.`` call
+    refuses loudly (passthrough is an UNRESOLVED_ROUTINE error that
+    reads like a bug in the user's dataset qualification)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind == "word" and text.upper() == "SAFE":
+            j = _next_code(out, i)
+            if j is not None and out[j] == ("op", "."):
+                k = _next_code(out, j)
+                if k is not None and out[k][0] == "word":
+                    o = _next_code(out, k)
+                    if o is not None and out[o] == ("op", "("):
+                        fn = out[k][1].upper()
+                        mapped = _BQ_SAFE_FNS.get(fn)
+                        if mapped is None:
+                            raise UnsupportedError(
+                                f"SAFE.{fn} has no exact Spark NULL-on-"
+                                "error equivalent without sqlglot "
+                                "(supported: SAFE."
+                                + "/SAFE.".join(sorted(_BQ_SAFE_FNS))
+                                + ")"
+                            )
+                        out = out[:i] + [("word", mapped)] + out[k + 1 :]
+                        i += 1
+                        continue
+        i += 1
+    return out
+
+
+def _refuse_mysql_upsert(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """mysql upsert spellings have no Spark SQL equivalent over
+    registered DataFrame views — refuse with the restructuring hint
+    instead of Spark's bare PARSE_SYNTAX_ERROR at 'ON'. Covers
+    ``INSERT ... ON DUPLICATE KEY UPDATE``, ``REPLACE INTO`` and
+    ``INSERT IGNORE`` (same delete-or-update-on-conflict family)."""
+    # code-adjacent tokens: a join `ON duplicate = key` (columns named
+    # duplicate/key) must not false-positive, so ops stay in the stream
+    code = [
+        (k, t.upper() if k == "word" else t)
+        for k, t in tokens
+        if k not in ("ws", "comment")
+    ]
+    for a, b, c in zip(code, code[1:], code[2:]):
+        if a == ("word", "ON") and b == ("word", "DUPLICATE") and c == ("word", "KEY"):
+            raise UnsupportedError(
+                "INSERT ... ON DUPLICATE KEY UPDATE (mysql upsert) has "
+                "no Spark SQL equivalent over registered views; "
+                "restructure as MERGE INTO on a writable catalog table"
+            )
+    for a, b in zip(code, code[1:]):
+        if a == ("word", "REPLACE") and b == ("word", "INTO"):
+            raise UnsupportedError(
+                "REPLACE INTO (mysql delete-then-insert upsert) has no "
+                "Spark SQL equivalent over registered views; "
+                "restructure as MERGE INTO on a writable catalog table"
+            )
+        if a == ("word", "INSERT") and b == ("word", "IGNORE"):
+            raise UnsupportedError(
+                "INSERT IGNORE (mysql skip-on-conflict upsert) has no "
+                "Spark SQL equivalent over registered views; "
+                "restructure as MERGE INTO on a writable catalog table"
+            )
+    return tokens
+
+
 def emits_variant_object(sql: str) -> bool:
     """True when Spark SQL text contains ``TO_JSON(NAMED_STRUCT(`` —
     the shape ``_rewrite_object_construct`` emits for snowflake
@@ -4142,6 +4512,12 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_extract_epoch(tokens)
         tokens = _rewrite_pg_dow(tokens)
         tokens = _rewrite_pg_array_literal(tokens)
+    if dialect in ("postgres", "postgresql", "duckdb"):
+        # pg/duckdb subscripts are 1-based and NULL-out-of-range; a
+        # passthrough a[1] runs on Spark's 0-based [] and silently
+        # reads the wrong element. Redshift is excluded: SUPER
+        # subscripts are 0-based like Spark's.
+        tokens = _rewrite_pg_subscript(tokens)
     if dialect in ("postgres", "redshift"):
         tokens = _rewrite_pg_regex_ops(tokens)
         tokens = _rewrite_similar_to(tokens)
@@ -4153,6 +4529,8 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_oracle_fmt(tokens)
     if dialect in ("postgres", "duckdb"):
         tokens = _rewrite_generate_series(tokens)
+        # after _rewrite_pg_regex_ops so `~ ANY(...)` arrives as RLIKE
+        tokens = _rewrite_pg_any_all(tokens)
         tokens = _for_each_scope(tokens, _rewrite_distinct_on)
         tokens = _rewrite_string_agg_orderby(tokens)
     # NULL sort position: Spark is FIRST-on-ASC/LAST-on-DESC; these
@@ -4200,6 +4578,7 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             ("comment", "--" + t[1:]) if k == "comment" and t.startswith("#") else (k, t)
             for k, t in tokens
         ]
+        tokens = _refuse_mysql_upsert(tokens)
         tokens = _rewrite_mysql_limit(tokens)
         tokens = _rewrite_group_concat(tokens)
         tokens = _rewrite_mysql_datefmt(tokens)
@@ -4315,6 +4694,7 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_snowflake_flatten(tokens)
         tokens = _rewrite_snowflake_pivot_names(tokens)
     if dialect == "bigquery":
+        tokens = _rewrite_bq_safe_prefix(tokens)
         # SAFE_CAST → TRY_CAST (NULL on failure), SAFE_DIVIDE →
         # TRY_DIVIDE (NULL on /0); IFNULL/COUNTIF parse natively, and
         # BigQuery's `SELECT * EXCEPT (col)` is native Spark 4 syntax.
