@@ -17,6 +17,12 @@ Round-9 batch (u08–u10): snowflake OBJECT_CONSTRUCT + colon/::
 variant paths (rewritten onto Spark 4's native VARIANT), postgres
 correlated LATERAL top-N (native passthrough, one-string-two-engines),
 and bigquery named-field STRUCT literals (native passthrough).
+Round-10 batch (u11–u13), probe-first: postgres 1-based subscripts
+(a real silent-corruption find — the passthrough read the wrong
+element on Spark's 0-based []) + ARRAY literals + ANY/ALL quantifiers
+(exists/forall lambdas, pg-exact three-valued logic), snowflake
+QUALIFY×PIVOT in one scope, and bigquery SAFE.-prefixed calls
+(TRY_* where the NULL-on-error contract is exact).
 The forms still out of scope raise UnsupportedError — negative tests
 in tests/test_table_dialect.py pin the refusals.
 """
@@ -528,5 +534,150 @@ def u10_bq_struct_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql,
         dialect="bigquery",
         tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "u11_pg_any_array_subscript",
+    """
+    SELECT string_split(o_orderpriority, '-')[1] AS pri_code,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+           OR o_orderpriority LIKE '5-%')
+      AND o_orderstatus IN ('O', 'F')
+      AND EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) NOT IN (1992, 1993)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("execute-api", "dialect", "postgres", "array"),
+    doc=(
+        "The round-10 postgres array batch on real tables: a 1-BASED "
+        "subscript over SPLIT() (rewritten to get(expr, i-1) — the "
+        "passthrough would silently read the wrong element on Spark's "
+        "0-based []), LIKE ANY(ARRAY[...]) -> exists() lambda, "
+        "= ANY(ARRAY[...]) -> exists(), and <> ALL(ARRAY[...]) -> "
+        "forall(), all sharing pg's three-valued logic. The DuckDB "
+        "oracle states the same semantics natively (DuckDB lists are "
+        "also 1-based). Scale: the quantifiers are row-local lambda "
+        "predicates — no join, no shuffle beyond the final group-by."
+    ),
+)
+def u11_pg_any_array_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT (SPLIT(o_orderpriority, '-'))[1] AS pri_code,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority LIKE ANY (ARRAY['1-%', '2-%', '5-%'])
+      AND o_orderstatus = ANY (ARRAY['O', 'F'])
+      AND EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) <> ALL (ARRAY[1992, 1993])
+    GROUP BY 1
+    ORDER BY 1
+    """
+    return execute(
+        sql,
+        dialect="postgres",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "u12_snowflake_qualify_pivot",
+    """
+    SELECT o_orderpriority AS pri,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_done,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_part
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    LIMIT 3
+    """,
+    tags=("execute-api", "dialect", "snowflake", "pivot", "qualify"),
+    doc=(
+        "Snowflake QUALIFY interacting with PIVOT in one scope (the "
+        "round-9 verdict's probe candidate): the qualify rewrite must "
+        "wrap the PIVOTED relation — its window can reference pivot "
+        "output columns — and the pivot-name rewrite must still alias "
+        "snowflake's quoted output columns ('O' etc.) first. COALESCE "
+        "pins the empty-cell contract to 0 on both engines (snowflake "
+        "COUNT-pivot cells and Spark NULL cells agree after it), and "
+        "QUALIFY ROW_NUMBER() <= 3 over the pri ordering is exactly "
+        "the oracle's ORDER BY + LIMIT 3. Scale: pivot is one "
+        "hash-aggregate exchange; qualify adds a single-partition "
+        "window over 5 rows, negligible."
+    ),
+)
+def u12_snowflake_qualify_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT pri, COALESCE("'O'", 0) AS n_open, COALESCE("'F'", 0) AS n_done,
+           COALESCE("'P'", 0) AS n_part
+    FROM (SELECT o_orderpriority AS pri, o_orderstatus AS st, o_orderkey AS k
+          FROM orders)
+      PIVOT (COUNT(k) FOR st IN ('O', 'F', 'P'))
+    QUALIFY ROW_NUMBER() OVER (ORDER BY pri) <= 3
+    ORDER BY pri
+    """
+    return execute(
+        sql,
+        dialect="snowflake",
+        tables={"orders": t(spark, sf_dir, "orders")},
+        spark=spark,
+    )
+
+
+@register(
+    "u13_bq_safe_divide",
+    """
+    SELECT CAST(l_linenumber AS BIGINT) AS ln,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CAST(l_extendedprice AS DOUBLE)
+                      / NULLIF(CAST(l_quantity - 10 AS DOUBLE), 0.0)) AS BIGINT)
+             AS n_defined,
+           MIN(CAST(l_extendedprice AS DOUBLE)
+               / NULLIF(CAST(l_quantity - 10 AS DOUBLE), 0.0)) AS lo,
+           MAX(CAST(l_extendedprice AS DOUBLE)
+               / NULLIF(CAST(l_quantity - 10 AS DOUBLE), 0.0)) AS hi
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("execute-api", "dialect", "bigquery", "safe"),
+    doc=(
+        "BigQuery SAFE.-prefixed calls (round-10: SAFE.FN -> TRY_* "
+        "where the NULL-on-error contract is exact) on the real "
+        "lineitem table: SAFE.DIVIDE hits genuine zero denominators "
+        "(quantity = 10 rows), returns NULL, and the NULL flows "
+        "through COUNT/MIN/MAX exactly like the oracle's "
+        "NULLIF-guarded division. FLOAT64 casts keep both engines in "
+        "IEEE double division (identical bits), and MIN/MAX are "
+        "order-independent so no decimal-accumulation dance is "
+        "needed. Scale: row-local arithmetic + one partial-agg "
+        "exchange on a 7-value key."
+    ),
+)
+def u13_bq_safe_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql = """
+    SELECT CAST(l_linenumber AS INT64) AS ln,
+           CAST(COUNT(*) AS INT64) AS n_rows,
+           CAST(COUNT(SAFE.DIVIDE(CAST(l_extendedprice AS FLOAT64),
+                                  CAST(l_quantity - 10 AS FLOAT64))) AS INT64)
+             AS n_defined,
+           MIN(SAFE.DIVIDE(CAST(l_extendedprice AS FLOAT64),
+                           CAST(l_quantity - 10 AS FLOAT64))) AS lo,
+           MAX(SAFE.DIVIDE(CAST(l_extendedprice AS FLOAT64),
+                           CAST(l_quantity - 10 AS FLOAT64))) AS hi
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY 1
+    """
+    return execute(
+        sql,
+        dialect="bigquery",
+        tables={"lineitem": t(spark, sf_dir, "lineitem")},
         spark=spark,
     )
