@@ -2641,6 +2641,148 @@ def t15_blocking_quality_audit(
 
 
 @register(
+    "u14_blocking_audit_sampled",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ),
+    sampled AS (
+      SELECT * FROM docs
+      WHERE ((doc_id % 1000003) * 2654435761) % 1000000007 % 1000 < 300
+    ),
+    shingled_s AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM sampled WHERE len(words) >= 3
+    ),
+    kept_s AS (
+      SELECT doc_id, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM shingled_s
+      ) WHERE df <= 15
+    ),
+    sizes_s AS (SELECT doc_id, COUNT(*) AS ss FROM kept_s GROUP BY doc_id),
+    truth_s AS (
+      SELECT ia, ib FROM (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS sh
+        FROM kept_s a JOIN kept_s b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) s
+      JOIN sizes_s sa ON sa.doc_id = ia
+      JOIN sizes_s sb ON sb.doc_id = ib
+      WHERE CAST(sh AS DOUBLE) / (sa.ss + sb.ss - sh) > 0.2
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM docs WHERE len(words) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(4))}
+      FROM shingled GROUP BY doc_id
+    ),
+    bands AS (
+      {' UNION ALL '.join(f"SELECT doc_id, '{i}|' || h{i} AS band_key FROM sigs" for i in range(4))}
+    ),
+    cands AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT COUNT(*) FROM sampled) AS n_s,
+             (SELECT COUNT(*) FROM cands) AS n_cand,
+             (SELECT COUNT(*) FROM truth_s) AS n_true_s,
+             (SELECT COUNT(*) FROM truth_s t
+              JOIN cands c ON c.ia = t.ia AND c.ib = t.ib) AS n_caught_s
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n_s AS BIGINT) AS n_sampled,
+           CAST(n_cand AS BIGINT) AS n_candidates,
+           CAST(n_true_s AS BIGINT) AS n_true_sampled,
+           CAST(n_caught_s AS BIGINT) AS n_caught_sampled,
+           CAST(n_caught_s AS DOUBLE) / CAST(n_true_s AS DOUBLE) AS pc_est,
+           1.96 * sqrt(CAST(n_caught_s AS DOUBLE) / CAST(n_true_s AS DOUBLE)
+                       * (1.0 - CAST(n_caught_s AS DOUBLE)
+                                / CAST(n_true_s AS DOUBLE))
+                       / CAST(n_true_s AS DOUBLE)) AS ci95
+    FROM counts
+    """,
+    tags=("text", "dedup", "evaluation", "sampling"),
+    doc=(
+        "t15's blocking-quality audit with a SAMPLED truth side "
+        "(round-9 verdict task 6): the exact audit's truth-pair join "
+        "is the one superlinear-constant tier left at 100x (916M "
+        "shuffle records), so this variant computes ground truth only "
+        "among a deterministic ~30% doc sample — an arithmetic "
+        "multiplicative hash ((doc_id % 1000003) * 2654435761 mod "
+        "primes), identical BIGINT math on both engines, no RNG — "
+        "which shrinks the pair space to ~9% and caps the audit at "
+        "any corpus density. pair_completeness is estimated on the "
+        "sampled truth pairs with its binomial 95% half-width "
+        "reported as ci95 (the estimate is exact recall OF the "
+        "sampled sub-corpus truth; max_df scales with the rate, "
+        "50 -> 15, so the df cutoff matches the full run in "
+        "expectation). The LSH candidate side stays full — it is the "
+        "linear tier — so reduction-ratio inputs are unsampled. t15 "
+        "remains the exact-audit default; this is the scale path."
+    ),
+)
+def u14_blocking_audit_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    sample = docs.filter(
+        F.expr("((doc_id % 1000003) * 2654435761) % 1000000007 % 1000 < 300")
+    )
+    cands = minhash_lsh_pairs(
+        docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+    ).select("id_a", "id_b")
+    truth_s = ngram_jaccard_pairs(
+        sample,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        threshold=0.2,
+        partition_col=None,
+        max_df=15,
+    ).select("id_a", "id_b")
+    c_n = docs.agg(F.count(F.lit(1)).alias("n"))
+    c_s = sample.agg(F.count(F.lit(1)).alias("n_s"))
+    c_cand = cands.agg(F.count(F.lit(1)).alias("n_cand"))
+    c_true = truth_s.agg(F.count(F.lit(1)).alias("n_true_s"))
+    c_caught = truth_s.join(cands, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_caught_s")
+    )
+    joined = (
+        c_n.crossJoin(F.broadcast(c_s))
+        .crossJoin(F.broadcast(c_cand))
+        .crossJoin(F.broadcast(c_true))
+        .crossJoin(F.broadcast(c_caught))
+    )
+    pc = F.col("n_caught_s").cast("double") / F.col("n_true_s").cast("double")
+    return joined.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n_s").cast("bigint").alias("n_sampled"),
+        F.col("n_cand").cast("bigint").alias("n_candidates"),
+        F.col("n_true_s").cast("bigint").alias("n_true_sampled"),
+        F.col("n_caught_s").cast("bigint").alias("n_caught_sampled"),
+        pc.alias("pc_est"),
+        (
+            F.lit(1.96)
+            * F.sqrt(
+                pc * (F.lit(1.0) - pc)
+                / F.col("n_true_s").cast("double")
+            )
+        ).alias("ci95"),
+    )
+
+
+@register(
     "t19_burrows_delta",
     f"""
     WITH toks AS (
