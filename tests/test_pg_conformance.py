@@ -162,6 +162,16 @@ CASES = {
         SELECT n_name FROM nation WHERE n_name ILIKE '%algeria%'
         ORDER BY n_name
     """,
+    "any_all_and_subscripts": """
+        SELECT n_name,
+               (ARRAY[n_name, 'X'])[1] AS first_piece,
+               (ARRAY[n_regionkey, n_nationkey])[5] AS oob_null,
+               n_regionkey = ANY (ARRAY[0, 2]) AS in_02,
+               n_nationkey <> ALL (SELECT n_regionkey FROM nation) AS above_regions
+        FROM nation
+        WHERE n_nationkey < 12
+        ORDER BY n_name
+    """,
     "left_join_coalesce": """
         SELECT r_name,
                COALESCE(x.cnt, 0) AS n_nations
