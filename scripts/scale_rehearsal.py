@@ -382,16 +382,20 @@ def main() -> None:
             note="minhash candidates vs max_df=50 jaccard truth + "
             "pair-set join",
         )
-        # round-9 verdict task 6: the sampled-truth variant must show
-        # <=1/10th of t15's shuffle volume at this multiplier (truth
-        # pair space ~9% at the 30% doc sample) with the ci95 bound
-        # carried in the result row.
+        # round-9 verdict task 6: the sampled variant must show
+        # <=1/10th of t15's shuffle volume at this multiplier, with
+        # the ci95 bound carried in the result row. NB the first
+        # sampled design (truth side only) measured IDENTICAL shuffle
+        # to t15 here — max_df already empties the truth join on this
+        # clique-dense corpus; the volume is the sig build + band
+        # self-join, so the whole audit runs on the doc sample.
         run(
             "u14_blocking_audit_sampled",
             lambda: specs["u14_blocking_audit_sampled"].fn(spark, out),
-            note="t15 with ~30% deterministic-hash sampled truth side "
-            "(pair space ~9%, max_df 50->15); ci95 column bounds the "
-            "recall estimate",
+            note="whole audit (LSH cands + truth) on a ~30% "
+            "deterministic-hash doc sample: quadratic tiers ~9%, "
+            "linear ~30%; ci95 bounds the recall estimate, n_cand_est "
+            "rescales by the exact inverse pair-sampling rate",
         )
         # t56 fixes prefix_bits=4, so its within-bucket pair volume is
         # N²/16 — quadratic in corpus size. The simhash_pairs pair

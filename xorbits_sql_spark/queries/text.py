@@ -2672,19 +2672,19 @@ def t15_blocking_quality_audit(
       JOIN sizes_s sb ON sb.doc_id = ib
       WHERE CAST(sh AS DOUBLE) / (sa.ss + sb.ss - sh) > 0.2
     ),
-    shingled AS (
+    shingled_all_s AS (
       SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
-      FROM docs WHERE len(words) >= 3
+      FROM sampled WHERE len(words) >= 3
     ),
     sigs AS (
       SELECT doc_id,
              {', '.join(f'{_duck_minhash(i)} AS h{i}' for i in range(4))}
-      FROM shingled GROUP BY doc_id
+      FROM shingled_all_s GROUP BY doc_id
     ),
     bands AS (
       {' UNION ALL '.join(f"SELECT doc_id, '{i}|' || h{i} AS band_key FROM sigs" for i in range(4))}
     ),
-    cands AS (
+    cands_s AS (
       SELECT a.doc_id AS ia, b.doc_id AS ib
       FROM bands a JOIN bands b
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -2693,14 +2693,18 @@ def t15_blocking_quality_audit(
     counts AS (
       SELECT (SELECT COUNT(*) FROM documents) AS n,
              (SELECT COUNT(*) FROM sampled) AS n_s,
-             (SELECT COUNT(*) FROM cands) AS n_cand,
+             (SELECT COUNT(*) FROM cands_s) AS n_cand_s,
              (SELECT COUNT(*) FROM truth_s) AS n_true_s,
              (SELECT COUNT(*) FROM truth_s t
-              JOIN cands c ON c.ia = t.ia AND c.ib = t.ib) AS n_caught_s
+              JOIN cands_s c ON c.ia = t.ia AND c.ib = t.ib) AS n_caught_s
     )
     SELECT CAST(n AS BIGINT) AS n_docs,
            CAST(n_s AS BIGINT) AS n_sampled,
-           CAST(n_cand AS BIGINT) AS n_candidates,
+           CAST(n_cand_s AS BIGINT) AS n_cand_sampled,
+           CAST(round(CAST(n_cand_s AS DOUBLE)
+                      / (CAST(n_s AS DOUBLE) * (CAST(n_s AS DOUBLE) - 1.0)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+             AS BIGINT) AS n_cand_est,
            CAST(n_true_s AS BIGINT) AS n_true_sampled,
            CAST(n_caught_s AS BIGINT) AS n_caught_sampled,
            CAST(n_caught_s AS DOUBLE) / CAST(n_true_s AS DOUBLE) AS pc_est,
@@ -2712,22 +2716,29 @@ def t15_blocking_quality_audit(
     """,
     tags=("text", "dedup", "evaluation", "sampling"),
     doc=(
-        "t15's blocking-quality audit with a SAMPLED truth side "
-        "(round-9 verdict task 6): the exact audit's truth-pair join "
-        "is the one superlinear-constant tier left at 100x (916M "
-        "shuffle records), so this variant computes ground truth only "
-        "among a deterministic ~30% doc sample — an arithmetic "
-        "multiplicative hash ((doc_id % 1000003) * 2654435761 mod "
-        "primes), identical BIGINT math on both engines, no RNG — "
-        "which shrinks the pair space to ~9% and caps the audit at "
-        "any corpus density. pair_completeness is estimated on the "
-        "sampled truth pairs with its binomial 95% half-width "
-        "reported as ci95 (the estimate is exact recall OF the "
-        "sampled sub-corpus truth; max_df scales with the rate, "
-        "50 -> 15, so the df cutoff matches the full run in "
-        "expectation). The LSH candidate side stays full — it is the "
-        "linear tier — so reduction-ratio inputs are unsampled. t15 "
-        "remains the exact-audit default; this is the scale path."
+        "t15's blocking-quality audit on a SAMPLED sub-corpus "
+        "(round-9 verdict task 6, redesigned after the 100x "
+        "rehearsal FALSIFIED the truth-side hypothesis: t15's 916M "
+        "shuffle records live in the minhash signature build + band "
+        "self-join, not the truth join — max_df=50 already drops the "
+        "clique-shared shingles on dense corpora, so sampling only "
+        "the truth side changed nothing). This variant runs BOTH "
+        "sides — LSH candidates AND ground truth — on one "
+        "deterministic ~30% doc sample (arithmetic multiplicative "
+        "hash, identical BIGINT math on both engines, no RNG), which "
+        "is statistically sound because a pair's band membership and "
+        "its Jaccard are independent of every other document: "
+        "pair_completeness over sampled truth pairs is the same "
+        "estimand as the full audit's, with binomial ci95 reported; "
+        "n_cand_est scales the sampled candidate count by the exact "
+        "inverse pair-sampling rate n_s(n_s-1)/(n(n-1)). Quadratic "
+        "tiers drop to ~9%, linear tiers to 30% — the audit stays "
+        "bounded at any corpus density (100x rehearsal: 37.7M vs "
+        "916.5M shuffle records, 24x less, warm 19.6s vs 71.1s; "
+        "BASELINE.md round-10 row). "
+        "max_df scales with the rate (50 -> 15) so the truth df "
+        "cutoff matches the full run in expectation. t15 remains the "
+        "exact-audit default; this is the scale path."
     ),
 )
 def u14_blocking_audit_sampled(
@@ -2739,8 +2750,8 @@ def u14_blocking_audit_sampled(
     sample = docs.filter(
         F.expr("((doc_id % 1000003) * 2654435761) % 1000000007 % 1000 < 300")
     )
-    cands = minhash_lsh_pairs(
-        docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+    cands_s = minhash_lsh_pairs(
+        sample, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
     ).select("id_a", "id_b")
     truth_s = ngram_jaccard_pairs(
         sample,
@@ -2753,9 +2764,9 @@ def u14_blocking_audit_sampled(
     ).select("id_a", "id_b")
     c_n = docs.agg(F.count(F.lit(1)).alias("n"))
     c_s = sample.agg(F.count(F.lit(1)).alias("n_s"))
-    c_cand = cands.agg(F.count(F.lit(1)).alias("n_cand"))
+    c_cand = cands_s.agg(F.count(F.lit(1)).alias("n_cand_s"))
     c_true = truth_s.agg(F.count(F.lit(1)).alias("n_true_s"))
-    c_caught = truth_s.join(cands, ["id_a", "id_b"]).agg(
+    c_caught = truth_s.join(cands_s, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("n_caught_s")
     )
     joined = (
@@ -2764,11 +2775,17 @@ def u14_blocking_audit_sampled(
         .crossJoin(F.broadcast(c_true))
         .crossJoin(F.broadcast(c_caught))
     )
+    nd = F.col("n").cast("double")
+    ns = F.col("n_s").cast("double")
+    pair_rate = ns * (ns - F.lit(1.0)) / (nd * (nd - F.lit(1.0)))
     pc = F.col("n_caught_s").cast("double") / F.col("n_true_s").cast("double")
     return joined.select(
         F.col("n").cast("bigint").alias("n_docs"),
         F.col("n_s").cast("bigint").alias("n_sampled"),
-        F.col("n_cand").cast("bigint").alias("n_candidates"),
+        F.col("n_cand_s").cast("bigint").alias("n_cand_sampled"),
+        F.round(F.col("n_cand_s").cast("double") / pair_rate)
+        .cast("bigint")
+        .alias("n_cand_est"),
         F.col("n_true_s").cast("bigint").alias("n_true_sampled"),
         F.col("n_caught_s").cast("bigint").alias("n_caught_sampled"),
         pc.alias("pc_est"),
