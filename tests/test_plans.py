@@ -236,6 +236,9 @@ _BNLJ_INTENDED = {
     "t15_blocking_quality_audit": "scalar-broadcast (four 1-row "
     "candidate/truth/caught/universe counts folded into the metric "
     "row)",
+    "u14_blocking_audit_sampled": "scalar-broadcast (five 1-row "
+    "sampled-count aggregates folded into the metric row — t15's "
+    "shape plus the sample-size row)",
     "t16_rfm_segmentation": "scalar-broadcast (the 1-row corpus-end "
     "date)",
     "t18_wasserstein_distance": "scalar-broadcast (the 1-row class "
@@ -374,6 +377,9 @@ _GLOBAL_WINDOW_INTENDED = {
     "q47_ntile_spend": "exact global NTILE over per-customer aggregates; "
     "q93_approx_ntile is the distributed scale twin",
     "r79_bpe_merge_stats": "rank over the vocabulary-bounded pair table",
+    "u12_snowflake_qualify_pivot": "QUALIFY ROW_NUMBER() over the "
+    "PIVOT output — bounded by the o_orderpriority cardinality (5 "
+    "rows at any scale; the pivot aggregate is the distributed part)",
     "s23_threshold_runs": "run-numbering over the bounded time grid",
     "s31_user_growth_curve": "running sum over the bounded day grid",
     "s64_hybrid_search_rrf": "rank over the two 100-row TakeOrdered "
