@@ -132,3 +132,25 @@ def test_oracle_keys_subset_of_query_keys():
         "z91_multimodal_frames",
         "z93_approx_ntile",
     }
+
+
+def test_staleness_ledger_fresh_and_covers_green():
+    """The committed _driver_ledger.py must equal a fresh derivation
+    from the committed CORRECTNESS_r*.json (catches forgetting to
+    re-run scripts/gen_driver_ledger.py after a driver round lands),
+    and every driver-green registry name must carry a staleness row
+    (a missing row would silently sort that name as round-0-stale and
+    burn re-verification slots on it every round)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_driver_ledger", os.path.join(repo, "scripts", "gen_driver_ledger.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    assert gen.derive() == entry_mod.LAST_GREEN_ROUND
+    for n in entry_mod.load_all():
+        if n.split("_", 1)[0] in entry_mod._DRIVER_GREEN:
+            assert n in entry_mod.LAST_GREEN_ROUND, n
