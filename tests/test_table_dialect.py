@@ -2185,16 +2185,21 @@ def test_pg_subscript_one_based(spark):
     passthrough would run on Spark's 0-based [] and silently read the
     WRONG element (the silent-corruption class). get() matches pg for
     every out-of-bounds/zero/negative/NULL index, ANSI mode included."""
-    for d in ("postgres", "duckdb"):
-        got = execute(
-            "SELECT (array(10,20,30))[1] AS e1, (array(10,20,30))[7] AS oob, "
-            "(array(10,20,30))[0] AS zero, (array(10,20,30))[-2] AS neg, "
-            "(array(10,20,30))[CAST(NULL AS INT)] AS nul",
-            tables={}, dialect=d, spark=spark,
-        ).collect()[0]
-        assert (got["e1"], got["oob"], got["zero"], got["neg"], got["nul"]) == (
-            10, None, None, None, None,
-        )
+    sql = (
+        "SELECT (array(10,20,30))[1] AS e1, (array(10,20,30))[7] AS oob, "
+        "(array(10,20,30))[0] AS zero, (array(10,20,30))[-2] AS neg, "
+        "(array(10,20,30))[CAST(NULL AS INT)] AS nul"
+    )
+    got = execute(sql, tables={}, dialect="postgres", spark=spark).collect()[0]
+    assert (got["e1"], got["oob"], got["zero"], got["neg"], got["nul"]) == (
+        10, None, None, None, None,
+    )
+    # duckdb counts negative indexes from the END (Python-style); pg
+    # returns NULL — the per-dialect emission must not conflate them
+    got = execute(sql, tables={}, dialect="duckdb", spark=spark).collect()[0]
+    assert (got["e1"], got["oob"], got["zero"], got["neg"], got["nul"]) == (
+        10, None, None, 20, None,
+    )
     # qualified columns, function-call LHS, and chained subscripts
     pdf = pd.DataFrame({"k": [1, 2]})
     got = execute(
@@ -2295,3 +2300,55 @@ def test_mysql_upsert_refusal_fidelity(spark):
         tables={"t": pdf}, dialect="mysql", spark=spark,
     ).collect()
     assert got[0]["c"] == 1
+
+
+def test_duckdb_subscript_grid_matches_duckdb(spark):
+    """Exhaustive (array x index) sweep, ONE query string on BOTH
+    engines: duckdb's 1-based + from-the-end + NULL-out-of-range
+    subscript contract, cell by cell. The verbatim-comparison shape
+    makes a systematic off-by-one (the corruption class this rewrite
+    fixes) impossible to miss."""
+    import duckdb
+
+    arrays = {"a3": "ARRAY[10, 20, 30]", "a1": "ARRAY[7]"}
+    idxs = [-4, -3, -2, -1, 0, 1, 2, 3, 4]
+    cols = [
+        f"({arr})[{i}] AS {name}_{str(i).replace('-', 'm')}"
+        for name, arr in arrays.items()
+        for i in idxs
+    ]
+    sql = "SELECT " + ", ".join(cols)
+    got = execute(sql, tables={}, dialect="duckdb", spark=spark).collect()[0]
+    want = duckdb.sql(sql).fetchall()[0]
+    cells = [c.rsplit(" AS ", 1)[1] for c in cols]
+    assert tuple(got[c] for c in cells) == want
+
+
+def test_pg_any_all_grid_matches_duckdb(spark):
+    """Quantifier 3VL sweep, one query on both engines: every
+    (value, array, op, quantifier) cell where DuckDB supports the pg
+    spelling natively (= ANY, <> ALL, < ANY, >= ALL over ARRAY
+    literals, NULL elements included)."""
+    import duckdb
+
+    vals = {"v1": "1", "v5": "5", "vn": "CAST(NULL AS INT)"}
+    arrs = {
+        "plain": "ARRAY[1, 2]",
+        "withnull": "ARRAY[1, NULL]",
+        "allnull": "ARRAY[CAST(NULL AS INT)]",
+    }
+    quants = {"eqany": "= ANY", "neall": "<> ALL", "ltany": "< ANY", "geall": ">= ALL"}
+    cols = [
+        f"{v} {q} ({arr}) AS {vn}_{an}_{qn}"
+        for vn, v in vals.items()
+        for an, arr in arrs.items()
+        for qn, q in quants.items()
+    ]
+    sql = "SELECT " + ", ".join(cols)
+    got = execute(sql, tables={}, dialect="postgres", spark=spark).collect()[0]
+    want = duckdb.sql(sql).fetchall()[0]
+    cells = [c.rsplit(" AS ", 1)[1] for c in cols]
+    mism = [
+        (c, got[c], w) for c, w in zip(cells, want) if got[c] != w
+    ]
+    assert not mism, mism

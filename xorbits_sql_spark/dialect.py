@@ -3684,18 +3684,32 @@ def _capture_operand(tokens: list[tuple[str, str]], end: int) -> int | None:
     return None
 
 
-def _rewrite_pg_subscript(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+def _rewrite_pg_subscript(
+    tokens: list[tuple[str, str]], negatives: str = "null"
+) -> list[tuple[str, str]]:
     """pg/duckdb array subscripts are 1-BASED; Spark's ``[]`` is
     0-based, so ``a[1]`` passes both parsers and silently reads the
     WRONG element — the exact silent-corruption class this fallback
-    exists to prevent. Rewrite ``expr[i]`` → ``get(expr, (i) - 1)``:
-    ``get`` is 0-based and returns NULL out-of-range (ANSI-mode-proof),
-    which is pg's exact contract for any out-of-bounds, zero, or
-    negative subscript. Subscripts bind tightest, so capturing just the
-    primary operand is always the correct LHS. Slices (``a[1:2]``) and
-    forms whose operand cannot be captured refuse loudly; an EMPTY
-    ``[]`` (pg ``::int[]`` type syntax) is left untouched for the type
-    rules to handle."""
+    exists to prevent. The two sources disagree on NEGATIVE indexes,
+    so the emission is per-dialect:
+
+    * ``negatives="null"`` (postgres): ``expr[i]`` → ``get(expr,
+      (i) - 1)`` — ``get`` is 0-based and returns NULL out-of-range
+      (ANSI-mode-proof), pg's exact contract for any out-of-bounds,
+      zero, or negative subscript.
+    * ``negatives="from_end"`` (duckdb, Python-style ``[-1]`` = last):
+      ``expr[i]`` → ``CASE WHEN (i) = 0 THEN NULL ELSE
+      TRY_ELEMENT_AT(expr, (i)) END`` — try_element_at is 1-based,
+      counts negatives from the end, and returns NULL out-of-range in
+      both directions; the CASE guard covers duckdb's ``[0]`` → NULL
+      (try_element_at raises INVALID_INDEX_OF_ZERO). The index
+      expression is evaluated twice — fine for anything deterministic.
+
+    Subscripts bind tightest, so capturing just the primary operand is
+    always the correct LHS. Slices (``a[1:2]``) and forms whose
+    operand cannot be captured refuse loudly; an EMPTY ``[]`` (pg
+    ``::int[]`` type syntax) is left untouched for the type rules to
+    handle."""
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -3740,15 +3754,29 @@ def _rewrite_pg_subscript(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
                 "cannot safely rewrite this 1-based subscript's operand "
                 "without sqlglot; spell it get(expr, i - 1)"
             )
-        repl = (
-            tokenize("get(")
-            + out[lstart : j + 1]
-            + tokenize(", (")
-            + inner
-            + tokenize(") - 1)")
-        )
+        if negatives == "from_end":
+            # IF() keeps the whole emission a function call ending in
+            # ')' so a CHAINED subscript (a[1][2]) can capture it as
+            # its operand — a trailing CASE...END would refuse there.
+            repl = (
+                tokenize("TRY_ELEMENT_AT(")
+                + out[lstart : j + 1]
+                + tokenize(", IF((")
+                + inner
+                + tokenize(") = 0, NULL, (")
+                + inner
+                + tokenize(")))")
+            )
+        else:
+            repl = (
+                tokenize("get(")
+                + out[lstart : j + 1]
+                + tokenize(", (")
+                + inner
+                + tokenize(") - 1)")
+            )
         out = out[:lstart] + repl + out[i + 1 :]
-        i = lstart  # re-scan from the rewritten get( for chained a[1][2]
+        i = lstart  # re-scan the rewritten span for chained a[1][2]
     return out
 
 
@@ -4513,11 +4541,15 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_pg_dow(tokens)
         tokens = _rewrite_pg_array_literal(tokens)
     if dialect in ("postgres", "postgresql", "duckdb"):
-        # pg/duckdb subscripts are 1-based and NULL-out-of-range; a
-        # passthrough a[1] runs on Spark's 0-based [] and silently
-        # reads the wrong element. Redshift is excluded: SUPER
-        # subscripts are 0-based like Spark's.
-        tokens = _rewrite_pg_subscript(tokens)
+        # pg/duckdb subscripts are 1-based; a passthrough a[1] runs on
+        # Spark's 0-based [] and silently reads the wrong element. The
+        # two differ on NEGATIVE indexes (pg: NULL; duckdb:
+        # Python-style from-the-end), hence the per-dialect emission.
+        # Redshift is excluded: SUPER subscripts are 0-based like
+        # Spark's.
+        tokens = _rewrite_pg_subscript(
+            tokens, negatives="from_end" if dialect == "duckdb" else "null"
+        )
     if dialect in ("postgres", "redshift"):
         tokens = _rewrite_pg_regex_ops(tokens)
         tokens = _rewrite_similar_to(tokens)
