@@ -172,6 +172,15 @@ CASES = {
         WHERE n_nationkey < 12
         ORDER BY n_name
     """,
+    "caret_power_and_log10": """
+        SELECT n_nationkey,
+               CAST(2 ^ (n_nationkey % 4) AS DOUBLE) AS pow2,
+               CAST(ROUND(LOG(n_nationkey * 10 + 10), 6) AS DOUBLE) AS l10,
+               CAST(LOG(2, 8) AS DOUBLE) AS l2
+        FROM nation
+        WHERE n_nationkey < 8
+        ORDER BY n_nationkey
+    """,
     "left_join_coalesce": """
         SELECT r_name,
                COALESCE(x.cnt, 0) AS n_nations

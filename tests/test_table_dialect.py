@@ -2352,3 +2352,81 @@ def test_pg_any_all_grid_matches_duckdb(spark):
         (c, got[c], w) for c, w in zip(cells, want) if got[c] != w
     ]
     assert not mism, mism
+
+
+def test_pg_caret_exponentiation(spark):
+    """pg/duckdb/redshift infix ^ is EXPONENTIATION; Spark's is XOR —
+    2^3 parsed on both and silently read 1. Precedence pins: ^ binds
+    tighter than binary ops, UNARY minus binds tighter than ^
+    (-2^2 = 4), left-associative (2^3^2 = 64); pg's bitwise XOR
+    spelling '#' maps onto Spark's '^' exactly."""
+    got = execute(
+        "SELECT 2 ^ 3 AS p, 2 * 3 ^ 2 AS prec, -2 ^ 2 AS unary, "
+        "7 - 2 ^ 2 AS binary_minus, 2 ^ -3 AS neg_exp, "
+        "2 ^ 3 ^ 2 AS assoc, 5 # 3 AS xor",
+        tables={}, dialect="postgres", spark=spark,
+    ).collect()[0]
+    assert (
+        got["p"], got["prec"], got["unary"], got["binary_minus"],
+        got["neg_exp"], got["assoc"], got["xor"],
+    ) == (8.0, 18.0, 4.0, 3.0, 0.125, 64.0, 6)
+    got = execute(
+        "SELECT (ARRAY[2,4])[1] ^ 2 AS chained", tables={},
+        dialect="duckdb", spark=spark,
+    ).collect()[0]
+    assert got["chained"] == 4.0
+
+
+def test_log_base_semantics_per_dialect(spark):
+    """Single-arg LOG is log10 in pg/duckdb/redshift/sqlite/teradata
+    but ln on Spark (silently off by ln(10) untranslated); BigQuery's
+    two-arg LOG(x, base) is the REVERSE of Spark's LOG(base, x)
+    (LOG(100,10) silently read 0.5). mysql/tsql/clickhouse single-arg
+    LOG is ln on both — untouched."""
+    for d in ("postgres", "duckdb", "redshift", "sqlite", "teradata"):
+        got = execute(
+            "SELECT LOG(100) AS l10, LOG(2, 8) AS l2",
+            tables={}, dialect=d, spark=spark,
+        ).collect()[0]
+        assert (got["l10"], got["l2"]) == (2.0, 3.0), d
+    got = execute(
+        "SELECT LOG(100, 10) AS lb, ROUND(LOG(EXP(1.0)), 6) AS ln1",
+        tables={}, dialect="bigquery", spark=spark,
+    ).collect()[0]
+    assert (got["lb"], got["ln1"]) == (2.0, 1.0)
+    got = execute(
+        "SELECT ROUND(LOG(EXP(1.0)), 6) AS ln1", tables={},
+        dialect="mysql", spark=spark,
+    ).collect()[0]
+    assert got["ln1"] == 1.0
+
+
+def test_mysql_pipes_are_logical_or(spark):
+    """mysql's default sql_mode (no PIPES_AS_CONCAT) reads || as
+    logical OR; Spark reads it as concat — (1=2)||(3=3) silently
+    produced the string 'falsetrue'-shaped garbage instead of TRUE.
+    Non-boolean operands now fail LOUDLY with a type error (the
+    corruption was the silent path); no-whitespace a||b must not fuse
+    into one identifier."""
+    pdf = pd.DataFrame({"a": [1, 5], "b": [2, 2]})
+    got = execute(
+        "SELECT a FROM t WHERE a=1||b=99 ORDER BY a",
+        tables={"t": pdf}, dialect="mysql", spark=spark,
+    ).collect()
+    assert [r["a"] for r in got] == [1]
+    out = transpile("SELECT (a=1)||(b=2) FROM t", "mysql")
+    assert "||" not in out and " OR " in out
+
+
+def test_clickhouse_position_args_swapped(spark):
+    """clickhouse position(haystack, needle[, start]) is the reverse
+    of Spark's position(substr, str[, start]) — both run, silently
+    returning the wrong offset. The standard position(x IN y) spelling
+    is identical on both and passes through."""
+    got = execute(
+        "SELECT position('abcdef', 'cd') AS p2, "
+        "position('abcdefcd', 'cd', 4) AS p3, "
+        "position('cd' IN 'abcdef') AS pin",
+        tables={}, dialect="clickhouse", spark=spark,
+    ).collect()[0]
+    assert (got["p2"], got["p3"], got["pin"]) == (3, 7, 3)

@@ -3780,6 +3780,148 @@ def _rewrite_pg_subscript(
     return out
 
 
+def _capture_operand_fwd(tokens: list[tuple[str, str]], start: int) -> int | None:
+    """End index of the tightest-binding operand STARTING at ``start``
+    (the forward twin of ``_capture_operand``): an optional single
+    +/- sign, then a literal, a dotted identifier chain with optional
+    call parens, or a balanced ``(...)``. None when unsafe."""
+    i = start
+    kind, text = tokens[i]
+    if (kind, text) in (("op", "-"), ("op", "+")):
+        nxt = _next_code(tokens, i)
+        if nxt is None:
+            return None
+        i = nxt
+        kind, text = tokens[i]
+    if kind in ("string", "number"):
+        return i
+    if kind in ("word", "backtick"):
+        if kind == "word" and text.upper() in _NON_OPERAND_KEYWORDS:
+            return None
+        end = i
+        while True:
+            nxt = _next_code(tokens, end)
+            if nxt is not None and tokens[nxt] == ("op", "."):
+                nn = _next_code(tokens, nxt)
+                if nn is None or tokens[nn][0] not in ("word", "backtick"):
+                    return None
+                end = nn
+                continue
+            if nxt is not None and tokens[nxt] == ("op", "("):
+                parsed = _call_args(tokens, nxt)
+                if parsed is None:
+                    return None
+                return parsed[1]
+            return end
+    if (kind, text) == ("op", "("):
+        parsed = _call_args(tokens, i)
+        return None if parsed is None else parsed[1]
+    return None
+
+
+def _rewrite_caret_power(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """pg/duckdb/redshift infix ``^`` is EXPONENTIATION; Spark's ``^``
+    is bitwise XOR — ``2 ^ 3`` parses on both engines and silently
+    returns 1 instead of 8, the worst corruption class. Rewrite
+    ``l ^ r`` → ``POWER(l, r)``. ``^`` binds tighter than every binary
+    operator in pg (only unary minus on the RIGHT is tighter-looking:
+    ``-2 ^ 2`` is ``-(2^2)``), so capturing the immediate primary on
+    each side is precedence-exact; the left-to-right rescan reproduces
+    left associativity (``2^3^2`` → POWER(POWER(2,3),2)). Uncapturable
+    operands refuse loudly."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        if out[i] != ("op", "^"):
+            i += 1
+            continue
+        lend = _prev_code(out, i)
+        rstart = _next_code(out, i)
+        lstart = None if lend is None else _capture_operand(out, lend)
+        rend = None if rstart is None else _capture_operand_fwd(out, rstart)
+        if lstart is None or rend is None:
+            raise UnsupportedError(
+                "cannot safely rewrite the ^ exponentiation operator's "
+                "operands without sqlglot; spell it POWER(l, r)"
+            )
+        # pg precedence: UNARY minus binds tighter than ^ (`-2 ^ 2` is
+        # `(-2)^2` = 4), so a unary sign belongs INSIDE the left
+        # operand. It's unary iff the token before it cannot end an
+        # operand (else it's binary: `a - 2 ^ 2` is `a - (2^2)`).
+        before = _prev_code(out, lstart)
+        if before is not None and out[before] in (("op", "-"), ("op", "+")):
+            bb = _prev_code(out, before)
+            ends_operand = bb is not None and (
+                (
+                    out[bb][0] in _OPERAND_END_KINDS
+                    and not (
+                        out[bb][0] == "word"
+                        and out[bb][1].upper() in _NON_OPERAND_KEYWORDS
+                    )
+                )
+                or out[bb] == ("op", ")")
+            )
+            if not ends_operand:
+                lstart = before
+        repl = (
+            tokenize("POWER(")
+            + out[lstart : lend + 1]
+            + tokenize(", ")
+            + out[rstart : rend + 1]
+            + tokenize(")")
+        )
+        out = out[:lstart] + repl + out[rend + 1 :]
+        i = lstart
+    return out
+
+
+def _swap_first_two_args(
+    tokens: list[tuple[str, str]], fname: str, min_args: int = 2, max_args: int = 3
+) -> list[tuple[str, str]]:
+    """Swap a call's first two arguments: ``FNAME(a, b[, c])`` →
+    ``FNAME(b, a[, c])`` — for sources whose argument order is the
+    REVERSE of Spark's (both run, silently different values)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind == "word" and text.upper() == fname:
+            j = _next_code(out, i)
+            if j is not None and out[j] == ("op", "("):
+                parsed = _call_args(out, j)
+                if parsed is not None:
+                    args, close = parsed
+                    if min_args <= len(args) <= max_args:
+                        new = [args[1], args[0]] + args[2:]
+                        repl: list[tuple[str, str]] = []
+                        for idx, a in enumerate(new):
+                            if idx:
+                                repl += [("op", ","), ("ws", " ")]
+                            repl += a
+                        out = out[: j + 1] + repl + out[close:]
+        i += 1
+    return out
+
+
+def _rewrite_single_arg_log10(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Sources where single-arg ``LOG(x)`` means log BASE 10
+    (pg/duckdb/redshift/sqlite/teradata) vs Spark's natural log — both
+    run, silently off by a factor of ln(10). Two-arg ``LOG(b, x)`` has
+    the same order on both and is left alone."""
+    out = list(tokens)
+    for i in list(_iter_code(out)):
+        kind, text = out[i]
+        if kind == "word" and text.upper() == "LOG":
+            j = _next_code(out, i)
+            if j is not None and out[j] == ("op", "("):
+                parsed = _call_args(out, j)
+                if parsed is not None and len(parsed[0]) == 1:
+                    out[i] = ("word", "LOG10")
+    return out
+
+
 # quantified-comparison operators that map onto a Spark lambda body
 _ANY_ALL_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _ANY_ALL_WORD_OPS = {"LIKE", "ILIKE", "RLIKE"}
@@ -4550,6 +4692,22 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_pg_subscript(
             tokens, negatives="from_end" if dialect == "duckdb" else "null"
         )
+    if dialect in ("postgres", "postgresql", "duckdb", "redshift"):
+        # ^ is exponentiation here, XOR on Spark — 2^3 silently reads
+        # 1 untranslated. After the subscript rewrite so a[1] ^ 2
+        # captures the rewritten call as its operand.
+        tokens = _rewrite_caret_power(tokens)
+    if dialect == "postgres":
+        # pg's bitwise XOR is spelled '#', which Spark cannot parse;
+        # Spark's '^' IS XOR, so the swap is exact. Must run AFTER
+        # _rewrite_caret_power or it would become POWER.
+        tokens = [
+            ("op", "^") if (k, t) == ("op", "#") else (k, t) for k, t in tokens
+        ]
+    if dialect in ("postgres", "postgresql", "duckdb", "redshift", "sqlite", "teradata"):
+        # single-arg LOG is log10 here, ln on Spark — both run,
+        # silently off by a factor of ln(10)
+        tokens = _rewrite_single_arg_log10(tokens)
     if dialect in ("postgres", "redshift"):
         tokens = _rewrite_pg_regex_ops(tokens)
         tokens = _rewrite_similar_to(tokens)
@@ -4611,6 +4769,19 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             for k, t in tokens
         ]
         tokens = _refuse_mysql_upsert(tokens)
+        # mysql's default sql_mode (no PIPES_AS_CONCAT) reads || as
+        # LOGICAL OR; Spark reads it as concat — `1 || 0` silently
+        # returns '10' instead of TRUE. Translate the documented
+        # default (the WEEK_START precedent); PIPES_AS_CONCAT sessions
+        # should spell CONCAT().
+        _or_swapped: list[tuple[str, str]] = []
+        for k, t in tokens:
+            if (k, t) == ("op", "||"):
+                # explicit ws: `a||b` must render ` OR `, not `aORb`
+                _or_swapped += [("ws", " "), ("word", "OR"), ("ws", " ")]
+            else:
+                _or_swapped.append((k, t))
+        tokens = _or_swapped
         tokens = _rewrite_mysql_limit(tokens)
         tokens = _rewrite_group_concat(tokens)
         tokens = _rewrite_mysql_datefmt(tokens)
@@ -4652,6 +4823,10 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # DATEDIFF(week) provably counts Sunday boundaries)
         tokens = _rewrite_dateadd_datediff(tokens)
     if dialect == "clickhouse":
+        # clickhouse position(haystack, needle[, start]) is the
+        # REVERSE of Spark's position(substr, str[, start]) — both
+        # run, silently returning the wrong offset (usually 0)
+        tokens = _swap_first_two_args(tokens, "POSITION")
         tokens = _rewrite_func_names(
             tokens,
             {
@@ -4726,6 +4901,10 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_snowflake_flatten(tokens)
         tokens = _rewrite_snowflake_pivot_names(tokens)
     if dialect == "bigquery":
+        # BigQuery LOG(x, base) is the REVERSE of Spark's
+        # LOG(base, x): LOG(100, 10) silently reads 0.5 instead of 2.
+        # Single-arg LOG is ln on both — left alone.
+        tokens = _swap_first_two_args(tokens, "LOG", min_args=2, max_args=2)
         tokens = _rewrite_bq_safe_prefix(tokens)
         # SAFE_CAST → TRY_CAST (NULL on failure), SAFE_DIVIDE →
         # TRY_DIVIDE (NULL on /0); IFNULL/COUNTIF parse natively, and
