@@ -2430,3 +2430,56 @@ def test_clickhouse_position_args_swapped(spark):
         tables={}, dialect="clickhouse", spark=spark,
     ).collect()[0]
     assert (got["p2"], got["p3"], got["pin"]) == (3, 7, 3)
+
+
+def test_trino_clickhouse_subscripts_one_based(spark):
+    """trino and clickhouse arrays are also 1-based (the passthrough
+    silently read the wrong element): trino raises on ANY invalid
+    index — exactly Spark's ANSI [] after the -1 shift; clickhouse
+    counts negatives from the end (duckdb-style). Documented
+    divergence: clickhouse returns the element type's default out of
+    range, this emission returns NULL."""
+    for d in ("trino", "presto"):
+        got = execute(
+            "SELECT (array(10,20,30))[1] AS a, (array(10,20,30))[3] AS b",
+            tables={}, dialect=d, spark=spark,
+        ).collect()[0]
+        assert (got["a"], got["b"]) == (10, 30)
+    with pytest.raises(Exception):
+        execute(
+            "SELECT (array(10,20,30))[0] AS r", tables={},
+            dialect="trino", spark=spark,
+        ).collect()
+    got = execute(
+        "SELECT (array(10,20,30))[1] AS a, (array(10,20,30))[-1] AS b, "
+        "(array(10,20,30))[7] AS oob",
+        tables={}, dialect="clickhouse", spark=spark,
+    ).collect()[0]
+    assert (got["a"], got["b"], got["oob"]) == (10, 30, None)
+
+
+def test_greatest_least_null_propagation(spark):
+    """mysql/oracle/clickhouse GREATEST/LEAST return NULL when ANY
+    argument is NULL; Spark (like pg) ignores NULLs — both run,
+    silently different. Nested calls propagate end to end (the inner
+    rewrite must happen FIRST so the outer IS NULL test sees the
+    null-propagating form)."""
+    for d in ("mysql", "oracle", "clickhouse"):
+        got = execute(
+            "SELECT GREATEST(1, CAST(NULL AS INT), 3) AS g, "
+            "LEAST(4, 2, 9) AS l",
+            tables={}, dialect=d, spark=spark,
+        ).collect()[0]
+        assert (got["g"], got["l"]) == (None, 2), d
+    got = execute(
+        "SELECT GREATEST(GREATEST(CAST(NULL AS INT), 1), 5) AS nested, "
+        "GREATEST(2, LEAST(7, 3)) AS mixed",
+        tables={}, dialect="mysql", spark=spark,
+    ).collect()[0]
+    assert (got["nested"], got["mixed"]) == (None, 3)
+    # pg/duckdb ignore NULL args exactly like Spark — untouched
+    got = execute(
+        "SELECT GREATEST(1, CAST(NULL AS INT), 3) AS g",
+        tables={}, dialect="postgres", spark=spark,
+    ).collect()[0]
+    assert got["g"] == 3

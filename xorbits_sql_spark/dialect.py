@@ -3767,6 +3767,19 @@ def _rewrite_pg_subscript(
                 + inner
                 + tokenize(")))")
             )
+        elif negatives == "shift":
+            # trino/presto: 1-based, and ANY invalid index (0,
+            # negative, out-of-range) RAISES — exactly what Spark's
+            # ANSI-mode [] does after the -1 shift. The outer parens
+            # make the emission end in ')' so a CHAINED subscript
+            # (a[1][2]) can capture it as its operand.
+            repl = (
+                tokenize("(")
+                + out[lstart : j + 1]
+                + tokenize("[(")
+                + inner
+                + tokenize(") - 1])")
+            )
         else:
             repl = (
                 tokenize("get(")
@@ -3919,6 +3932,57 @@ def _rewrite_single_arg_log10(
                 parsed = _call_args(out, j)
                 if parsed is not None and len(parsed[0]) == 1:
                     out[i] = ("word", "LOG10")
+    return out
+
+
+def _rewrite_greatest_least_nullprop(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """mysql/oracle/clickhouse GREATEST/LEAST return NULL when ANY
+    argument is NULL; Spark (like pg) IGNORES NULL arguments — both
+    run, silently different values. Emit ``IF(a1 IS NULL OR ... , NULL,
+    GREATEST(a1, ...))``; each argument is evaluated twice, fine for
+    anything deterministic. IF() (not CASE...END) so the emission stays
+    capturable as an operand."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind == "word" and text.upper() in ("GREATEST", "LEAST"):
+            j = _next_code(out, i)
+            if j is not None and out[j] == ("op", "("):
+                parsed = _call_args(out, j)
+                if parsed is not None and len(parsed[0]) >= 2:
+                    args, close = parsed
+                    # rewrite NESTED calls first: the IS NULL tests
+                    # must see the null-PROPAGATING form of an inner
+                    # GREATEST (a NULL arg nulls it), not Spark's
+                    # null-ignoring one — GREATEST(GREATEST(a,b), c)
+                    # with a NULL must be NULL end to end.
+                    args = [
+                        _rewrite_greatest_least_nullprop(a) for a in args
+                    ]
+                    cond: list[tuple[str, str]] = []
+                    for idx, a in enumerate(args):
+                        if idx:
+                            cond += tokenize(" OR ")
+                        cond += tokenize("(") + a + tokenize(") IS NULL")
+                    body: list[tuple[str, str]] = []
+                    for idx, a in enumerate(args):
+                        if idx:
+                            body += [("op", ","), ("ws", " ")]
+                        body += a
+                    repl = (
+                        tokenize("IF(")
+                        + cond
+                        + tokenize(", NULL, " + text.upper() + "(")
+                        + body
+                        + tokenize("))")
+                    )
+                    out = out[:i] + repl + out[close + 1 :]
+                    i += len(repl)  # fully processed, incl. nested
+                    continue
+        i += 1
     return out
 
 
@@ -4793,6 +4857,22 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_from_dual(tokens)
         tokens = _rewrite_oracle_rownum(tokens)
         tokens = _rewrite_decode(tokens)
+    if dialect in ("mysql", "oracle", "clickhouse"):
+        # GREATEST/LEAST return NULL on ANY NULL argument here; Spark
+        # (like pg) ignores NULL args — both run, silently different
+        tokens = _rewrite_greatest_least_nullprop(tokens)
+    if dialect in ("presto", "trino"):
+        # trino arrays are 1-BASED with errors on any invalid index —
+        # a passthrough a[1] silently reads the wrong element on
+        # Spark's 0-based []
+        tokens = _rewrite_pg_subscript(tokens, negatives="shift")
+    if dialect == "clickhouse":
+        # clickhouse arrays are 1-based, negatives count from the end
+        # (like duckdb). Documented divergence: clickhouse returns the
+        # element type's DEFAULT (0, '') out of range, this emission
+        # returns NULL — the in-range off-by-one was the silent
+        # corruption worth fixing; NULL-vs-default is at least visible.
+        tokens = _rewrite_pg_subscript(tokens, negatives="from_end")
     if dialect in ("presto", "trino"):
         tokens = _rewrite_func_names(
             tokens,
