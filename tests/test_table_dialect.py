@@ -2483,3 +2483,33 @@ def test_greatest_least_null_propagation(spark):
         tables={}, dialect="postgres", spark=spark,
     ).collect()[0]
     assert got["g"] == 3
+
+
+def test_concat_skips_nulls_per_dialect(spark):
+    """pg/duckdb/redshift/tsql/oracle CONCAT() ignores NULL arguments;
+    Spark's returns NULL — both run, silently different. The rewrite
+    (CONCAT_WS('', CAST(... AS STRING))) also reproduces the sources'
+    any-type coercion. mysql's CONCAT propagates NULL like Spark and
+    is untouched, as is the || operator (NULL-propagating on both)."""
+    for d in ("postgres", "duckdb", "redshift", "tsql", "oracle"):
+        got = execute(
+            "SELECT CONCAT('a', CAST(NULL AS STRING), 'b') AS r",
+            tables={}, dialect=d, spark=spark,
+        ).collect()[0]
+        assert got["r"] == "ab", d
+    got = execute(
+        "SELECT CONCAT(1, 2.5, '-', DATE'2024-01-15') AS mixed, "
+        "CONCAT('x', CONCAT(CAST(NULL AS STRING), 'y')) AS nested",
+        tables={}, dialect="postgres", spark=spark,
+    ).collect()[0]
+    assert (got["mixed"], got["nested"]) == ("12.5-2024-01-15", "xy")
+    got = execute(
+        "SELECT CONCAT('a', CAST(NULL AS CHAR(1)), 'b') AS r",
+        tables={}, dialect="mysql", spark=spark,
+    ).collect()[0]
+    assert got["r"] is None
+    got = execute(
+        "SELECT 'a' || CAST(NULL AS STRING) AS op",
+        tables={}, dialect="postgres", spark=spark,
+    ).collect()[0]
+    assert got["op"] is None  # the || operator NULL-propagates on both

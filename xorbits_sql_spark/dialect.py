@@ -3935,6 +3935,45 @@ def _rewrite_single_arg_log10(
     return out
 
 
+def _rewrite_concat_skip_nulls(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """pg/duckdb/redshift/tsql/oracle ``CONCAT()`` IGNORES NULL
+    arguments (treats them as ''); Spark's returns NULL if any
+    argument is NULL — both run, silently different. Emit
+    ``CONCAT_WS('', CAST(a1 AS STRING), ...)``: concat_ws skips NULLs,
+    and the casts reproduce the sources' any-type-to-text coercion
+    (which Spark's concat_ws refuses for non-strings). Known narrow
+    divergence: pg renders booleans 't'/'f' in text context, the cast
+    renders 'true'/'false'. mysql/bigquery/snowflake/clickhouse concat
+    propagates NULL like Spark — untouched."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind == "word" and text.upper() == "CONCAT":
+            j = _next_code(out, i)
+            if j is not None and out[j] == ("op", "("):
+                parsed = _call_args(out, j)
+                if parsed is not None and len(parsed[0]) >= 1 and any(
+                    t[0] not in ("ws", "comment")
+                    for a in parsed[0]
+                    for t in a
+                ):
+                    args, close = parsed
+                    repl = tokenize("CONCAT_WS('', ")
+                    for idx, a in enumerate(args):
+                        if idx:
+                            repl += [("op", ","), ("ws", " ")]
+                        repl += tokenize("CAST(") + a + tokenize(" AS STRING)")
+                    repl += tokenize(")")
+                    out = out[:i] + repl + out[close + 1 :]
+                    i += 1  # nested CONCATs inside args rewrite as the
+                    continue  # scan reaches them (CONCAT_WS never matches)
+        i += 1
+    return out
+
+
 def _rewrite_greatest_least_nullprop(
     tokens: list[tuple[str, str]],
 ) -> list[tuple[str, str]]:
@@ -4861,6 +4900,11 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # GREATEST/LEAST return NULL on ANY NULL argument here; Spark
         # (like pg) ignores NULL args — both run, silently different
         tokens = _rewrite_greatest_least_nullprop(tokens)
+    if dialect in ("postgres", "postgresql", "duckdb", "redshift", "tsql", "oracle"):
+        # CONCAT() ignores NULL args here; Spark's returns NULL — both
+        # run, silently different (the || operator agrees across
+        # engines and is untouched)
+        tokens = _rewrite_concat_skip_nulls(tokens)
     if dialect in ("presto", "trino"):
         # trino arrays are 1-BASED with errors on any invalid index —
         # a passthrough a[1] silently reads the wrong element on
