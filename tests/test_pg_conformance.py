@@ -213,6 +213,14 @@ def test_pg_conformance(name, spark, duck):
 # duckdb-specific spellings (list functions, arg_max/min) plus the
 # duckdb NULL default (NULLS LAST in BOTH directions — unlike pg).
 DUCKDB_CASES = {
+    "string_split_literal": """
+        SELECT n_name,
+               string_split(n_name, 'A') AS parts,
+               string_split(n_name, 'A')[1] AS head
+        FROM nation
+        WHERE n_nationkey < 6
+        ORDER BY n_name
+    """,
     "list_functions": """
         SELECT n_regionkey,
                list_contains(array_agg(n_nationkey), 3) AS has_3,

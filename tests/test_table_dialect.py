@@ -2513,3 +2513,33 @@ def test_concat_skips_nulls_per_dialect(spark):
         tables={}, dialect="postgres", spark=spark,
     ).collect()[0]
     assert got["op"] is None  # the || operator NULL-propagates on both
+
+
+def test_literal_delimiter_split_per_dialect(spark):
+    """trino/presto/bigquery SPLIT, pg string_to_array and duckdb
+    string_split take LITERAL delimiters; Spark's split() takes a
+    REGEX — split('a.b', '.') ran on both and silently exploded into
+    empty strings. The \\\\Q...\\\\E wrap quotes ANY delimiter
+    expression, dynamic ones included."""
+    cases = [
+        ("trino", "SELECT split('a.b.c', '.') AS r", ["a", "b", "c"]),
+        ("trino", "SELECT split('a|b|c', '|', 2) AS r", ["a", "b|c"]),
+        ("bigquery", "SELECT SPLIT('a.b', '.') AS r", ["a", "b"]),
+        ("bigquery", "SELECT SPLIT('a,b') AS r", ["a", "b"]),  # default ','
+        ("postgres", "SELECT string_to_array('a.b.c', '.') AS r", ["a", "b", "c"]),
+        ("duckdb", "SELECT string_split('a|b', '|') AS r", ["a", "b"]),
+        ("duckdb", "SELECT str_split('a.b', '.') AS r", ["a", "b"]),
+        # dynamic delimiter expression
+        ("trino", "SELECT split('a.b', substr('.x', 1, 1)) AS r", ["a", "b"]),
+        # trailing empty fields are kept (all sources agree)
+        ("trino", "SELECT split('a,b,', ',') AS r", ["a", "b", ""]),
+    ]
+    for d, sql, want in cases:
+        got = execute(sql, tables={}, dialect=d, spark=spark).collect()[0]["r"]
+        assert got == want, (d, sql, got, want)
+    # composes with the 1-based subscript rewrite
+    got = execute(
+        "SELECT (string_to_array('a.b.c', '.'))[2] AS r",
+        tables={}, dialect="postgres", spark=spark,
+    ).collect()[0]
+    assert got["r"] == "b"

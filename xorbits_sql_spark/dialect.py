@@ -3935,6 +3935,51 @@ def _rewrite_single_arg_log10(
     return out
 
 
+def _rewrite_literal_split(
+    tokens: list[tuple[str, str]],
+    fname: str,
+    default_delim: str | None = None,
+    max_args: int = 3,
+) -> list[tuple[str, str]]:
+    """Sources whose split-by-delimiter function takes a LITERAL
+    delimiter (trino/presto/bigquery SPLIT, pg STRING_TO_ARRAY, duckdb
+    STRING_SPLIT) vs Spark's ``split(str, REGEX)`` — ``split('a.b',
+    '.')`` runs on both and silently explodes into empty strings.
+    Emit ``SPLIT(str, CONCAT('\\\\Q', (delim), '\\\\E')[, limit])``:
+    Java's \\Q...\\E regex quoting makes ANY delimiter expression
+    literal, dynamic ones included (delimiters containing a literal
+    ``\\E`` are the one unquotable corner). ``default_delim`` supplies
+    BigQuery's one-arg ``SPLIT(x)`` = ``SPLIT(x, ',')``."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind == "word" and text.upper() == fname:
+            j = _next_code(out, i)
+            if j is not None and out[j] == ("op", "("):
+                parsed = _call_args(out, j)
+                if parsed is not None:
+                    args, close = parsed
+                    n = len(args)
+                    if n == 1 and default_delim is not None and any(
+                        t[0] not in ("ws", "comment") for t in args[0]
+                    ):
+                        args = args + [tokenize(f"'{default_delim}'")]
+                        n = 2
+                    if 2 <= n <= max_args:
+                        repl = tokenize("SPLIT(") + args[0] + tokenize(
+                            ", CONCAT('\\\\Q', ("
+                        ) + args[1] + tokenize("), '\\\\E')")
+                        for extra in args[2:]:
+                            repl += [("op", ","), ("ws", " ")] + extra
+                        repl += tokenize(")")
+                        out = out[:i] + repl + out[close + 1 :]
+                        i += 1  # nested calls in args rewrite as the
+                        continue  # scan reaches them
+        i += 1
+    return out
+
+
 def _rewrite_concat_skip_nulls(
     tokens: list[tuple[str, str]],
 ) -> list[tuple[str, str]]:
@@ -4905,11 +4950,23 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # run, silently different (the || operator agrees across
         # engines and is untouched)
         tokens = _rewrite_concat_skip_nulls(tokens)
+    if dialect in ("postgres", "postgresql", "redshift"):
+        # literal-delimiter split: Spark's split() takes a REGEX, so a
+        # '.' or '|' delimiter silently explodes into empty strings.
+        # 3-arg string_to_array (null-replacement string) is NOT a
+        # limit — left untouched to fail loudly as unresolved.
+        tokens = _rewrite_literal_split(tokens, "STRING_TO_ARRAY", max_args=2)
+    if dialect == "duckdb":
+        tokens = _rewrite_literal_split(tokens, "STRING_SPLIT", max_args=2)
+        tokens = _rewrite_literal_split(tokens, "STR_SPLIT", max_args=2)
     if dialect in ("presto", "trino"):
         # trino arrays are 1-BASED with errors on any invalid index —
         # a passthrough a[1] silently reads the wrong element on
         # Spark's 0-based []
         tokens = _rewrite_pg_subscript(tokens, negatives="shift")
+        # trino SPLIT takes a literal delimiter (+optional limit, same
+        # remainder semantics as Spark's); Spark's is a regex
+        tokens = _rewrite_literal_split(tokens, "SPLIT", max_args=3)
     if dialect == "clickhouse":
         # clickhouse arrays are 1-based, negatives count from the end
         # (like duckdb). Documented divergence: clickhouse returns the
@@ -5025,6 +5082,9 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_snowflake_flatten(tokens)
         tokens = _rewrite_snowflake_pivot_names(tokens)
     if dialect == "bigquery":
+        # BigQuery SPLIT takes a literal delimiter (default ','),
+        # Spark's a regex — split(x, '.') silently explodes
+        tokens = _rewrite_literal_split(tokens, "SPLIT", default_delim=",", max_args=2)
         # BigQuery LOG(x, base) is the REVERSE of Spark's
         # LOG(base, x): LOG(100, 10) silently reads 0.5 instead of 2.
         # Single-arg LOG is ln on both — left alone.
