@@ -2543,3 +2543,21 @@ def test_literal_delimiter_split_per_dialect(spark):
         tables={}, dialect="postgres", spark=spark,
     ).collect()[0]
     assert got["r"] == "b"
+
+
+def test_snowflake_clickhouse_split_literal(spark):
+    """snowflake SPLIT is literal-delimiter too (silent regex
+    explosion untranslated); snowflake array access stays 0-based —
+    matching Spark's [] — so only the delimiter needs quoting.
+    clickhouse splitByChar/splitByString put the SEPARATOR first:
+    swapped into Spark order, renamed, then regex-quoted."""
+    got = execute(
+        "SELECT SPLIT('a.b.c', '.') AS r, SPLIT('127.0.0.1', '.')[0] AS head",
+        tables={}, dialect="snowflake", spark=spark,
+    ).collect()[0]
+    assert (got["r"], got["head"]) == (["a", "b", "c"], "127")
+    got = execute(
+        "SELECT splitByChar(',', 'a,b,c') AS a, splitByString('||', 'a||b') AS b",
+        tables={}, dialect="clickhouse", spark=spark,
+    ).collect()[0]
+    assert (got["a"], got["b"]) == (["a", "b", "c"], ["a", "b"])

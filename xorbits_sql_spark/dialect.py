@@ -5008,6 +5008,14 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # REVERSE of Spark's position(substr, str[, start]) — both
         # run, silently returning the wrong offset (usually 0)
         tokens = _swap_first_two_args(tokens, "POSITION")
+        # splitByChar/splitByString(sep, s): separator FIRST and
+        # literal — swap into Spark order, rename, then regex-quote
+        tokens = _swap_first_two_args(tokens, "SPLITBYCHAR", max_args=2)
+        tokens = _swap_first_two_args(tokens, "SPLITBYSTRING", max_args=2)
+        tokens = _rewrite_func_names(
+            tokens, {"SPLITBYCHAR": "SPLIT", "SPLITBYSTRING": "SPLIT"}
+        )
+        tokens = _rewrite_literal_split(tokens, "SPLIT", max_args=2)
         tokens = _rewrite_func_names(
             tokens,
             {
@@ -5078,6 +5086,9 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             minus_one=frozenset({"DAYOFWEEK"}),
         )
         tokens = _rewrite_to_number(tokens)
+        # snowflake SPLIT takes a literal delimiter; Spark's is a
+        # regex — split(x, '.') silently explodes into empty strings
+        tokens = _rewrite_literal_split(tokens, "SPLIT", max_args=2)
         tokens = _rewrite_object_construct(tokens)
         tokens = _rewrite_snowflake_flatten(tokens)
         tokens = _rewrite_snowflake_pivot_names(tokens)
