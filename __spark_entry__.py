@@ -166,9 +166,21 @@ from xorbits_sql_spark.queries import load_all
 # the u11+ batch, add them back/in; any red re-enters the r11 window
 # first, as always. Regenerate _driver_ledger.py so the staleness
 # ordering sees the r10 rows.
+# Round 11 (EXECUTED): CORRECTNESS_r10 was 49/49 oracle-paired green
+# (t90/t92/t93 re-entries, u11..u14, 42 staleness-ordered rotated
+# greens) + q90's expected rows-only ``no_oracle`` record (r03
+# precedent; its new `orientation` column is schema-pinned in tests).
+# All 50 join _DRIVER_GREEN: t90/t92/t93 and q90 re-enter, the u range
+# extends to u14. _driver_ledger.py regenerated with the r10 rows, so
+# the r11 window's rotated-green half leads with the stalest driver
+# rows (round-4-era q23..q27 execute-path entries + early r-series).
+# Round-12 playbook: if CORRECTNESS_r11 is green on its window, regen
+# the ledger with the r11 rows and advance; any red (or any green name
+# whose result-affecting definition changed this round) re-enters the
+# r12 window first, as always.
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
-    + [f"q{i}" for i in range(30, 100) if i != 90]
+    + [f"q{i}" for i in range(30, 100)]
     + ["q100"]
     + [f"r{i}" for i in range(46, 51)]
     + ["r55", "r56"]
@@ -176,14 +188,13 @@ _DRIVER_GREEN = frozenset(
     # s01..s99 complete: s47/s68/s81 joined on their r08 rows-only
     # records (r03 ``no_oracle`` precedent), s63 green since r07
     + [f"s{i:02d}" for i in range(1, 100)]
-    # t01..t99 complete (t66 green in r09) except t90/t92/t93 —
-    # r10 re-entries: their result-affecting definitions changed in
-    # r09 (signed-zero normalization / source-sharded pass 2)
-    + [f"t{i:02d}" for i in range(1, 100) if i not in (90, 92, 93)]
-    # dialect-fidelity batches r08 (u01..u03) + r09 (u04..u10, incl.
-    # the unfrozen JPEG entries); u11+ (round-10 additions) are NOT
-    # green until a driver row says so
-    + [f"u{i:02d}" for i in range(1, 11)]
+    # t01..t99 complete: t66 green in r09; t90/t92/t93 re-entered and
+    # re-greened in r10 after their r09 definition changes
+    + [f"t{i:02d}" for i in range(1, 100)]
+    # dialect-fidelity batches r08 (u01..u03) + r09 (u04..u10) +
+    # r10 (u11..u13 + the u14 sampled blocking audit); u15+ (round-11
+    # additions, if any) are NOT green until a driver row says so
+    + [f"u{i:02d}" for i in range(1, 15)]
 )
 
 

@@ -7,12 +7,13 @@ already-green queries.  These tests pin the fixed behavior: insertion
 order equals (is-driver-green, staleness, has-no-oracle,
 rotated-lexical) order — the green half re-verifies oldest driver-green
 round first (_driver_ledger, round-9 verdict task 1).
-The round-10 window is the t90/t92/t93 re-entries (result-affecting
-definitions changed in r09: signed-zero normalization, source-sharded
-pass 2) + the q90 rows-only re-entry (orientation column added) +
-the round-10 additions, then rotated-green re-verifications by
-staleness — every other registry name already has a driver row
-(r01..r09 cumulative ledger).
+After round 10 every registry name is driver-green (r01..r10
+cumulative ledger; CORRECTNESS_r10 re-greened the t90/t92/t93
+re-entries, landed u11..u14, and recorded q90's rows-only
+``no_oracle`` row). The round-11 window is therefore fresh entries
+first (none unless this round registers new ones), then rotated-green
+re-verifications ordered by staleness — oldest driver-green round
+first, so the round-4-era q23..q27 execute-path rows lead.
 """
 
 from __future__ import annotations
@@ -22,47 +23,44 @@ import importlib
 entry_mod = importlib.import_module("__spark_entry__")
 
 # Names with a green (or, for rows-only entries, recorded
-# ``no_oracle``) driver CORRECTNESS row in r01..r09, minus the round-10
-# re-entries: t90/t92/t93 (definitions changed in r09) and q90 (schema
-# changed in round 10).
+# ``no_oracle``) driver CORRECTNESS row in r01..r10 — the full
+# inventory as of round-11 open.
 _VERIFIED_PREFIXES = (
     {f"q{i:02d}" for i in range(1, 28)}
-    | {f"q{i}" for i in range(30, 100) if i != 90}
+    | {f"q{i}" for i in range(30, 100)}
     | {"q100"}
     | {f"r{i}" for i in range(46, 51)}
     | {"r55", "r56"}
     | {f"r{i}" for i in range(57, 100)}
     | {f"s{i:02d}" for i in range(1, 100)}
-    | {f"t{i:02d}" for i in range(1, 100) if i not in (90, 92, 93)}
-    | {f"u{i:02d}" for i in range(1, 11)}
+    | {f"t{i:02d}" for i in range(1, 100)}
+    | {f"u{i:02d}" for i in range(1, 15)}
 )
 
-# Round 10: q90 re-enters on its schema change (rows-only record).
-_ROWS_ONLY_FRESH: list[str] = ["q90_multimodal_features"]
+# Round 11: no rows-only re-entries pending.
+_ROWS_ONLY_FRESH: list[str] = []
 
 
 def test_first_50_insertion_order_are_never_verified():
     keys = list(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     window = keys[:50]
-    prefixes = [k.split("_", 1)[0] for k in window]
     fresh_oracle = sorted(k for k in keys if not k.startswith("z") and k in oracles)
     fresh_rows_only = sorted(
         k for k in keys if not k.startswith("z") and k not in oracles
     )
     assert fresh_rows_only == _ROWS_ONLY_FRESH
-    # Round-10 window: the t90/t92/t93 re-entries lead, then the q90
-    # rows-only re-entry; the remaining slots re-verify rotated greens.
-    assert fresh_oracle[:3] == [
-        "t90_dedup_review_queue",
-        "t92_chao1_vocabulary_richness",
-        "t93_dedup_idempotence_audit",
-    ]
     n_fresh = len(fresh_oracle) + len(fresh_rows_only)
     assert window[:n_fresh] == fresh_oracle + fresh_rows_only
-    assert prefixes[0] == "t90"
-    # ...and the spare slots go to rotated (already-green) names.
+    # The spare slots go to rotated (already-green) names, stalest
+    # first: the round-11 window's green half leads with the oldest
+    # driver rows in the regenerated ledger.
     assert all(k.startswith("z") for k in window[n_fresh:])
+    inv = {"z" + n[1:]: n for n in entry_mod.load_all()}
+    rounds = [entry_mod.LAST_GREEN_ROUND[inv[k]] for k in window[n_fresh:]]
+    assert rounds == sorted(rounds)
+    min_round = min(entry_mod.LAST_GREEN_ROUND.values())
+    assert rounds and rounds[0] == min_round
 
 
 def test_rotated_names_cover_all_driver_green():
@@ -128,19 +126,13 @@ def test_oracle_keys_subset_of_query_keys():
         "z52_stream_window_percentiles",
         "z82_stream_running_totals",
         "z89_distinct_sketch",
-        "q90_multimodal_features",  # re-entering (round-10 schema change)
+        "z90_multimodal_features",
         "z91_multimodal_frames",
         "z93_approx_ntile",
     }
 
 
-def test_staleness_ledger_fresh_and_covers_green():
-    """The committed _driver_ledger.py must equal a fresh derivation
-    from the committed CORRECTNESS_r*.json (catches forgetting to
-    re-run scripts/gen_driver_ledger.py after a driver round lands),
-    and every driver-green registry name must carry a staleness row
-    (a missing row would silently sort that name as round-0-stale and
-    burn re-verification slots on it every round)."""
+def _load_gen_module():
     import importlib.util
     import os
 
@@ -150,7 +142,62 @@ def test_staleness_ledger_fresh_and_covers_green():
     )
     gen = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gen)
-    assert gen.derive() == entry_mod.LAST_GREEN_ROUND
+    return gen
+
+
+def test_staleness_ledger_fresh_and_covers_green():
+    """The committed _driver_ledger.py must equal a fresh derivation
+    from the git-TRACKED CORRECTNESS_r*.json (catches forgetting to
+    re-run scripts/gen_driver_ledger.py after a driver round's file is
+    committed — but does NOT red the suite when the driver drops an
+    UNTRACKED new-round file between rounds; round-10 verdict task 2).
+    Every driver-green registry name must carry a staleness row (a
+    missing row would silently sort that name as round-0-stale and burn
+    re-verification slots on it every round)."""
+    gen = _load_gen_module()
+    assert gen.derive(tracked_only=True) == entry_mod.LAST_GREEN_ROUND
     for n in entry_mod.load_all():
         if n.split("_", 1)[0] in entry_mod._DRIVER_GREEN:
             assert n in entry_mod.LAST_GREEN_ROUND, n
+
+
+def test_staleness_pin_tolerates_untracked_new_round():
+    """Simulates the round-open state that redded round 10: the driver
+    writes CORRECTNESS_r{N+1}.json but nothing is committed yet. The
+    tracked-only derivation (what the pin compares) must ignore it; the
+    default derivation (what the CLI regen uses) must pick it up."""
+    import json
+    import os
+
+    gen = _load_gen_module()
+    some_name = next(iter(entry_mod.load_all()))
+    fake = os.path.join(gen.REPO, "CORRECTNESS_r98.json")
+    assert not os.path.exists(fake)
+    try:
+        with open(fake, "w") as f:
+            json.dump(
+                {
+                    some_name: {
+                        "rows_match": True,
+                        "schema_match": True,
+                        "hash_match": True,
+                        "spark_rows": 1,
+                        "oracle_rows": 1,
+                        "err": None,
+                    }
+                },
+                f,
+            )
+        tracked = gen.derive(tracked_only=True)
+        fresh = gen.derive()
+        # untracked new-round file: invisible to the pin...
+        assert tracked == entry_mod.LAST_GREEN_ROUND
+        assert tracked[some_name] < 98
+        # ...but the regen CLI sees it (so round-open regen works even
+        # before the file is committed).
+        assert fresh[some_name] == 98
+        assert {k: v for k, v in fresh.items() if k != some_name} == {
+            k: v for k, v in tracked.items() if k != some_name
+        }
+    finally:
+        os.remove(fake)
