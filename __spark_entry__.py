@@ -177,7 +177,10 @@ from xorbits_sql_spark.queries import load_all
 # Round-12 playbook: if CORRECTNESS_r11 is green on its window, regen
 # the ledger with the r11 rows and advance; any red (or any green name
 # whose result-affecting definition changed this round) re-enters the
-# r12 window first, as always.
+# r12 window first, as always. One r11 re-entry: u11 re-spelled its
+# postgres split as STRING_TO_ARRAY (round-10 ADVICE — the probe now
+# exercises the literal-delimiter rewrite; values provably identical,
+# re-entering anyway per the t90/t92 precedent).
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
     + [f"q{i}" for i in range(30, 100)]
@@ -192,9 +195,11 @@ _DRIVER_GREEN = frozenset(
     # re-greened in r10 after their r09 definition changes
     + [f"t{i:02d}" for i in range(1, 100)]
     # dialect-fidelity batches r08 (u01..u03) + r09 (u04..u10) +
-    # r10 (u11..u13 + the u14 sampled blocking audit); u15+ (round-11
-    # additions, if any) are NOT green until a driver row says so
-    + [f"u{i:02d}" for i in range(1, 15)]
+    # r10 (u11..u13 + the u14 sampled blocking audit); u11 re-enters
+    # the r11 window (STRING_TO_ARRAY re-spelling, see playbook);
+    # u15+ (round-11 additions, if any) are NOT green until a driver
+    # row says so
+    + [f"u{i:02d}" for i in range(1, 15) if i != 11]
 )
 
 

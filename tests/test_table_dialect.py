@@ -2486,17 +2486,24 @@ def test_greatest_least_null_propagation(spark):
 
 
 def test_concat_skips_nulls_per_dialect(spark):
-    """pg/duckdb/redshift/tsql/oracle CONCAT() ignores NULL arguments;
-    Spark's returns NULL — both run, silently different. The rewrite
+    """pg/duckdb/tsql/oracle CONCAT() ignores NULL arguments; Spark's
+    returns NULL — both run, silently different. The rewrite
     (CONCAT_WS('', CAST(... AS STRING))) also reproduces the sources'
     any-type coercion. mysql's CONCAT propagates NULL like Spark and
-    is untouched, as is the || operator (NULL-propagating on both)."""
-    for d in ("postgres", "duckdb", "redshift", "tsql", "oracle"):
+    is untouched, as is the || operator (NULL-propagating on both).
+    Redshift's CONCAT is 2-arg and NULL-PROPAGATING (AWS docs) —
+    passthrough, matching Spark."""
+    for d in ("postgres", "duckdb", "tsql", "oracle"):
         got = execute(
             "SELECT CONCAT('a', CAST(NULL AS STRING), 'b') AS r",
             tables={}, dialect=d, spark=spark,
         ).collect()[0]
         assert got["r"] == "ab", d
+    got = execute(
+        "SELECT CONCAT('a', CAST(NULL AS STRING)) AS r",
+        tables={}, dialect="redshift", spark=spark,
+    ).collect()[0]
+    assert got["r"] is None  # redshift CONCAT NULL-propagates like Spark
     got = execute(
         "SELECT CONCAT(1, 2.5, '-', DATE'2024-01-15') AS mixed, "
         "CONCAT('x', CONCAT(CAST(NULL AS STRING), 'y')) AS nested",
@@ -2561,3 +2568,28 @@ def test_snowflake_clickhouse_split_literal(spark):
         tables={}, dialect="clickhouse", spark=spark,
     ).collect()[0]
     assert (got["a"], got["b"]) == (["a", "b", "c"], ["a", "b"])
+
+
+def test_clickhouse_split_max_substrings_refuses(spark):
+    """3-arg splitByChar/splitByString(sep, s, max_substrings): the cap
+    DISCARDS the tail in clickhouse while Spark's split limit keeps the
+    remainder in the last element — no faithful rewrite exists, and
+    before the refusal the unconditional rename shipped split(sep, s, n)
+    with reversed args and a regex delimiter: silently wrong values
+    (round-10 ADVICE, high)."""
+    import pytest
+
+    from xorbits_sql_spark.errors import UnsupportedError
+
+    for fn in ("splitByChar", "splitByString"):
+        with pytest.raises(UnsupportedError, match="max_substrings"):
+            execute(
+                f"SELECT {fn}(',', 'a,b,c', 2) AS r",
+                tables={}, dialect="clickhouse", spark=spark,
+            )
+    # the 2-arg form still works after the guard
+    got = execute(
+        "SELECT splitByChar('.', 'x.y') AS r",
+        tables={}, dialect="clickhouse", spark=spark,
+    ).collect()[0]
+    assert got["r"] == ["x", "y"]

@@ -3698,12 +3698,12 @@ def _rewrite_pg_subscript(
       (ANSI-mode-proof), pg's exact contract for any out-of-bounds,
       zero, or negative subscript.
     * ``negatives="from_end"`` (duckdb, Python-style ``[-1]`` = last):
-      ``expr[i]`` → ``CASE WHEN (i) = 0 THEN NULL ELSE
-      TRY_ELEMENT_AT(expr, (i)) END`` — try_element_at is 1-based,
-      counts negatives from the end, and returns NULL out-of-range in
-      both directions; the CASE guard covers duckdb's ``[0]`` → NULL
-      (try_element_at raises INVALID_INDEX_OF_ZERO). The index
-      expression is evaluated twice — fine for anything deterministic.
+      ``expr[i]`` → ``TRY_ELEMENT_AT(expr, IF((i) = 0, NULL, (i)))``
+      — try_element_at is 1-based, counts negatives from the end, and
+      returns NULL out-of-range in both directions (and for a NULL
+      index); the IF guard covers duckdb's ``[0]`` → NULL
+      (try_element_at raises INVALID_INDEX_OF_ZERO) while keeping the
+      emission capturable as an operand for chained subscripts.
 
     Subscripts bind tightest, so capturing just the primary operand is
     always the correct LHS. Slices (``a[1:2]``) and forms whose
@@ -3837,9 +3837,11 @@ def _rewrite_caret_power(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]
     is bitwise XOR — ``2 ^ 3`` parses on both engines and silently
     returns 1 instead of 8, the worst corruption class. Rewrite
     ``l ^ r`` → ``POWER(l, r)``. ``^`` binds tighter than every binary
-    operator in pg (only unary minus on the RIGHT is tighter-looking:
-    ``-2 ^ 2`` is ``-(2^2)``), so capturing the immediate primary on
-    each side is precedence-exact; the left-to-right rescan reproduces
+    operator in pg, and UNARY minus binds tighter still (pg precedence
+    table: unary ``+ -`` sit above ``^``), so ``-2 ^ 2`` is
+    ``(-2)^2 = 4`` and a unary sign belongs inside the left operand;
+    capturing the immediate primary on each side is otherwise
+    precedence-exact, and the left-to-right rescan reproduces
     left associativity (``2^3^2`` → POWER(POWER(2,3),2)). Uncapturable
     operands refuse loudly."""
     out = list(tokens)
@@ -3916,6 +3918,30 @@ def _swap_first_two_args(
     return out
 
 
+def _refuse_unswapped_arity(
+    tokens: list[tuple[str, str]], fname: str, ok_arity: int, why: str
+) -> list[tuple[str, str]]:
+    """Refuse loudly when ``fname`` is called with an arity the
+    argument-swap rewrite does NOT handle. Without this, a 3-arg
+    clickhouse ``splitByChar(sep, s, max_substrings)`` slips past
+    ``_swap_first_two_args(max_args=2)`` and ``_rewrite_literal_split``
+    but is still renamed to SPLIT by the unconditional
+    ``_rewrite_func_names`` — Spark then runs ``split(sep, s, n)`` with
+    str/delimiter reversed and the delimiter treated as a regex:
+    silently wrong, the exact divergence class this module forbids."""
+    for i in _iter_code(tokens):
+        kind, text = tokens[i]
+        if kind == "word" and text.upper() == fname:
+            j = _next_code(tokens, i)
+            if j is not None and tokens[j] == ("op", "("):
+                parsed = _call_args(tokens, j)
+                if parsed is not None and len(parsed[0]) != ok_arity:
+                    raise UnsupportedError(
+                        f"{fname.lower()} with {len(parsed[0])} args: {why}"
+                    )
+    return tokens
+
+
 def _rewrite_single_arg_log10(
     tokens: list[tuple[str, str]],
 ) -> list[tuple[str, str]]:
@@ -3983,15 +4009,18 @@ def _rewrite_literal_split(
 def _rewrite_concat_skip_nulls(
     tokens: list[tuple[str, str]],
 ) -> list[tuple[str, str]]:
-    """pg/duckdb/redshift/tsql/oracle ``CONCAT()`` IGNORES NULL
-    arguments (treats them as ''); Spark's returns NULL if any
-    argument is NULL — both run, silently different. Emit
+    """pg/duckdb/tsql/oracle ``CONCAT()`` IGNORES NULL arguments
+    (treats them as ''); Spark's returns NULL if any argument is NULL
+    — both run, silently different. Emit
     ``CONCAT_WS('', CAST(a1 AS STRING), ...)``: concat_ws skips NULLs,
     and the casts reproduce the sources' any-type-to-text coercion
     (which Spark's concat_ws refuses for non-strings). Known narrow
     divergence: pg renders booleans 't'/'f' in text context, the cast
     renders 'true'/'false'. mysql/bigquery/snowflake/clickhouse concat
-    propagates NULL like Spark — untouched."""
+    propagates NULL like Spark — untouched. Redshift too: its CONCAT
+    is two-argument and NULL-PROPAGATING (AWS docs: if either
+    expression is null the result is null), matching Spark exactly —
+    passthrough, NOT this rewrite."""
     out = list(tokens)
     i = 0
     while i < len(out):
@@ -4945,10 +4974,11 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # GREATEST/LEAST return NULL on ANY NULL argument here; Spark
         # (like pg) ignores NULL args — both run, silently different
         tokens = _rewrite_greatest_least_nullprop(tokens)
-    if dialect in ("postgres", "postgresql", "duckdb", "redshift", "tsql", "oracle"):
+    if dialect in ("postgres", "postgresql", "duckdb", "tsql", "oracle"):
         # CONCAT() ignores NULL args here; Spark's returns NULL — both
         # run, silently different (the || operator agrees across
-        # engines and is untouched)
+        # engines and is untouched). NOT redshift: its CONCAT is
+        # 2-arg and NULL-propagating, matching Spark — passthrough.
         tokens = _rewrite_concat_skip_nulls(tokens)
     if dialect in ("postgres", "postgresql", "redshift"):
         # literal-delimiter split: Spark's split() takes a REGEX, so a
@@ -5009,7 +5039,18 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # run, silently returning the wrong offset (usually 0)
         tokens = _swap_first_two_args(tokens, "POSITION")
         # splitByChar/splitByString(sep, s): separator FIRST and
-        # literal — swap into Spark order, rename, then regex-quote
+        # literal — swap into Spark order, rename, then regex-quote.
+        # The 3-arg max_substrings form DISCARDS the tail (Spark's
+        # split limit keeps the remainder in the last element), so no
+        # swap can reproduce it — refuse before the rename would
+        # otherwise ship a reversed-arg regex split.
+        _3arg_why = (
+            "clickhouse max_substrings discards the tail; Spark's split "
+            "limit keeps the remainder — no faithful rewrite exists. "
+            "Split without the cap and slice(result, 1, n) instead."
+        )
+        tokens = _refuse_unswapped_arity(tokens, "SPLITBYCHAR", 2, _3arg_why)
+        tokens = _refuse_unswapped_arity(tokens, "SPLITBYSTRING", 2, _3arg_why)
         tokens = _swap_first_two_args(tokens, "SPLITBYCHAR", max_args=2)
         tokens = _swap_first_two_args(tokens, "SPLITBYSTRING", max_args=2)
         tokens = _rewrite_func_names(

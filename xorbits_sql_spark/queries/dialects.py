@@ -555,9 +555,11 @@ def u10_bq_struct_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("execute-api", "dialect", "postgres", "array"),
     doc=(
         "The round-10 postgres array batch on real tables: a 1-BASED "
-        "subscript over SPLIT() (rewritten to get(expr, i-1) — the "
-        "passthrough would silently read the wrong element on Spark's "
-        "0-based []), LIKE ANY(ARRAY[...]) -> exists() lambda, "
+        "subscript over STRING_TO_ARRAY (pg's real spelling — exercises "
+        "the literal-delimiter \\\\Q..\\\\E rewrite AND the get(expr, "
+        "i-1) subscript rewrite; a passthrough would silently read the "
+        "wrong element on Spark's 0-based [] and regex-split), "
+        "LIKE ANY(ARRAY[...]) -> exists() lambda, "
         "= ANY(ARRAY[...]) -> exists(), and <> ALL(ARRAY[...]) -> "
         "forall(), all sharing pg's three-valued logic. The DuckDB "
         "oracle states the same semantics natively (DuckDB lists are "
@@ -567,7 +569,7 @@ def u10_bq_struct_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def u11_pg_any_array_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql = """
-    SELECT (SPLIT(o_orderpriority, '-'))[1] AS pri_code,
+    SELECT (STRING_TO_ARRAY(o_orderpriority, '-'))[1] AS pri_code,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM orders
