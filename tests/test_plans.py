@@ -549,7 +549,34 @@ def test_s94_dsir_weight_table_broadcasts(spark):
 
 def test_t15_blocking_audit_no_allpairs(spark):
     # both the candidate and truth legs must stay bounded joins —
-    # a cartesian anywhere here means an all-pairs scan snuck in
-    df = SPECS["t15_blocking_quality_audit"].fn(spark, SF_ORACLE)
+    # a cartesian anywhere here means an all-pairs scan snuck in.
+    # At test scale the t15->u14 density advisory must NOT fire (the
+    # pair estimate is tiny); building the plan under error-on-warning
+    # proves it stays silent.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ResourceWarning)
+        df = SPECS["t15_blocking_quality_audit"].fn(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_t15_advisory_fires_at_rehearsal_density():
+    """Round-10 verdict #6: when the audit's submit-time pair estimate
+    crosses the bound, the user is told the 24x-cheaper u14 sampled
+    path exists (mirroring the pair-budget message pattern, minus the
+    refusal — t15 stays the exact default). The 100x rehearsal measured
+    916.5M records, which must fire; the sampled path's 37.7M must
+    not."""
+    import pytest
+
+    from xorbits_sql_spark.queries.text import _advise_sampled_audit
+
+    with pytest.warns(ResourceWarning, match="u14_blocking_audit_sampled"):
+        assert _advise_sampled_audit(916.5e6) is True
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ResourceWarning)
+        assert _advise_sampled_audit(37.7e6) is False
