@@ -1972,6 +1972,41 @@ def test_pg_null_sort_position(spark):
     assert "NULLS LAST" in out
 
 
+def test_null_sort_position_trino_snowflake_clickhouse(spark):
+    """Round-11 sweep: trino/presto sort NULL as if larger than any
+    non-null value (Trino docs, ORDER BY) and snowflake puts NULLs
+    highest (LAST on ASC, FIRST on DESC) — both share pg's shape;
+    clickhouse defaults to NULLS LAST in BOTH directions like duckdb.
+    mysql/sqlite/tsql/bigquery/hive treat NULL as smallest — Spark's
+    own default — and stay untouched."""
+    pdf = pd.DataFrame({"x": [3.0, None, 1.0, 2.0]})
+
+    def top(dialect, sql="SELECT x FROM t ORDER BY x LIMIT 2"):
+        return [r["x"] for r in execute(
+            sql, tables={"t": pdf}, dialect=dialect, spark=spark
+        ).collect()]
+
+    for d in ("trino", "presto", "snowflake"):
+        # NULL-largest: ASC puts non-nulls first, DESC leads with NULL
+        assert top(d) == [1.0, 2.0], d
+        assert top(d, "SELECT x FROM t ORDER BY x DESC LIMIT 1") == [None], d
+    # clickhouse: NULLS LAST both directions
+    assert top("clickhouse") == [1.0, 2.0]
+    assert top("clickhouse", "SELECT x FROM t ORDER BY x DESC LIMIT 1") == [3.0]
+    # athena resolves through the trino family alias
+    assert top("athena", "SELECT x FROM t ORDER BY x DESC LIMIT 1") == [None]
+    # NULL-as-smallest dialects (Spark's default) are not rewritten
+    for d in ("mysql", "sqlite", "tsql", "bigquery", "hive"):
+        assert transpile("SELECT x FROM t ORDER BY x", d).count("NULLS") == 0, d
+    # explicit spec still wins
+    out = transpile("SELECT 1 FROM t ORDER BY x NULLS FIRST", "snowflake")
+    assert out.count("NULLS") == 1
+    # window ranking gets the source default too
+    assert "NULLS LAST" in transpile(
+        "SELECT RANK() OVER (ORDER BY x) FROM t", "trino"
+    )
+
+
 def test_pg_like_operator_spellings(spark):
     """pg lexes LIKE into ~~, NOT LIKE into !~~, ILIKE into ~~*, NOT
     ILIKE into !~~* — the single-~ regex branch must not consume half

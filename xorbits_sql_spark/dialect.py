@@ -4903,10 +4903,18 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
     # NULL sort position: Spark is FIRST-on-ASC/LAST-on-DESC; these
     # dialects differ, so every bare ORDER BY key gets its source
     # default made explicit (after DISTINCT ON so its generated
-    # ROW_NUMBER ordering is covered too).
-    if dialect in ("postgres", "redshift", "oracle"):
+    # ROW_NUMBER ordering is covered too). Round-11 sweep: trino/
+    # presto ("null values are sorted as if larger than any non-null
+    # value") and snowflake (NULLs highest: last on ASC, first on
+    # DESC) share pg's shape; clickhouse defaults to NULLS LAST in
+    # BOTH directions like duckdb. mysql/sqlite/tsql/bigquery/teradata/
+    # hive treat NULL as smallest — Spark's own default — untouched.
+    if dialect in (
+        "postgres", "postgresql", "redshift", "oracle",
+        "trino", "presto", "snowflake",
+    ):
         tokens = _rewrite_order_by_nulls(tokens, asc="LAST", desc="FIRST")
-    elif dialect == "duckdb":
+    elif dialect in ("duckdb", "clickhouse"):
         tokens = _rewrite_order_by_nulls(tokens, asc="LAST", desc="LAST")
     if dialect == "tsql":
         tokens = [
