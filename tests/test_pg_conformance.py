@@ -15,9 +15,14 @@ FILTER (WHERE), PERCENTILE_CONT WITHIN GROUP, ``::`` casts,
 SUBSTRING FROM/FOR + POSITION, named WINDOW clauses, BOOL_AND/OR,
 IS DISTINCT FROM, INTERVAL arithmetic, NULL sort position under
 LIMIT. Known divergences NOT in scope (documented refusals or typed
-differences): bare int/int division (pg truncates, Spark divides —
-untranslatable without types), TO_CHAR (absent in DuckDB; covered by
-the strftime-mapped staged entry u06)."""
+differences): int/int division on COLUMN operands (pg truncates,
+Spark divides — untranslatable without types; the statically
+type-known subset — integer literals and COUNT(...) — IS translated
+by _rewrite_int_literal_division, value-tested in
+test_table_dialect.py, but can't be conformance-cased here because
+DuckDB's own ``/`` is float division, not pg-faithful), TO_CHAR
+(absent in DuckDB; covered by the strftime-mapped staged entry
+u06)."""
 
 from __future__ import annotations
 

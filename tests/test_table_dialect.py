@@ -2007,6 +2007,75 @@ def test_null_sort_position_trino_snowflake_clickhouse(spark):
     )
 
 
+def test_int_literal_division(spark):
+    """Round-11 sweep: pg/redshift/tsql/sqlite/teradata int/int is
+    TRUNCATING integer division (pg operator table: "integer division
+    truncates the result"); Spark's / is always true division — 7/2
+    runs on both and silently reads 3.5 instead of 3. Statically
+    type-known operands only (integer literals, COUNT(...)); columns
+    and other aggregates pass through untouched."""
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
+
+    def one(sql, d="postgres"):
+        return execute(sql, tables={"t": pdf}, dialect=d, spark=spark).collect()[0]["q"]
+
+    for d in ("postgres", "redshift", "tsql", "sqlite", "teradata"):
+        assert one("SELECT 7/2 AS q", d) == 3, d
+    # truncation toward zero on negatives (pg: (-7)/2 = -3)
+    assert one("SELECT -7/2 AS q") == -3
+    assert one("SELECT 7 / -2 AS q") == -3
+    # left-assoc chain stays integral end-to-end: 100/2/3 = 50/3 = 16
+    assert one("SELECT 100/2/3 AS q") == 16
+    # any non-integer literal → true division, untouched
+    assert one("SELECT 7.0/2 AS q") == 3.5
+    assert abs(float(one("SELECT 7.0/2/3 AS q")) - 7.0 / 2 / 3) < 1e-6
+    # :: cast binds tighter than / — 7/2::numeric is true division
+    assert float(one("SELECT 7/2::numeric AS q")) == 3.5
+    # COUNT(...) is always integer-typed: the COUNT(*)/2 ratio shape
+    assert one("SELECT COUNT(*)/2 AS q FROM t") == 1
+    assert one("SELECT COUNT(x) / COUNT(x) AS q FROM t", "sqlite") == 1
+    # unknown-typed operands untouched (SUM, columns, float-promoted)
+    assert one("SELECT SUM(x)/2 AS q FROM t") == 3.0
+    assert one("SELECT COUNT(*) * 1.0 / COUNT(*) AS q FROM t") == 1.0
+    # dialects where / is true division are never rewritten
+    for d in ("mysql", "oracle", "duckdb", "hive"):
+        assert float(one("SELECT 7/2 AS q", d)) == 3.5, d
+
+
+def test_duckdb_intdiv_operator(spark):
+    """duckdb ``//`` truncates toward zero (measured on this box's
+    duckdb: 7//2=3, -7//2=-3, 7//-2=-3) = Spark DIV exactly. The
+    tokenizer yields two adjacent '/' ops, unparseable by Spark —
+    loud before this rewrite, exact after."""
+    pdf = pd.DataFrame({"x": [1.0]})
+    row = execute(
+        "SELECT 7//2 AS a, -7//2 AS b, 7 // -2 AS c",
+        tables={"t": pdf}, dialect="duckdb", spark=spark,
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (3, -3, -3)
+    import duckdb as _dk
+    assert _dk.connect().execute("SELECT 7//2, -7//2, 7 // -2").fetchall() == [
+        (row["a"], row["b"], row["c"])
+    ]
+
+
+def test_clickhouse_int_arithmetic(spark):
+    """clickhouse intDiv truncates toward zero ("rounds down by
+    absolute value" — C++ '/' semantics) = Spark DIV; modulo keeps the
+    dividend's sign = Spark MOD. The *OrZero forms return 0 on a zero
+    divisor — IF-guarded emission, exercised on a ROW-level zero so
+    constant folding can't hide a would-throw branch."""
+    pdf = pd.DataFrame({"a": [7, -7, 5], "b": [2, 2, 0]})
+    rows = execute(
+        "SELECT a, intDiv(a, 2) AS d, modulo(a, 2) AS m, "
+        "intDivOrZero(a, b) AS dz, moduloOrZero(a, b) AS mz "
+        "FROM t ORDER BY a",
+        tables={"t": pdf}, dialect="clickhouse", spark=spark,
+    ).collect()
+    got = [(r["a"], r["d"], r["m"], r["dz"], r["mz"]) for r in rows]
+    assert got == [(-7, -3, -1, -3, -1), (5, 2, 1, 0, 0), (7, 3, 1, 3, 1)]
+
+
 def test_pg_like_operator_spellings(spark):
     """pg lexes LIKE into ~~, NOT LIKE into !~~, ILIKE into ~~*, NOT
     ILIKE into !~~* — the single-~ regex branch must not consume half

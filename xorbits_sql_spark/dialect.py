@@ -3890,6 +3890,185 @@ def _rewrite_caret_power(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]
     return out
 
 
+def _rewrite_duckdb_intdiv(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """duckdb ``//`` is integer division TRUNCATING TOWARD ZERO
+    (measured on this box's duckdb: ``7//2=3, -7//2=-3, 7//-2=-3``) —
+    exactly Spark's ``DIV`` operator, including the ANSI-mode
+    divide-by-zero error both engines raise. The tokenizer yields two
+    strictly ADJACENT '/' ops for ``//`` (whitespace between two
+    slashes is not the operator and stays untouched, failing loudly on
+    Spark's parser rather than guessing)."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    while i < len(tokens):
+        if (
+            tokens[i] == ("op", "/")
+            and i + 1 < len(tokens)
+            and tokens[i + 1] == ("op", "/")
+        ):
+            out += [("ws", " "), ("word", "DIV"), ("ws", " ")]
+            i += 2
+            continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _int_operand_back(
+    tokens: list[tuple[str, str]], end: int
+) -> int | None:
+    """Start index of a KNOWN-INTEGER operand ending at ``end``: an
+    integer literal, or the closing paren of a bare ``COUNT(...)``
+    call (always integer-typed in every dialect this feeds). None
+    for anything whose type a token rewriter cannot see."""
+    kind, text = tokens[end]
+    if kind == "number":
+        return end if text.isdigit() else None
+    if (kind, text) == ("op", ")"):
+        depth = 0
+        j = end
+        while j >= 0:
+            if tokens[j] == ("op", ")"):
+                depth += 1
+            elif tokens[j] == ("op", "("):
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        k = _prev_code(tokens, j)
+        if k is None or tokens[k][0] != "word" or tokens[k][1].upper() != "COUNT":
+            return None
+        kk = _prev_code(tokens, k)
+        if kk is not None and tokens[kk] == ("op", "."):
+            return None  # qualified x.count(...) — not the aggregate
+        return k
+    return None
+
+
+def _int_operand_fwd(
+    tokens: list[tuple[str, str]], start: int
+) -> int | None:
+    """End index of a KNOWN-INTEGER operand starting at ``start``:
+    an optional single unary sign, then an integer literal or a
+    ``COUNT(...)`` call. The forward twin of ``_int_operand_back``."""
+    i = start
+    kind, text = tokens[i]
+    if (kind, text) in (("op", "-"), ("op", "+")):
+        nxt = _next_code(tokens, i)
+        if nxt is None:
+            return None
+        i = nxt
+        kind, text = tokens[i]
+    if kind == "number":
+        return i if text.isdigit() else None
+    if kind == "word" and text.upper() == "COUNT":
+        j = _next_code(tokens, i)
+        if j is None or tokens[j] != ("op", "("):
+            return None
+        parsed = _call_args(tokens, j)
+        return None if parsed is None else parsed[1]
+    return None
+
+
+def _rewrite_int_literal_division(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """pg/redshift/tsql/sqlite/teradata ``/`` on two INTEGER operands
+    is integer division truncating toward zero (pg docs' operator
+    table flags ``/`` as "division (integer division truncates the
+    result)"; ``SELECT (-7)/2`` is -3 on all five); Spark's ``/`` is
+    ALWAYS true division, so ``7/2`` runs on both engines and silently
+    returns 3.5 instead of 3 — the silent-corruption class this
+    fallback exists to stop. Only statically type-KNOWN integer
+    operands rewrite: integer literals and ``COUNT(...)`` calls
+    (integer-typed in all five dialects — and ``COUNT(*)/2``-style
+    ratios are the wild-caught shape of this bug). Both sides must be
+    known-integer; a column operand's type is invisible at the token
+    layer, and decimal/float division — the common case — is already
+    correct untouched.
+
+    Guards, in order: the code token before the left operand must not
+    be ``* / %`` (left associativity: the ``/``'s real left operand
+    would be the whole preceding same-precedence product, of unknown
+    type — EXCEPT a ``DIV`` planted by this same pass, whose result is
+    always integral, which keeps ``100/2/3`` exact end-to-end); the
+    right operand must not be followed by ``::`` (the pg cast binds
+    tighter, so ``7/2::numeric`` is true division — skip)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        if out[i] != ("op", "/"):
+            i += 1
+            continue
+        lend = _prev_code(out, i)
+        rstart = _next_code(out, i)
+        if lend is None or rstart is None:
+            i += 1
+            continue
+        lstart = _int_operand_back(out, lend)
+        rend = _int_operand_fwd(out, rstart)
+        if lstart is None or rend is None:
+            i += 1
+            continue
+        before = _prev_code(out, lstart)
+        if before is not None and out[before] in (
+            ("op", "*"), ("op", "/"), ("op", "%"),
+        ):
+            i += 1
+            continue
+        after = _next_code(out, rend)
+        if after is not None and out[after] == ("op", "::"):
+            i += 1
+            continue
+        out[i : i + 1] = [("ws", " "), ("word", "DIV"), ("ws", " ")]
+        i = rend + 3  # operand end shifted by the 2 net-new tokens
+    return out
+
+
+def _rewrite_or_zero(
+    tokens: list[tuple[str, str]], fname: str, op: str
+) -> list[tuple[str, str]]:
+    """clickhouse ``intDivOrZero``/``moduloOrZero`` return 0 (not an
+    error, not NULL) on a zero divisor — emit
+    ``IF((b) = 0, 0, (a) <op> (b))``. Only the exact 2-arg form
+    rewrites; any other arity stays put and fails loudly as an
+    unresolved function on Spark. Documented divergence: clickhouse
+    also returns 0 for min-negative ÷ -1; Spark ANSI raises an
+    overflow ERROR there — loud, not silent."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != fname:
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None or len(parsed[0]) != 2:
+            i += 1
+            continue
+        (a, b), close = parsed
+        repl = (
+            tokenize("IF((")
+            + list(b)
+            + tokenize(") = 0, 0, (")
+            + list(a)
+            + tokenize(f") {op} (")
+            + list(b)
+            + tokenize("))")
+        )
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
 def _swap_first_two_args(
     tokens: list[tuple[str, str]], fname: str, min_args: int = 2, max_args: int = 3
 ) -> list[tuple[str, str]]:
@@ -4853,6 +5032,10 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             ("backtick", _to_backtick(_unquote(t, '"'))) if k == "dquoted" else (k, t)
             for k, t in tokens
         ]
+    if dialect == "duckdb":
+        # '//' integer division (truncating, like Spark DIV) arrives
+        # as two adjacent '/' ops; before anything else touches '/'
+        tokens = _rewrite_duckdb_intdiv(tokens)
     if dialect in ("postgres", "postgresql", "duckdb", "redshift", "mysql"):
         tokens = _rewrite_temp_table_as(tokens)
     if dialect in ("postgres", "postgresql", "duckdb", "redshift"):
@@ -4881,6 +5064,14 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = [
             ("op", "^") if (k, t) == ("op", "#") else (k, t) for k, t in tokens
         ]
+    if dialect in (
+        "postgres", "postgresql", "redshift", "tsql", "sqlite", "teradata",
+    ):
+        # int/int is TRUNCATING integer division here, true division
+        # on Spark — 7/2 silently reads 3.5 instead of 3. Literal and
+        # COUNT(...) operands only (statically type-known). After
+        # caret-power so POWER(...) results aren't mistaken operands.
+        tokens = _rewrite_int_literal_division(tokens)
     if dialect in ("postgres", "postgresql", "duckdb", "redshift", "sqlite", "teradata"):
         # single-arg LOG is log10 here, ln on Spark — both run,
         # silently off by a factor of ln(10)
@@ -5065,6 +5256,16 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             tokens, {"SPLITBYCHAR": "SPLIT", "SPLITBYSTRING": "SPLIT"}
         )
         tokens = _rewrite_literal_split(tokens, "SPLIT", max_args=2)
+        # arithmetic function spellings: intDiv truncates toward zero
+        # ("rounds down by absolute value" per the clickhouse docs, C++
+        # '/' semantics) = Spark DIV exactly; modulo keeps the
+        # dividend's sign = Spark MOD. Both raise on a zero divisor on
+        # both engines (Spark: ANSI mode). The *OrZero forms return 0
+        # on a zero divisor — IF-guarded emission via _rewrite_or_zero
+        # (exact-word matches throughout; non-2-arg forms stay put and
+        # fail loudly as unresolved functions).
+        tokens = _rewrite_or_zero(tokens, "INTDIVORZERO", "DIV")
+        tokens = _rewrite_or_zero(tokens, "MODULOORZERO", "%")
         tokens = _rewrite_func_names(
             tokens,
             {
@@ -5072,6 +5273,8 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
                 "ANY": "ANY_VALUE",
                 "COUNTIF": "COUNT_IF",
                 "ARRAYJOIN": "EXPLODE",
+                "INTDIV": "DIV",
+                "MODULO": "MOD",
             },
         )
         # clickhouse toDayOfWeek is ISO (Monday=1); Spark's DAYOFWEEK
