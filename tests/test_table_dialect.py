@@ -2076,6 +2076,77 @@ def test_clickhouse_int_arithmetic(spark):
     assert got == [(-7, -3, -1, -3, -1), (5, 2, 1, 0, 0), (7, 3, 1, 3, 1)]
 
 
+def test_two_arg_trim_order(spark):
+    """Round-11 sweep: 2-arg TRIM/LTRIM/RTRIM are (string, chars) in
+    pg/redshift/duckdb/sqlite/snowflake/tsql/bigquery/oracle; Spark
+    inherited Hive's REVERSED (chars, string) for the comma forms —
+    TRIM('xyx', 'x') runs on both and silently trims the wrong
+    operand. Verified against this box's duckdb (string-first, same
+    as pg's btrim-family semantics)."""
+    import duckdb as _dk
+    assert _dk.connect().execute(
+        "SELECT TRIM('xyx', 'x'), LTRIM('xxay', 'x'), RTRIM('yaxx', 'x')"
+    ).fetchall() == [("y", "ay", "ya")]
+    pdf = pd.DataFrame({"x": [1.0]})
+    for d in ("postgres", "duckdb", "sqlite", "snowflake", "tsql", "bigquery"):
+        row = execute(
+            "SELECT TRIM('xyx', 'x') AS a, LTRIM('xxay', 'x') AS b, "
+            "RTRIM('yaxx', 'x') AS c",
+            tables={"t": pdf}, dialect=d, spark=spark,
+        ).collect()[0]
+        assert (row["a"], row["b"], row["c"]) == ("y", "ay", "ya"), d
+    # oracle: LTRIM/RTRIM only (TRIM is FROM-form-only there)
+    row = execute(
+        "SELECT LTRIM('xxay', 'x') AS b, RTRIM('yaxx', 'x') AS c",
+        tables={"t": pdf}, dialect="oracle", spark=spark,
+    ).collect()[0]
+    assert (row["b"], row["c"]) == ("ay", "ya")
+    # 1-arg and FROM forms agree cross-engine and pass through
+    row = execute(
+        "SELECT TRIM('  y  ') AS a, TRIM(BOTH 'x' FROM 'xyx') AS b",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()[0]
+    assert (row["a"], row["b"]) == ("y", "y")
+
+
+def test_sqlite_like_case_insensitive(spark):
+    """Round-11 sweep: sqlite LIKE is case-insensitive by default
+    (ASCII; PRAGMA case_sensitive_like is session state a transpiler
+    cannot see) — Spark's LIKE is case-sensitive, so 'A' LIKE 'a%'
+    runs on both and silently disagrees. Operator and 2-arg function
+    forms rewrite to ILIKE (the function form is additionally
+    arg-REVERSED: sqlite like(pattern, string) vs Spark's
+    like/ilike(str, pattern)); the 3-arg escape function form
+    refuses loudly."""
+    pdf = pd.DataFrame({"a": ["Alpha", "beta", "ALTO"]})
+
+    def vals(sql):
+        return [r["a"] for r in execute(
+            sql, tables={"t": pdf}, dialect="sqlite", spark=spark
+        ).collect()]
+
+    assert vals("SELECT a FROM t WHERE a LIKE 'al%' ORDER BY a") == [
+        "ALTO", "Alpha"
+    ]
+    assert vals("SELECT a FROM t WHERE a NOT LIKE 'al%' ORDER BY a") == ["beta"]
+    assert vals("SELECT a FROM t WHERE like('al%', a) ORDER BY a") == [
+        "ALTO", "Alpha"
+    ]
+    # ESCAPE clause survives the operator rewrite
+    assert vals("SELECT a FROM t WHERE a LIKE 'AL!%' ESCAPE '!'") == []
+    with pytest.raises(Exception, match="3-arg"):
+        execute(
+            "SELECT like('al%', a, '!') FROM t",
+            tables={"t": pdf}, dialect="sqlite", spark=spark,
+        )
+    # mysql/pg LIKE stays case-sensitive
+    got = execute(
+        "SELECT a FROM t WHERE a LIKE 'al%'",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert got == []
+
+
 def test_pg_like_operator_spellings(spark):
     """pg lexes LIKE into ~~, NOT LIKE into !~~, ILIKE into ~~*, NOT
     ILIKE into !~~* — the single-~ regex branch must not consume half

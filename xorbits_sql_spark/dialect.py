@@ -5302,6 +5302,50 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
     if dialect == "sqlite":
         tokens = _rewrite_strftime(tokens)
         tokens = _rewrite_cast_funcs(tokens, {"DATETIME": "TIMESTAMP"})
+        # sqlite LIKE is CASE-INSENSITIVE (for ASCII, by default —
+        # PRAGMA case_sensitive_like can flip it, invisible here);
+        # Spark's LIKE is case-sensitive, so 'A' LIKE 'a' runs on both
+        # and silently disagrees. Operator form → ILIKE (documented
+        # residual: ILIKE folds full Unicode, sqlite only ASCII).
+        # sqlite's like(PATTERN, string) FUNCTION is additionally
+        # arg-REVERSED vs Spark's like(str, pattern) — swap, then
+        # rename the call form only (the 3-arg like(p, s, escape)
+        # form refuses loudly first, the splitByChar precedent).
+        tokens = [
+            ("word", "ILIKE")
+            if (
+                k == "word"
+                and t.upper() == "LIKE"
+                and (
+                    (n := _next_code(tokens, i)) is None
+                    or tokens[n] != ("op", "(")
+                )
+            )
+            else (k, t)
+            for i, (k, t) in enumerate(tokens)
+        ]
+        tokens = _refuse_unswapped_arity(
+            tokens, "LIKE", 2,
+            "sqlite's 3-arg like(pattern, string, escape) has no "
+            "Spark function spelling; use string ILIKE pattern "
+            "ESCAPE char instead.",
+        )
+        tokens = _swap_first_two_args(tokens, "LIKE", min_args=2, max_args=2)
+        tokens = _rewrite_func_names(tokens, {"LIKE": "ILIKE"})
+    if dialect in (
+        "postgres", "postgresql", "redshift", "duckdb", "sqlite",
+        "snowflake", "tsql", "bigquery", "oracle",
+    ):
+        # 2-arg TRIM/LTRIM/RTRIM here are (string, trim_chars); Spark
+        # inherited Hive's REVERSED (trim_chars, string) for the
+        # comma forms — TRIM('xyx', 'x') runs on both and silently
+        # trims the wrong operand (Spark reads it as BOTH 'xyx' FROM
+        # 'x' = ''). The 1-arg and TRIM(BOTH c FROM s) forms agree on
+        # both engines and pass through (no top-level comma). oracle
+        # TRIM is FROM-form-only so its TRIM swap never fires;
+        # LTRIM/RTRIM(s, set) are oracle's real 2-arg spellings.
+        for _f in ("TRIM", "LTRIM", "RTRIM"):
+            tokens = _swap_first_two_args(tokens, _f, min_args=2, max_args=2)
     if dialect == "teradata":
         tokens = _for_each_scope(tokens, _rewrite_top)
     if dialect == "snowflake":
