@@ -2147,6 +2147,44 @@ def test_sqlite_like_case_insensitive(spark):
     assert got == []
 
 
+def test_tsql_like_bracket_classes(spark):
+    """Round-11 sweep: T-SQL LIKE supports [...] classes and [^...]
+    negation; Spark LIKE reads the brackets literally — every row
+    silently non-matching. Literal bracket patterns rewrite to an
+    anchored RLIKE regex; a literal [ always means a class in T-SQL
+    (literal bracket is spelled [[]). Unterminated classes and
+    ESCAPE+class combinations refuse loudly."""
+    pdf = pd.DataFrame({"x": ["5abc", "xabc", "a.c", "abc", "a[b", "3ab"]})
+
+    def vals(sql):
+        return [r["x"] for r in execute(
+            sql, tables={"t": pdf}, dialect="tsql", spark=spark
+        ).collect()]
+
+    assert vals("SELECT x FROM t WHERE x LIKE '[0-9]ab%' ORDER BY x") == [
+        "3ab", "5abc"
+    ]
+    # [^...] negation; _ wildcard; '.' is LITERAL in LIKE
+    assert vals("SELECT x FROM t WHERE x LIKE 'a[^b]_' ORDER BY x") == [
+        "a.c", "a[b"
+    ]
+    assert vals("SELECT x FROM t WHERE x LIKE 'a[^b].' ORDER BY x") == []
+    # NOT LIKE keeps its polarity through the rewrite
+    assert vals("SELECT x FROM t WHERE x NOT LIKE '[0-9]%' ORDER BY x") == [
+        "a.c", "a[b", "abc", "xabc"
+    ]
+    # [[] spells a literal bracket; regex specials in classes escape
+    assert vals("SELECT x FROM t WHERE x LIKE 'a[[]b'") == ["a[b"]
+    # bracket-free patterns pass through as plain LIKE
+    assert vals("SELECT x FROM t WHERE x LIKE 'a.c'") == ["a.c"]
+    for bad in (
+        "SELECT x FROM t WHERE x LIKE 'a[0-9'",
+        "SELECT x FROM t WHERE x LIKE '[0-9]%' ESCAPE '!'",
+    ):
+        with pytest.raises(Exception, match="T-SQL LIKE"):
+            execute(bad, tables={"t": pdf}, dialect="tsql", spark=spark)
+
+
 def test_pg_like_operator_spellings(spark):
     """pg lexes LIKE into ~~, NOT LIKE into !~~, ILIKE into ~~*, NOT
     ILIKE into !~~* — the single-~ regex branch must not consume half

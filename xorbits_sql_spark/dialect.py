@@ -4069,6 +4069,100 @@ def _rewrite_or_zero(
     return out
 
 
+def _tsql_like_pattern_to_regex(pat: str) -> str | None:
+    """Translate a T-SQL LIKE pattern WITH bracket classes into an
+    anchored Java regex: ``%``→``.*``, ``_``→``.``, ``[...]`` keeps
+    its class meaning (``^`` negation and ``-`` ranges are the same in
+    both languages; wildcards lose their meaning inside brackets on
+    both sides), everything else matches literally. Returns None for
+    class shapes whose T-SQL reading is murky (unterminated ``[``,
+    empty ``[]``/``[^]``) — callers refuse loudly rather than guess."""
+    out = ["(?s)^"]
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c == "[":
+            j = pat.find("]", i + 1)
+            if j == -1 or j == i + 1 or (j == i + 2 and pat[i + 1] == "^"):
+                return None
+            body = []
+            for k, ch in enumerate(pat[i + 1 : j]):
+                if ch == "^" and k == 0:
+                    body.append("^")
+                elif ch in "\\[]&":
+                    body.append("\\" + ch)  # Java class metacharacters
+                else:
+                    body.append(ch)
+            out.append("[" + "".join(body) + "]")
+            i = j + 1
+            continue
+        elif c in ".^$*+?()[]{}\\|":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+def _rewrite_tsql_like_brackets(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """T-SQL LIKE patterns support ``[...]`` character classes and
+    ``[^...]`` negation ('LIKE \\'[0-9]%\\''); Spark's LIKE reads the
+    brackets as LITERAL characters — both run, every row silently
+    non-matching, the worst corruption class. LITERAL patterns
+    containing ``[`` rewrite to an anchored RLIKE regex (a literal
+    bracket is spelled ``[[]`` in T-SQL, so a bare ``[`` in a literal
+    pattern always means a class). Non-literal bracket patterns are
+    invisible at the token layer and pass through; a literal bracket
+    pattern followed by ESCAPE refuses loudly (the interaction is out
+    of scope, and a silent pass-through would mis-match every row).
+    Collation note: whether T-SQL LIKE compares case-insensitively is
+    a server collation property the transpiler cannot see; this
+    rewrite preserves Spark's case-sensitive comparison either way."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "LIKE":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j][0] != "string":
+            i += 1
+            continue
+        pat = _unquote(out[j][1], "'")
+        if "[" not in pat:
+            i += 1
+            continue
+        after = _next_code(out, j)
+        if (
+            after is not None
+            and out[after][0] == "word"
+            and out[after][1].upper() == "ESCAPE"
+        ):
+            raise UnsupportedError(
+                "T-SQL LIKE with both a [...] class and an ESCAPE "
+                "clause has no scoped Spark rewrite; drop the ESCAPE "
+                "or spell the predicate as RLIKE."
+            )
+        regex = _tsql_like_pattern_to_regex(pat)
+        if regex is None:
+            raise UnsupportedError(
+                f"cannot translate T-SQL LIKE pattern {pat!r}: "
+                "unterminated or empty [...] class — spell it RLIKE."
+            )
+        lit = regex.replace("\\", "\\\\").replace("'", "''")
+        out[i : j + 1] = [("word", "RLIKE"), ("ws", " "), ("string", f"'{lit}'")]
+        i += 3
+    return out
+
+
 def _swap_first_two_args(
     tokens: list[tuple[str, str]], fname: str, min_args: int = 2, max_args: int = 3
 ) -> list[tuple[str, str]]:
@@ -5112,6 +5206,9 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             ("backtick", _to_backtick(_unquote(t, "]"))) if k == "bracket" else (k, t)
             for k, t in tokens
         ]
+        # LIKE '[0-9]%' classes: Spark LIKE reads [ ] literally —
+        # every row silently non-matching. Literal patterns → RLIKE.
+        tokens = _rewrite_tsql_like_brackets(tokens)
         # func-name rewrites only (word followed by '('): a COLUMN named
         # len or isnull must survive — _rewrite_words renamed those bare
         # identifiers too, silently corrupting the projection. GETDATE()
