@@ -2147,6 +2147,42 @@ def test_sqlite_like_case_insensitive(spark):
     assert got == []
 
 
+def test_substr_nonpositive_start(spark):
+    """Round-11 sweep: pg/redshift SUBSTRING with start < 1 counts
+    VIRTUAL positions before the string (substr('abcdef', -2, 5) =
+    'ab'; substr('abcdef', 0, 3) = 'ab'); Spark counts negatives from
+    the END ('ef') and reads 0 as 1 without consuming length ('abc').
+    Literal starts <= 0 rewrite to start 1 with the length reduced by
+    the consumed virtual span — in comma and FROM/FOR spellings, with
+    any length expression. duckdb agrees with Spark on negatives
+    (measured) but consumes at 0 like pg — zero-only there. mysql
+    counts from the end like Spark — untouched."""
+    pdf = pd.DataFrame({"s": ["abcdef"], "n": [5]})
+
+    def one(sql, d="postgres"):
+        return execute(sql, tables={"t": pdf}, dialect=d, spark=spark).collect()[0]["q"]
+
+    assert one("SELECT substr(s, -2, 5) AS q FROM t") == "ab"
+    assert one("SELECT substr(s, 0, 3) AS q FROM t") == "ab"
+    assert one("SELECT substring(s FROM -2 FOR 5) AS q FROM t") == "ab"
+    assert one("SELECT substring(s FROM -2) AS q FROM t") == "abcdef"
+    # whole length consumed by the virtual span → empty, not an error
+    assert one("SELECT substr(s, -10, 5) AS q FROM t") == ""
+    # dynamic length expression works (reduction is arithmetic)
+    assert one("SELECT substr(s, -2, n) AS q FROM t") == "ab"
+    # positive starts untouched
+    assert one("SELECT substr(s, 2, 3) AS q FROM t") == "bcd"
+    # duckdb: pg-like at 0, Spark-like (from-end) on negatives
+    assert one("SELECT substr(s, 0, 3) AS q FROM t", "duckdb") == "ab"
+    assert one("SELECT substr(s, -2) AS q FROM t", "duckdb") == "ef"
+    import duckdb as _dk
+    assert _dk.connect().execute(
+        "SELECT substr('abcdef', 0, 3), substr('abcdef', -2)"
+    ).fetchall() == [("ab", "ef")]
+    # mysql negative start counts from the end, like Spark — untouched
+    assert one("SELECT substr(s, -2, 5) AS q FROM t", "mysql") == "ef"
+
+
 def test_tsql_like_bracket_classes(spark):
     """Round-11 sweep: T-SQL LIKE supports [...] classes and [^...]
     negation; Spark LIKE reads the brackets literally — every row

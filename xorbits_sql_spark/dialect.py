@@ -4069,6 +4069,101 @@ def _rewrite_or_zero(
     return out
 
 
+def _literal_int(arg: list[tuple[str, str]]) -> int | None:
+    """The integer value of an argument token list that is exactly an
+    optionally-signed integer literal, else None."""
+    code = [(k, t) for k, t in arg if k not in ("ws", "comment")]
+    sign = 1
+    if code and code[0] in (("op", "-"), ("op", "+")):
+        sign = -1 if code[0][1] == "-" else 1
+        code = code[1:]
+    if len(code) == 1 and code[0][0] == "number" and code[0][1].isdigit():
+        return sign * int(code[0][1])
+    return None
+
+
+def _rewrite_substr_nonpositive(
+    tokens: list[tuple[str, str]], zero_only: bool = False
+) -> list[tuple[str, str]]:
+    """pg/redshift SUBSTRING/SUBSTR treat a start position < 1 as
+    VIRTUAL positions before the string: ``substr('abcdef', -2, 5)``
+    = 'ab' (positions -2..2, the first 1-p are off-string) and
+    ``substr('abcdef', 0, 3)`` = 'ab'. Spark counts a NEGATIVE start
+    from the END ('ef') and reads 0 as 1 without consuming length
+    ('abc') — every combination runs and silently disagrees. For a
+    LITERAL start p <= 0 the pg result is computable at transpile
+    time: start 1, length reduced by the consumed virtual span
+    (1 - p); Spark returns '' for non-positive lengths, matching pg's
+    empty result when the whole length is consumed, so the reduced
+    length needs no clamp and the length argument may be any
+    expression. Both the comma and FROM/FOR spellings are handled;
+    non-literal starts are invisible at the token layer and pass
+    through (documented residual).
+
+    duckdb agrees with Spark on negative starts (from-the-end,
+    measured: ``substr('abcdef', -2)`` = 'ef' on this box's duckdb)
+    but uses pg's virtual consumption at 0 (``substr('abcdef', 0,
+    3)`` = 'ab') — ``zero_only=True`` restricts the rewrite to the
+    one start value that differs there."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() not in ("SUBSTR", "SUBSTRING"):
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None:
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) == 1:
+            # FROM/FOR spelling: split the single arg at depth-0
+            # FROM / FOR keywords
+            seg: list[list[tuple[str, str]]] = [[]]
+            depth = 0
+            ok = True
+            for k, t in args[0]:
+                if (k, t) == ("op", "("):
+                    depth += 1
+                elif (k, t) == ("op", ")"):
+                    depth -= 1
+                if depth == 0 and k == "word" and t.upper() in ("FROM", "FOR"):
+                    if (t.upper() == "FROM" and len(seg) != 1) or (
+                        t.upper() == "FOR" and len(seg) != 2
+                    ):
+                        ok = False
+                        break
+                    seg.append([])
+                    continue
+                seg[-1].append((k, t))
+            if not ok or len(seg) < 2:
+                i += 1
+                continue
+            args = seg
+        if not 2 <= len(args) <= 3:
+            i += 1
+            continue
+        p = _literal_int(args[1])
+        if p is None or p > 0 or (zero_only and p != 0):
+            i += 1
+            continue
+        consumed = 1 - p
+        repl = tokenize("SUBSTRING(") + list(args[0]) + tokenize(", 1")
+        if len(args) == 3:
+            repl += tokenize(", (") + list(args[2]) + tokenize(
+                f") - {consumed}"
+            )
+        repl += tokenize(")")
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    return out
+
+
 def _tsql_like_pattern_to_regex(pat: str) -> str | None:
     """Translate a T-SQL LIKE pattern WITH bracket classes into an
     anchored Java regex: ``%``→``.*``, ``_``→``.``, ``[...]`` keeps
@@ -5166,6 +5261,14 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # COUNT(...) operands only (statically type-known). After
         # caret-power so POWER(...) results aren't mistaken operands.
         tokens = _rewrite_int_literal_division(tokens)
+    if dialect in ("postgres", "postgresql", "redshift"):
+        # SUBSTRING start < 1 means VIRTUAL positions here; Spark
+        # counts negatives from the END — both run, silently different
+        tokens = _rewrite_substr_nonpositive(tokens)
+    elif dialect == "duckdb":
+        # duckdb agrees with Spark on negatives but consumes length
+        # at start 0 like pg
+        tokens = _rewrite_substr_nonpositive(tokens, zero_only=True)
     if dialect in ("postgres", "postgresql", "duckdb", "redshift", "sqlite", "teradata"):
         # single-arg LOG is log10 here, ln on Spark — both run,
         # silently off by a factor of ln(10)
