@@ -177,10 +177,19 @@ from xorbits_sql_spark.queries import load_all
 # Round-12 playbook: if CORRECTNESS_r11 is green on its window, regen
 # the ledger with the r11 rows and advance; any red (or any green name
 # whose result-affecting definition changed this round) re-enters the
-# r12 window first, as always. One r11 re-entry: u11 re-spelled its
-# postgres split as STRING_TO_ARRAY (round-10 ADVICE — the probe now
-# exercises the literal-delimiter rewrite; values provably identical,
-# re-entering anyway per the t90/t92 precedent).
+# r12 window first, as always. Eleven r11 re-entries: u11 re-spelled
+# its postgres split as STRING_TO_ARRAY (round-10 ADVICE — the probe
+# now exercises the literal-delimiter rewrite), and the round-11
+# NULL-sort-position sweep made trino/presto/snowflake (NULL-largest)
+# and clickhouse (NULLS LAST both ways) ORDER BY defaults explicit —
+# every green entry on those dialects with a bare ORDER BY key now
+# EMITS different Spark SQL (q24 q27 s32 s37 s39 t94 t97 u03 u08 u12;
+# sort keys are non-null TPC-H columns so values are provably
+# identical, re-entering anyway per the t90/t92 precedent; s40 sqlite
+# is NULL-smallest like Spark, emission unchanged, stays green).
+_R11_REENTRIES = frozenset(
+    ["q24", "q27", "s32", "s37", "s39", "t94", "t97", "u03", "u08", "u12"]
+)
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
     + [f"q{i}" for i in range(30, 100)]
@@ -200,7 +209,7 @@ _DRIVER_GREEN = frozenset(
     # u15+ (round-11 additions, if any) are NOT green until a driver
     # row says so
     + [f"u{i:02d}" for i in range(1, 15) if i != 11]
-)
+) - _R11_REENTRIES
 
 
 def _rotated(name: str) -> str:

@@ -38,7 +38,10 @@ _VERIFIED_PREFIXES = (
     # SPLIT as STRING_TO_ARRAY (round-10 ADVICE), changing the
     # exercised rewrite path.
     | {f"u{i:02d}" for i in range(1, 15) if i != 11}
-)
+    # Round-11 NULL-sort-position sweep re-entries: every green entry
+    # on trino/snowflake/clickhouse with a bare ORDER BY key now emits
+    # explicit NULLS markers — definition change, t90/t92 precedent.
+) - entry_mod._R11_REENTRIES
 
 # Round 11: no rows-only re-entries pending.
 _ROWS_ONLY_FRESH: list[str] = []
