@@ -415,15 +415,20 @@ def _adjudicate_regressions(
             timeout=120,
             check=True,
         )
-        # Interleave head/base passes (H,B,H,B) so a machine-wide trend
-        # during adjudication cancels instead of biasing one side: a
-        # round-5 deep re-time showed a single H,B pair labeling pure
-        # jitter "confirmed" at ab 1.26 when the interleaved pooled
-        # median was 0.97.
+        # ABBA order (H,B,B,H): per-side position sums match
+        # (1+4 = 2+3), so a MONOTONE machine-wide trend during
+        # adjudication — e.g. the post-suite cool-down, since this
+        # always runs right after the full suite — cancels exactly
+        # under the per-side min. The previous H,B,H,B interleaving
+        # (round-5 fix for single-pair jitter) still put head in the
+        # earlier, hotter positions 1 and 3: round-11's two false
+        # confirms (t80 ab 1.6, t85 ab 1.91) both INVERTED under
+        # order-reversed isolated re-times — the cooling-trend
+        # signature (BASELINE.md round-11 re-anchor note).
         head_runs = [_retime_subprocess(repo, names, sf_dir)]
         base_runs = [_retime_subprocess(wt, names, sf_dir)]
-        head_runs.append(_retime_subprocess(repo, names, sf_dir))
         base_runs.append(_retime_subprocess(wt, names, sf_dir))
+        head_runs.append(_retime_subprocess(repo, names, sf_dir))
         head_t = {
             n: round(min(r[n] for r in head_runs if n in r), 4)
             for n in names

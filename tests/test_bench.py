@@ -31,7 +31,7 @@ def test_adjudicate_regressions_worktree_ab(tmp_path):
     """Same code on both sides of the A/B (HEAD vs the baseline-commit
     worktree, re-timed back-to-back in fresh JVMs) must adjudicate a
     fake flagged regression as machine drift — and clean up its
-    worktree. ~4 JVM startups (interleaved H,B,H,B), the price of trusting BENCH regression
+    worktree. ~4 JVM startups (ABBA: H,B,B,H), the price of trusting BENCH regression
     flags."""
     import subprocess
 
