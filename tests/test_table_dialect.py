@@ -2147,6 +2147,62 @@ def test_sqlite_like_case_insensitive(spark):
     assert got == []
 
 
+def test_mysql_interval_arithmetic(spark):
+    """Round-11 sweep: mysql DATE_ADD/DATE_SUB(expr, INTERVAL n unit)
+    is unparseable by Spark's 2-arg date_add (loud), and the
+    ADDDATE/SUBDATE days-int forms would map to Spark's DATE_ADD which
+    silently DROPS a DATETIME's time-of-day (returns DATE) — all four
+    route through TIMESTAMPADD, n may be any expression, composite
+    units (DAY_HOUR) and intervalless DATE_ADD refuse loudly."""
+    import datetime as dt
+    pdf = pd.DataFrame({"d": pd.to_datetime(["2020-01-10 05:30:00"]), "n": [3]})
+
+    def one(sql, d="mysql"):
+        return execute(sql, tables={"t": pdf}, dialect=d, spark=spark).collect()[0]["q"]
+
+    assert one("SELECT DATE_ADD(d, INTERVAL 1 DAY) AS q FROM t") == dt.datetime(2020, 1, 11, 5, 30)
+    assert one("SELECT DATE_SUB(d, INTERVAL 2 MONTH) AS q FROM t") == dt.datetime(2019, 11, 10, 5, 30)
+    # time-of-day survives the days-int forms (Spark date_add would drop it)
+    assert one("SELECT ADDDATE(d, 3) AS q FROM t") == dt.datetime(2020, 1, 13, 5, 30)
+    assert one("SELECT SUBDATE(d, n) AS q FROM t") == dt.datetime(2020, 1, 7, 5, 30)
+    # dynamic interval value
+    assert one("SELECT DATE_ADD(d, INTERVAL n MONTH) AS q FROM t") == dt.datetime(2020, 4, 10, 5, 30)
+    for bad in (
+        "SELECT DATE_ADD(d, INTERVAL '1 2' DAY_HOUR) AS q FROM t",
+        "SELECT DATE_ADD(d, 3) AS q FROM t",
+    ):
+        with pytest.raises(Exception, match="DAY_HOUR|INTERVAL"):
+            execute(bad, tables={"t": pdf}, dialect="mysql", spark=spark)
+
+
+def test_clickhouse_date_arithmetic(spark):
+    """Round-11 sweep: clickhouse dateAdd(unit, n, d) and
+    dateDiff(unit|'unit', start, end) share tsql's argument order and
+    its boundary-crossing DATEDIFF semantics ('count of unit
+    boundaries crossed': dateDiff('year', '2019-12-31', '2020-01-10')
+    = 1); addDays/subtractMonths/... map to TIMESTAMPADD. The 4-arg
+    timezone form refuses loudly."""
+    import datetime as dt
+    pdf = pd.DataFrame({"d": pd.to_datetime(["2020-01-10 05:30:00"])})
+
+    def one(sql):
+        return execute(
+            sql, tables={"t": pdf}, dialect="clickhouse", spark=spark
+        ).collect()[0]["q"]
+
+    assert one("SELECT addDays(d, 3) AS q FROM t") == dt.datetime(2020, 1, 13, 5, 30)
+    assert one("SELECT subtractMonths(d, 2) AS q FROM t") == dt.datetime(2019, 11, 10, 5, 30)
+    assert one("SELECT dateAdd(DAY, 3, d) AS q FROM t") == dt.datetime(2020, 1, 13, 5, 30)
+    assert one("SELECT dateDiff('day', toDate('2020-01-01'), d) AS q FROM t") == 9
+    # boundary crossing, not elapsed units
+    assert one("SELECT dateDiff('year', toDate('2019-12-31'), d) AS q FROM t") == 1
+    with pytest.raises(Exception, match="DATEDIFF"):
+        execute(
+            "SELECT dateDiff('day', d, d, 'UTC') AS q FROM t",
+            tables={"t": pdf}, dialect="clickhouse", spark=spark,
+        )
+
+
 def test_substr_nonpositive_start(spark):
     """Round-11 sweep: pg/redshift SUBSTRING with start < 1 counts
     VIRTUAL positions before the string (substr('abcdef', -2, 5) =

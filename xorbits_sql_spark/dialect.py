@@ -3890,6 +3890,120 @@ def _rewrite_caret_power(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]
     return out
 
 
+_MYSQL_DATE_ADDSUB = {"DATE_ADD": 1, "ADDDATE": 1, "DATE_SUB": -1, "SUBDATE": -1}
+
+_CH_ADDSUB: dict[str, tuple[str, int]] = {}
+for _u in ("YEARS", "QUARTERS", "MONTHS", "WEEKS", "DAYS",
+           "HOURS", "MINUTES", "SECONDS"):
+    _CH_ADDSUB["ADD" + _u] = (_u[:-1], 1)
+    _CH_ADDSUB["SUBTRACT" + _u] = (_u[:-1], -1)
+
+
+def _rewrite_mysql_interval_arith(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """mysql ``DATE_ADD/DATE_SUB/ADDDATE/SUBDATE(expr, INTERVAL n
+    unit)`` → ``TIMESTAMPADD(unit, ±n, expr)`` (n may be any
+    expression — the bigquery _rewrite_bq_datetime precedent), and the
+    days-integer forms ``ADDDATE/SUBDATE(expr, n)`` →
+    ``TIMESTAMPADD(DAY, ±n, expr)``: Spark's own DATE_ADD returns a
+    DATE, silently DROPPING the time-of-day of a DATETIME input, and
+    mysql's DATE_ADD doesn't accept a bare integer at all. Composite
+    mysql units (DAY_HOUR, YEAR_MONTH, ...) refuse loudly via
+    _date_part. Documented visible divergence: the result is a
+    TIMESTAMP even for DATE input where mysql keeps DATE for
+    day-granularity arithmetic (the DATEADD-rewrite precedent) —
+    a type widening, not a value corruption."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        sign = _MYSQL_DATE_ADDSUB.get(up)
+        if sign is None:
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None or len(parsed[0]) != 2:
+            i += 1
+            continue
+        args, close = parsed
+        iv = [(k, t) for k, t in args[1] if k not in ("ws", "comment")]
+        if iv and iv[0][0] == "word" and iv[0][1].upper() == "INTERVAL":
+            if len(iv) < 3 or iv[-1][0] != "word":
+                raise UnsupportedError(
+                    f"{up} second argument must be INTERVAL <n> <unit>"
+                )
+            unit = _date_part([iv[-1]])
+            n: list[tuple[str, str]] = list(iv[1:-1])
+        elif up in ("ADDDATE", "SUBDATE"):
+            unit = "DAY"
+            n = list(args[1])
+        else:
+            raise UnsupportedError(
+                f"mysql {up} requires an INTERVAL second argument"
+            )
+        n_toks = (
+            (tokenize("-(") + n + tokenize(")")) if sign < 0 else n
+        )
+        repl = (
+            tokenize(f"TIMESTAMPADD({unit}, ")
+            + n_toks
+            + tokenize(", ")
+            + args[0]
+            + tokenize(")")
+        )
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    return out
+
+
+def _rewrite_ch_addsub(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """clickhouse ``addDays/addMonths/.../subtractSeconds(expr, n)``
+    → ``TIMESTAMPADD(UNIT, ±n, expr)``. Both engines clamp month-end
+    arithmetic (Jan 31 + 1 month = Feb 29). Non-2-arg calls stay put
+    and fail loudly as unresolved functions."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        got = _CH_ADDSUB.get(text.upper()) if kind == "word" else None
+        if got is None:
+            i += 1
+            continue
+        unit, sign = got
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None or len(parsed[0]) != 2:
+            i += 1
+            continue
+        args, close = parsed
+        n_toks = (
+            (tokenize("-(") + list(args[1]) + tokenize(")"))
+            if sign < 0
+            else list(args[1])
+        )
+        repl = (
+            tokenize(f"TIMESTAMPADD({unit}, ")
+            + n_toks
+            + tokenize(", ")
+            + args[0]
+            + tokenize(")")
+        )
+        out = out[:i] + repl + out[close + 1 :]
+        i += 1
+    return out
+
+
 def _rewrite_duckdb_intdiv(
     tokens: list[tuple[str, str]],
 ) -> list[tuple[str, str]]:
@@ -5362,6 +5476,12 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_group_concat(tokens)
         tokens = _rewrite_mysql_datefmt(tokens)
         tokens = _rewrite_convert(tokens, tsql=False)
+        # DATE_ADD/DATE_SUB/ADDDATE/SUBDATE: INTERVAL forms are
+        # unparseable by Spark's date_add (loud), and the ADDDATE
+        # days-int form maps to Spark's DATE_ADD which silently DROPS
+        # a DATETIME's time-of-day (returns DATE) — both routed
+        # through TIMESTAMPADD.
+        tokens = _rewrite_mysql_interval_arith(tokens)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
     if dialect == "oracle":
@@ -5456,6 +5576,16 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
             tokens, {"SPLITBYCHAR": "SPLIT", "SPLITBYSTRING": "SPLIT"}
         )
         tokens = _rewrite_literal_split(tokens, "SPLIT", max_args=2)
+        # date arithmetic: clickhouse dateAdd(unit, n, d) and
+        # dateDiff(unit|'unit', start, end) share tsql's arg order AND
+        # its boundary-crossing DATEDIFF semantics ("count of unit
+        # boundaries crossed"); clickhouse weeks start Monday like
+        # Spark's DATE_TRUNC — the shared machinery handles both
+        # (string units unquote in _date_part; the 4-arg timezone
+        # form refuses loudly there). addDays/subtractMonths/...
+        # map to TIMESTAMPADD.
+        tokens = _rewrite_dateadd_datediff(tokens)
+        tokens = _rewrite_ch_addsub(tokens)
         # arithmetic function spellings: intDiv truncates toward zero
         # ("rounds down by absolute value" per the clickhouse docs, C++
         # '/' semantics) = Spark DIV exactly; modulo keeps the
