@@ -2147,6 +2147,102 @@ def test_sqlite_like_case_insensitive(spark):
     assert got == []
 
 
+def test_mysql_regexp_case_insensitive(spark):
+    """Round-11 sweep: mysql REGEXP/RLIKE match with the default
+    case-INSENSITIVE collation ('ABC' REGEXP 'abc' = 1); Spark's RLIKE
+    is case-sensitive — both run, silently different. Operator →
+    RLIKE CONCAT('(?i)', pattern); REGEXP BINARY (mysql's explicit
+    case-sensitive form) → plain RLIKE; REGEXP_LIKE honors 'c'/'i'
+    match_type and refuses other flags."""
+    pdf = pd.DataFrame({"s": ["ABC", "xyz"]})
+
+    def vals(sql):
+        return [r["s"] for r in execute(
+            sql, tables={"t": pdf}, dialect="mysql", spark=spark
+        ).collect()]
+
+    assert vals("SELECT s FROM t WHERE s REGEXP 'abc'") == ["ABC"]
+    assert vals("SELECT s FROM t WHERE s RLIKE '^AB'") == ["ABC"]
+    assert vals("SELECT s FROM t WHERE s NOT REGEXP 'abc'") == ["xyz"]
+    # BINARY = explicit case-sensitive
+    assert vals("SELECT s FROM t WHERE s REGEXP BINARY 'abc'") == []
+    assert vals("SELECT s FROM t WHERE REGEXP_LIKE(s, 'aBc')") == ["ABC"]
+    assert vals("SELECT s FROM t WHERE REGEXP_LIKE(s, 'abc', 'c')") == []
+    assert vals("SELECT s FROM t WHERE REGEXP_LIKE(s, 'abc', 'i')") == ["ABC"]
+    with pytest.raises(Exception, match="match_type"):
+        execute(
+            "SELECT REGEXP_LIKE(s, 'a', 'm') FROM t",
+            tables={"t": pdf}, dialect="mysql", spark=spark,
+        )
+    # pg regex stays case-sensitive
+    got = execute(
+        "SELECT s FROM t WHERE s ~ 'abc'",
+        tables={"t": pdf}, dialect="postgres", spark=spark,
+    ).collect()
+    assert got == []
+
+
+def test_bare_array_literals(spark):
+    """Round-11 sweep: duckdb/clickhouse/bigquery bare [1,2,3] array
+    literals are a loud Spark parse error untranslated → ARRAY(...);
+    subscripts on them keep their 1-based per-dialect semantics, and
+    trino's ARRAY[...] constructor routes through the pg rewrite."""
+    pdf = pd.DataFrame({"x": [1.0]})
+
+    def one(sql, d):
+        return execute(sql, tables={"t": pdf}, dialect=d, spark=spark).collect()[0]["q"]
+
+    assert one("SELECT [1,2,3] AS q", "duckdb") == [1, 2, 3]
+    assert one("SELECT [10,20,30][1] AS q", "duckdb") == 10
+    assert one("SELECT [10,20,30][1] AS q", "clickhouse") == 10
+    assert one("SELECT ARRAY_LENGTH([1,2,3]) AS q", "bigquery") == 3
+    assert one("SELECT ARRAY[10,20][1] AS q", "trino") == 10
+    # IN (...) before a literal bracket is not a subscript position
+    assert one("SELECT [1,2][2] AS q FROM t WHERE x IN (1, 2)", "duckdb") == 2
+
+
+def test_clickhouse_array_lambdas(spark):
+    """Round-11 sweep: clickhouse higher-order array functions put the
+    LAMBDA first (arrayMap(x -> ..., arr)); Spark's take the array
+    first — swap + rename (loud unresolved-routine untranslated).
+    Multi-array forms refuse loudly before the rename could corrupt
+    them."""
+    pdf = pd.DataFrame({"x": [1.0]})
+
+    def one(sql):
+        return execute(
+            sql, tables={"t": pdf}, dialect="clickhouse", spark=spark
+        ).collect()[0]["q"]
+
+    assert one("SELECT arrayMap(x -> x * 2, [1,2,3]) AS q") == [2, 4, 6]
+    assert one("SELECT arrayFilter(x -> x > 1, [1,2,3]) AS q") == [2, 3]
+    assert one("SELECT arrayExists(x -> x > 2, [1,2,3]) AS q") is True
+    assert one("SELECT arrayAll(x -> x > 0, [1,2,3]) AS q") is True
+    with pytest.raises(Exception, match="multi-array"):
+        execute(
+            "SELECT arrayMap((x, y) -> x + y, [1], [2]) FROM t",
+            tables={"t": pdf}, dialect="clickhouse", spark=spark,
+        )
+
+
+def test_bq_generate_array(spark):
+    """Round-11 sweep: bigquery GENERATE_ARRAY(a, b) returns EMPTY
+    when a > b; Spark's SEQUENCE auto-selects a DESCENDING step and
+    returns rows — both run, silently different. The 2-arg form is
+    IF-guarded; explicit negative steps map directly."""
+    pdf = pd.DataFrame({"x": [1.0]})
+
+    def one(sql):
+        return execute(
+            sql, tables={"t": pdf}, dialect="bigquery", spark=spark
+        ).collect()[0]["q"]
+
+    assert one("SELECT GENERATE_ARRAY(1, 5) AS q") == [1, 2, 3, 4, 5]
+    assert one("SELECT GENERATE_ARRAY(5, 1) AS q") == []
+    assert one("SELECT GENERATE_ARRAY(5, 1, -2) AS q") == [5, 3, 1]
+    assert one("SELECT GENERATE_ARRAY(1, 6, 2) AS q") == [1, 3, 5]
+
+
 def test_mysql_interval_arithmetic(spark):
     """Round-11 sweep: mysql DATE_ADD/DATE_SUB(expr, INTERVAL n unit)
     is unparseable by Spark's 2-arg date_add (loud), and the

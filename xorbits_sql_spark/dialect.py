@@ -3069,6 +3069,218 @@ _NON_OPERAND_KEYWORDS = frozenset(
 )
 
 
+def _rewrite_bq_generate_array(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """bigquery ``GENERATE_ARRAY(a, b[, step])`` → Spark SEQUENCE.
+    The 2-arg form guards the a > b case: bq returns an EMPTY array
+    there (default step +1 never reaches b), while Spark's SEQUENCE
+    auto-selects a descending step and returns [a..b] — both run,
+    silently different rows. Emitted as ``IF((a) <= (b),
+    SEQUENCE((a), (b)), CAST(ARRAY() AS ARRAY<BIGINT>))`` (bq's
+    result type is ARRAY<INT64>). The 3-arg form maps directly:
+    explicit negative steps agree, and a step whose sign contradicts
+    the direction is [] on bq but a loud ANSI error on Spark —
+    visible, not silent."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "GENERATE_ARRAY":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j] != ("op", "("):
+            i += 1
+            continue
+        parsed = _call_args(out, j)
+        if parsed is None or len(parsed[0]) not in (2, 3):
+            i += 1
+            continue
+        args, close = parsed
+        if len(args) == 3:
+            repl = tokenize("SEQUENCE(") + list(args[0]) + tokenize(", ") + list(
+                args[1]
+            ) + tokenize(", ") + list(args[2]) + tokenize(")")
+        else:
+            a, b = list(args[0]), list(args[1])
+            repl = (
+                tokenize("IF((")
+                + a
+                + tokenize(") <= (")
+                + b
+                + tokenize("), SEQUENCE((")
+                + a
+                + tokenize("), (")
+                + b
+                + tokenize(")), CAST(ARRAY() AS ARRAY<BIGINT>))")
+            )
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
+def _rewrite_bare_array_literal(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """duckdb/clickhouse/bigquery bare ``[1, 2, 3]`` array literals →
+    ``ARRAY(1, 2, 3)`` (Spark's parser has no bare-bracket literal —
+    passthrough is a loud parse error). A bracket token whose previous
+    code token ENDS an operand is a SUBSCRIPT (``a[1]``,
+    ``[1,2][1]``) and is left for the per-dialect subscript rewrite;
+    a non-operand keyword (IN, SELECT, ...) or an operator before the
+    bracket means literal position. Nested bare literals and brackets
+    containing string-mangled ``]`` refuse loudly (the
+    ARRAY[...] precedent — the lexer's bracket rule cannot see
+    them)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        if out[i][0] != "bracket":
+            i += 1
+            continue
+        prev = _prev_code(out, i)
+        ends_operand = prev is not None and (
+            (
+                out[prev][0] in _OPERAND_END_KINDS
+                and not (
+                    out[prev][0] == "word"
+                    and out[prev][1].upper() in _NON_OPERAND_KEYWORDS
+                )
+            )
+            or out[prev] == ("op", ")")
+        )
+        if ends_operand:
+            i += 1
+            continue
+        inner = _bracket_inner(out[i][1])
+        if inner is None:
+            raise UnsupportedError(
+                "this [...] array literal (nested, or a ']' inside a "
+                "string literal) is not supported without sqlglot; "
+                "spell it array(...)"
+            )
+        if not any(k not in ("ws", "comment") for k, _ in inner):
+            raise UnsupportedError(
+                "empty [] is not supported without sqlglot; spell a "
+                "typed empty array as e.g. CAST(array() AS ARRAY<INT>)"
+            )
+        repl = tokenize("ARRAY(") + inner + tokenize(")")
+        out[i : i + 1] = repl
+        i += len(repl)
+    return out
+
+
+def _rewrite_mysql_regexp_ci(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """mysql REGEXP/RLIKE match with the connection collation, which
+    is case-INSENSITIVE by default (utf8mb4_0900_ai_ci): ``'ABC'
+    REGEXP 'abc'`` is 1 — Spark's RLIKE is case-sensitive, so both
+    engines run and silently disagree. Operator form →
+    ``RLIKE CONCAT('(?i)', (pattern))`` (ICU and Java regex both
+    honor inline ``(?i)``; dynamic patterns included);
+    ``REGEXP BINARY p`` is mysql's explicit case-SENSITIVE form →
+    plain ``RLIKE p``. ``REGEXP_LIKE(s, p[, match_type])``: absent or
+    'i' match_type → the (?i) form, 'c' → passthrough, anything else
+    (m/n/u flags, dynamic) refuses loudly. Sessions configured with a
+    binary/_cs collation are case-sensitive — server state the
+    transpiler cannot see (the sqlite-LIKE precedent)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up == "REGEXP_LIKE":
+            j = _next_code(out, i)
+            parsed = _call_args(out, j) if j is not None and out[j] == ("op", "(") else None
+            if parsed is None:
+                i += 1
+                continue
+            args, close = parsed
+            ci = True
+            if len(args) == 3:
+                mt = [(k, t) for k, t in args[2] if k not in ("ws", "comment")]
+                flag = (
+                    _unquote(mt[0][1], "'")
+                    if len(mt) == 1 and mt[0][0] == "string"
+                    else None
+                )
+                if flag == "c":
+                    ci = False
+                elif flag != "i":
+                    raise UnsupportedError(
+                        "mysql REGEXP_LIKE match_type other than 'c'/'i' "
+                        "is not supported without sqlglot"
+                    )
+            elif len(args) != 2:
+                i += 1
+                continue
+            pat = (
+                (tokenize("CONCAT('(?i)', (") + list(args[1]) + tokenize("))"))
+                if ci
+                else list(args[1])
+            )
+            repl = (
+                tokenize("REGEXP_LIKE(")
+                + list(args[0])
+                + tokenize(", ")
+                + pat
+                + tokenize(")")
+            )
+            out = out[:i] + repl + out[close + 1 :]
+            i += len(repl)
+            continue
+        if up in ("REGEXP", "RLIKE"):
+            prev = _prev_code(out, i)
+            ends_operand = prev is not None and (
+                (
+                    out[prev][0] in _OPERAND_END_KINDS
+                    and not (
+                        out[prev][0] == "word"
+                        and out[prev][1].upper() in _NON_OPERAND_KEYWORDS
+                    )
+                )
+                or out[prev] in (("op", ")"), ("op", "]"))
+            )
+            if not ends_operand and not (
+                prev is not None
+                and out[prev][0] == "word"
+                and out[prev][1].upper() == "NOT"
+            ):
+                i += 1
+                continue
+            rstart = _next_code(out, i)
+            if rstart is None:
+                i += 1
+                continue
+            if out[rstart][0] == "word" and out[rstart][1].upper() == "BINARY":
+                # explicit case-sensitive form: drop BINARY, keep RLIKE
+                pstart = _next_code(out, rstart)
+                if pstart is None:
+                    i += 1
+                    continue
+                out[i : pstart] = [("word", "RLIKE"), ("ws", " ")]
+                i += 2
+                continue
+            rend = _capture_operand_fwd(out, rstart)
+            if rend is None:
+                raise UnsupportedError(
+                    "cannot safely capture the REGEXP pattern operand "
+                    "without sqlglot; parenthesize the pattern"
+                )
+            repl = (
+                tokenize("RLIKE CONCAT('(?i)', (")
+                + out[rstart : rend + 1]
+                + tokenize("))")
+            )
+            out = out[:i] + repl + out[rend + 1 :]
+            i += len(repl)
+            continue
+        i += 1
+    return out
+
+
 def _rewrite_pg_regex_ops(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """postgres/redshift POSIX regex operators → Spark predicates:
     ``a ~ p`` → ``a RLIKE p``, ``a !~ p`` → ``a NOT RLIKE p``; the
@@ -5345,6 +5557,11 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_extract_epoch(tokens)
         tokens = _rewrite_pg_dow(tokens)
         tokens = _rewrite_pg_array_literal(tokens)
+    if dialect == "duckdb":
+        # bare [1, 2, 3] literals (loud parse error untranslated);
+        # after ARRAY[...] handling so its brackets are consumed
+        # first, before the subscript rewrite below
+        tokens = _rewrite_bare_array_literal(tokens)
     if dialect in ("postgres", "postgresql", "duckdb"):
         # pg/duckdb subscripts are 1-based; a passthrough a[1] runs on
         # Spark's 0-based [] and silently reads the wrong element. The
@@ -5482,6 +5699,9 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # a DATETIME's time-of-day (returns DATE) — both routed
         # through TIMESTAMPADD.
         tokens = _rewrite_mysql_interval_arith(tokens)
+        # REGEXP/RLIKE match case-insensitively under mysql's default
+        # collation; Spark's RLIKE is case-sensitive — silent
+        tokens = _rewrite_mysql_regexp_ci(tokens)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
     if dialect == "oracle":
@@ -5509,6 +5729,10 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_literal_split(tokens, "STRING_SPLIT", max_args=2)
         tokens = _rewrite_literal_split(tokens, "STR_SPLIT", max_args=2)
     if dialect in ("presto", "trino"):
+        # trino spells array construction ARRAY[1, 2] like pg (loud
+        # unresolved-column error untranslated); before the subscript
+        # rewrite so constructor brackets are consumed first
+        tokens = _rewrite_pg_array_literal(tokens)
         # trino arrays are 1-BASED with errors on any invalid index —
         # a passthrough a[1] silently reads the wrong element on
         # Spark's 0-based []
@@ -5517,6 +5741,10 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # remainder semantics as Spark's); Spark's is a regex
         tokens = _rewrite_literal_split(tokens, "SPLIT", max_args=3)
     if dialect == "clickhouse":
+        # bare [1, 2, 3] literals first (loud parse error
+        # untranslated), so the subscript rewrite below only sees
+        # genuine operand-trailing brackets
+        tokens = _rewrite_bare_array_literal(tokens)
         # clickhouse arrays are 1-based, negatives count from the end
         # (like duckdb). Documented divergence: clickhouse returns the
         # element type's DEFAULT (0, '') out of range, this emission
@@ -5596,6 +5824,24 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # fail loudly as unresolved functions).
         tokens = _rewrite_or_zero(tokens, "INTDIVORZERO", "DIV")
         tokens = _rewrite_or_zero(tokens, "MODULOORZERO", "%")
+        # higher-order array functions put the LAMBDA first
+        # (arrayMap(x -> ..., arr)); Spark's equivalents take the
+        # array first — swap then rename. Multi-array forms
+        # (arrayMap(f, a1, a2)) have no single-swap translation and
+        # refuse loudly before the rename could corrupt them.
+        _ho_why = (
+            "the multi-array form has no Spark single-function "
+            "equivalent; use zip_with/aggregate spellings instead."
+        )
+        for _ch, _sp in (
+            ("ARRAYMAP", "TRANSFORM"),
+            ("ARRAYFILTER", "FILTER"),
+            ("ARRAYEXISTS", "EXISTS"),
+            ("ARRAYALL", "FORALL"),
+        ):
+            tokens = _refuse_unswapped_arity(tokens, _ch, 2, _ho_why)
+            tokens = _swap_first_two_args(tokens, _ch, min_args=2, max_args=2)
+            tokens = _rewrite_func_names(tokens, {_ch: _sp})
         tokens = _rewrite_func_names(
             tokens,
             {
@@ -5740,8 +5986,22 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
                 "STARTS_WITH": "STARTSWITH",
                 "ENDS_WITH": "ENDSWITH",
                 "ARRAY_LENGTH": "SIZE",
+                # both are partial-match predicates; bq's re2 and
+                # Java's regex agree on the common syntax (documented
+                # residual: re2 lacks backreferences, Java lacks some
+                # re2 extensions — those patterns error, loudly, on
+                # one engine or the other)
+                "REGEXP_CONTAINS": "REGEXP_LIKE",
             },
         )
+        # GENERATE_ARRAY(a, b) returns EMPTY when a > b (default step
+        # +1); Spark's SEQUENCE(a, b) auto-selects a DESCENDING step —
+        # silently different rows. IF-guard the 2-arg form; the 3-arg
+        # form maps directly (negative steps agree; a sign/direction
+        # mismatch is [] on bq but a loud ANSI error on Spark).
+        tokens = _rewrite_bq_generate_array(tokens)
+        # bare [1, 2, 3] literals (loud parse error untranslated)
+        tokens = _rewrite_bare_array_literal(tokens)
         tokens = _rewrite_bq_datetime(tokens)
         tokens = _rewrite_bq_format(tokens)
         tokens = _rewrite_unnest(tokens, trino=False)
