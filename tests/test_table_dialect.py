@@ -2147,6 +2147,50 @@ def test_sqlite_like_case_insensitive(spark):
     assert got == []
 
 
+def test_json_arrow_operators(spark):
+    """Round-11 sweep: pg/duckdb/sqlite/mysql JSON -> / ->> operators
+    and pg #>> path arrays → get_json_object (loud parse errors
+    untranslated). ->> (text, unquoting string leaves) is exactly
+    get_json_object's contract; -> keeps JSON quoting and only
+    translates in CHAINED position (intermediate objects agree —
+    pinned against this box's duckdb), refusing as the final step.
+    mysql's JSON_UNQUOTE(JSON_EXTRACT(...)) idiom collapses; bare
+    JSON_EXTRACT refuses with guidance; sqlite's json_extract
+    (which UNQUOTES, unlike mysql's) renames directly."""
+    import duckdb as _dk
+    assert _dk.connect().execute(
+        """SELECT '{"a":{"b":2},"s":"hi"}' ->> 's',
+                  '{"a":{"b":2}}' -> 'a' ->> 'b',
+                  '{"arr":[5,6]}' -> 'arr' ->> 0"""
+    ).fetchall() == [("hi", "2", "5")]
+    pdf = pd.DataFrame({"j": ['{"a": {"b": 2}, "arr": [5,6], "s": "hi"}']})
+
+    def one(sql, d):
+        return execute(sql, tables={"t": pdf}, dialect=d, spark=spark).collect()[0]["q"]
+
+    assert one("SELECT j ->> 's' AS q FROM t", "postgres") == "hi"
+    assert one("SELECT j -> 'a' ->> 'b' AS q FROM t", "postgres") == "2"
+    assert one("SELECT j -> 'arr' ->> 0 AS q FROM t", "postgres") == "5"
+    assert one("SELECT j #>> '{a,b}' AS q FROM t", "postgres") == "2"
+    assert one("SELECT j ->> '$.s' AS q FROM t", "mysql") == "hi"
+    assert one(
+        "SELECT JSON_UNQUOTE(JSON_EXTRACT(j, '$.a.b')) AS q FROM t", "mysql"
+    ) == "2"
+    assert one("SELECT json_extract(j, '$.a.b') AS q FROM t", "sqlite") == "2"
+    # sqlite/duckdb accept raw keys AND '$' paths
+    assert one("SELECT j ->> 's' AS q FROM t", "sqlite") == "hi"
+    assert one("SELECT j -> 'a' ->> 'b' AS q FROM t", "duckdb") == "2"
+    # pg # stays XOR when not part of #> (order of rewrites)
+    assert one("SELECT 5 # 3 AS q", "postgres") == 6
+    for d, bad, msg in (
+        ("postgres", "SELECT j -> 's' AS q FROM t", "FINAL"),
+        ("mysql", "SELECT JSON_EXTRACT(j, '$.s') AS q FROM t", "JSON_UNQUOTE"),
+        ("postgres", "SELECT j ->> x AS q FROM t", "literal"),
+    ):
+        with pytest.raises(Exception, match=msg):
+            execute(bad, tables={"t": pdf}, dialect=d, spark=spark)
+
+
 def test_mysql_regexp_case_insensitive(spark):
     """Round-11 sweep: mysql REGEXP/RLIKE match with the default
     case-INSENSITIVE collation ('ABC' REGEXP 'abc' = 1); Spark's RLIKE

@@ -3120,6 +3120,207 @@ def _rewrite_bq_generate_array(
     return out
 
 
+def _json_step_to_path(tok: tuple[str, str], style: str) -> str | None:
+    """One ``->``/``->>`` right-operand literal → a Spark JsonPath, or
+    None when it cannot be translated safely. ``style``:
+    ``key`` (pg: raw key names / int indexes only — a '$...' string is
+    a literal KEY there, refused as ambiguous), ``path`` (mysql: must
+    be a '$...' JsonPath), ``both`` (duckdb/sqlite: '$...' passes
+    through, otherwise key rules)."""
+    import re as _re
+
+    kind, text = tok
+    if kind == "number" and text.isdigit():
+        return None if style == "path" else f"$[{text}]"
+    if kind != "string":
+        return None
+    key = _unquote(text, "'")
+    if key.startswith("$"):
+        return key if style in ("path", "both") else None
+    if style == "path":
+        return None
+    if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+        return "$." + key
+    return None
+
+
+def _rewrite_json_arrow_ops(
+    tokens: list[tuple[str, str]], style: str
+) -> list[tuple[str, str]]:
+    """pg/duckdb/sqlite/mysql JSON extraction operators → Spark
+    ``GET_JSON_OBJECT``. ``expr ->> k`` (text extraction, unquoting
+    string leaves) is EXACTLY get_json_object's contract and maps
+    directly; ``expr -> k`` keeps JSON quoting on string leaves
+    (``j -> 's'`` is '"hi"', get_json_object says 'hi'), so ``->`` is
+    translated only in CHAINED position (the intermediate value is an
+    object/array, where the two representations agree — measured
+    against this box's duckdb: ``j -> 'a' ->> 'b'``) and REFUSES as
+    the final step. pg's ``#>> '{a,b}'`` path-array spelling becomes
+    ``$.a.b``; ``#>`` refuses like trailing ``->``. Dynamic keys and
+    keys that need JsonPath quoting refuse loudly. pg note: these are
+    the JSON(B) operators; pg hstore spells ``->`` too — a transpiler
+    cannot see the column type, and hstore input would fail loudly at
+    run time since it isn't JSON text."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        # recognize ->> / -> (single ops from the lexer) and the pg
+        # #> / #>> clusters (adjacent single-char ops, no whitespace)
+        op = None
+        oplen = 1
+        if out[i] in (("op", "->>"), ("op", "->")):
+            op = out[i][1]
+        elif (
+            style == "key"
+            and out[i] == ("op", "#")
+            and i + 1 < len(out)
+            and out[i + 1] == ("op", ">")
+        ):
+            if i + 2 < len(out) and out[i + 2] == ("op", ">"):
+                op, oplen = "#>>", 3
+            else:
+                op, oplen = "#>", 2
+        if op is None:
+            i += 1
+            continue
+        lend = _prev_code(out, i)
+        rstart = _next_code(out, i + oplen - 1)
+        lstart = None if lend is None else _capture_operand(out, lend)
+        if lstart is None or rstart is None:
+            raise UnsupportedError(
+                f"cannot safely rewrite the {op} JSON operator's "
+                "operands without sqlglot; spell it get_json_object(...)"
+            )
+        if op in ("#>", "#>>"):
+            if out[rstart][0] != "string":
+                raise UnsupportedError(
+                    f"{op} requires a literal '{{a,b}}' path array "
+                    "without sqlglot"
+                )
+            import re as _re
+
+            elems = [
+                e.strip()
+                for e in _unquote(out[rstart][1], "'").strip("{}").split(",")
+                if e.strip()
+            ]
+            path = "$"
+            for e in elems:
+                if e.isdigit():
+                    path += f"[{e}]"
+                elif _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", e):
+                    path += "." + e
+                else:
+                    path = None
+                    break
+            if not elems or path is None:
+                raise UnsupportedError(
+                    f"{op} path array element is not a plain key/index; "
+                    "spell it get_json_object(...)"
+                )
+        else:
+            path = _json_step_to_path(out[rstart], style)
+            if path is None:
+                raise UnsupportedError(
+                    f"the {op} right operand must be a literal "
+                    + (
+                        "'$...' JsonPath here"
+                        if style == "path"
+                        else "key name or integer index here"
+                    )
+                    + "; dynamic or special-character keys are not "
+                    "supported without sqlglot"
+                )
+        if op in ("->", "#>"):
+            after = _next_code(out, rstart)
+            chained = after is not None and (
+                out[after] in (("op", "->>"), ("op", "->"))
+                or (style == "key" and out[after] == ("op", "#"))
+            )
+            if not chained:
+                raise UnsupportedError(
+                    f"JSON {op} as the FINAL extraction step returns "
+                    "JSON (string leaves keep their quotes); Spark's "
+                    "get_json_object unquotes them — use "
+                    + ("#>>" if op == "#>" else "->>")
+                    + " for text extraction."
+                )
+        lit = path.replace("'", "''")
+        repl = (
+            tokenize("GET_JSON_OBJECT(")
+            + out[lstart : lend + 1]
+            + tokenize(f", '{lit}')")
+        )
+        out = out[:lstart] + repl + out[rstart + 1 :]
+        i = lstart
+    return out
+
+
+def _rewrite_mysql_json_extract(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """mysql ``JSON_UNQUOTE(JSON_EXTRACT(j, p))`` — the canonical
+    text-extraction idiom — collapses to ``GET_JSON_OBJECT(j, p)``
+    (both unquote string leaves). A BARE ``JSON_EXTRACT`` refuses
+    loudly: it returns JSON (string leaves keep their quotes,
+    ``JSON_EXTRACT('{"s":"hi"}','$.s')`` is '"hi"'), while Spark's
+    get_json_object says 'hi' — wrap it in JSON_UNQUOTE or use ->>.
+    Multi-path JSON_EXTRACT (3+ args returns a collected array)
+    refuses too."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "JSON_UNQUOTE":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        parsed = (
+            _call_args(out, j)
+            if j is not None and out[j] == ("op", "(")
+            else None
+        )
+        if parsed is None or len(parsed[0]) != 1:
+            i += 1
+            continue
+        args, close = parsed
+        inner = [(k, t) for k, t in args[0] if k not in ("ws", "comment")]
+        if not (
+            len(inner) >= 4
+            and inner[0][0] == "word"
+            and inner[0][1].upper() == "JSON_EXTRACT"
+            and inner[1] == ("op", "(")
+            and inner[-1] == ("op", ")")
+        ):
+            i += 1
+            continue
+        sub = _call_args(inner, 1)
+        if sub is None or sub[1] != len(inner) - 1 or len(sub[0]) != 2:
+            i += 1
+            continue
+        a, p = sub[0]
+        repl = (
+            tokenize("GET_JSON_OBJECT(")
+            + list(a)
+            + tokenize(", ")
+            + list(p)
+            + tokenize(")")
+        )
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    for k in _iter_code(out):
+        if out[k][0] == "word" and out[k][1].upper() == "JSON_EXTRACT":
+            nxt = _next_code(out, k)
+            if nxt is not None and out[nxt] == ("op", "("):
+                raise UnsupportedError(
+                    "mysql JSON_EXTRACT returns JSON (string leaves "
+                    "keep their quotes); Spark's get_json_object "
+                    "unquotes them — wrap in JSON_UNQUOTE(...) or use "
+                    "the ->> operator for text extraction."
+                )
+    return out
+
+
 def _rewrite_bare_array_literal(
     tokens: list[tuple[str, str]],
 ) -> list[tuple[str, str]]:
@@ -5572,6 +5773,13 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         tokens = _rewrite_pg_subscript(
             tokens, negatives="from_end" if dialect == "duckdb" else "null"
         )
+    if dialect in ("postgres", "postgresql"):
+        # JSON -> / ->> / #> / #>> operators (loud parse errors
+        # untranslated). MUST run before the '#' -> '^' XOR swap
+        # below eats the #> clusters, and before caret-power.
+        tokens = _rewrite_json_arrow_ops(tokens, "key")
+    elif dialect == "duckdb":
+        tokens = _rewrite_json_arrow_ops(tokens, "both")
     if dialect in ("postgres", "postgresql", "duckdb", "redshift"):
         # ^ is exponentiation here, XOR on Spark — 2^3 silently reads
         # 1 untranslated. After the subscript rewrite so a[1] ^ 2
@@ -5702,6 +5910,12 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # REGEXP/RLIKE match case-insensitively under mysql's default
         # collation; Spark's RLIKE is case-sensitive — silent
         tokens = _rewrite_mysql_regexp_ci(tokens)
+        # j ->> '$.path' → get_json_object (exact: both unquote);
+        # trailing -> refuses (keeps JSON quoting on string leaves).
+        # JSON_UNQUOTE(JSON_EXTRACT(j, p)) collapses to
+        # get_json_object; bare JSON_EXTRACT refuses with guidance.
+        tokens = _rewrite_json_arrow_ops(tokens, "path")
+        tokens = _rewrite_mysql_json_extract(tokens)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
     if dialect == "oracle":
@@ -5878,6 +6092,13 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
     if dialect == "sqlite":
         tokens = _rewrite_strftime(tokens)
         tokens = _rewrite_cast_funcs(tokens, {"DATETIME": "TIMESTAMP"})
+        # sqlite json_extract returns SQL text UNQUOTED for string
+        # leaves (unlike mysql's JSON_EXTRACT) = get_json_object's
+        # exact contract; -> / ->> accept both raw keys and '$' paths
+        tokens = _rewrite_json_arrow_ops(tokens, "both")
+        tokens = _rewrite_func_names(
+            tokens, {"JSON_EXTRACT": "GET_JSON_OBJECT"}
+        )
         # sqlite LIKE is CASE-INSENSITIVE (for ASCII, by default —
         # PRAGMA case_sensitive_like can flip it, invisible here);
         # Spark's LIKE is case-sensitive, so 'A' LIKE 'a' runs on both
