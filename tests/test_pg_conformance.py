@@ -247,6 +247,37 @@ DUCKDB_CASES = {
         WHERE o_orderkey < 1000
         ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
     """,
+    # round-11 sweep spellings, verbatim on both engines
+    "duckdb_intdiv_trim_substr0": """
+        SELECT n_nationkey,
+               n_nationkey // 4 AS quarter,
+               (0 - n_nationkey) // 4 AS neg_quarter,
+               TRIM(n_name, 'AEIOU') AS trimmed,
+               LTRIM(n_name, 'AEIOU') AS ltrimmed,
+               SUBSTR(n_name, 0, 4) AS virt0
+        FROM nation
+        WHERE n_nationkey < 10
+        ORDER BY n_nationkey
+    """,
+    "duckdb_bare_array_literals": """
+        SELECT n_nationkey,
+               [n_nationkey, n_regionkey, 7] AS triple,
+               [n_nationkey, n_regionkey, 7][1] AS first_elem,
+               [n_nationkey, n_regionkey, 7][-1] AS last_elem
+        FROM nation
+        WHERE n_nationkey < 6
+        ORDER BY n_nationkey
+    """,
+    "duckdb_json_arrows": """
+        SELECT n_nationkey,
+               ('{"k": "' || n_name || '", "n": {"r": ' || n_regionkey
+                || '}}') ->> 'k' AS name_out,
+               ('{"k": "' || n_name || '", "n": {"r": ' || n_regionkey
+                || '}}') -> 'n' ->> 'r' AS region_out
+        FROM nation
+        WHERE n_nationkey < 8
+        ORDER BY n_nationkey
+    """,
 }
 
 
