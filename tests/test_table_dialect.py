@@ -1607,8 +1607,14 @@ def test_pg_regex_ci_needs_literal():
 
 
 def test_pg_similar_to_refuses():
+    # literal patterns translate since round 11 (test_similar_to);
+    # the refusal surface is now dynamic patterns and ESCAPE clauses
     with pytest.raises(UnsupportedError, match="SIMILAR TO"):
-        transpile("SELECT 1 FROM t WHERE s SIMILAR TO 'a%'", "postgres")
+        transpile("SELECT 1 FROM t WHERE s SIMILAR TO other_col", "postgres")
+    with pytest.raises(UnsupportedError, match="ESCAPE"):
+        transpile(
+            "SELECT 1 FROM t WHERE s SIMILAR TO 'a!%' ESCAPE '!'", "postgres"
+        )
 
 
 def test_pg_generate_series(spark):
@@ -2145,6 +2151,77 @@ def test_sqlite_like_case_insensitive(spark):
         tables={"t": pdf}, dialect="postgres", spark=spark,
     ).collect()
     assert got == []
+
+
+def test_similar_to(spark):
+    """Round-11 sweep: pg/redshift SIMILAR TO is an ANCHORED full
+    match mixing LIKE wildcards (%/_) with regex groups — but '.' is
+    LITERAL there. duckdb's same-spelled operator is a full REGEX
+    ('%' literal, '.' a metachar — measured on this box's duckdb), so
+    the two dialects get different readings. Dynamic patterns and
+    ESCAPE refuse loudly."""
+    pdf = pd.DataFrame({"s": ["abc123", "a.c", "xyz9"]})
+
+    def vals(sql, d):
+        return [r["s"] for r in execute(
+            sql, tables={"t": pdf}, dialect=d, spark=spark
+        ).collect()]
+
+    # pg reading: % is the LIKE wildcard, '.' literal
+    assert vals("SELECT s FROM t WHERE s SIMILAR TO 'abc%' ORDER BY s",
+                "postgres") == ["abc123"]
+    assert vals("SELECT s FROM t WHERE s SIMILAR TO 'a.c' ORDER BY s",
+                "postgres") == ["a.c"]
+    assert vals("SELECT s FROM t WHERE s SIMILAR TO '(abc|xyz)%' ORDER BY s",
+                "postgres") == ["abc123", "xyz9"]
+    assert vals("SELECT s FROM t WHERE s SIMILAR TO '%[0-9]' ORDER BY s",
+                "postgres") == ["abc123", "xyz9"]
+    assert vals("SELECT s FROM t WHERE s NOT SIMILAR TO 'abc%' ORDER BY s",
+                "postgres") == ["a.c", "xyz9"]
+    # duckdb reading: the pattern is a regex — '%' literal, '.' meta
+    assert vals("SELECT s FROM t WHERE s SIMILAR TO 'abc%' ORDER BY s",
+                "duckdb") == []
+    assert vals("SELECT s FROM t WHERE s SIMILAR TO '(abc|xyz).*' ORDER BY s",
+                "duckdb") == ["abc123", "xyz9"]
+    import duckdb as _dk
+    assert _dk.connect().execute(
+        "SELECT 'abc123' SIMILAR TO 'abc%', 'a.c' SIMILAR TO 'a.c'"
+    ).fetchall() == [(False, True)]
+    with pytest.raises(Exception, match="SIMILAR TO"):
+        execute("SELECT s FROM t WHERE s SIMILAR TO s",
+                tables={"t": pdf}, dialect="postgres", spark=spark)
+
+
+def test_choose_elt_field(spark):
+    """Round-11 sweep: tsql CHOOSE / mysql ELT return NULL for an
+    out-of-range index where Spark's own ELT raises under ANSI —
+    both map to get(array(...), n-1), whose NULL-out-of-range
+    contract is exact. mysql FIELD → 1-based array_position with
+    0-for-absent and 0-for-NULL-needle."""
+    pdf = pd.DataFrame({"x": [1.0]})
+
+    def one(sql, d):
+        return execute(sql, tables={"t": pdf}, dialect=d, spark=spark).collect()[0]["q"]
+
+    assert one("SELECT CHOOSE(2, 'a', 'b', 'c') AS q", "tsql") == "b"
+    assert one("SELECT CHOOSE(9, 'a', 'b') AS q", "tsql") is None
+    assert one("SELECT ELT(2, 'a', 'b') AS q", "mysql") == "b"
+    assert one("SELECT ELT(0, 'a', 'b') AS q", "mysql") is None
+    assert one("SELECT FIELD('b', 'a', 'b', 'c') AS q", "mysql") == 2
+    assert one("SELECT FIELD('z', 'a', 'b') AS q", "mysql") == 0
+    assert one("SELECT FIELD(NULL, 'a') AS q", "mysql") == 0
+
+
+def test_oracle_outer_join_plus_refuses(spark):
+    """Oracle's legacy (+) outer-join marker changes join SHAPE — no
+    token-level translation exists; the refusal names the fix instead
+    of a bare Spark parse error."""
+    pdf = pd.DataFrame({"x": [1.0]})
+    with pytest.raises(Exception, match="LEFT/RIGHT"):
+        execute(
+            "SELECT a.x FROM t a, t b WHERE a.x = b.x (+)",
+            tables={"t": pdf}, dialect="oracle", spark=spark,
+        )
 
 
 def test_json_arrow_operators(spark):

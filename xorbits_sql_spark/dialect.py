@@ -3256,6 +3256,100 @@ def _rewrite_json_arrow_ops(
     return out
 
 
+def _rewrite_choose_elt(
+    tokens: list[tuple[str, str]], fname: str
+) -> list[tuple[str, str]]:
+    """tsql ``CHOOSE(n, v1, v2, ...)`` / mysql ``ELT(n, v1, ...)`` →
+    ``GET(ARRAY(v1, ...), (n) - 1)``. Both sources return NULL for an
+    out-of-range/zero/negative index — exactly ``get``'s contract,
+    where Spark's own ``ELT`` raises under ANSI mode. Mixed-type value
+    lists that mysql would coerce per-use fail loudly at ARRAY()
+    type coercion."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != fname:
+            i += 1
+            continue
+        j = _next_code(out, i)
+        parsed = (
+            _call_args(out, j)
+            if j is not None and out[j] == ("op", "(")
+            else None
+        )
+        if parsed is None or len(parsed[0]) < 2:
+            i += 1
+            continue
+        args, close = parsed
+        repl = tokenize("GET(ARRAY(")
+        for idx, a in enumerate(args[1:]):
+            if idx:
+                repl += [("op", ","), ("ws", " ")]
+            repl += list(a)
+        repl += tokenize("), (") + list(args[0]) + tokenize(") - 1)")
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
+def _rewrite_mysql_field(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """mysql ``FIELD(needle, v1, v2, ...)`` →
+    ``COALESCE(ARRAY_POSITION(ARRAY(v1, ...), (needle)), 0)``:
+    array_position is 1-based like FIELD and returns 0 when absent;
+    the COALESCE maps its NULL-needle NULL to FIELD's documented 0."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "FIELD":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        parsed = (
+            _call_args(out, j)
+            if j is not None and out[j] == ("op", "(")
+            else None
+        )
+        if parsed is None or len(parsed[0]) < 2:
+            i += 1
+            continue
+        args, close = parsed
+        repl = tokenize("COALESCE(ARRAY_POSITION(ARRAY(")
+        for idx, a in enumerate(args[1:]):
+            if idx:
+                repl += [("op", ","), ("ws", " ")]
+            repl += list(a)
+        repl += tokenize("), (") + list(args[0]) + tokenize(")), 0)")
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
+def _refuse_oracle_outer_join_plus(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Oracle's legacy ``(+)`` outer-join marker has no token-level
+    translation (it changes JOIN SHAPE, not an expression) and
+    passthrough is a bare Spark parse error — refuse with the fix."""
+    for i, (kind, text) in enumerate(tokens):
+        if (kind, text) != ("op", "("):
+            continue
+        j = _next_code(tokens, i)
+        if j is None or tokens[j] != ("op", "+"):
+            continue
+        k = _next_code(tokens, j)
+        if k is not None and tokens[k] == ("op", ")"):
+            raise UnsupportedError(
+                "Oracle's (+) outer-join syntax is not supported "
+                "without sqlglot; rewrite the query with explicit "
+                "LEFT/RIGHT OUTER JOIN."
+            )
+    return tokens
+
+
 def _rewrite_mysql_json_extract(
     tokens: list[tuple[str, str]],
 ) -> list[tuple[str, str]]:
@@ -3548,19 +3642,106 @@ def _rewrite_pg_regex_ops(tokens: list[tuple[str, str]]) -> list[tuple[str, str]
     return out
 
 
-def _rewrite_similar_to(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    """postgres ``SIMILAR TO`` mixes LIKE wildcards with regex groups;
-    no single Spark predicate reproduces it, and passthrough would be
-    a confusing Spark parse error — refuse with the alternatives."""
-    for i, (kind, text) in enumerate(tokens):
-        if kind == "word" and text.upper() == "SIMILAR":
-            j = _next_code(tokens, i)
-            if j is not None and tokens[j][0] == "word" and tokens[j][1].upper() == "TO":
-                raise UnsupportedError(
-                    "SIMILAR TO is not supported without sqlglot; use a "
-                    "POSIX regex (~) or LIKE"
-                )
-    return tokens
+def _similar_pattern_to_regex(pat: str) -> str | None:
+    """pg SIMILAR TO pattern → anchored Java regex, or None when the
+    shape is untranslatable. SIMILAR TO is an ANCHORED full match
+    mixing LIKE wildcards (``%``→``.*``, ``_``→``.``) with the regex
+    metacharacters ``| * + ? ( ) { } [ ]`` (passed through, classes
+    copied verbatim) — but ``.``, ``^`` and ``$`` are LITERAL there
+    (escaped here), and ``\\x`` escapes its wildcard meaning."""
+    out = ["(?s)^"]
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c == "\\":
+            if i + 1 >= len(pat):
+                return None
+            nxt = pat[i + 1]
+            # \x means LITERAL x: regex-escape specials, emit the
+            # rest bare (escaping an alnum would create \d-style
+            # regex classes)
+            out.append("\\" + nxt if nxt in ".^$*+?()[]{}\\|" else nxt)
+            i += 2
+            continue
+        elif c == "[":
+            j = pat.find("]", i + 1)
+            if j == -1 or j == i + 1:
+                return None
+            out.append(pat[i : j + 1])
+            i = j + 1
+            continue
+        elif c in ".^$":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+def _rewrite_similar_to(
+    tokens: list[tuple[str, str]], regex: bool = False
+) -> list[tuple[str, str]]:
+    """postgres/redshift ``SIMILAR TO`` mixes LIKE wildcards with
+    regex groups in an ANCHORED full match. LITERAL patterns translate
+    to ``RLIKE '(?s)^...$'`` (``%``→``.*``, ``_``→``.``, regex groups
+    and classes pass through, the SIMILAR-TO-literal ``. ^ $``
+    escaped); a preceding NOT keeps its polarity outside the
+    rewritten predicate. Dynamic patterns, ESCAPE clauses, and
+    malformed classes refuse loudly — passthrough would be a
+    confusing Spark parse error.
+
+    ``regex=True`` is the DUCKDB reading: measured on this box's
+    duckdb, its SIMILAR TO treats the pattern as a full REGULAR
+    EXPRESSION ('abc123' SIMILAR TO 'abc%' is FALSE — '%' literal;
+    'a.c' SIMILAR TO 'a.c' is TRUE — '.' is a metachar), anchored —
+    so the pattern passes through verbatim inside
+    ``'(?s)^(?:...)$'``."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        if kind != "word" or text.upper() != "SIMILAR":
+            i += 1
+            continue
+        j = _next_code(out, i)
+        if j is None or out[j][0] != "word" or out[j][1].upper() != "TO":
+            i += 1
+            continue
+        p = _next_code(out, j)
+        if p is None or out[p][0] != "string":
+            raise UnsupportedError(
+                "SIMILAR TO needs a string-literal pattern without "
+                "sqlglot; use a POSIX regex (~) or LIKE"
+            )
+        after = _next_code(out, p)
+        if (
+            after is not None
+            and out[after][0] == "word"
+            and out[after][1].upper() == "ESCAPE"
+        ):
+            raise UnsupportedError(
+                "SIMILAR TO ... ESCAPE is not supported without "
+                "sqlglot; use a POSIX regex (~)"
+            )
+        if regex:
+            rex = "(?s)^(?:" + _unquote(out[p][1], "'") + ")$"
+        else:
+            rex = _similar_pattern_to_regex(_unquote(out[p][1], "'"))
+        if rex is None:
+            raise UnsupportedError(
+                "this SIMILAR TO pattern (trailing backslash or "
+                "malformed [...] class) is not supported without "
+                "sqlglot; use a POSIX regex (~)"
+            )
+        lit = rex.replace("\\", "\\\\").replace("'", "''")
+        out[i : p + 1] = [("word", "RLIKE"), ("ws", " "), ("string", f"'{lit}'")]
+        i += 3
+    return out
 
 
 def _rewrite_generate_series(tokens: list[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -5808,6 +5989,9 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # duckdb agrees with Spark on negatives but consumes length
         # at start 0 like pg
         tokens = _rewrite_substr_nonpositive(tokens, zero_only=True)
+        # duckdb SIMILAR TO is an anchored full REGEX (measured: '%'
+        # is literal there, unlike pg) — pattern passes through
+        tokens = _rewrite_similar_to(tokens, regex=True)
     if dialect in ("postgres", "postgresql", "duckdb", "redshift", "sqlite", "teradata"):
         # single-arg LOG is log10 here, ln on Spark — both run,
         # silently off by a factor of ln(10)
@@ -5851,6 +6035,8 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # LIKE '[0-9]%' classes: Spark LIKE reads [ ] literally —
         # every row silently non-matching. Literal patterns → RLIKE.
         tokens = _rewrite_tsql_like_brackets(tokens)
+        # CHOOSE returns NULL out-of-range — get()'s exact contract
+        tokens = _rewrite_choose_elt(tokens, "CHOOSE")
         # func-name rewrites only (word followed by '('): a COLUMN named
         # len or isnull must survive — _rewrite_words renamed those bare
         # identifiers too, silently corrupting the projection. GETDATE()
@@ -5916,9 +6102,14 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # get_json_object; bare JSON_EXTRACT refuses with guidance.
         tokens = _rewrite_json_arrow_ops(tokens, "path")
         tokens = _rewrite_mysql_json_extract(tokens)
+        # ELT returns NULL out-of-range (Spark's raises under ANSI);
+        # FIELD is 1-based with 0-for-absent and 0-for-NULL-needle
+        tokens = _rewrite_choose_elt(tokens, "ELT")
+        tokens = _rewrite_mysql_field(tokens)
     if dialect in ("oracle", "snowflake"):
         tokens = _rewrite_words(tokens, {"SYSDATE": "CURRENT_TIMESTAMP"})
     if dialect == "oracle":
+        tokens = _refuse_oracle_outer_join_plus(tokens)
         tokens = _rewrite_oracle_fmt(tokens)
         tokens = _rewrite_from_dual(tokens)
         tokens = _rewrite_oracle_rownum(tokens)
