@@ -2153,6 +2153,47 @@ def test_sqlite_like_case_insensitive(spark):
     assert got == []
 
 
+def test_left_right_negative_counts(spark):
+    """Round-11 sweep: pg/redshift/duckdb LEFT(s, -k) means all but
+    the LAST k chars and RIGHT(s, -k) all but the FIRST k (measured
+    on this box's duckdb; over-negative → ''); Spark returns '' for
+    any negative count — both run, silently different. Literal
+    negative counts rewrite to substring identities; mysql (which
+    agrees with Spark) stays untouched."""
+    import duckdb as _dk
+    assert _dk.connect().execute(
+        "SELECT LEFT('abcde', -2), RIGHT('abcde', -2), LEFT('ab', -5)"
+    ).fetchall() == [("abc", "cde", "")]
+    pdf = pd.DataFrame({"s": ["abcde"]})
+
+    def one(sql, d="postgres"):
+        return execute(sql, tables={"t": pdf}, dialect=d, spark=spark).collect()[0]["q"]
+
+    assert one("SELECT LEFT(s, -2) AS q FROM t") == "abc"
+    assert one("SELECT RIGHT(s, -2) AS q FROM t") == "cde"
+    assert one("SELECT LEFT(s, -7) AS q FROM t", "duckdb") == ""
+    assert one("SELECT RIGHT(s, -7) AS q FROM t", "duckdb") == ""
+    assert one("SELECT LEFT(s, 2) AS q FROM t") == "ab"
+    assert one("SELECT LEFT(s, -2) AS q FROM t", "mysql") == ""
+
+
+def test_double_star_exponentiation(spark):
+    """Round-11 sweep: '**' is exponentiation in duckdb (alias of ^,
+    duckdb-pinned) and teradata (its only power spelling) — two
+    adjacent '*' ops Spark cannot parse. Converted to '^' and routed
+    through the precedence-exact POWER machinery; left-assoc
+    (2 ** 3 ** 2 = 64, matching both sources)."""
+    import duckdb as _dk
+    assert _dk.connect().execute("SELECT 2 ** 3").fetchall() == [(8.0,)]
+    pdf = pd.DataFrame({"s": ["x"]})
+    for d in ("duckdb", "teradata"):
+        row = execute(
+            "SELECT 2 ** 3 AS q, 2 ** 3 ** 2 AS r",
+            tables={"t": pdf}, dialect=d, spark=spark,
+        ).collect()[0]
+        assert (row["q"], row["r"]) == (8.0, 64.0), d
+
+
 def test_similar_to(spark):
     """Round-11 sweep: pg/redshift SIMILAR TO is an ANCHORED full
     match mixing LIKE wildcards (%/_) with regex groups — but '.' is

@@ -3256,6 +3256,61 @@ def _rewrite_json_arrow_ops(
     return out
 
 
+def _rewrite_left_right_negative(
+    tokens: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """pg/redshift/duckdb ``LEFT(s, -k)`` means "all but the LAST k
+    characters" ('abc' from 'abcde') and ``RIGHT(s, -k)`` "all but
+    the FIRST k" (measured on this box's duckdb; over-negative → '');
+    Spark returns '' for any negative count — both run, silently
+    different. Literal negative counts rewrite to the substring
+    identities (``LEFT`` → ``SUBSTRING(s, 1, LENGTH(s) - k)``,
+    ``RIGHT`` → ``SUBSTRING(s, k + 1)``), whose Spark
+    empty-on-nonpositive-length behavior reproduces the over-negative
+    '' too. Dynamic counts are type-invisible and pass through
+    (mysql agrees with Spark — '' — and is untouched)."""
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        kind, text = out[i]
+        up = text.upper() if kind == "word" else ""
+        if up not in ("LEFT", "RIGHT"):
+            i += 1
+            continue
+        j = _next_code(out, i)
+        parsed = (
+            _call_args(out, j)
+            if j is not None and out[j] == ("op", "(")
+            else None
+        )
+        if parsed is None or len(parsed[0]) != 2:
+            i += 1
+            continue
+        args, close = parsed
+        n = _literal_int(args[1])
+        if n is None or n >= 0:
+            i += 1
+            continue
+        k = -n
+        if up == "LEFT":
+            repl = (
+                tokenize("SUBSTRING(")
+                + list(args[0])
+                + tokenize(", 1, LENGTH(")
+                + list(args[0])
+                + tokenize(f") - {k})")
+            )
+        else:
+            repl = (
+                tokenize("SUBSTRING(")
+                + list(args[0])
+                + tokenize(f", {k} + 1)")
+            )
+        out = out[:i] + repl + out[close + 1 :]
+        i += len(repl)
+    return out
+
+
 def _rewrite_choose_elt(
     tokens: list[tuple[str, str]], fname: str
 ) -> list[tuple[str, str]]:
@@ -5992,6 +6047,32 @@ def _normalize_stmt(tokens: list[tuple[str, str]], dialect: str | None) -> str:
         # duckdb SIMILAR TO is an anchored full REGEX (measured: '%'
         # is literal there, unlike pg) — pattern passes through
         tokens = _rewrite_similar_to(tokens, regex=True)
+    if dialect in ("postgres", "postgresql", "duckdb", "redshift"):
+        # LEFT/RIGHT with a literal NEGATIVE count mean all-but-k
+        # here; Spark returns '' — both run, silently different
+        tokens = _rewrite_left_right_negative(tokens)
+    if dialect in ("duckdb", "teradata"):
+        # '**' is the exponentiation operator here (duckdb: alias of
+        # ^; teradata's only power spelling), arriving as two
+        # adjacent '*' ops — Spark can't parse it. Convert to '^' and
+        # reuse the precedence-exact caret POWER machinery (duckdb's
+        # caret pass above already ran, so run it again for the
+        # converted tokens; teradata has no native '^').
+        _starred: list[tuple[str, str]] = []
+        _k = 0
+        while _k < len(tokens):
+            if (
+                tokens[_k] == ("op", "*")
+                and _k + 1 < len(tokens)
+                and tokens[_k + 1] == ("op", "*")
+            ):
+                _starred.append(("op", "^"))
+                _k += 2
+                continue
+            _starred.append(tokens[_k])
+            _k += 1
+        if _starred != tokens:
+            tokens = _rewrite_caret_power(_starred)
     if dialect in ("postgres", "postgresql", "duckdb", "redshift", "sqlite", "teradata"):
         # single-arg LOG is log10 here, ln on Spark — both run,
         # silently off by a factor of ln(10)
