@@ -535,6 +535,12 @@ def _shingle_pair_stats(
         # Window over the join key (shingle [+ group]): the DF count
         # shuffles on the same key as the inverted-index join and is the
         # document-frequency stat a 100 TB index materializes anyway.
+        # (Round-11 A/B note: a groupBy-histogram + broadcast-anti-join
+        # respelling — fewer exchanges on paper — measured ~2x SLOWER
+        # at sf0.1: it needs a second persisted pass over the gram
+        # table, and the cache serialization costs more than the saved
+        # shuffle+sort. Reverted; the window form stays the measured
+        # winner.)
         shingled = (
             shingled.withColumn(
                 "__df", F.count(F.lit(1)).over(W.partitionBy("shingle", *parts))
@@ -897,6 +903,12 @@ def _cc_propagation(
         .localCheckpoint()
     )
     last_cc_rounds = 0
+    # Seed the convergence signature with the identity labeling's sum
+    # (one cheap scan) so an already-converged input still stops after
+    # its first (no-op) round, matching the old join-based probe.
+    prev_sig = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_iter):
         msgs = (
             bidir.join(labels, bidir["src"] == labels["id"])
@@ -937,17 +949,23 @@ def _cc_propagation(
                 .select("id", F.least("component", "__pcomp").alias("component"))
             )
         new_labels = jumped.localCheckpoint()
-        # Labels only ever decrease, so "no row changed" == converged.
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") < F.col("old"))
-            .limit(1)
-            .count()
-        )
+        # Labels only ever decrease, so the exact label-sum strictly
+        # decreases until the fixpoint: "sum unchanged" == "no label
+        # changed" == converged. One partial-aggregated scan of the
+        # just-checkpointed table per round, replacing the previous
+        # join+filter+count job (two exchanges of the label table per
+        # round — round-11 guide §2.4: a convergence probe must not
+        # shuffle). DECIMAL(38,0) accumulation is exact (no IEEE
+        # cancellation can fake a fixpoint) and overflow-free for any
+        # realistic node-id universe (38 digits vs 19 per bigint id).
+        sig = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
         last_cc_rounds += 1
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels
 
 

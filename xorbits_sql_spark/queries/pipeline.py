@@ -1917,7 +1917,7 @@ def s58_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s59_joint_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import fingerprint
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import _persist, connected_components
 
     docs = t(spark, sf_dir, "documents")
     norm = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
@@ -1927,15 +1927,18 @@ def s59_joint_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("k"))
         .select(F.col("k").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    hashed = _dhash_frame(docs.select("doc_id"))
+    # Persist the dHash table: it feeds BOTH sides of the ikeep join
+    # below (the groupBy branch and the join-back branch), and its
+    # lineage is the Python PNG encode→resize→decode pass — uncached,
+    # one job decodes the whole corpus twice (guide §4/§5; measured
+    # ~2x the codec cost at sf0.1). One short row per doc.
+    hashed = _persist(_dhash_frame(docs.select("doc_id")))
     ikeep = hashed.groupBy("dhash").agg(F.min("doc_id").alias("k"))
     iedges = (
         hashed.join(ikeep, "dhash")
         .filter(F.col("doc_id") != F.col("k"))
         .select(F.col("k").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    from ..operators.dedup import _persist
-
     # Persist the edge list before the label loop: every CC round joins
     # against it, and its lineage includes the Python-codec dHash pass —
     # uncached, each round would re-decode the whole corpus. Released
@@ -2633,15 +2636,24 @@ from .text import _DUCK_SHINGLES, _duck_minhash  # noqa: E402
 def t56_detector_agreement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.dedup import _persist, minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")
-    mh = minhash_lsh_pairs(
-        docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
-    ).select("id_a", "id_b")
-    sh = simhash_pairs(
-        docs, "text", "doc_id", max_hamming=14, prefix_bits=4
-    ).select("id_a", "id_b")
+    # Persist both pair sets: each is consumed TWICE below (its own
+    # count and the intersection join), and while the signature tables
+    # under them are cached by the generators, the band/bucket
+    # self-join + distinct is not — uncached, that pair-join work runs
+    # twice per detector (guide §5). Short (id_a, id_b) rows.
+    mh = _persist(
+        minhash_lsh_pairs(
+            docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+        ).select("id_a", "id_b")
+    )
+    sh = _persist(
+        simhash_pairs(
+            docs, "text", "doc_id", max_hamming=14, prefix_bits=4
+        ).select("id_a", "id_b")
+    )
     n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
     n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
     n_both = mh.join(sh, ["id_a", "id_b"]).agg(

@@ -2652,7 +2652,10 @@ def t11_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1").alias("u"), F.col("p2").alias("z")
     ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("z")))
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
-    adj_capped = adj.join(deg, "z").filter(F.col("d").between(2, 50))
+    # Persist the hub-capped adjacency: it feeds BOTH sides of the
+    # wedge self-join below — uncached, the union + degree join runs
+    # twice (guide §5). Short (z, u, d) rows, bounded by the cap.
+    adj_capped = _persist(adj.join(deg, "z").filter(F.col("d").between(2, 50)))
     x, y = adj_capped.alias("x"), adj_capped.alias("y")
     aa_w = F.round(
         F.lit(1e9) / F.log(F.col("x.d").cast("double"))

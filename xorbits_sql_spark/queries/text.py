@@ -1796,14 +1796,23 @@ def s08_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s11_dup_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
 
-    edges = ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"),
-        "text",
-        "doc_id",
-        shingle_k=3,
-        threshold=0.05,
-        partition_col="source",
-    ).select("id_a", "id_b")
+    # localCheckpoint (eager) before the recursive CTE: `und` reads the
+    # view twice and the recursion re-reads `und` every hop — uncached,
+    # each reference re-executes the whole inverted-index pair pipeline
+    # (guide §5: cut lineage before iteration; the same reason
+    # connected_components checkpoints its edge set).
+    edges = (
+        ngram_jaccard_pairs(
+            t(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            shingle_k=3,
+            threshold=0.05,
+            partition_col="source",
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     edges.createOrReplaceTempView("s11_edges")
     return spark.sql(
         """
@@ -2625,7 +2634,7 @@ def t08_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t15_blocking_quality_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from ..operators.dedup import _persist, minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = t(spark, sf_dir, "documents")
     cands_raw = minhash_lsh_pairs(
@@ -2647,8 +2656,13 @@ def t15_blocking_quality_audit(
         (getattr(cands_raw, "_xss_edge_estimate", 0.0) or 0.0)
         + (getattr(truth_raw, "_xss_edge_estimate", 0.0) or 0.0)
     )
-    cands = cands_raw.select("id_a", "id_b")
-    truth = truth_raw.select("id_a", "id_b")
+    # Persist both pair sets: each feeds its own count AND the caught
+    # intersection join below — uncached, the band/inverted-index pair
+    # joins (the expensive stage of each generator) execute twice
+    # (guide §5). Short (id_a, id_b) rows, bounded by the generators'
+    # budget pre-flights.
+    cands = _persist(cands_raw.select("id_a", "id_b"))
+    truth = _persist(truth_raw.select("id_a", "id_b"))
     c_cand = cands.agg(F.count(F.lit(1)).alias("n_cand"))
     c_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     c_caught = truth.join(cands, ["id_a", "id_b"]).agg(
@@ -2785,24 +2799,30 @@ def t15_blocking_quality_audit(
 def u14_blocking_audit_sampled(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from ..operators.dedup import _persist, minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = t(spark, sf_dir, "documents")
     sample = docs.filter(
         F.expr("((doc_id % 1000003) * 2654435761) % 1000000007 % 1000 < 300")
     )
-    cands_s = minhash_lsh_pairs(
-        sample, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
-    ).select("id_a", "id_b")
-    truth_s = ngram_jaccard_pairs(
-        sample,
-        "text",
-        "doc_id",
-        shingle_k=3,
-        threshold=0.2,
-        partition_col=None,
-        max_df=15,
-    ).select("id_a", "id_b")
+    # Persist both sampled pair sets — same double-consumption shape as
+    # t15 (count + intersection join), same guide-§5 fix.
+    cands_s = _persist(
+        minhash_lsh_pairs(
+            sample, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+        ).select("id_a", "id_b")
+    )
+    truth_s = _persist(
+        ngram_jaccard_pairs(
+            sample,
+            "text",
+            "doc_id",
+            shingle_k=3,
+            threshold=0.2,
+            partition_col=None,
+            max_df=15,
+        ).select("id_a", "id_b")
+    )
     c_n = docs.agg(F.count(F.lit(1)).alias("n"))
     c_s = sample.agg(F.count(F.lit(1)).alias("n_s"))
     c_cand = cands_s.agg(F.count(F.lit(1)).alias("n_cand_s"))
@@ -3817,7 +3837,13 @@ def t70_cross_source_dup_matrix(
         pair_budget=audit_pair_budget,
     )
     comps = connected_components(pairs)
-    membership = (
+    from ..operators.dedup import _persist
+
+    # Persist the (component, source) membership: it feeds BOTH sides
+    # of the co-membership self-join below — uncached, the comps⋈docs
+    # join + distinct runs twice (guide §5). One short row per
+    # (component, source).
+    membership = _persist(
         comps.join(
             docs.select(F.col("doc_id").alias("id"), "source"), "id"
         )
@@ -3996,24 +4022,29 @@ def t74_dedup_savings_projection(
     )
     comps = connected_components(pairs)
     dropped = comps.filter(F.col("id") != F.col("component")).select(
-        "id"
+        "id", F.lit(1).alias("__d")
     )
     doc_tokens = docs.select(
         "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tok")
     )
-    tot = doc_tokens.agg(
-        F.sum("n_tok").cast("bigint").alias("corpus_tokens"),
-        F.count(F.lit(1)).alias("n_docs"),
+    # ONE pass over the corpus instead of two (guide §2.3): the old
+    # spelling aggregated doc_tokens twice (corpus totals + a second
+    # scan joined against the dropped set). The dropped-id table is one
+    # short row per non-keeper (from the checkpointed component
+    # labels), so the left join is AQE-broadcast at bench scale and a
+    # keyed join at 100 TB — either way the token_count scan runs once.
+    joined = doc_tokens.join(
+        dropped, doc_tokens["doc_id"] == dropped["id"], "left"
     )
-    savings = dropped.join(
-        doc_tokens, dropped["id"] == doc_tokens["doc_id"]
-    ).agg(
-        F.count(F.lit(1)).alias("n_dropped"),
-        F.coalesce(F.sum("n_tok"), F.lit(0))
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("corpus_tokens"),
+        F.count("__d").alias("n_dropped"),
+        F.coalesce(F.sum(F.when(F.col("__d").isNotNull(), F.col("n_tok"))), F.lit(0))
         .cast("bigint")
         .alias("dropped_tokens"),
     )
-    return tot.crossJoin(F.broadcast(savings)).select(
+    return agg.select(
         "n_docs",
         F.col("n_dropped").cast("bigint").alias("n_dropped_docs"),
         "corpus_tokens",
