@@ -18,8 +18,9 @@ Scale shape — the standard BPE corpus loop re-expressed shuffle-native:
   same deliberately-bounded pattern as connected-components'
   convergence check (operators/graph.py), not a data collect.
 * The merge is applied with a codegen'd array fold (no Python UDF);
-  the symbol table is persisted per iteration and the previous
-  iteration's cache released, so lineage stays O(1) across k.
+  the symbol table is localCheckpoint'ed per iteration, so both the
+  execution lineage AND the logical plan stay O(1) across k (a plain
+  persist left the plan k-deep and driver-side analysis superlinear).
 
 k is small (a real tokenizer trains 30-50k merges; this operator is
 the corpus-scale pair-statistics engine — the same loop at k=30000
@@ -102,36 +103,35 @@ def learn_bpe_merges(
     """
     spark = docs.sparkSession
     vocab = word_frequencies(docs, text_col)
+    # localCheckpoint (eager), not persist: a persist keeps EXECUTION
+    # lineage O(1) but the LOGICAL plan still nests one _apply_merge
+    # aggregate-lambda per iteration, so Catalyst re-analyzes a k-deep
+    # expression tree every round — measured ~4.5 s of driver-side
+    # planning gaps for k=8 at sf0.1 (round-11 profile; guide §7.3:
+    # very large plans spend their time in the optimizer; §3.3:
+    # localCheckpoint truncates the plan). The checkpoint runs the
+    # merge application as its own job — the same one execution per
+    # iteration the old argmax-materializes-the-cache flow did — and
+    # each round's plan stays two operators deep. Checkpoint blocks are
+    # freed by the ContextCleaner as previous iterations go out of
+    # scope; no unpersist bookkeeping.
     syms = vocab.select(
         "wc", F.expr("filter(split(w, ''), x -> x <> '')").alias("syms")
-    ).persist()
-    prev = None
+    ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
-    try:
-        for rank in range(1, k + 1):
-            # This argmax job materializes `syms` into its cache (reading
-            # the still-cached parent), so the grandparent can be released
-            # right after — one job per iteration, lineage stays O(1).
-            best = (
-                syms.select("wc", F.explode(_adjacent_pairs("syms")).alias("p"))
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("wc").alias("c"))
-                .filter(F.col("c") >= min_count)
-                .orderBy(F.desc("c"), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            if not best:
-                break
-            a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-            merges.append((rank, a, b, a + b, c))
-            nxt = syms.select("wc", _apply_merge(a, b).alias("syms")).persist()
-            prev, syms = syms, nxt
-    finally:
-        syms.unpersist()
-        if prev is not None:
-            prev.unpersist()
+    for rank in range(1, k + 1):
+        best = (
+            syms.select("wc", F.explode(_adjacent_pairs("syms")).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("c"))
+            .filter(F.col("c") >= min_count)
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, a, b, a + b, c))
+        syms = syms.select("wc", _apply_merge(a, b).alias("syms")).localCheckpoint()
     return spark.createDataFrame(merges, MERGE_SCHEMA)

@@ -880,11 +880,20 @@ def _cc_propagation(
         F.col(id_a).cast("bigint").alias("src"), F.col(id_b).cast("bigint").alias("dst")
     )
     # Undirected: store both directions once, persisted — every round
-    # re-reads this table, never the upstream pair pipeline.
+    # re-reads this table, never the upstream pair pipeline. Repartition
+    # by src BEFORE caching: the per-round propagation join is keyed on
+    # src, but the distinct leaves the cache hash-partitioned on
+    # (src, dst), which does NOT satisfy the join's src distribution —
+    # so every round re-shuffled the (larger) edge table. With the
+    # cache partitioned on src, only the (smaller) label table moves
+    # per round (guide §2.4: two operations keyed the same way share
+    # one exchange; the exchange is paid once at cache build).
     bidir = _persist(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        )
+        .distinct()
+        .repartition("src")
     )
     # Each round's labels are localCheckpoint'ed (eager): this both
     # materializes the round AND truncates the logical plan to a

@@ -521,12 +521,16 @@ def kmeans_lloyd(
     Empty cells drop out (standard Lloyd behavior); at scale each
     iteration is one broadcast join plus two hash aggregations.
 
-    Each iteration's centroid table (k rows) is persisted via the shared
-    cache registry: without it, every downstream consumption — and
+    Each iteration's centroid table (k rows) is localCheckpoint'ed:
+    without materialization, every downstream consumption — and
     ivf_topk consumes the centroids three times (cell assignment + two
     probe-side reads) — re-executes the whole training chain, turning
     n_iter scans into 3*n_iter (measured 4.1s -> 1.5s on the r73 bench
-    entry). Release with :func:`xorbits_sql_spark.operators.dedup.release_caches`.
+    entry when this was a persist). The checkpoint additionally
+    truncates the logical plan, so Catalyst stops re-analyzing the
+    nested Lloyd chain per consumer (round-11 profile: ~2 s of
+    driver-side planning gaps removed); blocks are freed by the
+    ContextCleaner, no release bookkeeping needed.
     """
     # the k lowest-id vectors, as documented — NOT filter(id < k),
     # which assumes a 0-based contiguous id space and silently seeds
@@ -538,7 +542,17 @@ def kmeans_lloyd(
     )
     for _ in range(n_iter):
         assigned = ivf_assign(corpus, cents, cid=id_col, vec=vec)
-        cents = _persist(centroid_update(assigned))
+        # localCheckpoint (eager), not persist: the centroid table is k
+        # short rows, but a persist leaves the LOGICAL plan one full
+        # Lloyd iteration deeper per round, and every downstream
+        # consumer (ivf_topk reads the centroids three times) makes
+        # Catalyst re-analyze the whole nested chain — measured ~2 s of
+        # driver-side planning gaps on the r72/r73 bench entries at
+        # sf0.1 (round-11 profile; guide §7.3 / §3.3: truncate large
+        # plans). The checkpoint materializes the same one execution
+        # per iteration the persist did; blocks are freed by the
+        # ContextCleaner when the previous iteration goes out of scope.
+        cents = centroid_update(assigned).localCheckpoint()
     return cents
 
 
@@ -568,6 +582,13 @@ def semdedup(
     Returns one decision row per corpus vector: (``id_col``, cell,
     kept) — callers keep ``kept`` rows or join back for the survivors.
     """
+    # Deliberately NOT persisted although three branches consume it
+    # (both self-join sides + the decision join): the assignment is a
+    # map-only broadcast argmax — recomputing it is one codegen'd scan,
+    # while caching materializes the wide (cvec, qvec) array columns.
+    # Measured (round-11 ABBA at sf0.1): persisting made r70 1.5x
+    # SLOWER (1.45 s -> 2.17 s). The §5 persist rule applies to
+    # expensive-to-recompute subtrees, not map-only scans.
     cells = ivf_assign(corpus, centroids, cid=id_col, vec=vec)
     a = cells.select(
         "cell", F.col("cid").alias("id_a"), F.col("cvec").alias("qvec"), F.col("cn").alias("qn")
