@@ -471,10 +471,10 @@ def test_connected_components_stars_equals_propagation(spark):
 
 
 def test_connected_components_auto_pick(spark):
-    """Round-4 verdict #3: the default "auto" algorithm counts edges
-    once and picks propagation below the threshold (recovering the
-    small-graph speed), stars at/above it — identical labels on both
-    sides of the crossing."""
+    """The default "auto" algorithm measures the edge count once and
+    tiers on it: driver union-find at/below driver_threshold,
+    propagation below stars_threshold, stars at/above it — identical
+    labels at every crossing."""
     from xorbits_sql_spark.operators import dedup
     from xorbits_sql_spark.operators.dedup import connected_components
 
@@ -482,14 +482,61 @@ def test_connected_components_auto_pick(spark):
         [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)],
         "id_a bigint, id_b bigint",
     )
-    below = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    tiny = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert dedup.last_cc_algorithm == "driver"
+    assert dedup.last_cc_rounds == 0
+    below = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
     assert dedup.last_cc_algorithm == "propagation"
     above = {
         r["id"]: r["component"]
-        for r in connected_components(pairs, stars_threshold=1).collect()
+        for r in connected_components(
+            pairs, stars_threshold=1, driver_threshold=0
+        ).collect()
     }
     assert dedup.last_cc_algorithm == "stars"
-    assert below == above == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    assert tiny == below == above == expected
+
+
+def test_connected_components_driver_tier_guard_and_equivalence(spark):
+    """The driver union-find tier must (a) label adversarial shapes
+    exactly like the distributed propagation reference and (b) refuse
+    an explicit algorithm="driver" request whose edge count exceeds
+    driver_threshold (the size gate is the whole contract)."""
+    import pytest
+
+    from xorbits_sql_spark.operators.dedup import (
+        connected_components,
+        release_caches,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(60)]  # 60-hop chain
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        + [(a, b) for a in range(103, 108) for b in range(a + 1, 108)]
+        + [(500, 500)]  # self-loop-only node
+        + [
+            (300 + (i * 37) % 100, 300 + (i * i * 13 + 7) % 100)
+            for i in range(80)
+        ]
+    )
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    drv = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="driver").collect()
+    }
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="propagation").collect()
+    }
+    release_caches()
+    assert drv == prop
+    assert drv[500] == 500
+    with pytest.raises(ValueError, match="driver_threshold"):
+        connected_components(pairs, algorithm="driver", driver_threshold=3)
 
 
 def test_pack_sequences_assignment(spark):
@@ -1189,7 +1236,7 @@ def test_cc_auto_uses_generator_edge_hint(spark):
         (r["id"], r["component"])
         for r in connected_components(pairs).collect()
     }
-    assert dedup.last_cc_algorithm == "propagation"  # tiny graph -> hint < 1M
+    assert dedup.last_cc_algorithm == "driver"  # tiny graph -> hint <= 250k
     # a transformed DataFrame drops the hint -> counted fallback, same labels
     dropped = pairs.filter(F.lit(True))
     assert getattr(dropped, "_xss_edge_estimate", None) is None

@@ -119,19 +119,31 @@ def learn_bpe_merges(
         "wc", F.expr("filter(split(w, ''), x -> x <> '')").alias("syms")
     ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, k + 1):
-        best = (
-            syms.select("wc", F.explode(_adjacent_pairs("syms")).alias("p"))
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("wc").alias("c"))
-            .filter(F.col("c") >= min_count)
-            .orderBy(F.desc("c"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-        merges.append((rank, a, b, a + b, c))
-        syms = syms.select("wc", _apply_merge(a, b).alias("syms")).localCheckpoint()
+    # Vocab rows are wide (a symbol array per word) and the per-round
+    # pair explode multiplies them ~|word| times, so size the loop's
+    # shuffles at 100k vocab rows per partition (guide §2 via
+    # loop_shuffle_partitions: sf0.1's ~30k-word vocab runs each
+    # argmax as one task instead of 100+ near-empty ones; a 100M-word
+    # web-corpus vocab still gets ~1000 partitions). The count is one
+    # partial-agg scan of the just-checkpointed table.
+    from .dedup import loop_shuffle_partitions
+
+    with loop_shuffle_partitions(spark, syms.count(), 100_000):
+        for rank in range(1, k + 1):
+            best = (
+                syms.select("wc", F.explode(_adjacent_pairs("syms")).alias("p"))
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("wc").alias("c"))
+                .filter(F.col("c") >= min_count)
+                .orderBy(F.desc("c"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((rank, a, b, a + b, c))
+            syms = syms.select(
+                "wc", _apply_merge(a, b).alias("syms")
+            ).localCheckpoint()
     return spark.createDataFrame(merges, MERGE_SCHEMA)

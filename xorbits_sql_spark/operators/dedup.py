@@ -59,6 +59,41 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def loop_shuffle_partitions(
+    spark, n_rows: int, rows_per_partition: int = 2_000_000
+):
+    """Scale-adaptive shuffle-partition scope for iterative loops.
+
+    Guide §2: derive partitioning from input size instead of a session
+    constant. Per-round shuffles in an iterative operator (CC label
+    propagation, BPE pair counting, Lloyd centroid updates, PageRank
+    contributions) move at most ~``n_rows`` short rows, yet inherit the
+    session's shuffle-partition count — and AQE's default
+    parallelismFirst coalescing never goes below defaultParallelism, so
+    a kilobyte-scale round still runs as dozens of near-empty tasks
+    across several scheduler barriers, every round. This scope sizes
+    the loop's shuffles at ``rows_per_partition`` rows per partition,
+    floored at 1 and capped at the session setting (a production
+    session that raised shuffle.partitions for a 10^10-row loop keeps
+    its own ceiling), and restores the session value on exit — the
+    same scoped-conf pattern as streaming's run_to_memory
+    state_partitions. Safe only around loops that EXECUTE their rounds
+    eagerly (checkpoint/collect per round); lazily-returned frames plan
+    under the restored session conf.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n = max(1, min(int(prev), -(-int(n_rows) // int(rows_per_partition))))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def release_caches() -> int:
     """Unpersist all intermediate tables cached by the pair generators.
 
@@ -681,6 +716,7 @@ def connected_components(
     max_iter: int = 25,
     algorithm: str = "auto",
     stars_threshold: int = 1_000_000,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """Cluster near-duplicate pairs into components: (id, component).
 
@@ -690,9 +726,21 @@ def connected_components(
     pair generator above (LSH / Jaccard / SimHash) into an actual
     dedup decision; the reference engine has no counterpart.
 
-    Two algorithms, identical output (both label every node with its
+    Three tiers, identical output (each labels every node with its
     component's minimum id, deterministically):
 
+    - ``"driver"``: single-pass union-find on the driver, entered only
+      when the EXACT edge count (or a decisive upper bound) is at most
+      ``driver_threshold``. A connected-components instance that small
+      is microseconds of actual work, while even a one-partition
+      distributed round costs several scheduler barriers — measured on
+      the sf0.1 co-purchase graph (3,853 edges): 3.3-5.9 s for the
+      distributed loops vs milliseconds on the driver. This is the
+      same submit-time-measured-bound contract as the pair-budget
+      guards: the collect is capped at ~driver_threshold 16-byte edge
+      rows (~4 MB at the default, far under maxResultSize), never an
+      unbounded data-table materialization, and the distributed tiers
+      below remain the uncapped scale path.
     - ``"stars"``: alternating large-star / small-star edge
       contraction (Kiveris et al., *Connected Components in MapReduce
       and Beyond*). Each round REWRITES the edge set toward component
@@ -703,24 +751,25 @@ def connected_components(
       Every round is a full barrier on a cluster, so round count is
       the cost that matters at scale.
     - ``"propagation"``: min-label propagation with a double pointer
-      jump — simpler and ~1.5s/query cheaper on small sparse graphs
+      jump — simpler and cheaper per round on mid-size sparse graphs
       (fewer Spark jobs per round), kept for A/B measurement and as
-      the reference implementation the equivalence tests pin "stars"
-      against.
-    - ``"auto"`` (default): picks ``propagation`` below
-      ``stars_threshold`` edges and ``stars`` at or above it — the
-      contraction's O(log n)-rounds win only exists at scale, while its
-      per-round constant costs real time on sf0.1-sized graphs
-      (round-4 measurement: r63 4.59s vs 3.05s). The edge count comes
-      free when the pair generator attached its pre-computed volume
-      estimate (``_xss_edge_estimate``, an upper bound — see
-      ``_capped_pair_join`` / ``_shingle_pair_stats``); otherwise one
-      count runs on a checkpointed pair set that the chosen algorithm
-      then reuses, so the upstream pipeline runs once either way.
+      the reference implementation the equivalence tests pin the other
+      tiers against.
+    - ``"auto"`` (default): ``driver`` at or below ``driver_threshold``
+      edges, then ``propagation`` below ``stars_threshold`` and
+      ``stars`` at or above it — the contraction's O(log n)-rounds win
+      only exists at scale, while its per-round constant costs real
+      time on small graphs (round-4 measurement: r63 4.59s vs 3.05s).
+      The edge count comes free when the pair generator attached its
+      pre-computed volume estimate (``_xss_edge_estimate``, an upper
+      bound — see ``_capped_pair_join`` / ``_shingle_pair_stats``);
+      otherwise one count runs on a checkpointed pair set that the
+      chosen algorithm then reuses, so the upstream pipeline runs once
+      either way.
 
     ``max_iter`` is a pathological backstop; rounds actually executed
-    are exposed via ``last_cc_rounds``, the algorithm chosen via
-    ``last_cc_algorithm``.
+    are exposed via ``last_cc_rounds`` (0 for the driver tier), the
+    algorithm chosen via ``last_cc_algorithm``.
     """
     global last_cc_algorithm
     # Ids must already be integral: a silent cast of string/UUID ids
@@ -751,28 +800,100 @@ def connected_components(
         F.col(id_a).cast("bigint").alias("u"),
         F.col(id_b).cast("bigint").alias("v"),
     ).localCheckpoint()
+    # The generator's pre-computed pair-volume estimate is an UPPER
+    # bound on distinct edges — and a loose one (it counts a pair once
+    # per shared shingle/band/bucket, before any similarity filter), so
+    # it is only DECISIVE when it lands at or below a threshold; above
+    # one, the true edge count may still be tiny (a dense shingle
+    # overlap collapses to few distinct pairs), so measure — the count
+    # runs on the already-checkpointed set, one cheap partial-agg scan
+    # the chosen tier's first job would pay for anyway.
+    hint = getattr(pairs, "_xss_edge_estimate", None)
+    if hint is not None and hint <= driver_threshold:
+        n_edges = int(hint)  # decisive upper bound, skip the count job
+    else:
+        n_edges = raw.count()
     if algorithm == "auto":
-        hint = getattr(pairs, "_xss_edge_estimate", None)
-        # The generator's pre-computed pair-volume estimate is an UPPER
-        # bound on distinct edges — and a loose one (it counts a pair
-        # once per shared shingle/band/bucket, before any similarity
-        # filter), so it is only DECISIVE below the threshold: bound <
-        # threshold ⟹ edges < threshold, skip the count job. Above it
-        # the true edge count may still be tiny (a dense shingle
-        # overlap collapses to few distinct pairs), so measure — the
-        # count runs on the already-checkpointed set, one cheap scan.
-        if hint is not None and hint < stars_threshold:
+        if n_edges <= driver_threshold:
+            algorithm = "driver"
+        elif n_edges < stars_threshold:
             algorithm = "propagation"
         else:
-            algorithm = (
-                "propagation" if raw.count() < stars_threshold else "stars"
-            )
+            algorithm = "stars"
     last_cc_algorithm = algorithm
-    if algorithm == "stars":
-        return _cc_alternating_stars(raw, "u", "v", max_iter)
-    if algorithm != "propagation":
-        raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
-    return _cc_propagation(raw, "u", "v", max_iter)
+    if algorithm == "driver":
+        if n_edges > driver_threshold:
+            raise ValueError(
+                f"algorithm='driver' requires at most driver_threshold="
+                f"{driver_threshold:,} edges (got {n_edges:,}); use "
+                "'auto' so the distributed tiers handle large graphs."
+            )
+        return _cc_driver(raw)
+    # Size the loop's shuffles from the measured edge count (guide §2;
+    # see loop_shuffle_partitions): a 4k-edge graph (sf0.1 co-purchase:
+    # 3,853 edges) previously ran every one of 7 rounds as dozens of
+    # near-empty tasks across ~6 stages. Both distributed loops execute
+    # their rounds eagerly (localCheckpoint + probe per round), so the
+    # scope covers every per-round shuffle; the returned label table is
+    # already materialized when the scope exits.
+    with loop_shuffle_partitions(pairs.sparkSession, n_edges):
+        if algorithm == "stars":
+            return _cc_alternating_stars(raw, "u", "v", max_iter)
+        if algorithm != "propagation":
+            raise ValueError(
+                f"unknown connected-components algorithm: {algorithm!r}"
+            )
+        return _cc_propagation(raw, "u", "v", max_iter)
+
+
+def _cc_driver(raw: DataFrame) -> DataFrame:
+    """Driver-side union-find over a size-gated edge set (see
+    ``connected_components``: entered only when the exact edge count,
+    or a decisive upper bound, is at most ``driver_threshold``).
+
+    Union-by-minimum with path compression: the root of every set is
+    always its minimum member id, so ``find(x)`` IS the component
+    label — identical to the distributed tiers' min-label fixpoint.
+    The collect is Arrow-batched (two bigint columns) and the result
+    re-enters Spark as one Arrow-backed DataFrame.
+    """
+    global last_cc_rounds
+    last_cc_rounds = 0
+    import pandas as pd
+
+    pdf = raw.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        u, v = int(u), int(v)
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # root at the smaller id: roots stay set-minimal, so the
+            # final find() equals the distributed min-label result
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    ids = sorted(parent)
+    out = pd.DataFrame(
+        {"id": ids, "component": [find(i) for i in ids]}, dtype="int64"
+    )
+    spark = raw.sparkSession
+    return spark.createDataFrame(
+        out, schema="id bigint, component bigint"
+    )
 
 
 def _cc_alternating_stars(

@@ -540,19 +540,32 @@ def kmeans_lloyd(
         F.col(id_col).cast("bigint").alias("cell"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("cvec"),
     )
-    for _ in range(n_iter):
-        assigned = ivf_assign(corpus, cents, cid=id_col, vec=vec)
-        # localCheckpoint (eager), not persist: the centroid table is k
-        # short rows, but a persist leaves the LOGICAL plan one full
-        # Lloyd iteration deeper per round, and every downstream
-        # consumer (ivf_topk reads the centroids three times) makes
-        # Catalyst re-analyze the whole nested chain — measured ~2 s of
-        # driver-side planning gaps on the r72/r73 bench entries at
-        # sf0.1 (round-11 profile; guide §7.3 / §3.3: truncate large
-        # plans). The checkpoint materializes the same one execution
-        # per iteration the persist did; blocks are freed by the
-        # ContextCleaner when the previous iteration goes out of scope.
-        cents = centroid_update(assigned).localCheckpoint()
+    # The only per-round shuffle is centroid_update's groupBy(cell) —
+    # map-side partial aggregation reduces it to at most k wide
+    # (sum-vector, count) rows per map task — so size the loop's
+    # shuffles from k, not the session constant (guide §2 via
+    # loop_shuffle_partitions; 10k wide centroid rows per partition:
+    # k=8 runs each round as one reduce task instead of dozens of
+    # near-empty ones, a paper-scale k≈sqrt(10^10) still fans out).
+    # Rounds execute eagerly (localCheckpoint), so the scope covers
+    # every iteration and the returned table is already materialized.
+    from .dedup import loop_shuffle_partitions
+
+    with loop_shuffle_partitions(corpus.sparkSession, k, 10_000):
+        for _ in range(n_iter):
+            assigned = ivf_assign(corpus, cents, cid=id_col, vec=vec)
+            # localCheckpoint (eager), not persist: the centroid table
+            # is k short rows, but a persist leaves the LOGICAL plan
+            # one full Lloyd iteration deeper per round, and every
+            # downstream consumer (ivf_topk reads the centroids three
+            # times) makes Catalyst re-analyze the whole nested chain —
+            # measured ~2 s of driver-side planning gaps on the
+            # r72/r73 bench entries at sf0.1 (round-11 profile; guide
+            # §7.3 / §3.3: truncate large plans). The checkpoint
+            # materializes the same one execution per iteration the
+            # persist did; blocks are freed by the ContextCleaner when
+            # the previous iteration goes out of scope.
+            cents = centroid_update(assigned).localCheckpoint()
     return cents
 
 
