@@ -86,42 +86,71 @@ def pagerank(
         / F.lit(1e18)
     )
     ed = _persist(edges.join(deg, src).select(src, dst, "deg"))
-    for _ in range(n_iter):
-        contribs = (
-            ed.join(ranks, ed[src] == ranks["id"])
-            .select(F.col(dst).alias("id"), (F.col("pr") / F.col("deg")).alias("c"))
-            .groupBy("id")
-            .agg(
-                (
-                    F.sum(F.floor(F.col("c") * F.lit(1e18)).cast("decimal(38,0)")).cast("double")
-                    / F.lit(1e18)
-                ).alias("s")
-            )
-        )
-        if symmetric:
-            # every node has in-edges, so contribs IS the node universe
-            base = contribs
-        else:
-            base = nodes.join(contribs, "id", "left").select(
-                "id", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
-            )
-        if has_dangling:
-            dmass = dang_nodes.join(ranks, "id").agg(
-                F.coalesce(_dsum, F.lit(0.0)).alias("__dang")
-            )
-            pr_expr = (1.0 - damping) / F.col("__n") + damping * (
-                F.col("s") + F.col("__dang") / F.col("__n")
-            )
-            ranks = _persist(
-                base.crossJoin(F.broadcast(n1))
-                .crossJoin(F.broadcast(dmass))
-                .select("id", pr_expr.alias("pr"))
-            )
-        else:
-            ranks = _persist(
-                base.crossJoin(F.broadcast(n1)).select(
-                    "id",
-                    ((1.0 - damping) / F.col("__n") + damping * F.col("s")).alias("pr"),
+    # Size the loop's shuffles from the edge count (guide §2 via
+    # loop_shuffle_partitions): the per-iteration contribution join +
+    # aggregate moves at most ~|E| short rows, yet inherited the
+    # session's shuffle-partition count — r74's ~500k-edge graph ran
+    # each round across 67-132 near-empty tasks. The count is one
+    # partial-agg scan that materializes the edge cache the first
+    # round would build anyway. The round chain stays lazy (persist
+    # per round — n_iter is small and bounded by contract, so the plan
+    # is shallow); the final localCheckpoint below executes the whole
+    # chain while the scope is active, so every round's shuffle runs
+    # at the derived partition count, and the caller gets a
+    # plan-truncated, already-materialized rank table.
+    from .dedup import loop_shuffle_partitions
+
+    n_edges = edges.count()
+    with loop_shuffle_partitions(edges.sparkSession, n_edges):
+        for _ in range(n_iter):
+            contribs = (
+                ed.join(ranks, ed[src] == ranks["id"])
+                .select(
+                    F.col(dst).alias("id"),
+                    (F.col("pr") / F.col("deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(
+                    (
+                        F.sum(
+                            F.floor(F.col("c") * F.lit(1e18)).cast(
+                                "decimal(38,0)"
+                            )
+                        ).cast("double")
+                        / F.lit(1e18)
+                    ).alias("s")
                 )
             )
-    return ranks
+            if symmetric:
+                # every node has in-edges, so contribs IS the node universe
+                base = contribs
+            else:
+                base = nodes.join(contribs, "id", "left").select(
+                    "id", F.coalesce(F.col("s"), F.lit(0.0)).alias("s")
+                )
+            if has_dangling:
+                dmass = dang_nodes.join(ranks, "id").agg(
+                    F.coalesce(_dsum, F.lit(0.0)).alias("__dang")
+                )
+                pr_expr = (1.0 - damping) / F.col("__n") + damping * (
+                    F.col("s") + F.col("__dang") / F.col("__n")
+                )
+                ranks = _persist(
+                    base.crossJoin(F.broadcast(n1))
+                    .crossJoin(F.broadcast(dmass))
+                    .select("id", pr_expr.alias("pr"))
+                )
+            else:
+                ranks = _persist(
+                    base.crossJoin(F.broadcast(n1)).select(
+                        "id",
+                        (
+                            (1.0 - damping) / F.col("__n")
+                            + damping * F.col("s")
+                        ).alias("pr"),
+                    )
+                )
+        # One eager action executes the whole (lazy) round chain while
+        # the partition scope is active; the caller gets a truncated,
+        # already-materialized rank table.
+        return ranks.localCheckpoint()

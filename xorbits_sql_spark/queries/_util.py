@@ -165,6 +165,14 @@ def copurchase_edges(
                                     ORDER BY l_partkey, l_linenumber) AS rn
           FROM lineitem) WHERE rn <= 64
     """
+    # Deliberately NOT persisted although the self-join computes the
+    # capped-basket pipeline once per side (broadcast build + probe):
+    # the two computations run as OVERLAPPING jobs (the broadcast
+    # build is an async job the probe stage does not wait on), so the
+    # duplicate work hides in otherwise-idle cores, while a persist
+    # serializes cache-build -> broadcast-read -> probe-read. Measured
+    # (round-11 ABBA at sf0.1): persisting made t17 1.04x, t11 1.08x,
+    # s49 1.14x SLOWER.
     li = capped_group_rows(
         t(spark, sf_dir, "lineitem"),
         key="l_orderkey",

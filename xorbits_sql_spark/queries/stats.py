@@ -4933,7 +4933,18 @@ def t42_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev"),
         F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"),
     )
-    a, b = parts.alias("a"), parts.alias("b")
+    # The pairwise classification is a BroadcastNestedLoopJoin whose
+    # work is quadratic in |parts| while its INPUT is tiny — AQE sizes
+    # the probe side by input bytes and coalesced it to 4 tasks, so a
+    # ~2.5 s compute ran on 4 of 32 cores (round-11 profile). Spread
+    # the probe side across the cluster's cores explicitly; the
+    # round-robin exchange moves only |parts| aggregate rows, and the
+    # classification sums are exact integers, so task assignment
+    # cannot change the result. (Persisting `parts` was measured 3x
+    # SLOWER than letting the broadcast build run as an overlapping
+    # job — same serialization effect as copurchase_edges' note.)
+    a = parts.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = parts.alias("b")
     ra, rb = F.col("a.rev"), F.col("b.rev")
     qa, qb = F.col("a.qty"), F.col("b.qty")
     cls = (
