@@ -173,11 +173,14 @@ def run_to_memory(
     # session's lifetime; a long-lived suite (bench re-runs the
     # streaming queries indefinitely) would leak one per call, and any
     # deferred eviction scheme invalidates results a caller still holds
-    # lazily. The result is already driver-resident (memory sink), so
-    # materialize it eagerly into a fresh local DataFrame and drop the
-    # sink view immediately — no global registry, nothing to race on.
+    # lazily. Detach by localCheckpoint (eager): the data is copied
+    # into JVM block storage and the sink view can be dropped — same
+    # detach the old collect()+createDataFrame roundtrip achieved, but
+    # without serializing every row JVM -> Python -> JVM (round-11
+    # profile: that roundtrip was 1.2 s of q81's 2.6 s; guide §4: you
+    # control how much crosses the boundary — here, nothing needs to).
     sink = spark.table(name)
-    out = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    out = sink.localCheckpoint()
     try:
         spark.catalog.dropTempView(name)
     except Exception:  # noqa: BLE001 - cleanup is best-effort
