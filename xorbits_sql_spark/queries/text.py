@@ -1814,6 +1814,11 @@ def s11_dup_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     edges.createOrReplaceTempView("s11_edges")
+    # (Round-11 note: wrapping the recursion in loop_shuffle_partitions
+    # + an eager localCheckpoint was measured 1.07x SLOWER — the
+    # recursive-CTE loop executes inside one SQL execution whose
+    # per-hop shuffles don't re-read the scoped conf, so the change
+    # only added a count and a checkpoint job. Left lazy.)
     return spark.sql(
         """
         WITH RECURSIVE und AS (
