@@ -539,6 +539,38 @@ def test_connected_components_driver_tier_guard_and_equivalence(spark):
         connected_components(pairs, algorithm="driver", driver_threshold=3)
 
 
+def test_kcore_peel_tier_guard_and_equivalence(spark):
+    """kcore_peel_counts' driver tier must (a) produce the exact same
+    single-row counts as the distributed peel on a shape with hubs,
+    chains, self-contained cliques and peeled-away tendrils and (b)
+    refuse an explicit algorithm="driver" request whose edge count
+    exceeds driver_threshold (the size gate is the whole contract)."""
+    import pytest
+
+    from xorbits_sql_spark.operators.dedup import release_caches
+    from xorbits_sql_spark.operators.graph import kcore_peel_counts
+
+    edges = (
+        [(i, i + 1) for i in range(30)]  # chain: fully peeled at k=3
+        + [(a, b) for a in range(100, 106) for b in range(a + 1, 106)]
+        + [(200, x) for x in range(201, 210)]  # star: hub survives r0 only
+        + [(300 + (i * 7) % 40, 300 + (i * i * 11 + 3) % 40) for i in range(90)]
+    )
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges if a != b],
+        "p1 bigint, p2 bigint",
+    ).distinct()
+    drv = kcore_peel_counts(pairs, algorithm="driver").collect()
+    dist = kcore_peel_counts(pairs, algorithm="distributed").collect()
+    release_caches()
+    assert len(drv) == len(dist) == 1
+    assert drv[0].asDict() == dist[0].asDict()
+    # the clique survives both peels: 6 nodes of degree 5, 15 edges
+    assert drv[0]["nodes_2"] >= 6 and drv[0]["edges_2"] >= 15
+    with pytest.raises(ValueError, match="driver_threshold"):
+        kcore_peel_counts(pairs, algorithm="driver", driver_threshold=3)
+
+
 def test_pack_sequences_assignment(spark):
     from xorbits_sql_spark.operators.packing import pack_sequences
 

@@ -27,6 +27,118 @@ from pyspark.sql import functions as F
 from .dedup import _persist
 
 
+def kcore_peel_counts(
+    edges: DataFrame,
+    src: str = "p1",
+    dst: str = "p2",
+    k: int = 3,
+    rounds: int = 2,
+    algorithm: str = "auto",
+    driver_threshold: int = 250_000,
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected edge list; returns ONE
+    row ``(nodes_0, edges_0, nodes_1, edges_1, ..., nodes_R, edges_R)``
+    where round ``i>=1`` keeps nodes of degree >= ``k`` in round
+    ``i-1``'s edge set and drops every edge touching a peeled node.
+    All counts are exact integers, so both tiers below are
+    value-identical by construction.
+
+    Two tiers, the ``connected_components`` size-gate contract:
+
+    - ``"driver"``: entered only when the EXACT edge count is at most
+      ``driver_threshold`` (~4 MB of two-bigint rows at the default —
+      far under maxResultSize, never an unbounded materialization).
+      Peeling an instance that small is microseconds of numpy work,
+      while the distributed loop pays ``rounds`` x (degree aggregate +
+      two semi-joins + persist) in scheduler barriers — measured on the
+      sf0.1 co-purchase graph (s77: ~3.9k edges): ~30 jobs, 4-7 s, for
+      a computation that fits in one task. An explicit
+      ``algorithm="driver"`` above the gate refuses loudly.
+    - ``"distributed"``: degree aggregation + two left-semi joins per
+      round against the persisted edge set — the uncapped scale path,
+      linear shuffles in |E| per round with ``rounds`` bounded by
+      contract.
+    """
+    if algorithm not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown k-core algorithm: {algorithm!r}")
+    spark = edges.sparkSession
+    cols = [
+        name
+        for i in range(rounds + 1)
+        for name in (f"nodes_{i}", f"edges_{i}")
+    ]
+    schema = ", ".join(f"{c} bigint" for c in cols)
+    if algorithm != "distributed":
+        # Materialize the edge pipeline once before the size probe; the
+        # chosen tier then reuses the checkpointed set (same pattern as
+        # connected_components' dispatch).
+        raw = edges.select(
+            F.col(src).cast("bigint").alias("u"),
+            F.col(dst).cast("bigint").alias("v"),
+        ).localCheckpoint()
+        n_edges = raw.count()
+        if algorithm == "driver" and n_edges > driver_threshold:
+            raise ValueError(
+                f"algorithm='driver' requires at most driver_threshold="
+                f"{driver_threshold:,} edges (got {n_edges:,}); use "
+                "'auto' so the distributed tier handles large graphs."
+            )
+        if n_edges <= driver_threshold:
+            import numpy as np
+
+            pdf = raw.toPandas()
+            u = pdf["u"].to_numpy()
+            v = pdf["v"].to_numpy()
+            ids, deg = np.unique(
+                np.concatenate([u, v]), return_counts=True
+            )
+            out = [len(ids), len(u)]
+            for _ in range(rounds):
+                keep = ids[deg >= k]
+                mask = np.isin(u, keep) & np.isin(v, keep)
+                u, v = u[mask], v[mask]
+                out.extend((len(keep), len(u)))
+                ids, deg = np.unique(
+                    np.concatenate([u, v]), return_counts=True
+                )
+            return spark.createDataFrame(
+                [tuple(int(x) for x in out)], schema=schema
+            )
+        edges = raw
+        src, dst = "u", "v"
+
+    ecur = _persist(edges.select(F.col(src), F.col(dst)))
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col(src).alias("p"))
+            .unionAll(e.select(F.col(dst).alias("p")))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+
+    # degree tables feed several branches (node counts, keep filters,
+    # both peel semi-joins) — persist them or each branch re-runs the
+    # degree shuffle against the persisted edge list
+    dcur = _persist(degrees(ecur))
+    result = cnt(dcur, cols[0]).crossJoin(cnt(ecur, cols[1]))
+    for i in range(1, rounds + 1):
+        keep = dcur.filter(F.col("d") >= k).select("p")
+        ecur = _persist(
+            ecur.join(keep.select(F.col("p").alias(src)), src, "left_semi")
+            .join(keep.select(F.col("p").alias(dst)), dst, "left_semi")
+            .select(src, dst)
+        )
+        dcur = _persist(degrees(ecur))
+        result = result.crossJoin(cnt(keep, f"nodes_{i}")).crossJoin(
+            cnt(ecur, f"edges_{i}")
+        )
+    return result
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

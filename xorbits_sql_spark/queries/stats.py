@@ -767,43 +767,15 @@ def s76_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def s77_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import _persist
+    from ..operators.graph import kcore_peel_counts
 
-    edges0 = _persist(copurchase_edges(spark, sf_dir))
-
-    def degrees(edges: DataFrame) -> DataFrame:
-        return (
-            edges.select(F.col("p1").alias("p"))
-            .unionAll(edges.select(F.col("p2").alias("p")))
-            .groupBy("p")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-
-    def peel(edges: DataFrame, keep: DataFrame) -> DataFrame:
-        k1 = keep.select(F.col("p").alias("p1"))
-        k2 = keep.select(F.col("p").alias("p2"))
-        return edges.join(k1, "p1", "left_semi").join(k2, "p2", "left_semi")
-
-    # degree tables feed several branches (node counts, keep filters,
-    # both peel semi-joins) — persist them or each branch re-runs the
-    # degree shuffle against the persisted edge list
-    deg0 = _persist(degrees(edges0))
-    keep1 = deg0.filter(F.col("d") >= 3).select("p")
-    edges1 = _persist(peel(edges0, keep1))
-    deg1 = _persist(degrees(edges1))
-    keep2 = deg1.filter(F.col("d") >= 3).select("p")
-    edges2 = peel(edges1, keep2)
-
-    def cnt(df: DataFrame, alias: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
-
-    return (
-        cnt(deg0, "nodes_0")
-        .crossJoin(cnt(edges0, "edges_0"))
-        .crossJoin(cnt(keep1, "nodes_1"))
-        .crossJoin(cnt(edges1, "edges_1"))
-        .crossJoin(cnt(keep2, "nodes_2"))
-        .crossJoin(cnt(edges2, "edges_2"))
+    # kcore_peel_counts is size-tiered (round-11, guide §1.1): the
+    # sf0.1 co-purchase graph is ~3.9k edges, for which the distributed
+    # peel's ~30 tiny jobs were pure scheduler floor (4-7 s); the
+    # driver tier computes the same exact counts in one task's worth of
+    # work, and the distributed path remains the uncapped scale tier.
+    return kcore_peel_counts(
+        copurchase_edges(spark, sf_dir), src="p1", dst="p2", k=3, rounds=2
     )
 
 
