@@ -2034,23 +2034,37 @@ def s59_joint_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s82_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import norm_ws, token_count
+    from ..operators.dedup import _persist
 
     docs = t(spark, sf_dir, "documents")
     norm = F.lower(norm_ws(F.col("text")))
+    # Project the text away IMMEDIATELY (guide §2.3): every funnel
+    # decision below depends only on (doc_id, source, words, md5
+    # fingerprint, non-space char count) — ~50 bytes/row — yet the
+    # original spelling carried the full normalized text through BOTH
+    # window exchanges (dedup partition + domain-cap partition) and
+    # re-planned the scan+normalize prefix once per stage aggregate
+    # (plan: 18 parquet scans, 36 Windows). The slim projection is
+    # computed once, persisted (guide §5: six stage branches + the
+    # window chain consume it), and nothing heavier than these five
+    # short columns ever crosses an exchange.
     base = docs.select(
-        "doc_id", "source", norm.alias("norm"),
+        "doc_id",
+        "source",
         token_count(F.col("text")).alias("words"),
+        F.md5(norm).alias("fp"),
+        F.length(F.replace(norm, F.lit(" "), F.lit(""))).alias("nsp_chars"),
     )
-    corpus = base.filter(F.col("doc_id") % 17 != 0)
-    mean_word = F.length(F.replace(F.col("norm"), F.lit(" "), F.lit(""))).cast(
+    corpus = _persist(base.filter(F.col("doc_id") % 17 != 0))
+    mean_word = F.col("nsp_chars").cast("double") / F.col("words").cast(
         "double"
-    ) / F.col("words").cast("double")
+    )
     quality = corpus.filter(
         (F.col("words") >= 10)
         & (F.col("words") <= 5000)
         & mean_word.between(3.0, 12.0)
     )
-    wfp = W.partitionBy(F.md5(F.col("norm"))).orderBy("doc_id")
+    wfp = W.partitionBy(F.col("fp")).orderBy("doc_id")
     deduped = (
         quality.withColumn("rn", F.row_number().over(wfp))
         .filter(F.col("rn") == 1)
@@ -2061,13 +2075,17 @@ def s82_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5(norm).alias("fp"))
         .distinct()
     )
-    clean = deduped.withColumn("fp", F.md5(F.col("norm"))).join(
-        F.broadcast(bench), "fp", "left_anti"
-    )
+    # clean is a prefix of stages 4, 5 and 6; persisting it caps the
+    # dedup-window re-execution at one. bench would otherwise re-scan
+    # and re-md5 the full text once per consuming stage (it rides
+    # inside clean's lineage), so it executes once here too. Both are
+    # slim-column tables, bounded by the corpus row count.
+    clean = _persist(deduped.join(F.broadcast(bench), "fp", "left_anti"))
     wcap = W.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    capped = (
+    # capped: prefix of stages 5 and 6 — one cap-window execution.
+    capped = _persist(
         clean.withColumn("rk", F.row_number().over(wcap))
         .filter(F.col("rk") <= 50)
         .drop("rk")
