@@ -3618,19 +3618,33 @@ def t50_threshold_calibration(
         partition_col=None,
         max_df=50,
     ).select(F.col("jaccard").alias("j"))
-    grid = spark.createDataFrame(
-        [(0.1,), (0.2,), (0.3,), (0.5,), (0.7,), (0.9,)], ["thr"]
+    # One pass with 6 conditional sums instead of grid x jac crossJoin:
+    # the broadcast-grid crossJoin multiplied every pair row 6x through
+    # the BNLJ node before the partial aggregate — same comparisons, 6x
+    # the tuple traffic (guide §2.3: aggregate before you multiply).
+    # The count()>0 guard keeps the exact crossJoin semantics on an
+    # empty pair set (0 output rows, not 6 NULL rows).
+    thresholds = [0.1, 0.2, 0.3, 0.5, 0.7, 0.9]
+    sums = [
+        F.sum(F.when(F.col("j") > F.lit(thr), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"__c{i}")
+        for i, thr in enumerate(thresholds)
+    ]
+    agg = jac.agg(F.count(F.lit(1)).alias("__n"), *sums)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(thr).cast("double").alias("threshold"),
+                F.col(f"__c{i}").alias("n_pairs_above"),
+            )
+            for i, thr in enumerate(thresholds)
+        ]
     )
     return (
-        F.broadcast(grid)
-        .crossJoin(jac)
-        .groupBy("thr")
-        .agg(
-            F.sum(F.when(F.col("j") > F.col("thr"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_pairs_above")
-        )
-        .select(F.col("thr").alias("threshold"), "n_pairs_above")
+        agg.filter(F.col("__n") > 0)
+        .select(F.explode(rows).alias("__r"))
+        .select("__r.threshold", "__r.n_pairs_above")
         .orderBy("threshold")
     )
 
