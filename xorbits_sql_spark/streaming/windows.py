@@ -153,10 +153,20 @@ def run_to_memory(
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key)
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     try:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if mode == "complete":
+            # Complete mode rewrites the ENTIRE result table on every
+            # trigger, so the trailing no-data flush micro-batch only
+            # re-emits what the last data batch already wrote — one
+            # whole extra state-store read/write cycle for zero new
+            # rows. Skip it. Append/update KEEP the flush batch: their
+            # final emission is watermark-driven and happens there.
+            spark.conf.set(nodata_key, "false")
         q = (
             stream_df.writeStream.outputMode(mode)
             .format("memory")
@@ -169,6 +179,7 @@ def run_to_memory(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(nodata_key, prev_nodata)
     # Memory-sink tables hold their full result on the driver for the
     # session's lifetime; a long-lived suite (bench re-runs the
     # streaming queries indefinitely) would leak one per call, and any
