@@ -187,9 +187,18 @@ from xorbits_sql_spark.queries import load_all
 # sort keys are non-null TPC-H columns so values are provably
 # identical, re-entering anyway per the t90/t92 precedent; s40 sqlite
 # is NULL-smallest like Spark, emission unchanged, stays green).
-_R11_REENTRIES = frozenset(
-    ["q24", "q27", "s32", "s37", "s39", "t94", "t97", "u03", "u08", "u12"]
-)
+# Round 12 (EXECUTED): CORRECTNESS_r11 was 50/50 rows+schema+hash
+# green — the ten NULL-sort re-entries, u11's STRING_TO_ARRAY
+# re-spelling, and 39 staleness-ordered rotated greens — so all
+# re-entries rejoin _DRIVER_GREEN and the u range extends through u14
+# unconditionally. _driver_ledger.py regenerated with the r11 rows.
+# Round 12 is the second OPTIMIZATION round: no new registry entries,
+# no result-affecting definition changes (every optimization is
+# oracle-verified result-identical), so the r12 window is pure
+# staleness rotation. Round-13 playbook: if CORRECTNESS_r12 is green,
+# regen the ledger with the r12 rows; any red re-enters first, as
+# always.
+_R11_REENTRIES = frozenset()
 _DRIVER_GREEN = frozenset(
     [f"q{i:02d}" for i in range(1, 28)]
     + [f"q{i}" for i in range(30, 100)]
@@ -204,11 +213,9 @@ _DRIVER_GREEN = frozenset(
     # re-greened in r10 after their r09 definition changes
     + [f"t{i:02d}" for i in range(1, 100)]
     # dialect-fidelity batches r08 (u01..u03) + r09 (u04..u10) +
-    # r10 (u11..u13 + the u14 sampled blocking audit); u11 re-enters
-    # the r11 window (STRING_TO_ARRAY re-spelling, see playbook);
-    # u15+ (round-11 additions, if any) are NOT green until a driver
-    # row says so
-    + [f"u{i:02d}" for i in range(1, 15) if i != 11]
+    # r10 (u11..u13 + the u14 sampled blocking audit); u11 re-greened
+    # in r11 after its STRING_TO_ARRAY re-spelling
+    + [f"u{i:02d}" for i in range(1, 15)]
 ) - _R11_REENTRIES
 
 

@@ -34,16 +34,14 @@ _VERIFIED_PREFIXES = (
     | {f"r{i}" for i in range(57, 100)}
     | {f"s{i:02d}" for i in range(1, 100)}
     | {f"t{i:02d}" for i in range(1, 100)}
-    # u11 re-enters the r11 window: its postgres probe re-spelled
-    # SPLIT as STRING_TO_ARRAY (round-10 ADVICE), changing the
-    # exercised rewrite path.
-    | {f"u{i:02d}" for i in range(1, 15) if i != 11}
-    # Round-11 NULL-sort-position sweep re-entries: every green entry
-    # on trino/snowflake/clickhouse with a bare ORDER BY key now emits
-    # explicit NULLS markers — definition change, t90/t92 precedent.
-) - entry_mod._R11_REENTRIES
+    # u01..u14 all green: u11 re-greened in r11 after its
+    # STRING_TO_ARRAY re-spelling; the ten round-11 NULL-sort-position
+    # re-entries (q24/q27/s32/s37/s39/t94/t97/u03/u08/u12) re-greened
+    # in CORRECTNESS_r11 (50/50 hash green).
+    | {f"u{i:02d}" for i in range(1, 15)}
+)
 
-# Round 11: no rows-only re-entries pending.
+# Round 12: no rows-only re-entries pending.
 _ROWS_ONLY_FRESH: list[str] = []
 
 
