@@ -1278,3 +1278,69 @@ def test_cc_auto_uses_generator_edge_hint(spark):
     }
     release_caches()
     assert got == counted
+
+
+def test_build_concurrently_matches_sequential(spark):
+    """§2.6 overlap helper: threaded construction+materialization must
+    return the same results as sequential execution, in builder order,
+    and propagate builder exceptions."""
+    import pytest
+
+    from xorbits_sql_spark.operators.dedup import (
+        _persist,
+        build_concurrently,
+        construct_concurrently,
+        materialize_concurrently,
+        release_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 4} epsilon zeta {i % 2}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    seq_mh = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b").collect()
+    }
+    seq_sh = {
+        tuple(r)
+        for r in simhash_pairs(docs, "text", "doc_id").select("id_a", "id_b").collect()
+    }
+    release_caches()
+
+    mh, sh = build_concurrently(
+        lambda: _persist(
+            minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+        ),
+        lambda: _persist(
+            simhash_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+        ),
+    )
+    assert {tuple(r) for r in mh.collect()} == seq_mh
+    assert {tuple(r) for r in sh.collect()} == seq_sh
+    release_caches()
+
+    # two-phase variant: construction (pre-flights) then materialization
+    mh2, sh2 = construct_concurrently(
+        lambda: _persist(
+            minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+        ),
+        lambda: _persist(
+            simhash_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+        ),
+    )
+    materialize_concurrently(mh2, sh2)
+    assert {tuple(r) for r in mh2.collect()} == seq_mh
+    assert {tuple(r) for r in sh2.collect()} == seq_sh
+    release_caches()
+
+    # a builder exception must propagate, not hang or be swallowed
+    def boom():
+        raise ValueError("builder failed")
+
+    with pytest.raises(ValueError, match="builder failed"):
+        build_concurrently(
+            lambda: _persist(docs.select("doc_id")),
+            boom,
+        )
+    release_caches()

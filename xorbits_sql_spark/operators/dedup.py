@@ -107,6 +107,77 @@ def release_caches() -> int:
     return n
 
 
+def build_concurrently(*builders):
+    """Build independent DataFrame pipelines in overlapping driver
+    threads and materialize each result's cache (guide §2.6).
+
+    The pair generators run submit-time pre-flight jobs (bucket-size
+    aggregation + budget ``collect()``) while the pipeline is being
+    *constructed*, so two independent detectors built back to back
+    serialize completely: detector B's signature build waits for every
+    job of detector A even though the cluster is idle in A's stage
+    tails. Spark's scheduler happily runs jobs from several driver
+    threads at once (FIFO back-fill), so constructing each pipeline in
+    its own thread — and forcing its persisted result with a
+    ``count()`` before returning — lets B's scan/signature stages fill
+    the cores A's barriers leave idle. Same jobs, same results (each
+    pipeline is deterministic and caching order is content-neutral);
+    only the idle gaps between them are removed.
+
+    Each ``builder`` is a zero-arg callable returning a (persisted)
+    DataFrame. Results come back in builder order. Threads are
+    ``pyspark.InheritableThread``-equivalent (``inheritable_thread_
+    target``) so the caller's job group / description — the bench and
+    driver cancellation scope — covers the child jobs. Builders must
+    not mutate session-level conf (the generators don't; iterative
+    loops using :func:`loop_shuffle_partitions` are NOT safe here).
+    """
+    def run(b):
+        df = b()
+        df.count()  # materialize the cache inside this thread's jobs
+        return df
+
+    return _in_threads([lambda b=b: run(b) for b in builders])
+
+
+def construct_concurrently(*builders):
+    """Like :func:`build_concurrently` but stops after construction:
+    the builders' submit-time pre-flight jobs overlap, the returned
+    DataFrames' caches are NOT materialized. Use when something must
+    happen between the pre-flights and the heavy tiers (e.g. the
+    t15 → u14 density advisory, which must fire before the pair join
+    runs, not after); follow with :func:`materialize_concurrently`.
+    """
+    return _in_threads(list(builders))
+
+
+def materialize_concurrently(*dfs: DataFrame) -> None:
+    """Force each (persisted) DataFrame's cache in overlapping driver
+    threads — the materialization half of :func:`build_concurrently`."""
+    _in_threads([lambda d=d: d.count() for d in dfs])
+
+
+def _in_threads(fns):
+    if len(fns) == 1:
+        return [fns[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import SparkSession
+    from pyspark.util import inheritable_thread_target
+
+    # Passing the session makes inheritable_thread_target also carry
+    # session tags (Spark 4 signature); without it every call warns.
+    session = SparkSession.getActiveSession()
+    wrap = (
+        inheritable_thread_target(session)
+        if session is not None
+        else inheritable_thread_target
+    )
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futs = [pool.submit(wrap(f)) for f in fns]
+        return [f.result() for f in futs]
+
+
 def shingles_relational(
     df: DataFrame,
     text_col: str,

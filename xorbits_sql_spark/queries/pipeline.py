@@ -2654,7 +2654,7 @@ from .text import _DUCK_SHINGLES, _duck_minhash  # noqa: E402
 def t56_detector_agreement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.dedup import _persist, minhash_lsh_pairs
+    from ..operators.dedup import _persist, build_concurrently, minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")
     # Persist both pair sets: each is consumed TWICE below (its own
@@ -2662,15 +2662,21 @@ def t56_detector_agreement(
     # under them are cached by the generators, the band/bucket
     # self-join + distinct is not — uncached, that pair-join work runs
     # twice per detector (guide §5). Short (id_a, id_b) rows.
-    mh = _persist(
-        minhash_lsh_pairs(
-            docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
-        ).select("id_a", "id_b")
-    )
-    sh = _persist(
-        simhash_pairs(
-            docs, "text", "doc_id", max_hamming=14, prefix_bits=4
-        ).select("id_a", "id_b")
+    # The two detectors are fully independent until the final counts,
+    # and each serializes pre-flight jobs at construction time — build
+    # them in overlapping driver threads (guide §2.6) so SimHash's
+    # signature stages back-fill the MinHash stage tails.
+    mh, sh = build_concurrently(
+        lambda: _persist(
+            minhash_lsh_pairs(
+                docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+            ).select("id_a", "id_b")
+        ),
+        lambda: _persist(
+            simhash_pairs(
+                docs, "text", "doc_id", max_hamming=14, prefix_bits=4
+            ).select("id_a", "id_b")
+        ),
     )
     n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
     n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))

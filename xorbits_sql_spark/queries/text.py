@@ -2639,35 +2639,55 @@ def t08_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t15_blocking_quality_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.dedup import _persist, minhash_lsh_pairs, ngram_jaccard_pairs
+    from ..operators.dedup import (
+        _persist,
+        construct_concurrently,
+        materialize_concurrently,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = t(spark, sf_dir, "documents")
-    cands_raw = minhash_lsh_pairs(
-        docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
-    )
-    truth_raw = ngram_jaccard_pairs(
-        docs,
-        "text",
-        "doc_id",
-        shingle_k=3,
-        threshold=0.2,
-        partition_col=None,
-        max_df=50,
-    )
-    # Submit-time advisory (round-10 verdict #6): both generators
-    # already computed their exact pair-volume estimates for the
-    # budget/partition-scaling pre-flights — no extra job here.
-    _advise_sampled_audit(
-        (getattr(cands_raw, "_xss_edge_estimate", 0.0) or 0.0)
-        + (getattr(truth_raw, "_xss_edge_estimate", 0.0) or 0.0)
-    )
     # Persist both pair sets: each feeds its own count AND the caught
     # intersection join below — uncached, the band/inverted-index pair
     # joins (the expensive stage of each generator) execute twice
     # (guide §5). Short (id_a, id_b) rows, bounded by the generators'
-    # budget pre-flights.
-    cands = _persist(cands_raw.select("id_a", "id_b"))
-    truth = _persist(truth_raw.select("id_a", "id_b"))
+    # budget pre-flights. The candidate and truth pipelines are fully
+    # independent until the caught-join, and each blocks on pre-flight
+    # jobs at construction — build them in overlapping driver threads
+    # (guide §2.6) so the truth side's shingle stages back-fill the
+    # LSH side's stage tails.
+    raws: dict[str, DataFrame] = {}
+
+    def _build_cands() -> DataFrame:
+        raws["c"] = minhash_lsh_pairs(
+            docs, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+        )
+        return _persist(raws["c"].select("id_a", "id_b"))
+
+    def _build_truth() -> DataFrame:
+        raws["t"] = ngram_jaccard_pairs(
+            docs,
+            "text",
+            "doc_id",
+            shingle_k=3,
+            threshold=0.2,
+            partition_col=None,
+            max_df=50,
+        )
+        return _persist(raws["t"].select("id_a", "id_b"))
+
+    cands, truth = construct_concurrently(_build_cands, _build_truth)
+    # Submit-time advisory (round-10 verdict #6): both generators
+    # already computed their exact pair-volume estimates for the
+    # budget/partition-scaling pre-flights — no extra job here. Fires
+    # BEFORE the pair joins materialize below, so on a too-dense corpus
+    # the warning precedes the heavy tiers, not follows them.
+    _advise_sampled_audit(
+        (getattr(raws["c"], "_xss_edge_estimate", 0.0) or 0.0)
+        + (getattr(raws["t"], "_xss_edge_estimate", 0.0) or 0.0)
+    )
+    materialize_concurrently(cands, truth)
     c_cand = cands.agg(F.count(F.lit(1)).alias("n_cand"))
     c_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     c_caught = truth.join(cands, ["id_a", "id_b"]).agg(
@@ -2804,7 +2824,12 @@ def t15_blocking_quality_audit(
 def u14_blocking_audit_sampled(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.dedup import _persist, minhash_lsh_pairs, ngram_jaccard_pairs
+    from ..operators.dedup import (
+        _persist,
+        build_concurrently,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = t(spark, sf_dir, "documents")
     sample = docs.filter(
@@ -2812,21 +2837,26 @@ def u14_blocking_audit_sampled(
     )
     # Persist both sampled pair sets — same double-consumption shape as
     # t15 (count + intersection join), same guide-§5 fix.
-    cands_s = _persist(
-        minhash_lsh_pairs(
-            sample, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
-        ).select("id_a", "id_b")
-    )
-    truth_s = _persist(
-        ngram_jaccard_pairs(
-            sample,
-            "text",
-            "doc_id",
-            shingle_k=3,
-            threshold=0.2,
-            partition_col=None,
-            max_df=15,
-        ).select("id_a", "id_b")
+    # Same §2.6 overlap as t15: the sampled candidate and truth
+    # pipelines are independent until the caught-join, so build them
+    # in overlapping driver threads.
+    cands_s, truth_s = build_concurrently(
+        lambda: _persist(
+            minhash_lsh_pairs(
+                sample, "text", "doc_id", seeds=4, band_size=1, shingle_k=3
+            ).select("id_a", "id_b")
+        ),
+        lambda: _persist(
+            ngram_jaccard_pairs(
+                sample,
+                "text",
+                "doc_id",
+                shingle_k=3,
+                threshold=0.2,
+                partition_col=None,
+                max_df=15,
+            ).select("id_a", "id_b")
+        ),
     )
     c_n = docs.agg(F.count(F.lit(1)).alias("n"))
     c_s = sample.agg(F.count(F.lit(1)).alias("n_s"))
