@@ -316,3 +316,50 @@ def test_welford_skips_null_values(spark):
     assert row["n"] == 5
     assert not pd.isna(row["mean"]) and not pd.isna(row["m2"])
     assert row["n_alerts"] >= 1
+
+
+def test_flush_batch_skip_is_result_identical_for_eager_emission(spark):
+    """run_to_memory(flush_batch=False) must change the result of an
+    eager-emission query NOT AT ALL — only remove the trailing no-data
+    micro-batch. Checked on an inner stream-stream join (r84's shape:
+    matches emit in the data batch; the watermark only evicts state)."""
+    from pyspark.sql import functions as F
+
+    from xorbits_sql_spark.streaming.windows import read_parquet_stream, run_to_memory
+
+    def build_joined():
+        views = read_parquet_stream(spark, SF_ORACLE + "/events.parquet")
+        purchases = read_parquet_stream(spark, SF_ORACLE + "/events.parquet")
+        v = (
+            views.filter(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("view_ts"))
+            .withWatermark("view_ts", "2 hours")
+        )
+        p = (
+            purchases.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        return v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        ).select("user_id", "view_ts", "purchase_ts")
+
+    with_flush = run_to_memory(build_joined(), mode="append").toPandas()
+    without = run_to_memory(
+        build_joined(), mode="append", flush_batch=False
+    ).toPandas()
+    assert canonical_rows(with_flush) == canonical_rows(without)
+    # the conf must be restored after the run
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        == "true"
+    )

@@ -62,7 +62,10 @@ def q82_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     totals = running_totals(stream, key_col="user_id", value_col="value")
-    out = run_to_memory(totals, mode="update")
+    # update-mode NoTimeout stateful op: emission is data-driven, the
+    # no-data flush batch would emit nothing — skip it (run_to_memory
+    # flush_batch contract).
+    out = run_to_memory(totals, mode="update", flush_batch=False)
     # update mode re-emits a key each batch it changes; the final state
     # per user is the row with the greatest n_events.
     rn = F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("n_events")))
@@ -220,7 +223,9 @@ def r78_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id", "event_type"],
         watermark="1 hour",
     )
-    out = run_to_memory(deduped, mode="append")
+    # dropDuplicatesWithinWatermark emits first occurrences eagerly;
+    # the flush batch emits nothing — skip it.
+    out = run_to_memory(deduped, mode="append", flush_batch=False)
     return (
         out.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_keys"))
@@ -276,7 +281,9 @@ def r84_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") > F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "view_ts", "purchase_ts", "val")
-    return run_to_memory(joined, mode="append").orderBy(
+    # inner stream-stream join: matches emit eagerly in the data batch
+    # (watermark only evicts state) — the flush batch emits nothing.
+    return run_to_memory(joined, mode="append", flush_batch=False).orderBy(
         "user_id", "view_ts", "purchase_ts"
     )
 
@@ -408,9 +415,12 @@ def s68_stream_welford_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import welford_anomalies
 
     stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    # update-mode NoTimeout stateful op: data-driven emission, the
+    # flush batch emits nothing — skip it.
     out = run_to_memory(
         welford_anomalies(stream, key_col="user_id", value_col="value"),
         mode="update",
+        flush_batch=False,
     )
     # update mode re-emits a key each batch; final state = greatest n.
     rn = F.row_number().over(W2.partitionBy("user_id").orderBy(F.desc("n")))

@@ -138,7 +138,10 @@ def dedup_stream(
 
 
 def run_to_memory(
-    stream_df: DataFrame, mode: str = "complete", state_partitions: int = 8
+    stream_df: DataFrame,
+    mode: str = "complete",
+    state_partitions: int = 8,
+    flush_batch: bool = True,
 ) -> DataFrame:
     """Run a (bounded) streaming DataFrame to completion into a memory
     sink; returns a batch DataFrame of the final results.
@@ -150,6 +153,17 @@ def run_to_memory(
     ``state_partitions`` for the bounded run (a long-lived production
     stream sizes this to its key cardinality instead — the setting is
     fixed per checkpoint) and restored afterwards.
+
+    ``flush_batch=False`` is the caller's assertion that the query's
+    output is NOT watermark- or timeout-driven — every result row is
+    emitted in the micro-batch that carries its data (inner
+    stream-stream joins and dropDuplicates* emit matches eagerly;
+    update-mode aggregations and ``NoTimeout`` applyInPandasWithState
+    ops emit on data only) — so the trailing no-data flush micro-batch
+    would run a full state-store read/write cycle and emit zero rows.
+    Skipping it is then result-identical. Callers whose final emission
+    IS watermark-driven (append-mode windowed aggregation, outer
+    stream-stream joins) must keep the default.
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -159,13 +173,15 @@ def run_to_memory(
     try:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        if mode == "complete":
+        if mode == "complete" or not flush_batch:
             # Complete mode rewrites the ENTIRE result table on every
             # trigger, so the trailing no-data flush micro-batch only
             # re-emits what the last data batch already wrote — one
             # whole extra state-store read/write cycle for zero new
-            # rows. Skip it. Append/update KEEP the flush batch: their
-            # final emission is watermark-driven and happens there.
+            # rows. Skip it. Append/update keep the flush batch UNLESS
+            # the caller asserts eager emission via flush_batch=False
+            # (see docstring): watermark-driven finalization happens in
+            # that batch, eager emission doesn't.
             spark.conf.set(nodata_key, "false")
         q = (
             stream_df.writeStream.outputMode(mode)
