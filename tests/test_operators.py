@@ -1344,3 +1344,92 @@ def test_build_concurrently_matches_sequential(spark):
             boom,
         )
     release_caches()
+
+
+def test_simhash_blocked_join_equals_plain_join(spark):
+    """§2.5 block decomposition: with a tiny bucket-key space the
+    within-bucket all-pairs join runs on (bucket, block_i, block_j);
+    the pair set must be EXACTLY the plain bucket join's. prefix_bits=0
+    puts all docs in one bucket (the worst single-key case) and 300
+    docs crosses the max_small >= 256 gate, so the blocked path is
+    exercised; passing max_bucket=None/pair_budget=None disables the
+    sizes pre-flight and with it the blocking, giving the plain-join
+    reference on identical input."""
+    from xorbits_sql_spark.operators.dedup import release_caches
+
+    import xorbits_sql_spark.operators.dedup as dedup_mod
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} alpha w{i % 11} beta w{i % 13} gamma {i % 3}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    # the volume gate engages blocking only when one bucket alone holds
+    # a task's worth of pairs (~4M); lower it so 300 docs cross it here
+    orig = dedup_mod._PAIR_ROWS_PER_PARTITION
+    dedup_mod._PAIR_ROWS_PER_PARTITION = 1_000
+    blocked = {
+        tuple(r)
+        for r in simhash_pairs(
+            docs, "text", "doc_id", max_hamming=30, prefix_bits=0
+        ).collect()
+    }
+    release_caches()
+    dedup_mod._PAIR_ROWS_PER_PARTITION = orig
+    plain = {
+        tuple(r)
+        for r in simhash_pairs(
+            docs,
+            "text",
+            "doc_id",
+            max_hamming=30,
+            prefix_bits=0,
+            max_bucket=None,
+            pair_budget=None,
+        ).collect()
+    }
+    release_caches()
+    assert blocked == plain and len(blocked) > 0
+
+    # star tier: an oversized bucket must still emit exactly
+    # (rep, member) pairs (max_small is 0 here, so this runs the plain
+    # path — the blocked star handling is pinned by the mixed case
+    # below)
+    star = {
+        tuple(r)
+        for r in simhash_pairs(
+            docs, "text", "doc_id", max_hamming=64, prefix_bits=0, max_bucket=10
+        ).select("id_a", "id_b").collect()
+    }
+    release_caches()
+    assert star == {(0, i) for i in range(1, 300)}
+
+    # mixed case: several buckets, one over max_bucket (star) and the
+    # rest small (blocked all-pairs) — blocked vs plain must agree on
+    # the full (id_a, id_b, hamming) set
+    def mixed(pairs_kwargs):
+        out = {
+            tuple(r)
+            for r in simhash_pairs(
+                docs, "text", "doc_id", max_hamming=64, prefix_bits=2,
+                **pairs_kwargs,
+            ).collect()
+        }
+        release_caches()
+        return out
+
+    from pyspark.sql import functions as SF
+    from xorbits_sql_spark.operators.dedup import simhash_relational
+
+    bn = (
+        simhash_relational(docs, "text", "doc_id")
+        .withColumn("bucket", SF.shiftright(SF.col("sh"), 58))
+        .groupBy("bucket").count().collect()
+    )
+    sizes = sorted(r["count"] for r in bn)
+    assert len(sizes) >= 2, "test corpus must spread over >= 2 buckets"
+    cap = sizes[-1] - 1  # biggest bucket overflows, the rest stay small
+    dedup_mod._PAIR_ROWS_PER_PARTITION = 10
+    blocked_mixed = mixed({"max_bucket": cap})
+    dedup_mod._PAIR_ROWS_PER_PARTITION = orig
+    plain_mixed = mixed({"max_bucket": cap})
+    assert blocked_mixed == plain_mixed and len(blocked_mixed) > 0

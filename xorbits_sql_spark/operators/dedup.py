@@ -1321,6 +1321,8 @@ def simhash_pairs(
     )
     est = None
     n_part = None
+    sizes = None
+    max_small = 0
     right = hashed.select(
         F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("bucket")
     )
@@ -1331,17 +1333,21 @@ def simhash_pairs(
             )
         )
         cap = max_bucket if max_bucket is not None else 1 << 62
-        est = float(
-            sizes.select(
-                F.sum(
-                    F.when(
-                        F.col("__bn") <= cap,
-                        F.col("__bn") * (F.col("__bn") - F.lit(1)) / F.lit(2.0),
-                    ).otherwise(F.col("__bn") - F.lit(1))
-                ).alias("__pairs")
-            ).collect()[0]["__pairs"]
-            or 0.0
-        )
+        pre = sizes.select(
+            F.sum(
+                F.when(
+                    F.col("__bn") <= cap,
+                    F.col("__bn") * (F.col("__bn") - F.lit(1)) / F.lit(2.0),
+                ).otherwise(F.col("__bn") - F.lit(1))
+            ).alias("__pairs"),
+            # largest un-capped bucket — sizes the §2.5 block
+            # decomposition below; same pre-flight job, no extra pass
+            F.max(F.when(F.col("__bn") <= cap, F.col("__bn"))).alias(
+                "__maxsmall"
+            ),
+        ).collect()[0]
+        est = float(pre["__pairs"] or 0.0)
+        max_small = int(pre["__maxsmall"] or 0)
         if pair_budget is not None and est > pair_budget:
             sizes.unpersist()
             hashed.unpersist()
@@ -1354,19 +1360,99 @@ def simhash_pairs(
                 "pass pair_budget=None to run anyway."
             )
         n_part = _scaled_pair_partitions(hashed, est)
-    if max_bucket is not None:
-        sized = hashed.join(sizes, "bucket")
-        left = sized.filter(
-            (F.col("__bn") <= max_bucket) | (F.col("doc") == F.col("__rep"))
-        ).select("doc", "sh", "bucket")
+    # §2.5: the bucket key has at most 2^prefix_bits distinct values, so
+    # the plain self-join on it can never use more than that many tasks
+    # no matter how large the cluster — and AQE skew splitting cannot
+    # split a single join key. When the key space is too small to fill
+    # the cluster AND some bucket is big enough to be worth splitting,
+    # decompose each bucket's all-pairs into block pairs: rows get a
+    # deterministic per-bucket rank (by doc id), blocks of ``S`` ranks,
+    # and the join runs on (bucket, block_i, block_j) with i <= j —
+    # every unordered pair is generated exactly once (ranks are
+    # doc-ordered, so cross-block pairs already satisfy doc < doc_b and
+    # the filter keeps the same half it always kept). Result-identical;
+    # key cardinality grows from 2^prefix_bits to 2^prefix_bits·m(m+1)/2
+    # and ~half the bn² candidate tuples are never generated. Oversized
+    # buckets keep the star contract: their a-side is the representative
+    # only (rank 1, block 0) and their b-side pins block_i to 0, so each
+    # member still pairs exactly once with the representative.
+    # Engage only when BOTH hold: the key space is too small for the
+    # cluster AND the largest bucket alone carries more than one
+    # task's worth of pairs (the same ~4M-pairs/task sizing constant
+    # as _scaled_pair_partitions). Measured at sf0.1 (bn≈312/bucket,
+    # 49k pairs): blocking costs MORE than the skew it fixes (stage
+    # metrics: run_s 4.6→9.1) — the window sort + explode overhead
+    # needs bucket-scale pair volume to amortize. At the 100× shape
+    # (bn≈31k → 480M pairs on ONE join key) it is the only way any
+    # cluster parallelizes the bucket at all.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    blocks = 1
+    if (
+        sizes is not None
+        and (1 << prefix_bits) < 4 * par
+        and max_small * (max_small - 1) / 2 >= _PAIR_ROWS_PER_PARTITION
+    ):
+        units = -(-4 * par // (1 << prefix_bits))  # target join units/bucket
+        m = 1
+        while m * (m + 1) // 2 < units:
+            m += 1
+        block_s = max(1, -(-max_small // m))
+        if block_s < max_small:
+            blocks = m
+    if blocks > 1:
+        small = (
+            F.col("__bn") <= max_bucket if max_bucket is not None else F.lit(True)
+        )
+        ranked = hashed.join(F.broadcast(sizes), "bucket").withColumn(
+            "__blk",
+            (
+                (
+                    F.row_number().over(W.partitionBy("bucket").orderBy("doc"))
+                    - F.lit(1)
+                )
+                / F.lit(block_s)
+            ).cast("int"),
+        )
+        n_blk = F.ceil(F.col("__bn") / F.lit(block_s)).cast("int")
+        a_side = ranked
+        if max_bucket is not None:
+            a_side = a_side.filter(small | (F.col("doc") == F.col("__rep")))
+        a_side = a_side.select(
+            "bucket",
+            "doc",
+            "sh",
+            F.col("__blk").alias("__i"),
+            F.explode(F.sequence(F.col("__blk"), n_blk - F.lit(1))).alias("__j"),
+        )
+        b_side = ranked.select(
+            "bucket",
+            F.col("doc").alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("__blk").alias("__j"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.when(small, F.col("__blk")).otherwise(F.lit(0))
+                )
+            ).alias("__i"),
+        )
+        if n_part:
+            a_side = a_side.repartition(n_part, "bucket", "__i", "__j")
+            b_side = b_side.repartition(n_part, "bucket", "__i", "__j")
+        joined = a_side.join(b_side, ["bucket", "__i", "__j"])
     else:
-        left = hashed
-    if n_part:
-        left = left.repartition(n_part, "bucket")
-        right = right.repartition(n_part, "bucket")
+        if max_bucket is not None:
+            sized = hashed.join(sizes, "bucket")
+            left = sized.filter(
+                (F.col("__bn") <= max_bucket) | (F.col("doc") == F.col("__rep"))
+            ).select("doc", "sh", "bucket")
+        else:
+            left = hashed
+        if n_part:
+            left = left.repartition(n_part, "bucket")
+            right = right.repartition(n_part, "bucket")
+        joined = left.join(right, "bucket")
     out = (
-        left.join(right, "bucket")
-        .filter(F.col("doc") < F.col("doc_b"))
+        joined.filter(F.col("doc") < F.col("doc_b"))
         .select(
             F.col("doc").alias("id_a"),
             F.col("doc_b").alias("id_b"),
