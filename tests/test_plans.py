@@ -308,8 +308,6 @@ _BNLJ_INTENDED = {
     "t69_js_divergence_matrix": "scalar-broadcast (the source-pair "
     "grid x distinct-lang table — both constant-size dimension "
     "relations)",
-    "t71_lsh_band_curve": "scalar-broadcast (the constant 4-row "
-    "band-count grid against the bounded pair-band list)",
     "t74_dedup_savings_projection": "scalar-broadcast (the 1-row "
     "dropped-token totals)",
     "t77_return_rate_by_discount": "scalar-broadcast (the 1-row "

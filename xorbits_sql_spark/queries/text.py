@@ -3980,22 +3980,35 @@ def t71_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    grid = spark.range(1, 5).select(F.col("id").alias("k"))
-    return (
-        F.broadcast(grid)
-        .crossJoin(pair_bands)
-        .groupBy("k")
-        .agg(
-            F.sum(
-                F.when(F.col("n_bands") >= F.col("k"), 1).otherwise(0)
+    # One pass with 4 conditional sums instead of grid x pair crossJoin:
+    # the broadcast-grid crossJoin multiplied every (ia, ib, n_bands)
+    # row 4x through the BNLJ node before the partial aggregate — same
+    # comparisons, 4x the tuple traffic, scaling with the candidate
+    # pair volume (guide §2.3: aggregate before you multiply; the t50
+    # respelling, same shape). The count()>0 guard keeps the exact
+    # crossJoin semantics on an empty pair set (0 output rows, not 4
+    # NULL rows).
+    ks = [1, 2, 3, 4]
+    sums = [
+        F.sum(F.when(F.col("n_bands") >= F.lit(k), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"__c{k}")
+        for k in ks
+    ]
+    agg = pair_bands.agg(F.count(F.lit(1)).alias("__n"), *sums)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("min_bands_agreeing"),
+                F.col(f"__c{k}").alias("n_candidate_pairs"),
             )
-            .cast("bigint")
-            .alias("n_candidate_pairs")
-        )
-        .select(
-            F.col("k").cast("int").alias("min_bands_agreeing"),
-            "n_candidate_pairs",
-        )
+            for k in ks
+        ]
+    )
+    return (
+        agg.filter(F.col("__n") > 0)
+        .select(F.explode(rows).alias("__r"))
+        .select("__r.min_bands_agreeing", "__r.n_candidate_pairs")
         .orderBy("min_bands_agreeing")
     )
 
