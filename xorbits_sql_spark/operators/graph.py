@@ -185,12 +185,21 @@ def pagerank(
             nodes.join(deg, nodes["id"] == deg[src], "left_anti")
         )
         has_dangling = bool(dang_nodes.head(1))
-    n1 = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    ranks = _persist(
-        nodes.crossJoin(F.broadcast(n1)).select(
-            "id", (F.lit(1.0) / F.col("__n")).alias("pr")
-        )
-    )
+    # N as a driver scalar instead of a per-round broadcast crossJoin of
+    # the 1-row count aggregate: every round's formula needs N only as a
+    # plain divisor, and attaching it relationally re-ran a
+    # BroadcastExchange job (plus a deeper plan to analyze) per round.
+    # One count job on the persisted deg/nodes table replaces init + per
+    # -round broadcasts; long→double is exact below 2^53 and the
+    # divisions are the same IEEE ops on the same operands, so every
+    # rank value is bit-identical (pinned by
+    # test_pagerank_symmetric_values_unchanged / ..._directed_...).
+    n_count = nodes.count()
+    if n_count == 0:
+        # empty graph: the old crossJoin produced an empty rank table
+        return nodes.select("id", F.lit(0.0).alias("pr"))
+    inv_n = 1.0 / n_count
+    ranks = _persist(nodes.select("id", F.lit(inv_n).alias("pr")))
     _dsum = (
         F.sum(
             F.floor(F.col("pr") * F.lit(1e18)).cast("decimal(38,0)")
@@ -244,20 +253,24 @@ def pagerank(
                 dmass = dang_nodes.join(ranks, "id").agg(
                     F.coalesce(_dsum, F.lit(0.0)).alias("__dang")
                 )
-                pr_expr = (1.0 - damping) / F.col("__n") + damping * (
-                    F.col("s") + F.col("__dang") / F.col("__n")
+                # (1-d)/N and __dang/N spelled on the same IEEE operand
+                # values as the old crossJoin form (N was a LONG column;
+                # lit(n_count) is the same long, converted to double by
+                # the same division)
+                pr_expr = F.lit((1.0 - damping) / n_count) + damping * (
+                    F.col("s") + F.col("__dang") / F.lit(n_count)
                 )
                 ranks = _persist(
-                    base.crossJoin(F.broadcast(n1))
-                    .crossJoin(F.broadcast(dmass))
-                    .select("id", pr_expr.alias("pr"))
+                    base.crossJoin(F.broadcast(dmass)).select(
+                        "id", pr_expr.alias("pr")
+                    )
                 )
             else:
                 ranks = _persist(
-                    base.crossJoin(F.broadcast(n1)).select(
+                    base.select(
                         "id",
                         (
-                            (1.0 - damping) / F.col("__n")
+                            F.lit((1.0 - damping) / n_count)
                             + damping * F.col("s")
                         ).alias("pr"),
                     )
